@@ -1,0 +1,86 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational._
+import graft.rules.RuleCascade
+import graft.rules.RuleCascade.Rule
+import graft.pipelines.SapAnalog._
+
+/** The reference's material-status consistency audit
+  * (`Status_Cleansing.py`, SURVEY.md §3 entry point 3): MB52 inventory
+  * aggregation + MARC vs MARA status reconciliation through a 10-rule
+  * guarded cascade.
+  *
+  * Scale notes: the only shuffle is the inventory groupBy on the
+  * Material/Plant key (partial/final hash aggregate — map-side combine
+  * shrinks the shuffle to one row per live key); the MARA lookup and
+  * scope filter are broadcast; the cascade is one codegen'd projection.
+  */
+object StatusCleansing {
+
+  /** `get_valid_plants` (`Status_Cleansing.py:84-88`): scope semi-join
+    * against GAR_Plants' Status-Cleansing flag. */
+  def validPlants(df: DataFrame, gar: DataFrame): DataFrame =
+    semiJoin(df, broadcast(gar.filter(col("status_cleansing_project") === "Yes")),
+             Seq("plant"))
+
+  /** Row-level inventory sum (E5) then the group-by sum over all
+    * numeric columns (A1, `Status_Cleansing.py:103-104`). */
+  def mb52Valid(mb52: DataFrame, gar: DataFrame): DataFrame =
+    validPlants(mb52, gar)
+      .withColumn("sum_of_inventory",
+        col("unrestricted") + col("in_quality_insp") + col("blocked_qty"))
+
+  def mb52Groupby(mb52v: DataFrame): DataFrame =
+    mb52v.groupBy(col("mp")).agg(
+      sum(col("unrestricted")).as("unrestricted"),
+      sum(col("in_quality_insp")).as("in_quality_insp"),
+      sum(col("blocked_qty")).as("blocked_qty"),
+      sum(col("sum_of_inventory")).as("sum_of_inventory"))
+
+  /** MARC enrichment (J5/J6) + the 10-rule guarded cascade
+    * (`Status_Cleansing.py:107-161`). Verdict strings are the
+    * reference's own; every rule after the first is guarded on
+    * `Comment IS NULL` (first-match-wins fall-through). */
+  def marcChecked(marc: DataFrame, mara: DataFrame, mb52g: DataFrame,
+                  gar: DataFrame): DataFrame = {
+    val enriched = validPlants(marc, gar)
+      .join(broadcast(mara), Seq("material"), "left")
+      .join(mb52g.select(col("mp"), col("sum_of_inventory")), Seq("mp"), "left")
+    val noC = col("comment").isNull
+    RuleCascade(enriched, "comment", Seq(
+      Rule(col("material_type").isNull, "Ok,raw materials out of scope"),
+      Rule(col("plant_status") === col("xplant_status") && noC,
+           "Ok,local plant status match with X-plant status"),
+      Rule(col("xplant_status") === "80" && col("sum_of_inventory").isNotNull && noC,
+           "MDO action, check with planner why X-plant 80 but have inventory"),
+      Rule(col("plant_status") === "80" && col("sum_of_inventory").isNotNull && noC,
+           "MDO action, check with planner why local plant 80 but have inventory"),
+      Rule(col("plant_status") === "80" && col("sum_of_inventory").isNull && noC,
+           "Ok, SKU cancelled locally and no inventory"),
+      Rule(col("xplant_status") === "80" && col("plant_status") =!= "80" && noC,
+           "MDO action, check with planner why Enterprise inactive but local still active"),
+      Rule(col("plant_status") === "70" && col("sum_of_inventory").isNull && noC,
+           "MDO action, check with planner if could cancel the SKU in plant as no existing inventory"),
+      Rule(col("plant_status") === "70" && col("sum_of_inventory").isNotNull && noC,
+           "Ok, Status 70 awaiting existing inventory clearance"),
+      Rule(col("plant_status") === "41" && noC, "Ok, Clinical trial"),
+      Rule(noC,
+           "MDO action, check with planner as misalignment in X-plant and local plant status")
+    ))
+  }
+
+  // ---- composed endpoints ------------------------------------------
+
+  def mb52ValidQ(spark: SparkSession, dir: String): DataFrame =
+    mb52Valid(mb52(spark, dir), garPlants(spark, dir))
+
+  def mb52GroupbyQ(spark: SparkSession, dir: String): DataFrame =
+    mb52Groupby(mb52ValidQ(spark, dir))
+
+  def marcCheckedQ(spark: SparkSession, dir: String): DataFrame =
+    marcChecked(marc(spark, dir), mara(spark, dir),
+                mb52GroupbyQ(spark, dir), garPlants(spark, dir))
+}

@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table scans over the driver's parquet fixtures (TESTDATA.md).
+  *
+  * Re-expresses the reference's S1 "scan a headered table" capability
+  * (`SL_SPK_Cleansing.py:40-55` reads Excel workbooks with inferred
+  * headers, then blanket-casts columns). Here the schema is carried by
+  * parquet itself — declared at write time by the fixture generator —
+  * so the blanket string-coercion pass (P1/P2,
+  * `SL_SPK_Cleansing.py:63-70`) collapses into explicit typed scans.
+  * Filters/projections on these scans are pushed into the parquet
+  * reader by Catalyst (visible as PushedFilters/ReadSchema in
+  * `.explain("formatted")`), which is the 100 TB-scale win: a scan
+  * only reads the row groups and columns a query touches.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}
