@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.pipelines.{AnalogSql, SlValidation, StatusCleansing}
+import graft.pipelines.{AnalogSql, Extensions, ExtSql, SlValidation, StatusCleansing}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -9,8 +9,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     SlValidation.validSlQ(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 (parity) and
+    * the beyond-reference extension track (x1–x16). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = parity ++ Extensions.queries
+
+  private def parity: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_eord_scan"       -> ((s, d) => SlValidation.eordT(s, d).drop("valid_to")),
     "f1_invalid_sl"      -> ((s, d) => SlValidation.invalidSlQ(s, d).drop("valid_to")),
     "f2_plants_oos"      -> ((s, d) => SlValidation.plantsOosQ(s, d).drop("valid_to")),
@@ -28,5 +31,5 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = AnalogSql.oracle
+  def oracleSql: Map[String, String] = AnalogSql.oracle ++ ExtSql.oracle
 }

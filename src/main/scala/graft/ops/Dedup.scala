@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis._
+
+/** Deduplication operators for corpus curation — the beyond-reference
+  * track's core (builder brief; SURVEY.md §7 step 7).
+  *
+  *  - exact dedup: hash-groupBy on the canonical fingerprint;
+  *  - MinHash + LSH banding (Broder '97 / MMDS ch.3): shingles →
+  *    k md5-minhashes → b bands → band-bucket self-join → exact
+  *    Jaccard verify;
+  *  - SimHash (Charikar '02) with pigeonhole block join for
+  *    Hamming-distance candidate pairs;
+  *  - brute n-gram Jaccard as the exact verifier / small-data path.
+  *
+  * Portability: all "hashing" is md5 (identical lowercase hex in Spark
+  * and DuckDB); a MinHash is the lexicographic MIN over hex strings and
+  * a SimHash token value is the first 16 bits of the token md5 parsed
+  * as an integer (`conv(…,16,10)` / `('0x'||…)::BIGINT`) — no
+  * engine-specific hash functions, so the DuckDB oracle
+  * ([[graft.pipelines.ExtSql]]) reproduces every signature exactly.
+  *
+  * Scale design (the point of LSH): candidate generation is
+  * explode(bands) → shuffle on the 32-char band hash → within-bucket
+  * pairs. At 100 TB the cost is O(docs·bands) shuffle rows, never an
+  * O(n²) cross join; degenerate buckets (boilerplate shared by millions
+  * of docs) are the known hot spot — AQE skew-split handles moderate
+  * skew, and real deployments drop buckets above a size cap. The
+  * Jaccard verify carries shingle sets through the band join rather
+  * than re-joining by doc_id: one shuffle total.
+  */
+object Dedup {
+
+  /** MinHash permutations (k) and LSH banding (b bands × r rows = k). */
+  val NumHashes = 12
+  val Bands     = 4
+  val RowsPerBand: Int = NumHashes / Bands
+  /** Near-dup acceptance threshold on shingle Jaccard. */
+  val JaccardThreshold = 0.5
+  /** SimHash width in bits and max Hamming distance for near-dups. */
+  val SimHashBits = 16
+  val HammingMax  = 2
+  /** Pigeonhole blocks: ≤ HammingMax differing bits ⇒ ≥1 equal block. */
+  val SimHashBlocks: Int = HammingMax + 1
+
+  // ---- exact dedup -------------------------------------------------
+
+  /** x4: one row per distinct canonical text: fingerprint, keeper
+    * (min doc_id), group size. Hash aggregate on the 32-char md5 —
+    * at scale this shuffles fixed-width keys, not document bodies. */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH -----------------------------------------------
+
+  /** k MinHashes of a distinct-shingle array: element i is
+    * min over shingles of md5(i ∥ '|' ∥ shingle). */
+  def minhashSignature(sh: Column, k: Int = NumHashes): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** Band hashes: md5 of the comma-joined r minhashes of each band. */
+  def bandHashes(sig: Column, bands: Int = Bands, r: Int = RowsPerBand): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r)))))
+
+  /** doc_id + distinct shingle set, docs with ≥1 shingle only. */
+  def docShingles(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact Jaccard between two distinct-element arrays, rounded. */
+  def jaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
+
+  /** x5: MinHash/LSH near-duplicate pairs: candidates share ≥1 LSH
+    * band, verified at Jaccard ≥ [[JaccardThreshold]]. Returns
+    * distinct (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def minhashNearDupPairs(documents: DataFrame,
+                          threshold: Double = JaccardThreshold): DataFrame = {
+    val withBands = docShingles(documents)
+      .select(col("doc_id"), col("sh"),
+        posexplode(bandHashes(minhashSignature(col("sh")))).as(Seq("band_idx", "band_hash")))
+    val l = withBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = withBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  // ---- SimHash -----------------------------------------------------
+
+  /** Per-token 16-bit hash: first 4 hex nibbles of md5 as an integer.
+    * Spark `conv(hex,16,10)` ≡ DuckDB `('0x'||hex)::BIGINT`. */
+  def tokenHash16(tok: Column): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long")
+
+  /** [[SimHashBits]]-bit SimHash over pre-hashed token values: bit j is
+    * set when strictly more than half the tokens have bit j set. */
+  def simhashFromVals(vals: Column, bits: Int = SimHashBits): Column =
+    (0 until bits).map { j =>
+      when(size(filter(vals, v => shiftrightunsigned(v, j) % 2 === 1)) * 2 > size(vals),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** x6: doc_id → simhash value (+ token count for context). The
+    * token-hash array is materialized in its own projection so the md5
+    * per token is computed once, not once per bit. */
+  def simhashSignatures(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        transform(tokens(col("text")), tokenHash16 _).as("tok_vals"))
+      .filter(size(col("tok_vals")) > 0)
+      .select(col("doc_id"),
+        simhashFromVals(col("tok_vals")).as("simhash"),
+        size(col("tok_vals")).as("n_tokens"))
+
+  /** x7: near-dup pairs at Hamming ≤ [[HammingMax]] via the pigeonhole
+    * block join: each doc emits one row per bit-block; pairs agreeing
+    * on any block meet in the shuffle, the exact popcount check
+    * filters. Never O(n²). */
+  def simhashNearDupPairs(documents: DataFrame): DataFrame = {
+    val blockBits = SimHashBits / SimHashBlocks // 5,5,6 for 16/3
+    val sigs = simhashSignatures(documents).select(col("doc_id"), col("simhash"))
+    val blockVals = (0 until SimHashBlocks).map { b =>
+      val lo = b * blockBits
+      val width = if (b == SimHashBlocks - 1) SimHashBits - lo else blockBits
+      (shiftrightunsigned(col("simhash"), lo) % (1L << width)).as(s"blk$b")
+    }
+    val blocks = sigs
+      .select(col("doc_id") +: col("simhash") +: blockVals: _*)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimHashBlocks).map(b => col(s"blk$b")): _*))
+          .as(Seq("block_idx", "block_val")))
+    val l = blocks.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val r = blocks.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("block_idx", "block_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .distinct()
+  }
+
+  /** Brute-force n-gram Jaccard pairs — the exact verifier / small-N
+    * path; the LSH path above is the 100 TB path. */
+  def jaccardPairsBrute(documents: DataFrame,
+                        threshold: Double = JaccardThreshold): DataFrame = {
+    val d = docShingles(documents)
+    val l = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.crossJoin(r)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators over the `events` fixture (event_id, ts,
+  * user_id, event_type, value, props JSON) — beyond-reference track:
+  * JSON extraction, time-bucketed aggregation, and gap-based
+  * sessionization. [[graft.streaming.EventStream]] carries the
+  * Structured Streaming twins of these.
+  *
+  * Determinism/portability notes:
+  *  - money stays integral: cents = floor(value·100 + 0.5) as BIGINT,
+  *    so sums are exact in any aggregation order (double sums are
+  *    order-dependent; integer sums are not);
+  *  - timestamps compare as unix_millis (Spark) ≡ epoch_ms (DuckDB) —
+  *    both truncate sub-ms identically — and are output as BIGINT ms,
+  *    never as formatted timestamps;
+  *  - window order ties break on event_id.
+  *
+  * Scale: hourly agg is one partial/final hash aggregate; sessions are
+  * one shuffle on user_id then two window passes over each user's
+  * slice — the canonical distributed sessionization plan.
+  */
+object Events {
+
+  /** Session gap: a pause > 30 min starts a new session. */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  def valueCents(value: Column): Column =
+    floor(value * 100 + 0.5).cast("long")
+
+  /** x14: parse + project: JSON prop `k`, cents, hour bucket. */
+  def parsedEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      valueCents(col("value")).as("value_cents"),
+      date_trunc("hour", col("ts")).cast("string").as("hour"))
+
+  /** x15: per (hour, event_type) counts, exact cent sums, distinct
+    * users. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    parsedEvents(events)
+      .groupBy(col("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** x16: gap-based sessionization: per user, order by (ts, event_id);
+    * gap > [[SessionGapMs]] opens a new session; emit one row per
+    * session with bounds and totals. */
+  def sessions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val tagged = events
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"),
+        valueCents(col("value")).as("value_cents"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > SessionGapMs, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    tagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded-media metadata row (the "decode" output schema). */
+case class MediaMeta(doc_id: Long, n_bytes: Long, fmt: String,
+                     width: Long, height: Long, n_frames: Long)
+
+/** Multimodal-column plumbing — beyond-reference track (builder brief).
+  *
+  * Media (image/audio/video) is carried as an opaque `binary` column
+  * with typed metadata. The fixture set has no real media, so the
+  * `media` table is derived from `documents` (content = UTF-8 bytes of
+  * the text) and the decode step is a clearly-marked DETERMINISTIC
+  * STUB: real deployments swap [[decodeStub]] for an actual
+  * image/audio decoder (the container has no media libs). What is
+  * real and tested here is the Spark-side plumbing: binary column
+  * schema, a partition-wise decode via `mapPartitions` (the Scala
+  * analogue of `mapInPandas` — per-partition batch iteration, one
+  * decoder instance per partition, zero driver involvement), and the
+  * frame-sampling explode.
+  *
+  * Scale design: decode is map-only over the scan — linear, no
+  * shuffle; binary payloads stay columnar (parquet binary) and are
+  * never collected. Frame sampling is a generator (explode) — row
+  * count multiplies by frames/[[SampleEvery]], still shuffle-free.
+  */
+object Multimodal {
+
+  /** Frame-sampling stride. */
+  val SampleEvery = 4
+
+  /** The media table: doc_id + opaque binary payload. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** STUB decoder — deterministic fake metadata from the bytes alone
+    * (md5 nibble → format, size arithmetic → dimensions). Replace the
+    * body with a real decoder (javax.imageio / ffmpeg bindings) in a
+    * deployment; the signature (bytes → MediaMeta) is the contract. */
+  def decodeStub(docId: Long, content: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nibble0 = (md.digest(content)(0) >> 4) & 0xf
+    val n = content.length.toLong
+    MediaMeta(
+      doc_id   = docId,
+      n_bytes  = n,
+      fmt      = (nibble0 % 3) match {
+        case 0 => "jpeg"
+        case 1 => "png"
+        case _ => "webp"
+      },
+      width    = 16 + n % 640,
+      height   = 16 + (n * 7) % 480,
+      n_frames = 1 + n / 256)
+  }
+
+  /** x12: partition-wise decode: one decoder per partition, batch
+    * iteration — the mapInPandas shape in Scala. */
+  def mediaMeta(spark: SparkSession, documents: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    mediaTable(documents)
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        // per-partition setup cost (decoder init) amortizes here
+        iter.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** x13: sample every [[SampleEvery]]-th frame of each media item;
+    * frame_fp stands in for the extracted frame feature. */
+  def frameSample(spark: SparkSession, documents: DataFrame): DataFrame =
+    mediaMeta(spark, documents).toDF()
+      .select(col("doc_id"), col("fmt"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(SampleEvery.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("fmt"), col("frame_idx"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("frame_idx").cast("string"))).as("frame_fp"))
+}

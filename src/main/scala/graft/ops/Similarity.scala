@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / vector-similarity operators over the
+  * `embeddings` fixture (vec_id, embedding: array<float>, label) —
+  * beyond-reference track (builder brief).
+  *
+  *  - brute-force cosine top-k: the correctness baseline;
+  *  - IVF-style bucketed top-k: a deterministic coarse quantizer
+  *    (sign pattern of the leading dims) shrinks each probe to one
+  *    bucket — the shape of a real IVF index (quantize → probe cells);
+  *  - random-hyperplane LSH (SimHash for vectors, Charikar '02) for
+  *    near-duplicate pair mining without the O(n²) cross join.
+  *
+  * Determinism/portability: cosines are sequential left-to-right
+  * double folds (identical in Spark's `aggregate` and DuckDB's
+  * `list_sum` over a comprehension), rounded to 4 decimals before any
+  * ranking; rank ties break on vec_id. Hyperplane weights are
+  * *precomputed Scala constants* (md5-derived ±1) injected as array
+  * literals into BOTH engines, so there is no cross-engine hashing to
+  * keep in sync.
+  *
+  * Scale design: top-k is a per-query-partition window over a
+  * broadcast-joined candidate set — queries are broadcast, the 100 TB
+  * side streams. The brute path scans all vectors per query (baseline
+  * only); IVF cuts candidates by 2^[[IvfBits]]; LSH pair mining
+  * shuffles O(vectors · tables) rows on small bucket keys. The
+  * per-vector norm is computed once in its own projection, so a pair
+  * evaluation costs one dot product, not three.
+  */
+object Similarity {
+
+  /** Top-k neighbors returned per query vector. */
+  val TopK = 10
+  /** Query designation: every 100th vec_id probes the index. */
+  val QueryStride = 100
+  /** IVF coarse quantizer: sign bits of the first [[IvfBits]] dims. */
+  val IvfBits = 4
+  /** Hyperplane LSH: [[LshTables]] tables × [[LshBitsPerTable]] planes. */
+  val LshTables = 4
+  val LshBitsPerTable = 4
+  val NumPlanes: Int = LshTables * LshBitsPerTable
+  /** Embedding dimensionality (TESTDATA.md fixture). */
+  val Dim = 64
+  /** Near-duplicate cosine threshold (fixture cosines top out ~0.6). */
+  val CosineThreshold = 0.4
+
+  /** Deterministic ±1 hyperplane weights: parity of the first hex
+    * nibble of md5("p:d"). Same values are inlined into the DuckDB
+    * oracle as literals. */
+  lazy val planeWeights: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Element-wise float→double widening (exact in both engines). */
+  def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  /** Sequential left-to-right double sum of an array. */
+  private def arraySum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column = arraySum(zip_with(a, b, _ * _))
+
+  def norm(a: Column): Column = sqrt(arraySum(transform(a, x => x * x)))
+
+  /** vec_id, v (double array), nrm — the shared per-vector projection. */
+  def vectors(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Cosine from a precomputed dot and two norms, rounded to 4dp. */
+  def cosine(dotAB: Column, nrmA: Column, nrmB: Column): Column =
+    round(dotAB / (nrmA * nrmB), 4)
+
+  // ---- x8: brute-force near-dup pairs ------------------------------
+
+  /** All pairs with cosine ≥ [[CosineThreshold]] — exact baseline. */
+  def embeddingNearDupBrute(embeddings: DataFrame,
+                            threshold: Double = CosineThreshold): DataFrame = {
+    val vs = vectors(embeddings)
+    val l = vs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = vs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    l.crossJoin(r)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  // ---- x9: hyperplane-LSH near-dup pairs ---------------------------
+
+  /** Bucket id for LSH table `t`: the sign pattern of its planes. */
+  private def lshBucket(v: Column, t: Int): Column =
+    (0 until LshBitsPerTable).map { i =>
+      val w = typedLit(planeWeights(t * LshBitsPerTable + i))
+      when(dot(w, v) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Near-dup pairs via LSH: pairs sharing a bucket in ≥1 table,
+    * verified at cosine ≥ [[CosineThreshold]]. Approximate by design
+    * (recall < 1); never O(n²). */
+  def embeddingNearDupLsh(embeddings: DataFrame,
+                          threshold: Double = CosineThreshold): DataFrame = {
+    val vs = vectors(embeddings)
+      .select(col("vec_id") +: col("v") +: col("nrm") +:
+        (0 until LshTables).map(t => lshBucket(col("v"), t).as(s"b$t")): _*)
+    val tagged = vs.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until LshTables).map(t => col(s"b$t")): _*))
+        .as(Seq("tbl", "bucket")))
+    val l = tagged.select(col("tbl"), col("bucket"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = tagged.select(col("tbl"), col("bucket"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
+  // ---- x10: brute-force cosine top-k -------------------------------
+
+  /** Queries = every [[QueryStride]]-th vector; for each, the exact
+    * top-[[TopK]] neighbors by (cosine desc, vec_id asc), self
+    * excluded. Queries are broadcast; candidates stream. */
+  def annBrute(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vs = vectors(embeddings)
+    val qs = broadcast(
+      vs.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    qs.crossJoin(vs)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  // ---- x11: IVF-bucketed top-k -------------------------------------
+
+  /** Coarse quantizer: sign bits of the first [[IvfBits]] dims. */
+  def ivfCell(v: Column): Column =
+    (0 until IvfBits).map { d =>
+      when(element_at(v, d + 1) > 0, lit(1 << d)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Like [[annBrute]] but each query only probes its own IVF cell —
+    * the scale path (candidates cut ~2^[[IvfBits]]×; recall < 1 by
+    * design, like a real nprobe=1 IVF index). */
+  def annIvf(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vs = vectors(embeddings).withColumn("cell", ivfCell(col("v")))
+    val qs = broadcast(
+      vs.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    qs.join(vs, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

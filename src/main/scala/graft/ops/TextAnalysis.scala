@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` fixture table (TESTDATA.md): tokenization, token
+  * counting (whitespace + BPE-ish regex), language-ID (marker-token
+  * heuristic), quality scoring (length/punctuation/stopword ratios),
+  * and document fingerprinting (md5 full-text + min-shingle).
+  *
+  * Beyond-reference track (SURVEY.md §7 step 7) — the reference itself
+  * has no text ops; these are the standard corpus-curation primitives
+  * (C4/Gopher-style quality heuristics, shingle fingerprints a la
+  * Broder '97) re-expressed as pure Catalyst columns.
+  *
+  * Scale design: every operator here is a map-only projection over the
+  * document scan — no shuffle, no UDFs, all whole-stage-codegen'd
+  * built-ins (split / higher-order array functions / md5 / regexp).
+  * At 100 TB this runs at scan speed; the only costs are the regexes,
+  * which are per-row and embarrassingly parallel.
+  *
+  * Every constant lives here and is referenced by the DuckDB oracle
+  * generator ([[graft.pipelines.ExtSql]]) so the two engines cannot
+  * drift.
+  */
+object TextAnalysis {
+
+  /** Marker-token lists for the language-ID heuristic, in priority
+    * order (earlier wins ties). Deliberately tiny — the heuristic's
+    * point is the *shape* (score-per-language argmax over token
+    * membership), not linguistic accuracy. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "data"),
+    "es" -> Seq("key", "value", "row", "column"),
+    "de" -> Seq("window", "batch", "stream", "group"),
+    "fr" -> Seq("merge", "join", "sort", "filter"),
+    "zh" -> Seq("spark", "hash", "scan", "vector"))
+
+  /** Stopword list for the quality score's stopword ratio. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single symbols. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  /** Punctuation / symbol pattern for the quality score. */
+  val PunctPattern = "[^a-zA-Z0-9\\s]"
+
+  /** Shingle width for fingerprints / MinHash (word n-grams). */
+  val ShingleN = 3
+
+  /** Whitespace tokens of `text`, empties dropped (both engines keep
+    * empty strings around leading/trailing separators — filter them). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: regexp matches over the lowercased text. */
+  def bpeCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  /** Distinct word `n`-shingles joined with single spaces. */
+  def shingles(toks: Column, n: Int = ShingleN): Column =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+
+  /** Count of `toks` members that appear in `words`. */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Predicted language: argmax of marker hits, ties to the earlier
+    * entry in [[LangMarkers]]. */
+  def langId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> markerHits(toks, words) }
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), rest) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        if (laterScores.isEmpty) rest
+        else when(laterScores.map(s >= _).reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+  }
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PunctPattern), lit(0)))
+
+  def stopwordCount(toks: Column): Column = markerHits(toks, Stopwords)
+
+  /** Gopher-ish composite quality score in [0,1]:
+    * 0.4·min(1, tokens/100) + 0.3·stopword_ratio + 0.3·(1 − punct_ratio).
+    * All-double arithmetic in a fixed evaluation order, rounded to 4
+    * decimals, so Spark and DuckDB agree bit-for-bit. */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val n = size(toks)
+    val lenTerm   = least(lit(1.0), n / lit(100.0)) * lit(0.4)
+    val stopTerm  = when(n > 0, stopwordCount(toks) / n.cast("double")).otherwise(lit(0.0)) * lit(0.3)
+    val punctTerm = (lit(1.0) - when(length(text) > 0,
+      punctCount(text) / length(text).cast("double")).otherwise(lit(0.0))) * lit(0.3)
+    round(lenTerm + stopTerm + punctTerm, 4)
+  }
+
+  /** Canonical full-text fingerprint: md5 of lowercased,
+    * whitespace-collapsed, trimmed text. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Min-shingle fingerprint (1-perm MinHash): lexicographic min of the
+    * shingle md5s — stable under reordering-free edits, null when the
+    * doc has < [[ShingleN]] tokens. */
+  def minShingleFingerprint(toks: Column): Column =
+    array_min(transform(shingles(toks), s => md5(s)))
+
+  // ---- per-document stats frames -----------------------------------
+
+  /** x1: one row per document with all scalar text stats. */
+  def textStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeCount(col("text")).as("n_bpe_tokens"),
+      punctCount(col("text")).as("n_punct"),
+      stopwordCount(toks).as("n_stopwords"),
+      qualityScore(col("text"), toks).as("quality_score"))
+  }
+
+  /** x2: language-ID prediction next to the labeled lang. */
+  def langIdQ(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = LangMarkers.map { case (l, ws) => markerHits(toks, ws).as(s"hits_$l") }
+    documents.select(
+      Seq(col("doc_id"), col("lang"), langId(toks).as("pred_lang")) ++ hits: _*)
+  }
+
+  /** x3: document fingerprints. */
+  def fingerprints(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp_full"),
+      minShingleFingerprint(toks).as("fp_min_shingle"))
+  }
+}

@@ -1,0 +1,347 @@
+package graft.pipelines
+
+import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+
+/** DuckDB oracle SQL for the beyond-reference extension queries
+  * (x1–x16), generated from the SAME Scala constants the Spark
+  * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
+  * [[Similarity.planeWeights]], …) so the two engines cannot drift.
+  *
+  * Cross-engine conventions (same as [[AnalogSql]], plus):
+  *  - all hashing is md5 hex (identical in both engines); integer
+  *    views of hashes go through Spark `conv(hex,16,10)` ≡ DuckDB
+  *    `('0x'||hex)::BIGINT`;
+  *  - doubles are sequential left-to-right folds rounded to 4dp
+  *    before any comparison/ranking (Spark `aggregate` ≡ DuckDB
+  *    `list_sum` over a comprehension);
+  *  - money is integral cents; sums are CAST to BIGINT (DuckDB
+  *    SUM(BIGINT) is HUGEINT);
+  *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *    replace-all semantics;
+  *  - timestamps leave queries as epoch_ms BIGINT or hour-truncated
+  *    VARCHAR, never raw timestamps.
+  */
+object ExtSql {
+
+  private def strList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ---- shared text CTEs --------------------------------------------
+
+  private val n = TextAnalysis.ShingleN
+
+  /** doc_id, lang, text, toks (whitespace tokens, empties dropped). */
+  private val toksCte =
+    raw"""tok AS (
+         |  SELECT doc_id, lang, text,
+         |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+         |  FROM documents)""".stripMargin
+
+  /** + sh: distinct word n-shingles (empty when < n tokens). */
+  private val shCte =
+    raw"""shs AS (
+         |  SELECT doc_id, toks,
+         |         CASE WHEN len(toks) >= $n
+         |              THEN list_distinct([array_to_string(toks[i+1:i+$n], ' ')
+         |                                  for i in range(0, len(toks) - ${n - 1})])
+         |              ELSE [] END AS sh
+         |  FROM tok)""".stripMargin
+
+  private val fpFull =
+    raw"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+  // ---- x1 text stats -----------------------------------------------
+
+  private val x1 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    raw"""WITH $toksCte
+         |SELECT doc_id, lang, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
+         |       round(least(1.0, n_tokens/100.0) * 0.4
+         |             + (CASE WHEN n_tokens > 0
+         |                     THEN n_stopwords / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
+         |             + (1.0 - CASE WHEN length(text) > 0
+         |                     THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3,
+         |             4) AS quality_score
+         |FROM (
+         |  SELECT doc_id, lang, text,
+         |         len(toks) AS n_tokens,
+         |         len(regexp_extract_all(lower(text), '${TextAnalysis.BpePattern}')) AS n_bpe_tokens,
+         |         len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |         len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |  FROM tok)""".stripMargin
+  }
+
+  // ---- x2 language ID ----------------------------------------------
+
+  private val x2 = {
+    val langs = TextAnalysis.LangMarkers
+    val hitCols = langs.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${strList(ws)}, t))) AS hits_$l"
+    }.mkString(",\n         ")
+    // same argmax-with-earlier-tie-break as TextAnalysis.langId
+    val cases = langs.zipWithIndex.init.map { case ((l, _), i) =>
+      val later = langs.drop(i + 1).map { case (l2, _) => s"hits_$l >= hits_$l2" }
+      s"WHEN ${later.mkString(" AND ")} THEN '$l'"
+    }.mkString("\n              ")
+    raw"""WITH $toksCte
+         |SELECT doc_id, lang,
+         |       CASE $cases
+         |            ELSE '${langs.last._1}' END AS pred_lang,
+         |       ${langs.map { case (l, _) => s"hits_$l" }.mkString(", ")}
+         |FROM (
+         |  SELECT doc_id, lang,
+         |         $hitCols
+         |  FROM tok)""".stripMargin
+  }
+
+  // ---- x3 fingerprints ---------------------------------------------
+
+  private val x3 =
+    raw"""WITH $toksCte, $shCte
+         |SELECT t.doc_id, $fpFull AS fp_full,
+         |       list_aggregate([md5(s) for s in sh], 'min') AS fp_min_shingle
+         |FROM tok t JOIN shs USING (doc_id)""".stripMargin
+
+  // ---- x4 exact dedup ----------------------------------------------
+
+  private val x4 =
+    raw"""SELECT $fpFull AS fp, min(doc_id) AS keep_doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- x5 MinHash/LSH near-dup pairs -------------------------------
+
+  private val jaccardExpr =
+    "round(len(list_intersect(l.sh, r.sh))::DOUBLE / len(list_distinct(l.sh || r.sh)), 4)"
+
+  private val x5 = {
+    val k = Dedup.NumHashes; val b = Dedup.Bands; val r = Dedup.RowsPerBand
+    raw"""WITH $toksCte, $shCte,
+         |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |         [list_aggregate([md5(i::VARCHAR || '|' || s) for s in sh], 'min')
+         |          for i in range(0, $k)] AS sig
+         |  FROM dsh),
+         |bands AS (
+         |  SELECT doc_id, sh, bi.b AS band_idx,
+         |         md5(array_to_string(sig[bi.b*$r+1:bi.b*$r+$r], ',')) AS band_hash
+         |  FROM sig, (SELECT unnest(range(0, $b)) AS b) bi)
+         |SELECT DISTINCT doc_a, doc_b, jaccard FROM (
+         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, $jaccardExpr AS jaccard
+         |  FROM bands l JOIN bands r
+         |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         |   AND l.doc_id < r.doc_id)
+         |WHERE jaccard >= ${Dedup.JaccardThreshold}""".stripMargin
+  }
+
+  // ---- x6/x7 SimHash -----------------------------------------------
+
+  private def simhashExpr(vals: String): String =
+    (0 until Dedup.SimHashBits).map { j =>
+      s"CASE WHEN len(list_filter($vals, v -> (v >> $j) % 2 = 1)) * 2 > len($vals) THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", "\n           + ", ")")
+
+  private val simhashSigCte =
+    raw"""tv AS (
+         |  SELECT doc_id, [('0x' || substr(md5(t), 1, 4))::BIGINT for t in toks] AS vals
+         |  FROM tok WHERE len(toks) > 0),
+         |ssig AS (
+         |  SELECT doc_id, ${simhashExpr("vals")} AS simhash, len(vals) AS n_tokens
+         |  FROM tv)""".stripMargin
+
+  private val x6 =
+    raw"""WITH $toksCte, $simhashSigCte
+         |SELECT doc_id, simhash, n_tokens FROM ssig""".stripMargin
+
+  private val x7 = {
+    val blockBits = Dedup.SimHashBits / Dedup.SimHashBlocks
+    val widths = (0 until Dedup.SimHashBlocks).map { b =>
+      if (b == Dedup.SimHashBlocks - 1) Dedup.SimHashBits - b * blockBits else blockBits
+    }
+    val widthCase = widths.zipWithIndex
+      .map { case (w, b) => s"WHEN $b THEN ${1L << w}" }.mkString(" ")
+    raw"""WITH $toksCte, $simhashSigCte,
+         |blocks AS (
+         |  SELECT doc_id, simhash, bi.b AS block_idx,
+         |         (simhash >> (bi.b * $blockBits)) % (CASE bi.b $widthCase END) AS block_val
+         |  FROM ssig, (SELECT unnest(range(0, ${Dedup.SimHashBlocks})) AS b) bi)
+         |SELECT DISTINCT doc_a, doc_b, hamming FROM (
+         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |         bit_count(xor(l.simhash, r.simhash)) AS hamming
+         |  FROM blocks l JOIN blocks r
+         |    ON l.block_idx = r.block_idx AND l.block_val = r.block_val
+         |   AND l.doc_id < r.doc_id)
+         |WHERE hamming <= ${Dedup.HammingMax}""".stripMargin
+  }
+
+  // ---- shared vector CTEs ------------------------------------------
+
+  private val dim = Similarity.Dim
+
+  private val vecCte =
+    raw"""vn AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))""".stripMargin
+
+  private def dotExpr(a: String, b: String): String =
+    s"list_sum([$a[i] * $b[i] for i in range(1, ${dim + 1})])"
+
+  private def cosExpr(a: String, an: String, b: String, bn: String): String =
+    s"round(${dotExpr(a, b)} / ($an * $bn), 4)"
+
+  // ---- x8 brute embedding near-dup (sampled: vec_id % 2 = 0) -------
+
+  private val x8 =
+    raw"""WITH $vecCte,
+         |s AS (SELECT * FROM vn WHERE vec_id % 2 = 0)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${cosExpr("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+         |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+         |WHERE cos_sim >= ${Similarity.CosineThreshold}""".stripMargin
+
+  // ---- x9 hyperplane-LSH embedding near-dup ------------------------
+
+  private val x9 = {
+    def wLit(p: Int): String =
+      Similarity.planeWeights(p).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("([", ",", "]::DOUBLE[])")
+    val bucketExprs = (0 until Similarity.LshTables).map { t =>
+      (0 until Similarity.LshBitsPerTable).map { i =>
+        val w = wLit(t * Similarity.LshBitsPerTable + i)
+        s"CASE WHEN ${dotExpr(w, "v")} > 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString("(", " + ", s") AS b$t")
+    }.mkString(",\n         ")
+    val unions = (0 until Similarity.LshTables).map { t =>
+      s"SELECT vec_id, v, nrm, $t AS tbl, b$t AS bucket FROM vb"
+    }.mkString("\n  UNION ALL ")
+    raw"""WITH $vecCte,
+         |vb AS (
+         |  SELECT vec_id, v, nrm,
+         |         $bucketExprs
+         |  FROM vn),
+         |tagged AS (
+         |  $unions)
+         |SELECT DISTINCT vec_a, vec_b, cos_sim FROM (
+         |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         |         ${cosExpr("l.v", "l.nrm", "r.v", "r.nrm")} AS cos_sim
+         |  FROM tagged l JOIN tagged r
+         |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |WHERE cos_sim >= ${Similarity.CosineThreshold}""".stripMargin
+  }
+
+  // ---- x10 brute ANN top-k -----------------------------------------
+
+  private val x10 =
+    raw"""WITH $vecCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vn
+         |      WHERE vec_id % ${Similarity.QueryStride} = 0)
+         |SELECT q_id, vec_id, cos_sim, rnk FROM (
+         |  SELECT q_id, vec_id, cos_sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM (
+         |    SELECT q_id, vec_id, ${cosExpr("qv", "qn", "v", "nrm")} AS cos_sim
+         |    FROM q CROSS JOIN vn WHERE q_id <> vec_id))
+         |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+
+  // ---- x11 IVF top-k -----------------------------------------------
+
+  private val x11 = {
+    val cell = (0 until Similarity.IvfBits)
+      .map(d => s"CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    raw"""WITH $vecCte,
+         |vc AS (SELECT vec_id, v, nrm, $cell AS cell FROM vn),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM vc
+         |      WHERE vec_id % ${Similarity.QueryStride} = 0)
+         |SELECT q_id, vec_id, cell, cos_sim, rnk FROM (
+         |  SELECT q_id, vec_id, cell, cos_sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM (
+         |    SELECT q_id, vec_id, q.cell AS cell, ${cosExpr("qv", "qn", "v", "nrm")} AS cos_sim
+         |    FROM q JOIN vc USING (cell) WHERE q_id <> vec_id))
+         |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+  }
+
+  // ---- x12/x13 multimodal ------------------------------------------
+
+  private val mediaCte =
+    raw"""media AS (
+         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |         CASE (('0x' || substr(md5(text), 1, 1))::INT % 3)
+         |              WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
+         |  FROM documents)""".stripMargin
+
+  private val x12 =
+    raw"""WITH $mediaCte
+         |SELECT doc_id, n_bytes, fmt,
+         |       16 + n_bytes % 640 AS width,
+         |       16 + (n_bytes * 7) % 480 AS height,
+         |       1 + n_bytes // 256 AS n_frames
+         |FROM media""".stripMargin
+
+  private val x13 =
+    raw"""WITH $mediaCte
+         |SELECT doc_id, fmt, frame_idx,
+         |       md5(doc_id::VARCHAR || ':' || frame_idx::VARCHAR) AS frame_fp
+         |FROM (
+         |  SELECT doc_id, fmt,
+         |         unnest(range(0, 1 + n_bytes // 256, ${Multimodal.SampleEvery})) AS frame_idx
+         |  FROM media)""".stripMargin
+
+  // ---- x14-x16 events ----------------------------------------------
+
+  private val centsExpr = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+  private val x14 =
+    raw"""SELECT event_id, user_id, event_type,
+         |       json_extract_string(props, '$$.k')::BIGINT AS k,
+         |       $centsExpr AS value_cents,
+         |       CAST(date_trunc('hour', ts) AS VARCHAR) AS hour
+         |FROM events""".stripMargin
+
+  private val x15 =
+    raw"""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum($centsExpr) AS BIGINT) AS value_cents,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val x16 =
+    raw"""WITH t AS (
+         |  SELECT event_id, user_id, epoch_ms(ts) AS ms, $centsExpr AS value_cents
+         |  FROM events),
+         |tagged AS (
+         |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > ${Events.SessionGapMs}
+         |                 THEN 1 ELSE 0 END AS is_new
+         |  FROM (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms
+         |        FROM t)),
+         |sessions AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |                              ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM tagged)
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |       min(ms) AS start_ms, max(ms) AS end_ms,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(value_cents) AS BIGINT) AS value_cents
+         |FROM sessions GROUP BY 1, 2""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x1_text_stats"      -> x1,
+    "x2_lang_id"         -> x2,
+    "x3_fingerprints"    -> x3,
+    "x4_exact_dedup"     -> x4,
+    "x5_minhash_lsh_dup" -> x5,
+    "x6_simhash_sig"     -> x6,
+    "x7_simhash_pairs"   -> x7,
+    "x8_embed_dup_brute" -> x8,
+    "x9_embed_dup_lsh"   -> x9,
+    "x10_ann_brute"      -> x10,
+    "x11_ann_ivf"        -> x11,
+    "x12_media_meta"     -> x12,
+    "x13_frame_sample"   -> x13,
+    "x14_events_parsed"  -> x14,
+    "x15_events_hourly"  -> x15,
+    "x16_sessions"       -> x16)
+}

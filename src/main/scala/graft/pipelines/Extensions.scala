@@ -1,0 +1,38 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Composed endpoints for the beyond-reference extension queries
+  * (x1–x16) exposed via [[graft.SparkEntry]]; the matching DuckDB
+  * oracle lives in [[ExtSql]]. */
+object Extensions {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+  private def evs(s: SparkSession, d: String): DataFrame  = Tables.events(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_text_stats"      -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
+    "x2_lang_id"         -> ((s, d) => TextAnalysis.langIdQ(docs(s, d))),
+    "x3_fingerprints"    -> ((s, d) => TextAnalysis.fingerprints(docs(s, d))),
+    "x4_exact_dedup"     -> ((s, d) => Dedup.exactDedup(docs(s, d))),
+    "x5_minhash_lsh_dup" -> ((s, d) => Dedup.minhashNearDupPairs(docs(s, d))),
+    "x6_simhash_sig"     -> ((s, d) => Dedup.simhashSignatures(docs(s, d))),
+    "x7_simhash_pairs"   -> ((s, d) => Dedup.simhashNearDupPairs(docs(s, d))),
+    // brute pair mining is the exact baseline — sampled to every other
+    // vector so it stays the baseline, not the bottleneck, at sf0.1
+    "x8_embed_dup_brute" -> ((s, d) =>
+      Similarity.embeddingNearDupBrute(embs(s, d).filter(col("vec_id") % 2 === 0))),
+    "x9_embed_dup_lsh"   -> ((s, d) => Similarity.embeddingNearDupLsh(embs(s, d))),
+    "x10_ann_brute"      -> ((s, d) => Similarity.annBrute(embs(s, d))),
+    "x11_ann_ivf"        -> ((s, d) => Similarity.annIvf(embs(s, d))),
+    "x12_media_meta"     -> ((s, d) => Multimodal.mediaMeta(s, docs(s, d)).toDF()),
+    "x13_frame_sample"   -> ((s, d) => Multimodal.frameSample(s, docs(s, d))),
+    "x14_events_parsed"  -> ((s, d) => Events.parsedEvents(evs(s, d))),
+    "x15_events_hourly"  -> ((s, d) => Events.hourlyAgg(evs(s, d))),
+    "x16_sessions"       -> ((s, d) => Events.sessions(evs(s, d))))
+}

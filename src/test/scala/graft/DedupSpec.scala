@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup._
+
+/** Pins dedup semantics: exact groups, MinHash/LSH recall on planted
+  * near-dups, SimHash locality, Jaccard math. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "THE  QUICK  brown fox jumps over the lazy dog", "en"), // ≠ exact (case), near-dup
+    (3L, "the quick brown fox jumps over the lazy dog", "en"),   // exact dup of 1
+    (4L, "completely different words about spark engines here", "en"),
+    (5L, "completely different words about spark engines here now", "en") // near-dup of 4
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactDedup groups canonically-equal texts, keeps min doc_id") {
+    val out = exactDedup(docs).select("keep_doc_id", "n_copies")
+      .as[(Long, Long)].collect().toSet
+    // 1≡2≡3 after lower+ws-collapse; 4 and 5 are singletons
+    assert(out === Set((1L, 3L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-dup pairs and self-consistent jaccard") {
+    val pairs = minhashNearDupPairs(docs, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // identical docs always share all bands
+    assert(pairs.contains((1L, 3L)))
+    // 4 vs 5 share 4 of 6 distinct shingles (j = 4/8 = 0.5 ≥ 0.3) — found
+    // unless all 4 bands miss; with identical minhashes on shared
+    // shingles the first bands match.
+    assert(pairs.contains((4L, 5L)))
+  }
+
+  test("jaccard is intersection over union of distinct sets") {
+    val j = docs.limit(0).sparkSession.range(1)
+      .select(jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))))
+      .as[Double].head()
+    assert(j === 0.5)
+  }
+
+  test("simhash: identical docs get identical hashes; signatures in 16-bit range") {
+    val sigs = simhashSignatures(docs).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(3L))
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 16)))
+  }
+
+  test("simhash pairs include hamming-0 exact dups") {
+    val pairs = simhashNearDupPairs(docs)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h == 0L })
+  }
+
+  test("brute jaccard pairs match LSH-verified pairs at the same threshold") {
+    val brute = jaccardPairsBrute(docs, 0.5).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = minhashNearDupPairs(docs, 0.5).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    // LSH ⊆ brute (verification step guarantees no false positives)
+    assert(lsh.subsetOf(brute))
+    assert(brute.contains((1L, 3L)))
+  }
+}

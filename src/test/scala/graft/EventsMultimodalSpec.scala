@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{Events, Multimodal}
+
+/** Pins event sessionization/aggregation and the multimodal decode
+  * plumbing. */
+class EventsMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  private def events = Seq(
+    (1L, ts(0), 10L, "click", 1.005, """{"k": 1}"""),
+    (2L, ts(10), 10L, "click", 2.0, """{"k": 2}"""),
+    (3L, ts(50), 10L, "buy", 3.0, """{"k": 3}"""),   // 40min gap → new session
+    (4L, ts(5), 20L, "click", 4.0, """{"k": 4}""")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("sessions split on >30min gaps; cents are exact") {
+    val out = Events.sessions(events)
+      .select("user_id", "session_seq", "n_events", "value_cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // floor(1.005*100+0.5) = 100 (1.005 is 1.00499… in binary), 2.0→200
+    assert(out === Set((10L, 1L, 2L, 300L), (10L, 2L, 1L, 300L), (20L, 1L, 1L, 400L)))
+  }
+
+  test("parsedEvents extracts JSON k and hour bucket") {
+    val row = Events.parsedEvents(events).filter($"event_id" === 3L)
+      .select("k", "value_cents", "hour").as[(Long, Long, String)].head()
+    assert(row === ((3L, 300L, "1970-01-01 00:00:00")))
+  }
+
+  test("hourlyAgg counts events and distinct users per (hour, type)") {
+    val row = Events.hourlyAgg(events)
+      .select("event_type", "n_events", "value_cents", "n_users")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(row === Set(("click", 3L, 700L, 2L), ("buy", 1L, 300L, 1L)))
+  }
+
+  test("media decode stub is deterministic and frame sampling strides") {
+    val docs = Seq((7L, "x" * 600, "en")).toDF("doc_id", "text", "lang")
+    val meta = Multimodal.mediaMeta(spark, docs).collect().head
+    assert(meta.n_bytes === 600L)
+    assert(meta.width === 16 + 600 % 640)
+    assert(meta.n_frames === 1 + 600 / 256) // 3 frames
+    val frames = Multimodal.frameSample(spark, docs).select("frame_idx")
+      .as[Long].collect().toSet
+    assert(frames === Set(0L)) // frames 0..2, stride 4 → only 0
+  }
+}

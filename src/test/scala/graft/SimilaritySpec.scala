@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity._
+
+/** Pins vector-similarity semantics: cosine math, brute top-k ranking,
+  * IVF cell assignment, LSH recall properties. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 unit-ish vectors padded to Dim: e1, e1-ish, e2, -e1. */
+  private def vecs = {
+    def pad(v: Seq[Float]) = v ++ Seq.fill(Dim - v.length)(0.0f)
+    Seq(
+      (0L, pad(Seq(1.0f, 0.0f)), 0),
+      (1L, pad(Seq(0.9f, 0.0f)), 0),
+      (2L, pad(Seq(0.0f, 1.0f)), 1),
+      (3L, pad(Seq(-1.0f, 0.0f)), 1)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("cosine: parallel=1, orthogonal=0, opposite=-1") {
+    val out = embeddingNearDupBrute(vecs, threshold = -2.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(out((0L, 3L)) === -1.0)
+    assert(out((0L, 2L)) === 0.0)
+    assert(out((0L, 1L)) > 0.99)
+  }
+
+  test("annBrute ranks by cosine desc with vec_id tie-break, excludes self") {
+    val top = annBrute(vecs, k = 3).select("q_id", "vec_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    // query is vec 0 (vec_id % QueryStride == 0): nearest 1, then 2, then 3
+    assert(top === Set((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)))
+  }
+
+  test("ivfCell groups by leading-dim signs; query probes its own cell") {
+    val cells = vectors(vecs).withColumn("cell", ivfCell(col("v")))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells(0L) === 1)  // +x → bit0
+    assert(cells(2L) === 2)  // +y → bit1
+    assert(cells(3L) === 0)  // -x → no bits
+    val ivf = annIvf(vecs, k = 3).select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf === Set((0L, 1L))) // only vec 1 shares cell 1 with the query
+  }
+
+  test("LSH near-dup pairs are a subset of brute pairs at the same threshold") {
+    val brute = embeddingNearDupBrute(vecs, 0.9).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = embeddingNearDupLsh(vecs, 0.9).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    // near-identical vectors land in the same bucket in every table
+    assert(lsh.contains((0L, 1L)))
+  }
+
+  test("plane weights are ±1 and deterministic") {
+    assert(planeWeights.length === NumPlanes)
+    assert(planeWeights.forall(_.forall(w => w == 1.0 || w == -1.0)))
+    assert(planeWeights === planeWeights.map(identity)) // stable
+  }
+}

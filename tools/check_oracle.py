@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs each oracle SQL from `<outdir>/oracle_sql.json` in DuckDB against the
+parquet fixtures, loads the Spark result parquet from `<outdir>/<name>/`,
+sorts columns by name and rows by all columns, and hash-compares.
+
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 target/verify_out
+"""
+import sys, json, glob, hashlib
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize values to strings the same way for both engines
+    def cell(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return ""
+        if isinstance(v, float):
+            return repr(round(v, 6))
+        if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+    rows = sorted(",".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest(), len(rows)
+
+
+def main(sfdir: str, outdir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result")
+            fails += 1
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files])
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            fails += 1
+            continue
+        sh, sn = canon(spark_df)
+        dh, dn = canon(duck_df)
+        ok = sh == dh
+        schema_ok = sorted(spark_df.columns) == sorted(duck_df.columns)
+        if not ok:
+            fails += 1
+            print(f"FAIL {name}: rows {sn} vs {dn}, schema_match={schema_ok} "
+                  f"cols spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        else:
+            print(f"ok   {name}: {sn} rows")
+    print(f"{'ALL OK' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
