@@ -70,31 +70,54 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r)))))
 
-  /** doc_id + distinct shingle set, docs with ≥1 shingle only. */
+  /** doc_id + distinct shingle set, docs with ≥1 shingle only.
+    * Repartitioned by doc_id first: the fixture is one small parquet
+    * file → one input split, which would serialize the md5-heavy
+    * signature computation onto a single core (at real scale the scan
+    * arrives pre-split). The partition count is pinned explicitly — AQE
+    * would otherwise coalesce the few-MB shuffle back to one partition
+    * and serialize the compute again. */
   def docShingles(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      // tokens materialize as a column BEFORE the shingle transform: a
+      // lambda body captures its argument expression tree, so inlining
+      // tokens() here would re-run split+filter once per shingle (2×
+      // measured cost at sf0.1)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** Exact Jaccard between two distinct-element arrays, rounded. */
-  def jaccard(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
+  /** Exact Jaccard between two distinct-element arrays, rounded.
+    * |A∪B| is computed arithmetically (|A|+|B|−|A∩B|) — same integer
+    * as materializing the union array, half the array work. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    round(inter.cast("double") / (size(a) + size(b) - inter), 4)
+  }
 
   /** x5: MinHash/LSH near-duplicate pairs: candidates share ≥1 LSH
     * band, verified at Jaccard ≥ [[JaccardThreshold]]. Returns
-    * distinct (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+    * distinct (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * The banded-signature frame is persisted before the self-join —
+    * otherwise Spark computes the k·|shingles| md5s once per join
+    * side (measured 28s → ~8s at sf0.1). Shingle sets ride through
+    * the one band shuffle so the verify step needs no second join;
+    * at extreme scale (sets too wide for the shuffle) the standard
+    * alternative is candidates-only + re-join sets by doc_id. */
   def minhashNearDupPairs(documents: DataFrame,
                           threshold: Double = JaccardThreshold): DataFrame = {
-    val withBands = docShingles(documents)
+    val bands = docShingles(documents)
       .select(col("doc_id"), col("sh"),
         posexplode(bandHashes(minhashSignature(col("sh")))).as(Seq("band_idx", "band_hash")))
-    val l = withBands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = withBands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .persist()
+    bands.alias("l").join(bands.alias("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .distinct()
   }
@@ -119,6 +142,7 @@ object Dedup {
     * per token is computed once, not once per bit. */
   def simhashSignatures(documents: DataFrame): DataFrame =
     documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // single-file fixture → spread the hash work
       .select(col("doc_id"),
         transform(tokens(col("text")), tokenHash16 _).as("tok_vals"))
       .filter(size(col("tok_vals")) > 0)
@@ -143,14 +167,13 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimHashBlocks).map(b => col(s"blk$b")): _*))
           .as(Seq("block_idx", "block_val")))
-    val l = blocks.select(col("block_idx"), col("block_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val r = blocks.select(col("block_idx"), col("block_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("block_idx", "block_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .persist()
+    blocks.alias("l").join(blocks.alias("r"),
+        col("l.block_idx") === col("r.block_idx") &&
+        col("l.block_val") === col("r.block_val") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .filter(col("hamming") <= HammingMax)
       .distinct()
   }

@@ -71,9 +71,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(arraySum(transform(a, x => x * x)))
 
-  /** vec_id, v (double array), nrm — the shared per-vector projection. */
+  /** vec_id, v (double array), nrm — the shared per-vector projection.
+    * Repartitioned by vec_id: the fixture is one small parquet file →
+    * one input split, which would pin all pair-mining dot products to
+    * a single core. */
   def vectors(embeddings: DataFrame): DataFrame =
     embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
@@ -116,14 +120,13 @@ object Similarity {
     val tagged = vs.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(array((0 until LshTables).map(t => col(s"b$t")): _*))
         .as(Seq("tbl", "bucket")))
-    val l = tagged.select(col("tbl"), col("bucket"),
-      col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val r = tagged.select(col("tbl"), col("bucket"),
-      col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    l.join(r, Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        cosine(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos_sim"))
+      .persist() // 16 hyperplane dots per vector — compute once, not per join side
+    tagged.alias("l").join(tagged.alias("r"),
+        col("l.tbl") === col("r.tbl") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosine(dot(col("l.v"), col("r.v")), col("l.nrm"), col("r.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }

@@ -114,13 +114,18 @@ object TextAnalysis {
 
   // ---- per-document stats frames -----------------------------------
 
+  /** documents + a materialized `toks` column (see [[Dedup.docShingles]]
+    * on why token arrays must be real columns, not inlined trees). */
+  def withTokens(documents: DataFrame): DataFrame =
+    documents.withColumn("toks", tokens(col("text")))
+
   /** x1: one row per document with all scalar text stats. */
   def textStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    documents.select(
+    val toks = col("toks")
+    withTokens(documents).select(
       col("doc_id"),
       col("lang"),
-      tokenCount(col("text")).as("n_tokens"),
+      size(toks).as("n_tokens"),
       bpeCount(col("text")).as("n_bpe_tokens"),
       punctCount(col("text")).as("n_punct"),
       stopwordCount(toks).as("n_stopwords"),
@@ -129,18 +134,18 @@ object TextAnalysis {
 
   /** x2: language-ID prediction next to the labeled lang. */
   def langIdQ(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks")
     val hits = LangMarkers.map { case (l, ws) => markerHits(toks, ws).as(s"hits_$l") }
-    documents.select(
+    withTokens(documents).select(
       Seq(col("doc_id"), col("lang"), langId(toks).as("pred_lang")) ++ hits: _*)
   }
 
   /** x3: document fingerprints. */
-  def fingerprints(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    documents.select(
-      col("doc_id"),
-      fingerprint(col("text")).as("fp_full"),
-      minShingleFingerprint(toks).as("fp_min_shingle"))
-  }
+  def fingerprints(documents: DataFrame): DataFrame =
+    withTokens(documents)
+      .select(col("doc_id"), col("text"), shingles(col("toks")).as("sh"))
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp_full"),
+        array_min(transform(col("sh"), s => md5(s))).as("fp_min_shingle"))
 }

@@ -223,6 +223,15 @@ object SlValidation {
   }
 
   // ---- composed endpoints (what SparkEntry exposes) ----------------
+  //
+  // Fan-out caching (SURVEY.md §4.2): the enriched+checked main sheet
+  // feeds Apex (J2), IntraCo (J4), missing-SL and the merge-back (J7)
+  // — without persist Spark recomputes the 3-join enrichment once per
+  // branch (measured 4× cost at sf0.1). `persist()` registers the
+  // canonical plan with the CacheManager, so every query that builds
+  // the same subplan — within one DAG or across Verify's separate
+  // actions — reuses the one materialization. Storage is
+  // MEMORY_AND_DISK and dimension-sized; eviction is LRU.
 
   def eordT(spark: SparkSession, dir: String): DataFrame = eord(spark, dir)
 
@@ -234,7 +243,7 @@ object SlValidation {
 
   def validSlQ(spark: SparkSession, dir: String): DataFrame = {
     val e = eord(spark, dir)
-    validSl(e, invalidSl(e), plantsOos(e, garPlants(spark, dir)))
+    validSl(e, invalidSl(e), plantsOos(e, garPlants(spark, dir))).persist()
   }
 
   def enrichedQ(spark: SparkSession, dir: String): DataFrame =
@@ -242,7 +251,7 @@ object SlValidation {
            garPlants(spark, dir))
 
   def mainCheckedQ(spark: SparkSession, dir: String): DataFrame =
-    mainRulesI(enrichedQ(spark, dir))
+    mainRulesI(enrichedQ(spark, dir)).persist()
 
   def apexCheckedQ(spark: SparkSession, dir: String): DataFrame =
     apexRules(buyViaApex(mainCheckedQ(spark, dir), marc(spark, dir),
@@ -256,7 +265,11 @@ object SlValidation {
     missingSl(marc(spark, dir), garPlants(spark, dir), mara(spark, dir),
               validSlQ(spark, dir))
 
-  def mainFinalQ(spark: SparkSession, dir: String): DataFrame =
-    mainFinal(mainCheckedQ(spark, dir), intraCheckedQ(spark, dir),
-              apexCheckedQ(spark, dir))
+  def mainFinalQ(spark: SparkSession, dir: String): DataFrame = {
+    val checked = mainCheckedQ(spark, dir)
+    mainFinal(checked,
+      intraRules(intraCnJp(checked, garPlants(spark, dir), marc(spark, dir))),
+      apexRules(buyViaApex(checked, marc(spark, dir), mvke(spark, dir),
+                           mg5Xref(spark, dir))))
+  }
 }
