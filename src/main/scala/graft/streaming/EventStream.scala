@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.ops.Events
+
+/** A single event for stateful processing. */
+case class Ev(user_id: Long, ts: Timestamp, value: Double)
+/** Open-session accumulator kept in [[GroupState]]. */
+case class SessionState(startMs: Long, lastMs: Long, n: Long, cents: Long)
+/** One closed session. */
+case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                      n_events: Long, value_cents: Long)
+
+/** Structured Streaming twins of the batch event operators in
+  * [[graft.ops.Events]] — the beyond-reference streaming track
+  * (builder brief; SURVEY.md §7 step 7). The reference's own cadence
+  * is a human re-running a batch script daily; this is the same logic
+  * as `readStream → transform → writeStream`:
+  *
+  *  - [[hourlyCounts]]: tumbling-window aggregation with a watermark —
+  *    the streaming form of the x15 hourly rollup (minus the distinct
+  *    users, which Append-mode streaming cannot do exactly);
+  *  - [[sessions]]: gap-based sessionization via
+  *    `flatMapGroupsWithState` with event-time timeout — the streaming
+  *    form of x16: a session closes when a later event arrives past
+  *    the gap, or when the watermark passes lastSeen+gap.
+  *
+  * Scale: state is partitioned by user_id across executors (the same
+  * shuffle key as the batch window), the watermark bounds state size,
+  * and each micro-batch does one shuffle — the canonical streaming
+  * sessionization plan.
+  */
+object EventStream {
+
+  /** Raw file schema of the events fixture: ts arrives as long nanos
+    * (parquet TIMESTAMP(NANOS) — see [[graft.sources.Tables.events]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event_type: count + exact cent sum.
+    * With Append output the window emits once the watermark passes its
+    * end; with Complete (used by the spec) every window is re-emitted
+    * per batch. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Events.valueCents(col("value"))).as("value_cents"))
+      .select(col("window.start").cast("string").as("hour"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  private def cents(value: Double): Long =
+    math.floor(value * 100 + 0.5).toLong
+
+  /** Per-user stateful sessionizer: closes a session when an event
+    * arrives more than [[Events.SessionGapMs]] after the last one, or
+    * when the event-time watermark passes lastSeen+gap. */
+  def sessionFn(uid: Long, it: Iterator[Ev],
+                state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(SessionOut(uid, s.startMs, s.lastMs, s.n, s.cents))
+    } else {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      val closed = Seq.newBuilder[SessionOut]
+      var open = state.getOption
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        open match {
+          case Some(s) if ms - s.lastMs <= Events.SessionGapMs =>
+            open = Some(SessionState(s.startMs, math.max(s.lastMs, ms),
+              s.n + 1, s.cents + cents(e.value)))
+          case Some(s) =>
+            closed += SessionOut(uid, s.startMs, s.lastMs, s.n, s.cents)
+            open = Some(SessionState(ms, ms, 1, cents(e.value)))
+          case None =>
+            open = Some(SessionState(ms, ms, 1, cents(e.value)))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + Events.SessionGapMs)
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** Streaming sessionization over (user_id, ts, value). */
+  def sessions(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Events
+import graft.streaming.{Ev, EventStream}
+
+/** Streaming twins equal their batch counterparts on the same data. */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("streaming hourly windows match the batch hourly aggregation") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    in.addData(
+      (1L, ts(5), 10L, "click", 1.0, "{}"),
+      (2L, ts(61), 10L, "click", 2.0, "{}"),
+      (3L, ts(70), 20L, "buy", 3.0, "{}"))
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.hourlyCounts(df)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streaming = spark.table("hourly")
+      .select("hour", "event_type", "n_events", "value_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = Events.hourlyAgg(df.sparkSession.createDataFrame(
+      Seq((1L, ts(5), 10L, "click", 1.0, "{}"),
+          (2L, ts(61), 10L, "click", 2.0, "{}"),
+          (3L, ts(70), 20L, "buy", 3.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .select("hour", "event_type", "n_events", "value_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streaming === batch)
+    assert(streaming === Set(
+      ("1970-01-01 00:00:00", "click", 1L, 100L),
+      ("1970-01-01 01:00:00", "click", 1L, 200L),
+      ("1970-01-01 01:00:00", "buy", 1L, 300L)))
+  }
+
+  test("stateful sessionization closes sessions on gap within a batch") {
+    implicit val sc = spark.sqlContext
+    // offset from epoch: an event at exactly t=0 is "older than the
+    // initial watermark (0)" and gets dropped as late data
+    val base = 1440L
+    val baseMs = base * 60000L
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(10L, ts(base), 1.0), Ev(10L, ts(base + 10), 2.0), // session 1 (closed by gap)
+      Ev(10L, ts(base + 50), 3.0),                         // session 2 (stays open)
+      Ev(20L, ts(base + 5), 4.0))                          // stays open
+    val q = EventStream.sessions(in.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sessions")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // only user 10's first session closed inside the batch
+    assert(out === Set((10L, baseMs, baseMs + 600000L, 2L, 300L)))
+  }
+
+  test("file-source streaming scan reads the events fixture") {
+    val q = EventStream.readEvents(spark, "/root/testdata/sf0.001")
+      .writeStream.format("memory").queryName("rawev")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("rawev").count() === 1000L)
+  }
+}
