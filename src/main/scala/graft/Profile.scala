@@ -20,37 +20,28 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ops.Dedup._
-    import graft.ops.TextAnalysis
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-    val rep = docs.repartition(32, col("doc_id"))
-    time("A: one-projection shingles")(
-      rep.select(col("doc_id"), TextAnalysis.shingles(TextAnalysis.tokens(col("text"))).as("sh"))
-        .filter(size(col("sh")) > 0).count())
-    time("B: toks col then shingles")(
-      rep.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TextAnalysis.shingles(col("toks")).as("sh"))
-        .filter(size(col("sh")) > 0).count())
-    time("C: toks only")(
-      rep.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")).count())
-    time("D: plain count")(rep.count())
-    val dsh = time("docShingles")(docShingles(docs)).persist()
-    time("docShingles.count")(dsh.count())
-    val sig = dsh.select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig")).persist()
-    time("signatures.count")(sig.count())
-    val bands = sig.select(col("doc_id"), col("sh"),
-      posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash"))).persist()
-    time("bands.count")(bands.count())
-    val cand = bands.alias("l").join(bands.alias("r"),
-      col("l.band_idx") === col("r.band_idx") &&
-      col("l.band_hash") === col("r.band_hash") &&
-      col("l.doc_id") < col("r.doc_id"))
-    time("candidates.count")(cand.count())
-    val full = cand.select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-      jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5).distinct()
-    time("full.count")(full.count())
-    time("query_as_shipped")(SparkEntry.queries("x5_minhash_lsh_dup")(spark, sfDir).count())
+    import graft.pipelines.{SapAnalog, SlValidation}
+    import graft.ops.Relational._
+    val warm = SapAnalog.eord(spark, sfDir).count()
+    println(s"[profile] warmup rows=$warm")
+
+    val valid = SlValidation.validSlQ(spark, sfDir)
+    time("validSl (persisted)")(valid.count())
+
+    def enrichWith(marcDf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val marc = marcDf(SapAnalog.marc(spark, sfDir))
+      valid
+        .join(marc.select(col("mp"), col("plant_status"), col("plant_spk")), Seq("mp"), "left")
+        .join(broadcast(SapAnalog.spkXref(spark, sfDir)), Seq("vendor"), "left")
+        .join(broadcast(SapAnalog.garPlants(spark, sfDir).select(col("plant"), col("country"))),
+          Seq("plant"), "left")
+    }
+    time("enrich broadcast(marc)")(enrichWith(broadcast).count())
+    time("enrich shuffle(marc)")(enrichWith(identity).count())
+    time("enrich broadcast(marc) 2nd")(enrichWith(broadcast).count())
+    time("u3 as shipped")(SparkEntry.queries("u3_main_checked")(spark, sfDir).count())
+    time("j2 as shipped (cache hit)")(SparkEntry.queries("j2_apex_checked")(spark, sfDir).count())
+    time("j7 as shipped (cache hit)")(SparkEntry.queries("j7_main_final")(spark, sfDir).count())
     spark.stop()
   }
 }

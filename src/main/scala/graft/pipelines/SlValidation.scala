@@ -255,21 +255,17 @@ object SlValidation {
 
   def apexCheckedQ(spark: SparkSession, dir: String): DataFrame =
     apexRules(buyViaApex(mainCheckedQ(spark, dir), marc(spark, dir),
-                         mvke(spark, dir), mg5Xref(spark, dir)))
+                         mvke(spark, dir), mg5Xref(spark, dir))).persist()
 
   def intraCheckedQ(spark: SparkSession, dir: String): DataFrame =
     intraRules(intraCnJp(mainCheckedQ(spark, dir), garPlants(spark, dir),
-                         marc(spark, dir)))
+                         marc(spark, dir))).persist()
 
   def missingSlQ(spark: SparkSession, dir: String): DataFrame =
     missingSl(marc(spark, dir), garPlants(spark, dir), mara(spark, dir),
               validSlQ(spark, dir))
 
-  def mainFinalQ(spark: SparkSession, dir: String): DataFrame = {
-    val checked = mainCheckedQ(spark, dir)
-    mainFinal(checked,
-      intraRules(intraCnJp(checked, garPlants(spark, dir), marc(spark, dir))),
-      apexRules(buyViaApex(checked, marc(spark, dir), mvke(spark, dir),
-                           mg5Xref(spark, dir))))
-  }
+  def mainFinalQ(spark: SparkSession, dir: String): DataFrame =
+    mainFinal(mainCheckedQ(spark, dir), intraCheckedQ(spark, dir),
+              apexCheckedQ(spark, dir))
 }
