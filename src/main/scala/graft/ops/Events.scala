@@ -49,6 +49,15 @@ object Events {
         sum(col("value_cents")).as("value_cents"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** x18: ROLLUP over (event_type, hour) — grouping-sets demonstration
+    * (absent from the reference, SURVEY.md §2.10). Subtotal rows carry
+    * NULL group keys; data keys are never null so the levels are
+    * unambiguous. One shuffle; partial aggregation applies per level. */
+  def rollupAgg(events: DataFrame): DataFrame =
+    parsedEvents(events)
+      .rollup(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
+
   /** x16: gap-based sessionization: per user, order by (ts, event_id);
     * gap > [[SessionGapMs]] opens a new session; emit one row per
     * session with bounds and totals. */

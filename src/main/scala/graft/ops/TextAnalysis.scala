@@ -140,6 +140,21 @@ object TextAnalysis {
       Seq(col("doc_id"), col("lang"), langId(toks).as("pred_lang")) ++ hits: _*)
   }
 
+  /** x17: top-k docs per language by quality score — the explicit
+    * sort/limit/top-k demonstration (absent from the reference,
+    * SURVEY.md §2.10): a per-group window rank, ties on doc_id. At
+    * scale this is one shuffle on the group key and a per-partition
+    * top-k heap (WindowGroupLimit pushes rnk<=k below the sort). */
+  def topQualityDocs(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    textStats(documents)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** x3: document fingerprints. */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

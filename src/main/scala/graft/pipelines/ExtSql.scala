@@ -327,6 +327,45 @@ object ExtSql {
          |       CAST(sum(value_cents) AS BIGINT) AS value_cents
          |FROM sessions GROUP BY 1, 2""".stripMargin
 
+  // ---- x17 top-k docs per language ---------------------------------
+
+  private val x17 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    raw"""WITH $toksCte,
+         |q AS (
+         |  SELECT doc_id, lang,
+         |         round(least(1.0, n_tokens/100.0) * 0.4
+         |               + (CASE WHEN n_tokens > 0
+         |                       THEN n_stopwords / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
+         |               + (1.0 - CASE WHEN length(text) > 0
+         |                       THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3,
+         |               4) AS quality_score
+         |  FROM (
+         |    SELECT doc_id, lang, text,
+         |           len(toks) AS n_tokens,
+         |           len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |           len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |    FROM tok))
+         |SELECT doc_id, lang, quality_score, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |              ORDER BY quality_score DESC, doc_id) AS rnk
+         |  FROM q)
+         |WHERE rnk <= 5""".stripMargin
+  }
+
+  // ---- x18 events rollup -------------------------------------------
+
+  private val x18 =
+    raw"""SELECT event_type, hour,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(value_cents) AS BIGINT) AS value_cents
+         |FROM (
+         |  SELECT event_type,
+         |         CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |         $centsExpr AS value_cents
+         |  FROM events)
+         |GROUP BY ROLLUP (event_type, hour)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x1_text_stats"      -> x1,
     "x2_lang_id"         -> x2,
@@ -343,5 +382,7 @@ object ExtSql {
     "x13_frame_sample"   -> x13,
     "x14_events_parsed"  -> x14,
     "x15_events_hourly"  -> x15,
-    "x16_sessions"       -> x16)
+    "x16_sessions"       -> x16,
+    "x17_topk_docs"      -> x17,
+    "x18_events_rollup"  -> x18)
 }

@@ -34,5 +34,7 @@ object Extensions {
     "x13_frame_sample"   -> ((s, d) => Multimodal.frameSample(s, docs(s, d))),
     "x14_events_parsed"  -> ((s, d) => Events.parsedEvents(evs(s, d))),
     "x15_events_hourly"  -> ((s, d) => Events.hourlyAgg(evs(s, d))),
-    "x16_sessions"       -> ((s, d) => Events.sessions(evs(s, d))))
+    "x16_sessions"       -> ((s, d) => Events.sessions(evs(s, d))),
+    "x17_topk_docs"      -> ((s, d) => TextAnalysis.topQualityDocs(docs(s, d))),
+    "x18_events_rollup"  -> ((s, d) => Events.rollupAgg(evs(s, d))))
 }

@@ -19,13 +19,26 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan + guarantee at least the session's default parallelism in
+    * input partitions. The driver fixtures are single-row-group
+    * parquet files, which arrive as ONE split regardless of
+    * `maxPartitionBytes` — every map-side derivation downstream would
+    * run on one core. A real multi-terabyte table arrives pre-split
+    * and takes the no-shuffle branch, so this adapter costs nothing
+    * at scale. */
+  def readParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = read(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def lineitem(s: SparkSession, d: String): DataFrame  = readParallel(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
     * outright; read it as long nanos and rebuild a µs timestamp
     * (floor — matches DuckDB's ns→ms truncation downstream). */

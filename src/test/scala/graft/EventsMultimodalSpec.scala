@@ -39,6 +39,30 @@ class EventsMultimodalSpec extends SparkSpec {
     assert(row === Set(("click", 3L, 700L, 2L), ("buy", 1L, 300L, 1L)))
   }
 
+  test("rollupAgg emits per-group, per-type subtotal, and grand-total levels") {
+    val out = Events.rollupAgg(events)
+      .select("event_type", "hour", "n_events", "value_cents")
+      .as[(Option[String], Option[String], Long, Long)].collect().toSet
+    val h = "1970-01-01 00:00:00"
+    assert(out === Set(
+      (Some("click"), Some(h), 3L, 700L),
+      (Some("buy"), Some(h), 1L, 300L),
+      (Some("click"), None, 3L, 700L),
+      (Some("buy"), None, 1L, 300L),
+      (None, None, 4L, 1000L)))
+  }
+
+  test("topQualityDocs ranks per lang with doc_id tie-break") {
+    val docs = Seq(
+      (1L, "the the the of and a data data", "en"),   // high stopword ratio
+      (2L, "xxxx!!!!", "en"),                          // punct-heavy
+      (3L, "words words words", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ops.TextAnalysis.topQualityDocs(docs, k = 1)
+      .select("lang", "doc_id", "rnk").as[(String, Long, Int)].collect().toSet
+    assert(out === Set(("en", 1L, 1), ("fr", 3L, 1)))
+  }
+
   test("media decode stub is deterministic and frame sampling strides") {
     val docs = Seq((7L, "x" * 600, "en")).toDF("doc_id", "text", "lang")
     val meta = Multimodal.mediaMeta(spark, docs).collect().head
