@@ -63,23 +63,28 @@ object Similarity {
   /** Element-wise float→double widening (exact in both engines). */
   def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  /** Sequential left-to-right double sum of an array. */
-  private def arraySum(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
+    * expression — bit-identical to the HOF `aggregate(zip_with(·,·,*))`
+    * fold but compiled to a primitive loop (the HOF path is
+    * CodegenFallback, interpreted per pair). Callers must have
+    * [[graft.functions.GraftFunctions.register]]ed the session; every
+    * public operator here does. */
+  def dot(a: Column, b: Column): Column =
+    call_function(graft.functions.GraftFunctions.DotName, a, b)
 
-  def dot(a: Column, b: Column): Column = arraySum(zip_with(a, b, _ * _))
-
-  def norm(a: Column): Column = sqrt(arraySum(transform(a, x => x * x)))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** vec_id, v (double array), nrm — the shared per-vector projection.
     * Repartitioned by vec_id: the fixture is one small parquet file →
     * one input split, which would pin all pair-mining dot products to
     * a single core. */
-  def vectors(embeddings: DataFrame): DataFrame =
+  def vectors(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   /** Cosine from a precomputed dot and two norms, rounded to 4dp. */
   def cosine(dotAB: Column, nrmA: Column, nrmB: Column): Column =
