@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates: the properties that make these plans
+  * survive a 100 TB scale-up. Asserted on the real sf0.001 fixtures so
+  * a regression (a lost pushdown, a surprise cartesian, a broadcast
+  * that became a sort-merge of the fact table) fails the suite, not
+  * the cluster. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("mb52 slice filter is pushed into the parquet scan") {
+    val p = plan("e5_mb52_valid")
+    assert(p.contains("PushedFilters: [IsNotNull(l_linestatus), EqualTo(l_linestatus,F)]"),
+      s"expected l_linestatus pushdown in:\n$p")
+  }
+
+  test("eord scan prunes unread lineitem columns") {
+    val p = plan("s1_eord_scan")
+    // the projection needs 6 of 11 lineitem columns; tax/discount/price
+    // must not reach the scan
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_tax"), "l_tax should be pruned from the scan")
+    assert(!p.contains("l_discount"), "l_discount should be pruned from the scan")
+  }
+
+  test("dimension enrichment joins are broadcast, not sort-merge") {
+    val p = plan("j1_enriched_sl")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "no dimension join should shuffle-sort the fact side")
+  }
+
+  test("LSH pair mining never plans a cartesian product") {
+    Seq("x5_minhash_lsh_dup", "x7_simhash_pairs", "x9_embed_dup_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
+    }
+  }
+
+  test("a 10-rule cascade collapses to ONE optimized projection") {
+    import graft.rules.RuleCascade
+    import graft.rules.RuleCascade.Rule
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("v")
+    val cascaded = RuleCascade(df, "c",
+      (1 to 10).map(i => Rule(col("v") === i && col("c").isNull, s"r$i")))
+    val optimized = cascaded.queryExecution.optimizedPlan
+    val projects = optimized.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }
+    // ≤1: constant folding may collapse the literal input entirely
+    assert(projects.length <= 1,
+      s"CollapseProject should fold 10 stacked withColumns into one:\n$optimized")
+  }
+
+  test("native graft_dot reaches the executed plan inside a codegen stage") {
+    val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_dot"), s"expected graft_dot in:\n$p")
+    assert(!p.contains("zip_with"), "HOF formulation should be gone")
+    // `*(n)` prefixes mark whole-stage-codegen regions in this format;
+    // the pair projection computing graft_dot must sit inside one
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")),
+      s"expected graft_dot inside a codegen stage in:\n$p")
+  }
+}
