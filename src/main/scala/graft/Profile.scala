@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 object Profile {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime(); val r = f
-    println(f"[profile] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    println(f"[profile] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     r
   }
 
@@ -20,28 +20,48 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import graft.ops.Dedup._
+    import graft.ops.TextAnalysis
     import graft.pipelines.{SapAnalog, SlValidation}
-    import graft.ops.Relational._
-    val warm = SapAnalog.eord(spark, sfDir).count()
-    println(s"[profile] warmup rows=$warm")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    val valid = SlValidation.validSlQ(spark, sfDir)
-    time("validSl (persisted)")(valid.count())
+    time("warmup")(noop(SapAnalog.eord(spark, sfDir)))
 
-    def enrichWith(marcDf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
-      val marc = marcDf(SapAnalog.marc(spark, sfDir))
-      valid
-        .join(marc.select(col("mp"), col("plant_status"), col("plant_spk")), Seq("mp"), "left")
-        .join(broadcast(SapAnalog.spkXref(spark, sfDir)), Seq("vendor"), "left")
-        .join(broadcast(SapAnalog.garPlants(spark, sfDir).select(col("plant"), col("country"))),
-          Seq("plant"), "left")
+    // ---- x5 variants ----
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def bands = docShingles(docs)
+      .select(col("doc_id"), col("sh"),
+        posexplode(bandHashes(minhashSignature(col("sh")))).as(Seq("band_idx", "band_hash")))
+    def pairs(b: org.apache.spark.sql.DataFrame, hint: String) = {
+      val l = if (hint.isEmpty) b.alias("l") else b.alias("l").hint(hint)
+      val r = if (hint.isEmpty) b.alias("r") else b.alias("r").hint(hint)
+      l.join(r,
+          col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5).distinct()
     }
-    time("enrich broadcast(marc)")(enrichWith(broadcast).count())
-    time("enrich shuffle(marc)")(enrichWith(identity).count())
-    time("enrich broadcast(marc) 2nd")(enrichWith(broadcast).count())
-    time("u3 as shipped")(SparkEntry.queries("u3_main_checked")(spark, sfDir).count())
-    time("j2 as shipped (cache hit)")(SparkEntry.queries("j2_apex_checked")(spark, sfDir).count())
-    time("j7 as shipped (cache hit)")(SparkEntry.queries("j7_main_final")(spark, sfDir).count())
+    val bp = bands.persist(); bp.count()
+    time("x5 pairs broadcast (default)")(noop(pairs(bp, "")))
+    time("x5 pairs shuffle_hash")(noop(pairs(bp, "shuffle_hash")))
+    time("x5 pairs merge")(noop(pairs(bp, "merge")))
+    bp.unpersist()
+
+    // ---- u3 variants ----
+    val gar = SapAnalog.garPlants(spark, sfDir)
+    def validNoPersist = {
+      val e = SapAnalog.eord(spark, sfDir)
+      SlValidation.validSl(e, SlValidation.invalidSl(e), SlValidation.plantsOos(e, gar))
+    }
+    def checkedFrom(v: org.apache.spark.sql.DataFrame) =
+      SlValidation.mainRulesI(SlValidation.enrich(
+        v, SapAnalog.marc(spark, sfDir), SapAnalog.spkXref(spark, sfDir), gar))
+    time("u3 no persists")(noop(checkedFrom(validNoPersist)))
+    time("u3 as shipped (cold-ish)")(noop(SparkEntry.queries("u3_main_checked")(spark, sfDir)))
+    time("u3 as shipped (cache hit)")(noop(SparkEntry.queries("u3_main_checked")(spark, sfDir)))
     spark.stop()
   }
 }
