@@ -5,9 +5,11 @@ import graft.pipelines.{AnalogSql, Extensions, ExtSql, SlValidation, StatusClean
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full authoritative pipeline (stages 4-16 of SURVEY.md
+    * §3 EP1): validate → enrich → classify → sub-audits → merge-back. */
   def entry(spark: SparkSession): DataFrame =
-    SlValidation.validSlQ(spark, "/root/testdata/sf0.001")
+    SlValidation.mainFinalQ(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (parity) and
     * the beyond-reference extension track (x1–x16). */

@@ -107,11 +107,22 @@ object Dedup {
     * at extreme scale (sets too wide for the shuffle) the standard
     * alternative is candidates-only + re-join sets by doc_id. */
   def minhashNearDupPairs(documents: DataFrame,
-                          threshold: Double = JaccardThreshold): DataFrame = {
-    val bands = docShingles(documents)
+                          threshold: Double = JaccardThreshold,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded = docShingles(documents)
       .select(col("doc_id"), col("sh"),
         posexplode(bandHashes(minhashSignature(col("sh")))).as(Seq("band_idx", "band_hash")))
       .persist()
+    // degenerate-bucket guard: a band hash shared by m docs yields
+    // m²/2 candidate pairs — at corpus scale a boilerplate bucket goes
+    // quadratic. Buckets over `maxBucket` are dropped outright (their
+    // members are boilerplate, not near-dups). Default ∞ = exact LSH.
+    val bands =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_idx"), col("band_hash"))))
+        .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
     bands.alias("l").join(bands.alias("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&

@@ -70,6 +70,15 @@ object EventStream {
       .select(col("window.start").cast("string").as("hour"),
         col("event_type"), col("n_events"), col("value_cents"))
 
+  /** Streaming exact dedup: drops re-deliveries of the same event_id
+    * arriving within the watermark delay — the streaming face of the
+    * batch exact-dedup operator (state = one key per event inside the
+    * watermark horizon, expired automatically). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   private def cents(value: Double): Long =
     math.floor(value * 100 + 0.5).toLong
 

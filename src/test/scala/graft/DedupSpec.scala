@@ -55,6 +55,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h == 0L })
   }
 
+  test("maxBucket guard drops degenerate buckets (exact dups share all bands)") {
+    // docs 1 and 3 are identical → their 4 band buckets each hold ≥2
+    // rows; capping at 1 removes every candidate pair they generate
+    val capped = minhashNearDupPairs(docs, threshold = 0.0, maxBucket = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((1L, 3L)))
+    val uncapped = minhashNearDupPairs(docs, threshold = 0.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 3L)))
+  }
+
   test("brute jaccard pairs match LSH-verified pairs at the same threshold") {
     val brute = jaccardPairsBrute(docs, 0.5).select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet

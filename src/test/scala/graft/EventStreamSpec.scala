@@ -64,6 +64,22 @@ class EventStreamSpec extends SparkSpec {
     assert(out === Set((10L, baseMs, baseMs + 600000L, 2L, 300L)))
   }
 
+  test("streaming exact dedup drops re-delivered event ids") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    in.addData(
+      (1L, ts(1500), 10L, "click", 1.0, "{}"),
+      (1L, ts(1501), 10L, "click", 1.0, "{}"), // re-delivery
+      (2L, ts(1502), 10L, "click", 2.0, "{}"))
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupedEvents(df)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted
+      === Array(1L, 2L))
+  }
+
   test("file-source streaming scan reads the events fixture") {
     val q = EventStream.readEvents(spark, "/root/testdata/sf0.001")
       .writeStream.format("memory").queryName("rawev")
