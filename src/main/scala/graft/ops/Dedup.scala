@@ -159,7 +159,7 @@ object Dedup {
       .filter(size(col("tok_vals")) > 0)
       .select(col("doc_id"),
         simhashFromVals(col("tok_vals")).as("simhash"),
-        size(col("tok_vals")).as("n_tokens"))
+        size(col("tok_vals")).cast("long").as("n_tokens"))
 
   /** x7: near-dup pairs at Hamming ≤ [[HammingMax]] via the pigeonhole
     * block join: each doc emits one row per bit-block; pairs agreeing
@@ -184,7 +184,7 @@ object Dedup {
         col("l.block_val") === col("r.block_val") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= HammingMax)
       .distinct()
   }

@@ -153,7 +153,7 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
 
@@ -181,7 +181,7 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("cell"),
         cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
 }

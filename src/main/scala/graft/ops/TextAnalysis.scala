@@ -125,17 +125,17 @@ object TextAnalysis {
     withTokens(documents).select(
       col("doc_id"),
       col("lang"),
-      size(toks).as("n_tokens"),
-      bpeCount(col("text")).as("n_bpe_tokens"),
-      punctCount(col("text")).as("n_punct"),
-      stopwordCount(toks).as("n_stopwords"),
+      size(toks).cast("long").as("n_tokens"),
+      bpeCount(col("text")).cast("long").as("n_bpe_tokens"),
+      punctCount(col("text")).cast("long").as("n_punct"),
+      stopwordCount(toks).cast("long").as("n_stopwords"),
       qualityScore(col("text"), toks).as("quality_score"))
   }
 
   /** x2: language-ID prediction next to the labeled lang. */
   def langIdQ(documents: DataFrame): DataFrame = {
     val toks = col("toks")
-    val hits = LangMarkers.map { case (l, ws) => markerHits(toks, ws).as(s"hits_$l") }
+    val hits = LangMarkers.map { case (l, ws) => markerHits(toks, ws).cast("long").as(s"hits_$l") }
     withTokens(documents).select(
       Seq(col("doc_id"), col("lang"), langId(toks).as("pred_lang")) ++ hits: _*)
   }
@@ -151,7 +151,7 @@ object TextAnalysis {
       .orderBy(col("quality_score").desc, col("doc_id").asc)
     textStats(documents)
       .select(col("doc_id"), col("lang"), col("quality_score"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
 

@@ -152,7 +152,7 @@ object ExtSql {
 
   private val x6 =
     raw"""WITH $toksCte, $simhashSigCte
-         |SELECT doc_id, simhash, n_tokens FROM ssig""".stripMargin
+         |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash, n_tokens FROM ssig""".stripMargin
 
   private val x7 = {
     val blockBits = Dedup.SimHashBits / Dedup.SimHashBlocks
@@ -168,7 +168,7 @@ object ExtSql {
          |  FROM ssig, (SELECT unnest(range(0, ${Dedup.SimHashBlocks})) AS b) bi)
          |SELECT DISTINCT doc_a, doc_b, hamming FROM (
          |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-         |         bit_count(xor(l.simhash, r.simhash)) AS hamming
+         |         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
          |  FROM blocks l JOIN blocks r
          |    ON l.block_idx = r.block_idx AND l.block_val = r.block_val
          |   AND l.doc_id < r.doc_id)

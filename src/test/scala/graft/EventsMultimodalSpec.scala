@@ -59,8 +59,8 @@ class EventsMultimodalSpec extends SparkSpec {
       (3L, "words words words", "fr")
     ).toDF("doc_id", "text", "lang")
     val out = graft.ops.TextAnalysis.topQualityDocs(docs, k = 1)
-      .select("lang", "doc_id", "rnk").as[(String, Long, Int)].collect().toSet
-    assert(out === Set(("en", 1L, 1), ("fr", 3L, 1)))
+      .select("lang", "doc_id", "rnk").as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("en", 1L, 1L), ("fr", 3L, 1L)))
   }
 
   test("media decode stub is deterministic and frame sampling strides") {

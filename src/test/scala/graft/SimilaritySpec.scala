@@ -31,9 +31,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("annBrute ranks by cosine desc with vec_id tie-break, excludes self") {
     val top = annBrute(vecs, k = 3).select("q_id", "vec_id", "rnk")
-      .as[(Long, Long, Int)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     // query is vec 0 (vec_id % QueryStride == 0): nearest 1, then 2, then 3
-    assert(top === Set((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)))
+    assert(top === Set((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
   }
 
   test("ivfCell groups by leading-dim signs; query probes its own cell") {

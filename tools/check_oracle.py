@@ -53,6 +53,14 @@ def main(sfdir: str, outdir: str) -> None:
         dh, dn = canon(duck_df)
         ok = sh == dh
         schema_ok = sorted(spark_df.columns) == sorted(duck_df.columns)
+        # dtype strictness: int32-vs-int64 style mismatches may fail the
+        # driver's schema compare even when values hash-match
+        dt_s = {c: str(spark_df[c].dtype) for c in spark_df.columns}
+        dt_d = {c: str(duck_df[c].dtype) for c in duck_df.columns}
+        dt_diff = {c: (dt_s.get(c), dt_d.get(c)) for c in set(dt_s) | set(dt_d)
+                   if dt_s.get(c) != dt_d.get(c)}
+        if ok and dt_diff:
+            print(f"WARN {name}: dtype mismatch {dt_diff}")
         if not ok:
             fails += 1
             print(f"FAIL {name}: rows {sn} vs {dn}, schema_match={schema_ok} "
