@@ -93,7 +93,7 @@ object Dedup {
     * as materializing the union array, half the array work. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
-    round(inter.cast("double") / (size(a) + size(b) - inter), 4)
+    Portable.round4(inter.cast("double") / (size(a) + size(b) - inter))
   }
 
   /** x5: MinHash/LSH near-duplicate pairs: candidates share ≥1 LSH

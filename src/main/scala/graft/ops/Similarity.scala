@@ -86,9 +86,10 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
   }
 
-  /** Cosine from a precomputed dot and two norms, rounded to 4dp. */
+  /** Cosine from a precomputed dot and two norms, rounded to 4dp
+    * (portably — see [[Portable.round4]]). */
   def cosine(dotAB: Column, nrmA: Column, nrmB: Column): Column =
-    round(dotAB / (nrmA * nrmB), 4)
+    Portable.round4(dotAB / (nrmA * nrmB))
 
   // ---- x8: brute-force near-dup pairs ------------------------------
 

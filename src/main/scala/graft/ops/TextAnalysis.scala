@@ -3,6 +3,15 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Cross-engine-stable 4dp rounding: `floor(x·10⁴ + 0.5) / 10⁴` is pure
+  * double arithmetic, bit-identical in Spark and DuckDB. Spark's
+  * `round()` is NOT portable: it detours through Java's decimal string
+  * (`BigDecimal.valueOf`) and disagrees with DuckDB's binary rounding
+  * on exact .xxxx5 decimal ties (12/5000 quality scores at sf0.1). */
+object Portable {
+  def round4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+}
+
 /** Text-analysis operators for LLM training-data pipelines over the
   * `documents` fixture table (TESTDATA.md): tokenization, token
   * counting (whitespace + BPE-ish regex), language-ID (marker-token
@@ -98,7 +107,7 @@ object TextAnalysis {
     val stopTerm  = when(n > 0, stopwordCount(toks) / n.cast("double")).otherwise(lit(0.0)) * lit(0.3)
     val punctTerm = (lit(1.0) - when(length(text) > 0,
       punctCount(text) / length(text).cast("double")).otherwise(lit(0.0))) * lit(0.3)
-    round(lenTerm + stopTerm + punctTerm, 4)
+    Portable.round4(lenTerm + stopTerm + punctTerm)
   }
 
   /** Canonical full-text fingerprint: md5 of lowercased,

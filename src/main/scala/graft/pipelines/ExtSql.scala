@@ -56,12 +56,12 @@ object ExtSql {
     val stop = strList(TextAnalysis.Stopwords)
     raw"""WITH $toksCte
          |SELECT doc_id, lang, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
-         |       round(least(1.0, n_tokens/100.0) * 0.4
+         |       floor((least(1.0, n_tokens/100.0) * 0.4
          |             + (CASE WHEN n_tokens > 0
          |                     THEN n_stopwords / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
          |             + (1.0 - CASE WHEN length(text) > 0
-         |                     THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3,
-         |             4) AS quality_score
+         |                     THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3)
+         |             * 10000 + 0.5) / 10000 AS quality_score
          |FROM (
          |  SELECT doc_id, lang, text,
          |         len(toks) AS n_tokens,
@@ -112,7 +112,7 @@ object ExtSql {
   // ---- x5 MinHash/LSH near-dup pairs -------------------------------
 
   private val jaccardExpr =
-    "round(len(list_intersect(l.sh, r.sh))::DOUBLE / len(list_distinct(l.sh || r.sh)), 4)"
+    "floor((len(list_intersect(l.sh, r.sh))::DOUBLE / len(list_distinct(l.sh || r.sh))) * 10000 + 0.5) / 10000"
 
   private val x5 = {
     val k = Dedup.NumHashes; val b = Dedup.Bands; val r = Dedup.RowsPerBand
@@ -188,7 +188,7 @@ object ExtSql {
     s"list_sum([$a[i] * $b[i] for i in range(1, ${dim + 1})])"
 
   private def cosExpr(a: String, an: String, b: String, bn: String): String =
-    s"round(${dotExpr(a, b)} / ($an * $bn), 4)"
+    s"floor((${dotExpr(a, b)} / ($an * $bn)) * 10000 + 0.5) / 10000"
 
   // ---- x8 brute embedding near-dup (sampled: vec_id % 2 = 0) -------
 
@@ -334,12 +334,12 @@ object ExtSql {
     raw"""WITH $toksCte,
          |q AS (
          |  SELECT doc_id, lang,
-         |         round(least(1.0, n_tokens/100.0) * 0.4
+         |         floor((least(1.0, n_tokens/100.0) * 0.4
          |               + (CASE WHEN n_tokens > 0
          |                       THEN n_stopwords / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
          |               + (1.0 - CASE WHEN length(text) > 0
-         |                       THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3,
-         |               4) AS quality_score
+         |                       THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3)
+         |               * 10000 + 0.5) / 10000 AS quality_score
          |  FROM (
          |    SELECT doc_id, lang, text,
          |           len(toks) AS n_tokens,

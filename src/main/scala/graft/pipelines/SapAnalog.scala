@@ -113,6 +113,9 @@ object SapAnalog {
         statF.cast("long").cast("string").as("plant_status"),
         spk.as("plant_spk"))
       .filter(col("plant_status").isNotNull)
+      // the largest derived dimension (|part|·|nation| rows), consumed
+      // by six queries — persist so the generator runs once per session
+      .persist()
   }
 
   /** MARA — cross-plant material master. Materials with

@@ -43,9 +43,8 @@ class TextAnalysisSpec extends SparkSpec {
     // 4 tokens, 1 stopword ("the"), 0 punct, 15 chars
     val q = doc("the quick brown fox").select(qualityScore(col("text"), tokens(col("text"))))
       .as[Double].head()
-    val expected = BigDecimal(
-      math.min(1.0, 4 / 100.0) * 0.4 + (1.0 / 4) * 0.3 + (1.0 - 0.0) * 0.3)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = math.min(1.0, 4 / 100.0) * 0.4 + (1.0 / 4) * 0.3 + (1.0 - 0.0) * 0.3
+    val expected = math.floor(raw * 10000 + 0.5) / 10000 // Portable.round4
     assert(q === expected)
   }
 
