@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Decoded-media metadata row (the "decode" output schema). */
 case class MediaMeta(doc_id: Long, n_bytes: Long, fmt: String,
-                     width: Long, height: Long, n_frames: Long)
+                     width: Long, height: Long, n_frames: Long,
+                     thumb_w: Long, thumb_h: Long)
 
 /** Multimodal-column plumbing — beyond-reference track (builder brief).
   *
@@ -44,6 +45,8 @@ object Multimodal {
     val md = java.security.MessageDigest.getInstance("MD5")
     val nibble0 = (md.digest(content)(0) >> 4) & 0xf
     val n = content.length.toLong
+    val w = 16 + n % 640
+    val h = 16 + (n * 7) % 480
     MediaMeta(
       doc_id   = docId,
       n_bytes  = n,
@@ -52,9 +55,13 @@ object Multimodal {
         case 1 => "png"
         case _ => "webp"
       },
-      width    = 16 + n % 640,
-      height   = 16 + (n * 7) % 480,
-      n_frames = 1 + n / 256)
+      width    = w,
+      height   = h,
+      n_frames = 1 + n / 256,
+      // resize stub: half-resolution thumbnail dims (a real decoder
+      // would emit resampled bytes; the metadata contract is the same)
+      thumb_w  = w / 2,
+      thumb_h  = h / 2)
   }
 
   /** x12: partition-wise decode: one decoder per partition, batch

@@ -121,6 +121,14 @@ object TextAnalysis {
   def minShingleFingerprint(toks: Column): Column =
     array_min(transform(shingles(toks), s => md5(s)))
 
+  /** Rolling polynomial fingerprint over the token-hash sequence:
+    * fold of (acc·31 + h16(token)) mod (2³¹−1) — ORDER-sensitive,
+    * unlike the set-based fingerprints (a reordering edit changes it).
+    * Portable: DuckDB computes the same fold via
+    * `list_reduce(list_prepend(0, …))`. */
+  def rollingFingerprint(tokVals: Column): Column =
+    aggregate(tokVals, lit(0L), (acc, v) => pmod(acc * 31 + v, lit(2147483647L)))
+
   // ---- per-document stats frames -----------------------------------
 
   /** documents + a materialized `toks` column (see [[Dedup.docShingles]]
@@ -164,12 +172,14 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
-  /** x3: document fingerprints. */
+  /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)
-      .select(col("doc_id"), col("text"), shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), col("text"), shingles(col("toks")).as("sh"),
+        transform(col("toks"), Dedup.tokenHash16 _).as("tv"))
       .select(
         col("doc_id"),
         fingerprint(col("text")).as("fp_full"),
-        array_min(transform(col("sh"), s => md5(s))).as("fp_min_shingle"))
+        array_min(transform(col("sh"), s => md5(s))).as("fp_min_shingle"),
+        rollingFingerprint(col("tv")).as("fp_rolling"))
 }

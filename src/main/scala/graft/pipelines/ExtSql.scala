@@ -99,7 +99,11 @@ object ExtSql {
   private val x3 =
     raw"""WITH $toksCte, $shCte
          |SELECT t.doc_id, $fpFull AS fp_full,
-         |       list_aggregate([md5(s) for s in sh], 'min') AS fp_min_shingle
+         |       list_aggregate([md5(s) for s in sh], 'min') AS fp_min_shingle,
+         |       list_reduce(
+         |         list_prepend(0::BIGINT,
+         |           [('0x' || substr(md5(tk), 1, 4))::BIGINT for tk in t.toks]),
+         |         (acc, x) -> (acc * 31 + x) % 2147483647) AS fp_rolling
          |FROM tok t JOIN shs USING (doc_id)""".stripMargin
 
   // ---- x4 exact dedup ----------------------------------------------
@@ -275,11 +279,13 @@ object ExtSql {
 
   private val x12 =
     raw"""WITH $mediaCte
-         |SELECT doc_id, n_bytes, fmt,
-         |       16 + n_bytes % 640 AS width,
-         |       16 + (n_bytes * 7) % 480 AS height,
-         |       1 + n_bytes // 256 AS n_frames
-         |FROM media""".stripMargin
+         |SELECT doc_id, n_bytes, fmt, width, height,
+         |       1 + n_bytes // 256 AS n_frames,
+         |       width // 2 AS thumb_w,
+         |       height // 2 AS thumb_h
+         |FROM (SELECT *, 16 + n_bytes % 640 AS width,
+         |             16 + (n_bytes * 7) % 480 AS height
+         |      FROM media)""".stripMargin
 
   private val x13 =
     raw"""WITH $mediaCte
