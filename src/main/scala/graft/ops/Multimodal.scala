@@ -41,8 +41,8 @@ object Multimodal {
     * (md5 nibble → format, size arithmetic → dimensions). Replace the
     * body with a real decoder (javax.imageio / ffmpeg bindings) in a
     * deployment; the signature (bytes → MediaMeta) is the contract. */
-  def decodeStub(docId: Long, content: Array[Byte]): MediaMeta = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  def decodeStub(md: java.security.MessageDigest, docId: Long,
+                 content: Array[Byte]): MediaMeta = {
     val nibble0 = (md.digest(content)(0) >> 4) & 0xf
     val n = content.length.toLong
     val w = 16 + n % 640
@@ -72,8 +72,10 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
-        // per-partition setup cost (decoder init) amortizes here
-        iter.map { case (id, bytes) => decodeStub(id, bytes) }
+        // decoder initialized ONCE per partition and reused per row
+        // (MessageDigest.digest resets its state after each call)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.map { case (id, bytes) => decodeStub(md, id, bytes) }
       }
   }
 

@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (x1–x16), generated from the SAME Scala constants the Spark
+  * (x1–x18), generated from the SAME Scala constants the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
   *
@@ -50,18 +50,24 @@ object ExtSql {
   private val fpFull =
     raw"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
 
+  /** The x1/x17-shared quality-score SQL (must mirror
+    * [[TextAnalysis.qualityScore]] bit-for-bit — single definition so
+    * the two oracles cannot drift). */
+  private val qualityScoreSql: String =
+    """floor((least(1.0, n_tokens/100.0) * 0.4
+      |             + (CASE WHEN n_tokens > 0
+      |                     THEN n_stopwords / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
+      |             + (1.0 - CASE WHEN length(text) > 0
+      |                     THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3)
+      |             * 10000 + 0.5) / 10000 AS quality_score""".stripMargin
+
   // ---- x1 text stats -----------------------------------------------
 
   private val x1 = {
     val stop = strList(TextAnalysis.Stopwords)
     raw"""WITH $toksCte
          |SELECT doc_id, lang, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
-         |       floor((least(1.0, n_tokens/100.0) * 0.4
-         |             + (CASE WHEN n_tokens > 0
-         |                     THEN n_stopwords / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
-         |             + (1.0 - CASE WHEN length(text) > 0
-         |                     THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3)
-         |             * 10000 + 0.5) / 10000 AS quality_score
+         |       $qualityScoreSql
          |FROM (
          |  SELECT doc_id, lang, text,
          |         len(toks) AS n_tokens,
@@ -340,12 +346,7 @@ object ExtSql {
     raw"""WITH $toksCte,
          |q AS (
          |  SELECT doc_id, lang,
-         |         floor((least(1.0, n_tokens/100.0) * 0.4
-         |               + (CASE WHEN n_tokens > 0
-         |                       THEN n_stopwords / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.3
-         |               + (1.0 - CASE WHEN length(text) > 0
-         |                       THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3)
-         |               * 10000 + 0.5) / 10000 AS quality_score
+         |         $qualityScoreSql
          |  FROM (
          |    SELECT doc_id, lang, text,
          |           len(toks) AS n_tokens,

@@ -7,7 +7,7 @@ import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
-  * (x1–x16) exposed via [[graft.SparkEntry]]; the matching DuckDB
+  * (x1–x18) exposed via [[graft.SparkEntry]]; the matching DuckDB
   * oracle lives in [[ExtSql]]. */
 object Extensions {
 

@@ -41,7 +41,12 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = readParallel(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
     * outright; read it as long nanos and rebuild a µs timestamp
-    * (floor — matches DuckDB's ns→ms truncation downstream). */
+    * (floor — matches DuckDB's ns→ms truncation downstream).
+    * NB the nanosAsLong conf is SESSION-WIDE: it also changes how any
+    * other TIMESTAMP(NANOS) parquet column in this session reads (none
+    * of the fixtures have one besides events). It is set here so the
+    * accessor works in a foreign session (e.g. the driver's own), and
+    * redundantly in every graft session builder. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events").withColumn("ts",

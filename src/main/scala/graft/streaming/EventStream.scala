@@ -98,9 +98,21 @@ object EventStream {
       sorted.foreach { e =>
         val ms = e.ts.getTime
         open match {
-          case Some(s) if ms - s.lastMs <= Events.SessionGapMs =>
-            open = Some(SessionState(s.startMs, math.max(s.lastMs, ms),
+          // within the gap of the open session's INTERVAL — including a
+          // late-but-not-dropped event (watermark delay > gap) that
+          // precedes the recorded start: merge and widen both bounds
+          case Some(s) if ms >= s.startMs - Events.SessionGapMs &&
+                          ms - s.lastMs <= Events.SessionGapMs =>
+            open = Some(SessionState(math.min(s.startMs, ms), math.max(s.lastMs, ms),
               s.n + 1, s.cents + cents(e.value)))
+          // late event more than a gap BEFORE the open session: it
+          // belongs to an earlier, already-gone session — emit it as its
+          // own fragment rather than corrupting the open session's
+          // bounds (cross-batch out-of-order arrival can still split
+          // what the batch x16 twin would merge; exact equivalence
+          // holds for arrivals ordered across micro-batches)
+          case Some(s) if ms < s.startMs - Events.SessionGapMs =>
+            closed += SessionOut(uid, ms, ms, 1, cents(e.value))
           case Some(s) =>
             closed += SessionOut(uid, s.startMs, s.lastMs, s.n, s.cents)
             open = Some(SessionState(ms, ms, 1, cents(e.value)))

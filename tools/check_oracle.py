@@ -15,7 +15,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df: pd.DataFrame) -> str:
+def canon(df: pd.DataFrame) -> tuple:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize values to strings the same way for both engines
     def cell(v):
