@@ -58,6 +58,24 @@ object Events {
       .rollup(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
 
+  /** x19: as-of carry-forward — each event is attributed to the
+    * user's most recent `signup` event at-or-before it (the as-of-join
+    * shape expressed as a window carry-forward: `last(…, ignoreNulls)`
+    * over an unbounded-preceding frame). The general two-table as-of
+    * join is the same plan: union the tables tagged, sort within the
+    * key partition, carry the right side forward. One shuffle on the
+    * key, no range-join explosion. */
+  def asofCarry(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("last_signup_ms",
+        last(when(col("event_type") === "signup", col("ms")), ignoreNulls = true).over(w))
+  }
+
   /** x16: gap-based sessionization: per user, order by (ts, event_id);
     * gap > [[SessionGapMs]] opens a new session; emit one row per
     * session with bounds and totals. */

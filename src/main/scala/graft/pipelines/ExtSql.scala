@@ -373,6 +373,28 @@ object ExtSql {
          |  FROM events)
          |GROUP BY ROLLUP (event_type, hour)""".stripMargin
 
+  // ---- x19 as-of carry-forward -------------------------------------
+
+  private val x19 =
+    raw"""SELECT event_id, user_id, event_type, ms,
+         |       last_value(CASE WHEN event_type = 'signup' THEN ms END IGNORE NULLS)
+         |         OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |               ROWS UNBOUNDED PRECEDING) AS last_signup_ms
+         |FROM (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events)""".stripMargin
+
+  // ---- x20 count-min sketch ----------------------------------------
+
+  private val x20 = {
+    val cms = graft.functions.CountMinSketch
+    raw"""WITH $toksCte,
+         |toka AS (SELECT unnest(toks) AS t FROM tok)
+         |SELECT CAST(r.i AS BIGINT) AS row_idx,
+         |       ('0x' || substr(md5(r.i::VARCHAR || ':' || t), 1, 4))::BIGINT % ${cms.Width} AS bucket,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM toka, (SELECT unnest(range(0, ${cms.Depth})) AS i) r
+         |GROUP BY 1, 2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x1_text_stats"      -> x1,
     "x2_lang_id"         -> x2,
@@ -391,5 +413,7 @@ object ExtSql {
     "x15_events_hourly"  -> x15,
     "x16_sessions"       -> x16,
     "x17_topk_docs"      -> x17,
-    "x18_events_rollup"  -> x18)
+    "x18_events_rollup"  -> x18,
+    "x19_asof_carry"     -> x19,
+    "x20_cms_tokens"     -> x20)
 }

@@ -36,5 +36,22 @@ object Extensions {
     "x15_events_hourly"  -> ((s, d) => Events.hourlyAgg(evs(s, d))),
     "x16_sessions"       -> ((s, d) => Events.sessions(evs(s, d))),
     "x17_topk_docs"      -> ((s, d) => TextAnalysis.topQualityDocs(docs(s, d))),
-    "x18_events_rollup"  -> ((s, d) => Events.rollupAgg(evs(s, d))))
+    "x18_events_rollup"  -> ((s, d) => Events.rollupAgg(evs(s, d))),
+    "x19_asof_carry"     -> ((s, d) => Events.asofCarry(evs(s, d))),
+    "x20_cms_tokens"     -> ((s, d) => cmsTokens(s, d)))
+
+  /** x20: global Count-Min Sketch over all document tokens via the
+    * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
+    * matrix is exploded to (row_idx, bucket, cnt) rows. */
+  private def cmsTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.withTokens(docs(s, d))
+      .select(explode(col("toks")).as("tok")).as[String]
+      .select(graft.functions.CountMinSketch.toColumn) // typed select
+      .toDF("cells")
+      .select(explode(col("cells")).as("cell"))
+      .select(col("cell.row_idx").cast("long").as("row_idx"),
+        col("cell.bucket").cast("long").as("bucket"),
+        col("cell.cnt").as("cnt"))
+  }
 }
