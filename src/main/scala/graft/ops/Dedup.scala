@@ -59,16 +59,48 @@ object Dedup {
 
   // ---- MinHash + LSH -----------------------------------------------
 
-  /** k MinHashes of a distinct-shingle array: element i is
-    * min over shingles of md5(i ∥ '|' ∥ shingle). */
+  /** Mersenne prime modulus for the universal-hash MinHash family. */
+  val HashPrime: Long = 2147483647L
+
+  /** Per-permutation (multiplier, offset) pairs, md5-derived in Scala
+    * and inlined as literals into BOTH engines (like
+    * [[Similarity.planeWeights]]). Multipliers are odd 28-bit ints, so
+    * base·A + B < 2^59 — no 64-bit overflow in either engine. */
+  lazy val permConstants: Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bits28(s: String): Long = {
+      val h = md.digest(s.getBytes("UTF-8"))
+      ((h(0) & 0xffL) << 20) | ((h(1) & 0xffL) << 12) |
+        ((h(2) & 0xffL) << 4) | ((h(3) & 0xffL) >> 4)
+    }
+    (0 until NumHashes).map(i => (bits28(s"a:$i") | 1L, bits28(s"b:$i")))
+  }
+
+  /** 60-bit integer view of a shingle: first 15 md5 hex digits.
+    * Spark `conv(…,16,10)` ≡ DuckDB `('0x'||…)::BIGINT`. */
+  def shingleBase(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(HashPrime))
+
+  /** k MinHashes from a pre-materialized shingle-base array via
+    * k universal-hash mixes (aᵢ·h + bᵢ mod p) — ONE md5 per shingle,
+    * 12× fewer digest/string allocations than hashing (i, shingle)
+    * pairs, same LSH guarantees (Broder '97 with a universal family).
+    * `bases` MUST be a real column: each mix term embeds the argument
+    * tree, so an inlined md5-transform would be recomputed k times. */
+  def minhashFromBases(bases: Column, k: Int = NumHashes): Column =
+    array(permConstants.take(k).map { case (a, b) =>
+      array_min(transform(bases, h => pmod(h * a + b, lit(HashPrime))))
+    }: _*)
+
+  /** Convenience single-expression form (tests / ad-hoc use). */
   def minhashSignature(sh: Column, k: Int = NumHashes): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
+    minhashFromBases(transform(sh, shingleBase _), k)
 
   /** Band hashes: md5 of the comma-joined r minhashes of each band. */
   def bandHashes(sig: Column, bands: Int = Bands, r: Int = RowsPerBand): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r)))))
+      b => md5(concat_ws(",", transform(slice(sig, b * lit(r) + 1, lit(r)),
+        v => v.cast("string")))))
 
   /** doc_id + distinct shingle set, docs with ≥1 shingle only.
     * Repartitioned by doc_id first: the fixture is one small parquet
@@ -110,8 +142,9 @@ object Dedup {
                           threshold: Double = JaccardThreshold,
                           maxBucket: Int = Int.MaxValue): DataFrame = {
     val banded = docShingles(documents)
+      .select(col("doc_id"), col("sh"), transform(col("sh"), shingleBase _).as("hb"))
       .select(col("doc_id"), col("sh"),
-        posexplode(bandHashes(minhashSignature(col("sh")))).as(Seq("band_idx", "band_hash")))
+        posexplode(bandHashes(minhashFromBases(col("hb")))).as(Seq("band_idx", "band_hash")))
       .persist()
     // degenerate-bucket guard: a band hash shared by m docs yields
     // m²/2 candidate pairs — at corpus scale a boilerplate bucket goes

@@ -125,14 +125,20 @@ object ExtSql {
     "floor((len(list_intersect(l.sh, r.sh))::DOUBLE / len(list_distinct(l.sh || r.sh))) * 10000 + 0.5) / 10000"
 
   private val x5 = {
-    val k = Dedup.NumHashes; val b = Dedup.Bands; val r = Dedup.RowsPerBand
+    val b = Dedup.Bands; val r = Dedup.RowsPerBand; val p = Dedup.HashPrime
+    val mixes = Dedup.permConstants.map { case (a, off) =>
+      s"list_aggregate([(h * $a + $off) % $p for h in hb], 'min')"
+    }.mkString("[", ",\n         |          ", "]")
     raw"""WITH $toksCte, $shCte,
          |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
+         |hbt AS (
+         |  SELECT doc_id, sh,
+         |         [('0x' || substr(md5(s), 1, 15))::BIGINT % $p for s in sh] AS hb
+         |  FROM dsh),
          |sig AS (
          |  SELECT doc_id, sh,
-         |         [list_aggregate([md5(i::VARCHAR || '|' || s) for s in sh], 'min')
-         |          for i in range(0, $k)] AS sig
-         |  FROM dsh),
+         |         $mixes AS sig
+         |  FROM hbt),
          |bands AS (
          |  SELECT doc_id, sh, bi.b AS band_idx,
          |         md5(array_to_string(sig[bi.b*$r+1:bi.b*$r+$r], ',')) AS band_hash
