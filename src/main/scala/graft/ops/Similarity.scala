@@ -158,6 +158,23 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Fixed-point scale for exact (order-independent) centroid sums. */
+  val CentroidScale = 10000000L
+
+  /** x22: per-label centroid components — the training step of an IVF
+    * index (and of k-means generally), exact and portable: double sums
+    * are order-dependent, so each component is scaled to a 1e-7-grid
+    * BIGINT first (floor(x·10⁷)); integer sums commute, making the
+    * result independent of partial-aggregation order in BOTH engines.
+    * Output is (label, dim, component_sum, n) — centroid = sum/(n·10⁷). */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(
+        sum(floor(col("x") * CentroidScale).cast("long")).as("component_sum"),
+        count(lit(1)).as("n"))
+
   // ---- x11: IVF-bucketed top-k -------------------------------------
 
   /** Coarse quantizer: sign bits of the first [[IvfBits]] dims. */

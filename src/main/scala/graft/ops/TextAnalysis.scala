@@ -172,6 +172,22 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** x21: exact corpus heavy hitters — the canonical distributed word
+    * count: explode tokens → hash aggregate → global top-k by
+    * (count desc, token asc). Partial aggregation shrinks the shuffle
+    * to one row per distinct token per partition; the final top-k is a
+    * single ordered limit. */
+  def topTokens(documents: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+    withTokens(documents)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

@@ -401,6 +401,27 @@ object ExtSql {
          |GROUP BY 1, 2""".stripMargin
   }
 
+  // ---- x21 exact heavy hitters -------------------------------------
+
+  private val x21 =
+    raw"""WITH $toksCte,
+         |counts AS (
+         |  SELECT t AS tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1)
+         |SELECT tok, cnt, rnk FROM (
+         |  SELECT *, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM counts)
+         |WHERE rnk <= 20""".stripMargin
+
+  // ---- x22 label centroids (exact fixed-point sums) ----------------
+
+  private val x22 =
+    raw"""SELECT label, CAST(u.d AS BIGINT) AS dim,
+         |       CAST(sum(CAST(floor(u.x * ${Similarity.CentroidScale}) AS BIGINT)) AS BIGINT) AS component_sum,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) v,
+         |     unnest([{'d': i-1, 'x': e[i]} for i in range(1, len(e)+1)]) AS t(u)
+         |GROUP BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x1_text_stats"      -> x1,
     "x2_lang_id"         -> x2,
@@ -421,5 +442,7 @@ object ExtSql {
     "x17_topk_docs"      -> x17,
     "x18_events_rollup"  -> x18,
     "x19_asof_carry"     -> x19,
-    "x20_cms_tokens"     -> x20)
+    "x20_cms_tokens"     -> x20,
+    "x21_top_tokens"     -> x21,
+    "x22_label_centroids" -> x22)
 }

@@ -38,7 +38,9 @@ object Extensions {
     "x17_topk_docs"      -> ((s, d) => TextAnalysis.topQualityDocs(docs(s, d))),
     "x18_events_rollup"  -> ((s, d) => Events.rollupAgg(evs(s, d))),
     "x19_asof_carry"     -> ((s, d) => Events.asofCarry(evs(s, d))),
-    "x20_cms_tokens"     -> ((s, d) => cmsTokens(s, d)))
+    "x20_cms_tokens"     -> ((s, d) => cmsTokens(s, d)),
+    "x21_top_tokens"     -> ((s, d) => TextAnalysis.topTokens(docs(s, d))),
+    "x22_label_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
