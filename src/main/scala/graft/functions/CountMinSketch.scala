@@ -27,10 +27,15 @@ object CountMinSketch extends Aggregator[String, Array[Long], Seq[CmsCell]] {
   val Depth = 4
   val Width = 256
 
+  // one digest per executor thread — reduce() runs once per token, and
+  // a per-call getInstance would allocate on the hottest path
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** Row-i bucket of a token: first 16 bits of md5("i:token") mod width. */
   def bucketOf(i: Int, token: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$i:$token".getBytes("UTF-8"))
+    val h = digests.get().digest(s"$i:$token".getBytes("UTF-8"))
     (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % Width
   }
 

@@ -64,6 +64,30 @@ class EventStreamSpec extends SparkSpec {
     assert(out === Set((10L, baseMs, baseMs + 600000L, 2L, 300L)))
   }
 
+  test("late event within gap widens the open session; far-earlier event emits as fragment") {
+    implicit val sc = spark.sqlContext
+    val base = 2880L
+    val m = 60000L
+    val in = MemoryStream[Ev]
+    // default trigger (AvailableNow would terminate after batch 1)
+    val q = EventStream.sessions(in.toDF())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    in.addData(Ev(30L, ts(base + 100), 1.0)) // open session [100,100]
+    q.processAllAvailable() // watermark advances to base+40 (delay 1h)
+    // batch 2, all above the base+40 watermark:
+    in.addData(
+      Ev(30L, ts(base + 50), 9.99), // > gap before start → lone fragment
+      Ev(30L, ts(base + 95), 1.0),  // within gap before start → widen to [95,100]
+      Ev(30L, ts(base + 200), 1.0)) // gap > 30min after 100 → closes [95,100]
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("late_sessions")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (30L, (base + 50) * m, (base + 50) * m, 1L, 999L),        // fragment
+      (30L, (base + 95) * m, (base + 100) * m, 2L, 200L)))      // widened, closed
+  }
+
   test("streaming exact dedup drops re-delivered event ids") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
