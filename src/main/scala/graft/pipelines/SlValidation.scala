@@ -17,8 +17,15 @@ import graft.pipelines.SapAnalog._
   *  - the fact side (eord) is a map-only projection of the lineitem
   *    scan; invalid/OOS filtering composes into scan predicates or
   *    broadcast semi-joins — the big side never shuffles for them;
-  *  - every dimension join (marc via the mp key is the largest —
-  *    #part × 25 rows, still dimension-sized) is broadcast;
+  *  - `broadcast()` hints mark ONLY the genuinely bounded dims
+  *    (garPlants ≈ |nation| rows, mg5Xref = 3 rows, spkXref ≈ a few
+  *    distinct vendor ids per 25-plant block). Relations that GROW
+  *    with scale factor — marc (|part|×25), mara (|part|), mvke
+  *    (|part|), and any slice of the checked fact table — carry NO
+  *    hint: AQE broadcasts them while they fit under the threshold
+  *    (every test SF here) and falls back to shuffled joins at the
+  *    SFs where a forced broadcast would blow the 8 GB limit and
+  *    kill the job. PlanSpec pins this invariant;
   *  - the two shuffles in the whole pipeline are (1) the dual-source
   *    window partition on Material/Plant and (2) the merge-back joins
   *    keyed on the unique MPN key, both unavoidable semantically;
@@ -63,7 +70,8 @@ object SlValidation {
   def enrich(valid: DataFrame, marc: DataFrame, xref: DataFrame,
              gar: DataFrame): DataFrame =
     valid
-      .join(broadcast(marc.select(col("mp"), col("plant_status"), col("plant_spk"))),
+      // no hint: marc is |part|×25 — AQE picks broadcast vs shuffle by size
+      .join(marc.select(col("mp"), col("plant_status"), col("plant_spk")),
             Seq("mp"), "left")
       .join(broadcast(xref), Seq("vendor"), "left")
       .join(broadcast(gar.select(col("plant"), col("country"))), Seq("plant"), "left")
@@ -104,10 +112,13 @@ object SlValidation {
       .select(col("mp").as("material_hub"), col("vendor").as("vendor_in_hub"))
     val mvkeMg5 = mvke.join(broadcast(mg5), Seq("default_plant"), "left")
       .select(col("material"), col("default_plant"), col("apex_mg5_spk"))
+    // no hints: marcHub/mvkeMg5 scale with |part| and eordHub is a
+    // slice of the checked FACT table — forcing any of them broadcast
+    // would fail outright at large SF (8 GB broadcast limit)
     ctyViaApex
-      .join(broadcast(marcHub), Seq("material_hub"), "left")
-      .join(broadcast(eordHub), Seq("material_hub"), "left")
-      .join(broadcast(mvkeMg5), Seq("material"), "left")
+      .join(marcHub, Seq("material_hub"), "left")
+      .join(eordHub, Seq("material_hub"), "left")
+      .join(mvkeMg5, Seq("material"), "left")
       .drop("material_hub")
   }
 
@@ -159,9 +170,9 @@ object SlValidation {
         concat_ws("/", col("material"),
                   substring(col("vendor"), 4, 10).cast("long")))
     intra.join(
-      broadcast(marc.select(col("mp").as("mp_main"),
-                            col("plant_status").as("interco_status"),
-                            col("plant_spk").as("interco_spk"))),
+      marc.select(col("mp").as("mp_main"), // no hint: |part|×25-scaling
+                  col("plant_status").as("interco_status"),
+                  col("plant_spk").as("interco_spk")),
       Seq("mp_main"), "left").drop("mp_main")
   }
 
@@ -184,7 +195,7 @@ object SlValidation {
                 valid: DataFrame): DataFrame = {
     val inScope = semiJoin(marc,
       broadcast(gar.filter(col("spk_sl_project") === "Yes")), Seq("plant"))
-      .join(broadcast(mara.select(col("material"), col("material_type"))),
+      .join(mara.select(col("material"), col("material_type")), // |part|-scaling
             Seq("material"), "left")
       .filter(col("material_type").isin("FERT", "HAWA", "ZICP"))
     antiJoin(inScope.filter(col("plant_status") === "50"), valid, Seq("mp"))
@@ -199,10 +210,11 @@ object SlValidation {
     * Analysis coalesce (`SL_SPK_Cleansing.py:305-319`, J7 + L1). */
   def mainFinal(checked: DataFrame, intraChecked: DataFrame,
                 apexChecked: DataFrame): DataFrame = {
+    // intraKeys is a fact-table slice — no broadcast hint (AQE decides)
     val intraKeys = intraChecked.select(col("mpn")).distinct()
       .withColumn("is_intra", lit(1))
     val flagged = RuleCascade(
-      checked.join(broadcast(intraKeys), Seq("mpn"), "left"), "comment", Seq(
+      checked.join(intraKeys, Seq("mpn"), "left"), "comment", Seq(
         Rule(col("is_intra") === 1, IntraSentinel),
         Rule(col("plant_spk") === col("vendor_to_spk") && col("comment").isNull,
              "Ok, SPK match SL"),

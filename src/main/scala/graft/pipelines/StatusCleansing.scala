@@ -13,10 +13,13 @@ import graft.pipelines.SapAnalog._
   * aggregation + MARC vs MARA status reconciliation through a 10-rule
   * guarded cascade.
   *
-  * Scale notes: the only shuffle is the inventory groupBy on the
-  * Material/Plant key (partial/final hash aggregate — map-side combine
-  * shrinks the shuffle to one row per live key); the MARA lookup and
-  * scope filter are broadcast; the cascade is one codegen'd projection.
+  * Scale notes: the only unavoidable shuffle is the inventory groupBy
+  * on the Material/Plant key (partial/final hash aggregate — map-side
+  * combine shrinks the shuffle to one row per live key); the scope
+  * filter broadcasts the bounded GAR dim, while the |part|-scaling
+  * MARA lookup carries no hint (AQE broadcasts it at small SF, shuffles
+  * at SFs where a forced broadcast would fail); the cascade is one
+  * codegen'd projection.
   */
 object StatusCleansing {
 
@@ -47,7 +50,7 @@ object StatusCleansing {
   def marcChecked(marc: DataFrame, mara: DataFrame, mb52g: DataFrame,
                   gar: DataFrame): DataFrame = {
     val enriched = validPlants(marc, gar)
-      .join(broadcast(mara), Seq("material"), "left")
+      .join(mara, Seq("material"), "left") // |part|-scaling: no hint, AQE decides
       .join(mb52g.select(col("mp"), col("sum_of_inventory")), Seq("mp"), "left")
     val noC = col("comment").isNull
     RuleCascade(enriched, "comment", Seq(

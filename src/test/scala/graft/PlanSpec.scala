@@ -30,11 +30,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_discount"), "l_discount should be pruned from the scan")
   }
 
-  test("dimension enrichment joins are broadcast, not sort-merge") {
-    val p = plan("j1_enriched_sl")
+  test("dimension enrichment joins broadcast at small SF (AQE-final plan)") {
+    // the marc join carries NO hint (it scales with |part|); at test SF
+    // AQE must still pick a broadcast join from observed sizes — this
+    // pins the "same plan at small SF, survivable at large SF" contract
+    val df = SparkEntry.queries("j1_enriched_sl")(spark, dir)
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
     assert(!p.contains("SortMergeJoin"),
-      "no dimension join should shuffle-sort the fact side")
+      s"no dimension join should shuffle-sort the fact side at this SF:\n$p")
+  }
+
+  test("no broadcast hint wraps an SF-scaling relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // columns only carried by relations that grow with scale factor:
+    // marc (|part|x25), mara (|part|), eord/checked fact slices.
+    // A broadcast HINT on any of these is a hard failure at large SF
+    // (8 GB broadcast limit) — hints may only mark bounded dims.
+    val scalingCols = Set("plant_status", "plant_spk", "hub_status", "hub_spk",
+      "interco_status", "interco_spk", "xplant_status", "material_type",
+      "vendor_in_hub", "mpn", "number", "valid_to", "blocked")
+    Seq("j1_enriched_sl", "u3_main_checked", "j2_apex_checked",
+        "j4_intraco_checked", "j7_main_final", "f3_missing_sl",
+        "r10_status_marc").foreach { q =>
+      SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.foreach {
+        case h: ResolvedHint =>
+          val bad = h.child.output.map(_.name).toSet.intersect(scalingCols)
+          assert(bad.isEmpty,
+            s"$q broadcast-hints a relation carrying SF-scaling columns $bad")
+        case _ => ()
+      }
+    }
   }
 
   test("LSH pair mining never plans a cartesian product") {
