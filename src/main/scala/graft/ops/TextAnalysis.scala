@@ -97,18 +97,26 @@ object TextAnalysis {
 
   def stopwordCount(toks: Column): Column = markerHits(toks, Stopwords)
 
-  /** Gopher-ish composite quality score in [0,1]:
-    * 0.4·min(1, tokens/100) + 0.3·stopword_ratio + 0.3·(1 − punct_ratio).
-    * All-double arithmetic in a fixed evaluation order, rounded to 4
-    * decimals, so Spark and DuckDB agree bit-for-bit. */
-  def qualityScore(text: Column, toks: Column): Column = {
-    val n = size(toks)
-    val lenTerm   = least(lit(1.0), n / lit(100.0)) * lit(0.4)
-    val stopTerm  = when(n > 0, stopwordCount(toks) / n.cast("double")).otherwise(lit(0.0)) * lit(0.3)
-    val punctTerm = (lit(1.0) - when(length(text) > 0,
-      punctCount(text) / length(text).cast("double")).otherwise(lit(0.0))) * lit(0.3)
+  /** Gopher-ish composite quality score in [0,1] from PRE-COMPUTED
+    * counts: 0.4·min(1, tokens/100) + 0.3·stopword_ratio +
+    * 0.3·(1 − punct_ratio). All-double arithmetic in a fixed
+    * evaluation order, rounded to 4 decimals, so Spark and DuckDB
+    * agree bit-for-bit. Taking counts (not text/toks) lets callers
+    * that also OUTPUT the counts compute each regex/array scan once —
+    * see [[textStats]]. */
+  def qualityFromCounts(nToks: Column, nStop: Column, nPunct: Column,
+                        textLen: Column): Column = {
+    val lenTerm   = least(lit(1.0), nToks / lit(100.0)) * lit(0.4)
+    val stopTerm  = when(nToks > 0, nStop / nToks.cast("double")).otherwise(lit(0.0)) * lit(0.3)
+    val punctTerm = (lit(1.0) - when(textLen > 0,
+      nPunct / textLen.cast("double")).otherwise(lit(0.0))) * lit(0.3)
     Portable.round4(lenTerm + stopTerm + punctTerm)
   }
+
+  /** Single-expression form (x17 and tests). */
+  def qualityScore(text: Column, toks: Column): Column =
+    qualityFromCounts(size(toks), stopwordCount(toks), punctCount(text),
+      length(text))
 
   /** Canonical full-text fingerprint: md5 of lowercased,
     * whitespace-collapsed, trimmed text. */
@@ -136,17 +144,31 @@ object TextAnalysis {
   def withTokens(documents: DataFrame): DataFrame =
     documents.withColumn("toks", tokens(col("text")))
 
-  /** x1: one row per document with all scalar text stats. */
+  /** x1: one row per document with all scalar text stats.
+    *
+    * Two stacked projections, NOT one: the count columns feed both the
+    * output and [[qualityFromCounts]]. In a single select each
+    * regex/array scan would appear twice in the expression tree (the
+    * HOF paths are interpreted, so whole-stage-codegen subexpression
+    * elimination never merges them); as separate stages CollapseProject
+    * declines to inline the non-cheap multi-referenced exprs, so every
+    * regexp/filter runs exactly once per row. */
   def textStats(documents: DataFrame): DataFrame = {
     val toks = col("toks")
-    withTokens(documents).select(
-      col("doc_id"),
-      col("lang"),
-      size(toks).cast("long").as("n_tokens"),
-      bpeCount(col("text")).cast("long").as("n_bpe_tokens"),
-      punctCount(col("text")).cast("long").as("n_punct"),
-      stopwordCount(toks).cast("long").as("n_stopwords"),
-      qualityScore(col("text"), toks).as("quality_score"))
+    withTokens(documents)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        bpeCount(col("text")).cast("long").as("n_bpe_tokens"),
+        punctCount(col("text")).cast("long").as("n_punct"),
+        stopwordCount(toks).cast("long").as("n_stopwords"),
+        length(col("text")).as("text_len"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("n_bpe_tokens"),
+        col("n_punct"), col("n_stopwords"),
+        qualityFromCounts(col("n_tokens"), col("n_stopwords"),
+          col("n_punct"), col("text_len")).as("quality_score"))
   }
 
   /** x2: language-ID prediction next to the labeled lang. */
@@ -175,8 +197,13 @@ object TextAnalysis {
   /** x21: exact corpus heavy hitters — the canonical distributed word
     * count: explode tokens → hash aggregate → global top-k by
     * (count desc, token asc). Partial aggregation shrinks the shuffle
-    * to one row per distinct token per partition; the final top-k is a
-    * single ordered limit. */
+    * to one row per distinct token per partition; the final top-k is
+    * `orderBy(...).limit(k)`, which Spark plans as
+    * TakeOrderedAndProject — a per-partition k-heap plus a k-row merge,
+    * GUARANTEED never to funnel the full distinct-token set into one
+    * partition (a global row_number window only avoids that if the
+    * WindowGroupLimit rewrite fires). The rank column is re-derived by
+    * a window over the k surviving rows — a single k-row partition. */
   def topTokens(documents: DataFrame, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("cnt").desc, col("tok").asc)
@@ -184,8 +211,9 @@ object TextAnalysis {
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
   }
 
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */

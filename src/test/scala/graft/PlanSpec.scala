@@ -72,6 +72,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x21 global top-k is TakeOrderedAndProject, not a full-data window") {
+    val p = plan("x21_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition heap top-k in:\n$p")
+  }
+
+  test("x1 computes each text-stat regex/array scan exactly once") {
+    val opt = SparkEntry.queries("x1_text_stats")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    // the punct regex appears once for the n_punct output; a collapsed
+    // plan would inline a second copy inside quality_score
+    val occurrences = "regexp_extract_all".r.findAllIn(opt).length
+    assert(occurrences <= 2, // one for n_bpe_tokens, one for n_punct
+      s"expected <=2 regexp_extract_all in optimized x1 plan, got $occurrences:\n$opt")
+  }
+
   test("a 10-rule cascade collapses to ONE optimized projection") {
     import graft.rules.RuleCascade
     import graft.rules.RuleCascade.Rule
