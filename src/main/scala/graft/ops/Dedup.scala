@@ -40,6 +40,13 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / Bands
   /** Near-dup acceptance threshold on shingle Jaccard. */
   val JaccardThreshold = 0.5
+  /** Degenerate-LSH-bucket cap: a band bucket with m members yields
+    * m²/2 candidate pairs, so one boilerplate hash shared by millions
+    * of docs goes quadratic. Buckets over this size are dropped — their
+    * members are boilerplate, not near-duplicates (exact dedup catches
+    * the identical ones). ON BY DEFAULT; the DuckDB oracle applies the
+    * same constant. */
+  val MaxBucket = 64
   /** SimHash width in bits and max Hamming distance for near-dups. */
   val SimHashBits = 16
   val HammingMax  = 2
@@ -140,7 +147,7 @@ object Dedup {
     * alternative is candidates-only + re-join sets by doc_id. */
   def minhashNearDupPairs(documents: DataFrame,
                           threshold: Double = JaccardThreshold,
-                          maxBucket: Int = Int.MaxValue): DataFrame = {
+                          maxBucket: Int = MaxBucket): DataFrame = {
     val banded = docShingles(documents)
       .select(col("doc_id"), col("sh"), transform(col("sh"), shingleBase _).as("hb"))
       .select(col("doc_id"), col("sh"),
@@ -149,7 +156,8 @@ object Dedup {
     // degenerate-bucket guard: a band hash shared by m docs yields
     // m²/2 candidate pairs — at corpus scale a boilerplate bucket goes
     // quadratic. Buckets over `maxBucket` are dropped outright (their
-    // members are boilerplate, not near-dups). Default ∞ = exact LSH.
+    // members are boilerplate, not near-dups). Pass Int.MaxValue for
+    // exact (uncapped) LSH.
     val bands =
       if (maxBucket == Int.MaxValue) banded
       else banded.withColumn("bucket_n",

@@ -139,10 +139,15 @@ object ExtSql {
          |  SELECT doc_id, sh,
          |         $mixes AS sig
          |  FROM hbt),
-         |bands AS (
+         |bands0 AS (
          |  SELECT doc_id, sh, bi.b AS band_idx,
          |         md5(array_to_string(sig[bi.b*$r+1:bi.b*$r+$r], ',')) AS band_hash
-         |  FROM sig, (SELECT unnest(range(0, $b)) AS b) bi)
+         |  FROM sig, (SELECT unnest(range(0, $b)) AS b) bi),
+         |bands AS (
+         |  SELECT doc_id, sh, band_idx, band_hash FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_n
+         |    FROM bands0)
+         |  WHERE bucket_n <= ${Dedup.MaxBucket})
          |SELECT DISTINCT doc_a, doc_b, jaccard FROM (
          |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, $jaccardExpr AS jaccard
          |  FROM bands l JOIN bands r

@@ -66,6 +66,26 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((1L, 3L)))
   }
 
+  test("default bucket cap keeps a boilerplate-heavy corpus sub-quadratic") {
+    // 200 copies of one boilerplate text + one planted near-dup pair.
+    // Uncapped LSH would emit 200·199/2 = 19900 boilerplate candidate
+    // pairs; with the default MaxBucket cap those buckets (size 200)
+    // are dropped wholesale while the planted pair's buckets (size 2)
+    // survive. Exact dedup (x4) remains the channel that reports the
+    // identical copies.
+    val boiler = (1 to 200).map(i => (1000L + i,
+      "standard legal disclaimer text repeated across every document in this corpus", "en"))
+    val planted = Seq(
+      (1L, "completely different words about spark engines here", "en"),
+      (2L, "completely different words about spark engines here now", "en"))
+    val corpus = (boiler ++ planted).toDF("doc_id", "text", "lang")
+    val pairs = minhashNearDupPairs(corpus, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "planted near-dup must survive the cap")
+    assert(!pairs.exists { case (a, b) => a > 1000L || b > 1000L },
+      "no boilerplate pair may be emitted — their buckets exceed MaxBucket")
+  }
+
   test("brute jaccard pairs match LSH-verified pairs at the same threshold") {
     val brute = jaccardPairsBrute(docs, 0.5).select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet
