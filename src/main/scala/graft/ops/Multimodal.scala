@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Decoded-media metadata row (the "decode" output schema). */
@@ -12,19 +12,24 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, fmt: String,
   *
   * Media (image/audio/video) is carried as an opaque `binary` column
   * with typed metadata. The fixture set has no real media, so the
-  * `media` table is derived from `documents` (content = UTF-8 bytes of
-  * the text) and the decode step is a clearly-marked DETERMINISTIC
-  * STUB: real deployments swap [[decodeStub]] for an actual
-  * image/audio decoder (the container has no media libs). What is
-  * real and tested here is the Spark-side plumbing: binary column
-  * schema, a partition-wise decode via `mapPartitions` (the Scala
-  * analogue of `mapInPandas` — per-partition batch iteration, one
-  * decoder instance per partition, zero driver involvement), and the
-  * frame-sampling explode.
+  * `media` table is derived from `documents`: documents in the "png"
+  * class get a REAL PNG byte stream (8-byte signature + a spec-valid
+  * IHDR chunk — big-endian dimensions, true CRC32 — followed by the
+  * text payload), the rest carry raw UTF-8 bytes. The decoder
+  * correspondingly has a real path and a declared stub path:
+  *
+  *  - [[parsePngHeader]] byte-parses the PNG signature and IHDR
+  *    width/height (pure JVM, no image libs) — a genuine decode;
+  *  - [[decodeStub]] remains the clearly-marked DETERMINISTIC STUB for
+  *    formats the container cannot decode (no jpeg/webp libs): real
+  *    deployments swap it for javax.imageio / ffmpeg bindings; the
+  *    signature (bytes → MediaMeta) is the contract.
   *
   * Scale design: decode is map-only over the scan — linear, no
   * shuffle; binary payloads stay columnar (parquet binary) and are
-  * never collected. Frame sampling is a generator (explode) — row
+  * never collected; `mapPartitions` (the Scala analogue of
+  * `mapInPandas`) initializes one decoder per partition with zero
+  * driver involvement. Frame sampling is a generator (explode) — row
   * count multiplies by frames/[[SampleEvery]], still shuffle-free.
   */
 object Multimodal {
@@ -32,15 +37,61 @@ object Multimodal {
   /** Frame-sampling stride. */
   val SampleEvery = 4
 
-  /** The media table: doc_id + opaque binary payload. */
-  def mediaTable(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("content"))
+  /** PNG 8-byte file signature. */
+  val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  /** Signature(8) + IHDR chunk (len 4 + type 4 + data 13 + crc 4). */
+  val PngHeaderLen = 33
+
+  /** 4-byte big-endian encoding of a non-negative 32-bit value. */
+  private def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+
+  /** The media table: doc_id + opaque binary payload. Documents whose
+    * md5 first nibble mod 3 == 1 are wrapped as real PNG files whose
+    * IHDR encodes deterministic dimensions (derived, like the stub's,
+    * from the payload byte length); the CRC is a true CRC32 over
+    * type+data, so the emitted header is spec-valid. Everything is
+    * built from codegen'd built-ins — the 100 TB path is a map-only
+    * projection. */
+  def mediaTable(documents: DataFrame): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val tlen = octet_length(col("text"))
+    val w = lit(16) + pmod(tlen, lit(640))
+    val h = lit(16) + pmod(tlen.cast("long") * 7, lit(480))
+    val ihdrBody = concat(
+      unhex(lit("49484452")), // "IHDR"
+      be4(w), be4(h),
+      unhex(lit("0802000000"))) // bit depth 8, RGB, deflate, filter 0, no interlace
+    val png = concat(
+      lit(PngMagic),
+      unhex(lit("0000000D")), // IHDR data length = 13
+      ihdrBody,
+      be4(crc32(ihdrBody)),
+      payload)
+    val isPng = conv(substring(md5(col("text")), 1, 1), 16, 10) % 3 === 1
+    documents.select(col("doc_id"), when(isPng, png).otherwise(payload).as("content"))
+  }
+
+  /** REAL decode path: validate the PNG signature + IHDR chunk type and
+    * byte-parse the big-endian width/height. Returns None for anything
+    * that is not a PNG (falls through to the stub). */
+  def parsePngHeader(content: Array[Byte]): Option[(Long, Long)] = {
+    def be(o: Int): Long =
+      ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+        ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+    if (content.length >= PngHeaderLen &&
+        content.startsWith(PngMagic) &&
+        content(12) == 'I' && content(13) == 'H' &&
+        content(14) == 'D' && content(15) == 'R')
+      Some((be(16), be(20)))
+    else None
+  }
 
   /** STUB decoder — deterministic fake metadata from the bytes alone
-    * (md5 nibble → format, size arithmetic → dimensions). Replace the
-    * body with a real decoder (javax.imageio / ffmpeg bindings) in a
-    * deployment; the signature (bytes → MediaMeta) is the contract. */
+    * (md5 nibble → format, size arithmetic → dimensions) for formats
+    * with no pure-JVM decoder in this container. Replace the body with
+    * a real decoder (javax.imageio / ffmpeg bindings) in a deployment;
+    * the signature (bytes → MediaMeta) is the contract. */
   def decodeStub(md: java.security.MessageDigest, docId: Long,
                  content: Array[Byte]): MediaMeta = {
     val nibble0 = (md.digest(content)(0) >> 4) & 0xf
@@ -64,6 +115,17 @@ object Multimodal {
       thumb_h  = h / 2)
   }
 
+  /** Per-row decode: the real PNG header parse when the magic matches,
+    * the declared stub otherwise. */
+  def decode(md: java.security.MessageDigest, docId: Long,
+             content: Array[Byte]): MediaMeta =
+    parsePngHeader(content) match {
+      case Some((w, h)) =>
+        val n = content.length.toLong
+        MediaMeta(docId, n, "png", w, h, 1 + n / 256, w / 2, h / 2)
+      case None => decodeStub(md, docId, content)
+    }
+
   /** x12: partition-wise decode: one decoder per partition, batch
     * iteration — the mapInPandas shape in Scala. */
   def mediaMeta(spark: SparkSession, documents: DataFrame): Dataset[MediaMeta] = {
@@ -75,7 +137,7 @@ object Multimodal {
         // decoder initialized ONCE per partition and reused per row
         // (MessageDigest.digest resets its state after each call)
         val md = java.security.MessageDigest.getInstance("MD5")
-        iter.map { case (id, bytes) => decodeStub(md, id, bytes) }
+        iter.map { case (id, bytes) => decode(md, id, bytes) }
       }
   }
 

@@ -287,12 +287,27 @@ object ExtSql {
 
   // ---- x12/x13 multimodal ------------------------------------------
 
-  private val mediaCte =
+  /** png-class docs (md5 nibble % 3 = 1) are wrapped as real PNG files
+    * by [[Multimodal.mediaTable]] — signature + IHDR add
+    * [[Multimodal.PngHeaderLen]] bytes and the decoder byte-parses the
+    * embedded dims; other classes carry the raw payload and hit the
+    * declared stub. Dimensions derive from the PAYLOAD length in both
+    * paths (the PNG ones because mediaTable embeds exactly these values
+    * in the IHDR the decoder then reads back). */
+  private val mediaCte = {
+    val hdr = Multimodal.PngHeaderLen
     raw"""media AS (
-         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |         CASE (('0x' || substr(md5(text), 1, 1))::INT % 3)
-         |              WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
-         |  FROM documents)""".stripMargin
+         |  SELECT doc_id,
+         |         CASE WHEN fclass = 1 THEN CAST(tlen + $hdr AS BIGINT)
+         |              ELSE CAST(tlen AS BIGINT) END AS n_bytes,
+         |         CASE fclass WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+         |              ELSE 'webp' END AS fmt,
+         |         CAST(16 + tlen % 640 AS BIGINT) AS width,
+         |         CAST(16 + (tlen * 7) % 480 AS BIGINT) AS height
+         |  FROM (SELECT doc_id, octet_length(encode(text)) AS tlen,
+         |               (('0x' || substr(md5(text), 1, 1))::INT % 3) AS fclass
+         |        FROM documents))""".stripMargin
+  }
 
   private val x12 =
     raw"""WITH $mediaCte
@@ -300,9 +315,7 @@ object ExtSql {
          |       1 + n_bytes // 256 AS n_frames,
          |       width // 2 AS thumb_w,
          |       height // 2 AS thumb_h
-         |FROM (SELECT *, 16 + n_bytes % 640 AS width,
-         |             16 + (n_bytes * 7) % 480 AS height
-         |      FROM media)""".stripMargin
+         |FROM media""".stripMargin
 
   private val x13 =
     raw"""WITH $mediaCte

@@ -73,4 +73,40 @@ class EventsMultimodalSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(frames === Set(0L)) // frames 0..2, stride 4 → only 0
   }
+
+  /** md5 first hex nibble of the text decides the format class. */
+  private def fmtClass(text: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))
+    ((d(0) >> 4) & 0xf) % 3
+  }
+
+  test("png-class media carries a spec-valid PNG header the decoder truly parses") {
+    // deterministically pick one text per class (search is in-test, no magic constants)
+    val pngText = (0 to 99).map(i => "doc body " + ("y" * i)).find(fmtClass(_) == 1).get
+    val jpgText = (0 to 99).map(i => "doc body " + ("z" * i)).find(fmtClass(_) == 0).get
+    val docs = Seq((1L, pngText, "en"), (2L, jpgText, "en")).toDF("doc_id", "text", "lang")
+
+    val content = Multimodal.mediaTable(docs).where($"doc_id" === 1L)
+      .select("content").as[Array[Byte]].collect().head
+    val payloadLen = pngText.getBytes("UTF-8").length
+    assert(content.length === payloadLen + Multimodal.PngHeaderLen)
+    assert(content.startsWith(Multimodal.PngMagic))
+    // IHDR CRC32 in the emitted bytes is a true CRC over type+data
+    val crc = new java.util.zip.CRC32
+    crc.update(content, 12, 17) // "IHDR" + 13 data bytes
+    val embedded = java.nio.ByteBuffer.wrap(content, 29, 4).getInt & 0xffffffffL
+    assert(embedded === crc.getValue)
+    // the decoder byte-parses width/height out of the IHDR
+    val parsed = Multimodal.parsePngHeader(content)
+    assert(parsed === Some((16L + payloadLen % 640, 16L + (payloadLen * 7L) % 480)))
+
+    val metas = Multimodal.mediaMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).fmt === "png")
+    assert(metas(1L).n_bytes === payloadLen + Multimodal.PngHeaderLen)
+    assert(metas(1L).width === 16L + payloadLen % 640)
+    assert(metas(2L).fmt === "jpeg") // non-png class falls through to the stub
+    assert(metas(2L).n_bytes === jpgText.getBytes("UTF-8").length.toLong)
+  }
 }
