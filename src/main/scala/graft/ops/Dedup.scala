@@ -230,6 +230,114 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidates-only LSH variant of [[minhashNearDupPairs]] for extreme
+    * scale: the band shuffle carries (band_idx, band_hash, doc_id) ONLY
+    * — fixed ~40 B/row instead of the full shingle set — and the
+    * verify step re-joins shingle sets by doc_id. Identical output
+    * (DedupSpec pins it); one extra shuffle (the doc_id join) buys an
+    * O(docs·bands)·constant-width candidate shuffle, the right trade
+    * once average shingle sets outweigh two hash joins. */
+  def minhashNearDupPairsSlim(documents: DataFrame,
+                              threshold: Double = JaccardThreshold,
+                              maxBucket: Int = MaxBucket): DataFrame = {
+    val sh = docShingles(documents).persist()
+    val banded = sh
+      .select(col("doc_id"),
+        transform(col("sh"), shingleBase _).as("hb"))
+      .select(col("doc_id"),
+        posexplode(bandHashes(minhashFromBases(col("hb")))).as(Seq("band_idx", "band_hash")))
+    val bands =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_idx"), col("band_hash"))))
+        .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val cands = bands.alias("l").join(bands.alias("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Max document frequency for a shingle to participate in the exact
+    * similarity join's inverted index — boilerplate pruning, same role
+    * as [[MaxBucket]] for LSH (a shingle shared by the whole corpus
+    * carries no near-dup signal and would go quadratic). */
+  val MaxShingleDf = 128
+
+  /** x25: EXACT all-pairs shingle Jaccard ≥ τ via an inverted-index
+    * self-join (the exact counterpart to the approximate x5 LSH path,
+    * never a cross join): explode shingles to postings → drop shingles
+    * with df > [[MaxShingleDf]] → postings self-join emits candidate
+    * pairs sharing ≥1 indexed shingle → verify with the true shingle
+    * sets re-joined by doc_id (reported Jaccard is exact, never
+    * df-capped). Misses only pairs whose EVERY common shingle is
+    * corpus-boilerplate — which are not near-duplicates.
+    *
+    * Scale: one shuffle on the shingle (the df window and the
+    * self-join reuse the same hash partitioning), pair volume
+    * O(Σ_s df(s)²) with df capped; the standard exact
+    * similarity-join layout (prefix filtering is the next rung). */
+  def jaccardPairsExact(documents: DataFrame,
+                        threshold: Double = JaccardThreshold,
+                        maxDf: Int = MaxShingleDf): DataFrame = {
+    val sh = docShingles(documents).persist()
+    val postings = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf)
+    val cands = postings.alias("l").join(postings.alias("r"),
+        col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** x30: near-duplicate CLUSTERS — connected components over the x5
+    * pair graph via iterative min-label propagation: every doc in a
+    * pair starts as its own label; each round takes the min of its own
+    * and its neighbors' labels; at fixpoint every component carries its
+    * min doc_id as cluster_id. The driver loop with an aggregate
+    * convergence probe is the canonical distributed iterative pattern
+    * (GraphX/MLlib do the same); rounds ≤ graph diameter, and near-dup
+    * components are shallow by construction. At extreme scale the
+    * shuffle-optimal variant is alternating large-star/small-star
+    * (Kiveris et al. '14) — same loop shape, fewer rounds. */
+  def dupClusters(documents: DataFrame, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashNearDupPairs(documents).select(col("doc_a"), col("doc_b")).persist()
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").persist()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      converged = next.alias("n")
+        .join(labels.select(col("doc_id"), col("lbl").as("old")).alias("o"), Seq("doc_id"))
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
+  }
+
   /** Brute-force n-gram Jaccard pairs — the exact verifier / small-N
     * path; the LSH path above is the 100 TB path. */
   def jaccardPairsBrute(documents: DataFrame,

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * beyond-reference track (builder brief).
   *
   *  - brute-force cosine top-k: the correctness baseline;
-  *  - IVF-style bucketed top-k: a deterministic coarse quantizer
-  *    (sign pattern of the leading dims) shrinks each probe to one
-  *    bucket — the shape of a real IVF index (quantize → probe cells);
+  *  - IVF top-k with a LEARNED coarse quantizer: fixed-iteration
+  *    k-means (deterministic seeds, fixed-point centroid means)
+  *    assigns vectors to cells; each query probes its nprobe nearest
+  *    cells — the structure of a real IVF index (train → quantize →
+  *    probe);
   *  - random-hyperplane LSH (SimHash for vectors, Charikar '02) for
   *    near-duplicate pair mining without the O(n²) cross join.
   *
@@ -25,7 +27,7 @@ import org.apache.spark.sql.functions._
   * Scale design: top-k is a per-query-partition window over a
   * broadcast-joined candidate set — queries are broadcast, the 100 TB
   * side streams. The brute path scans all vectors per query (baseline
-  * only); IVF cuts candidates by 2^[[IvfBits]]; LSH pair mining
+  * only); IVF cuts candidates to ~[[NProbe]]/[[KmeansK]]; LSH pair mining
   * shuffles O(vectors · tables) rows on small bucket keys. The
   * per-vector norm is computed once in its own projection, so a pair
   * evaluation costs one dot product, not three.
@@ -36,8 +38,6 @@ object Similarity {
   val TopK = 10
   /** Query designation: every 100th vec_id probes the index. */
   val QueryStride = 100
-  /** IVF coarse quantizer: sign bits of the first [[IvfBits]] dims. */
-  val IvfBits = 4
   /** Hyperplane LSH: [[LshTables]] tables × [[LshBitsPerTable]] planes. */
   val LshTables = 4
   val LshBitsPerTable = 4
@@ -175,29 +175,104 @@ object Similarity {
         sum(floor(col("x") * CentroidScale).cast("long")).as("component_sum"),
         count(lit(1)).as("n"))
 
-  // ---- x11: IVF-bucketed top-k -------------------------------------
+  // ---- x11: IVF top-k with a LEARNED coarse quantizer --------------
 
-  /** Coarse quantizer: sign bits of the first [[IvfBits]] dims. */
-  def ivfCell(v: Column): Column =
-    (0 until IvfBits).map { d =>
-      when(element_at(v, d + 1) > 0, lit(1 << d)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** k-means cells for the IVF coarse quantizer. */
+  val KmeansK = 8
+  /** Lloyd iterations (fixed — both engines run exactly this many). */
+  val KmeansIters = 2
+  /** Cells probed per query (IVF-speak: nprobe). */
+  val NProbe = 4
+  /** Deterministic seeds: centroid j starts as the vector at
+    * vec_id = j·[[SeedStride]] (ids are dense from 0 in the fixture). */
+  val SeedStride = 17
 
-  /** Like [[annBrute]] but each query only probes its own IVF cell —
-    * the scale path (candidates cut ~2^[[IvfBits]]×; recall < 1 by
-    * design, like a real nprobe=1 IVF index). */
-  def annIvf(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+  /** Seed centroids (cid, cv) drawn from the data at fixed ids. Ids
+    * that don't exist simply yield fewer centroids (degenerate but
+    * total — a 1-cell index degrades to brute force). */
+  def seedCentroids(vs: DataFrame): DataFrame =
+    vs.filter(col("vec_id") % SeedStride === 0 &&
+        col("vec_id") < SeedStride.toLong * KmeansK)
+      .select((col("vec_id") / SeedStride).cast("long").as("cid"),
+        col("v").as("cv"))
+
+  /** (vec_id, cell): nearest centroid by (cosine desc, cid asc).
+    * Implemented as a hash aggregate over a lexicographic struct-min
+    * (−cos, cid) — partial aggregation applies, so at scale this is a
+    * map-side combine over |V|·K skinny rows, never a full sort or
+    * window. Centroids are K rows → broadcast nested-loop is the
+    * RIGHT plan for the cross join. */
+  def assignCells(vs: DataFrame, cents: DataFrame): DataFrame =
+    vs.crossJoin(broadcast(cents.withColumn("cn", norm(col("cv")))))
+      .select(col("vec_id"),
+        struct(
+          (-cosine(dot(col("v"), col("cv")), col("nrm"), col("cn"))).as("neg_cos"),
+          col("cid")).as("sc"))
+      .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+
+  /** One Lloyd step: fixed-point per-(cell, dim) means (same
+    * order-independent BIGINT trick as [[labelCentroids]]); cells that
+    * lost all members keep their previous centroid. */
+  def lloydStep(vs: DataFrame, cents: DataFrame): DataFrame = {
+    val sums = vs.join(assignCells(vs, cents), Seq("vec_id"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(floor(col("x") * CentroidScale).cast("long")).as("cs"),
+        count(lit(1)).as("n"))
+    val fresh = sums
+      .select(col("cell"),
+        struct(col("dim"),
+          (col("cs").cast("double") /
+            (col("n") * lit(CentroidScale)).cast("double")).as("c")).as("dc"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(col("dc"))), s => s("c")).as("cv_new"))
+      .withColumnRenamed("cell", "cid")
+    cents.select(col("cid"), col("cv").as("cv_old"))
+      .join(fresh, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("cv_new"), col("cv_old")).as("cv"))
+  }
+
+  /** Learned coarse quantizer: [[KmeansIters]] fixed Lloyd iterations
+    * from the deterministic seeds. K·Dim values — persisted per step so
+    * each tiny centroid table is computed once, not once per consumer. */
+  def kmeansCentroids(vs: DataFrame, iters: Int = KmeansIters): DataFrame =
+    (0 until iters).foldLeft(seedCentroids(vs).persist()) { (c, _) =>
+      lloydStep(vs, c).persist()
+    }
+
+  /** Like [[annBrute]] but with a LEARNED IVF index: vectors are
+    * assigned to their nearest k-means centroid; each query probes its
+    * [[NProbe]] nearest cells. Candidates cut to ~nprobe/K of the
+    * corpus; recall < 1 by design (the uniform-random fixture is the
+    * worst case for any quantizer — clustered real-world embeddings
+    * recall far better at the same nprobe; see SimilaritySpec's
+    * measured floor).
+    *
+    * Scale: the probe set is queries×[[NProbe]] rows — bounded by the
+    * query batch (a workload input, not the corpus) — and is broadcast
+    * DELIBERATELY: the join key `cell` has only K distinct values, so
+    * a shuffled join would funnel the corpus into K partitions;
+    * broadcasting the probe batch keeps the corpus side map-only. */
+  def annIvf(embeddings: DataFrame, k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vs = vectors(embeddings).withColumn("cell", ivfCell(col("v")))
-    val qs = broadcast(
-      vs.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cell")))
+    val vs = vectors(embeddings).persist()
+    val cents = kmeansCentroids(vs).withColumn("cn", norm(col("cv")))
+    val cands = vs.join(assignCells(vs, cents), Seq("vec_id"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("cid").asc)
+    val probes = vs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("cid"),
+        cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos_c"))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    qs.join(vs, Seq("cell"))
+    broadcast(probes).join(cands, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), col("cell"),
+      .select(col("q_id"), col("vec_id"),
         cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -216,6 +216,67 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** (doc_id, tok, tf): per-document term frequencies — one explode +
+    * hash aggregate; the base frame for vocabulary and TF-IDF. */
+  def docTermFreq(documents: DataFrame): DataFrame =
+    withTokens(documents)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** x26: corpus vocabulary with IDF: token → document frequency,
+    * collection frequency, idf = ln((N+1)/(df+1)) rounded 4dp.
+    * Built from [[docTermFreq]] (df = rows per token, cf = Σtf — no
+    * second explode); the doc count N is a 1-row aggregate broadcast
+    * into the projection. Scale: two hash aggregates, shuffle keyed on
+    * the token. */
+  def vocabIdf(documents: DataFrame): DataFrame = {
+    val n = documents.select(count(lit(1)).as("n_docs"))
+    docTermFreq(documents)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"), col("df"), col("cf"),
+        Portable.round4(
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1))).as("idf"))
+  }
+
+  /** x27: top TF-IDF terms per document (k per doc, score desc, tie on
+    * token): tf × idf with both factors exactly as x26 computes them.
+    * Scale: the tf→idf attach is a shuffle join on the token; the
+    * per-doc top-k is a window rank partitioned by doc_id
+    * (WindowGroupLimit caps per-partition input at k). */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    docTermFreq(documents)
+      .join(vocabIdf(documents).select(col("tok"), col("idf")), Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        Portable.round4(col("tf") * col("idf")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Train/val/test shares (cumulative percent bounds). */
+  val TrainPct = 80
+  val ValPct   = 90
+
+  /** x29: deterministic content-addressed train/val/test split —
+    * 80/10/10 by md5 of the namespaced doc id. Stable across runs,
+    * partitionings, and engines (no rand()); a new doc's assignment
+    * never disturbs existing ones — the property that keeps eval sets
+    * uncontaminated as a 100 TB corpus grows. Map-only. */
+  def splitAssign(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long"), lit(100)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < ValPct, "val")
+          .otherwise("test"))
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

@@ -266,22 +266,63 @@ object ExtSql {
          |    FROM q CROSS JOIN vn WHERE q_id <> vec_id))
          |WHERE rnk <= ${Similarity.TopK}""".stripMargin
 
-  // ---- x11 IVF top-k -----------------------------------------------
+  // ---- x11 IVF top-k with a learned (k-means) quantizer ------------
 
   private val x11 = {
-    val cell = (0 until Similarity.IvfBits)
-      .map(d => s"CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END")
-      .mkString("(", " + ", ")")
+    val K = Similarity.KmeansK; val stride = Similarity.SeedStride
+    val iters = Similarity.KmeansIters; val np = Similarity.NProbe
+    val scale = Similarity.CentroidScale
+    // nearest-centroid assignment from centroid table `c` (cid, cv)
+    def assignCte(cents: String, out: String): String =
+      raw"""$out AS (
+           |  SELECT vec_id, cid AS cell FROM (
+           |    SELECT vn.vec_id, c.cid,
+           |           row_number() OVER (PARTITION BY vn.vec_id
+           |             ORDER BY ${cosExpr("vn.v", "vn.nrm", "c.cv", "c.cn")} DESC, c.cid) AS rn
+           |    FROM vn CROSS JOIN
+           |      (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn FROM $cents) c)
+           |  WHERE rn = 1)""".stripMargin
+    // one Lloyd step: fixed-point per-(cell, dim) means; empty cells
+    // keep their previous centroid (same semantics as Similarity.lloydStep)
+    def stepCtes(i: Int): String =
+      raw"""${assignCte(s"cent$i", s"assign$i")},
+           |sums$i AS (
+           |  SELECT a.cell, u.d AS dim,
+           |         CAST(sum(CAST(floor(u.x * $scale) AS BIGINT)) AS BIGINT) AS cs,
+           |         count(*) AS n
+           |  FROM assign$i a JOIN vn USING (vec_id),
+           |       unnest([{'d': i-1, 'x': v[i]} for i in range(1, len(v)+1)]) AS t(u)
+           |  GROUP BY 1, 2),
+           |newc$i AS (
+           |  SELECT cell AS cid, list(cs::DOUBLE / (n * $scale)::DOUBLE ORDER BY dim) AS cv
+           |  FROM sums$i GROUP BY 1),
+           |cent${i + 1} AS (
+           |  SELECT o.cid, coalesce(nu.cv, o.cv) AS cv
+           |  FROM cent$i o LEFT JOIN newc$i nu USING (cid))""".stripMargin
     raw"""WITH $vecCte,
-         |vc AS (SELECT vec_id, v, nrm, $cell AS cell FROM vn),
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM vc
-         |      WHERE vec_id % ${Similarity.QueryStride} = 0)
-         |SELECT q_id, vec_id, cell, cos_sim, rnk FROM (
-         |  SELECT q_id, vec_id, cell, cos_sim,
+         |cent0 AS (
+         |  SELECT vec_id // $stride AS cid, v AS cv FROM vn
+         |  WHERE vec_id % $stride = 0 AND vec_id < ${stride.toLong * K}),
+         |${(0 until iters).map(stepCtes).mkString(",\n")},
+         |${assignCte(s"cent$iters", "assignf")},
+         |cand AS (
+         |  SELECT vn.vec_id, vn.v, vn.nrm, a.cell
+         |  FROM vn JOIN assignf a USING (vec_id)),
+         |probes AS (
+         |  SELECT q_id, qv, qn, cell FROM (
+         |    SELECT vn.vec_id AS q_id, vn.v AS qv, vn.nrm AS qn, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${cosExpr("vn.v", "vn.nrm", "c.cv", "c.cn")} DESC, c.cid) AS crnk
+         |    FROM vn CROSS JOIN
+         |      (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn FROM cent$iters) c
+         |    WHERE vn.vec_id % ${Similarity.QueryStride} = 0)
+         |  WHERE crnk <= $np)
+         |SELECT q_id, vec_id, cos_sim, rnk FROM (
+         |  SELECT q_id, vec_id, cos_sim,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
          |  FROM (
-         |    SELECT q_id, vec_id, q.cell AS cell, ${cosExpr("qv", "qn", "v", "nrm")} AS cos_sim
-         |    FROM q JOIN vc USING (cell) WHERE q_id <> vec_id))
+         |    SELECT p.q_id, cand.vec_id, ${cosExpr("p.qv", "p.qn", "cand.v", "cand.nrm")} AS cos_sim
+         |    FROM probes p JOIN cand USING (cell) WHERE p.q_id <> cand.vec_id))
          |WHERE rnk <= ${Similarity.TopK}""".stripMargin
   }
 

@@ -36,14 +36,34 @@ class SimilaritySpec extends SparkSpec {
     assert(top === Set((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
   }
 
-  test("ivfCell groups by leading-dim signs; query probes its own cell") {
-    val cells = vectors(vecs).withColumn("cell", ivfCell(col("v")))
-      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
-    assert(cells(0L) === 1)  // +x → bit0
-    assert(cells(2L) === 2)  // +y → bit1
-    assert(cells(3L) === 0)  // -x → no bits
-    val ivf = annIvf(vecs, k = 3).select("q_id", "vec_id").as[(Long, Long)].collect().toSet
-    assert(ivf === Set((0L, 1L))) // only vec 1 shares cell 1 with the query
+  test("annIvf with a single seed degrades to brute force (1-cell index)") {
+    // fixture ids are 0..3 → only vec 0 seeds a centroid; every vector
+    // lands in that cell, so the index scans everything = annBrute
+    val ivf = annIvf(vecs, k = 3).select("q_id", "vec_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = annBrute(vecs, k = 3).select("q_id", "vec_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("learned IVF on the real fixture: recall@10 >= 0.75 at ~half the candidates") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = annBrute(embs).select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = annIvf(embs).select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // uniform-random vectors are the worst case for ANY coarse
+    // quantizer (neighbors at cos≈0.35 scatter across cells): measured
+    // 0.86 here vs 0.80 at sf0.01 — clustered real-world embeddings
+    // recall far higher at the same nprobe. Floor pinned below the
+    // cross-SF minimum.
+    assert(recall >= 0.75, s"recall@10 was $recall")
+    // selectivity: probing NProbe of KmeansK cells must cut candidates
+    val vs = vectors(embs).persist()
+    val cells = assignCells(vs, kmeansCentroids(vs))
+      .groupBy("cell").count().as[(Long, Long)].collect().toMap
+    val n = cells.values.sum.toDouble
+    val worstProbe = cells.values.toSeq.sorted.reverse.take(NProbe).sum / n
+    assert(worstProbe <= 0.8, s"worst-case probed fraction was $worstProbe")
   }
 
   test("LSH near-dup pairs are a subset of brute pairs at the same threshold") {
