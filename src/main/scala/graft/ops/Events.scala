@@ -76,6 +76,22 @@ object Events {
         last(when(col("event_type") === "signup", col("ms")), ignoreNulls = true).over(w))
   }
 
+  /** x28: exact interpolated percentiles of the cent value per event
+    * type — Spark's `percentile` (rank = p·(n−1), linear interpolation)
+    * ≡ DuckDB `quantile_cont`, exact on integral cents, rounded 4dp.
+    * Scale: percentile is an exact sort-based aggregate — fine per
+    * bounded group (event types are an enum); unbounded-cardinality
+    * inputs would use approx_percentile (t-digest) instead. */
+  def valueQuantiles(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), valueCents(col("value")).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.ops.Portable.round4(percentile(col("cents"), lit(0.5))).as("p50"),
+        graft.ops.Portable.round4(percentile(col("cents"), lit(0.9))).as("p90"),
+        graft.ops.Portable.round4(percentile(col("cents"), lit(0.99))).as("p99"))
+
   /** x16: gap-based sessionization: per user, order by (ts, event_id);
     * gap > [[SessionGapMs]] opens a new session; emit one row per
     * session with bounds and totals. */

@@ -124,12 +124,13 @@ object ExtSql {
   private val jaccardExpr =
     "floor((len(list_intersect(l.sh, r.sh))::DOUBLE / len(list_distinct(l.sh || r.sh))) * 10000 + 0.5) / 10000"
 
-  private val x5 = {
+  /** The x5 CTE chain (shared verbatim with the x30 cluster oracle). */
+  private val x5Ctes = {
     val b = Dedup.Bands; val r = Dedup.RowsPerBand; val p = Dedup.HashPrime
     val mixes = Dedup.permConstants.map { case (a, off) =>
       s"list_aggregate([(h * $a + $off) % $p for h in hb], 'min')"
     }.mkString("[", ",\n         |          ", "]")
-    raw"""WITH $toksCte, $shCte,
+    raw"""$toksCte, $shCte,
          |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
          |hbt AS (
          |  SELECT doc_id, sh,
@@ -147,14 +148,18 @@ object ExtSql {
          |  SELECT doc_id, sh, band_idx, band_hash FROM (
          |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_n
          |    FROM bands0)
-         |  WHERE bucket_n <= ${Dedup.MaxBucket})
-         |SELECT DISTINCT doc_a, doc_b, jaccard FROM (
+         |  WHERE bucket_n <= ${Dedup.MaxBucket})""".stripMargin
+  }
+
+  private val x5Select =
+    raw"""SELECT DISTINCT doc_a, doc_b, jaccard FROM (
          |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, $jaccardExpr AS jaccard
          |  FROM bands l JOIN bands r
          |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
          |   AND l.doc_id < r.doc_id)
          |WHERE jaccard >= ${Dedup.JaccardThreshold}""".stripMargin
-  }
+
+  private val x5 = s"WITH $x5Ctes\n$x5Select"
 
   // ---- x6/x7 SimHash -----------------------------------------------
 
@@ -481,7 +486,103 @@ object ExtSql {
          |     unnest([{'d': i-1, 'x': e[i]} for i in range(1, len(e)+1)]) AS t(u)
          |GROUP BY 1, 2""".stripMargin
 
+  private def round4(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
+
+  // ---- x25 exact inverted-index Jaccard pairs ----------------------
+
+  private val x25 =
+    raw"""WITH $toksCte, $shCte,
+         |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
+         |post AS (
+         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM dsh)),
+         |rare AS (SELECT doc_id, s FROM post WHERE df <= ${Dedup.MaxShingleDf}),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM rare l JOIN rare r ON l.s = r.s AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT c.doc_a, c.doc_b, $jaccardExpr AS jaccard
+         |  FROM cand c JOIN dsh l ON l.doc_id = c.doc_a
+         |              JOIN dsh r ON r.doc_id = c.doc_b)
+         |WHERE jaccard >= ${Dedup.JaccardThreshold}""".stripMargin
+
+  // ---- x26/x27 vocabulary, IDF, TF-IDF -----------------------------
+
+  /** Shared term-frequency + doc-count CTEs. */
+  private val tfCtes =
+    raw"""tf AS (
+         |  SELECT doc_id, t AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)""".stripMargin
+
+  private val idfExpr = round4("ln((n_docs + 1)::DOUBLE / (count(*) + 1))")
+
+  private val x26 =
+    raw"""WITH $toksCte, $tfCtes
+         |SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         |       $idfExpr AS idf
+         |FROM tf, nd GROUP BY tok, n_docs""".stripMargin
+
+  private val x27 =
+    raw"""WITH $toksCte, $tfCtes,
+         |vocab AS (
+         |  SELECT tok, $idfExpr AS idf
+         |  FROM tf, nd GROUP BY tok, n_docs),
+         |scored AS (
+         |  SELECT f.doc_id, f.tok, ${round4("f.tf * v.idf")} AS score
+         |  FROM tf f JOIN vocab v USING (tok))
+         |SELECT doc_id, tok, score, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |              ORDER BY score DESC, tok) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3""".stripMargin
+
+  // ---- x28 exact interpolated quantiles ----------------------------
+
+  private val x28 =
+    raw"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       ${round4("quantile_cont(cents, 0.5)")} AS p50,
+         |       ${round4("quantile_cont(cents, 0.9)")} AS p90,
+         |       ${round4("quantile_cont(cents, 0.99)")} AS p99
+         |FROM (SELECT event_type, $centsExpr AS cents FROM events)
+         |GROUP BY 1""".stripMargin
+
+  // ---- x29 deterministic train/val/test split ----------------------
+
+  private val x29 =
+    raw"""SELECT doc_id, lang, bucket,
+         |       CASE WHEN bucket < ${TextAnalysis.TrainPct} THEN 'train'
+         |            WHEN bucket < ${TextAnalysis.ValPct} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |             ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+         |      FROM documents)""".stripMargin
+
+  // ---- x30 near-dup clusters (connected components) ----------------
+
+  private val x30 =
+    raw"""WITH RECURSIVE $x5Ctes,
+         |pairs AS (
+         |$x5Select),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, s.n_members
+         |FROM labels l JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |                    FROM labels GROUP BY 1) s USING (cluster_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x25_jaccard_exact"   -> x25,
+    "x26_vocab_idf"       -> x26,
+    "x27_tfidf_terms"     -> x27,
+    "x28_value_quantiles" -> x28,
+    "x29_split_assign"    -> x29,
+    "x30_dup_clusters"    -> x30,
     "x1_text_stats"      -> x1,
     "x2_lang_id"         -> x2,
     "x3_fingerprints"    -> x3,

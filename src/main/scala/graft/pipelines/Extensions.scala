@@ -40,7 +40,13 @@ object Extensions {
     "x19_asof_carry"     -> ((s, d) => Events.asofCarry(evs(s, d))),
     "x20_cms_tokens"     -> ((s, d) => cmsTokens(s, d)),
     "x21_top_tokens"     -> ((s, d) => TextAnalysis.topTokens(docs(s, d))),
-    "x22_label_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))))
+    "x22_label_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
+    "x25_jaccard_exact"  -> ((s, d) => Dedup.jaccardPairsExact(docs(s, d))),
+    "x26_vocab_idf"      -> ((s, d) => TextAnalysis.vocabIdf(docs(s, d))),
+    "x27_tfidf_terms"    -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
+    "x28_value_quantiles" -> ((s, d) => Events.valueQuantiles(evs(s, d))),
+    "x29_split_assign"   -> ((s, d) => TextAnalysis.splitAssign(docs(s, d))),
+    "x30_dup_clusters"   -> ((s, d) => Dedup.dupClusters(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

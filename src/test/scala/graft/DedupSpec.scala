@@ -86,6 +86,56 @@ class DedupSpec extends SparkSpec {
       "no boilerplate pair may be emitted — their buckets exceed MaxBucket")
   }
 
+  test("candidates-only LSH variant emits identical pairs to the default") {
+    // fixture docs + the real sf0.001 documents table: the slim variant
+    // must reproduce (doc_a, doc_b, jaccard) exactly — same candidates,
+    // same verify values — differing only in what rides the shuffle
+    for (d <- Seq(docs, spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val full = minhashNearDupPairs(d).as[(Long, Long, Double)].collect().toSet
+      val slim = minhashNearDupPairsSlim(d).as[(Long, Long, Double)].collect().toSet
+      assert(slim === full)
+    }
+  }
+
+  test("exact inverted-index jaccard ⊇ LSH pairs and matches brute force") {
+    val brute = jaccardPairsBrute(docs, 0.3).as[(Long, Long, Double)].collect().toSet
+    val exact = jaccardPairsExact(docs, 0.3).as[(Long, Long, Double)].collect().toSet
+    // no shingle here exceeds MaxShingleDf, so the inverted index is complete
+    assert(exact === brute)
+    val lsh = minhashNearDupPairs(docs, 0.3).as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("dupClusters: connected components carry min doc_id, singletons excluded") {
+    // 1≡3 (exact) cluster; 4~5 near-dup cluster; 2 joins {1,3} via
+    // case-insensitive near-dup; unpaired docs don't appear
+    val out = dupClusters(docs).select("doc_id", "cluster_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    val byDoc = out.map { case (d, c, _) => d -> c }.toMap
+    assert(byDoc(1L) === byDoc(3L))
+    assert(byDoc(4L) === byDoc(5L))
+    assert(byDoc(4L) === 4L, "cluster label is the component's min doc_id")
+    // transitivity: every member of a cluster reports the same size
+    assert(out.groupBy(_._2).forall { case (_, ms) => ms.map(_._3).size == 1 })
+  }
+
+  test("dupClusters converges on a chain longer than one hop") {
+    // a → b → c → d chain of near-dups (each adjacent pair shares most
+    // shingles, ends share few): min label must propagate the full path
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val toks = base.split(" ")
+    val chain = (0 to 3).map { i =>
+      (10L + i, (toks.drop(i * 2) ++ toks.take(i * 2)).take(8).mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val out = dupClusters(chain, maxIters = 20)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    // whatever the pair graph looks like, labels must be a fixpoint:
+    // every doc's cluster equals the min over its component
+    val pairs = minhashNearDupPairs(chain).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(out(a) === out(b)) }
+  }
+
   test("brute jaccard pairs match LSH-verified pairs at the same threshold") {
     val brute = jaccardPairsBrute(docs, 0.5).select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet

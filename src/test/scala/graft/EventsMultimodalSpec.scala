@@ -39,6 +39,15 @@ class EventsMultimodalSpec extends SparkSpec {
     assert(row === Set(("click", 3L, 700L, 2L), ("buy", 1L, 300L, 1L)))
   }
 
+  test("valueQuantiles interpolates exactly on cents (p50 of [100,200,300,400])") {
+    val out = Events.valueQuantiles(events).filter($"event_type" === "click")
+      .select("n", "p50", "p90", "p99").as[(Long, Double, Double, Double)].head()
+    // clicks: cents 100, 200, 400 → p50 = 200; p90 = 200+0.8·200 = 360
+    assert(out._1 === 3L)
+    assert(out._2 === 200.0)
+    assert(out._3 === 360.0)
+  }
+
   test("rollupAgg emits per-group, per-type subtotal, and grand-total levels") {
     val out = Events.rollupAgg(events)
       .select("event_type", "hour", "n_events", "value_cents")

@@ -53,4 +53,46 @@ class TextAnalysisSpec extends SparkSpec {
     val b = doc(" hello world ").select(fingerprint(col("text"))).as[String].head()
     assert(a === b)
   }
+
+  private def corpus = Seq(
+    (1L, "spark data spark", "en"),
+    (2L, "spark tools", "en"),
+    (3L, "other words", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("vocabIdf: df counts docs, cf counts occurrences, idf = ln((N+1)/(df+1))") {
+    val out = vocabIdf(corpus).select("tok", "df", "cf", "idf")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (t, df, cf, idf) => t -> ((df, cf, idf)) }.toMap
+    def idf4(df: Long) = math.floor(math.log(4.0 / (df + 1)) * 10000 + 0.5) / 10000
+    assert(out("spark") === ((2L, 3L, idf4(2))))
+    assert(out("tools") === ((1L, 1L, idf4(1))))
+    assert(out.size === 5)
+  }
+
+  test("tfidfTopTerms ranks tf·idf per doc with token tie-break") {
+    val top1 = tfidfTopTerms(corpus, k = 1)
+      .select("doc_id", "tok").as[(Long, String)].collect().toMap
+    // doc 1: rarer "data" (1·ln(4/2) ≈ 0.693) beats frequent "spark"
+    // (2·ln(4/3) ≈ 0.575) — idf downweights corpus-common terms
+    assert(top1(1L) === "data")
+    // doc 3: "other" vs "words" tie on tf·idf → token asc
+    assert(top1(3L) === "other")
+  }
+
+  test("splitAssign is deterministic, content-addressed, and ~80/10/10") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = splitAssign(docs).select("doc_id", "split").as[(Long, String)].collect()
+    val byId = out.toMap
+    val again = splitAssign(docs).select("doc_id", "split").as[(Long, String)].collect()
+    assert(byId === again.toMap, "stable across runs")
+    val frac = out.groupBy(_._2).view.mapValues(_.length.toDouble / out.length).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08)
+    assert(math.abs(frac("val") - 0.1) < 0.05)
+    assert(math.abs(frac("test") - 0.1) < 0.05)
+    // adding docs never reassigns existing ones (content-addressed)
+    val half = splitAssign(docs.filter(col("doc_id") < 250))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(half.forall { case (id, s) => byId(id) == s })
+  }
 }
