@@ -390,8 +390,10 @@ object ExtSql {
          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          |FROM events GROUP BY 1, 2""".stripMargin
 
-  private val x16 =
-    raw"""WITH t AS (
+  /** The x16 sessionization CTE chain + per-session aggregate (shared
+    * with the x24 streaming-equivalence oracle). */
+  private val sessionCtes =
+    raw"""t AS (
          |  SELECT event_id, user_id, epoch_ms(ts) AS ms, $centsExpr AS value_cents
          |  FROM events),
          |tagged AS (
@@ -402,12 +404,43 @@ object ExtSql {
          |sessions AS (
          |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
          |                              ROWS UNBOUNDED PRECEDING) AS session_seq
-         |  FROM tagged)
-         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-         |       min(ms) AS start_ms, max(ms) AS end_ms,
-         |       CAST(count(*) AS BIGINT) AS n_events,
-         |       CAST(sum(value_cents) AS BIGINT) AS value_cents
-         |FROM sessions GROUP BY 1, 2""".stripMargin
+         |  FROM tagged),
+         |sagg AS (
+         |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |         min(ms) AS start_ms, max(ms) AS end_ms,
+         |         CAST(count(*) AS BIGINT) AS n_events,
+         |         CAST(sum(value_cents) AS BIGINT) AS value_cents
+         |  FROM sessions GROUP BY 1, 2)""".stripMargin
+
+  private val x16 =
+    raw"""WITH $sessionCtes
+         |SELECT user_id, session_seq, start_ms, end_ms, n_events, value_cents
+         |FROM sagg""".stripMargin
+
+  // ---- x23/x24 streaming batch-equivalence (AvailableNow) ----------
+
+  /** Final event-time watermark of an AvailableNow run: max event time
+    * minus the 1 h delay. Windows/sessions not sealed by it stay in
+    * state — the oracle applies the same cut to the batch answer. */
+  private val wmCte = "wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS wm FROM events)"
+
+  private val x23 =
+    raw"""WITH $wmCte
+         |SELECT hour, event_type, n_events, value_cents FROM (
+         |  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |         epoch_ms(date_trunc('hour', ts)) + 3600000 AS end_ms,
+         |         event_type,
+         |         CAST(count(*) AS BIGINT) AS n_events,
+         |         CAST(sum($centsExpr) AS BIGINT) AS value_cents
+         |  FROM events GROUP BY 1, 2, 3), wm
+         |WHERE end_ms <= wm""".stripMargin
+
+  private val x24 =
+    raw"""WITH $sessionCtes, $wmCte
+         |SELECT user_id, start_ms, end_ms, n_events, value_cents
+         |FROM (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS max_seq
+         |      FROM sagg), wm
+         |WHERE session_seq < max_seq OR end_ms + ${Events.SessionGapMs} < wm""".stripMargin
 
   // ---- x17 top-k docs per language ---------------------------------
 
@@ -577,6 +610,8 @@ object ExtSql {
          |                    FROM labels GROUP BY 1) s USING (cluster_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x23_stream_hourly"   -> x23,
+    "x24_stream_sessions" -> x24,
     "x25_jaccard_exact"   -> x25,
     "x26_vocab_idf"       -> x26,
     "x27_tfidf_terms"     -> x27,

@@ -41,6 +41,8 @@ object Extensions {
     "x20_cms_tokens"     -> ((s, d) => cmsTokens(s, d)),
     "x21_top_tokens"     -> ((s, d) => TextAnalysis.topTokens(docs(s, d))),
     "x22_label_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
+    "x23_stream_hourly"  -> ((s, d) => graft.streaming.EventStream.hourlyAvailableNow(s, d)),
+    "x24_stream_sessions" -> ((s, d) => graft.streaming.EventStream.sessionsAvailableNow(s, d)),
     "x25_jaccard_exact"  -> ((s, d) => Dedup.jaccardPairsExact(docs(s, d))),
     "x26_vocab_idf"      -> ((s, d) => TextAnalysis.vocabIdf(docs(s, d))),
     "x27_tfidf_terms"    -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),

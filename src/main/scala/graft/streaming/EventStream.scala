@@ -128,6 +128,55 @@ object EventStream {
     }
   }
 
+  // ---- batch-equivalence runs (x23/x24) ----------------------------
+
+  /** Unique sink/checkpoint base for one AvailableNow run (under the
+    * build dir; checkpoints must never be reused across runs or the
+    * source offsets would mark the data as already processed). */
+  private def sinkDir(name: String): String =
+    new java.io.File(
+      s"target/streamq/$name-${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+
+  private def runToParquet(df: DataFrame, base: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/ck")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** x23: [[hourlyCounts]] run to completion over the static events
+    * dir with Trigger.AvailableNow and read back — the streaming twin
+    * produces the exact batch answer for every window the final
+    * watermark sealed (the trailing unsealed windows stay in state,
+    * exactly as they would mid-stream). */
+  def hourlyAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val base = sinkDir("hourly")
+    runToParquet(hourlyCounts(readEvents(s, dir)), base)
+    s.read.schema(StructType(Seq(
+      StructField("hour", StringType),
+      StructField("event_type", StringType),
+      StructField("n_events", LongType),
+      StructField("value_cents", LongType)))).parquet(s"$base/data")
+  }
+
+  /** x24: [[sessions]] run to completion with Trigger.AvailableNow —
+    * sessions closed by a later event are emitted in-stream; each
+    * user's final open session is emitted only if the final watermark
+    * passed its timeout (lastMs + gap). */
+  def sessionsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val base = sinkDir("sessions")
+    runToParquet(sessions(readEvents(s, dir)).toDF(), base)
+    s.read.schema(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("start_ms", LongType),
+      StructField("end_ms", LongType),
+      StructField("n_events", LongType),
+      StructField("value_cents", LongType)))).parquet(s"$base/data")
+  }
+
   /** Streaming sessionization over (user_id, ts, value). */
   def sessions(events: DataFrame): Dataset[SessionOut] = {
     val spark = events.sparkSession

@@ -111,4 +111,30 @@ class EventStreamSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(spark.table("rawev").count() === 1000L)
   }
+
+  test("AvailableNow runs equal the batch answer under the final-watermark cut") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+    val wm = ev.select(max(unix_millis(col("ts")))).head().getLong(0) - 3600000L
+
+    val streamH = EventStream.hourlyAvailableNow(spark, dir)
+      .as[(String, String, Long, Long)].collect().sorted
+    val batchH = Events.hourlyAgg(ev).drop("n_users")
+      .filter(unix_millis(to_timestamp(col("hour"))) + 3600000L <= wm)
+      .select("hour", "event_type", "n_events", "value_cents")
+      .as[(String, String, Long, Long)].collect().sorted
+    assert(streamH.nonEmpty && (streamH sameElements batchH))
+
+    val streamS = EventStream.sessionsAvailableNow(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val batchS = Events.sessions(ev)
+      .withColumn("max_seq", max(col("session_seq")).over(w))
+      .filter(col("session_seq") < col("max_seq") ||
+        col("end_ms") + Events.SessionGapMs < wm)
+      .select("user_id", "start_ms", "end_ms", "n_events", "value_cents")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted
+    assert(streamS.nonEmpty && (streamS sameElements batchS))
+  }
 }
