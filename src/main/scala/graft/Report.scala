@@ -47,6 +47,17 @@ object Report {
       df.write.mode("overwrite").parquet(s"$outDir/$sheet")
       println(f"[report] $sheet%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
+    // the reference's ACTUAL end-user artifacts: one multi-sheet Excel
+    // workbook per audit (SL_SPK_Cleansing.py:328-338 ExcelWriter,
+    // Status_Cleansing.py:169-175) — same sheets as the parquet dirs
+    for ((wb, names) <- Seq(
+        "sl_spk" -> Seq("valid_sl_with_spk", "cn_jp_intra",
+          "sku_via_apex_spk", "sku_missing_sl"),
+        "status" -> Seq("marc", "mb52", "mb52_groupby"))) {
+      val t0 = System.nanoTime()
+      graft.sources.Xlsx.write(names.map(n => n -> sheets(s"$wb/$n")), s"$outDir/$wb.xlsx")
+      println(f"[report] ${wb + ".xlsx"}%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.Xlsx
+
+/** Pins the pure-JVM XLSX workbook source/sink: multi-sheet roundtrip,
+  * cell typing, XML escaping, sparse rows, A1 reference math. */
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("column letters and refs roundtrip") {
+    assert(Xlsx.colLetters(0) === "A")
+    assert(Xlsx.colLetters(25) === "Z")
+    assert(Xlsx.colLetters(26) === "AA")
+    assert(Xlsx.colLetters(701) === "ZZ")
+    assert(Xlsx.colLetters(702) === "AAA")
+    for (i <- 0 to 800) assert(Xlsx.refToCol(Xlsx.colLetters(i) + "7") === i)
+  }
+
+  test("multi-sheet workbook roundtrips values, escapes, nulls, and types") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xlsx").toString
+    val path = s"$dir/audit.xlsx"
+    val a = Seq(
+      ("a & <b>", 1L, Some(1.5), true),
+      ("line\nbreak \"quoted\"", -2L, None, false)
+    ).toDF("Text Col", "n", "maybe", "flag")
+    val b = Seq(("only", 9L)).toDF("k", "v")
+    Xlsx.write(Seq("Sheet One" -> a, "Other" -> b), path)
+
+    assert(Xlsx.sheetNames(path) === Seq("Sheet One", "Other"))
+    val back = Xlsx.read(spark, path, "Sheet One")
+    assert(back.columns.toSeq === Seq("Text Col", "n", "maybe", "flag"))
+    val rows = back.collect().map(_.toSeq).toSeq
+    assert(rows(0) === Seq("a & <b>", "1", "1.5", "true"))
+    // the None cell is absent from the row XML → null on read
+    assert(rows(1) === Seq("line\nbreak \"quoted\"", "-2", null, "false"))
+    assert(Xlsx.read(spark, path, "Other").collect().map(_.toSeq).toSeq ===
+      Seq(Seq("only", "9")))
+  }
+
+  test("reader resolves sharedStrings when a foreign workbook uses them") {
+    // handcraft a minimal workbook with a sharedStrings table (the
+    // layout Excel itself writes) — our writer never produces one
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xlsx").toString
+    val path = s"$dir/foreign.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(n: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="x"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<sst><si><t>hdr</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row><row r="2"><c r="A2" t="s"><v>1</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val df = Xlsx.read(spark, path, "S")
+    assert(df.columns.toSeq === Seq("hdr"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("rich")) // runs concatenated
+  }
+}
