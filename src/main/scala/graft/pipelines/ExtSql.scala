@@ -529,10 +529,21 @@ object ExtSql {
          |post AS (
          |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
          |  FROM (SELECT doc_id, unnest(sh) AS s FROM dsh)),
-         |rare AS (SELECT doc_id, s FROM post WHERE df <= ${Dedup.MaxShingleDf}),
+         |capped AS (SELECT doc_id, n, s, df FROM (
+         |  SELECT doc_id, len(sh) AS n, s, df FROM post JOIN dsh USING (doc_id))
+         |  WHERE df <= ${Dedup.MaxShingleDf}),
+         |pre AS (
+         |  SELECT doc_id, n, s FROM (
+         |    SELECT doc_id, n, s,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk,
+         |           count(*) OVER (PARTITION BY doc_id) AS n_idx
+         |    FROM capped)
+         |  WHERE rk <= n_idx - ceil(${Dedup.JaccardThreshold} * n_idx) + 1),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM rare l JOIN rare r ON l.s = r.s AND l.doc_id < r.doc_id)
+         |  FROM pre l JOIN pre r ON l.s = r.s AND l.doc_id < r.doc_id
+         |   AND ${Dedup.JaccardThreshold} * l.n <= r.n
+         |   AND ${Dedup.JaccardThreshold} * r.n <= l.n)
          |SELECT doc_a, doc_b, jaccard FROM (
          |  SELECT c.doc_a, c.doc_b, $jaccardExpr AS jaccard
          |  FROM cand c JOIN dsh l ON l.doc_id = c.doc_a
