@@ -72,6 +72,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact similarity join: no cartesian, prefix filter present") {
+    val p = plan("x25_jaccard_exact")
+    assert(!p.contains("CartesianProduct"), s"x25 plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"x25 plans a nested loop:\n$p")
+    // the per-doc prefix rank must survive optimization (losing it
+    // silently reverts to the unfiltered quadratic candidate join)
+    val opt = SparkEntry.queries("x25_jaccard_exact")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("row_number"), s"prefix-filter rank missing from:\n$opt")
+  }
+
+  test("learned IVF: corpus side joins the broadcast probe set, never shuffles on 8 cell keys") {
+    // the candidates⋈probes join key has only KmeansK distinct values —
+    // a shuffled join would funnel the corpus into K partitions; the
+    // probe batch must be the broadcast side
+    val df = SparkEntry.queries("x11_ann_ivf")(spark, dir)
+    df.collect()
+    // AQE plan strings append the pre-adaptive "Initial Plan" — only
+    // the final section is what actually ran
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin [cell"),
+      s"expected broadcast probe join on cell in:\n$p")
+    assert(!p.contains("SortMergeJoin [cell"),
+      s"cell-keyed join must not sort-merge (8 distinct keys):\n$p")
+  }
+
+  test("x30 label-propagation join keys are the doc ids, not a cross join") {
+    val p = plan("x30_dup_clusters")
+    assert(!p.contains("CartesianProduct"), s"x30 plans a cartesian:\n$p")
+  }
+
+  test("x26/x27 TF-IDF: one explode, hash aggregates, no window over the whole corpus") {
+    val p = plan("x26_vocab_idf")
+    assert(p.contains("HashAggregate"), s"expected hash agg in:\n$p")
+    assert(!p.contains("Window"), s"x26 needs no window:\n$p")
+    val p27 = plan("x27_tfidf_terms")
+    // the per-doc rank must be a PARTITIONED window (an unpartitioned
+    // windowspec would funnel the corpus into one task)
+    assert(p27.contains("windowspecdefinition(doc_id"),
+      s"x27 rank must partition on doc_id:\n$p27")
+  }
+
+  test("x29 split assignment is map-only: no exchange at all") {
+    val p = plan("x29_split_assign")
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+  }
+
   test("x21 global top-k is TakeOrderedAndProject, not a full-data window") {
     val p = plan("x21_top_tokens")
     assert(p.contains("TakeOrderedAndProject"),
