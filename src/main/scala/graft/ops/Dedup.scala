@@ -357,6 +357,25 @@ object Dedup {
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
   }
 
+  /** x32: INCREMENTAL exact dedup — the pattern a growing corpus runs
+    * daily: a new batch is admitted only where its canonical
+    * fingerprint is unseen in the accumulated state table, and
+    * batch-internal copies collapse to the min doc_id. Simulated here
+    * by splitting the fixture deterministically (doc_id % 3 == 0 is
+    * "today's batch", the rest is "state"); in production the state
+    * side is the fingerprint table the pipeline appends to each run.
+    * Scale: one anti-join shuffled on the 32-char fp — both sides
+    * fixed-width keys, never document bodies; with the state table
+    * bucketed by fp the join is co-located and shuffle-free. */
+  def incrementalNew(documents: DataFrame): DataFrame = {
+    val fp = documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val state = fp.filter(col("doc_id") % 3 =!= 0).select(col("fp")).distinct()
+    fp.filter(col("doc_id") % 3 === 0)
+      .join(state, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_copies"))
+  }
+
   /** Brute-force n-gram Jaccard pairs — the exact verifier / small-N
     * path; the LSH path above is the 100 TB path. */
   def jaccardPairsBrute(documents: DataFrame,

@@ -277,6 +277,27 @@ object TextAnalysis {
           .when(col("bucket") < ValPct, "val")
           .otherwise("test"))
 
+  /** Per-stratum sample size for [[stratifiedSample]]. */
+  val SamplePerStratum = 20
+
+  /** x33: deterministic stratified sample — the k hash-smallest docs
+    * per language (eval-subset selection without rand(): the same
+    * corpus always yields the same sample, and a doc's inclusion
+    * depends only on its id and its stratum's other members). Scale:
+    * one shuffle on the stratum key + per-partition top-k heap
+    * (WindowGroupLimit), never a global sort. */
+  def stratifiedSample(documents: DataFrame, k: Int = SamplePerStratum): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    documents
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+  }
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

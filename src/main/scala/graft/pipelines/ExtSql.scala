@@ -620,7 +620,47 @@ object ExtSql {
          |FROM labels l JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
          |                    FROM labels GROUP BY 1) s USING (cluster_id)""".stripMargin
 
+  // ---- x31 HyperLogLog register table ------------------------------
+
+  private val x31 = {
+    val hll = graft.functions.HyperLogLog
+    val cases = (1 to hll.RankBits)
+      .map(r => s"WHEN rest >= ${1L << (hll.RankBits - r)} THEN $r")
+      .mkString("CASE ", " ", s" ELSE ${hll.RankBits + 1} END")
+    raw"""WITH $toksCte,
+         |h AS (SELECT md5(t) AS h FROM (SELECT unnest(toks) AS t FROM tok)),
+         |rr AS (
+         |  SELECT ('0x' || substr(h, 1, 2))::BIGINT AS reg,
+         |         ('0x' || substr(h, 3, 13))::BIGINT AS rest
+         |  FROM h)
+         |SELECT reg, CAST(max($cases) AS BIGINT) AS max_rho
+         |FROM rr GROUP BY 1""".stripMargin
+  }
+
+  // ---- x32 incremental exact dedup ---------------------------------
+
+  private val x32 =
+    raw"""WITH fp AS (SELECT doc_id, $fpFull AS fp FROM documents),
+         |state AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
+         |batch AS (SELECT * FROM fp WHERE doc_id % 3 = 0)
+         |SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_batch_copies
+         |FROM batch WHERE fp NOT IN (SELECT fp FROM state)
+         |GROUP BY 1""".stripMargin
+
+  // ---- x33 deterministic stratified sample -------------------------
+
+  private val x33 =
+    raw"""SELECT doc_id, lang, rnk FROM (
+         |  SELECT doc_id, lang,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY md5('sample:' || doc_id::VARCHAR), doc_id) AS BIGINT) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= ${TextAnalysis.SamplePerStratum}""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x31_hll_tokens"      -> x31,
+    "x32_incremental_new" -> x32,
+    "x33_strat_sample"    -> x33,
     "x23_stream_hourly"   -> x23,
     "x24_stream_sessions" -> x24,
     "x25_jaccard_exact"   -> x25,

@@ -48,7 +48,11 @@ object Extensions {
     "x27_tfidf_terms"    -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "x28_value_quantiles" -> ((s, d) => Events.valueQuantiles(evs(s, d))),
     "x29_split_assign"   -> ((s, d) => TextAnalysis.splitAssign(docs(s, d))),
-    "x30_dup_clusters"   -> ((s, d) => Dedup.dupClusters(docs(s, d))))
+    "x30_dup_clusters"   -> ((s, d) => Dedup.dupClusters(docs(s, d))),
+    "x31_hll_tokens"     -> ((s, d) => graft.functions.HyperLogLog.registerTable(
+      TextAnalysis.withTokens(docs(s, d)).select(explode(col("toks")).as("tok")), "tok")),
+    "x32_incremental_new" -> ((s, d) => Dedup.incrementalNew(docs(s, d))),
+    "x33_strat_sample"   -> ((s, d) => TextAnalysis.stratifiedSample(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -136,6 +136,21 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(out(a) === out(b)) }
   }
 
+  test("incrementalNew admits only unseen-fingerprint batch docs, min-id per group") {
+    // batch = ids % 3 == 0: doc 3 duplicates state doc 1 (blocked),
+    // docs 6+9 are identical new texts (collapse to min id 6), doc 12 new
+    val corpus = Seq(
+      (1L, "seen text one", "en"), (2L, "seen text two", "en"),
+      (3L, "seen  TEXT one", "en"),          // canonical dup of state doc 1
+      (6L, "fresh batch text", "en"),
+      (9L, "FRESH  batch text", "en"),       // canonical dup within batch
+      (12L, "another new document", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = incrementalNew(corpus).select("doc_id", "n_batch_copies")
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((6L, 2L), (12L, 1L)))
+  }
+
   test("brute jaccard pairs match LSH-verified pairs at the same threshold") {
     val brute = jaccardPairsBrute(docs, 0.5).select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet

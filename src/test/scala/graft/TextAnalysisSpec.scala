@@ -80,6 +80,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1(3L) === "other")
   }
 
+  test("stratifiedSample: k hash-smallest per stratum, dense ranks, stable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = stratifiedSample(docs, k = 20)
+      .select("lang", "doc_id", "rnk").as[(String, Long, Long)].collect()
+    val langSizes = docs.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val byLang = out.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length === math.min(20L, langSizes(lang)).toInt)
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq, "dense ranks")
+    }
+    val again = stratifiedSample(docs, k = 20)
+      .select("lang", "doc_id", "rnk").as[(String, Long, Long)].collect()
+    assert(out.toSet === again.toSet, "deterministic")
+  }
+
   test("splitAssign is deterministic, content-addressed, and ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = splitAssign(docs).select("doc_id", "split").as[(Long, String)].collect()
