@@ -132,10 +132,19 @@ object EventStream {
 
   /** Unique sink/checkpoint base for one AvailableNow run (under the
     * build dir; checkpoints must never be reused across runs or the
-    * source offsets would mark the data as already processed). */
-  private def sinkDir(name: String): String =
-    new java.io.File(
-      s"target/streamq/$name-${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+    * source offsets would mark the data as already processed).
+    * Anchored at the compiled-classes location, NOT the cwd — the
+    * driver harness may invoke Verify/Bench from any directory. */
+  private def sinkDir(name: String): String = {
+    val base = {
+      var d = new java.io.File(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      while (d != null && d.getName != "target") d = d.getParentFile
+      if (d != null) d else new java.io.File("target")
+    }
+    new java.io.File(base,
+      s"streamq/$name-${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+  }
 
   private def runToParquet(df: DataFrame, base: String): Unit = {
     val q = df.writeStream.format("parquet")
