@@ -657,7 +657,29 @@ object ExtSql {
          |  FROM documents)
          |WHERE rnk <= ${TextAnalysis.SamplePerStratum}""".stripMargin
 
+  // ---- x34 stream-stream interval join (attribution) ---------------
+
+  /** Inner stream-stream joins emit matches in-batch, so the oracle is
+    * the plain interval join. The time comparison runs in MICROSECONDS
+    * (`epoch_ns(ts)//1000`) because Spark's event-time is the fixture's
+    * ns timestamp floored to µs — DuckDB comparing raw ns could flip
+    * pairs sitting exactly on the 1 h boundary. */
+  private val x34 =
+    raw"""WITH b AS (
+         |  SELECT event_id AS buy_id, user_id,
+         |         epoch_ns(ts) // 1000 AS buy_us, epoch_ms(ts) AS buy_ms,
+         |         $centsExpr AS value_cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |s AS (
+         |  SELECT event_id AS signup_id, user_id,
+         |         epoch_ns(ts) // 1000 AS signup_us, epoch_ms(ts) AS signup_ms
+         |  FROM events WHERE event_type = 'signup')
+         |SELECT buy_id, signup_id, user_id, buy_ms, signup_ms, value_cents
+         |FROM b JOIN s USING (user_id)
+         |WHERE signup_us <= buy_us AND signup_us >= buy_us - 3600000000""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x34_stream_attrib"   -> x34,
     "x31_hll_tokens"      -> x31,
     "x32_incremental_new" -> x32,
     "x33_strat_sample"    -> x33,

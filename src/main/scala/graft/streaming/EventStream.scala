@@ -128,6 +128,33 @@ object EventStream {
     }
   }
 
+  /** Stream-stream INTERVAL JOIN with watermarks: attribute each
+    * `buy` event to the same user's `signup` events in the preceding
+    * hour. Both sides carry a watermark and the join condition bounds
+    * the event-time distance, so state on each side is evicted once
+    * the other side's watermark passes the bound — the canonical
+    * bounded-state stream-stream join (without the time bound Spark
+    * rejects the append-mode join outright). Output: one row per
+    * (buy, qualifying signup). */
+  def attributedBuys(events: DataFrame): DataFrame = {
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"),
+        col("ts").as("buy_ts"), Events.valueCents(col("value")).as("value_cents"))
+      .withWatermark("buy_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "2 hours")
+    buys.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("buy_ts") &&
+        col("signup_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("buy_id"), col("signup_id"), col("user_id"),
+        unix_millis(col("buy_ts")).as("buy_ms"),
+        unix_millis(col("signup_ts")).as("signup_ms"),
+        col("value_cents"))
+  }
+
   // ---- batch-equivalence runs (x23/x24) ----------------------------
 
   /** Unique sink/checkpoint base for one AvailableNow run (under the
@@ -183,6 +210,23 @@ object EventStream {
       StructField("start_ms", LongType),
       StructField("end_ms", LongType),
       StructField("n_events", LongType),
+      StructField("value_cents", LongType)))).parquet(s"$base/data")
+  }
+
+  /** x34: [[attributedBuys]] run to completion with AvailableNow —
+    * an inner stream-stream join emits every match in the batch where
+    * it occurs, so the single-batch run over the static dir yields the
+    * FULL batch join (the watermarks only bound state, which the final
+    * no-data batch then discards). */
+  def attributedBuysAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val base = sinkDir("attrib")
+    runToParquet(attributedBuys(readEvents(s, dir)), base)
+    s.read.schema(StructType(Seq(
+      StructField("buy_id", LongType),
+      StructField("signup_id", LongType),
+      StructField("user_id", LongType),
+      StructField("buy_ms", LongType),
+      StructField("signup_ms", LongType),
       StructField("value_cents", LongType)))).parquet(s"$base/data")
   }
 

@@ -112,6 +112,27 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.table("rawev").count() === 1000L)
   }
 
+  test("stream-stream interval join attributes buys to signups within the hour") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    // times offset from epoch: an event at EXACTLY the initial
+    // watermark (epoch 0) would be treated as late on the state side
+    in.addData(
+      (1L, ts(1000), 10L, "signup", 0.0, "{}"),
+      (2L, ts(1030), 10L, "purchase", 5.0, "{}"),    // 30min after signup → attributed
+      (3L, ts(1090), 10L, "purchase", 7.0, "{}"),    // 90min after signup 1 → outside its window
+      (4L, ts(1080), 10L, "signup", 0.0, "{}"), // buy 3 is 10min after → attributed
+      (5L, ts(1040), 20L, "purchase", 9.0, "{}"))    // user 20 never signed up
+    val q = EventStream.attributedBuys(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("attr").select("buy_id", "signup_id", "value_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((2L, 1L, 500L), (3L, 4L, 700L)))
+  }
+
   test("AvailableNow runs equal the batch answer under the final-watermark cut") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
