@@ -29,4 +29,21 @@ object Skew {
       explode(sequence(lit(0L), lit(salts - 1L))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** x35: salted fact⋈dim enrichment on the oracle gate — lineitem
+    * salted-joined to supplier on the (skewable) supplier key, rolled
+    * up per supplier nation. The salt never reaches the result — the
+    * oracle is the PLAIN join — which is the salting contract: same
+    * answer, hot keys fanned over [[Salts]] tasks. The join must stay
+    * shuffled (hints suppressed) or the salt would be pointless. */
+  def saltedEnrich(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val facts = lineitem.select(col("l_suppkey"), col("l_orderkey"),
+      col("l_linenumber"), floor(col("l_quantity")).cast("long").as("qty"))
+    val dim = supplier.select(col("s_suppkey").as("l_suppkey"),
+      col("s_nationkey").cast("long").as("s_nationkey"))
+    saltedJoin(facts, dim, Seq("l_suppkey"),
+        discriminator = concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
+  }
 }

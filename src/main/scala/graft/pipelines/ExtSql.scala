@@ -678,7 +678,19 @@ object ExtSql {
          |FROM b JOIN s USING (user_id)
          |WHERE signup_us <= buy_us AND signup_us >= buy_us - 3600000000""".stripMargin
 
+  // ---- x35 salted join ≡ plain join --------------------------------
+
+  /** The salting contract IS the oracle: the salted Spark plan must
+    * produce exactly the plain join's answer. */
+  private val x35 =
+    raw"""SELECT s.s_nationkey::BIGINT AS s_nationkey,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |GROUP BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x35_salted_enrich"   -> x35,
     "x34_stream_attrib"   -> x34,
     "x31_hll_tokens"      -> x31,
     "x32_incremental_new" -> x32,

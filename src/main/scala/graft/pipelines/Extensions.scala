@@ -53,7 +53,9 @@ object Extensions {
       TextAnalysis.withTokens(docs(s, d)).select(explode(col("toks")).as("tok")), "tok")),
     "x32_incremental_new" -> ((s, d) => Dedup.incrementalNew(docs(s, d))),
     "x33_strat_sample"   -> ((s, d) => TextAnalysis.stratifiedSample(docs(s, d))),
-    "x34_stream_attrib"  -> ((s, d) => graft.streaming.EventStream.attributedBuysAvailableNow(s, d)))
+    "x34_stream_attrib"  -> ((s, d) => graft.streaming.EventStream.attributedBuysAvailableNow(s, d)),
+    "x35_salted_enrich"  -> ((s, d) => graft.ops.Skew.saltedEnrich(
+      Tables.lineitem(s, d), Tables.supplier(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
