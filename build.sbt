@@ -26,8 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the fan-out caches (SURVEY.md §4.2) + shuffle
-  // execution memory coexist without evicting each other at sf0.1;
-  // the machine has 128 GiB
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 28g default: the full 48-query bench accumulates every fan-out
+  // cache (SURVEY.md §4.2) in one JVM; at 16g storage eviction was
+  // recomputing persisted frames mid-bench (x25 1.5s isolated vs 7s
+  // in-suite). The machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

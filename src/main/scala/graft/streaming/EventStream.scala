@@ -173,14 +173,28 @@ object EventStream {
       s"streamq/$name-${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
   }
 
+  /** Stateful-query partition count for the AvailableNow runs. The
+    * shuffle-partition conf at stream start FIXES the state-store
+    * count for the query's lifetime — a deployment knob sized to the
+    * corpus (here: small fixture, 8 stores; a 100 TB stream sizes it
+    * to the cluster). 32 stores × per-batch commit overhead was pure
+    * fixed cost on kB-scale state. */
+  val StreamStatePartitions = 8
+
   private def runToParquet(df: DataFrame, base: String): Unit = {
-    val q = df.writeStream.format("parquet")
-      .option("path", s"$base/data")
-      .option("checkpointLocation", s"$base/ck")
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val s = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamStatePartitions.toString)
+    try {
+      val q = df.writeStream.format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
   }
 
   /** x23: [[hourlyCounts]] run to completion over the static events
