@@ -12,18 +12,22 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, fmt: String,
   *
   * Media (image/audio/video) is carried as an opaque `binary` column
   * with typed metadata. The fixture set has no real media, so the
-  * `media` table is derived from `documents`: documents in the "png"
-  * class get a REAL PNG byte stream (8-byte signature + a spec-valid
-  * IHDR chunk — big-endian dimensions, true CRC32 — followed by the
-  * text payload), the rest carry raw UTF-8 bytes. The decoder
-  * correspondingly has a real path and a declared stub path:
+  * `media` table is derived from `documents`: the "png" class gets a
+  * REAL PNG byte stream (8-byte signature + spec-valid IHDR chunk —
+  * big-endian dimensions, true CRC32), the "webp" class a REAL
+  * RIFF/VP8L stream (container headers + the VP8L signature byte and
+  * LE bit-packed dimension word), each followed by the text payload;
+  * the "jpeg" class carries raw UTF-8 bytes. The decoder has two real
+  * paths and one declared stub path:
   *
-  *  - [[parsePngHeader]] byte-parses the PNG signature and IHDR
-  *    width/height (pure JVM, no image libs) — a genuine decode;
+  *  - [[parsePngHeader]] / [[parseWebpHeader]] byte-parse the
+  *    signatures and dimensions (pure JVM, no image libs) — genuine
+  *    decodes;
   *  - [[decodeStub]] remains the clearly-marked DETERMINISTIC STUB for
-  *    formats the container cannot decode (no jpeg/webp libs): real
-  *    deployments swap it for javax.imageio / ffmpeg bindings; the
-  *    signature (bytes → MediaMeta) is the contract.
+  *    the jpeg class (no JPEG decoder in this container — its
+  *    dimensions live in scattered SOF segments): real deployments
+  *    swap it for javax.imageio / ffmpeg bindings; the signature
+  *    (bytes → MediaMeta) is the contract.
   *
   * Scale design: decode is map-only over the scan — linear, no
   * shuffle; binary payloads stay columnar (parquet binary) and are
@@ -42,9 +46,19 @@ object Multimodal {
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
   /** Signature(8) + IHDR chunk (len 4 + type 4 + data 13 + crc 4). */
   val PngHeaderLen = 33
+  /** RIFF header(12) + VP8L chunk header(8) + signature byte + LE32
+    * dimension word (the VP8L bitstream prefix). */
+  val WebpHeaderLen = 25
 
   /** 4-byte big-endian encoding of a non-negative 32-bit value. */
   private def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+
+  /** 4-byte LITTLE-endian encoding (RIFF/WebP sizes and dim word). */
+  private def le4(c: Column): Column = {
+    def byte(i: Int) =
+      unhex(lpad(hex(pmod(shiftrightunsigned(c.cast("long"), 8 * i), lit(256))), 2, "0"))
+    concat(byte(0), byte(1), byte(2), byte(3))
+  }
 
   /** The media table: doc_id + opaque binary payload. Documents whose
     * md5 first nibble mod 3 == 1 are wrapped as real PNG files whose
@@ -68,8 +82,20 @@ object Multimodal {
       ihdrBody,
       be4(crc32(ihdrBody)),
       payload)
-    val isPng = conv(substring(md5(col("text")), 1, 1), 16, 10) % 3 === 1
-    documents.select(col("doc_id"), when(isPng, png).otherwise(payload).as("content"))
+    // WebP lossless: RIFF container + VP8L chunk whose bitstream prefix
+    // packs (width-1) in bits 0-13 and (height-1) in bits 14-27 of a
+    // little-endian 32-bit word after the 0x2F signature byte
+    val dimWord = (w - 1) + (h - 1) * lit(16384)
+    val chunkLen = tlen.cast("long") + 5
+    val webp = concat(
+      unhex(lit("52494646")), le4(chunkLen + 12), // "RIFF", size after this field
+      unhex(lit("57454250")),                     // "WEBP"
+      unhex(lit("5650384C")), le4(chunkLen),      // "VP8L", chunk size
+      unhex(lit("2F")), le4(dimWord),
+      payload)
+    val fclass = conv(substring(md5(col("text")), 1, 1), 16, 10) % 3
+    documents.select(col("doc_id"),
+      when(fclass === 1, png).when(fclass === 2, webp).otherwise(payload).as("content"))
   }
 
   /** REAL decode path: validate the PNG signature + IHDR chunk type and
@@ -85,6 +111,21 @@ object Multimodal {
         content(14) == 'D' && content(15) == 'R')
       Some((be(16), be(20)))
     else None
+  }
+
+  /** REAL decode path #2: validate the RIFF/WEBP/VP8L headers + the
+    * VP8L signature byte and bit-unpack width/height from the
+    * little-endian dimension word. None for non-WebP. */
+  def parseWebpHeader(content: Array[Byte]): Option[(Long, Long)] = {
+    def ascii(o: Int, s: String): Boolean =
+      s.indices.forall(i => content(o + i) == s.charAt(i).toByte)
+    if (content.length >= WebpHeaderLen &&
+        ascii(0, "RIFF") && ascii(8, "WEBP") && ascii(12, "VP8L") &&
+        content(20) == 0x2f.toByte) {
+      val v = (content(21) & 0xffL) | ((content(22) & 0xffL) << 8) |
+        ((content(23) & 0xffL) << 16) | ((content(24) & 0xffL) << 24)
+      Some(((v & 0x3fff) + 1, ((v >> 14) & 0x3fff) + 1))
+    } else None
   }
 
   /** STUB decoder — deterministic fake metadata from the bytes alone
@@ -115,16 +156,19 @@ object Multimodal {
       thumb_h  = h / 2)
   }
 
-  /** Per-row decode: the real PNG header parse when the magic matches,
-    * the declared stub otherwise. */
+  /** Per-row decode: real PNG / WebP header parses when the magic
+    * matches, the declared stub otherwise (jpeg class only now). */
   def decode(md: java.security.MessageDigest, docId: Long,
-             content: Array[Byte]): MediaMeta =
+             content: Array[Byte]): MediaMeta = {
+    val n = content.length.toLong
     parsePngHeader(content) match {
-      case Some((w, h)) =>
-        val n = content.length.toLong
-        MediaMeta(docId, n, "png", w, h, 1 + n / 256, w / 2, h / 2)
-      case None => decodeStub(md, docId, content)
+      case Some((w, h)) => MediaMeta(docId, n, "png", w, h, 1 + n / 256, w / 2, h / 2)
+      case None => parseWebpHeader(content) match {
+        case Some((w, h)) => MediaMeta(docId, n, "webp", w, h, 1 + n / 256, w / 2, h / 2)
+        case None => decodeStub(md, docId, content)
+      }
     }
+  }
 
   /** x12: partition-wise decode: one decoder per partition, batch
     * iteration — the mapInPandas shape in Scala. */

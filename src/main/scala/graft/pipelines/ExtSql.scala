@@ -334,17 +334,21 @@ object ExtSql {
   // ---- x12/x13 multimodal ------------------------------------------
 
   /** png-class docs (md5 nibble % 3 = 1) are wrapped as real PNG files
-    * by [[Multimodal.mediaTable]] — signature + IHDR add
-    * [[Multimodal.PngHeaderLen]] bytes and the decoder byte-parses the
-    * embedded dims; other classes carry the raw payload and hit the
-    * declared stub. Dimensions derive from the PAYLOAD length in both
-    * paths (the PNG ones because mediaTable embeds exactly these values
-    * in the IHDR the decoder then reads back). */
+    * and webp-class docs (nibble % 3 = 2) as real RIFF/VP8L files by
+    * [[Multimodal.mediaTable]] — the headers add
+    * [[Multimodal.PngHeaderLen]] / [[Multimodal.WebpHeaderLen]] bytes
+    * and the decoder byte-parses the embedded dims; the jpeg class
+    * carries the raw payload and hits the declared stub. Dimensions
+    * derive from the PAYLOAD length in all paths (the real-header ones
+    * because mediaTable embeds exactly these values, which the decoder
+    * then reads back). */
   private val mediaCte = {
     val hdr = Multimodal.PngHeaderLen
+    val whdr = Multimodal.WebpHeaderLen
     raw"""media AS (
          |  SELECT doc_id,
          |         CASE WHEN fclass = 1 THEN CAST(tlen + $hdr AS BIGINT)
+         |              WHEN fclass = 2 THEN CAST(tlen + $whdr AS BIGINT)
          |              ELSE CAST(tlen AS BIGINT) END AS n_bytes,
          |         CASE fclass WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
          |              ELSE 'webp' END AS fmt,

@@ -72,22 +72,25 @@ class EventsMultimodalSpec extends SparkSpec {
     assert(out === Set(("en", 1L, 1L), ("fr", 3L, 1L)))
   }
 
-  test("media decode stub is deterministic and frame sampling strides") {
-    val docs = Seq((7L, "x" * 600, "en")).toDF("doc_id", "text", "lang")
-    val meta = Multimodal.mediaMeta(spark, docs).collect().head
-    assert(meta.n_bytes === 600L)
-    assert(meta.width === 16 + 600 % 640)
-    assert(meta.n_frames === 1 + 600 / 256) // 3 frames
-    val frames = Multimodal.frameSample(spark, docs).select("frame_idx")
-      .as[Long].collect().toSet
-    assert(frames === Set(0L)) // frames 0..2, stride 4 → only 0
-  }
-
   /** md5 first hex nibble of the text decides the format class. */
   private def fmtClass(text: String): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(text.getBytes("UTF-8"))
     ((d(0) >> 4) & 0xf) % 3
+  }
+
+  test("media decode stub is deterministic and frame sampling strides") {
+    // jpeg class = the stub path (png/webp classes now carry real headers)
+    val text = (590 to 700).map("x" * _).find(fmtClass(_) == 0).get
+    val n = text.length
+    val docs = Seq((7L, text, "en")).toDF("doc_id", "text", "lang")
+    val meta = Multimodal.mediaMeta(spark, docs).collect().head
+    assert(meta.n_bytes === n.toLong)
+    assert(meta.width === 16 + n % 640)
+    assert(meta.n_frames === 1 + n / 256) // 3 frames for ~600-byte payloads
+    val frames = Multimodal.frameSample(spark, docs).select("frame_idx")
+      .as[Long].collect().toSet
+    assert(frames === Set(0L)) // frames 0..2, stride 4 → only 0
   }
 
   test("png-class media carries a spec-valid PNG header the decoder truly parses") {
@@ -117,5 +120,29 @@ class EventsMultimodalSpec extends SparkSpec {
     assert(metas(1L).width === 16L + payloadLen % 640)
     assert(metas(2L).fmt === "jpeg") // non-png class falls through to the stub
     assert(metas(2L).n_bytes === jpgText.getBytes("UTF-8").length.toLong)
+  }
+
+  test("webp-class media carries a valid RIFF/VP8L header the decoder truly parses") {
+    val webpText = (0 to 99).map(i => "doc body " + ("w" * i)).find(fmtClass(_) == 2).get
+    val docs = Seq((3L, webpText, "en")).toDF("doc_id", "text", "lang")
+    val content = Multimodal.mediaTable(docs)
+      .select("content").as[Array[Byte]].collect().head
+    val payloadLen = webpText.getBytes("UTF-8").length
+    assert(content.length === payloadLen + Multimodal.WebpHeaderLen)
+    // container structure, independently of our parser
+    assert(new String(content.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(content.slice(8, 12), "US-ASCII") === "WEBP")
+    assert(new String(content.slice(12, 16), "US-ASCII") === "VP8L")
+    assert(content(20) === 0x2f.toByte)
+    // RIFF size field = total length - 8, little-endian
+    val riffSize = java.nio.ByteBuffer.wrap(content, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(riffSize === content.length - 8)
+    // decoder bit-unpacks the dims the table embedded
+    assert(Multimodal.parseWebpHeader(content) ===
+      Some((16L + payloadLen % 640, 16L + (payloadLen * 7L) % 480)))
+    val meta = Multimodal.mediaMeta(spark, docs).collect().head
+    assert(meta.fmt === "webp")
+    assert(meta.n_bytes === payloadLen + Multimodal.WebpHeaderLen)
   }
 }
