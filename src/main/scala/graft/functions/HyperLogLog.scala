@@ -43,8 +43,8 @@ object HyperLogLog {
     * long column (pass a real column, not an expression tree — each
     * branch embeds its argument). */
   def rankOfRest(rest: Column): Column =
-    (1 to RankBits).foldRight(lit(RankBits + 1): Column) { (r, acc) =>
-      when(rest >= lit(1L << (RankBits - r)), lit(r)).otherwise(acc)
+    (1 to RankBits).foldRight(lit((RankBits + 1).toLong): Column) { (r, acc) =>
+      when(rest >= lit(1L << (RankBits - r)), lit(r.toLong)).otherwise(acc)
     }
 
   /** Single-expression convenience (tests). */
