@@ -298,6 +298,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("rnk"))
   }
 
+  /** Token budget per packed training bin. */
+  val PackBudget = 2048
+
+  /** x36: SEQUENCE PACKING — assign documents to contiguous
+    * token-budget bins (the batch-construction step of LLM training:
+    * concatenate docs until ~budget tokens, start the next bin).
+    * Deterministic greedy packing in doc_id order within each lang
+    * shard: bin = floor(tokens-before-this-doc / budget). Output is
+    * per-bin stats (doc count, token sum, id range).
+    *
+    * Scale: packing is inherently sequential IN ORDER — the global
+    * form would funnel everything into one task, so the order is
+    * scoped per shard (lang here; date/shard-hash in production):
+    * one shuffle on the shard key, a running-sum window per shard,
+    * then a hash aggregate. */
+  def packBins(documents: DataFrame, budget: Int = PackBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTokens(documents)
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / budget))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

@@ -693,7 +693,24 @@ object ExtSql {
          |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |GROUP BY 1""".stripMargin
 
+  // ---- x36 sequence-packing bins -----------------------------------
+
+  private val x36 =
+    raw"""WITH $toksCte,
+         |t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT lang, CAST(floor((cum - n_tokens) / ${TextAnalysis.PackBudget}) AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x36_pack_bins"       -> x36,
     "x35_salted_enrich"   -> x35,
     "x34_stream_attrib"   -> x34,
     "x31_hll_tokens"      -> x31,

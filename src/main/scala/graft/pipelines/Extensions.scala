@@ -55,7 +55,8 @@ object Extensions {
     "x33_strat_sample"   -> ((s, d) => TextAnalysis.stratifiedSample(docs(s, d))),
     "x34_stream_attrib"  -> ((s, d) => graft.streaming.EventStream.attributedBuysAvailableNow(s, d)),
     "x35_salted_enrich"  -> ((s, d) => graft.ops.Skew.saltedEnrich(
-      Tables.lineitem(s, d), Tables.supplier(s, d))))
+      Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "x36_pack_bins"      -> ((s, d) => TextAnalysis.packBins(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -244,6 +244,44 @@ object EventStream {
       StructField("value_cents", LongType)))).parquet(s"$base/data")
   }
 
+  /** foreachBatch sink with EXACTLY-ONCE semantics on a plain
+    * filesystem (no transactional table format available): each
+    * micro-batch reduces to one delta (per-user latest event) written
+    * to a BATCH-ID-ADDRESSED directory; a re-delivered batch after a
+    * failure sees its directory already exists and skips — the
+    * idempotence contract foreachBatch requires of the user. Readers
+    * compact the deltas with [[readLatestPerUser]]. This is the
+    * standard log-structured upsert pattern where a real deployment
+    * would MERGE INTO a transactional table. */
+  def latestPerUser(events: DataFrame, tableDir: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow()) = {
+    events
+      .select(col("user_id"), col("ts"), Events.valueCents(col("value")).as("value_cents"))
+      .writeStream
+      .option("checkpointLocation", s"$tableDir/_ck")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = new java.io.File(s"$tableDir/delta_$batchId")
+        if (!delta.exists()) { // re-delivered batch → already durable, skip
+          batch.groupBy(col("user_id"))
+            .agg(max(struct(unix_millis(col("ts")).as("ms"), col("value_cents"))).as("m"))
+            .select(col("user_id"), col("m.ms").as("ms"), col("m.value_cents"))
+            .write.mode("overwrite").parquet(delta.getPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Compacting read of a [[latestPerUser]] table: latest row per user
+    * across all batch deltas. */
+  def readLatestPerUser(s: SparkSession, tableDir: String): DataFrame =
+    s.read.option("pathGlobFilter", "*.parquet")
+      .parquet(s"$tableDir/delta_*")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ms"), col("value_cents"))).as("m"))
+      .select(col("user_id"), col("m.ms").as("ms"), col("m.value_cents"))
+
   /** Streaming sessionization over (user_id, ts, value). */
   def sessions(events: DataFrame): Dataset[SessionOut] = {
     val spark = events.sparkSession

@@ -133,6 +133,35 @@ class EventStreamSpec extends SparkSpec {
     assert(out === Set((2L, 1L, 500L), (3L, 4L, 700L)))
   }
 
+  test("foreachBatch idempotent sink: per-batch deltas compact to latest-per-user") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "upsert").toString
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    in.addData(
+      (1L, ts(3000), 10L, "click", 1.0, "{}"),
+      (2L, ts(3010), 10L, "click", 2.0, "{}"),  // later → wins for user 10
+      (3L, ts(3005), 20L, "click", 3.0, "{}"))
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q1 = EventStream.latestPerUser(df, dir)
+    q1.awaitTermination()
+    // second run = a later micro-batch updating user 10 and adding 30
+    in.addData(
+      (4L, ts(3020), 10L, "click", 4.0, "{}"),
+      (5L, ts(3001), 30L, "click", 5.0, "{}"))
+    val q2 = EventStream.latestPerUser(df, dir)
+    q2.awaitTermination()
+    val out = EventStream.readLatestPerUser(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (10L, 3020L * 60000L, 400L),
+      (20L, 3005L * 60000L, 300L),
+      (30L, 3001L * 60000L, 500L)))
+    // idempotence: a batch directory is written at most once
+    val deltas = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("delta_"))
+    assert(deltas.toSet === Set("delta_0", "delta_1"))
+  }
+
   test("AvailableNow runs equal the batch answer under the final-watermark cut") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

@@ -96,6 +96,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSet === again.toSet, "deterministic")
   }
 
+  test("packBins packs contiguous docs into token-budget bins per shard") {
+    val docs = Seq(
+      (1L, "a b c", "en"),    // 3 toks, starts at 0 → bin 0
+      (2L, "d e f g", "en"),  // starts at 3 < 5 → still bin 0 (overflows budget, by design)
+      (3L, "h i", "en"),      // starts at 7 → bin 1
+      (4L, "j", "fr")         // separate shard packs independently
+    ).toDF("doc_id", "text", "lang")
+    val out = packBins(docs, budget = 5)
+      .select("lang", "bin", "n_docs", "bin_tokens", "first_doc", "last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("en", 0L, 2L, 7L, 1L, 2L),
+      ("en", 1L, 1L, 2L, 3L, 3L),
+      ("fr", 0L, 1L, 1L, 4L, 4L)))
+  }
+
   test("splitAssign is deterministic, content-addressed, and ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = splitAssign(docs).select("doc_id", "split").as[(Long, String)].collect()
