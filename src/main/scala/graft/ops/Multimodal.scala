@@ -17,17 +17,17 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, fmt: String,
   * big-endian dimensions, true CRC32), the "webp" class a REAL
   * RIFF/VP8L stream (container headers + the VP8L signature byte and
   * LE bit-packed dimension word), each followed by the text payload;
-  * the "jpeg" class carries raw UTF-8 bytes. The decoder has two real
-  * paths and one declared stub path:
+  * the "jpeg" class a real SOI + JFIF APP0 + baseline SOF0 header
+  * sequence. The decoder has three real paths and one declared stub:
   *
-  *  - [[parsePngHeader]] / [[parseWebpHeader]] byte-parse the
-  *    signatures and dimensions (pure JVM, no image libs) — genuine
-  *    decodes;
-  *  - [[decodeStub]] remains the clearly-marked DETERMINISTIC STUB for
-  *    the jpeg class (no JPEG decoder in this container — its
-  *    dimensions live in scattered SOF segments): real deployments
-  *    swap it for javax.imageio / ffmpeg bindings; the signature
-  *    (bytes → MediaMeta) is the contract.
+  *  - [[parsePngHeader]] / [[parseWebpHeader]] / [[parseJpegHeader]]
+  *    byte-parse the signatures and dimensions (pure JVM, no image
+  *    libs; the JPEG one walks segments to the SOF frame header) —
+  *    genuine decodes covering every fixture class;
+  *  - [[decodeStub]] remains the clearly-marked DETERMINISTIC STUB
+  *    for unknown formats only: real deployments swap it for
+  *    javax.imageio / ffmpeg bindings; the signature (bytes →
+  *    MediaMeta) is the contract.
   *
   * Scale design: decode is map-only over the scan — linear, no
   * shuffle; binary payloads stay columnar (parquet binary) and are
@@ -49,6 +49,8 @@ object Multimodal {
   /** RIFF header(12) + VP8L chunk header(8) + signature byte + LE32
     * dimension word (the VP8L bitstream prefix). */
   val WebpHeaderLen = 25
+  /** SOI(2) + JFIF APP0 segment(18) + SOF0 segment(19). */
+  val JpegHeaderLen = 39
 
   /** 4-byte big-endian encoding of a non-negative 32-bit value. */
   private def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
@@ -93,9 +95,19 @@ object Multimodal {
       unhex(lit("5650384C")), le4(chunkLen),      // "VP8L", chunk size
       unhex(lit("2F")), le4(dimWord),
       payload)
+    // JPEG: SOI + a standard 16-byte JFIF APP0 + a baseline SOF0 frame
+    // header carrying big-endian height then width (3 components)
+    def be2(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+    val jpeg = concat(
+      unhex(lit("FFD8")),                               // SOI
+      unhex(lit("FFE000104A46494600010100000100010000")), // APP0 "JFIF"
+      unhex(lit("FFC0001108")),                         // SOF0, len 17, precision 8
+      be2(h), be2(w),
+      unhex(lit("03012200021101031101")),               // 3 components
+      payload)
     val fclass = conv(substring(md5(col("text")), 1, 1), 16, 10) % 3
     documents.select(col("doc_id"),
-      when(fclass === 1, png).when(fclass === 2, webp).otherwise(payload).as("content"))
+      when(fclass === 1, png).when(fclass === 2, webp).otherwise(jpeg).as("content"))
   }
 
   /** REAL decode path: validate the PNG signature + IHDR chunk type and
@@ -128,6 +140,30 @@ object Multimodal {
     } else None
   }
 
+  /** REAL decode path #3: walk JPEG segments from SOI to the first
+    * SOF frame header and read its big-endian height/width — the same
+    * loop a real JPEG metadata reader runs (dimensions live in a SOF
+    * segment at an arbitrary offset, so header walking is mandatory).
+    * None for non-JPEG bytes. */
+  def parseJpegHeader(content: Array[Byte]): Option[(Long, Long)] = {
+    def u8(o: Int): Int = content(o) & 0xff
+    def be2(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    if (content.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var o = 2
+    while (o + 4 <= content.length && u8(o) == 0xff) {
+      val marker = u8(o + 1)
+      val segLen = be2(o + 2)
+      val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        if (o + 9 > content.length) return None
+        return Some((be2(o + 7).toLong, be2(o + 5).toLong)) // (width, height)
+      }
+      o += 2 + segLen
+    }
+    None
+  }
+
   /** STUB decoder — deterministic fake metadata from the bytes alone
     * (md5 nibble → format, size arithmetic → dimensions) for formats
     * with no pure-JVM decoder in this container. Replace the body with
@@ -156,18 +192,18 @@ object Multimodal {
       thumb_h  = h / 2)
   }
 
-  /** Per-row decode: real PNG / WebP header parses when the magic
-    * matches, the declared stub otherwise (jpeg class only now). */
+  /** Per-row decode: real PNG / WebP / JPEG header parses when the
+    * magic matches; the declared stub only for genuinely unknown
+    * bytes (no fixture class hits it any more). */
   def decode(md: java.security.MessageDigest, docId: Long,
              content: Array[Byte]): MediaMeta = {
     val n = content.length.toLong
-    parsePngHeader(content) match {
-      case Some((w, h)) => MediaMeta(docId, n, "png", w, h, 1 + n / 256, w / 2, h / 2)
-      case None => parseWebpHeader(content) match {
-        case Some((w, h)) => MediaMeta(docId, n, "webp", w, h, 1 + n / 256, w / 2, h / 2)
-        case None => decodeStub(md, docId, content)
-      }
-    }
+    def meta(fmt: String, wh: (Long, Long)) =
+      MediaMeta(docId, n, fmt, wh._1, wh._2, 1 + n / 256, wh._1 / 2, wh._2 / 2)
+    parsePngHeader(content).map(meta("png", _))
+      .orElse(parseWebpHeader(content).map(meta("webp", _)))
+      .orElse(parseJpegHeader(content).map(meta("jpeg", _)))
+      .getOrElse(decodeStub(md, docId, content))
   }
 
   /** x12: partition-wise decode: one decoder per partition, batch

@@ -345,11 +345,12 @@ object ExtSql {
   private val mediaCte = {
     val hdr = Multimodal.PngHeaderLen
     val whdr = Multimodal.WebpHeaderLen
+    val jhdr = Multimodal.JpegHeaderLen
     raw"""media AS (
          |  SELECT doc_id,
          |         CASE WHEN fclass = 1 THEN CAST(tlen + $hdr AS BIGINT)
          |              WHEN fclass = 2 THEN CAST(tlen + $whdr AS BIGINT)
-         |              ELSE CAST(tlen AS BIGINT) END AS n_bytes,
+         |              ELSE CAST(tlen + $jhdr AS BIGINT) END AS n_bytes,
          |         CASE fclass WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
          |              ELSE 'webp' END AS fmt,
          |         CAST(16 + tlen % 640 AS BIGINT) AS width,

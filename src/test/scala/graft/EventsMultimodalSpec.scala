@@ -79,18 +79,41 @@ class EventsMultimodalSpec extends SparkSpec {
     ((d(0) >> 4) & 0xf) % 3
   }
 
-  test("media decode stub is deterministic and frame sampling strides") {
-    // jpeg class = the stub path (png/webp classes now carry real headers)
+  test("decode stub handles unknown bytes; frame sampling strides") {
+    // every fixture class now carries a real header — the stub is the
+    // fallback for genuinely unknown bytes, exercised directly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raw = Array.fill(600)('x'.toByte)
+    val stub = Multimodal.decode(md, 7L, raw)
+    assert(stub.n_bytes === 600L)
+    assert(stub.width === 16 + 600 % 640)
+    assert(stub === Multimodal.decode(md, 7L, raw), "deterministic")
+    // frame sampling through the real jpeg path
     val text = (590 to 700).map("x" * _).find(fmtClass(_) == 0).get
-    val n = text.length
+    val n = text.length + Multimodal.JpegHeaderLen
     val docs = Seq((7L, text, "en")).toDF("doc_id", "text", "lang")
     val meta = Multimodal.mediaMeta(spark, docs).collect().head
-    assert(meta.n_bytes === n.toLong)
-    assert(meta.width === 16 + n % 640)
-    assert(meta.n_frames === 1 + n / 256) // 3 frames for ~600-byte payloads
+    assert(meta.n_frames === 1 + n / 256)
     val frames = Multimodal.frameSample(spark, docs).select("frame_idx")
       .as[Long].collect().toSet
     assert(frames === Set(0L)) // frames 0..2, stride 4 → only 0
+  }
+
+  test("jpeg-class media carries walkable SOI/APP0/SOF0 segments the decoder parses") {
+    val jpegText = (0 to 99).map(i => "doc body " + ("j" * i)).find(fmtClass(_) == 0).get
+    val docs = Seq((9L, jpegText, "en")).toDF("doc_id", "text", "lang")
+    val content = Multimodal.mediaTable(docs)
+      .select("content").as[Array[Byte]].collect().head
+    val payloadLen = jpegText.getBytes("UTF-8").length
+    assert(content.length === payloadLen + Multimodal.JpegHeaderLen)
+    assert((content(0) & 0xff) === 0xff && (content(1) & 0xff) === 0xd8) // SOI
+    assert(new String(content.slice(6, 10), "US-ASCII") === "JFIF")
+    // the parser must WALK segments (APP0 first) to find SOF0's dims
+    assert(Multimodal.parseJpegHeader(content) ===
+      Some((16L + payloadLen % 640, 16L + (payloadLen * 7L) % 480)))
+    val meta = Multimodal.mediaMeta(spark, docs).collect().head
+    assert(meta.fmt === "jpeg")
+    assert(meta.n_bytes === payloadLen + Multimodal.JpegHeaderLen)
   }
 
   test("png-class media carries a spec-valid PNG header the decoder truly parses") {
@@ -118,8 +141,9 @@ class EventsMultimodalSpec extends SparkSpec {
     assert(metas(1L).fmt === "png")
     assert(metas(1L).n_bytes === payloadLen + Multimodal.PngHeaderLen)
     assert(metas(1L).width === 16L + payloadLen % 640)
-    assert(metas(2L).fmt === "jpeg") // non-png class falls through to the stub
-    assert(metas(2L).n_bytes === jpgText.getBytes("UTF-8").length.toLong)
+    assert(metas(2L).fmt === "jpeg") // jpeg class: its own real parse path
+    assert(metas(2L).n_bytes ===
+      jpgText.getBytes("UTF-8").length.toLong + Multimodal.JpegHeaderLen)
   }
 
   test("webp-class media carries a valid RIFF/VP8L header the decoder truly parses") {
