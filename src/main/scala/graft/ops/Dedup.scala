@@ -376,6 +376,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_copies"))
   }
 
+  /** x37: CONTAMINATION detection — eval docs whose n-grams leak into
+    * the training split (the benchmark-decontamination step every LLM
+    * data pipeline runs): shingles of the 'test' split are joined
+    * against the 'train' split's inverted index; pairs sharing ≥
+    * `minShared` distinct shingles are flagged with the shared count.
+    * Train-side postings are df-capped ([[MaxShingleDf]]) — corpus
+    * boilerplate is not contamination evidence and would go quadratic.
+    * Scale: same inverted-index layout as [[jaccardPairsExact]]; the
+    * test split is 10% of the corpus and only its postings replicate. */
+  def contamination(documents: DataFrame, minShared: Int = 3,
+                    maxDf: Int = MaxShingleDf): DataFrame = {
+    val split = TextAnalysis.splitAssign(documents).select(col("doc_id"), col("split"))
+    val post = docShingles(documents).join(split, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), explode(col("sh")).as("s"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf)
+      .persist()
+    post.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("s"))
+      .join(post.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc"), col("s")), Seq("s"))
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Brute-force n-gram Jaccard pairs — the exact verifier / small-N
     * path; the LSH path above is the 100 TB path. */
   def jaccardPairsBrute(documents: DataFrame,

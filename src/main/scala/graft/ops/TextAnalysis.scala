@@ -326,6 +326,53 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** (doc_id, w1, w2): consecutive token pairs of each document. */
+  def docBigrams(documents: DataFrame): DataFrame =
+    withTokens(documents)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** x38: statistical LM quality score (CCNet-style filter): train an
+    * add-one-smoothed BIGRAM language model on the corpus itself, then
+    * score every document by its average negative log-likelihood
+    * under that model — low NLL ≈ fluent/common phrasing, high NLL ≈
+    * gibberish or off-distribution text. logp(w2|w1) =
+    * ln((c(w1,w2)+1) / (c(w1·)+V)) with V = corpus vocabulary size.
+    *
+    * Portability: counts are exact integers; the only floats are the
+    * per-bigram ln (identical argument in both engines) and the final
+    * mean, rounded 4dp. Scale: two hash aggregates over the bigram
+    * stream + one shuffle join of doc-bigrams against the model keyed
+    * on (w1,w2) — the model is itself a distributed table, never
+    * collected (a 100 TB corpus has billions of bigrams). */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val bi = docBigrams(documents).persist()
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = withTokens(documents)
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    // per-bigram logp is scaled to a 1e-7-grid BIGINT before summing:
+    // double addition is order-dependent, integer sums are not, so the
+    // per-doc mean is independent of partial-aggregation order in both
+    // engines (same trick as the centroid sums)
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          * Similarity.CentroidScale).cast("long").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Portable.round4(-(col("slp").cast("double") /
+          (col("n_bigrams") * lit(Similarity.CentroidScale)).cast("double"))).as("nll"))
+  }
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

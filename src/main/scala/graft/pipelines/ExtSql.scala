@@ -710,7 +710,56 @@ object ExtSql {
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2""".stripMargin
 
+  // ---- x37 train/test contamination --------------------------------
+
+  private val x37 =
+    raw"""WITH $toksCte, $shCte,
+         |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bucket < ${TextAnalysis.TrainPct} THEN 'train'
+         |              WHEN bucket < ${TextAnalysis.ValPct} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+         |        FROM documents)),
+         |post AS (
+         |  SELECT doc_id, split, s, count(*) OVER (PARTITION BY s) AS df
+         |  FROM (SELECT d.doc_id, sp.split, unnest(d.sh) AS s
+         |        FROM dsh d JOIN sp USING (doc_id))),
+         |capped AS (SELECT doc_id, split, s FROM post WHERE df <= ${Dedup.MaxShingleDf})
+         |SELECT t.doc_id AS test_doc, tr.doc_id AS train_doc,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM capped t JOIN capped tr ON t.s = tr.s
+         |WHERE t.split = 'test' AND tr.split = 'train'
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+
+  // ---- x38 corpus-trained bigram LM score --------------------------
+
+  private val x38 = {
+    val scale = Similarity.CentroidScale
+    raw"""WITH $toksCte,
+         |bi AS (
+         |  SELECT doc_id, u.w1, u.w2 FROM (
+         |    SELECT doc_id,
+         |           [{'w1': toks[i+1], 'w2': toks[i+2]} for i in range(0, len(toks) - 1)] AS bs
+         |    FROM tok WHERE len(toks) >= 2),
+         |  unnest(bs) AS t(u)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tok)),
+         |lp AS (
+         |  SELECT bi.doc_id,
+         |         CAST(floor(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + voc.v)::DOUBLE) * $scale) AS BIGINT) AS lp
+         |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), voc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       ${round4(s"-(sum(lp)::DOUBLE / (count(*) * $scale)::DOUBLE)")} AS nll
+         |FROM lp GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x37_contamination"   -> x37,
+    "x38_lm_score"        -> x38,
     "x36_pack_bins"       -> x36,
     "x35_salted_enrich"   -> x35,
     "x34_stream_attrib"   -> x34,

@@ -56,7 +56,9 @@ object Extensions {
     "x34_stream_attrib"  -> ((s, d) => graft.streaming.EventStream.attributedBuysAvailableNow(s, d)),
     "x35_salted_enrich"  -> ((s, d) => graft.ops.Skew.saltedEnrich(
       Tables.lineitem(s, d), Tables.supplier(s, d))),
-    "x36_pack_bins"      -> ((s, d) => TextAnalysis.packBins(docs(s, d))))
+    "x36_pack_bins"      -> ((s, d) => TextAnalysis.packBins(docs(s, d))),
+    "x37_contamination"  -> ((s, d) => Dedup.contamination(docs(s, d))),
+    "x38_lm_score"       -> ((s, d) => TextAnalysis.lmScore(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

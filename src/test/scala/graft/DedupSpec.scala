@@ -151,6 +151,27 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((6L, 2L), (12L, 1L)))
   }
 
+  test("contamination flags test docs copying train docs") {
+    // find ids landing in the needed splits (split is md5-bucketed)
+    def bucket(id: Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(h.take(2).map("%02x".format(_)).mkString, 16) % 100).toInt
+    }
+    val trainId = (0L to 500L).find(bucket(_) < 80).get
+    val train2Id = (0L to 500L).filter(bucket(_) < 80).drop(1).head
+    val testId = (0L to 500L).find(bucket(_) >= 90).get
+    val leaked = "one two three four five six seven eight"
+    val corpus = Seq(
+      (trainId, leaked, "en"),
+      (train2Id, "totally different words appear in this training document", "en"),
+      (testId, leaked, "en") // verbatim leak of the train doc
+    ).toDF("doc_id", "text", "lang")
+    val out = contamination(corpus).select("test_doc", "train_doc", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((testId, trainId, 6L))) // 8 tokens → 6 shared trigrams
+  }
+
   test("brute jaccard pairs match LSH-verified pairs at the same threshold") {
     val brute = jaccardPairsBrute(docs, 0.5).select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet

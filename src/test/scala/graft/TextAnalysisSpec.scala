@@ -112,6 +112,20 @@ class TextAnalysisSpec extends SparkSpec {
       ("fr", 0L, 1L, 1L, 4L, 4L)))
   }
 
+  test("lmScore: common phrasing scores lower NLL than rare phrasing") {
+    // bigram counts: (a,b)x2, (a,c)x1; c1(a)=3; V=3
+    val docs = Seq(
+      (1L, "a b", "en"), (2L, "a b", "en"), (3L, "a c", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = lmScore(docs).select("doc_id", "n_bigrams", "nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def fp(x: Double) = math.floor(x * 1e7) / 1e7 // the portable fixed-point grid
+    assert(out(1L) === ((1L, r4(-fp(math.log(3.0 / 6))))))
+    assert(out(3L) === ((1L, r4(-fp(math.log(2.0 / 6))))))
+    assert(out(1L)._2 < out(3L)._2, "repeated phrase is more likely under the corpus LM")
+  }
+
   test("splitAssign is deterministic, content-addressed, and ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = splitAssign(docs).select("doc_id", "split").as[(Long, String)].collect()
