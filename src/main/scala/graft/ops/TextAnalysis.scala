@@ -373,6 +373,31 @@ object TextAnalysis {
           (col("n_bigrams") * lit(Similarity.CentroidScale)).cast("double"))).as("nll"))
   }
 
+  /** x39: REPETITION filters (Gopher-style): within-document
+    * repetition ratios that catch degenerate/templated text —
+    * distinct-token fraction, the most-frequent token's share, and the
+    * most-frequent bigram's share. All ratios 4dp-rounded; ties in
+    * "most frequent" need no break because only the COUNT is used.
+    * Scale: one explode + hash aggregate keyed on (doc, gram) + a
+    * per-doc max — no windows, no joins back to the text. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val tokTop = docTermFreq(documents)
+      .groupBy(col("doc_id"))
+      .agg(max(col("tf")).as("top_tf"), sum(col("tf")).as("n_toks"),
+        count(lit(1)).as("n_distinct"))
+    val biTop = docBigrams(documents)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("bc"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("bc")).as("top_bc"), sum(col("bc")).as("n_bi"))
+    tokTop.join(biTop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Portable.round4(col("n_distinct").cast("double") / col("n_toks")).as("distinct_frac"),
+        Portable.round4(col("top_tf").cast("double") / col("n_toks")).as("top_tok_frac"),
+        coalesce(Portable.round4(col("top_bc").cast("double") / col("n_bi")), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

@@ -757,7 +757,32 @@ object ExtSql {
          |FROM lp GROUP BY 1""".stripMargin
   }
 
+  // ---- x39 repetition filters --------------------------------------
+
+  private val x39 =
+    raw"""WITH $toksCte,
+         |tf AS (
+         |  SELECT doc_id, t AS tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2),
+         |tok_top AS (
+         |  SELECT doc_id, max(tf) AS top_tf, sum(tf) AS n_toks, count(*) AS n_distinct
+         |  FROM tf GROUP BY 1),
+         |bi AS (
+         |  SELECT doc_id, u.w1, u.w2 FROM (
+         |    SELECT doc_id,
+         |           [{'w1': toks[i+1], 'w2': toks[i+2]} for i in range(0, len(toks) - 1)] AS bs
+         |    FROM tok WHERE len(toks) >= 2),
+         |  unnest(bs) AS t(u)),
+         |bc AS (SELECT doc_id, w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2, 3),
+         |bi_top AS (SELECT doc_id, max(bc) AS top_bc, sum(bc) AS n_bi FROM bc GROUP BY 1)
+         |SELECT t.doc_id,
+         |       ${round4("t.n_distinct::DOUBLE / t.n_toks")} AS distinct_frac,
+         |       ${round4("t.top_tf::DOUBLE / t.n_toks")} AS top_tok_frac,
+         |       coalesce(${round4("b.top_bc::DOUBLE / b.n_bi")}, 0.0) AS top_bigram_frac
+         |FROM tok_top t LEFT JOIN bi_top b USING (doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x39_repetition"      -> x39,
     "x37_contamination"   -> x37,
     "x38_lm_score"        -> x38,
     "x36_pack_bins"       -> x36,

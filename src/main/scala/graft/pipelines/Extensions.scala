@@ -58,7 +58,8 @@ object Extensions {
       Tables.lineitem(s, d), Tables.supplier(s, d))),
     "x36_pack_bins"      -> ((s, d) => TextAnalysis.packBins(docs(s, d))),
     "x37_contamination"  -> ((s, d) => Dedup.contamination(docs(s, d))),
-    "x38_lm_score"       -> ((s, d) => TextAnalysis.lmScore(docs(s, d))))
+    "x38_lm_score"       -> ((s, d) => TextAnalysis.lmScore(docs(s, d))),
+    "x39_repetition"     -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

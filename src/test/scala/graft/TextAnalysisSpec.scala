@@ -126,6 +126,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 < out(3L)._2, "repeated phrase is more likely under the corpus LM")
   }
 
+  test("repetitionStats flags repeated tokens and bigrams; 1-token docs are total") {
+    val docs = Seq((1L, "a a a b", "en"), (2L, "x", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = repetitionStats(docs)
+      .select("doc_id", "distinct_frac", "top_tok_frac", "top_bigram_frac")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 4 tokens, 2 distinct; top "a"=3; bigrams (a,a)x2 (a,b)x1
+    assert(out(1L) === ((1L, 0.5, 0.75, math.floor(2.0 / 3 * 10000 + 0.5) / 10000)))
+    assert(out(2L) === ((2L, 1.0, 1.0, 0.0)))
+  }
+
   test("splitAssign is deterministic, content-addressed, and ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = splitAssign(docs).select("doc_id", "split").as[(Long, String)].collect()
