@@ -114,6 +114,18 @@ class PlanSpec extends SparkSpec {
       s"x27 rank must partition on doc_id:\n$p27")
   }
 
+  test("x36 packing window is per-shard, x37 never cartesian, x39 window-free") {
+    val p36 = SparkEntry.queries("x36_pack_bins")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p36.contains("windowspecdefinition(lang"),
+      s"packing running-sum must partition on the shard key:\n$p36")
+    val p37 = plan("x37_contamination")
+    assert(!p37.contains("CartesianProduct") && !p37.contains("BroadcastNestedLoopJoin"),
+      s"contamination join must stay on the shingle key:\n$p37")
+    val p39 = plan("x39_repetition")
+    assert(!p39.contains("Window"), s"repetition stats need no window:\n$p39")
+  }
+
   test("x29 split assignment is map-only: no exchange at all") {
     val p = plan("x29_split_assign")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
