@@ -781,7 +781,46 @@ object ExtSql {
          |       coalesce(${round4("b.top_bc::DOUBLE / b.n_bi")}, 0.0) AS top_bigram_frac
          |FROM tok_top t LEFT JOIN bi_top b USING (doc_id)""".stripMargin
 
+  // ---- x40 log-histogram quantile sketch ---------------------------
+
+  private val x40 = {
+    val qsk = graft.functions.QuantileSketch
+    val b = qsk.Boundaries
+    val binCase = (b.length - 1 to 1 by -1)
+      .map(i => s"WHEN v >= ${b(i)} THEN $i").mkString("CASE ", " ", " ELSE 0 END")
+    val loCase = b.indices
+      .map(i => s"WHEN bin = $i THEN ${b(i)}").mkString("CASE ", " ", " ELSE 0 END")
+    val wCase = b.indices
+      .map(i => s"WHEN bin = $i THEN ${qsk.upper(i) - b(i)}").mkString("CASE ", " ", " ELSE 0 END")
+    raw"""WITH c AS (SELECT event_type, $centsExpr + 1 AS v FROM events),
+         |h AS (
+         |  SELECT event_type, CAST($binCase AS BIGINT) AS bin, count(*) AS cnt
+         |  FROM c GROUP BY 1, 2),
+         |cm AS (
+         |  SELECT *,
+         |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+         |                        ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM h),
+         |px AS (
+         |  SELECT event_type, q.qname, n, bin, cum, cnt,
+         |         CAST(ceil(q.q * n) AS BIGINT) AS rank,
+         |         row_number() OVER (PARTITION BY event_type, q.qname ORDER BY bin) AS rn
+         |  FROM cm, (VALUES (0.5, 'p50'), (0.9, 'p90'), (0.99, 'p99')) q(q, qname)
+         |  WHERE cum >= CAST(ceil(q.q * n) AS BIGINT)),
+         |est AS (
+         |  SELECT event_type, qname, n,
+         |         ${round4(s"($loCase)::DOUBLE + ($wCase)::DOUBLE * (rank - (cum - cnt))::DOUBLE / cnt - 1.0")} AS est
+         |  FROM px WHERE rn = 1)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |       max(CASE WHEN qname = 'p50' THEN est END) AS p50_est,
+         |       max(CASE WHEN qname = 'p90' THEN est END) AS p90_est,
+         |       max(CASE WHEN qname = 'p99' THEN est END) AS p99_est
+         |FROM est GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x40_quantile_sketch" -> x40,
     "x39_repetition"      -> x39,
     "x37_contamination"   -> x37,
     "x38_lm_score"        -> x38,

@@ -59,7 +59,10 @@ object Extensions {
     "x36_pack_bins"      -> ((s, d) => TextAnalysis.packBins(docs(s, d))),
     "x37_contamination"  -> ((s, d) => Dedup.contamination(docs(s, d))),
     "x38_lm_score"       -> ((s, d) => TextAnalysis.lmScore(docs(s, d))),
-    "x39_repetition"     -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))))
+    "x39_repetition"     -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
+    "x40_quantile_sketch" -> ((s, d) => graft.functions.QuantileSketch.groupQuantiles(
+      evs(s, d).select(col("event_type"), Events.valueCents(col("value")).as("cents")),
+      "event_type", "cents")))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
