@@ -38,24 +38,30 @@ object QuantileSketch {
   def upper(i: Int): Long =
     if (i + 1 < Boundaries.length) Boundaries(i + 1) else Boundaries.last * 2
 
-  /** Bin index of v (≥ 1): outermost WHEN checks the largest bound. */
+  /** Bin index of v (≥ 1) — ARITHMETIC, not a comparison chain: the
+    * octave o = floor(log2 v) is computed exactly as
+    * length(bin(v)) − 1 (minimal binary-digit strings are identical
+    * in Spark and DuckDB; no float log2), then with k = o − 2 the
+    * index is k·4 + (v >> k) − 1; values < 4 are their own point
+    * bins. A 168-branch generated CASE benchmarked ~4 s at sf0.1 —
+    * this form is a handful of codegen'd integer ops. */
   def binOf(v: Column): Column = {
-    var e: Column = lit(0L)
-    for (i <- 1 until Boundaries.length)
-      e = when(v >= Boundaries(i), lit(i.toLong)).otherwise(e)
-    e
+    val k = (length(bin(v)) - 3).cast("long")
+    when(v < 4, (v - 1).cast("long"))
+      .otherwise(k * 4 + call_function("shiftright", v, k) - 1)
   }
 
-  /** Lower bound / width of a bin id (generated lookup — runs only on
-    * the few selected quantile rows). */
-  def loOf(bin: Column): Column =
-    (0 until Boundaries.length).foldLeft(lit(0L): Column) { (acc, i) =>
-      when(bin === i.toLong, lit(Boundaries(i))).otherwise(acc)
-    }
+  /** Lower bound / width of a bin id (inverse of [[binOf]]): for
+    * bin ≥ 3, k = (bin−3) div 4, sub = (bin−3) mod 4,
+    * lo = (4+sub) << k, width = 1 << k; point bins below. */
+  def loOf(bin: Column): Column = {
+    val k = floor((bin - 3) / 4).cast("long")
+    when(bin < 3, bin + 1)
+      .otherwise(call_function("shiftleft", lit(4L) + pmod(bin - 3, lit(4L)), k))
+  }
   def widthOf(bin: Column): Column =
-    (0 until Boundaries.length).foldLeft(lit(0L): Column) { (acc, i) =>
-      when(bin === i.toLong, lit(upper(i) - Boundaries(i))).otherwise(acc)
-    }
+    when(bin < 3, lit(1L))
+      .otherwise(call_function("shiftleft", lit(1L), floor((bin - 3) / 4).cast("long")))
 
   /** Quantiles estimated per group: for each q, the first bin whose
     * cumulative count reaches rank = ceil(q·n), linearly interpolated

@@ -784,14 +784,15 @@ object ExtSql {
   // ---- x40 log-histogram quantile sketch ---------------------------
 
   private val x40 = {
-    val qsk = graft.functions.QuantileSketch
-    val b = qsk.Boundaries
-    val binCase = (b.length - 1 to 1 by -1)
-      .map(i => s"WHEN v >= ${b(i)} THEN $i").mkString("CASE ", " ", " ELSE 0 END")
-    val loCase = b.indices
-      .map(i => s"WHEN bin = $i THEN ${b(i)}").mkString("CASE ", " ", " ELSE 0 END")
-    val wCase = b.indices
-      .map(i => s"WHEN bin = $i THEN ${qsk.upper(i) - b(i)}").mkString("CASE ", " ", " ELSE 0 END")
+    // same arithmetic bin math as QuantileSketch.binOf/loOf/widthOf:
+    // octave via length(bin(v)) (minimal binary digits, both engines),
+    // then pure integer shifts
+    val binCase =
+      "CASE WHEN v < 4 THEN v - 1 ELSE (length(bin(v)) - 3) * 4 + (v >> (length(bin(v)) - 3)) - 1 END"
+    val loCase =
+      "CASE WHEN bin < 3 THEN bin + 1 ELSE (4 + (bin - 3) % 4) << ((bin - 3) // 4) END"
+    val wCase =
+      "CASE WHEN bin < 3 THEN 1 ELSE 1 << ((bin - 3) // 4) END"
     raw"""WITH c AS (SELECT event_type, $centsExpr + 1 AS v FROM events),
          |h AS (
          |  SELECT event_type, CAST($binCase AS BIGINT) AS bin, count(*) AS cnt
