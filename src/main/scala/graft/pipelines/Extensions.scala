@@ -62,7 +62,8 @@ object Extensions {
     "x39_repetition"     -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
     "x40_quantile_sketch" -> ((s, d) => graft.functions.QuantileSketch.groupQuantiles(
       evs(s, d).select(col("event_type"), Events.valueCents(col("value")).as("cents")),
-      "event_type", "cents")))
+      "event_type", "cents")),
+    "x41_sql_topsupp"    -> ((s, d) => graft.sources.Catalog.topSupplierPerNation(s, d)))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
