@@ -55,7 +55,10 @@ object Report {
           "sku_via_apex_spk", "sku_missing_sl"),
         "status" -> Seq("marc", "mb52", "mb52_groupby"))) {
       val t0 = System.nanoTime()
-      graft.sources.Xlsx.write(names.map(n => n -> sheets(s"$wb/$n")), s"$outDir/$wb.xlsx")
+      // read back the parquet just written rather than re-running the
+      // pipelines a second time for the workbook pass
+      graft.sources.Xlsx.write(
+        names.map(n => n -> spark.read.parquet(s"$outDir/$wb/$n")), s"$outDir/$wb.xlsx")
       println(f"[report] ${wb + ".xlsx"}%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     spark.stop()

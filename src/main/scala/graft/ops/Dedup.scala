@@ -247,11 +247,12 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(bandHashes(minhashFromBases(col("hb")))).as(Seq("band_idx", "band_hash")))
     val bands =
-      if (maxBucket == Int.MaxValue) banded
-      else banded.withColumn("bucket_n",
+      (if (maxBucket == Int.MaxValue) banded
+       else banded.withColumn("bucket_n",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("band_idx"), col("band_hash"))))
-        .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+        .filter(col("bucket_n") <= maxBucket).drop("bucket_n"))
+        .persist() // both self-join sides — same trap the sibling documents
     val cands = bands.alias("l").join(bands.alias("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -352,6 +353,12 @@ object Dedup {
       labels = next
       i += 1
     }
+    // wrong-but-plausible labels are worse than failing loud: a
+    // component with diameter > maxIters would report split clusters
+    // (and diverge from the oracle's true transitive closure)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxIters rounds — raise maxIters")
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
     labels.join(sizes, Seq("lbl"))
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("n_members"))

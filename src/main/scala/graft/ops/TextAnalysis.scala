@@ -230,16 +230,18 @@ object TextAnalysis {
     * second explode); the doc count N is a 1-row aggregate broadcast
     * into the projection. Scale: two hash aggregates, shuffle keyed on
     * the token. */
-  def vocabIdf(documents: DataFrame): DataFrame = {
-    val n = documents.select(count(lit(1)).as("n_docs"))
-    docTermFreq(documents)
-      .groupBy(col("tok"))
+  def vocabIdf(documents: DataFrame): DataFrame =
+    vocabIdfFromTf(docTermFreq(documents), documents.select(count(lit(1)).as("n_docs")))
+
+  /** Vocabulary/IDF from a PRE-COMPUTED term-frequency frame — shared
+    * by x26 and x27 so the tokenize+explode+aggregate pass runs once. */
+  def vocabIdfFromTf(tf: DataFrame, nDocs: DataFrame): DataFrame =
+    tf.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(nDocs))
       .select(col("tok"), col("df"), col("cf"),
         Portable.round4(
           log((col("n_docs") + 1).cast("double") / (col("df") + 1))).as("idf"))
-  }
 
   /** x27: top TF-IDF terms per document (k per doc, score desc, tie on
     * token): tf × idf with both factors exactly as x26 computes them.
@@ -250,8 +252,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok").asc)
-    docTermFreq(documents)
-      .join(vocabIdf(documents).select(col("tok"), col("idf")), Seq("tok"))
+    val tf = docTermFreq(documents).persist() // feeds both idf and the join
+    tf.join(
+        vocabIdfFromTf(tf, documents.select(count(lit(1)).as("n_docs")))
+          .select(col("tok"), col("idf")), Seq("tok"))
       .select(col("doc_id"), col("tok"),
         Portable.round4(col("tf") * col("idf")).as("score"))
       .withColumn("rnk", row_number().over(w).cast("long"))

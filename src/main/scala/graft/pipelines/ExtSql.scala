@@ -822,17 +822,8 @@ object ExtSql {
 
   // ---- x41 SQL-surface query ---------------------------------------
 
-  private val x41 =
-    raw"""SELECT n_name, s_suppkey, sum_qty, CAST(rnk AS BIGINT) AS rnk FROM (
-         |  SELECT n.n_name, s.s_suppkey,
-         |         CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-         |         ROW_NUMBER() OVER (PARTITION BY n.n_name
-         |           ORDER BY SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) DESC, s.s_suppkey) AS rnk
-         |  FROM lineitem l
-         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
-         |  GROUP BY n.n_name, s.s_suppkey)
-         |WHERE rnk <= 3""".stripMargin
+  /** Dialect-neutral SQL shared verbatim with the Spark side. */
+  private val x41 = graft.sources.Catalog.TopSupplierSql
 
   val oracle: Map[String, String] = Map(
     "x41_sql_topsupp"     -> x41,

@@ -21,22 +21,27 @@ object Catalog {
       case n => Tables.read(spark, dir, n).createOrReplaceTempView(n)
     }
 
+  /** The x41 query text — ONE definition for both engines (the SQL is
+    * dialect-neutral, so Spark runs it verbatim and the DuckDB oracle
+    * references the same constant; two copies could drift). */
+  val TopSupplierSql: String =
+    """SELECT n_name, s_suppkey, sum_qty, CAST(rnk AS BIGINT) AS rnk FROM (
+      |  SELECT n.n_name, s.s_suppkey,
+      |         CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |         ROW_NUMBER() OVER (PARTITION BY n.n_name
+      |           ORDER BY SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) DESC, s.s_suppkey) AS rnk
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name, s.s_suppkey)
+      |WHERE rnk <= 3""".stripMargin
+
   /** x41: a query authored in pure SQL over the registered views —
     * top supplier per nation by shipped quantity (join + aggregate +
     * window rank), proving the SQL surface plans exactly like the
     * DataFrame API (same Catalyst pipeline, same oracle discipline). */
   def topSupplierPerNation(spark: SparkSession, dir: String): DataFrame = {
     registerAll(spark, dir)
-    spark.sql("""
-      SELECT n_name, s_suppkey, sum_qty, CAST(rnk AS BIGINT) AS rnk FROM (
-        SELECT n.n_name, s.s_suppkey,
-               CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-               ROW_NUMBER() OVER (PARTITION BY n.n_name
-                 ORDER BY SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) DESC, s.s_suppkey) AS rnk
-        FROM lineitem l
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        GROUP BY n.n_name, s.s_suppkey)
-      WHERE rnk <= 3""")
+    spark.sql(TopSupplierSql)
   }
 }

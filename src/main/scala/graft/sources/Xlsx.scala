@@ -53,7 +53,11 @@ object Xlsx {
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
-      case c   => sb.append(c)
+      // XML 1.0 forbids most control chars outright — emitting them
+      // (SAP exports carry stray s) would make the workbook
+      // unparseable; substitute U+FFFD
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => sb.append('�')
+      case c => sb.append(c)
     }
     sb.toString
   }
@@ -62,6 +66,12 @@ object Xlsx {
 
   private def cellXml(ref: String, v: Any): String = v match {
     case null => ""
+    // NaN/Infinity are not valid numeric cell values — fall through to
+    // the inline-string branch rather than corrupt the workbook
+    case d: Double if d.isNaN || d.isInfinite =>
+      s"""<c r="$ref" t="inlineStr"><is><t>$d</t></is></c>"""
+    case f: Float if f.isNaN || f.isInfinite =>
+      s"""<c r="$ref" t="inlineStr"><is><t>$f</t></is></c>"""
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
       s"""<c r="$ref" t="n"><v>$n</v></c>"""
     case d: java.math.BigDecimal => s"""<c r="$ref" t="n"><v>${d.toPlainString}</v></c>"""
@@ -175,7 +185,15 @@ object Xlsx {
         case Some(e) =>
           val ss = parseXml(zf.getInputStream(e))
           elems(ss.getDocumentElement, "si")
-            .map(si => elems(si, "t").map(_.getTextContent).mkString)
+            // only <t> directly under <si> or inside rich runs <r> —
+            // NOT <rPh> phonetic runs, which Excel adds for CJK text
+            // and which would concatenate furigana into the value
+            .map(si => elems(si, "t")
+              .filter(t => t.getParentNode.getNodeName match {
+                case "si" | "r" => true
+                case _ => false
+              })
+              .map(_.getTextContent).mkString)
             .toIndexedSeq
         case None => IndexedSeq.empty
       }
@@ -192,7 +210,8 @@ object Xlsx {
           cellValue.map(col -> _)
         }.toArray
       }
-      if (rows.isEmpty) sys.error(s"sheet '$sheet' has no header row")
+      if (rows.isEmpty || rows.head.isEmpty)
+        sys.error(s"sheet '$sheet' has no header row")
       val header = rows.head.toMap
       val nCols = (header.keySet.max + 1) max 1
       val names = (0 until nCols).map(i => header.getOrElse(i, s"_c$i"))

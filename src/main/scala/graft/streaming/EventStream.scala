@@ -169,8 +169,18 @@ object EventStream {
       while (d != null && d.getName != "target") d = d.getParentFile
       if (d != null) d else new java.io.File("target")
     }
-    new java.io.File(base,
-      s"streamq/$name-${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+    val root = new java.io.File(base, "streamq")
+    // reap prior runs' sink/checkpoint trees: both Verify and Bench
+    // consume each query's sink eagerly before the next query starts,
+    // so anything already present is garbage (a tuning session would
+    // otherwise grow streamq without bound)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    Option(root.listFiles()).foreach(_.foreach(rm))
+    new java.io.File(root,
+      s"$name-${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
   }
 
   /** Stateful-query partition count for the AvailableNow runs. The
@@ -262,7 +272,11 @@ object EventStream {
       .option("checkpointLocation", s"$tableDir/_ck")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val delta = new java.io.File(s"$tableDir/delta_$batchId")
-        if (!delta.exists()) { // re-delivered batch → already durable, skip
+        // re-delivery guard keys on the COMMIT marker, not bare
+        // directory existence: a write that crashed mid-job leaves the
+        // dir without _SUCCESS and must be redone (mode=overwrite
+        // replaces the partial attempt)
+        if (!new java.io.File(delta, "_SUCCESS").exists()) {
           batch.groupBy(col("user_id"))
             .agg(max(struct(unix_millis(col("ts")).as("ms"), col("value_cents"))).as("m"))
             .select(col("user_id"), col("m.ms").as("ms"), col("m.value_cents"))
