@@ -712,17 +712,21 @@ object ExtSql {
 
   // ---- x37 train/test contamination --------------------------------
 
-  private val x37 =
-    raw"""WITH $toksCte, $shCte,
-         |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
-         |sp AS (
+  /** doc_id → split (shared by x37 and the x43 bloom probe). */
+  private val splitCte =
+    raw"""sp AS (
          |  SELECT doc_id,
          |         CASE WHEN bucket < ${TextAnalysis.TrainPct} THEN 'train'
          |              WHEN bucket < ${TextAnalysis.ValPct} THEN 'val'
          |              ELSE 'test' END AS split
          |  FROM (SELECT doc_id,
          |               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
-         |        FROM documents)),
+         |        FROM documents))""".stripMargin
+
+  private val x37 =
+    raw"""WITH $toksCte, $shCte,
+         |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
+         |$splitCte,
          |post AS (
          |  SELECT doc_id, split, s, count(*) OVER (PARTITION BY s) AS df
          |  FROM (SELECT d.doc_id, sp.split, unnest(d.sh) AS s
@@ -825,7 +829,48 @@ object ExtSql {
   /** Dialect-neutral SQL shared verbatim with the Spark side. */
   private val x41 = graft.sources.Catalog.TopSupplierSql
 
+  // ---- x42/x43 Bloom filter build + probe --------------------------
+
+  private val bloomPosExpr = {
+    val bf = graft.functions.BloomFilter
+    (col: String) => s"('0x' || substr(md5(i.i::VARCHAR || ':' || $col), 1, 8))::BIGINT % ${bf.Bits}"
+  }
+
+  private val x42 = {
+    val bf = graft.functions.BloomFilter
+    raw"""WITH fpd AS (SELECT $fpFull AS fp FROM documents),
+         |pos AS (
+         |  SELECT DISTINCT ${bloomPosExpr("fp")} AS pos
+         |  FROM fpd, (SELECT unnest(range(0, ${bf.Hashes})) AS i) i)
+         |SELECT pos // ${bf.WordBits} AS word_idx,
+         |       CAST(bit_or(1::BIGINT << (pos % ${bf.WordBits})) AS BIGINT) AS bits
+         |FROM pos GROUP BY 1""".stripMargin
+  }
+
+  private val x43 = {
+    val bf = graft.functions.BloomFilter
+    raw"""WITH fpd AS (SELECT doc_id, $fpFull AS fp FROM documents),
+         |$splitCte,
+         |tagged AS (SELECT f.doc_id, f.fp, sp.split FROM fpd f JOIN sp USING (doc_id)),
+         |train AS (SELECT DISTINCT fp FROM tagged WHERE split = 'train'),
+         |fpos AS (
+         |  SELECT DISTINCT ${bloomPosExpr("fp")} AS pos
+         |  FROM train, (SELECT unnest(range(0, ${bf.Hashes})) AS i) i),
+         |probes AS (
+         |  SELECT t.doc_id, t.fp, ${bloomPosExpr("t.fp")} AS pos
+         |  FROM tagged t, (SELECT unnest(range(0, ${bf.Hashes})) AS i) i
+         |  WHERE t.split = 'test'),
+         |hits AS (
+         |  SELECT p.doc_id, p.fp, count(f.pos) = ${bf.Hashes} AS bloom_hit
+         |  FROM probes p LEFT JOIN fpos f USING (pos)
+         |  GROUP BY 1, 2)
+         |SELECT h.doc_id, h.bloom_hit, (tr.fp IS NOT NULL) AS in_train
+         |FROM hits h LEFT JOIN train tr USING (fp)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x42_bloom_filter"    -> x42,
+    "x43_bloom_probe"     -> x43,
     "x41_sql_topsupp"     -> x41,
     "x40_quantile_sketch" -> x40,
     "x39_repetition"      -> x39,

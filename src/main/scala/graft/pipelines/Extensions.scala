@@ -63,7 +63,10 @@ object Extensions {
     "x40_quantile_sketch" -> ((s, d) => graft.functions.QuantileSketch.groupQuantiles(
       evs(s, d).select(col("event_type"), Events.valueCents(col("value")).as("cents")),
       "event_type", "cents")),
-    "x41_sql_topsupp"    -> ((s, d) => graft.sources.Catalog.topSupplierPerNation(s, d)))
+    "x41_sql_topsupp"    -> ((s, d) => graft.sources.Catalog.topSupplierPerNation(s, d)),
+    "x42_bloom_filter"   -> ((s, d) => graft.functions.BloomFilter.build(
+      docs(s, d).select(TextAnalysis.fingerprint(col("text")).as("fp")), "fp")),
+    "x43_bloom_probe"    -> ((s, d) => graft.functions.BloomFilter.probeSplitFingerprints(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
