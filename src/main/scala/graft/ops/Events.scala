@@ -92,6 +92,39 @@ object Events {
         graft.ops.Portable.round4(percentile(col("cents"), lit(0.9))).as("p90"),
         graft.ops.Portable.round4(percentile(col("cents"), lit(0.99))).as("p99"))
 
+  /** Trailing window (rows) for the anomaly baseline. */
+  val AnomalyWindow = 24
+
+  /** x44: event-rate ANOMALY detection — per (event_type, hour), the
+    * z-score of the hourly event count against the trailing
+    * [[AnomalyWindow]]-hour baseline (the standard ops alarm: "is this
+    * hour's traffic off-distribution for this stream?").
+    *
+    * Portability: counts are integers, so the trailing Σc and Σc² are
+    * exact in both engines; mean and σ are derived once per row from
+    * those two integer sums in a fixed expression order and rounded
+    * 4dp. Rows with fewer than 2 baseline hours or σ = 0 report null.
+    * Scale: one hash aggregate (hourly counts) + one bounded ROWS
+    * window per event_type shard — the same plan shape as x36. */
+  def rateAnomaly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-AnomalyWindow, -1)
+    val hourly = parsedEvents(events)
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly
+      .withColumn("n_base", count(col("c")).over(w))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+    val mean = col("s1").cast("double") / col("n_base")
+    val variance = col("s2").cast("double") / col("n_base") - mean * mean
+    stats.select(col("event_type"), col("hour"), col("c"),
+      when(col("n_base") >= 2 && variance > 0,
+        graft.ops.Portable.round4((col("c") - mean) / sqrt(variance)))
+        .as("z"))
+  }
+
   /** x16: gap-based sessionization: per user, order by (ts, event_id);
     * gap > [[SessionGapMs]] opens a new session; emit one row per
     * session with bounds and totals. */

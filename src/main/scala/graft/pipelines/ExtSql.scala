@@ -868,7 +868,32 @@ object ExtSql {
          |FROM hits h LEFT JOIN train tr USING (fp)""".stripMargin
   }
 
+  // ---- x44 event-rate anomaly (trailing z-score) -------------------
+
+  private val x44 = {
+    val win = Events.AnomalyWindow
+    raw"""WITH hourly AS (
+         |  SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT *,
+         |         count(c) OVER tw AS n_base,
+         |         sum(c) OVER tw AS s1,
+         |         sum(c * c) OVER tw AS s2
+         |  FROM hourly
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+         |                ROWS BETWEEN $win PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, hour, c,
+         |       CASE WHEN n_base >= 2
+         |                 AND s2::DOUBLE / n_base - (s1::DOUBLE / n_base) * (s1::DOUBLE / n_base) > 0
+         |            THEN ${round4("(c - s1::DOUBLE / n_base) / sqrt(s2::DOUBLE / n_base - (s1::DOUBLE / n_base) * (s1::DOUBLE / n_base))")}
+         |            END AS z
+         |FROM stats""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x44_rate_anomaly"    -> x44,
     "x42_bloom_filter"    -> x42,
     "x43_bloom_probe"     -> x43,
     "x41_sql_topsupp"     -> x41,

@@ -66,7 +66,8 @@ object Extensions {
     "x41_sql_topsupp"    -> ((s, d) => graft.sources.Catalog.topSupplierPerNation(s, d)),
     "x42_bloom_filter"   -> ((s, d) => graft.functions.BloomFilter.build(
       docs(s, d).select(TextAnalysis.fingerprint(col("text")).as("fp")), "fp")),
-    "x43_bloom_probe"    -> ((s, d) => graft.functions.BloomFilter.probeSplitFingerprints(docs(s, d))))
+    "x43_bloom_probe"    -> ((s, d) => graft.functions.BloomFilter.probeSplitFingerprints(docs(s, d))),
+    "x44_rate_anomaly"   -> ((s, d) => Events.rateAnomaly(evs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -48,6 +48,23 @@ class EventsMultimodalSpec extends SparkSpec {
     assert(out._3 === 360.0)
   }
 
+  test("rateAnomaly z-scores against the trailing window; degenerate baselines are null") {
+    // hourly counts for one type: 1, 3, 1, 5 (hours 0..3)
+    val evs = (Seq(ts(10)) ++ Seq(70, 80, 90).map(m => ts(m.toLong)) ++
+      Seq(ts(130)) ++ Seq(190, 200, 210, 220, 230).map(m => ts(m.toLong)))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, 1L, "click", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.rateAnomaly(evs)
+      .select("hour", "c", "z").as[(String, Long, Option[Double])].collect()
+      .map(r => r._1.substring(11, 13) -> ((r._2, r._3))).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(out("00") === ((1L, None)))        // no baseline
+    assert(out("01") === ((3L, None)))        // n_base = 1
+    assert(out("02") === ((1L, Some(r4((1 - 2.0) / 1.0))))) // base [1,3]: mean 2, sigma 1
+    val mean = 5.0 / 3; val sigma = math.sqrt(11.0 / 3 - mean * mean)
+    assert(out("03") === ((5L, Some(r4((5 - mean) / sigma)))))
+  }
+
   test("rollupAgg emits per-group, per-type subtotal, and grand-total levels") {
     val out = Events.rollupAgg(events)
       .select("event_type", "hour", "n_events", "value_cents")
