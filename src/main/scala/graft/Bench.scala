@@ -42,7 +42,11 @@ object Bench {
       } catch { case e: Throwable =>
         errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.next().take(200)
-      }
+      } finally
+        // drop this query's operator-local caches (ADVICE r2): pipeline
+        // -level shared caches stay; per-query frames must not
+        // accumulate for the JVM lifetime across a 57+-query suite
+        graft.ops.Caching.reapTemps()
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"

@@ -34,8 +34,10 @@ object BloomFilter {
         .cast("long"), lit(Bits.toLong))
     }: _*)
 
-  /** x42: the PACKED filter: one row per occupied 64-bit word,
-    * bits = OR of 1<<(pos mod 64). Built with one explode + two hash
+  /** x42: the PACKED filter: one row per occupied [[WordBits]]-bit
+    * (32-bit) word, bits = OR of 1<<(pos mod [[WordBits]]) — 32-bit
+    * words deliberately, see the class doc (a 1<<63 shift overflows
+    * DuckDB's signed BIGINT). Built with one explode + two hash
     * aggregates; merging two filters is bit_or on word_idx. */
   def build(keys: DataFrame, keyCol: String): DataFrame =
     keys

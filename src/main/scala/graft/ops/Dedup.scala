@@ -148,11 +148,10 @@ object Dedup {
   def minhashNearDupPairs(documents: DataFrame,
                           threshold: Double = JaccardThreshold,
                           maxBucket: Int = MaxBucket): DataFrame = {
-    val banded = docShingles(documents)
+    val banded = Caching.temp(docShingles(documents)
       .select(col("doc_id"), col("sh"), transform(col("sh"), shingleBase _).as("hb"))
       .select(col("doc_id"), col("sh"),
-        posexplode(bandHashes(minhashFromBases(col("hb")))).as(Seq("band_idx", "band_hash")))
-      .persist()
+        posexplode(bandHashes(minhashFromBases(col("hb")))).as(Seq("band_idx", "band_hash"))))
     // degenerate-bucket guard: a band hash shared by m docs yields
     // m²/2 candidate pairs — at corpus scale a boilerplate bucket goes
     // quadratic. Buckets over `maxBucket` are dropped outright (their
@@ -214,12 +213,11 @@ object Dedup {
       val width = if (b == SimHashBlocks - 1) SimHashBits - lo else blockBits
       (shiftrightunsigned(col("simhash"), lo) % (1L << width)).as(s"blk$b")
     }
-    val blocks = sigs
+    val blocks = Caching.temp(sigs
       .select(col("doc_id") +: col("simhash") +: blockVals: _*)
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimHashBlocks).map(b => col(s"blk$b")): _*))
-          .as(Seq("block_idx", "block_val")))
-      .persist()
+          .as(Seq("block_idx", "block_val"))))
     blocks.alias("l").join(blocks.alias("r"),
         col("l.block_idx") === col("r.block_idx") &&
         col("l.block_val") === col("r.block_val") &&
@@ -240,19 +238,18 @@ object Dedup {
   def minhashNearDupPairsSlim(documents: DataFrame,
                               threshold: Double = JaccardThreshold,
                               maxBucket: Int = MaxBucket): DataFrame = {
-    val sh = docShingles(documents).persist()
+    val sh = Caching.temp(docShingles(documents))
     val banded = sh
       .select(col("doc_id"),
         transform(col("sh"), shingleBase _).as("hb"))
       .select(col("doc_id"),
         posexplode(bandHashes(minhashFromBases(col("hb")))).as(Seq("band_idx", "band_hash")))
     val bands =
-      (if (maxBucket == Int.MaxValue) banded
+      Caching.temp(if (maxBucket == Int.MaxValue) banded
        else banded.withColumn("bucket_n",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("band_idx"), col("band_hash"))))
-        .filter(col("bucket_n") <= maxBucket).drop("bucket_n"))
-        .persist() // both self-join sides — same trap the sibling documents
+        .filter(col("bucket_n") <= maxBucket).drop("bucket_n")) // both self-join sides — same trap the sibling documents
     val cands = bands.alias("l").join(bands.alias("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -272,14 +269,24 @@ object Dedup {
     * carries no near-dup signal and would go quadratic). */
   val MaxShingleDf = 128
 
-  /** x25: EXACT all-pairs shingle Jaccard ≥ τ via a PREFIX-FILTERED
+  /** x25: all-pairs shingle Jaccard ≥ τ via a PREFIX-FILTERED
     * inverted-index self-join (PPJoin-lite, Chaudhuri '06 / Xiao '08;
-    * the exact counterpart to the approximate x5 LSH path, never a
-    * cross join):
+    * the exact-verify counterpart to the approximate x5 LSH path,
+    * never a cross join).
+    *
+    * EXACTNESS CONTRACT: the prefix filter itself is lossless (step 3
+    * below), but the df cap in step 2 is NOT — it is the same
+    * deliberate boilerplate-drop as [[MaxBucket]]: a pair whose entire
+    * overlap lives in shingles with df > [[MaxShingleDf]] loses its
+    * postings and is never emitted (DedupSpec pins this drop on a
+    * corpus where the cap fires; it never fires on the fixtures, where
+    * max df is 25). Pass `maxDf = Int.MaxValue` for truly exact
+    * all-pairs. Reported Jaccard values are always exact — the verify
+    * step uses full uncapped shingle sets.
     *
     *  1. explode shingles to postings, global df per shingle;
     *  2. drop shingles with df > [[MaxShingleDf]] (boilerplate guard,
-    *     same role as [[MaxBucket]] — never fires on the fixtures);
+    *     lossy BY DESIGN for boilerplate-only overlap — see above);
     *  3. PREFIX FILTER: order each doc's shingles by global rarity
     *     (df asc, shingle asc) and index only the first
     *     n − ⌈τ·n⌉ + 1. Jaccard ≥ τ implies |A∩B| ≥ τ·max(|A|,|B|),
@@ -299,16 +306,16 @@ object Dedup {
                         threshold: Double = JaccardThreshold,
                         maxDf: Int = MaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docShingles(documents).persist()
+    val sh = Caching.temp(docShingles(documents))
     val byDoc = Window.partitionBy(col("doc_id"))
-    val prefix = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val prefix = Caching.temp(sh
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf)
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df").asc, col("s").asc)))
       .withColumn("n_idx", count(lit(1)).over(byDoc))
       .filter(col("rk") <= col("n_idx") - ceil(lit(threshold) * col("n_idx")) + 1)
-      .select(col("doc_id"), col("n"), col("s"))
-      .persist()
+      .select(col("doc_id"), col("n"), col("s")))
     // length filter (PPJoin): J ≥ τ forces τ·|A| ≤ |B| and τ·|B| ≤ |A|
     val cands = prefix.alias("l").join(prefix.alias("r"),
         col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id") &&
@@ -334,11 +341,11 @@ object Dedup {
     * shuffle-optimal variant is alternating large-star/small-star
     * (Kiveris et al. '14) — same loop shape, fewer rounds. */
   def dupClusters(documents: DataFrame, maxIters: Int = 20): DataFrame = {
-    val pairs = minhashNearDupPairs(documents).select(col("doc_a"), col("doc_b")).persist()
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("u", "v").persist()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).persist()
+    val pairs = Caching.temp(minhashNearDupPairs(documents).select(col("doc_a"), col("doc_b")))
+    val edges = Caching.temp(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v"))
+    var labels = Caching.temp(edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -347,10 +354,14 @@ object Dedup {
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
         .select(col("doc_id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist()
+      // the convergence probe is an action, so `next` is materialized
+      // here — the superseded generation can be dropped immediately
+      // instead of accumulating one cached frame per iteration
       converged = next.alias("n")
         .join(labels.select(col("doc_id"), col("lbl").as("old")).alias("o"), Seq("doc_id"))
         .filter(col("lbl") =!= col("old")).isEmpty
-      labels = next
+      labels.unpersist(blocking = false)
+      labels = Caching.temp(next)
       i += 1
     }
     // wrong-but-plausible labels are worse than failing loud: a
@@ -395,12 +406,11 @@ object Dedup {
   def contamination(documents: DataFrame, minShared: Int = 3,
                     maxDf: Int = MaxShingleDf): DataFrame = {
     val split = TextAnalysis.splitAssign(documents).select(col("doc_id"), col("split"))
-    val post = docShingles(documents).join(split, Seq("doc_id"))
+    val post = Caching.temp(docShingles(documents).join(split, Seq("doc_id"))
       .select(col("doc_id"), col("split"), explode(col("sh")).as("s"))
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf)
-      .persist()
+      .filter(col("df") <= maxDf))
     post.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc"), col("s"))
       .join(post.filter(col("split") === "train")

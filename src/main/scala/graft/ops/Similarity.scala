@@ -126,8 +126,9 @@ object Similarity {
     val tagged = vs.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(array((0 until LshTables).map(t => col(s"b$t")): _*))
         .as(Seq("tbl", "bucket")))
-      .persist() // 16 hyperplane dots per vector — compute once, not per join side
-    tagged.alias("l").join(tagged.alias("r"),
+
+    val cached = Caching.temp(tagged) // 16 hyperplane dots per vector — compute once, not per join side
+    cached.alias("l").join(cached.alias("r"),
         col("l.tbl") === col("r.tbl") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id"))
@@ -234,11 +235,17 @@ object Similarity {
   }
 
   /** Learned coarse quantizer: [[KmeansIters]] fixed Lloyd iterations
-    * from the deterministic seeds. K·Dim values — persisted per step so
-    * each tiny centroid table is computed once, not once per consumer. */
+    * from the deterministic seeds. K·Dim values — each step's tiny
+    * centroid table is persisted AND eagerly materialized (count) so
+    * it computes once per consumer, then the superseded generation is
+    * dropped immediately (a K-row count per step is noise; letting the
+    * per-iteration frames accumulate for the JVM lifetime is not). */
   def kmeansCentroids(vs: DataFrame, iters: Int = KmeansIters): DataFrame =
-    (0 until iters).foldLeft(seedCentroids(vs).persist()) { (c, _) =>
-      lloydStep(vs, c).persist()
+    (0 until iters).foldLeft(Caching.temp(seedCentroids(vs))) { (c, _) =>
+      val next = lloydStep(vs, c).persist()
+      next.count()
+      c.unpersist(blocking = false)
+      Caching.temp(next)
     }
 
   /** Like [[annBrute]] but with a LEARNED IVF index: vectors are
@@ -256,7 +263,7 @@ object Similarity {
     * broadcasting the probe batch keeps the corpus side map-only. */
   def annIvf(embeddings: DataFrame, k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vs = vectors(embeddings).persist()
+    val vs = Caching.temp(vectors(embeddings))
     val cents = kmeansCentroids(vs).withColumn("cn", norm(col("cv")))
     val cands = vs.join(assignCells(vs, cents), Seq("vec_id"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("cid").asc)

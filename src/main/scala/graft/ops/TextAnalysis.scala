@@ -252,7 +252,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok").asc)
-    val tf = docTermFreq(documents).persist() // feeds both idf and the join
+    val tf = Caching.temp(docTermFreq(documents)) // feeds both idf and the join
     tf.join(
         vocabIdfFromTf(tf, documents.select(count(lit(1)).as("n_docs")))
           .select(col("tok"), col("idf")), Seq("tok"))
@@ -354,7 +354,7 @@ object TextAnalysis {
     * on (w1,w2) — the model is itself a distributed table, never
     * collected (a 100 TB corpus has billions of bigrams). */
   def lmScore(documents: DataFrame): DataFrame = {
-    val bi = docBigrams(documents).persist()
+    val bi = Caching.temp(docBigrams(documents))
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = withTokens(documents)

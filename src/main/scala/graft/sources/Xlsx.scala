@@ -174,7 +174,17 @@ object Xlsx {
       val sheetEl = elems(wb.getDocumentElement, "sheet")
         .find(_.getAttribute("name") == sheet)
         .getOrElse(sys.error(s"no sheet '$sheet' in $path"))
-      val rid = sheetEl.getAttribute("r:id")
+      // the relationship-id attribute is namespaced; foreign writers may
+      // bind the relationships namespace to any prefix, not just "r"
+      val rid = {
+        val atts = sheetEl.getAttributes
+        (0 until atts.getLength).map(atts.item(_))
+          .collectFirst {
+            case a if a.getNodeName == "r:id" || a.getNodeName.endsWith(":id") =>
+              a.getNodeValue
+          }
+          .getOrElse(sys.error(s"sheet '$sheet' has no relationship id"))
+      }
       val rels = parseXml(zf.getInputStream(zf.getEntry("xl/_rels/workbook.xml.rels")))
       val target = elems(rels.getDocumentElement, "Relationship")
         .find(_.getAttribute("Id") == rid)
@@ -199,8 +209,14 @@ object Xlsx {
       }
       val doc = parseXml(zf.getInputStream(zf.getEntry(partName)))
       val rows: Seq[Array[(Int, String)]] = elems(doc.getDocumentElement, "row").map { rowEl =>
+        // the r= cell ref is OPTIONAL in OOXML — when absent the column
+        // is position-implied (one past the previous cell), so track a
+        // running index instead of dropping the cell
+        var nextCol = 0
         elems(rowEl, "c").flatMap { c =>
-          val col = refToCol(c.getAttribute("r"))
+          val ref = c.getAttribute("r")
+          val col = if (ref.nonEmpty && ref.head.isLetter) refToCol(ref) else nextCol
+          nextCol = col + 1
           val cellValue = c.getAttribute("t") match {
             case "inlineStr" => elems(c, "t").headOption.map(_.getTextContent)
             case "s" => elems(c, "v").headOption.map(v => shared(v.getTextContent.trim.toInt))
@@ -213,7 +229,9 @@ object Xlsx {
       if (rows.isEmpty || rows.head.isEmpty)
         sys.error(s"sheet '$sheet' has no header row")
       val header = rows.head.toMap
-      val nCols = (header.keySet.max + 1) max 1
+      // width = widest ROW, not just the header — a data cell past the
+      // header width (legal in sparse sheets) gets a filler name below
+      val nCols = (rows.iterator.flatMap(_.iterator.map(_._1)).max + 1) max 1
       val names = (0 until nCols).map(i => header.getOrElse(i, s"_c$i"))
       val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
       val data = rows.tail.map { cells =>

@@ -170,15 +170,20 @@ object EventStream {
       if (d != null) d else new java.io.File("target")
     }
     val root = new java.io.File(base, "streamq")
-    // reap prior runs' sink/checkpoint trees: both Verify and Bench
-    // consume each query's sink eagerly before the next query starts,
-    // so anything already present is garbage (a tuning session would
-    // otherwise grow streamq without bound)
+    // reap ONLY trees left by PRIOR processes (ADVICE r2: deleting the
+    // whole root would tear down sibling queries' still-active
+    // checkpoints and invalidate lazily-read sink DataFrames from
+    // earlier calls in THIS session). A tree created by this JVM keeps
+    // living until the process exits; anything older is garbage from a
+    // previous Verify/Bench/test run.
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
-    Option(root.listFiles()).foreach(_.foreach(rm))
+    val jvmStartMs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    Option(root.listFiles())
+      .foreach(_.filter(_.lastModified < jvmStartMs).foreach(rm))
     new java.io.File(root,
       s"$name-${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
   }

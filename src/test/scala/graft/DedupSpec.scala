@@ -106,6 +106,31 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("MaxShingleDf cap drops boilerplate-only overlap by design; uncapped is exact") {
+    // ADVICE r2: pin the documented loss semantics on a corpus where
+    // the cap actually fires (fixtures never reach df > 128). All
+    // MaxShingleDf+12 boilerplate docs are identical → every shingle's
+    // df exceeds the cap → zero postings → NO pairs, even for
+    // identical twins (exact dedup is the channel that reports them).
+    // A planted low-df near-dup pair must still be found, and lifting
+    // the cap makes the method truly exact all-pairs.
+    val n = MaxShingleDf + 12
+    val boiler = (1 to n).map(i => (1000L + i,
+      "identical boilerplate text shared by every single document in this corpus today", "en"))
+    val planted = Seq(
+      (1L, "completely different words about spark engines here", "en"),
+      (2L, "completely different words about spark engines here now", "en"))
+    val corpus = (boiler ++ planted).toDF("doc_id", "text", "lang")
+    val capped = jaccardPairsExact(corpus, 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)),
+      "under the cap: planted pair only; boilerplate pairs dropped wholesale")
+    val uncapped = jaccardPairsExact(corpus, 0.3, maxDf = Int.MaxValue)
+      .filter(col("doc_a") > 1000L).count()
+    assert(uncapped === n.toLong * (n - 1) / 2,
+      "cap lifted: all boilerplate pairs reappear — the drop was the cap, nothing else")
+  }
+
   test("dupClusters: connected components carry min doc_id, singletons excluded") {
     // 1≡3 (exact) cluster; 4~5 near-dup cluster; 2 joins {1,3} via
     // case-insensitive near-dup; unpaired docs don't appear

@@ -62,4 +62,38 @@ class XlsxSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("hdr"))
     assert(df.collect().map(_.getString(0)).toSeq === Seq("rich")) // runs concatenated
   }
+
+  test("reader handles r=-less cells and a foreign relationship-id prefix") {
+    // ADVICE r2: the r= cell ref is optional OOXML (column is
+    // position-implied), and foreign writers may bind the
+    // relationships namespace to any prefix, not just "r"
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "xlsx").toString
+    val path = s"$dir/noref.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(n: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:ns9="x"><sheets><sheet name="S" sheetId="1" ns9:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/worksheets/sheet1.xml",
+      // header row: no r= at all (positions implied 0,1,2);
+      // data row 1: explicit C2 then an implied D2 after it;
+      // data row 2: implied A3, then explicit B3, then implied C3
+      """<worksheet><sheetData>""" +
+        """<row r="1"><c t="inlineStr"><is><t>h0</t></is></c><c t="inlineStr"><is><t>h1</t></is></c><c t="inlineStr"><is><t>h2</t></is></c></row>""" +
+        """<row r="2"><c r="C2" t="inlineStr"><is><t>v2</t></is></c><c t="n"><v>7</v></c></row>""" +
+        """<row r="3"><c t="n"><v>1</v></c><c r="B3" t="n"><v>2</v></c><c t="n"><v>3</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zos.close()
+    val df = Xlsx.read(spark, path, "S")
+    // the implied D2 cell extends the width to 4 columns (filler name)
+    assert(df.columns.toSeq === Seq("h0", "h1", "h2", "_c3"))
+    val rows = df.collect().map(_.toSeq).toSeq
+    assert(rows(0) === Seq(null, null, "v2", "7"))
+    assert(rows(1) === Seq("1", "2", "3", null))
+  }
 }
