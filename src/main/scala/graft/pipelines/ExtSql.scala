@@ -892,7 +892,78 @@ object ExtSql {
          |FROM stats""".stripMargin
   }
 
+  // ---- x45 as-of join (DuckDB-native ASOF LEFT JOIN) ---------------
+  // Independent implementation on the oracle side: DuckDB's built-in
+  // ASOF JOIN vs the engine's union-tag + window carry — agreement is
+  // evidence the carry trick implements the real operator. Right side
+  // reduced to one row per (user_id, ms) in BOTH engines (max
+  // signup_id) so ties cannot differ.
+  private val x45 =
+    raw"""WITH buys AS (
+         |  SELECT event_id AS buy_id, user_id, epoch_ms(ts) AS buy_ms,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |signups AS (
+         |  SELECT user_id, epoch_ms(ts) AS ms, max(event_id) AS signup_id
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+         |SELECT b.buy_id, b.user_id, b.buy_ms, b.value_cents, s.signup_id
+         |FROM buys b ASOF LEFT JOIN signups s
+         |  ON b.user_id = s.user_id AND b.buy_ms >= s.ms""".stripMargin
+
+  // ---- x46 interval join (busy windows) ----------------------------
+  // The oracle uses the naive inequality join — correct at oracle
+  // scale; the engine's bucket equi-join must produce the same pairs.
+  private val x46 = {
+    import graft.ops.Temporal._
+    raw"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+         |  FROM events GROUP BY 1),
+         |busy AS (
+         |  SELECT CAST(h AS VARCHAR) AS window_hour,
+         |         epoch_ms(h) - $WindowPreMs AS ws,
+         |         epoch_ms(h) + $WindowPostMs AS we
+         |  FROM hourly
+         |  WHERE c * (SELECT count(*) FROM hourly) >= (SELECT sum(c) FROM hourly)),
+         |errs AS (
+         |  SELECT event_id, epoch_ms(ts) AS ms
+         |  FROM events WHERE event_type = 'error')
+         |SELECT e.event_id, b.window_hour, e.ms
+         |FROM errs e JOIN busy b ON e.ms >= b.ws AND e.ms < b.we""".stripMargin
+  }
+
+  // ---- x47 SCD-2 build ---------------------------------------------
+  private val x47 =
+    raw"""WITH ev AS (
+         |  SELECT user_id, event_type AS state, epoch_ms(ts) AS ms, event_id
+         |  FROM events),
+         |chg AS (
+         |  SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+         |  FROM ev)
+         |SELECT user_id, state, ms AS valid_from_ms,
+         |       lead(ms) OVER w AS valid_to_ms,
+         |       CAST(row_number() OVER w AS BIGINT) AS version
+         |FROM chg WHERE prev IS NULL OR state <> prev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin
+
+  // ---- x48 trailing time-range aggregates --------------------------
+  private val x48 = {
+    val r = graft.ops.Temporal.RollingRangeMs
+    raw"""SELECT event_id, user_id, ms, value_cents,
+         |       CAST(count(*) OVER tw AS BIGINT) AS n_1h,
+         |       CAST(sum(value_cents) OVER tw AS BIGINT) AS cents_1h
+         |FROM (
+         |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+         |  FROM events)
+         |WINDOW tw AS (PARTITION BY user_id ORDER BY ms
+         |              RANGE BETWEEN $r PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x45_asof_join"       -> x45,
+    "x46_busy_windows"    -> x46,
+    "x47_scd2"            -> x47,
+    "x48_rolling_value"   -> x48,
     "x44_rate_anomaly"    -> x44,
     "x42_bloom_filter"    -> x42,
     "x43_bloom_probe"     -> x43,

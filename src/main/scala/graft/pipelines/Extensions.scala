@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
@@ -67,7 +67,11 @@ object Extensions {
     "x42_bloom_filter"   -> ((s, d) => graft.functions.BloomFilter.build(
       docs(s, d).select(TextAnalysis.fingerprint(col("text")).as("fp")), "fp")),
     "x43_bloom_probe"    -> ((s, d) => graft.functions.BloomFilter.probeSplitFingerprints(docs(s, d))),
-    "x44_rate_anomaly"   -> ((s, d) => Events.rateAnomaly(evs(s, d))))
+    "x44_rate_anomaly"   -> ((s, d) => Events.rateAnomaly(evs(s, d))),
+    "x45_asof_join"      -> ((s, d) => Temporal.purchaseAsofSignup(evs(s, d))),
+    "x46_busy_windows"   -> ((s, d) => Temporal.errorsInBusyWindows(evs(s, d))),
+    "x47_scd2"           -> ((s, d) => Temporal.scd2(evs(s, d))),
+    "x48_rolling_value"  -> ((s, d) => Temporal.rollingValue(evs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
