@@ -420,6 +420,73 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Content-defined segmentation: anchor tokens (16-bit token hash ≡
+    * 0 mod [[AnchorMod]]) open a new segment, so segment boundaries
+    * are SHIFT-INVARIANT — an insertion upstream of a shared text run
+    * does not re-align every downstream chunk the way fixed-width
+    * windows would (the rsync/CDC chunking idea applied to tokens;
+    * CCNet-style pipelines use newlines, which the single-line
+    * fixture docs lack). */
+  val AnchorMod = 8
+  /** Segments shorter than this never count as duplication evidence —
+    * a single common word is not boilerplate (CCNet likewise skips
+    * short lines). Short segments are always kept in the clean text. */
+  val MinSegTokens = 3
+
+  /** One row per (doc, segment): start offset, token count, text.
+    * One shuffle on doc_id + one window pass (running anchor count),
+    * then a hash aggregate — the segment id is a prefix sum, the
+    * reconstruction key is the segment's start offset. */
+  def cdcSegments(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      .withColumn("seg",
+        sum(when(pmod(tokenHash16(col("tok")), lit(AnchorMod.toLong)) === 0, 1)
+          .otherwise(0)).over(w))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(
+        min(col("p")).as("seg_start"),
+        count(lit(1)).as("n_toks"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("seg_text"))
+  }
+
+  /** x49: SEGMENT-LEVEL dedup (the paragraph/line dedup of a corpus
+    * pipeline, on CDC segments because the fixture docs are
+    * single-line): a segment of ≥ [[MinSegTokens]] tokens appearing
+    * verbatim in more than one document is boilerplate and is removed
+    * from EVERY document (CCNet removes all copies). Output per doc:
+    * segment counts and the md5 of the text reconstructed from the
+    * kept segments in original order.
+    *
+    * Scale: the frequency pass shuffles (segment_text → count) —
+    * fixed-width md5 keys would shrink that further; the merge-back is
+    * a hash join on segment text; reconstruction is the same doc_id
+    * hash aggregate that built the segments. Nothing is quadratic in
+    * docs or segments. */
+  def segmentDedup(documents: DataFrame): DataFrame = {
+    val segs = Caching.temp(cdcSegments(documents))
+    val freq = segs.filter(col("n_toks") >= MinSegTokens)
+      .groupBy(col("seg_text"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    segs.join(freq, Seq("seg_text"), "left")
+      .withColumn("is_dup", coalesce(col("nd"), lit(1L)) > 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_segs"),
+        coalesce(sum(when(!col("is_dup"), col("n_toks"))), lit(0L)).as("n_clean_toks"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(!col("is_dup"),
+              struct(col("seg_start"), col("seg_text"))))),
+            s => s.getField("seg_text")), " ")).as("clean_fp"))
+  }
+
   /** Brute-force n-gram Jaccard pairs — the exact verifier / small-N
     * path; the LSH path above is the 100 TB path. */
   def jaccardPairsBrute(documents: DataFrame,

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus — beyond-reference track: BM25
+  * ranking (Robertson/Spärck Jones; the Lucene-variant idf) through an
+  * inverted-index join, the query-side dual of the similarity-join
+  * operators in [[Dedup]].
+  *
+  * Determinism/portability: every per-term contribution is computed in
+  * ONE fixed expression order and snapped to a 1e-7 grid BIGINT before
+  * the per-(query, doc) sum — integer sums commute, so the score is
+  * independent of aggregation order in both engines (same trick as
+  * [[Similarity.CentroidScale]]); ranking compares the integer totals,
+  * ties break on doc_id.
+  *
+  * Scale: queries are a workload input (bounded batch) and broadcast;
+  * only postings matching a query term leave the scan, so the join
+  * volume is Σ_term df(term), never the corpus. Document length and
+  * corpus stats are one extra aggregate each.
+  */
+object Search {
+
+  /** BM25 constants (standard defaults). */
+  val K1 = 1.2
+  val B = 0.75
+  /** Results returned per query. */
+  val TopK = 10
+  /** Fixed-point grid for per-term score contributions. */
+  val ScoreScale = 10000000L
+
+  /** The demo query batch (terms from the fixture vocabulary; a term
+    * absent from the corpus simply contributes no postings). */
+  val Queries: Seq[(String, Seq[String])] = Seq(
+    "q_spark_join"   -> Seq("spark", "join", "fast"),
+    "q_hash_merge"   -> Seq("hash", "merge"),
+    "q_stream_state" -> Seq("stream", "window", "state"),
+    "q_sort_order"   -> Seq("sort", "key", "order"),
+    "q_vector_data"  -> Seq("vector", "data"))
+
+  /** x51: BM25 top-[[TopK]] documents per query.
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5));
+    * tf-norm = tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/Σdl));
+    * score = Σ_terms round_1e-7(idf · tf-norm). */
+  def bm25Search(documents: DataFrame, k: Int = TopK): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val qterms = broadcast(
+      Queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query", "term"))
+    val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
+    val dl = TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks")))
+    val dfq = tf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * (K1 + 1) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) +
+        lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks"))))
+    val contrib = qterms.join(tf, col("term") === col("tok"))
+      .join(dfq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query"), col("doc_id"),
+        floor(idf * tfNorm * ScoreScale + 0.5).cast("long").as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("total").desc, col("doc_id").asc)
+    contrib.groupBy(col("query"), col("doc_id"))
+      .agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query"), col("doc_id"),
+        Portable.round4(col("total").cast("double") / ScoreScale).as("score"),
+        col("rnk"))
+  }
+}

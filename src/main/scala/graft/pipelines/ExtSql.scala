@@ -273,20 +273,26 @@ object ExtSql {
 
   // ---- x11 IVF top-k with a learned (k-means) quantizer ------------
 
-  private val x11 = {
+  // nearest-centroid assignment from centroid table `c` (cid, cv)
+  private def assignCte(cents: String, out: String): String =
+    raw"""$out AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vn.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${cosExpr("vn.v", "vn.nrm", "c.cv", "c.cn")} DESC, c.cid) AS rn
+         |    FROM vn CROSS JOIN
+         |      (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn FROM $cents) c)
+         |  WHERE rn = 1)""".stripMargin
+
+  /** Shared k-means CTE chain (x11 IVF + x52 semantic dedup): vn →
+    * deterministic seeds → [[Similarity.KmeansIters]] Lloyd steps →
+    * final assignment → `cand(vec_id, v, nrm, cell)`. Mirrors
+    * [[Similarity.kmeansCentroids]]/`assignCells` exactly; the final
+    * centroid table is `cent<iters>`. */
+  private val kmeansCandCtes: String = {
     val K = Similarity.KmeansK; val stride = Similarity.SeedStride
-    val iters = Similarity.KmeansIters; val np = Similarity.NProbe
+    val iters = Similarity.KmeansIters
     val scale = Similarity.CentroidScale
-    // nearest-centroid assignment from centroid table `c` (cid, cv)
-    def assignCte(cents: String, out: String): String =
-      raw"""$out AS (
-           |  SELECT vec_id, cid AS cell FROM (
-           |    SELECT vn.vec_id, c.cid,
-           |           row_number() OVER (PARTITION BY vn.vec_id
-           |             ORDER BY ${cosExpr("vn.v", "vn.nrm", "c.cv", "c.cn")} DESC, c.cid) AS rn
-           |    FROM vn CROSS JOIN
-           |      (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn FROM $cents) c)
-           |  WHERE rn = 1)""".stripMargin
     // one Lloyd step: fixed-point per-(cell, dim) means; empty cells
     // keep their previous centroid (same semantics as Similarity.lloydStep)
     def stepCtes(i: Int): String =
@@ -304,7 +310,7 @@ object ExtSql {
            |cent${i + 1} AS (
            |  SELECT o.cid, coalesce(nu.cv, o.cv) AS cv
            |  FROM cent$i o LEFT JOIN newc$i nu USING (cid))""".stripMargin
-    raw"""WITH $vecCte,
+    raw"""$vecCte,
          |cent0 AS (
          |  SELECT vec_id // $stride AS cid, v AS cv FROM vn
          |  WHERE vec_id % $stride = 0 AND vec_id < ${stride.toLong * K}),
@@ -312,7 +318,12 @@ object ExtSql {
          |${assignCte(s"cent$iters", "assignf")},
          |cand AS (
          |  SELECT vn.vec_id, vn.v, vn.nrm, a.cell
-         |  FROM vn JOIN assignf a USING (vec_id)),
+         |  FROM vn JOIN assignf a USING (vec_id))""".stripMargin
+  }
+
+  private val x11 = {
+    val iters = Similarity.KmeansIters; val np = Similarity.NProbe
+    raw"""WITH $kmeansCandCtes,
          |probes AS (
          |  SELECT q_id, qv, qn, cell FROM (
          |    SELECT vn.vec_id AS q_id, vn.v AS qv, vn.nrm AS qn, c.cid AS cell,
@@ -959,7 +970,102 @@ object ExtSql {
          |              RANGE BETWEEN $r PRECEDING AND CURRENT ROW)""".stripMargin
   }
 
+  // ---- x49 CDC segment dedup ---------------------------------------
+  private val x49 = {
+    val mod = Dedup.AnchorMod; val minT = Dedup.MinSegTokens
+    raw"""WITH $toksCte,
+         |pos AS (
+         |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+         |  FROM tok),
+         |segd AS (
+         |  SELECT doc_id, tok, p,
+         |         sum(CASE WHEN ('0x' || substr(md5(tok), 1, 4))::BIGINT % $mod = 0
+         |                  THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY p) AS seg
+         |  FROM pos),
+         |segs AS (
+         |  SELECT doc_id, seg, min(p) AS seg_start,
+         |         CAST(count(*) AS BIGINT) AS n_toks,
+         |         string_agg(tok, ' ' ORDER BY p) AS seg_text
+         |  FROM segd GROUP BY 1, 2),
+         |freq AS (
+         |  SELECT seg_text, count(DISTINCT doc_id) AS nd
+         |  FROM segs WHERE n_toks >= $minT GROUP BY 1),
+         |mk AS (
+         |  SELECT s.*, coalesce(f.nd, 1) > 1 AS is_dup
+         |  FROM segs s LEFT JOIN freq f USING (seg_text))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+         |       CAST(coalesce(sum(CASE WHEN NOT is_dup THEN n_toks END), 0) AS BIGINT) AS n_clean_toks,
+         |       md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN seg_text END,
+         |                               ' ' ORDER BY seg_start), '')) AS clean_fp
+         |FROM mk GROUP BY 1""".stripMargin
+  }
+
+  // ---- x50 fuzzy name match (blocked Levenshtein join) -------------
+  private val x50 = {
+    val d = graft.ops.Fuzzy.MaxEditDist
+    raw"""WITH names AS (
+         |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS block
+         |  FROM part)
+         |SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         |FROM names a JOIN names b
+         |  ON a.block = b.block AND a.p_name < b.p_name
+         |     AND abs(length(a.p_name) - length(b.p_name)) <= $d
+         |WHERE levenshtein(a.p_name, b.p_name) <= $d""".stripMargin
+  }
+
+  // ---- x51 BM25 search ---------------------------------------------
+  private val x51 = {
+    import graft.ops.Search._
+    val qvals = Queries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    raw"""WITH $toksCte,
+         |qt(query, term) AS (VALUES $qvals),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |n AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl),
+         |tfg AS (
+         |  SELECT doc_id, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
+         |dfq AS (
+         |  SELECT tok, count(*) AS df FROM tfg
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |contrib AS (
+         |  SELECT q.query, t.doc_id,
+         |         CAST(floor(ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+         |                    * (t.tf * ${K1 + 1}) / (t.tf + $K1 * ((1.0 - $B)
+         |                       + $B * (dl.dl::DOUBLE * n.n_docs / n.total_toks)))
+         |                    * $ScoreScale + 0.5) AS BIGINT) AS fp
+         |  FROM qt q JOIN tfg t ON t.tok = q.term
+         |       JOIN dfq f ON f.tok = t.tok
+         |       JOIN dl ON dl.doc_id = t.doc_id
+         |       CROSS JOIN n),
+         |scored AS (
+         |  SELECT query, doc_id, CAST(sum(fp) AS BIGINT) AS total
+         |  FROM contrib GROUP BY 1, 2)
+         |SELECT query, doc_id, ${round4(s"total::DOUBLE / $ScoreScale")} AS score,
+         |       CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query
+         |        ORDER BY total DESC, doc_id) AS rnk FROM scored)
+         |WHERE rnk <= $TopK""".stripMargin
+  }
+
+  // ---- x52 semantic dedup (k-means centroid blocking) --------------
+  private val x52 =
+    raw"""WITH $kmeansCandCtes
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${cosExpr("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+         |  FROM cand a JOIN cand b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= ${Similarity.CosineThreshold}""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x49_segment_dedup"   -> x49,
+    "x50_fuzzy_parts"     -> x50,
+    "x51_bm25_search"     -> x51,
+    "x52_semantic_dup"    -> x52,
     "x45_asof_join"       -> x45,
     "x46_busy_windows"    -> x46,
     "x47_scd2"            -> x47,

@@ -71,7 +71,11 @@ object Extensions {
     "x45_asof_join"      -> ((s, d) => Temporal.purchaseAsofSignup(evs(s, d))),
     "x46_busy_windows"   -> ((s, d) => Temporal.errorsInBusyWindows(evs(s, d))),
     "x47_scd2"           -> ((s, d) => Temporal.scd2(evs(s, d))),
-    "x48_rolling_value"  -> ((s, d) => Temporal.rollingValue(evs(s, d))))
+    "x48_rolling_value"  -> ((s, d) => Temporal.rollingValue(evs(s, d))),
+    "x49_segment_dedup"  -> ((s, d) => Dedup.segmentDedup(docs(s, d))),
+    "x50_fuzzy_parts"    -> ((s, d) => graft.ops.Fuzzy.fuzzyNameMatch(Tables.part(s, d))),
+    "x51_bm25_search"    -> ((s, d) => graft.ops.Search.bm25Search(docs(s, d))),
+    "x52_semantic_dup"   -> ((s, d) => Similarity.semanticDupPairs(embs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
