@@ -125,14 +125,14 @@ object Events {
         .as("z"))
   }
 
-  /** x16: gap-based sessionization: per user, order by (ts, event_id);
-    * gap > [[SessionGapMs]] opens a new session; emit one row per
-    * session with bounds and totals. */
-  def sessions(events: DataFrame): DataFrame = {
+  /** Events tagged with their gap-session sequence number — the shared
+    * sessionization pass behind x16 and the x54 funnel: one shuffle on
+    * user_id, lag to find gap starts, running sum to number sessions. */
+  def sessionized(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ms"), col("event_id"))
-    val tagged = events
-      .select(col("event_id"), col("user_id"),
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
         unix_millis(col("ts")).as("ms"),
         valueCents(col("value")).as("value_cents"))
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
@@ -141,11 +141,83 @@ object Events {
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    tagged.groupBy(col("user_id"), col("session_seq"))
+  }
+
+  /** x16: gap-based sessionization: per user, order by (ts, event_id);
+    * gap > [[SessionGapMs]] opens a new session; emit one row per
+    * session with bounds and totals. */
+  def sessions(events: DataFrame): DataFrame =
+    sessionized(events).groupBy(col("user_id"), col("session_seq"))
       .agg(
         min(col("ms")).as("start_ms"),
         max(col("ms")).as("end_ms"),
         count(lit(1)).as("n_events"),
         sum(col("value_cents")).as("value_cents"))
+
+  /** The event-type enum, pinned so the x53 pivot never needs a
+    * driver-side distinct pass over the data (the scale rule for
+    * pivot: always pass the value list explicitly). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** x53: hour × event-type PIVOT (crosstab) — one count column per
+    * [[EventTypes]] value, absent combinations as 0. Spark's `pivot`
+    * with an explicit value list compiles to ONE hash aggregate with
+    * conditional counts (same plan as the hand-written CASE WHEN form
+    * the oracle uses) — no extra shuffle, no second pass to discover
+    * the columns. */
+  def hourlyPivot(events: DataFrame): DataFrame =
+    parsedEvents(events)
+      .groupBy(col("hour"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
+  /** x54: MIN-TIME FUNNEL over gap sessions (the canonical product-
+    * analytics query): a session reaches stage "view" if it contains a
+    * view; "view>click" if additionally its earliest click is strictly
+    * after its earliest view; "view>click>purchase" if additionally
+    * its earliest purchase is strictly after that click. Output: one
+    * row per stage with the converting-session count.
+    * Scale: rides the x16 sessionization shuffle, one hash aggregate
+    * per session, one 1-row aggregate, a 4-row unpivot — nothing
+    * global beyond the final counts. */
+  def sessionFunnel(events: DataFrame): DataFrame = {
+    val perSession = sessionized(events)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(when(col("event_type") === "view", col("ms"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ms"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ms"))).as("t_purchase"))
+    val s2 = col("t_view").isNotNull && col("t_click") > col("t_view")
+    val s3 = s2 && col("t_purchase") > col("t_click")
+    perSession
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_view_click_purchase"))
+      .select(explode(array(
+        struct(lit("1_sessions").as("stage"), col("n_sessions").as("n")),
+        struct(lit("2_view").as("stage"), col("n_view").as("n")),
+        struct(lit("3_view_click").as("stage"), col("n_view_click").as("n")),
+        struct(lit("4_view_click_purchase").as("stage"),
+          col("n_view_click_purchase").as("n")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n").as("n"))
+  }
+
+  /** x55: COHORT RETENTION — users grouped by their first-activity day
+    * (the cohort), counted on each later day they return: one row per
+    * (cohort_day, day_offset) with the distinct returning users. The
+    * standard growth-analytics triangle. Scale: first-day pass is one
+    * hash aggregate on user_id; the join back is user_id-keyed; the
+    * final count-distinct shuffles (cohort, offset, user) — all keys,
+    * no payloads. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+      (floor(unix_millis(col("ts")) / 86400000L)).cast("long").as("day")).distinct()
+    val firstDay = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
   }
 }

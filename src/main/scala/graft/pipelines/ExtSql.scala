@@ -410,7 +410,8 @@ object ExtSql {
     * with the x24 streaming-equivalence oracle). */
   private val sessionCtes =
     raw"""t AS (
-         |  SELECT event_id, user_id, epoch_ms(ts) AS ms, $centsExpr AS value_cents
+         |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+         |         $centsExpr AS value_cents
          |  FROM events),
          |tagged AS (
          |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > ${Events.SessionGapMs}
@@ -1061,7 +1062,53 @@ object ExtSql {
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |WHERE cos_sim >= ${Similarity.CosineThreshold}""".stripMargin
 
+  // ---- x53 hourly pivot (crosstab) ---------------------------------
+  private val x53 = {
+    val cols = Events.EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n       ")
+    raw"""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |       $cols
+         |FROM events GROUP BY 1""".stripMargin
+  }
+
+  // ---- x54 session funnel ------------------------------------------
+  private val x54 =
+    raw"""WITH $sessionCtes,
+         |ps AS (
+         |  SELECT user_id, session_seq,
+         |         min(CASE WHEN event_type = 'view' THEN ms END) AS t_view,
+         |         min(CASE WHEN event_type = 'click' THEN ms END) AS t_click,
+         |         min(CASE WHEN event_type = 'purchase' THEN ms END) AS t_purchase
+         |  FROM sessions GROUP BY 1, 2),
+         |f AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |         CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         |         CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_vc,
+         |         CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+         |                        AND t_purchase > t_click
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_vcp
+         |  FROM ps)
+         |SELECT '1_sessions' AS stage, n_sessions AS n FROM f
+         |UNION ALL SELECT '2_view', n_view FROM f
+         |UNION ALL SELECT '3_view_click', n_vc FROM f
+         |UNION ALL SELECT '4_view_click_purchase', n_vcp FROM f""".stripMargin
+
+  // ---- x55 cohort retention ----------------------------------------
+  private val x55 =
+    raw"""WITH days AS (
+         |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+         |fd AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+         |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+         |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+         |FROM days d JOIN fd f USING (user_id)
+         |GROUP BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x53_hourly_pivot"    -> x53,
+    "x54_session_funnel"  -> x54,
+    "x55_cohort_retention" -> x55,
     "x49_segment_dedup"   -> x49,
     "x50_fuzzy_parts"     -> x50,
     "x51_bm25_search"     -> x51,

@@ -75,7 +75,10 @@ object Extensions {
     "x49_segment_dedup"  -> ((s, d) => Dedup.segmentDedup(docs(s, d))),
     "x50_fuzzy_parts"    -> ((s, d) => graft.ops.Fuzzy.fuzzyNameMatch(Tables.part(s, d))),
     "x51_bm25_search"    -> ((s, d) => graft.ops.Search.bm25Search(docs(s, d))),
-    "x52_semantic_dup"   -> ((s, d) => Similarity.semanticDupPairs(embs(s, d))))
+    "x52_semantic_dup"   -> ((s, d) => Similarity.semanticDupPairs(embs(s, d))),
+    "x53_hourly_pivot"   -> ((s, d) => Events.hourlyPivot(evs(s, d))),
+    "x54_session_funnel" -> ((s, d) => Events.sessionFunnel(evs(s, d))),
+    "x55_cohort_retention" -> ((s, d) => Events.cohortRetention(evs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Events
+
+/** Pins the x53-x55 analytics operators: pivot columns, funnel stage
+  * ordering, cohort arithmetic. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+  private val H = 3600000L
+
+  test("hourlyPivot: one column per event type, absent combos are 0") {
+    val evs = Seq(
+      (1L, ts(H), 7L, "view", 1.0, "{}"),
+      (2L, ts(H), 7L, "view", 1.0, "{}"),
+      (3L, ts(H), 8L, "click", 1.0, "{}"),
+      (4L, ts(2 * H), 9L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.hourlyPivot(evs)
+    assert(out.columns.toSeq === "hour" +: Events.EventTypes)
+    val byHour = out.collect().map(r => r.getString(0) -> r).toMap
+    val h1 = byHour("1970-01-01 01:00:00")
+    assert(h1.getLong(h1.fieldIndex("view")) === 2L)
+    assert(h1.getLong(h1.fieldIndex("click")) === 1L)
+    assert(h1.getLong(h1.fieldIndex("purchase")) === 0L, "absent combo → 0")
+    val h2 = byHour("1970-01-01 02:00:00")
+    assert(h2.getLong(h2.fieldIndex("purchase")) === 1L)
+  }
+
+  test("sessionFunnel: stages require strict min-time ordering within one session") {
+    val evs = Seq(
+      // user 1, one session: view < click < purchase → all stages
+      (1L, ts(1000L), 1L, "view", 0.0, "{}"),
+      (2L, ts(2000L), 1L, "click", 0.0, "{}"),
+      (3L, ts(3000L), 1L, "purchase", 0.0, "{}"),
+      // user 2: click BEFORE view → stops at stage view
+      (4L, ts(1000L), 2L, "click", 0.0, "{}"),
+      (5L, ts(2000L), 2L, "view", 0.0, "{}"),
+      // user 3: view+click ok, purchase in a LATER session (gap) → view_click only
+      (6L, ts(1000L), 3L, "view", 0.0, "{}"),
+      (7L, ts(2000L), 3L, "click", 0.0, "{}"),
+      (8L, ts(2000L + Events.SessionGapMs + 1), 3L, "purchase", 0.0, "{}"),
+      // user 4: no view at all
+      (9L, ts(1000L), 4L, "error", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.sessionFunnel(evs).as[(String, Long)].collect().toMap
+    assert(out("1_sessions") === 5L, "user 3's purchase opens its own session")
+    assert(out("2_view") === 3L)
+    assert(out("3_view_click") === 2L, "user 2's click precedes its view")
+    assert(out("4_view_click_purchase") === 1L)
+  }
+
+  test("cohortRetention: offsets measured from each user's first day, users distinct") {
+    val D = 86400000L
+    val evs = Seq(
+      (1L, ts(0L), 1L, "view", 0.0, "{}"),          // u1 cohort day 0
+      (2L, ts(1000L), 1L, "view", 0.0, "{}"),       // same day — distinct once
+      (3L, ts(2 * D), 1L, "view", 0.0, "{}"),       // u1 returns day 2
+      (4L, ts(D), 2L, "view", 0.0, "{}"),           // u2 cohort day 1
+      (5L, ts(2 * D), 2L, "view", 0.0, "{}")        // u2 returns day 1 (offset 1)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.cohortRetention(evs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+}
