@@ -16,6 +16,7 @@ object QTime {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[qtime] pass$pass $n%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      graft.ops.Caching.reapTemps() // same per-query protocol as Bench
     }
     spark.stop()
   }

@@ -308,6 +308,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = Caching.temp(docShingles(documents))
     val byDoc = Window.partitionBy(col("doc_id"))
+    // df via count().over(partition by s): ONE shuffle+sort of the
+    // postings. (Measured alternative — groupBy(s).count + equi-join —
+    // is strictly worse unless the df table broadcasts: same postings
+    // shuffle plus a second sort and a second explode pass; and a
+    // broadcast hint on a vocabulary-scaling table is the r1
+    // scale-killer pattern.)
     val prefix = Caching.temp(sh
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
@@ -351,16 +357,21 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      // carry the previous label through the propagation step so the
+      // convergence probe is a filter on the materialized frame, not a
+      // second join back to the old generation (one job per round, not
+      // two — the probe dominated the loop at fixture scale)
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .select(col("doc_id"), col("lbl").as("old_lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist()
       // the convergence probe is an action, so `next` is materialized
       // here — the superseded generation can be dropped immediately
       // instead of accumulating one cached frame per iteration
-      converged = next.alias("n")
-        .join(labels.select(col("doc_id"), col("lbl").as("old")).alias("o"), Seq("doc_id"))
-        .filter(col("lbl") =!= col("old")).isEmpty
+      converged = next.filter(col("lbl") =!= col("old_lbl")).isEmpty
       labels.unpersist(blocking = false)
+      // keep the PERSISTED frame as the next generation (the stray
+      // old_lbl column is projected away by every consumer)
       labels = Caching.temp(next)
       i += 1
     }
