@@ -205,6 +205,27 @@ object Events {
       .select(col("s.stage").as("stage"), col("s.n").as("n"))
   }
 
+  /** x57: the WINDOW-FUNCTION SUITE the reference never uses
+    * (SURVEY.md §2.10): per user ordered by (ms, event_id) —
+    * lag/lead neighbors, row_number, ntile quartile, percent_rank and
+    * cume_dist (deterministic: the order key is unique per user, so
+    * rank ties cannot differ between engines; fractions rounded 4dp).
+    * One shuffle on user_id, one sort per partition, every function
+    * evaluated in the same window pass. */
+  def windowSuite(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"),
+        valueCents(col("value")).as("value_cents"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", graft.ops.Portable.round4(percent_rank().over(w)))
+      .withColumn("cume", graft.ops.Portable.round4(cume_dist().over(w)))
+  }
+
   /** x55: COHORT RETENTION — users grouped by their first-activity day
     * (the cohort), counted on each later day they return: one row per
     * (cohort_day, day_offset) with the distinct returning users. The

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the near-duplicate pair graph —
+  * beyond-reference track. [[Dedup.dupClusters]] is the connectivity
+  * pass; this adds PAGERANK (fixed-iteration, damping 17/20) as the
+  * canonical "propagate-and-aggregate until done" workload.
+  *
+  * Determinism: ranks are INTEGER throughout — rank₀ = 10⁹ per node;
+  * each step is rank' = 150 000 000 + floor(17·Σ floor(rank_u/deg_u) / 20)
+  * (damping 0.85 written as the exact rational 17/20, all BIGINT
+  * division) — so the result is independent of aggregation order and
+  * identical in both engines with zero float drift.
+  *
+  * Scale: each iteration is one join (edges × ranks, shuffled on the
+  * node id) + one hash aggregate — the standard distributed PageRank
+  * plan; a fixed iteration count keeps the oracle expressible as
+  * unrolled CTEs (same pattern as the x11 k-means oracle).
+  */
+object Graph {
+
+  /** Fixed PageRank iterations (both engines run exactly this many). */
+  val PrIters = 5
+  /** rank₀ and the per-step teleport term: 10⁹ and 0.15·10⁹. */
+  val RankScale = 1000000000L
+  val Teleport: Long = RankScale * 15 / 100
+
+  /** x59: PageRank over the x5 near-dup pair graph (symmetrized).
+    * Output: (doc_id, rank) after [[PrIters]] steps — docs central to
+    * large duplicate clusters rank highest, singleton-pair docs sit
+    * near the teleport floor. */
+  def dupGraphPagerank(documents: DataFrame): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(documents).select(col("doc_a"), col("doc_b"))
+    val edges = Caching.temp(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v"))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val withDeg = Caching.temp(edges.join(deg, Seq("u")))
+    val r0 = deg.select(col("u").as("doc_id"), lit(RankScale).as("rank"))
+    // `div` (integral division), NOT `/`: Spark's `/` is always a
+    // DOUBLE divide, which stays exact only below 2^53 — `div` keeps
+    // the arithmetic in BIGINT end to end like the DuckDB `//`
+    (1 to PrIters).foldLeft(r0) { (r, _) =>
+      withDeg.join(r, withDeg("u") === r("doc_id"))
+        .select(col("v"), expr("rank div deg").as("contrib"))
+        .groupBy(col("v")).agg(sum(col("contrib")).as("s"))
+        .select(col("v").as("doc_id"),
+          (lit(Teleport) + expr("(s * 17) div 20")).as("rank"))
+    }
+  }
+}

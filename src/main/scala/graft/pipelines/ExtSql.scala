@@ -1105,7 +1105,67 @@ object ExtSql {
          |FROM days d JOIN fd f USING (user_id)
          |GROUP BY 1, 2""".stripMargin
 
+  // ---- x56 stream-static join (batch-equivalence) ------------------
+  // A stream-static inner join emits exactly the batch join: the
+  // static side is fully visible to every micro-batch, no state cut.
+  private val x56 =
+    raw"""SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ms,
+         |       $centsExpr AS value_cents, c.c_mktsegment
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |WHERE e.event_type = 'purchase'""".stripMargin
+
+  // ---- x57 window-function suite -----------------------------------
+  private val x57 =
+    raw"""SELECT event_id, user_id, event_type, ms, value_cents,
+         |       lag(event_type) OVER w AS prev_type,
+         |       lead(event_type) OVER w AS next_type,
+         |       CAST(row_number() OVER w AS BIGINT) AS seq,
+         |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         |       ${round4("percent_rank() OVER w")} AS pct_rank,
+         |       ${round4("cume_dist() OVER w")} AS cume
+         |FROM (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+         |             $centsExpr AS value_cents
+         |      FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin
+
+  // ---- x58 per-column profile --------------------------------------
+  private val x58 =
+    graft.ops.DataProfile.NumericCols.map { c =>
+      raw"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       min($c)::DOUBLE AS min_v, max($c)::DOUBLE AS max_v
+           |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  // ---- x59 PageRank on the near-dup pair graph ---------------------
+  private val x59 = {
+    import graft.ops.Graph._
+    def step(i: Int): String =
+      raw"""r$i AS (
+           |  SELECT wd.v AS doc_id,
+           |         CAST($Teleport + ((sum(r${i - 1}.rank // wd.deg) * 17) // 20)
+           |              AS BIGINT) AS rank
+           |  FROM wd JOIN r${i - 1} ON wd.u = r${i - 1}.doc_id
+           |  GROUP BY wd.v)""".stripMargin
+    raw"""WITH $x5Ctes,
+         |prpairs AS (
+         |$x5Select),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM prpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM prpairs),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |wd AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d USING (u)),
+         |r0 AS (SELECT u AS doc_id, CAST($RankScale AS BIGINT) AS rank FROM deg),
+         |${(1 to PrIters).map(step).mkString(",\n")}
+         |SELECT doc_id, rank FROM r$PrIters""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x56_stream_enrich"   -> x56,
+    "x57_window_suite"    -> x57,
+    "x58_profile"         -> x58,
+    "x59_pagerank"        -> x59,
     "x53_hourly_pivot"    -> x53,
     "x54_session_funnel"  -> x54,
     "x55_cohort_retention" -> x55,

@@ -78,7 +78,11 @@ object Extensions {
     "x52_semantic_dup"   -> ((s, d) => Similarity.semanticDupPairs(embs(s, d))),
     "x53_hourly_pivot"   -> ((s, d) => Events.hourlyPivot(evs(s, d))),
     "x54_session_funnel" -> ((s, d) => Events.sessionFunnel(evs(s, d))),
-    "x55_cohort_retention" -> ((s, d) => Events.cohortRetention(evs(s, d))))
+    "x55_cohort_retention" -> ((s, d) => Events.cohortRetention(evs(s, d))),
+    "x56_stream_enrich"  -> ((s, d) => graft.streaming.EventStream.enrichedPurchasesAvailableNow(s, d)),
+    "x57_window_suite"   -> ((s, d) => Events.windowSuite(evs(s, d))),
+    "x58_profile"        -> ((s, d) => graft.ops.DataProfile.profileNumeric(Tables.lineitem(s, d))),
+    "x59_pagerank"       -> ((s, d) => graft.ops.Graph.dupGraphPagerank(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -259,6 +259,37 @@ object EventStream {
       StructField("value_cents", LongType)))).parquet(s"$base/data")
   }
 
+  /** STREAM-STATIC join: enrich streaming purchase events with the
+    * static customer dimension (the standard "attach reference data to
+    * a stream" pattern — the static side is re-planned per micro-batch,
+    * no state, no watermark needed for an inner join against a static
+    * relation). */
+  def enrichedPurchases(events: DataFrame, customer: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"),
+        Events.valueCents(col("value")).as("value_cents"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        col("value_cents"), col("c_mktsegment"))
+
+  /** x56: [[enrichedPurchases]] run to completion with AvailableNow —
+    * a stream-static inner join emits exactly the batch join (the
+    * static side is fully visible to every micro-batch). */
+  def enrichedPurchasesAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val base = sinkDir("enrich")
+    runToParquet(
+      enrichedPurchases(readEvents(s, dir), graft.sources.Tables.customer(s, dir)),
+      base)
+    s.read.schema(StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("ms", LongType),
+      StructField("value_cents", LongType),
+      StructField("c_mktsegment", StringType)))).parquet(s"$base/data")
+  }
+
   /** foreachBatch sink with EXACTLY-ONCE semantics on a plain
     * filesystem (no transactional table format available): each
     * micro-batch reduces to one delta (per-user latest event) written
