@@ -330,6 +330,67 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** x61: PLACEMENT inside the x36 packed bins — per document: its
+    * bin and the token offset where it starts (the offsets/attention-
+    * boundary table a packed-sequence trainer needs next to the bin
+    * summary). Same windowed running sum as [[packBins]], minus the
+    * final aggregate: offset = tokens before this doc in its bin. */
+  def packOffsets(documents: DataFrame, budget: Int = PackBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTokens(documents)
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / budget))
+      .select(col("doc_id"), col("lang"), col("bin"), col("n_tokens"),
+        (col("cum") - col("n_tokens") - col("bin") * budget).as("offset"))
+  }
+
+  /** x62: per-domain cap (C4/RefinedWeb-style): keep at most `k` docs
+    * per `source`, chosen by a deterministic content-independent hash
+    * order (md5 of the doc id — "random" but reproducible), so no
+    * domain dominates the training mix. Scale: one shuffle on source +
+    * per-partition sort that WindowGroupLimit prunes to the top-k per
+    * partition before the shuffle — the plan never materializes a full
+    * sort of a hot domain. */
+  def domainCap(documents: DataFrame, k: Int = DomainCapK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ckey").asc, col("doc_id").asc)
+    documents
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("ckey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("source"), col("rnk"))
+  }
+
+  /** Per-source keep budget for [[domainCap]]. */
+  val DomainCapK = 15
+
+  /** x60: DICTIONARY-ENCODE documents to token-id sequences (the
+    * tokenize-to-ids step before training): vocabulary ids are dense
+    * ranks in sorted token order; each document becomes its ordered
+    * id array. The vocab build sorts only the VOCABULARY (≪ corpus —
+    * the same driver-scale dictionary sort every real tokenizer
+    * performs once); the encode join shuffles postings on the token
+    * (AQE broadcasts the dictionary when it fits) and re-assembles
+    * per doc with one hash aggregate. */
+  def tokenIds(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = withTokens(documents)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+    val vocab = posts.select(col("tok")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("tok"))).cast("long") - 1)
+    posts.join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        transform(array_sort(collect_list(struct(col("p"), col("id")))),
+          s => s.getField("id")).as("ids"))
+  }
+
   /** (doc_id, w1, w2): consecutive token pairs of each document. */
   def docBigrams(documents: DataFrame): DataFrame =
     withTokens(documents)

@@ -1161,7 +1161,51 @@ object ExtSql {
          |SELECT doc_id, rank FROM r$PrIters""".stripMargin
   }
 
+  // ---- x60 token-id dictionary encode ------------------------------
+  private val x60 =
+    raw"""WITH $toksCte,
+         |posts AS (
+         |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+         |  FROM tok),
+         |vocab AS (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) - 1 AS id
+         |  FROM (SELECT DISTINCT tok FROM posts))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       list(id ORDER BY p) AS ids
+         |FROM posts JOIN vocab USING (tok)
+         |GROUP BY doc_id""".stripMargin
+
+  // ---- x61 packed-bin offsets --------------------------------------
+  private val x61 =
+    raw"""WITH $toksCte,
+         |t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |       CAST(floor((cum - n_tokens) / ${TextAnalysis.PackBudget}) AS BIGINT) AS bin,
+         |       n_tokens,
+         |       CAST(cum - n_tokens
+         |            - CAST(floor((cum - n_tokens) / ${TextAnalysis.PackBudget}) AS BIGINT)
+         |              * ${TextAnalysis.PackBudget} AS BIGINT) AS offset
+         |FROM c""".stripMargin
+
+  // ---- x62 per-domain cap ------------------------------------------
+  private val x62 =
+    raw"""SELECT doc_id, source, rnk FROM (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+         |           AS BIGINT) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= ${TextAnalysis.DomainCapK}""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x60_token_ids"       -> x60,
+    "x61_pack_offsets"    -> x61,
+    "x62_domain_cap"      -> x62,
     "x56_stream_enrich"   -> x56,
     "x57_window_suite"    -> x57,
     "x58_profile"         -> x58,

@@ -82,7 +82,10 @@ object Extensions {
     "x56_stream_enrich"  -> ((s, d) => graft.streaming.EventStream.enrichedPurchasesAvailableNow(s, d)),
     "x57_window_suite"   -> ((s, d) => Events.windowSuite(evs(s, d))),
     "x58_profile"        -> ((s, d) => graft.ops.DataProfile.profileNumeric(Tables.lineitem(s, d))),
-    "x59_pagerank"       -> ((s, d) => graft.ops.Graph.dupGraphPagerank(docs(s, d))))
+    "x59_pagerank"       -> ((s, d) => graft.ops.Graph.dupGraphPagerank(docs(s, d))),
+    "x60_token_ids"      -> ((s, d) => TextAnalysis.tokenIds(docs(s, d))),
+    "x61_pack_offsets"   -> ((s, d) => TextAnalysis.packOffsets(docs(s, d))),
+    "x62_domain_cap"     -> ((s, d) => TextAnalysis.domainCap(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
