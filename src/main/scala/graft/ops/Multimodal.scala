@@ -8,6 +8,11 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, fmt: String,
                      width: Long, height: Long, n_frames: Long,
                      thumb_w: Long, thumb_h: Long)
 
+/** Decoded-audio metadata row (the x63 "decode" output schema). */
+case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Long,
+                     channels: Long, bits: Long, n_samples: Long,
+                     duration_ms: Long)
+
 /** Multimodal-column plumbing — beyond-reference track (builder brief).
   *
   * Media (image/audio/video) is carried as an opaque `binary` column
@@ -219,6 +224,71 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         iter.map { case (id, bytes) => decode(md, id, bytes) }
       }
+  }
+
+  /** The audio table: doc_id + a REAL RIFF/WAVE byte stream — 44-byte
+    * canonical PCM header (fmt chunk with LE16/LE32 fields, data chunk
+    * length) with the text payload standing in for PCM samples.
+    * Sample rate and channel count derive deterministically from the
+    * payload length, so the oracle can recompute the expected metadata
+    * arithmetically while the ENGINE must really byte-parse it. */
+  def audioTable(documents: DataFrame): DataFrame = {
+    def le2(c: Column): Column = {
+      def byte(i: Int) =
+        unhex(lpad(hex(pmod(shiftrightunsigned(c.cast("long"), 8 * i), lit(256))), 2, "0"))
+      concat(byte(0), byte(1))
+    }
+    val payload = encode(col("text"), "UTF-8")
+    val dataLen = octet_length(col("text")).cast("long")
+    val channels = lit(1L) + pmod(dataLen, lit(2L))
+    val rate = lit(8000L) + pmod(dataLen, lit(8L)) * 1000L
+    val bits = lit(16L)
+    val blockAlign = channels * 2L
+    val wav = concat(
+      unhex(lit("52494646")), le4(dataLen + 36L),  // "RIFF", riff size
+      unhex(lit("57415645")),                      // "WAVE"
+      unhex(lit("666D7420")), le4(lit(16L)),       // "fmt ", PCM header len
+      le2(lit(1L)), le2(channels),                 // PCM, channels
+      le4(rate), le4(rate * blockAlign),           // sample rate, byte rate
+      le2(blockAlign), le2(bits),                  // block align, bits/sample
+      unhex(lit("64617461")), le4(dataLen),        // "data", payload len
+      payload)
+    documents.select(col("doc_id"), wav.as("content"))
+  }
+
+  /** REAL audio decode path: validate RIFF/WAVE/fmt/PCM and byte-parse
+    * the little-endian header fields; samples and duration derive from
+    * the data-chunk length. None for non-WAV bytes. */
+  def parseWavHeader(docId: Long, content: Array[Byte]): Option[AudioMeta] = {
+    def u8(o: Int): Long = content(o) & 0xffL
+    def le2(o: Int): Long = u8(o) | (u8(o + 1) << 8)
+    def le4(o: Int): Long = le2(o) | (le2(o + 2) << 16)
+    def ascii(o: Int, s: String): Boolean =
+      s.indices.forall(i => content(o + i) == s.charAt(i).toByte)
+    if (content.length >= 44 &&
+        ascii(0, "RIFF") && ascii(8, "WAVE") && ascii(12, "fmt ") &&
+        le2(20) == 1L && ascii(36, "data")) {
+      val channels = le2(22); val rate = le4(24); val bits = le2(34)
+      val blockAlign = le2(32); val dataLen = le4(40)
+      val nSamples = if (blockAlign > 0) dataLen / blockAlign else 0L
+      Some(AudioMeta(docId, content.length.toLong, rate, channels, bits,
+        nSamples, if (rate > 0) nSamples * 1000L / rate else 0L))
+    } else None
+  }
+
+  /** x63: partition-wise audio decode over the opaque binary column —
+    * same mapPartitions shape as [[mediaMeta]]; a non-WAV row is a
+    * LOUD failure, not silent fake metadata (every row of
+    * [[audioTable]] is a valid WAV by construction). */
+  def audioMeta(spark: SparkSession, documents: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    audioTable(documents)
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseWavHeader(id, bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: not a RIFF/WAVE stream"))
+      })
   }
 
   /** x13: sample every [[SampleEvery]]-th frame of each media item;

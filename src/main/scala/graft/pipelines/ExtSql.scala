@@ -1202,7 +1202,28 @@ object ExtSql {
          |  FROM documents)
          |WHERE rnk <= ${TextAnalysis.DomainCapK}""".stripMargin
 
+  // ---- x63 audio metadata ------------------------------------------
+  // The oracle recomputes the WAV header fields ARITHMETICALLY from
+  // the payload length (they are injected deterministically by
+  // Multimodal.audioTable); the engine must byte-parse the real
+  // RIFF/WAVE stream to produce the same numbers.
+  private val x63 = {
+    val len = "strlen(text)" // DuckDB byte length (≡ Spark octet_length)
+    val ch = s"(1 + $len % 2)"
+    val rate = s"(8000 + ($len % 8) * 1000)"
+    val nsamp = s"($len // ($ch * 2))"
+    raw"""SELECT doc_id,
+         |       CAST($len + 44 AS BIGINT) AS n_bytes,
+         |       CAST($rate AS BIGINT) AS sample_rate,
+         |       CAST($ch AS BIGINT) AS channels,
+         |       CAST(16 AS BIGINT) AS bits,
+         |       CAST($nsamp AS BIGINT) AS n_samples,
+         |       CAST($nsamp * 1000 // $rate AS BIGINT) AS duration_ms
+         |FROM documents""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x63_audio_meta"      -> x63,
     "x60_token_ids"       -> x60,
     "x61_pack_offsets"    -> x61,
     "x62_domain_cap"      -> x62,

@@ -85,6 +85,20 @@ class SearchFuzzySpec extends SparkSpec {
       === Search.TopK.toLong)
   }
 
+  test("wav audio: synthesized streams parse to the injected header fields") {
+    import graft.ops.Multimodal
+    val docs = Seq((7L, "0123456789", "en")).toDF("doc_id", "text", "lang") // 10 bytes
+    val m = Multimodal.audioMeta(spark, docs).collect().head
+    // len=10 → channels = 1, rate = 8000 + 2*1000 = 10000, block 2
+    assert(m === graft.ops.AudioMeta(7L, 54L, 10000L, 1L, 16L, 5L, 0L))
+    val odd = Seq((8L, "01234567890", "en")).toDF("doc_id", "text", "lang") // 11 bytes
+    val m2 = Multimodal.audioMeta(spark, odd).collect().head
+    // len=11 → channels 2, rate 11000, block 4, samples 2, dur 0
+    assert(m2.channels === 2L && m2.sample_rate === 11000L && m2.n_samples === 2L)
+    // non-WAV bytes refuse loudly
+    assert(Multimodal.parseWavHeader(1L, Array.fill[Byte](64)(0)) === None)
+  }
+
   test("semanticDupPairs ⊆ brute pairs; within-cell high-cosine pairs survive") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val sem = Similarity.semanticDupPairs(embs)
