@@ -163,6 +163,45 @@ class PlanSpec extends SparkSpec {
       s"CollapseProject should fold 10 stacked withColumns into one:\n$optimized")
   }
 
+  test("round-3 joins: segment/BM25/semantic/pagerank stay on hash keys") {
+    // x49: segment-frequency merge-back is a key join, never cartesian
+    val p49 = plan("x49_segment_dedup")
+    assert(!p49.contains("CartesianProduct") && !p49.contains("BroadcastNestedLoopJoin"),
+      s"x49 must join on segment text:\n$p49")
+    // x51: the bounded query batch must be the broadcast side
+    val df51 = SparkEntry.queries("x51_bm25_search")(spark, dir)
+    df51.collect()
+    val p51 = df51.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p51.contains("BroadcastHashJoin"), s"x51 query terms should broadcast:\n$p51")
+    assert(!p51.contains("CartesianProduct"), s"x51 plans a cartesian:\n$p51")
+    // x52: the within-cell pair join is an equi join; the only nested
+    // loops are the K-row centroid broadcasts inside assignCells
+    val p52 = plan("x52_semantic_dup")
+    assert(!p52.contains("CartesianProduct"), s"x52 plans a cartesian:\n$p52")
+    // x59: rank propagation joins edges×ranks on the node id
+    val p59 = plan("x59_pagerank")
+    assert(!p59.contains("CartesianProduct") && !p59.contains("BroadcastNestedLoopJoin"),
+      s"x59 must join on node ids:\n$p59")
+  }
+
+  test("x53 pivot compiles to hash aggregates, x57 windows partition by user") {
+    val p53 = plan("x53_hourly_pivot")
+    assert(p53.contains("HashAggregate"), s"pivot should hash-aggregate:\n$p53")
+    assert(!p53.contains("Expand"), s"pinned-value pivot needs no Expand:\n$p53")
+    val p57 = plan("x57_window_suite")
+    assert(p57.contains("windowspecdefinition(user_id"),
+      s"x57 windows must partition on user_id:\n$p57")
+  }
+
+  test("x58 profiling prunes each scan to its one column") {
+    val p = plan("x58_profile")
+    // every unioned branch reads exactly one lineitem column — a scan
+    // fetching unrelated columns would defeat the per-column design
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach(r => assert(!r.contains(","), s"profile scan reads >1 column: $r"))
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan
