@@ -13,6 +13,10 @@ case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Long,
                      channels: Long, bits: Long, n_samples: Long,
                      duration_ms: Long)
 
+/** Decoded-video metadata row (the x64 "decode" output schema). */
+case class VideoMeta(doc_id: Long, n_bytes: Long, width: Long,
+                     height: Long, n_frames: Long)
+
 /** Multimodal-column plumbing — beyond-reference track (builder brief).
   *
   * Media (image/audio/video) is carried as an opaque `binary` column
@@ -288,6 +292,87 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         parseWavHeader(id, bytes).getOrElse(
           throw new IllegalArgumentException(s"doc $id: not a RIFF/WAVE stream"))
+      })
+  }
+
+  /** The video table: doc_id + a REAL multi-frame GIF89a byte stream —
+    * the "video" class of the modality triple (multi-frame container
+    * with per-frame descriptors, the structure a frame sampler works
+    * over). Header + logical screen descriptor, then 1 + len%7 image
+    * descriptors each with an empty LZW data stream, the 0x3B trailer,
+    * and the text payload parked after the trailer (decoders stop at
+    * the trailer, so the stream stays spec-walkable). */
+  def videoTable(documents: DataFrame): DataFrame = {
+    def le2(c: Column): Column = {
+      def byte(i: Int) =
+        unhex(lpad(hex(pmod(shiftrightunsigned(c.cast("long"), 8 * i), lit(256))), 2, "0"))
+      concat(byte(0), byte(1))
+    }
+    val tlen = octet_length(col("text")).cast("long")
+    val w = lit(16L) + pmod(tlen, lit(320L))
+    val h = lit(16L) + pmod(tlen * 3L, lit(240L))
+    val nFrames = lit(1L) + pmod(tlen, lit(7L))
+    // one frame: 0x2C + left(2) top(2) w(2) h(2) + packed(1) +
+    // lzw-min-code(1) + block terminator 0x00
+    val frame = concat(unhex(lit("2C")), le2(lit(0L)), le2(lit(0L)),
+      le2(w), le2(h), unhex(lit("000200")))
+    val gif = concat(
+      lit("GIF89a".getBytes("US-ASCII")),
+      le2(w), le2(h), unhex(lit("000000")), // screen descriptor tail
+      // n copies of the frame bytes: hex → repeat → unhex (binary has
+      // no variadic fold; the hex round-trip is byte-exact)
+      unhex(call_function("repeat", hex(frame), nFrames.cast("int"))),
+      unhex(lit("3B")),
+      encode(col("text"), "UTF-8"))
+    documents.select(col("doc_id"), gif.as("content"))
+  }
+
+  /** REAL video decode path: validate GIF89a, parse the screen
+    * descriptor, then WALK the block stream — image descriptors
+    * (skipping their variable-length LZW sub-blocks), extensions —
+    * counting frames until the trailer. None for non-GIF bytes. */
+  def parseGifMeta(docId: Long, content: Array[Byte]): Option[VideoMeta] = {
+    def u8(o: Int): Int = content(o) & 0xff
+    def le2(o: Int): Long = u8(o) | (u8(o + 1) << 8)
+    if (content.length < 14 ||
+        !"GIF89a".indices.forall(i => content(i) == "GIF89a".charAt(i).toByte))
+      return None
+    val (w, h) = (le2(6), le2(8))
+    var o = 13 // 6 header + 7 screen descriptor (no global color table)
+    var frames = 0L
+    def skipSubBlocks(): Unit = {
+      while (o < content.length && u8(o) != 0) o += 1 + u8(o)
+      o += 1 // terminator
+    }
+    while (o < content.length) {
+      u8(o) match {
+        case 0x2c =>
+          frames += 1
+          o += 10 // descriptor (9) + separator
+          o += 1  // LZW minimum code size
+          skipSubBlocks()
+        case 0x21 =>
+          o += 2 // extension introducer + label
+          skipSubBlocks()
+        case 0x3b =>
+          return Some(VideoMeta(docId, content.length.toLong, w, h, frames))
+        case _ => return None // corrupt stream: fail loud, not fake
+      }
+    }
+    None
+  }
+
+  /** x64: partition-wise video decode — same mapPartitions shape as
+    * [[mediaMeta]]/[[audioMeta]]; every [[videoTable]] row is a valid
+    * GIF by construction, so a parse failure throws. */
+  def videoMeta(spark: SparkSession, documents: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    videoTable(documents)
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseGifMeta(id, bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: not a GIF89a stream"))
       })
   }
 

@@ -1222,7 +1222,24 @@ object ExtSql {
          |FROM documents""".stripMargin
   }
 
+  // ---- x64 video (GIF) metadata ------------------------------------
+  // Arithmetic oracle, same contract as x63: the header fields are
+  // injected from the payload length; the engine must block-walk the
+  // real GIF stream to recover them. n_bytes = 6 header + 7 screen
+  // descriptor + 12 per frame + 1 trailer + payload.
+  private val x64 = {
+    val len = "strlen(text)"
+    val nf = s"(1 + $len % 7)"
+    raw"""SELECT doc_id,
+         |       CAST(13 + 12 * $nf + 1 + $len AS BIGINT) AS n_bytes,
+         |       CAST(16 + $len % 320 AS BIGINT) AS width,
+         |       CAST(16 + ($len * 3) % 240 AS BIGINT) AS height,
+         |       CAST($nf AS BIGINT) AS n_frames
+         |FROM documents""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x64_video_meta"      -> x64,
     "x63_audio_meta"      -> x63,
     "x60_token_ids"       -> x60,
     "x61_pack_offsets"    -> x61,

@@ -86,7 +86,8 @@ object Extensions {
     "x60_token_ids"      -> ((s, d) => TextAnalysis.tokenIds(docs(s, d))),
     "x61_pack_offsets"   -> ((s, d) => TextAnalysis.packOffsets(docs(s, d))),
     "x62_domain_cap"     -> ((s, d) => TextAnalysis.domainCap(docs(s, d))),
-    "x63_audio_meta"     -> ((s, d) => Multimodal.audioMeta(s, docs(s, d)).toDF()))
+    "x63_audio_meta"     -> ((s, d) => Multimodal.audioMeta(s, docs(s, d)).toDF()),
+    "x64_video_meta"     -> ((s, d) => Multimodal.videoMeta(s, docs(s, d)).toDF()))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -186,4 +186,24 @@ class EventsMultimodalSpec extends SparkSpec {
     assert(meta.fmt === "webp")
     assert(meta.n_bytes === payloadLen + Multimodal.WebpHeaderLen)
   }
+
+  test("gif video table emits walkable multi-frame streams; parser handles extensions") {
+    val text = "0123456789abc" // 13 bytes → 1 + 13%7 = 7 frames
+    val docs = Seq((9L, text, "en")).toDF("doc_id", "text", "lang")
+    val content = Multimodal.videoTable(docs)
+      .select("content").as[Array[Byte]].collect().head
+    assert(new String(content.slice(0, 6), "US-ASCII") === "GIF89a")
+    val meta = Multimodal.videoMeta(spark, docs).collect().head
+    assert(meta === graft.ops.VideoMeta(9L, 13L + 12L * 7 + 1 + 13, 16L + 13, 16L + 39, 7L))
+    // a hand-built GIF with a graphic-control EXTENSION before the
+    // frame (our table never emits one — the walker must still skip it)
+    val ext = Array[Byte](0x21.toByte, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val withExt =
+      content.slice(0, 13) ++ ext ++ content.slice(13, 13 + 12) ++ Array[Byte](0x3b)
+    assert(Multimodal.parseGifMeta(1L, withExt) ===
+      Some(graft.ops.VideoMeta(1L, withExt.length.toLong, meta.width, meta.height, 1L)))
+    // corrupt stream (bad block introducer) refuses rather than fakes
+    val corrupt = content.slice(0, 13) ++ Array[Byte](0x55)
+    assert(Multimodal.parseGifMeta(1L, corrupt) === None)
+  }
 }
