@@ -361,18 +361,20 @@ object Dedup {
       // convergence probe is a filter on the materialized frame, not a
       // second join back to the old generation (one job per round, not
       // two — the probe dominated the loop at fixture scale)
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
-        .select(col("doc_id"), col("lbl").as("old_lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist()
-      // the convergence probe is an action, so `next` is materialized
-      // here — the superseded generation can be dropped immediately
-      // instead of accumulating one cached frame per iteration
-      converged = next.filter(col("lbl") =!= col("old_lbl")).isEmpty
+      val next = Caching.temp(
+        labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+          .select(col("doc_id"), col("lbl").as("old_lbl"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
+      // count(), not isEmpty: isEmpty short-circuits after one row, so
+      // only the probed partitions would land in the cache and the
+      // unpersist below would force recomputation next round. The
+      // count materializes EVERY partition of `next`, after which the
+      // superseded generation can be dropped safely.
+      converged = next.filter(col("lbl") =!= col("old_lbl")).count() == 0L
       labels.unpersist(blocking = false)
       // keep the PERSISTED frame as the next generation (the stray
       // old_lbl column is projected away by every consumer)
-      labels = Caching.temp(next)
+      labels = next
       i += 1
     }
     // wrong-but-plausible labels are worse than failing loud: a

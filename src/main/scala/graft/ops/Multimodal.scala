@@ -71,6 +71,13 @@ object Multimodal {
     concat(byte(0), byte(1), byte(2), byte(3))
   }
 
+  /** 2-byte LITTLE-endian encoding (WAV fmt fields, GIF dimensions). */
+  private def le2c(c: Column): Column = {
+    def byte(i: Int) =
+      unhex(lpad(hex(pmod(shiftrightunsigned(c.cast("long"), 8 * i), lit(256))), 2, "0"))
+    concat(byte(0), byte(1))
+  }
+
   /** The media table: doc_id + opaque binary payload. Documents whose
     * md5 first nibble mod 3 == 1 are wrapped as real PNG files whose
     * IHDR encodes deterministic dimensions (derived, like the stub's,
@@ -237,11 +244,6 @@ object Multimodal {
     * payload length, so the oracle can recompute the expected metadata
     * arithmetically while the ENGINE must really byte-parse it. */
   def audioTable(documents: DataFrame): DataFrame = {
-    def le2(c: Column): Column = {
-      def byte(i: Int) =
-        unhex(lpad(hex(pmod(shiftrightunsigned(c.cast("long"), 8 * i), lit(256))), 2, "0"))
-      concat(byte(0), byte(1))
-    }
     val payload = encode(col("text"), "UTF-8")
     val dataLen = octet_length(col("text")).cast("long")
     val channels = lit(1L) + pmod(dataLen, lit(2L))
@@ -252,9 +254,9 @@ object Multimodal {
       unhex(lit("52494646")), le4(dataLen + 36L),  // "RIFF", riff size
       unhex(lit("57415645")),                      // "WAVE"
       unhex(lit("666D7420")), le4(lit(16L)),       // "fmt ", PCM header len
-      le2(lit(1L)), le2(channels),                 // PCM, channels
+      le2c(lit(1L)), le2c(channels),                 // PCM, channels
       le4(rate), le4(rate * blockAlign),           // sample rate, byte rate
-      le2(blockAlign), le2(bits),                  // block align, bits/sample
+      le2c(blockAlign), le2c(bits),                  // block align, bits/sample
       unhex(lit("64617461")), le4(dataLen),        // "data", payload len
       payload)
     documents.select(col("doc_id"), wav.as("content"))
@@ -303,22 +305,17 @@ object Multimodal {
     * and the text payload parked after the trailer (decoders stop at
     * the trailer, so the stream stays spec-walkable). */
   def videoTable(documents: DataFrame): DataFrame = {
-    def le2(c: Column): Column = {
-      def byte(i: Int) =
-        unhex(lpad(hex(pmod(shiftrightunsigned(c.cast("long"), 8 * i), lit(256))), 2, "0"))
-      concat(byte(0), byte(1))
-    }
     val tlen = octet_length(col("text")).cast("long")
     val w = lit(16L) + pmod(tlen, lit(320L))
     val h = lit(16L) + pmod(tlen * 3L, lit(240L))
     val nFrames = lit(1L) + pmod(tlen, lit(7L))
     // one frame: 0x2C + left(2) top(2) w(2) h(2) + packed(1) +
     // lzw-min-code(1) + block terminator 0x00
-    val frame = concat(unhex(lit("2C")), le2(lit(0L)), le2(lit(0L)),
-      le2(w), le2(h), unhex(lit("000200")))
+    val frame = concat(unhex(lit("2C")), le2c(lit(0L)), le2c(lit(0L)),
+      le2c(w), le2c(h), unhex(lit("000200")))
     val gif = concat(
       lit("GIF89a".getBytes("US-ASCII")),
-      le2(w), le2(h), unhex(lit("000000")), // screen descriptor tail
+      le2c(w), le2c(h), unhex(lit("000000")), // screen descriptor tail
       // n copies of the frame bytes: hex → repeat → unhex (binary has
       // no variadic fold; the hex round-trip is byte-exact)
       unhex(call_function("repeat", hex(frame), nFrames.cast("int"))),

@@ -57,15 +57,19 @@ object Search {
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm = col("tf") * (K1 + 1) /
-      (col("tf") + lit(K1) * (lit(1.0 - B) +
-        lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks"))))
+    // association order matches the x51 oracle EXACTLY:
+    // ((idf * (tf*(k1+1))) / den) * scale, left to right — a*(b/c) vs
+    // (a*b)/c differ in the last ulp, which is enough to flip a
+    // floor(x+0.5) grid cell on a boundary value
+    val den = col("tf") + lit(K1) * (lit(1.0 - B) +
+      lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks")))
     val contrib = qterms.join(tf, col("term") === col("tok"))
       .join(dfq, Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(stats)
       .select(col("query"), col("doc_id"),
-        floor(idf * tfNorm * ScoreScale + 0.5).cast("long").as("fp"))
+        floor(idf * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
+          .cast("long").as("fp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query")).orderBy(col("total").desc, col("doc_id").asc)
     contrib.groupBy(col("query"), col("doc_id"))

@@ -242,10 +242,10 @@ object Similarity {
     * per-iteration frames accumulate for the JVM lifetime is not). */
   def kmeansCentroids(vs: DataFrame, iters: Int = KmeansIters): DataFrame =
     (0 until iters).foldLeft(Caching.temp(seedCentroids(vs))) { (c, _) =>
-      val next = lloydStep(vs, c).persist()
+      val next = Caching.temp(lloydStep(vs, c))
       next.count()
       c.unpersist(blocking = false)
-      Caching.temp(next)
+      next
     }
 
   /** Like [[annBrute]] but with a LEARNED IVF index: vectors are

@@ -175,14 +175,17 @@ object Xlsx {
         .find(_.getAttribute("name") == sheet)
         .getOrElse(sys.error(s"no sheet '$sheet' in $path"))
       // the relationship-id attribute is namespaced; foreign writers may
-      // bind the relationships namespace to any prefix, not just "r"
+      // bind the relationships namespace to any prefix, not just "r".
+      // Prefer the canonical r:id EXACTLY; fall back to any ':id'-suffixed
+      // attribute only when r:id is absent (a preceding unrelated
+      // namespaced id, e.g. ext:id, must not shadow a present r:id)
       val rid = {
         val atts = sheetEl.getAttributes
-        (0 until atts.getLength).map(atts.item(_))
-          .collectFirst {
-            case a if a.getNodeName == "r:id" || a.getNodeName.endsWith(":id") =>
-              a.getNodeValue
-          }
+        val all = (0 until atts.getLength).map(atts.item(_))
+        all.collectFirst { case a if a.getNodeName == "r:id" => a.getNodeValue }
+          .orElse(all.collectFirst {
+            case a if a.getNodeName.endsWith(":id") => a.getNodeValue
+          })
           .getOrElse(sys.error(s"sheet '$sheet' has no relationship id"))
       }
       val rels = parseXml(zf.getInputStream(zf.getEntry("xl/_rels/workbook.xml.rels")))
