@@ -64,6 +64,22 @@ object HyperLogLog {
       .groupBy(col("reg"))
       .agg(max(col("rho")).as("max_rho"))
 
+  /** x65: GROUPED register tables — one [[M]]-register sketch per
+    * group (the per-shard/per-language cardinality pattern: "distinct
+    * tokens per lang" over 100 TB shuffles groups×[[M]] register rows,
+    * never the distinct values themselves). Sketches for different
+    * groups merge by max(rho) per register — the aggregate IS the
+    * merge, so re-grouping (lang → corpus) is another max, not a
+    * recount. */
+  def groupedRegisterTable(values: DataFrame, groupCol: String,
+                           colName: String): DataFrame =
+    values
+      .select(col(groupCol), md5(col(colName)).as("h"))
+      .select(col(groupCol), registerOf(col("h")).as("reg"), restOf(col("h")).as("rest"))
+      .select(col(groupCol), col("reg"), rankOfRest(col("rest")).as("rho"))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("rho")).as("max_rho"))
+
   /** Standard HLL estimate with linear-counting small-range correction
     * (driver-side, 256 registers). */
   def estimate(regs: Seq[(Long, Long)]): Double = {

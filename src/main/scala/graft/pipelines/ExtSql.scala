@@ -654,6 +654,24 @@ object ExtSql {
          |FROM rr GROUP BY 1""".stripMargin
   }
 
+  // ---- x65 grouped HLL register tables -----------------------------
+
+  private val x65 = {
+    val hll = graft.functions.HyperLogLog
+    val cases = (1 to hll.RankBits)
+      .map(r => s"WHEN rest >= ${1L << (hll.RankBits - r)} THEN $r")
+      .mkString("CASE ", " ", s" ELSE ${hll.RankBits + 1} END")
+    raw"""WITH $toksCte,
+         |h AS (SELECT lang, md5(t) AS h
+         |      FROM (SELECT lang, unnest(toks) AS t FROM tok)),
+         |rr AS (
+         |  SELECT lang, ('0x' || substr(h, 1, 2))::BIGINT AS reg,
+         |         ('0x' || substr(h, 3, 13))::BIGINT AS rest
+         |  FROM h)
+         |SELECT lang, reg, CAST(max($cases) AS BIGINT) AS max_rho
+         |FROM rr GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- x32 incremental exact dedup ---------------------------------
 
   private val x32 =
@@ -1240,6 +1258,7 @@ object ExtSql {
 
   val oracle: Map[String, String] = Map(
     "x64_video_meta"      -> x64,
+    "x65_hll_by_lang"     -> x65,
     "x63_audio_meta"      -> x63,
     "x60_token_ids"       -> x60,
     "x61_pack_offsets"    -> x61,

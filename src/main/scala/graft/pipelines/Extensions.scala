@@ -87,7 +87,10 @@ object Extensions {
     "x61_pack_offsets"   -> ((s, d) => TextAnalysis.packOffsets(docs(s, d))),
     "x62_domain_cap"     -> ((s, d) => TextAnalysis.domainCap(docs(s, d))),
     "x63_audio_meta"     -> ((s, d) => Multimodal.audioMeta(s, docs(s, d)).toDF()),
-    "x64_video_meta"     -> ((s, d) => Multimodal.videoMeta(s, docs(s, d)).toDF()))
+    "x64_video_meta"     -> ((s, d) => Multimodal.videoMeta(s, docs(s, d)).toDF()),
+    "x65_hll_by_lang"    -> ((s, d) => graft.functions.HyperLogLog.groupedRegisterTable(
+      TextAnalysis.withTokens(docs(s, d))
+        .select(col("lang"), explode(col("toks")).as("tok")), "lang", "tok")))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

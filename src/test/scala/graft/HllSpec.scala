@@ -41,4 +41,28 @@ class HllSpec extends SparkSpec {
     assert(math.abs(est / exact - 1.0) < 0.15,
       s"HLL estimate $est vs exact $exact")
   }
+
+  test("grouped sketches merge by register-max into the global sketch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = graft.ops.TextAnalysis.withTokens(docs)
+      .select(col("lang"), explode(col("toks")).as("tok"))
+    val grouped = HyperLogLog.groupedRegisterTable(toks, "lang", "tok")
+    // per-group estimates are sane for each language
+    grouped.select("lang").distinct().as[String].collect().foreach { l =>
+      val regs = grouped.filter(col("lang") === l)
+        .select("reg", "max_rho").as[(Long, Long)].collect().toSeq
+      val exact = toks.filter(col("lang") === l)
+        .select("tok").distinct().count().toDouble
+      val est = HyperLogLog.estimate(regs)
+      assert(math.abs(est / exact - 1.0) < 0.2, s"lang $l: $est vs $exact")
+    }
+    // merging all groups (max per register) reproduces the GLOBAL
+    // sketch exactly — the property that makes sketches re-groupable
+    val merged = grouped.groupBy(col("reg"))
+      .agg(max(col("max_rho")).as("max_rho"))
+      .as[(Long, Long)].collect().toSet
+    val global = HyperLogLog.registerTable(toks.select(col("tok")), "tok")
+      .as[(Long, Long)].collect().toSet
+    assert(merged === global)
+  }
 }
