@@ -43,4 +43,34 @@ class SourcesSpec extends SparkSpec {
     val full = spark.read.parquet(out).count()
     assert(back.count() < full)
   }
+
+  test("json-lines round-trip with declared schema; corrupt lines surface, not vanish") {
+    import org.apache.spark.sql.types._
+    val out = s"$tmp/events_jsonl"
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+    src.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("props", StringType)))
+    // declared schema, no inference pass (two scans of 100 TB otherwise)
+    val back = spark.read.schema(schema).json(out)
+    assert(back.schema === schema)
+    assert(back.count() === src.count())
+    assert(back.agg(sum(col("event_id"))).head.getLong(0) ===
+      src.agg(sum(col("event_id"))).head.getLong(0))
+    // FAILFAST surfaces malformed rows instead of silently nulling them
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "badjson")
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"event_id": 1, "user_id": 2, "event_type": "view", "props": "{}"}
+        |this is not json
+        |""".stripMargin)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST")
+        .json(dir.toString).collect()
+    }
+  }
 }
