@@ -226,6 +226,23 @@ object Events {
       .withColumn("cume", graft.ops.Portable.round4(cume_dist().over(w)))
   }
 
+  /** x66: SET-OPERATION surface (INTERSECT / EXCEPT — absent from the
+    * reference, SURVEY.md §2.6): per event-type user sets combined
+    * relationally — buyers who also signed up (INTERSECT), buyers who
+    * never erred (EXCEPT), flagged and unioned. Both compile to hash
+    * aggregates + joins (EXCEPT = left-anti, INTERSECT = left-semi on
+    * distinct sets): one shuffle each on user_id, no sort. */
+  def userSetOps(events: DataFrame): DataFrame = {
+    def users(t: String) =
+      events.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val buyers = users("purchase")
+    users("signup").intersect(buyers)
+      .withColumn("cohort", lit("signup_and_buy"))
+      .unionByName(
+        buyers.except(users("error")).withColumn("cohort", lit("buy_no_error")))
+      .select(col("cohort"), col("user_id"))
+  }
+
   /** x55: COHORT RETENTION — users grouped by their first-activity day
     * (the cohort), counted on each later day they return: one row per
     * (cohort_day, day_offset) with the distinct returning users. The

@@ -672,6 +672,20 @@ object ExtSql {
          |FROM rr GROUP BY 1, 2""".stripMargin
   }
 
+  // ---- x66 set operations ------------------------------------------
+
+  private val x66 =
+    raw"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+         |SELECT 'signup_and_buy' AS cohort, user_id FROM (
+         |  SELECT user_id FROM u WHERE event_type = 'signup'
+         |  INTERSECT
+         |  SELECT user_id FROM u WHERE event_type = 'purchase')
+         |UNION ALL
+         |SELECT 'buy_no_error', user_id FROM (
+         |  SELECT user_id FROM u WHERE event_type = 'purchase'
+         |  EXCEPT
+         |  SELECT user_id FROM u WHERE event_type = 'error')""".stripMargin
+
   // ---- x32 incremental exact dedup ---------------------------------
 
   private val x32 =
@@ -1259,6 +1273,7 @@ object ExtSql {
   val oracle: Map[String, String] = Map(
     "x64_video_meta"      -> x64,
     "x65_hll_by_lang"     -> x65,
+    "x66_user_set_ops"    -> x66,
     "x63_audio_meta"      -> x63,
     "x60_token_ids"       -> x60,
     "x61_pack_offsets"    -> x61,

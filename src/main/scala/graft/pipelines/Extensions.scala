@@ -90,7 +90,8 @@ object Extensions {
     "x64_video_meta"     -> ((s, d) => Multimodal.videoMeta(s, docs(s, d)).toDF()),
     "x65_hll_by_lang"    -> ((s, d) => graft.functions.HyperLogLog.groupedRegisterTable(
       TextAnalysis.withTokens(docs(s, d))
-        .select(col("lang"), explode(col("toks")).as("tok")), "lang", "tok")))
+        .select(col("lang"), explode(col("toks")).as("tok")), "lang", "tok")),
+    "x66_user_set_ops"   -> ((s, d) => Events.userSetOps(evs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -55,6 +55,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("4_view_click_purchase") === 1L)
   }
 
+  test("userSetOps: intersect and except over distinct per-type user sets") {
+    val evs = Seq(
+      (1L, ts(1000L), 1L, "signup", 0.0, "{}"),
+      (2L, ts(2000L), 1L, "purchase", 0.0, "{}"),   // signup ∩ buy
+      (3L, ts(1000L), 2L, "purchase", 0.0, "{}"),
+      (4L, ts(2000L), 2L, "error", 0.0, "{}"),      // buyer with error
+      (5L, ts(1000L), 3L, "purchase", 0.0, "{}"),   // clean buyer, no signup
+      (6L, ts(2000L), 3L, "purchase", 0.0, "{}"),   // duplicate membership
+      (7L, ts(1000L), 4L, "signup", 0.0, "{}")      // signup only
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.userSetOps(evs).as[(String, Long)].collect().toSet
+    assert(out === Set(
+      ("signup_and_buy", 1L),
+      ("buy_no_error", 1L), ("buy_no_error", 3L)))
+  }
+
   test("cohortRetention: offsets measured from each user's first day, users distinct") {
     val D = 86400000L
     val evs = Seq(
