@@ -226,6 +226,52 @@ object Events {
       .withColumn("cume", graft.ops.Portable.round4(cume_dist().over(w)))
   }
 
+  /** Hop and width of the x67 sliding windows (15 min hop, 1 h width:
+    * every event lands in 4 overlapping windows). */
+  val HopMs: Long = 15 * 60 * 1000L
+  val SlideWindowMs: Long = 3600000L
+
+  /** x67: HOPPING-WINDOW aggregation (the batch form of streaming
+    * `window(ts, '1 hour', '15 minutes')`): each event replicates into
+    * width/hop = 4 overlapping windows, then one hash aggregate per
+    * (window_start, event_type). Scale: the explode multiplies rows by
+    * a CONSTANT 4 — map-side — and partial aggregation collapses them
+    * before the shuffle; no range join, no self-join. */
+  def hourlySliding(events: DataFrame): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val lastStart = floor(ms / HopMs).cast("long") * HopMs
+    events
+      .select(col("event_type"), Events.valueCents(col("value")).as("cents"),
+        explode(sequence(lit(0L), lit(SlideWindowMs / HopMs - 1)))
+          .as("i"), lastStart.as("last_start"))
+      .select(col("event_type"), col("cents"),
+        (col("last_start") - col("i") * HopMs).as("window_start"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+  }
+
+  /** x68: GROUP-WISE NORMALIZATION (feature scaling before training):
+    * per event_type, the z-score of each event's cent value computed
+    * from EXACT integer sums (Σc, Σc², n commute across partitions;
+    * the floats enter only in the final per-row expression, evaluated
+    * in one fixed order and rounded 4dp). Events in a type with zero
+    * variance report null. Scale: one hash aggregate over the enum-
+    * sized groups, broadcast back, map-only normalization pass. */
+  def normalizedValues(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("event_type"),
+      valueCents(col("value")).as("cents"))
+    val stats = broadcast(base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2")))
+    val mean = col("s1").cast("double") / col("n")
+    val variance = col("s2").cast("double") / col("n") - mean * mean
+    base.join(stats, Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        when(col("n") >= 2 && variance > 0,
+          graft.ops.Portable.round4((col("cents") - mean) / sqrt(variance)))
+          .as("z"))
+  }
+
   /** x66: SET-OPERATION surface (INTERSECT / EXCEPT — absent from the
     * reference, SURVEY.md §2.6): per event-type user sets combined
     * relationally — buyers who also signed up (INTERSECT), buyers who

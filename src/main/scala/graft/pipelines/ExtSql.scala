@@ -686,6 +686,64 @@ object ExtSql {
          |  EXCEPT
          |  SELECT user_id FROM u WHERE event_type = 'error')""".stripMargin
 
+  // ---- x67 hopping-window aggregation ------------------------------
+
+  private val x67 = {
+    val hop = Events.HopMs; val nHops = Events.SlideWindowMs / Events.HopMs
+    raw"""WITH e AS (
+         |  SELECT event_type, epoch_ms(ts) AS ms, $centsExpr AS cents
+         |  FROM events)
+         |SELECT (ms // $hop) * $hop - i * $hop AS window_start, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(cents) AS BIGINT) AS value_cents
+         |FROM e, (SELECT unnest(range(0, $nHops)) AS i) t
+         |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- x68 group-wise z-score normalization ------------------------
+
+  private val x68 =
+    raw"""WITH base AS (
+         |  SELECT event_id, event_type, $centsExpr AS cents FROM events),
+         |st AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(cents) AS BIGINT) AS s1,
+         |         CAST(sum(cents * cents) AS BIGINT) AS s2
+         |  FROM base GROUP BY 1)
+         |SELECT event_id, event_type, cents,
+         |       CASE WHEN n >= 2
+         |                 AND s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) > 0
+         |            THEN ${round4("(cents - s1::DOUBLE / n) / sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n))")}
+         |            END AS z
+         |FROM base JOIN st USING (event_type)""".stripMargin
+
+  // ---- x69 correlation matrix --------------------------------------
+
+  private val x69 = {
+    val feats = graft.ops.DataProfile.CorrFeatures
+    val proj = feats.map { case (c, s) =>
+      s"CAST(floor($c * $s + 0.5) AS BIGINT) AS $c"
+    }.mkString(", ")
+    val moments = feats.map { case (c, _) => s"CAST(sum($c) AS BIGINT) AS s_$c" } ++
+      feats.combinations(2).toSeq.flatMap { case Seq((a, _), (b, _)) =>
+        Seq(s"CAST(sum($a * $a) AS BIGINT) AS ss_$a$a",
+          s"CAST(sum($b * $b) AS BIGINT) AS ss_$b$b",
+          s"CAST(sum($a * $b) AS BIGINT) AS ss_$a$b")
+      }
+    val pairs = feats.map(_._1).combinations(2).toSeq.map { case Seq(a, b) =>
+      val num = s"n::DOUBLE * ss_$a$b::DOUBLE - s_$a::DOUBLE * s_$b::DOUBLE"
+      val dx = s"n::DOUBLE * ss_$a$a::DOUBLE - s_$a::DOUBLE * s_$a::DOUBLE"
+      val dy = s"n::DOUBLE * ss_$b$b::DOUBLE - s_$b::DOUBLE * s_$b::DOUBLE"
+      raw"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+           |       ${round4(s"($num) / (sqrt($dx) * sqrt($dy))")} AS corr
+           |FROM m""".stripMargin
+    }
+    raw"""WITH m AS (
+         |  SELECT count(*) AS n, ${moments.distinct.mkString(",\n         ")}
+         |  FROM (SELECT $proj FROM lineitem))
+         |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // ---- x32 incremental exact dedup ---------------------------------
 
   private val x32 =
@@ -1274,6 +1332,9 @@ object ExtSql {
     "x64_video_meta"      -> x64,
     "x65_hll_by_lang"     -> x65,
     "x66_user_set_ops"    -> x66,
+    "x67_hourly_sliding"  -> x67,
+    "x68_normalized"      -> x68,
+    "x69_correlations"    -> x69,
     "x63_audio_meta"      -> x63,
     "x60_token_ids"       -> x60,
     "x61_pack_offsets"    -> x61,

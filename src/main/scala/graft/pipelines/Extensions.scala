@@ -91,7 +91,10 @@ object Extensions {
     "x65_hll_by_lang"    -> ((s, d) => graft.functions.HyperLogLog.groupedRegisterTable(
       TextAnalysis.withTokens(docs(s, d))
         .select(col("lang"), explode(col("toks")).as("tok")), "lang", "tok")),
-    "x66_user_set_ops"   -> ((s, d) => Events.userSetOps(evs(s, d))))
+    "x66_user_set_ops"   -> ((s, d) => Events.userSetOps(evs(s, d))),
+    "x67_hourly_sliding" -> ((s, d) => Events.hourlySliding(evs(s, d))),
+    "x68_normalized"     -> ((s, d) => Events.normalizedValues(evs(s, d))),
+    "x69_correlations"   -> ((s, d) => graft.ops.DataProfile.correlations(Tables.lineitem(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

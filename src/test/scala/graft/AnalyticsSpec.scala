@@ -71,6 +71,33 @@ class AnalyticsSpec extends SparkSpec {
       ("buy_no_error", 1L), ("buy_no_error", 3L)))
   }
 
+  test("hourlySliding: each event lands in exactly 4 overlapping windows") {
+    val evs = Seq((1L, ts(50 * 60 * 1000L), 7L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.hourlySliding(evs)
+      .select("window_start", "n_events", "value_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    // window starts align to hop multiples (same as streaming
+    // window()): ts at minute 50 → windows starting 45, 30, 15, 0
+    val m = 60000L
+    assert(out === Set((45 * m, 1L, 200L), (30 * m, 1L, 200L),
+      (15 * m, 1L, 200L), (0L, 1L, 200L)))
+  }
+
+  test("normalizedValues: z-scores from exact sums; degenerate groups are null") {
+    val evs = Seq(
+      (1L, ts(1000L), 1L, "view", 1.0, "{}"),   // cents 100
+      (2L, ts(2000L), 2L, "view", 3.0, "{}"),   // cents 300
+      (3L, ts(3000L), 3L, "click", 5.0, "{}")   // singleton group
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.normalizedValues(evs)
+      .select("event_id", "z").as[(Long, Option[Double])].collect().toMap
+    // mean 200, var = (100²+300²)/2 − 200² = 10000, σ = 100
+    assert(out(1L) === Some(-1.0))
+    assert(out(2L) === Some(1.0))
+    assert(out(3L) === None, "zero-variance singleton reports null")
+  }
+
   test("cohortRetention: offsets measured from each user's first day, users distinct") {
     val D = 86400000L
     val evs = Seq(

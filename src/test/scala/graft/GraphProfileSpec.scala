@@ -53,6 +53,19 @@ class GraphProfileSpec extends SparkSpec {
     assert(out("x") === (("x", 3L, 1L, 2L, Some(2.0), Some(4.0))))
   }
 
+  test("correlations: perfect linear features report ±1; independent near 0") {
+    val rows = (1 to 200).map { i =>
+      // price = 3·quantity (corr +1); discount alternates independently
+      (i.toLong, i.toDouble % 37, (i.toDouble % 37) * 3, (i % 2) * 0.01)
+    }.toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val out = DataProfile.correlations(rows)
+      .select("col_a", "col_b", "corr").as[(String, String, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("l_quantity", "l_extendedprice")) === 1.0)
+    assert(math.abs(out(("l_quantity", "l_discount"))) < 0.2)
+    assert(math.abs(out(("l_extendedprice", "l_discount"))) < 0.2)
+  }
+
   test("pagerank: symmetric pair gets equal ranks; hub outranks leaves; mass bounded") {
     // star graph: doc 1 near-dups 2, 3, 4 (identical texts); 8 & 9 pair
     val docs = Seq(
