@@ -37,6 +37,54 @@ object DataProfile {
         max(col(c)).cast("double").as("max_v"))
     }.reduce(_ unionByName _)
 
+  /** x71 data-quality rules: (rule id, VIOLATION predicate). The
+    * predicate is ANSI SQL text parsed by BOTH engines — Spark via
+    * `expr(...)`, DuckDB verbatim in the oracle — one definition, zero
+    * drift. A row where the predicate is NULL (null operand) counts as
+    * clean in both engines (Spark `sum` skips NULL ≡ DuckDB
+    * `CASE WHEN NULL → ELSE 0`). */
+  val LineitemRules: Seq[(String, String)] = Seq(
+    "li_quantity_range"   -> "NOT (l_quantity >= 1 AND l_quantity <= 50)",
+    "li_discount_range"   -> "NOT (l_discount >= 0 AND l_discount <= 0.1)",
+    "li_price_positive"   -> "NOT (l_extendedprice > 0)",
+    "li_shipdate_nonnull" -> "l_shipdate IS NULL")
+
+  val OrdersRules: Seq[(String, String)] = Seq(
+    "ord_status_domain"  -> "o_orderstatus NOT IN ('O', 'F', 'P')",
+    "ord_price_positive" -> "NOT (o_totalprice > 0)")
+
+  /** x71: data-quality EXPECTATIONS report — the "assert before you
+    * train on it" gate of an ingestion pipeline. One row per rule:
+    * (rule_id, tbl, n_rows, n_violations). Scalar rules run as ONE
+    * constant-width aggregate pass per table (every rule is a
+    * `sum(CASE)` in the same agg — no per-rule scans); the referential
+    * rule (every l_orderkey resolves in orders) is a key-projected
+    * anti join — AQE broadcasts the key side when it fits, shuffled
+    * otherwise, never a driver-side collect. */
+  def expectations(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    def report(tbl: String, df: DataFrame, rules: Seq[(String, String)]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          rules.map { case (id, bad) =>
+            sum(expr(bad).cast("long")).as(id)
+          }: _*)
+        .select(col("n_rows"), explode(array(rules.map { case (id, _) =>
+          struct(lit(id).as("rule_id"), lit(tbl).as("tbl"),
+            coalesce(col(id), lit(0L)).as("n_violations"))
+        }: _*)).as("r"))
+        .select(col("r.rule_id").as("rule_id"), col("r.tbl").as("tbl"),
+          col("n_rows"), col("r.n_violations").as("n_violations"))
+    val orphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val refRule = lineitem.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+      .select(lit("li_orderkey_ref").as("rule_id"), lit("lineitem").as("tbl"),
+        col("n_rows"), col("n_violations"))
+    report("lineitem", lineitem, LineitemRules)
+      .unionByName(report("orders", orders, OrdersRules))
+      .unionByName(refRule)
+  }
+
   /** The x69 feature columns with their fixed-point scales, chosen so
     * every Σx² stays far below 2⁶³ at bench scale (quantity in
     * hundredths ≤ 5e3, price in whole dollars ≤ 1e5, discount in

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** OLAP reshaping surface over the relational tables — UNPIVOT (melt)
+  * and CUBE grouping sets. Beyond-reference track: the wide→long
+  * reshape and the all-margins aggregate every BI/feature-audit layer
+  * runs; the reference's pandas analog is `DataFrame.melt` /
+  * `pivot_table(margins=True)`.
+  *
+  * All measures go through fixed-point scaling (cents / basis points)
+  * so every sum is an exact BIGINT in both engines — the shared
+  * [[MeltCols]] constants feed the Spark plan AND the DuckDB oracle
+  * ([[graft.pipelines.ExtSql]]) so they cannot drift.
+  */
+object Olap {
+
+  /** x70 measure columns with fixed-point scales (quantity/price in
+    * hundredths, rates in basis points — Σ stays ≪ 2⁶³ at any SF). */
+  val MeltCols: Seq[(String, Long)] = Seq(
+    ("l_quantity", 100L), ("l_extendedprice", 100L),
+    ("l_discount", 10000L), ("l_tax", 10000L))
+
+  /** x70: melt the lineitem measure columns to long format
+    * (metric, v) and profile each measure in one grouped pass.
+    *
+    * Scale: `unpivot` is a map-side Expand — K output rows per input
+    * row, NO shuffle of the wide table; the aggregate partials reduce
+    * to K=4 groups per task before the (4-row) shuffle. The scan
+    * prunes to exactly the 4 measure columns. This is the cheap
+    * direction of reshape — contrast the pivot in
+    * [[Events.hourlyPivot]] which documents the grouped wide-out path.
+    */
+  def meltStats(lineitem: DataFrame): DataFrame = {
+    val fixed = lineitem.select(MeltCols.map { case (c, s) =>
+      floor(col(c) * s + 0.5).cast("long").as(c)
+    }: _*)
+    fixed
+      .unpivot(Array.empty[Column], MeltCols.map(c => col(c._1)).toArray, "metric", "v")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
+  /** x72: CUBE over (order priority × order year) — all four grouping
+    * sets (detail, by-priority, by-year, grand total) in ONE pass.
+    * `gid` is the standard grouping id (bit per column, first column
+    * is the high bit — identical convention in Spark `grouping_id()`
+    * and DuckDB `GROUPING(pri, yr)`), so consumers can split margins
+    * from detail rows without null-sentinel ambiguity.
+    *
+    * Scale: CUBE plans as Expand(×4) feeding one hash aggregate with
+    * map-side partials — the shuffle carries |priorities|·|years|-ish
+    * groups, not 4× the fact rows. At 100 TB this beats four separate
+    * aggregation passes 4:1 on scan cost. */
+  def cubeSales(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderpriority").as("pri"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .cube(col("pri"), col("yr"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+}

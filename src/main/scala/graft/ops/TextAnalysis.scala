@@ -401,6 +401,36 @@ object TextAnalysis {
           .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
 
+  /** x73 result size. */
+  val BpeTopK = 50
+
+  /** x73: the COUNT step of one BPE merge iteration (the
+    * tokenizer-training primitive): over the corpus vocabulary
+    * weighted by token frequency, count every adjacent character
+    * pair and keep the top [[BpeTopK]] — the highest-count pair is
+    * the symbol BPE would merge next.
+    *
+    * Scale: pair counting runs over the DISTINCT vocabulary (≪ corpus
+    * — the token-frequency aggregate collapses the token stream
+    * first, so a 100 TB corpus contributes |vocab| rows to the
+    * pair-explode stage, not |tokens|). Two hash aggregates + one
+    * global top-k via orderBy+limit (partial TakeOrdered per
+    * partition, k rows to the driver stage — never a single-partition
+    * window). Pairs come from `substring(tok, i, 2)` so the oracle's
+    * 1-indexed DuckDB comprehension computes the identical list. */
+  def bpePairs(documents: DataFrame): DataFrame = {
+    val tokCounts = withTokens(documents)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    tokCounts
+      .filter(length(col("tok")) >= 2)
+      .select(col("cnt"), explode(
+        expr("transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
   /** x38: statistical LM quality score (CCNet-style filter): train an
     * add-one-smoothed BIGRAM language model on the corpus itself, then
     * score every document by its average negative log-likelihood

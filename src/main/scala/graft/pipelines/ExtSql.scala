@@ -744,6 +744,69 @@ object ExtSql {
          |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  // ---- x70 unpivot (melt) measure profile --------------------------
+
+  private val x70 = {
+    val arms = graft.ops.Olap.MeltCols.map { case (c, s) =>
+      s"SELECT '$c' AS metric, CAST(floor($c * $s + 0.5) AS BIGINT) AS v FROM lineitem"
+    }.mkString("\n  UNION ALL\n  ")
+    raw"""SELECT metric, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(v) AS BIGINT) AS sum_v, min(v) AS min_v, max(v) AS max_v
+         |FROM (
+         |  $arms)
+         |GROUP BY metric""".stripMargin
+  }
+
+  // ---- x71 data-quality expectations -------------------------------
+
+  private val x71 = {
+    val dp = graft.ops.DataProfile
+    def arm(tbl: String, rules: Seq[(String, String)]) = rules.map { case (id, bad) =>
+      raw"""SELECT '$id' AS rule_id, '$tbl' AS tbl,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN $bad THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+           |FROM $tbl""".stripMargin
+    }
+    val ref =
+      raw"""SELECT 'li_orderkey_ref' AS rule_id, 'lineitem' AS tbl,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |                          WHERE o.o_orderkey = l.l_orderkey)) AS n_violations""".stripMargin
+    (arm("lineitem", dp.LineitemRules) ++ arm("orders", dp.OrdersRules) :+ ref)
+      .mkString("\nUNION ALL\n")
+  }
+
+  // ---- x72 CUBE grouping sets --------------------------------------
+
+  private val x72 =
+    raw"""SELECT pri, yr, CAST(GROUPING(pri, yr) AS BIGINT) AS gid,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       CAST(sum(cents) AS BIGINT) AS total_cents
+         |FROM (
+         |  SELECT o_orderpriority AS pri,
+         |         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders)
+         |GROUP BY CUBE (pri, yr)""".stripMargin
+
+  // ---- x73 BPE pair-merge counts -----------------------------------
+
+  private val x73 =
+    raw"""WITH $toksCte,
+         |tc AS (
+         |  SELECT t AS tok, count(*) AS cnt
+         |  FROM (SELECT unnest(toks) AS t FROM tok)
+         |  GROUP BY 1),
+         |pr AS (
+         |  SELECT unnest([substring(tok, i, 2) for i in range(1, length(tok))]) AS pair, cnt
+         |  FROM tc WHERE length(tok) >= 2)
+         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |FROM pr
+         |GROUP BY pair
+         |ORDER BY pair_count DESC, pair
+         |LIMIT ${TextAnalysis.BpeTopK}""".stripMargin
+
   // ---- x32 incremental exact dedup ---------------------------------
 
   private val x32 =
@@ -1335,6 +1398,10 @@ object ExtSql {
     "x67_hourly_sliding"  -> x67,
     "x68_normalized"      -> x68,
     "x69_correlations"    -> x69,
+    "x70_melt_stats"      -> x70,
+    "x71_expectations"    -> x71,
+    "x72_cube_sales"      -> x72,
+    "x73_bpe_pairs"       -> x73,
     "x63_audio_meta"      -> x63,
     "x60_token_ids"       -> x60,
     "x61_pack_offsets"    -> x61,

@@ -94,7 +94,12 @@ object Extensions {
     "x66_user_set_ops"   -> ((s, d) => Events.userSetOps(evs(s, d))),
     "x67_hourly_sliding" -> ((s, d) => Events.hourlySliding(evs(s, d))),
     "x68_normalized"     -> ((s, d) => Events.normalizedValues(evs(s, d))),
-    "x69_correlations"   -> ((s, d) => graft.ops.DataProfile.correlations(Tables.lineitem(s, d))))
+    "x69_correlations"   -> ((s, d) => graft.ops.DataProfile.correlations(Tables.lineitem(s, d))),
+    "x70_melt_stats"     -> ((s, d) => graft.ops.Olap.meltStats(Tables.lineitem(s, d))),
+    "x71_expectations"   -> ((s, d) => graft.ops.DataProfile.expectations(
+      Tables.lineitem(s, d), Tables.orders(s, d))),
+    "x72_cube_sales"     -> ((s, d) => graft.ops.Olap.cubeSales(Tables.orders(s, d))),
+    "x73_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -202,6 +202,26 @@ class PlanSpec extends SparkSpec {
     reads.foreach(r => assert(!r.contains(","), s"profile scan reads >1 column: $r"))
   }
 
+  test("x70 melt prunes the scan to the 4 measures; x72 cube is ONE pass; x71 is constant-width") {
+    val p70 = plan("x70_melt_stats")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p70).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      assert(r.split(",").length === graft.ops.Olap.MeltCols.length,
+        s"melt scan should read exactly the ${graft.ops.Olap.MeltCols.length} measures: $r")
+    }
+    val p72 = plan("x72_cube_sales")
+    // all four grouping sets from a single Expand + hash aggregate,
+    // not four scans
+    assert("Expand".r.findAllMatchIn(p72).length === 1, s"cube should Expand once:\n$p72")
+    assert("Scan parquet".r.findAllMatchIn(p72).length === 1,
+      s"cube should scan orders once:\n$p72")
+    val p71 = plan("x71_expectations")
+    // scalar rules fold into per-table aggregates: no Expand (the
+    // multi-distinct blowup shape) anywhere
+    assert(!p71.contains("Expand"), s"expectations must not Expand:\n$p71")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan
