@@ -336,6 +336,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Fixed-point scale for x76's integer tf-idf weights. */
+  val IdfScale = 10000L
+
+  /** x76 cosine cut-off. */
+  val CosineThreshold = 0.5
+
+  /** x76: sparse TF-IDF COSINE similarity pairs via an inverted-index
+    * join — the classic embedding-free document-similarity scale path
+    * (pair the docs through shared dimensions, never all-pairs).
+    *
+    * The sparse dimensions are the word n-SHINGLES (binary tf — the
+    * same [[docShingles]] sets x5/x25 mine), NOT raw tokens: the
+    * fixture corpus draws from a ~31-word pool, so every token's df
+    * scales with N and token-level idf is degenerate; shingles stay
+    * discriminative at every SF (and in any real corpus n-gram
+    * dimensions are what sparse similarity joins use — SpotSigs et
+    * al.). Weights are INTEGER fixed-point: w = round(idf·[[IdfScale]])
+    * with idf = ln((N+1)/(df+1)) exactly as x26 computes it — so the
+    * partial-product sums (dot, ‖·‖²) are exact BIGINTs that commute
+    * across partitions; floats enter only in the final one-shot
+    * cosine, rounded 4dp. Shingles with df > maxDf are dropped BEFORE
+    * the join (same cap and caveat as [[jaccardPairsExact]]: lossy for
+    * pairs whose entire overlap is boilerplate — which idf weighs to
+    * ~0 anyway; the cap is what bounds the Σdf² join volume at corpus
+    * scale).
+    *
+    * Scale: df via one postings window (see [[jaccardPairsExact]] on
+    * why not groupBy+join), shingle-keyed shuffle join for partial
+    * products, hash-agg to pair dots, two bounded-key joins to attach
+    * norms. No cartesian, no driver-side state. */
+  def tfidfCosinePairs(documents: DataFrame,
+                       threshold: Double = CosineThreshold,
+                       maxDf: Int = MaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = documents.select(count(lit(1)).as("n_docs"))
+    val posts = Caching.temp(docShingles(documents)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("s"),
+        floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1))
+          * IdfScale + 0.5).cast("long").as("w")))
+    val norms = posts.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nrm2"))
+    posts.alias("a").join(posts.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm2").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm2").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Portable.round4(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** x30: near-duplicate CLUSTERS — connected components over the x5
     * pair graph via iterative min-label propagation: every doc in a
     * pair starts as its own label; each round takes the min of its own

@@ -302,6 +302,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("rnk"))
   }
 
+  /** x74 picks per language shard. */
+  val WeightedSampleK = 20
+
+  /** x74: deterministic WEIGHTED (systematic/PPS) sampling — pick
+    * ~[[WeightedSampleK]] docs per language with probability
+    * proportional to size (n_chars): arrange docs on a line in
+    * content-addressed hash order, each spanning its weight; select
+    * every doc whose span contains a multiple of tot/k. Long docs can
+    * be picked more than once (`n_picks` — the standard PPS
+    * multiplicity). Integer-exact end to end: no rand(), identical
+    * re-run/engine results, and a stable step means adding docs only
+    * perturbs picks after the insertion point.
+    *
+    * Scale: like [[packBins]], the prefix sum is inherently sequential
+    * IN ORDER, so it is scoped per shard (lang) — one shuffle + two
+    * window passes per shard, never a global single-task window. */
+  def weightedSample(documents: DataFrame, k: Int = WeightedSampleK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    documents
+      .select(col("doc_id"), col("lang"), col("n_chars").as("w"),
+        md5(concat(lit("wsample:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("cum", sum(col("w")).over(
+        byLang.orderBy(col("skey").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("w")).over(byLang))
+      .withColumn("step", greatest(expr(s"tot div $k"), lit(1L)))
+      .withColumn("n_picks", expr("cum div step - (cum - w) div step"))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("lang"), col("w"), col("n_picks"))
+  }
+
+  /** x75: per-group exact-median quality gate — keep each language's
+    * longer half: docs with n_chars ≥ the language's LOWER MEDIAN
+    * (the ceil(n/2)-th value in (n_chars, doc_id) order — a concrete
+    * row, so both engines agree exactly; no interpolation). The "drop
+    * the bottom half per language" filter of a curation pipeline.
+    *
+    * Scale: one shuffle on lang feeds both window passes; the median
+    * table is |langs| rows — a genuinely bounded dim, so the hinted
+    * broadcast join back is safe at any SF. */
+  def medianFilter(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val ranked = Caching.temp(documents
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(
+        byLang.orderBy(col("n_chars").asc, col("doc_id").asc)))
+      .withColumn("n_in_lang", count(lit(1)).over(byLang)))
+    val medians = ranked
+      .filter(col("rn") === expr("(n_in_lang + 1) div 2"))
+      .select(col("lang"), col("n_chars").as("med_chars"))
+    ranked.join(broadcast(medians), Seq("lang"))
+      .filter(col("n_chars") >= col("med_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med_chars"))
+  }
+
   /** Token budget per packed training bin. */
   val PackBudget = 2048
 

@@ -807,6 +807,69 @@ object ExtSql {
          |ORDER BY pair_count DESC, pair
          |LIMIT ${TextAnalysis.BpeTopK}""".stripMargin
 
+  // ---- x74 deterministic weighted (PPS) sampling -------------------
+
+  private val x74 = {
+    val k = TextAnalysis.WeightedSampleK
+    raw"""WITH b AS (
+         |  SELECT doc_id, lang, n_chars AS w,
+         |         md5('wsample:' || doc_id::VARCHAR) AS skey
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, w,
+         |         sum(w) OVER (PARTITION BY lang ORDER BY skey, doc_id
+         |                      ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(w) OVER (PARTITION BY lang) AS tot
+         |  FROM b),
+         |s AS (SELECT *, greatest(tot // $k, 1) AS step FROM c)
+         |SELECT doc_id, lang, w,
+         |       CAST(cum // step - (cum - w) // step AS BIGINT) AS n_picks
+         |FROM s
+         |WHERE cum // step - (cum - w) // step > 0""".stripMargin
+  }
+
+  // ---- x75 per-language exact-median length gate -------------------
+
+  private val x75 =
+    raw"""WITH r AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS n_in_lang
+         |  FROM documents),
+         |m AS (SELECT lang, n_chars AS med_chars FROM r WHERE rn = (n_in_lang + 1) // 2)
+         |SELECT r.doc_id, r.lang, r.n_chars, m.med_chars
+         |FROM r JOIN m ON r.lang = m.lang
+         |WHERE r.n_chars >= m.med_chars""".stripMargin
+
+  // ---- x76 sparse tf-idf cosine pairs ------------------------------
+
+  private val x76 = {
+    val scale = Dedup.IdfScale; val maxDf = Dedup.MaxShingleDf
+    val thr = Dedup.CosineThreshold
+    raw"""WITH $toksCte,
+         |$shCte,
+         |ps AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+         |p AS (
+         |  SELECT doc_id, s,
+         |         CAST(floor(ln(((SELECT count(*) + 1 FROM documents))::DOUBLE
+         |                        / (df + 1)) * $scale + 0.5) AS BIGINT) AS w
+         |  FROM (SELECT *, count(*) OVER (PARTITION BY s) AS df FROM ps)
+         |  WHERE df <= $maxDf),
+         |nr AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm2 FROM p GROUP BY 1),
+         |d AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, cos FROM (
+         |  SELECT doc_a, doc_b,
+         |         ${round4("dot::DOUBLE / (sqrt(na.nrm2::DOUBLE) * sqrt(nb.nrm2::DOUBLE))")} AS cos
+         |  FROM d
+         |  JOIN nr na ON na.doc_id = d.doc_a
+         |  JOIN nr nb ON nb.doc_id = d.doc_b)
+         |WHERE cos >= $thr""".stripMargin
+  }
+
   // ---- x32 incremental exact dedup ---------------------------------
 
   private val x32 =
@@ -1402,6 +1465,9 @@ object ExtSql {
     "x71_expectations"    -> x71,
     "x72_cube_sales"      -> x72,
     "x73_bpe_pairs"       -> x73,
+    "x74_weighted_sample" -> x74,
+    "x75_median_filter"   -> x75,
+    "x76_tfidf_cosine"    -> x76,
     "x63_audio_meta"      -> x63,
     "x60_token_ids"       -> x60,
     "x61_pack_offsets"    -> x61,

@@ -99,7 +99,10 @@ object Extensions {
     "x71_expectations"   -> ((s, d) => graft.ops.DataProfile.expectations(
       Tables.lineitem(s, d), Tables.orders(s, d))),
     "x72_cube_sales"     -> ((s, d) => graft.ops.Olap.cubeSales(Tables.orders(s, d))),
-    "x73_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(docs(s, d))))
+    "x73_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(docs(s, d))),
+    "x74_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(docs(s, d))),
+    "x75_median_filter"  -> ((s, d) => TextAnalysis.medianFilter(docs(s, d))),
+    "x76_tfidf_cosine"   -> ((s, d) => Dedup.tfidfCosinePairs(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

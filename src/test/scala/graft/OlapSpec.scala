@@ -79,4 +79,38 @@ class OlapSpec extends SparkSpec {
     val out = TextAnalysis.bpePairs(docs).as[(String, Long)].collect()
     assert(out.toSeq === Seq("xy" -> 2L, "yz" -> 1L))
   }
+
+  test("weightedSample: picks ∝ weight, total picks = tot div step, heavy doc multi-picked") {
+    val docs = (1L to 4L).map(i => (i, "t", "en", "s", 10L)) :+ ((5L, "t", "en", "s", 960L))
+    val out = TextAnalysis.weightedSample(
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .as[(Long, String, Long, Long)].collect()
+    // tot=1000, k=20 -> step=50; the spanning construction hands out
+    // exactly tot div step picks regardless of the hash order
+    assert(out.map(_._4).sum === 20L)
+    val heavy = out.find(_._1 == 5L).get
+    assert(heavy._4 >= 19L, s"960/50 spans at least 19 step marks: $heavy")
+    out.filter(_._1 != 5L).foreach(r => assert(r._4 === 1L, s"light doc over-picked: $r"))
+  }
+
+  test("medianFilter: lower median per language, ties to the concrete ranked row") {
+    val docs = ((1L to 5L).map(i => (i, "t", "aa", "s", i)) ++
+      (11L to 14L).map(i => (i, "t", "bb", "s", i - 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.medianFilter(docs)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // aa: n=5 -> median = 3rd of (1..5) = 3; bb: n=4 -> lower median = 2nd = 2
+    assert(out === Set((3L, "aa", 3L, 3L), (4L, "aa", 4L, 3L), (5L, "aa", 5L, 3L),
+      (12L, "bb", 2L, 2L), (13L, "bb", 3L, 2L), (14L, "bb", 4L, 2L)))
+  }
+
+  test("tfidfCosinePairs: identical docs score 1.0, disjoint docs never pair") {
+    val t1 = "alpha beta gamma delta"
+    val docs = Seq((1L, t1, "en", "s", 22L), (2L, t1, "en", "s", 22L),
+      (3L, "zig zag zoom zip epsilon", "en", "s", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.Dedup.tfidfCosinePairs(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1.0)))
+  }
 }
