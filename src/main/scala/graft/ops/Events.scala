@@ -181,6 +181,51 @@ object Events {
     * Scale: rides the x16 sessionization shuffle, one hash aggregate
     * per session, one 1-row aggregate, a 4-row unpivot — nothing
     * global beyond the final counts. */
+  /** x79: session TRANSITION MATRIX — the first-order Markov counts of
+    * "what do users do next" inside a session (clickstream analysis /
+    * next-event modeling features). Transitions never cross a session
+    * boundary: the lead() pair must share the gap-derived session_seq
+    * of [[sessionized]].
+    *
+    * Scale: the same single user-keyed shuffle as x16 feeds both the
+    * session window and the lead() pass (one sort, two frames), then a
+    * hash aggregate down to the |types|² matrix — shuffle output is
+    * bounded by the type-enum square, not the event count. */
+  def sessionTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    sessionized(events)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_seq", lead(col("session_seq"), 1).over(byUser))
+      .filter(col("next_type").isNotNull && col("next_seq") === col("session_seq"))
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** x80 bucket count. */
+  val HistBuckets = 4
+
+  /** x80: per-type EQUI-DEPTH histogram — ntile buckets over the exact
+    * cents order (ties broken by event_id, so both engines pick the
+    * same concrete boundaries; no interpolation, no floats). The
+    * exact complement to x40's mergeable sketch: run this where exact
+    * quartile boundaries are worth one sort, the sketch where a single
+    * pass must suffice.
+    *
+    * Scale: one shuffle on event_type + one in-partition sort feeds
+    * ntile; the aggregate reduces to |types|·B rows. Skew note: a
+    * single giant type serializes into one task — at extreme scale
+    * switch to the x40 sketch or pre-split with a salt. */
+  def equiDepthHist(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("event_id"), valueCents(col("value")).as("cents"))
+      .withColumn("bucket", ntile(HistBuckets).over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+
   def sessionFunnel(events: DataFrame): DataFrame = {
     val perSession = sessionized(events)
       .groupBy(col("user_id"), col("session_seq"))

@@ -17,6 +17,10 @@ case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Long,
 case class VideoMeta(doc_id: Long, n_bytes: Long, width: Long,
                      height: Long, n_frames: Long)
 
+/** Per-frame PCM energy row (the x77 feature-extract output schema). */
+case class FrameEnergy(doc_id: Long, frame_idx: Long, n_words: Long,
+                       energy: Long)
+
 /** Multimodal-column plumbing — beyond-reference track (builder brief).
   *
   * Media (image/audio/video) is carried as an opaque `binary` column
@@ -370,6 +374,48 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         parseGifMeta(id, bytes).getOrElse(
           throw new IllegalArgumentException(s"doc $id: not a GIF89a stream"))
+      })
+  }
+
+  /** 16-bit words per x77 analysis frame. */
+  val FrameLen = 32
+
+  /** x77: frame-level PCM ENERGY extraction — the feature-extract
+    * step after decode (VAD/silence-detection style): validate the
+    * RIFF/WAVE container, then walk the data chunk as signed LE16
+    * words and emit Σv² per [[FrameLen]]-word frame as an EXACT
+    * BIGINT (integer samples, integer squares — no float drift, so
+    * the DuckDB oracle reconstructs the identical energies from the
+    * payload bytes).
+    *
+    * Scale: same mapPartitions batch-decode shape as [[audioMeta]] —
+    * decoder state per partition, rows stream through, output is a
+    * typed Dataset ready for downstream relational ops; no collect,
+    * no UDF registry, media bytes never shuffle (frames are computed
+    * where the binary lives). */
+  def frameEnergy(spark: SparkSession, documents: DataFrame): Dataset[FrameEnergy] = {
+    import spark.implicits._
+    audioTable(documents)
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWavHeader(id, bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: not a RIFF/WAVE stream"))
+        val nWords = (bytes.length - 44) / 2
+        val nFrames = (nWords + FrameLen - 1) / FrameLen
+        (0 until nFrames).map { f =>
+          val start = f * FrameLen
+          val end = math.min(start + FrameLen, nWords)
+          var energy = 0L
+          var j = start
+          while (j < end) {
+            // LE16: low byte unsigned, high byte carries the sign
+            val v = ((bytes(45 + 2 * j) << 8) | (bytes(44 + 2 * j) & 0xff)).toLong
+            energy += v * v
+            j += 1
+          }
+          FrameEnergy(id, f.toLong, (end - start).toLong, energy)
+        }
       })
   }
 

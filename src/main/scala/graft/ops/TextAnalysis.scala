@@ -302,6 +302,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("rnk"))
   }
 
+  /** The x78 split pairs compared. */
+  val SplitPairs: Seq[(String, String)] =
+    Seq(("train", "val"), ("train", "test"), ("val", "test"))
+
+  /** The x78 per-language JSD fold term for split pair (a,b), as ONE
+    * shared SQL text — Spark evaluates it inside an `aggregate` HOF,
+    * DuckDB inside a `list_sum` comprehension (both sequential
+    * left-to-right over the lang-sorted list, per the ExtSql float
+    * conventions), so the operation sequence cannot drift. Uses the
+    * identity JSD = H(M) − (H(P)+H(Q))/2 with M = (P+Q)/2; a language
+    * absent from a split contributes its one-sided entropy terms only
+    * (0·ln0 ≡ 0). */
+  def jsdTermSql(a: String, b: String): String = {
+    def p(s: String) = s"(x.n_$s / CAST(t_$s AS DOUBLE))"
+    val pa = p(a); val pb = p(b)
+    val m = s"(($pa + $pb) / 2.0)"
+    def h(px: String) = s"(CASE WHEN $px > 0 THEN -($px) * ln($px) ELSE 0.0 END)"
+    s"${h(m)} - (${h(pa)} + ${h(pb)}) / 2.0"
+  }
+
+  /** x78: train/val/test DISTRIBUTION-DRIFT guard — Jensen-Shannon
+    * divergence between the language distributions of each split pair
+    * (the "did my deterministic split skew a stratum" check run before
+    * training; JSD = 0 means identical mixes, ln 2 is the max).
+    *
+    * Scale: one hash aggregate to per-lang split counts (|langs|
+    * rows), one 1-row pack (sorted struct array + totals — bounded by
+    * the lang cardinality, NOT the corpus), then the 3 pair scores
+    * expand from that single row. The corpus is touched once. */
+  def splitDivergence(documents: DataFrame): DataFrame = {
+    val counts = splitAssign(documents)
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    counts
+      .agg(
+        array_sort(collect_list(struct(col("lang"),
+          col("n_train"), col("n_val"), col("n_test")))).as("ls"),
+        sum(col("n_train")).as("t_train"), sum(col("n_val")).as("t_val"),
+        sum(col("n_test")).as("t_test"))
+      .select(explode(array(SplitPairs.map { case (a, b) =>
+        struct(lit(s"${a}_$b").as("pair"),
+          Portable.round4(expr(
+            s"aggregate(ls, CAST(0.0 AS DOUBLE), (acc, x) -> acc + (${jsdTermSql(a, b)}))"))
+            .as("jsd"))
+      }: _*)).as("r"))
+      .select(col("r.pair").as("pair"), col("r.jsd").as("jsd"))
+  }
+
   /** x74 picks per language shard. */
   val WeightedSampleK = 20
 

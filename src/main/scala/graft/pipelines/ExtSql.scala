@@ -870,6 +870,79 @@ object ExtSql {
          |WHERE cos >= $thr""".stripMargin
   }
 
+  // ---- x77 PCM frame energy ----------------------------------------
+  // Arithmetic oracle, same contract as x63/x64: the engine must
+  // really byte-parse the RIFF stream; the oracle reconstructs each
+  // signed LE16 word from the ASCII payload (1 char = 1 byte).
+
+  private val x77 = {
+    val fl = Multimodal.FrameLen
+    val v = "ord(substr(text, 2*j + 1, 1)) + 256 * ord(substr(text, 2*j + 2, 1))"
+    raw"""WITH w AS (
+         |  SELECT doc_id,
+         |         unnest([{'f': j // $fl,
+         |                  'v': CASE WHEN ord(substr(text, 2*j + 2, 1)) >= 128
+         |                            THEN $v - 65536 ELSE $v END}
+         |                 for j in range(0, strlen(text) // 2)]) AS s
+         |  FROM documents)
+         |SELECT doc_id, CAST(s.f AS BIGINT) AS frame_idx,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(s.v * s.v) AS BIGINT) AS energy
+         |FROM w GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- x78 split-distribution JSD drift guard ----------------------
+
+  private val x78 = {
+    val pairs = TextAnalysis.SplitPairs.map { case (a, b) =>
+      raw"""SELECT '${a}_$b' AS pair,
+           |       ${round4(s"list_sum([(${TextAnalysis.jsdTermSql(a, b)})::DOUBLE for x in ls])")} AS jsd
+           |FROM pk""".stripMargin
+    }
+    raw"""WITH sp AS (
+         |$x29),
+         |c AS (
+         |  SELECT lang,
+         |         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |  FROM sp GROUP BY 1),
+         |pk AS (
+         |  SELECT list({'lang': lang, 'n_train': n_train,
+         |               'n_val': n_val, 'n_test': n_test} ORDER BY lang) AS ls,
+         |         CAST(sum(n_train) AS BIGINT) AS t_train,
+         |         CAST(sum(n_val) AS BIGINT) AS t_val,
+         |         CAST(sum(n_test) AS BIGINT) AS t_test
+         |  FROM c)
+         |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  // ---- x79 session transition matrix -------------------------------
+
+  private val x79 =
+    raw"""WITH $sessionCtes
+         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+         |FROM (
+         |  SELECT event_type AS from_type, session_seq,
+         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type,
+         |         lead(session_seq) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_seq
+         |  FROM sessions)
+         |WHERE to_type IS NOT NULL AND next_seq = session_seq
+         |GROUP BY 1, 2""".stripMargin
+
+  // ---- x80 per-type equi-depth histogram ---------------------------
+
+  private val x80 =
+    raw"""SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       min(cents) AS lo_cents, max(cents) AS hi_cents
+         |FROM (
+         |  SELECT event_type, $centsExpr AS cents, event_id,
+         |         ntile(${Events.HistBuckets})
+         |           OVER (PARTITION BY event_type ORDER BY $centsExpr, event_id) AS bucket
+         |  FROM events)
+         |GROUP BY 1, 2""".stripMargin
+
   // ---- x32 incremental exact dedup ---------------------------------
 
   private val x32 =
@@ -1468,6 +1541,10 @@ object ExtSql {
     "x74_weighted_sample" -> x74,
     "x75_median_filter"   -> x75,
     "x76_tfidf_cosine"    -> x76,
+    "x77_frame_energy"    -> x77,
+    "x78_split_jsd"       -> x78,
+    "x79_transitions"     -> x79,
+    "x80_equidepth_hist"  -> x80,
     "x63_audio_meta"      -> x63,
     "x60_token_ids"       -> x60,
     "x61_pack_offsets"    -> x61,

@@ -102,7 +102,11 @@ object Extensions {
     "x73_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(docs(s, d))),
     "x74_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(docs(s, d))),
     "x75_median_filter"  -> ((s, d) => TextAnalysis.medianFilter(docs(s, d))),
-    "x76_tfidf_cosine"   -> ((s, d) => Dedup.tfidfCosinePairs(docs(s, d))))
+    "x76_tfidf_cosine"   -> ((s, d) => Dedup.tfidfCosinePairs(docs(s, d))),
+    "x77_frame_energy"   -> ((s, d) => Multimodal.frameEnergy(s, docs(s, d)).toDF()),
+    "x78_split_jsd"      -> ((s, d) => TextAnalysis.splitDivergence(docs(s, d))),
+    "x79_transitions"    -> ((s, d) => Events.sessionTransitions(evs(s, d))),
+    "x80_equidepth_hist" -> ((s, d) => Events.equiDepthHist(evs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -2,10 +2,12 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.ops.{DataProfile, Olap, TextAnalysis}
+import graft.ops.{DataProfile, Events, Multimodal, Olap, TextAnalysis}
 
-/** Pins x70-x73: melt fixed-point stats, expectation rule counting,
-  * CUBE grouping-set semantics, BPE pair-merge counts. */
+/** Pins the round-3 batch x70-x80: melt fixed-point stats, expectation
+  * rule counting, CUBE grouping-set semantics, BPE pair-merge counts,
+  * weighted sampling, median gate, sparse cosine, PCM frame energy,
+  * split JSD, session transitions, equi-depth histograms. */
 class OlapSpec extends SparkSpec {
   import spark.implicits._
 
@@ -102,6 +104,71 @@ class OlapSpec extends SparkSpec {
     // aa: n=5 -> median = 3rd of (1..5) = 3; bb: n=4 -> lower median = 2nd = 2
     assert(out === Set((3L, "aa", 3L, 3L), (4L, "aa", 4L, 3L), (5L, "aa", 5L, 3L),
       (12L, "bb", 2L, 2L), (13L, "bb", 3L, 2L), (14L, "bb", 4L, 2L)))
+  }
+
+  test("frameEnergy: signed LE16 words, exact squares, frame split at FrameLen") {
+    // "AB" -> bytes 65,66 -> word 65 + 66*256 = 16961; one frame
+    val docs = Seq((1L, "AB", "en", "s", 2L), (2L, "ABC", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.frameEnergy(spark, docs)
+      .collect().map(f => f.doc_id -> ((f.frame_idx, f.n_words, f.energy))).toMap
+    assert(out(1L) === ((0L, 1L, 16961L * 16961L)))
+    assert(out(2L) === ((0L, 1L, 16961L * 16961L)), "odd trailing byte ignored")
+    // 70 chars -> 35 words -> frames of 32 + 3
+    val long = Seq((3L, "A" * 70, "en", "s", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.frameEnergy(spark, long)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.n_words)).toSeq === Seq((0L, 32L), (1L, 3L)))
+    val w = 65L + 65L * 256L
+    assert(frames.head.energy === 32L * w * w)
+  }
+
+  test("splitDivergence matches a hand-computed JSD over the real split counts") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val counts = TextAnalysis.splitAssign(docs)
+      .groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val langs = counts.keys.toSeq.sorted
+    def n(l: String, s: String) = counts(l).getOrElse(s, 0L)
+    def tot(s: String) = langs.map(n(_, s)).sum.toDouble
+    def jsd(a: String, b: String): Double = {
+      def h(p: Double) = if (p > 0) -p * math.log(p) else 0.0
+      val acc = langs.foldLeft(0.0) { (acc, l) =>
+        val pa = n(l, a) / tot(a); val pb = n(l, b) / tot(b)
+        acc + (h((pa + pb) / 2.0) - (h(pa) + h(pb)) / 2.0)
+      }
+      math.floor(acc * 10000 + 0.5) / 10000
+    }
+    val out = TextAnalysis.splitDivergence(docs).as[(String, Double)].collect().toMap
+    assert(out.keySet === Set("train_val", "train_test", "val_test"))
+    assert(out("train_val") === jsd("train", "val"))
+    assert(out("train_test") === jsd("train", "test"))
+    assert(out("val_test") === jsd("val", "test"))
+  }
+
+  test("sessionTransitions: pairs never cross the session gap") {
+    val gap = Events.SessionGapMs
+    val evs = Seq(
+      (1L, ts(0L), 7L, "view", 0.0, "{}"),
+      (2L, ts(1000L), 7L, "click", 0.0, "{}"),
+      (3L, ts(1000L + gap + 1000L), 7L, "view", 0.0, "{}"),
+      (4L, ts(1000L + gap + 2000L), 7L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.sessionTransitions(evs)
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("view", "click", 1L), ("view", "purchase", 1L)))
+  }
+
+  test("equiDepthHist: ntile quartiles with deterministic tie-break") {
+    val evs = (1L to 8L).map(i => (i, ts(i * 1000L), 7L, "view", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.equiDepthHist(evs)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3, r._4, r._5)).toSeq === Seq(
+      (1L, 2L, 100L, 200L), (2L, 2L, 300L, 400L),
+      (3L, 2L, 500L, 600L), (4L, 2L, 700L, 800L)))
   }
 
   test("tfidfCosinePairs: identical docs score 1.0, disjoint docs never pair") {
