@@ -24,7 +24,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts (ns)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign WARN lines (CacheManager re-cache notices,
+    // function re-registration) interleave with the one JSON protocol line
+    // and have broken downstream parsing of the bench output.
+    spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = collection.mutable.LinkedHashMap[String, Double](names.map(_ -> Double.NaN): _*)
     val errs = collection.mutable.LinkedHashMap.empty[String, String]
