@@ -15,7 +15,6 @@ run / fork := true
 // every line with "[info] " — that breaks any harness that parses the one
 // JSON line Bench/Verify print. Inherit stdout/stderr instead so the JSON
 // line reaches the console verbatim.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

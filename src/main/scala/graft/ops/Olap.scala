@@ -62,4 +62,36 @@ object Olap {
       .cube(col("pri"), col("yr"))
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+
+  /** x81: star-schema revenue rollup (TPC-H Q5 shape) — lineitem ⋈
+    * orders ⋈ customer ⋈ nation ⋈ region, revenue per (region,
+    * nation). Revenue is fixed-point cents of
+    * `extendedprice·(1−discount)` so the Σ is an exact BIGINT.
+    *
+    * Scale: the two SF-scaling joins (lineitem⋈orders on the order
+    * key, ⋈customer on the customer key) carry NO hints — AQE
+    * broadcasts them at small SF and shuffles them at large SF (the
+    * r1-verdict lesson: a hinted broadcast of a scaling side is a
+    * hard 8 GB failure, not a slowdown). nation/region are genuinely
+    * bounded dims (≤ dozens of rows at ANY SF) and are the only
+    * hinted sides. Aggregation is partial → final on a
+    * |nation|-sized key space, so the final shuffle is tiny. */
+  def starRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, region: DataFrame): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+      .cast("long").as("cents")
+    lineitem.select(col("l_orderkey"), cents)
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("cents")).as("revenue_cents"))
+  }
 }

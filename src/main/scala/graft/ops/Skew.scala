@@ -46,4 +46,34 @@ object Skew {
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
   }
+
+  /** x84: two-phase salted aggregation — the skew-safe form of
+    * `groupBy(hot_key).agg(...)` when ONE key holds a huge share of
+    * the rows (the 100 TB "one reducer runs for hours" failure).
+    * Phase 1 groups on (key, salt) so each hot key spreads over
+    * [[Salts]] reducers and emits ≤ Salts partial rows per key;
+    * phase 2 folds the partials on the bare key — a shuffle of
+    * |keys|·Salts rows, not |rows|.
+    *
+    * The distinct-count leg shows the same trick for COUNT(DISTINCT):
+    * phase 1 is the dedup on (key, user) — naturally spread because
+    * the composite key is high-cardinality — phase 2 counts the
+    * deduped rows per key. Results are identical to the direct
+    * aggregation (the oracle IS the direct form); only the shuffle
+    * geometry changes. Sums are exact BIGINT cents. */
+  def twoPhaseAgg(events: DataFrame, salts: Int = Salts): DataFrame = {
+    val cents = Events.valueCents(col("value")).as("cents")
+    val partial = events
+      .select(col("event_type"), cents,
+        pmod(xxhash64(col("event_id")), lit(salts.toLong)).as("__salt"))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), sum(col("pc")).as("sum_cents"))
+    val distinctUsers = events
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    partial.join(distinctUsers, Seq("event_type"))
+  }
 }

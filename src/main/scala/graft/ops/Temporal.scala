@@ -171,4 +171,48 @@ object Temporal {
       .withColumn("n_1h", count(lit(1)).over(w))
       .withColumn("cents_1h", sum(col("value_cents")).over(w))
   }
+
+  /** Deterministic base/delta partition for [[mergeUpsert]]: 4 of
+    * every 5 events (by event-id residue — SF-independent) form the
+    * base snapshot, the rest arrive as the change batch. */
+  val MergeSplitMod = 5L
+
+  /** x83: MERGE/upsert — apply a change batch onto a keyed snapshot
+    * (the lakehouse `MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT` shape, expressed engine-side). Both sides reduce
+    * to one current row per user (last state by event time, event-id
+    * tie-break), then a single FULL OUTER join on the key merges
+    * them: delta wins where both exist (`update`), delta-only rows
+    * `insert`, base-only rows `keep`.
+    *
+    * Scale: per-side reduction is a window rank (one shuffle each on
+    * user_id); the merge is ONE full-outer hash join on the same key
+    * — Catalyst reuses the clustering, nothing is broadcast (both
+    * sides scale with SF). No `.collect()`, no driver loop: the
+    * change batch can be another 100 TB table. */
+  def mergeUpsert(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+    def currentState(df: DataFrame): DataFrame = df
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"),
+        Events.valueCents(col("value")).as("value_cents"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === 1).drop("rn")
+    val base  = currentState(events.filter(pmod(col("event_id"), lit(MergeSplitMod)) =!= 0))
+    val delta = currentState(events.filter(pmod(col("event_id"), lit(MergeSplitMod)) === 0))
+      .select(col("user_id").as("d_user_id"), col("event_id").as("d_event_id"),
+        col("event_type").as("d_event_type"), col("ms").as("d_ms"),
+        col("value_cents").as("d_value_cents"))
+    base.join(delta, col("user_id") === col("d_user_id"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("d_user_id")).as("user_id"),
+        when(col("user_id").isNull, "insert")
+          .when(col("d_user_id").isNull, "keep")
+          .otherwise("update").as("op"),
+        coalesce(col("d_event_id"), col("event_id")).as("event_id"),
+        coalesce(col("d_event_type"), col("event_type")).as("event_type"),
+        coalesce(col("d_ms"), col("ms")).as("ms"),
+        coalesce(col("d_value_cents"), col("value_cents")).as("value_cents"))
+  }
 }

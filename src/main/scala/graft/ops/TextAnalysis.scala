@@ -601,6 +601,34 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** x82: per-document unigram entropy + type/token ratio — the
+    * standard "compressibility" quality signals (low-entropy word
+    * salad and boilerplate score near 0; diverse prose scores high).
+    *
+    * H = ln(N) − (Σ c·ln c)/N over the per-doc term counts c (all
+    * integers), so the only float work is the final fold. The Σ folds
+    * a SORTED count list left-to-right (`sort_array` + `aggregate`),
+    * matching the DuckDB oracle's `list_sum` over the same sorted
+    * comprehension — an unordered float sum would round differently
+    * per partitioning and break the 4dp hash (ExtSql conventions).
+    *
+    * Scale: explode → two hash aggregates keyed on (doc_id, tok) then
+    * doc_id; count lists are vocabulary-per-doc sized (bounded by doc
+    * length), never corpus-sized. */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    docTermFreq(documents)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sort_array(collect_list(col("tf"))).as("cs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        Portable.round4(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        Portable.round4(
+          log(col("n_tokens").cast("double")) -
+            aggregate(col("cs"), lit(0.0),
+              (acc, c) => acc + c.cast("double") * log(c.cast("double"))) /
+              col("n_tokens")).as("entropy"))
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

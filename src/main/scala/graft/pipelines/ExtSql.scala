@@ -1527,7 +1527,88 @@ object ExtSql {
          |FROM documents""".stripMargin
   }
 
+  // ---- x81 star-schema revenue rollup ------------------------------
+
+  private val x81 =
+    raw"""SELECT r_name, n_name,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin
+
+  // ---- x82 unigram entropy / type-token ratio ----------------------
+  // Σ c·ln c folds the SORTED count list (list comprehension over
+  // list_sort ≡ Spark aggregate over sort_array) — same sequential
+  // IEEE path, so the 4dp round is stable across engines.
+
+  private val x82 =
+    raw"""WITH $toksCte,
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+         |  GROUP BY doc_id, tok),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_types,
+         |         list_sort(list(tf)) AS cs
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types,
+         |       floor(n_types / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000 AS ttr,
+         |       floor((ln(CAST(n_tokens AS DOUBLE))
+         |              - list_sum([CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) for c in cs])
+         |                / n_tokens) * 10000 + 0.5) / 10000 AS entropy
+         |FROM agg""".stripMargin
+
+  // ---- x83 MERGE/upsert --------------------------------------------
+
+  private val x83 = {
+    val m = graft.ops.Temporal.MergeSplitMod
+    raw"""WITH t AS (
+         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+         |         $centsExpr AS value_cents
+         |  FROM events),
+         |base AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+         |    FROM t WHERE event_id % $m <> 0)
+         |  WHERE rn = 1),
+         |delta AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+         |    FROM t WHERE event_id % $m = 0)
+         |  WHERE rn = 1)
+         |SELECT coalesce(b.user_id, d.user_id) AS user_id,
+         |       CASE WHEN b.user_id IS NULL THEN 'insert'
+         |            WHEN d.user_id IS NULL THEN 'keep'
+         |            ELSE 'update' END AS op,
+         |       coalesce(d.event_id, b.event_id) AS event_id,
+         |       coalesce(d.event_type, b.event_type) AS event_type,
+         |       coalesce(d.ms, b.ms) AS ms,
+         |       coalesce(d.value_cents, b.value_cents) AS value_cents
+         |FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id""".stripMargin
+  }
+
+  // ---- x84 two-phase salted aggregation ----------------------------
+  // The oracle is deliberately the DIRECT aggregation: salting is a
+  // shuffle-geometry rewrite whose contract is bit-identical results.
+
+  private val x84 =
+    raw"""SELECT event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum($centsExpr) AS BIGINT) AS sum_cents,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events GROUP BY event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x81_star_revenue"    -> x81,
+    "x82_token_entropy"   -> x82,
+    "x83_merge_upsert"    -> x83,
+    "x84_salted_agg"      -> x84,
     "x64_video_meta"      -> x64,
     "x65_hll_by_lang"     -> x65,
     "x66_user_set_ops"    -> x66,

@@ -106,7 +106,12 @@ object Extensions {
     "x77_frame_energy"   -> ((s, d) => Multimodal.frameEnergy(s, docs(s, d)).toDF()),
     "x78_split_jsd"      -> ((s, d) => TextAnalysis.splitDivergence(docs(s, d))),
     "x79_transitions"    -> ((s, d) => Events.sessionTransitions(evs(s, d))),
-    "x80_equidepth_hist" -> ((s, d) => Events.equiDepthHist(evs(s, d))))
+    "x80_equidepth_hist" -> ((s, d) => Events.equiDepthHist(evs(s, d))),
+    "x81_star_revenue"   -> ((s, d) => graft.ops.Olap.starRevenue(Tables.lineitem(s, d),
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "x82_token_entropy"  -> ((s, d) => TextAnalysis.tokenEntropy(docs(s, d))),
+    "x83_merge_upsert"   -> ((s, d) => Temporal.mergeUpsert(evs(s, d))),
+    "x84_salted_agg"     -> ((s, d) => graft.ops.Skew.twoPhaseAgg(evs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
