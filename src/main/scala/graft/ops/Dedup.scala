@@ -444,6 +444,25 @@ object Dedup {
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
   }
 
+  /** x86: near-dup cluster representative selection — the terminal
+    * step of every dedup pipeline: per connected component keep ONE
+    * document (longest `n_chars`, doc_id tie-break) and drop the
+    * rest. Composes [[dupClusters]] with a per-cluster window rank;
+    * clusters are near-dup components (shallow, small), so the rank's
+    * per-key input is bounded and WindowGroupLimit caps it at 1 row
+    * per partition stream. */
+  def clusterReps(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    dupClusters(documents)
+      .join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc"),
+        col("n_chars").as("rep_chars"), col("n_members"))
+  }
+
   /** x32: INCREMENTAL exact dedup — the pattern a growing corpus runs
     * daily: a new batch is admitted only where its canonical
     * fingerprint is unseen in the accumulated state table, and

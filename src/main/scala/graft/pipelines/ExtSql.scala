@@ -621,7 +621,9 @@ object ExtSql {
 
   // ---- x30 near-dup clusters (connected components) ----------------
 
-  private val x30 =
+  /** Shared CTE chain for x30/x86: LSH pairs → edges → transitive
+    * closure → min-label components with sizes. */
+  private val x30Ctes =
     raw"""WITH RECURSIVE $x5Ctes,
          |pairs AS (
          |$x5Select),
@@ -632,10 +634,28 @@ object ExtSql {
          |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |labels AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY 1)
+         |labels AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY 1),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |          FROM labels GROUP BY 1)""".stripMargin
+
+  private val x30 =
+    raw"""$x30Ctes
          |SELECT l.doc_id, l.cluster_id, s.n_members
-         |FROM labels l JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
-         |                    FROM labels GROUP BY 1) s USING (cluster_id)""".stripMargin
+         |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin
+
+  // ---- x86 cluster representative selection ------------------------
+  // The "keep one per near-dup cluster" step every dedup pipeline ends
+  // with: best doc (longest, doc_id tie-break) survives per component.
+
+  private val x86 =
+    raw"""$x30Ctes
+         |SELECT cluster_id, doc_id AS rep_doc,
+         |       CAST(n_chars AS BIGINT) AS rep_chars, n_members
+         |FROM (SELECT l.cluster_id, l.doc_id, d.n_chars, s.n_members
+         |      FROM labels l JOIN documents d USING (doc_id)
+         |                    JOIN sizes s USING (cluster_id))
+         |QUALIFY row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY n_chars DESC, doc_id) = 1""".stripMargin
 
   // ---- x31 HyperLogLog register table ------------------------------
 
@@ -1604,7 +1624,35 @@ object ExtSql {
          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- x85 Z-order layout audit ------------------------------------
+  // The Morton interleave as a Σ of shifted bit tests — one term per
+  // (dimension, bit); disjoint bit positions make + ≡ OR. Generated
+  // from the same ZDimBits constant the Spark expression uses.
+
+  private val x85 = {
+    val bits = graft.ops.Olap.ZDimBits
+    val dim = 1L << bits
+    def spread(v: String, off: Int) =
+      (0 until bits).map(i => s"((($v >> $i) & 1) << ${2 * i + off})").mkString(" + ")
+    raw"""WITH k AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         l_partkey % $dim AS a, l_suppkey % $dim AS b
+         |  FROM lineitem),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         ${spread("a", 0)} + ${spread("b", 1)} AS z
+         |  FROM k)
+         |SELECT z >> ${graft.ops.Olap.ZBucketShift} AS zbucket,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(min(z) AS BIGINT) AS min_z,
+         |       CAST(max(z) AS BIGINT) AS max_z,
+         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+         |FROM z GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x85_zorder_layout"   -> x85,
+    "x86_cluster_reps"    -> x86,
     "x81_star_revenue"    -> x81,
     "x82_token_entropy"   -> x82,
     "x83_merge_upsert"    -> x83,

@@ -111,7 +111,9 @@ object Extensions {
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "x82_token_entropy"  -> ((s, d) => TextAnalysis.tokenEntropy(docs(s, d))),
     "x83_merge_upsert"   -> ((s, d) => Temporal.mergeUpsert(evs(s, d))),
-    "x84_salted_agg"     -> ((s, d) => graft.ops.Skew.twoPhaseAgg(evs(s, d))))
+    "x84_salted_agg"     -> ((s, d) => graft.ops.Skew.twoPhaseAgg(evs(s, d))),
+    "x85_zorder_layout"  -> ((s, d) => graft.ops.Olap.zorderLayout(Tables.lineitem(s, d))),
+    "x86_cluster_reps"   -> ((s, d) => Dedup.clusterReps(docs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
