@@ -349,4 +349,19 @@ object Events {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** x87 top-k depth. */
+  val TopSpendK = 3
+
+  /** x87: highest-value events per type through the CUSTOM grouped
+    * top-k planner operator ([[graft.plans.TopKPerKey]] — logical
+    * node + strategy + heap-based physical exec, no sort anywhere).
+    * The (cents DESC, event_id ASC) order is total, so the result set
+    * is deterministic and the DuckDB window-rank oracle agrees. */
+  def topSpendEvents(events: DataFrame, k: Int = TopSpendK): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      events.select(col("event_type"), col("event_id"),
+        valueCents(col("value")).as("cents")),
+      Seq(col("event_type")),
+      Seq(col("cents").desc, col("event_id").asc), k)
 }

@@ -1650,9 +1650,20 @@ object ExtSql {
          |FROM z GROUP BY 1""".stripMargin
   }
 
+  // ---- x87 grouped top-k (custom planner operator) -----------------
+  // The oracle is the declarative window-rank form the custom heap
+  // operator replaces — same rows, different physical geometry.
+
+  private val x87 =
+    raw"""SELECT event_type, event_id, cents
+         |FROM (SELECT event_type, event_id, $centsExpr AS cents FROM events)
+         |QUALIFY row_number() OVER (PARTITION BY event_type
+         |                           ORDER BY cents DESC, event_id) <= ${Events.TopSpendK}""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x85_zorder_layout"   -> x85,
     "x86_cluster_reps"    -> x86,
+    "x87_top_spend"       -> x87,
     "x81_star_revenue"    -> x81,
     "x82_token_entropy"   -> x82,
     "x83_merge_upsert"    -> x83,

@@ -113,7 +113,8 @@ object Extensions {
     "x83_merge_upsert"   -> ((s, d) => Temporal.mergeUpsert(evs(s, d))),
     "x84_salted_agg"     -> ((s, d) => graft.ops.Skew.twoPhaseAgg(evs(s, d))),
     "x85_zorder_layout"  -> ((s, d) => graft.ops.Olap.zorderLayout(Tables.lineitem(s, d))),
-    "x86_cluster_reps"   -> ((s, d) => Dedup.clusterReps(docs(s, d))))
+    "x86_cluster_reps"   -> ((s, d) => Dedup.clusterReps(docs(s, d))),
+    "x87_top_spend"      -> ((s, d) => Events.topSpendEvents(evs(s, d))))
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch
