@@ -1660,10 +1660,18 @@ object ExtSql {
          |QUALIFY row_number() OVER (PARTITION BY event_type
          |                           ORDER BY cents DESC, event_id) <= ${Events.TopSpendK}""".stripMargin
 
+  // ---- x88 declarative top-k via the optimizer rewrite -------------
+
+  private val x88 =
+    raw"""SELECT doc_id, lang, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY lang
+         |                           ORDER BY n_chars DESC, doc_id) <= 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x85_zorder_layout"   -> x85,
     "x86_cluster_reps"    -> x86,
     "x87_top_spend"       -> x87,
+    "x88_topk_rewrite"    -> x88,
     "x81_star_revenue"    -> x81,
     "x82_token_entropy"   -> x82,
     "x83_merge_upsert"    -> x83,

@@ -114,7 +114,28 @@ object Extensions {
     "x84_salted_agg"     -> ((s, d) => graft.ops.Skew.twoPhaseAgg(evs(s, d))),
     "x85_zorder_layout"  -> ((s, d) => graft.ops.Olap.zorderLayout(Tables.lineitem(s, d))),
     "x86_cluster_reps"   -> ((s, d) => Dedup.clusterReps(docs(s, d))),
-    "x87_top_spend"      -> ((s, d) => Events.topSpendEvents(evs(s, d))))
+    "x87_top_spend"      -> ((s, d) => Events.topSpendEvents(evs(s, d))),
+    "x88_topk_rewrite"   -> topDocsDeclarative _)
+
+  /** x88: the DECLARATIVE grouped top-k — plain `row_number() <= k`
+    * window form — run in a child session opted into
+    * [[graft.plans.TopKWindowRewriteRule]]: the optimizer swaps the
+    * window+sort for the heap operator while the query text stays
+    * vanilla Spark (plan gate in TopKPerKeySpec). The child session
+    * scopes the rewrite so the rest of the suite keeps its audited
+    * window plans. */
+  private def topDocsDeclarative(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = s.newSession()
+    graft.plans.TopKPerKey.registerRewrite(sub)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(sub, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .drop("rn")
+  }
 
   /** x20: global Count-Min Sketch over all document tokens via the
     * typed [[graft.functions.CountMinSketch]] Aggregator; the sketch

@@ -114,6 +114,18 @@ object TopKPerKey {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
 
+  /** Registration of strategy + the declarative-form rewrite rule
+    * ([[TopKWindowRewriteRule]]). Session-scoped on purpose: callers
+    * that want the rewrite opt a session (usually a `newSession()`
+    * child) into it rather than silently re-planning every window in
+    * the JVM. */
+  def registerRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    register(spark)
+    if (!spark.experimental.extraOptimizations.contains(TopKWindowRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKWindowRewriteRule
+  }
+
   /** First `k` rows per distinct `keys` value under `order` (pass
     * `col.desc`/`col.asc` Columns; bare Columns default ascending). */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {

@@ -46,6 +46,45 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!p.contains("Window"), s"the operator must not fall back to window:\n$p")
   }
 
+  test("rewrite rule swaps the declarative window form for the heap operator") {
+    val df = graft.SparkEntry.queries("x88_topk_rewrite")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyFinal"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
+    // equivalence against the un-rewritten form in the parent session
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)
+    val plain = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+    assert(df.as[(Long, String, Long)].collect().toSet ===
+      plain.as[(Long, String, Long)].collect().toSet)
+    // the parent session is NOT opted in: same shape keeps its Window
+    plain.collect()
+    assert(plain.queryExecution.executedPlan.toString.contains("Window"),
+      "rewrite leaked into a session that never registered it")
+  }
+
+  test("rewrite leaves rank() and rank-projecting queries alone") {
+    val sub = spark.newSession()
+    graft.plans.TopKPerKey.registerRewrite(sub)
+    import org.apache.spark.sql.{functions => F}
+    val df = sub.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "a")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType))))
+    val w = Window.partitionBy(F.col("key")).orderBy(F.col("id"))
+    // rank() is not row_number: must keep the Window
+    val ranked = df.withColumn("r", F.rank().over(w)).filter(F.col("r") <= 1).drop("r")
+    assert(ranked.queryExecution.optimizedPlan.toString.contains("Window"),
+      "rank() form must not be rewritten")
+    // row_number kept in the output: must keep the Window
+    val kept = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 1)
+    assert(kept.queryExecution.optimizedPlan.toString.contains("Window"),
+      "projected rank must not be rewritten")
+  }
+
   test("partial stage bounds rows crossing the exchange to keys*k per task") {
     // 300 rows, 5 keys, k=4, input coalesced to 3 partitions → at most
     // 3·5·4 = 60 rows can reach the exchange (vs 300 unpruned)
