@@ -131,4 +131,43 @@ object DataProfile {
       .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
         col("n"), col("p.corr").as("corr"))
   }
+
+  /** Zone-map geometry for [[zoneMapAudit]]: one simulated file per
+    * 90 days of ship date; the probe predicates are fixed, SF-free. */
+  val ZoneFileMs: Long = 90L * 86400000L
+  /** `l_shipdate >= 2000-01-01` — aligned with the clustering column. */
+  val ShipCutoffMs: Long = 946684800000L
+  /** `l_orderkey < 100` — NOT aligned with the clustering column. */
+  val OkCutoff: Long = 100L
+
+  /** x91: zone-map (min/max file statistics) audit — the data-skipping
+    * primitive behind parquet row-group stats / Iceberg & Delta file
+    * pruning. Files are simulated as 90-day ship-date ranges (a
+    * date-clustered layout); per file the audit computes the zone map
+    * over ship date AND order key, then evaluates two probe
+    * predicates against the map:
+    *  - `prune_ship`: the date predicate prunes cleanly BECAUSE the
+    *    layout clusters on date (max_ship < cutoff ⇒ skip the file);
+    *  - `prune_ok`: the same test on the UNclustered order key prunes
+    *    ~nothing — min/max spans of a random column cover everything.
+    * The contrast is the audit's point: skipping comes from layout,
+    * not from collecting stats. At 100 TB this one-pass map is the
+    * difference between touching 4 files and touching 4000.
+    *
+    * Scale: one hash aggregate keyed on |files| (~dozens); booleans
+    * emitted as 0/1 BIGINT for cross-engine hashing. */
+  def zoneMapAudit(lineitem: DataFrame): DataFrame =
+    lineitem
+      // parquet reads the date as TIMESTAMP_NTZ; the UTC session makes
+      // the cast an identity on the instant (matches DuckDB epoch_ms)
+      .select(unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+        col("l_orderkey"))
+      .groupBy(floor(col("ship_ms") / ZoneFileMs).cast("long").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ship_ms")).as("min_ship_ms"), max(col("ship_ms")).as("max_ship_ms"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+      .select(col("file_id"), col("n_rows"),
+        col("min_ship_ms"), col("max_ship_ms"), col("min_ok"), col("max_ok"),
+        when(col("max_ship_ms") < ShipCutoffMs, 1L).otherwise(0L).as("prune_ship"),
+        when(col("max_ok") < OkCutoff, 1L).otherwise(0L).as("prune_ok"))
 }

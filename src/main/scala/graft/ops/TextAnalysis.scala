@@ -629,6 +629,30 @@ object TextAnalysis {
               (acc, c) => acc + c.cast("double") * log(c.cast("double"))) /
               col("n_tokens")).as("entropy"))
 
+  /** Normalization alphabet for [[normalized]]: anything outside it
+    * becomes a space before whitespace-collapse. */
+  val NormStripPattern = "[^a-z0-9\\s]"
+
+  /** x89: canonical text normalization + post-normalization dedup
+    * classes — the cleanup most corpora run BEFORE near-dup mining
+    * (lowercase → strip non-alphanumerics → collapse whitespace).
+    * Emits per doc the normalized length, the normalized fingerprint,
+    * and how many docs share it (`n_same` > 1 ⇒ the doc only
+    * deduplicates AFTER normalization — exactly the rows raw exact
+    * dedup misses). Map-only projection + one count window keyed on
+    * the 32-char fingerprint: shuffles hashes, never bodies. */
+  def normalized(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_raw"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), NormStripPattern, " "),
+          "\\s+", " ")).as("norm"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("norm")).cast("long").as("n_norm"), md5(col("norm")).as("norm_fp"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("norm_fp"))))
+  }
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

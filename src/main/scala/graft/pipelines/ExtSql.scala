@@ -1667,7 +1667,39 @@ object ExtSql {
          |QUALIFY row_number() OVER (PARTITION BY lang
          |                           ORDER BY n_chars DESC, doc_id) <= 2""".stripMargin
 
+  // ---- x89 canonical normalization + post-norm dedup classes -------
+
+  private val x89 =
+    raw"""WITH n AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+         |         trim(regexp_replace(regexp_replace(lower(text),
+         |              '${TextAnalysis.NormStripPattern}', ' ', 'g'),
+         |              '\s+', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, n_raw, CAST(length(norm) AS BIGINT) AS n_norm,
+         |       md5(norm) AS norm_fp,
+         |       CAST(count(*) OVER (PARTITION BY md5(norm)) AS BIGINT) AS n_same
+         |FROM n""".stripMargin
+
+  // ---- x91 zone-map audit ------------------------------------------
+
+  private val x91 = {
+    val p = graft.ops.DataProfile
+    raw"""SELECT CAST(floor(ship_ms / ${p.ZoneFileMs}) AS BIGINT) AS file_id,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(min(ship_ms) AS BIGINT) AS min_ship_ms,
+         |       CAST(max(ship_ms) AS BIGINT) AS max_ship_ms,
+         |       CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+         |       CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+         |       CAST(CASE WHEN max(ship_ms) < ${p.ShipCutoffMs} THEN 1 ELSE 0 END AS BIGINT) AS prune_ship,
+         |       CAST(CASE WHEN max(l_orderkey) < ${p.OkCutoff} THEN 1 ELSE 0 END AS BIGINT) AS prune_ok
+         |FROM (SELECT epoch_ms(l_shipdate) AS ship_ms, l_orderkey FROM lineitem)
+         |GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x89_normalized"      -> x89,
+    "x91_zone_map"        -> x91,
     "x85_zorder_layout"   -> x85,
     "x86_cluster_reps"    -> x86,
     "x87_top_spend"       -> x87,

@@ -115,7 +115,9 @@ object Extensions {
     "x85_zorder_layout"  -> ((s, d) => graft.ops.Olap.zorderLayout(Tables.lineitem(s, d))),
     "x86_cluster_reps"   -> ((s, d) => Dedup.clusterReps(docs(s, d))),
     "x87_top_spend"      -> ((s, d) => Events.topSpendEvents(evs(s, d))),
-    "x88_topk_rewrite"   -> topDocsDeclarative _)
+    "x88_topk_rewrite"   -> topDocsDeclarative _,
+    "x89_normalized"     -> ((s, d) => TextAnalysis.normalized(docs(s, d))),
+    "x91_zone_map"       -> ((s, d) => graft.ops.DataProfile.zoneMapAudit(Tables.lineitem(s, d))))
 
   /** x88: the DECLARATIVE grouped top-k — plain `row_number() <= k`
     * window form — run in a child session opted into

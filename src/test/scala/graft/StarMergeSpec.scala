@@ -60,6 +60,49 @@ class StarMergeSpec extends SparkSpec {
       (3L, "insert", "signup", 3000L)))
   }
 
+  test("normalized: post-normalization dup classes count docs the raw fp misses") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO   world"),
+      (4L, "something else")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.normalized(docs)
+      .select("doc_id", "n_raw", "n_norm", "n_same")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    // "Hello, World!" → "hello world" (13 raw chars → 11 normalized)
+    assert(out(1L) === ((13L, 11L, 3L)))
+    assert(out(2L) === ((11L, 11L, 3L)))
+    assert(out(3L) === ((13L, 11L, 3L)))
+    assert(out(4L) === ((14L, 14L, 1L)))
+  }
+
+  test("zoneMapAudit prunes date-clustered files, not orderkey probes") {
+    import graft.ops.DataProfile
+    val day = 86400000L
+    val li = Seq(
+      // file 0: all before the cutoff → prunable for the ship predicate
+      (1L, DataProfile.ShipCutoffMs - 100 * day),
+      (2L, DataProfile.ShipCutoffMs - 95 * day),
+      // later file: spans the cutoff → not prunable
+      (3L, DataProfile.ShipCutoffMs + 10 * day)
+    ).toDF("l_orderkey", "ms").select(col("l_orderkey"),
+      timestamp_millis(col("ms")).as("l_shipdate"))
+    val out = DataProfile.zoneMapAudit(li)
+      .select("file_id", "n_rows", "prune_ship", "prune_ok")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val frows = out.toSeq.sortBy(_._1)
+    assert(frows.map(_._2).sum === 3L)
+    assert(frows.head._3 === 1L, "pre-cutoff file must be prunable on ship date")
+    assert(frows.last._3 === 0L, "post-cutoff file must not be prunable")
+    // l_orderkey 1..3 ≥ min across files but max < 100 → the orderkey
+    // probe CAN prune here; flip one key high to show the negative
+    val li2 = li.withColumn("l_orderkey", col("l_orderkey") + 1000L)
+    val out2 = DataProfile.zoneMapAudit(li2).select("prune_ok").as[Long].collect()
+    assert(out2.forall(_ === 0L))
+  }
+
   test("twoPhaseAgg equals the direct aggregation exactly") {
     val ev = (0L until 500L).map { i =>
       (i, i % 7, s"t${i % 3}", i * 0.37)
