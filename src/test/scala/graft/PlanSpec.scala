@@ -222,6 +222,36 @@ class PlanSpec extends SparkSpec {
     assert(!p71.contains("Expand"), s"expectations must not Expand:\n$p71")
   }
 
+  test("x81 star: bounded dims broadcast, scaling joins unhinted, scan pruned") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("x81_star_revenue")(spark, dir)
+    // hints only on nation/region (bounded at every SF)
+    df.queryExecution.analyzed.foreach {
+      case h: ResolvedHint =>
+        val cols = h.child.output.map(_.name).toSet
+        assert(cols.subsetOf(Set("n_nationkey", "n_name", "n_regionkey",
+          "r_regionkey", "r_name")),
+          s"broadcast hint wraps a scaling relation: $cols")
+      case _ => ()
+    }
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"star join must stay keyed:\n$p")
+    // lineitem scan must read exactly the 3 needed columns
+    assert(!p.contains("l_quantity"), s"l_quantity must be pruned:\n$p")
+    assert(!p.contains("l_tax"), s"l_tax must be pruned:\n$p")
+  }
+
+  test("x84/x91: single-pass aggregates, no Expand, pruned scans") {
+    val p84 = plan("x84_salted_agg")
+    assert(!p84.contains("Expand"),
+      s"two-phase distinct must not grouping-sets-Expand:\n$p84")
+    val p91 = plan("x91_zone_map")
+    assert(!p91.contains("Expand"), s"zone map is one grouped pass:\n$p91")
+    assert(!p91.contains("l_quantity") && !p91.contains("l_partkey"),
+      s"zone-map scan must read only shipdate+orderkey:\n$p91")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan
