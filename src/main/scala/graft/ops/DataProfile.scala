@@ -170,4 +170,29 @@ object DataProfile {
         col("min_ship_ms"), col("max_ship_ms"), col("min_ok"), col("max_ok"),
         when(col("max_ship_ms") < ShipCutoffMs, 1L).otherwise(0L).as("prune_ship"),
         when(col("max_ok") < OkCutoff, 1L).otherwise(0L).as("prune_ok"))
+
+  /** x93: join-cardinality estimation — the CBO statistic every
+    * cost-based join reorder runs on: |L ⋈ R| ≈ |L|·|R| /
+    * max(d(L.k), d(R.k)) (the standard uniform-containment formula),
+    * emitted next to the ACTUAL join count so the estimate's error is
+    * part of the result. Three 1-row aggregates cross-joined
+    * (broadcast, no data shuffle beyond the stats passes themselves).
+    * Distinct counts are exact here for the oracle; at 100 TB the
+    * same statistic comes from the HLL register tables (x31/x65) —
+    * the formula is sketch-agnostic. */
+  def joinCardEst(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val l = lineitem.agg(count(lit(1)).as("n_left"),
+      countDistinct(col("l_orderkey")).as("d_left"))
+    val r = orders.agg(count(lit(1)).as("n_right"),
+      countDistinct(col("o_orderkey")).as("d_right"))
+    val a = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    l.crossJoin(r).crossJoin(a)
+      .select(col("n_left"), col("d_left"), col("n_right"), col("d_right"),
+        floor(col("n_left") * col("n_right") /
+          greatest(col("d_left"), col("d_right"))).cast("long").as("est_rows"),
+        col("actual_rows"))
+  }
 }

@@ -451,11 +451,17 @@ object Dedup {
     * clusters are near-dup components (shallow, small), so the rank's
     * per-key input is bounded and WindowGroupLimit caps it at 1 row
     * per partition stream. */
-  def clusterReps(documents: DataFrame): DataFrame = {
+  def clusterReps(documents: DataFrame): DataFrame =
+    clusterRepsFrom(dupClusters(documents), documents)
+
+  /** [[clusterReps]] over a PRE-COMPUTED cluster frame — lets callers
+    * that also expose the clusters themselves (x30) share one run of
+    * the propagation loop instead of re-iterating it per query. */
+  def clusterRepsFrom(clusters: DataFrame, documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
-    dupClusters(documents)
+    clusters
       .join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -350,6 +350,43 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** x92: incremental materialized-view maintenance — the hourly MV
+    * (event_type × hour → count, cent sum) is maintained from a base
+    * aggregate plus a DELTA batch (1-in-5 events by id residue,
+    * shared with [[Temporal.MergeSplitMod]]) instead of recomputed:
+    * aggregate the delta alone, then merge into the base with one
+    * full-outer join on the group key, summing the ADDITIVE measures
+    * (count/sum maintain incrementally; distinct-count deliberately
+    * excluded — it needs a sketch, see x31/x65). `touched` marks
+    * groups the delta actually changed.
+    *
+    * The refresh contract: merge(agg(base), agg(delta)) ≡ agg(all) —
+    * the oracle IS the full recompute (with `touched` recovered as a
+    * per-group max over the delta marker). At 100 TB the delta path
+    * aggregates only the new partition and shuffles |changed groups|
+    * rows, vs a full re-scan of the fact table. */
+  def mvRefresh(events: DataFrame): DataFrame = {
+    def hourly(df: DataFrame) = parsedEvents(df)
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
+    val isDelta = pmod(col("event_id"), lit(Temporal.MergeSplitMod)) === 0
+    val base = hourly(events.filter(!isDelta))
+    val delta = hourly(events.filter(isDelta))
+      .select(col("event_type").as("d_type"), col("hour").as("d_hour"),
+        col("n_events").as("d_n"), col("value_cents").as("d_cents"))
+    base.join(delta,
+        col("event_type") === col("d_type") && col("hour") === col("d_hour"),
+        "full_outer")
+      .select(
+        coalesce(col("event_type"), col("d_type")).as("event_type"),
+        coalesce(col("hour"), col("d_hour")).as("hour"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("value_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+          .as("value_cents"),
+        when(col("d_type").isNotNull, 1L).otherwise(0L).as("touched"))
+  }
+
   /** x87 top-k depth. */
   val TopSpendK = 3
 

@@ -1697,7 +1697,37 @@ object ExtSql {
          |GROUP BY 1""".stripMargin
   }
 
+  // ---- x92 incremental MV refresh (oracle = full recompute) --------
+
+  private val x92 = {
+    val m = graft.ops.Temporal.MergeSplitMod
+    raw"""SELECT event_type,
+         |       CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum($centsExpr) AS BIGINT) AS value_cents,
+         |       CAST(max(CASE WHEN event_id % $m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS touched
+         |FROM events GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- x93 join-cardinality estimation -----------------------------
+
+  private val x93 =
+    raw"""WITH l AS (SELECT CAST(count(*) AS BIGINT) AS n_left,
+         |                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d_left
+         |           FROM lineitem),
+         |r AS (SELECT CAST(count(*) AS BIGINT) AS n_right,
+         |             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_right
+         |      FROM orders),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |SELECT n_left, d_left, n_right, d_right,
+         |       CAST(floor(n_left * n_right / greatest(d_left, d_right)) AS BIGINT) AS est_rows,
+         |       actual_rows
+         |FROM l, r, a""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x92_mv_refresh"      -> x92,
+    "x93_join_card"       -> x93,
     "x89_normalized"      -> x89,
     "x91_zone_map"        -> x91,
     "x85_zorder_layout"   -> x85,

@@ -15,6 +15,17 @@ object Extensions {
   private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
   private def evs(s: SparkSession, d: String): DataFrame  = Tables.events(s, d)
 
+  /** One run of the x30 label-propagation loop per (session, dir),
+    * shared by x30 and x86 — the loop executes eagerly at query
+    * CONSTRUCTION (driver-side convergence probes), so plan-level
+    * CacheManager reuse can't dedupe it; this memo can. Pipeline-level
+    * session-lifetime cache (see [[graft.ops.Caching]]'s taxonomy);
+    * the persisted frame is cluster-label-sized, not corpus-sized. */
+  private val ccMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def clustersShared(s: SparkSession, d: String): DataFrame =
+    ccMemo.getOrElseUpdate((s, d), Dedup.dupClusters(docs(s, d)).persist())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats"      -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
     "x2_lang_id"         -> ((s, d) => TextAnalysis.langIdQ(docs(s, d))),
@@ -48,7 +59,7 @@ object Extensions {
     "x27_tfidf_terms"    -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "x28_value_quantiles" -> ((s, d) => Events.valueQuantiles(evs(s, d))),
     "x29_split_assign"   -> ((s, d) => TextAnalysis.splitAssign(docs(s, d))),
-    "x30_dup_clusters"   -> ((s, d) => Dedup.dupClusters(docs(s, d))),
+    "x30_dup_clusters"   -> ((s, d) => clustersShared(s, d)),
     "x31_hll_tokens"     -> ((s, d) => graft.functions.HyperLogLog.registerTable(
       TextAnalysis.withTokens(docs(s, d)).select(explode(col("toks")).as("tok")), "tok")),
     "x32_incremental_new" -> ((s, d) => Dedup.incrementalNew(docs(s, d))),
@@ -113,11 +124,14 @@ object Extensions {
     "x83_merge_upsert"   -> ((s, d) => Temporal.mergeUpsert(evs(s, d))),
     "x84_salted_agg"     -> ((s, d) => graft.ops.Skew.twoPhaseAgg(evs(s, d))),
     "x85_zorder_layout"  -> ((s, d) => graft.ops.Olap.zorderLayout(Tables.lineitem(s, d))),
-    "x86_cluster_reps"   -> ((s, d) => Dedup.clusterReps(docs(s, d))),
+    "x86_cluster_reps"   -> ((s, d) => Dedup.clusterRepsFrom(clustersShared(s, d), docs(s, d))),
     "x87_top_spend"      -> ((s, d) => Events.topSpendEvents(evs(s, d))),
     "x88_topk_rewrite"   -> topDocsDeclarative _,
     "x89_normalized"     -> ((s, d) => TextAnalysis.normalized(docs(s, d))),
-    "x91_zone_map"       -> ((s, d) => graft.ops.DataProfile.zoneMapAudit(Tables.lineitem(s, d))))
+    "x91_zone_map"       -> ((s, d) => graft.ops.DataProfile.zoneMapAudit(Tables.lineitem(s, d))),
+    "x92_mv_refresh"     -> ((s, d) => Events.mvRefresh(evs(s, d))),
+    "x93_join_card"      -> ((s, d) => graft.ops.DataProfile.joinCardEst(
+      Tables.lineitem(s, d), Tables.orders(s, d))))
 
   /** x88: the DECLARATIVE grouped top-k — plain `row_number() <= k`
     * window form — run in a child session opted into

@@ -103,6 +103,32 @@ class StarMergeSpec extends SparkSpec {
     assert(out2.forall(_ === 0L))
   }
 
+  test("mvRefresh: base+delta merge equals the full recompute, touched marks delta groups") {
+    val ev = (0L until 200L).map { i =>
+      (i, i % 9, if (i % 2 == 0) "a" else "b", i * 0.11, """{"k": 1}""")
+    }.toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("event_id") * 600000L))
+    val out = graft.ops.Events.mvRefresh(ev)
+      .select("event_type", "hour", "n_events", "value_cents", "touched")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val full = graft.ops.Events.parsedEvents(ev)
+      .groupBy($"event_type", $"hour")
+      .agg(count(lit(1)).as("n"), sum($"value_cents").as("c"),
+        max(when(pmod($"event_id", lit(5L)) === 0, 1L).otherwise(0L)).as("t"))
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(out === full)
+    assert(out.exists(_._5 === 1L) && out.nonEmpty)
+  }
+
+  test("joinCardEst: containment formula next to the actual join count") {
+    val li = Seq(1L, 1L, 2L, 3L).toDF("l_orderkey")
+    val ord = Seq(1L, 2L, 4L).toDF("o_orderkey")
+    val out = graft.ops.DataProfile.joinCardEst(li, ord)
+      .select("n_left", "d_left", "n_right", "d_right", "est_rows", "actual_rows")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((4L, 3L, 3L, 3L, 4L, 3L)))
+  }
+
   test("twoPhaseAgg equals the direct aggregation exactly") {
     val ev = (0L until 500L).map { i =>
       (i, i % 7, s"t${i % 3}", i * 0.37)
