@@ -49,4 +49,31 @@ object Graph {
           (lit(Teleport) + expr("(s * 17) div 20")).as("rank"))
     }
   }
+
+  /** x94: per-node triangle counts over the near-dup pair graph — the
+    * clustering-coefficient numerator, and the standard "is this
+    * dense-duplication or chains?" diagnostic on a dedup graph
+    * (triangle-rich components are boilerplate families; triangle-free
+    * chains are drift).
+    *
+    * Pairs arrive canonically ordered (doc_a < doc_b), so each
+    * triangle a<b<c is found EXACTLY ONCE by the two-hop join
+    * e(a,b)⋈e(b,c) closed by e(a,c) — the classic distributed
+    * triangle enumeration (node-iterator++ with ordered edges; the
+    * ordering IS the degeneracy trick that keeps the join volume
+    * Σ deg(u)·deg(v) over ordered edges instead of 3× overcounting).
+    * Two shuffle joins on node keys, never a cartesian; the corner
+    * explode is 3 rows per triangle. */
+  def triangleCounts(documents: DataFrame): DataFrame = {
+    val e = Caching.temp(Dedup.minhashNearDupPairs(documents)
+      .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.v") === col("e2.u"))
+      .join(e.alias("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -1725,7 +1725,27 @@ object ExtSql {
          |       actual_rows
          |FROM l, r, a""".stripMargin
 
+  // ---- x94 triangle counts on the near-dup graph -------------------
+  // Ordered edges (doc_a < doc_b) find each triangle exactly once via
+  // the two-hop join closed by the third edge.
+
+  private val x94 =
+    raw"""WITH $x5Ctes,
+         |pairs AS (
+         |$x5Select),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM (SELECT a AS doc_id FROM tri
+         |      UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri)
+         |GROUP BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x94_triangles"       -> x94,
     "x92_mv_refresh"      -> x92,
     "x93_join_card"       -> x93,
     "x89_normalized"      -> x89,

@@ -84,4 +84,19 @@ class GraphProfileSpec extends SparkSpec {
     assert(r.values.forall(_ >= Graph.Teleport))
     assert(r.values.sum <= r.size * Graph.RankScale)
   }
+
+  test("triangleCounts: K3 gives 1 each, K4 gives C(3,2)=3 each, chains give none") {
+    // 3 identical docs → K3; 4 identical docs (different text) → K4;
+    // 2 identical docs → a lone edge, no triangle
+    val mk = (base: String, ids: Seq[Long]) => ids.map(i => (i, base, "en"))
+    val docs = (mk("alpha beta gamma delta epsilon zeta eta theta", Seq(1L, 2L, 3L)) ++
+      mk("one two three four five six seven eight nine ten", Seq(10L, 11L, 12L, 13L)) ++
+      mk("lonely pair of duplicated documents right here now", Seq(20L, 21L)))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.Graph.triangleCounts(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) === 1L), s"K3 corners: $out")
+    assert(Seq(10L, 11L, 12L, 13L).forall(out(_) === 3L), s"K4 corners: $out")
+    assert(!out.contains(20L) && !out.contains(21L), "edges alone are no triangle")
+  }
 }
