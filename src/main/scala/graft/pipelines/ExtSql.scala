@@ -1744,7 +1744,20 @@ object ExtSql {
          |      UNION ALL SELECT c FROM tri)
          |GROUP BY 1""".stripMargin
 
+  // ---- x95 transformWithState running totals -----------------------
+  // Oracle = event-time prefix sums: the batch window the streaming
+  // fold reproduces under the in-handler (ms, event_id) sort.
+
+  private val x95 =
+    raw"""SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         |       CAST(row_number() OVER w AS BIGINT) AS running_n,
+         |       CAST(sum($centsExpr) OVER w AS BIGINT) AS running_cents
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         |             ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x95_running_totals"  -> x95,
     "x94_triangles"       -> x94,
     "x92_mv_refresh"      -> x92,
     "x93_join_card"       -> x93,

@@ -132,7 +132,8 @@ object Extensions {
     "x92_mv_refresh"     -> ((s, d) => Events.mvRefresh(evs(s, d))),
     "x93_join_card"      -> ((s, d) => graft.ops.DataProfile.joinCardEst(
       Tables.lineitem(s, d), Tables.orders(s, d))),
-    "x94_triangles"      -> ((s, d) => graft.ops.Graph.triangleCounts(docs(s, d))))
+    "x94_triangles"      -> ((s, d) => graft.ops.Graph.triangleCounts(docs(s, d))),
+    "x95_running_totals" -> ((s, d) => graft.streaming.EventStream.runningTotalsAvailableNow(s, d)))
 
   /** x88: the DECLARATIVE grouped top-k — plain `row_number() <= k`
     * window form — run in a child session opted into

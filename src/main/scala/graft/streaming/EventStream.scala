@@ -11,6 +11,45 @@ import graft.ops.Events
 
 /** A single event for stateful processing. */
 case class Ev(user_id: Long, ts: Timestamp, value: Double)
+/** Input/output rows for the [[RunningTotalsProcessor]]. */
+case class RunIn(user_id: Long, event_id: Long, ms: Long, cents: Long)
+case class RunOut(user_id: Long, event_id: Long, ms: Long,
+                  running_n: Long, running_cents: Long)
+
+/** Per-user running totals on the Spark 4 arbitrary-state v2 API
+  * (`transformWithState` + typed [[org.apache.spark.sql.streaming
+  * .ValueState]], RocksDB-backed): every event emits the user's
+  * post-event cumulative count and cent sum. The v2 API is the
+  * successor to `flatMapGroupsWithState` (x24 keeps the v1 form —
+  * the engine exercises both): schema'd named state, TTL support,
+  * timers, and state readable by the state-store source.
+  *
+  * Determinism: rows of a key are sorted by (ms, event_id) inside the
+  * handler before folding, so the running values are the event-time
+  * prefix sums regardless of arrival order — exactly the batch window
+  * `ROWS UNBOUNDED PRECEDING` the oracle runs. */
+class RunningTotalsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RunIn, RunOut] {
+  import org.apache.spark.sql.{Encoders => E}
+  @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      E.tuple(E.scalaLong, E.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[RunIn],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RunOut] = {
+    var (n, c) = if (totals.exists()) totals.get() else (0L, 0L)
+    val out = rows.toIndexedSeq.sortBy(r => (r.ms, r.event_id)).map { r =>
+      n += 1; c += r.cents
+      RunOut(r.user_id, r.event_id, r.ms, n, c)
+    }
+    totals.update((n, c))
+    out.iterator
+  }
+}
 /** Open-session accumulator kept in [[GroupState]]. */
 case class SessionState(startMs: Long, lastMs: Long, n: Long, cents: Long)
 /** One closed session. */
@@ -343,4 +382,37 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn)
   }
 
+  /** Running per-user totals via [[RunningTotalsProcessor]]. */
+  def runningTotals(events: DataFrame): Dataset[RunOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        Events.valueCents(col("value")).as("cents"))
+      .as[RunIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** x95: [[runningTotals]] with AvailableNow. transformWithState
+    * requires the RocksDB state-store provider; it is set on a CHILD
+    * session so the HDFS-backed defaults of the other streaming
+    * queries in this JVM stay untouched (same scoping discipline as
+    * the x88 rewrite rule). */
+  def runningTotalsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val sub = s.newSession()
+    sub.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = sinkDir("runtot")
+    runToParquet(runningTotals(readEvents(sub, dir)).toDF(), base)
+    s.read.schema(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("ms", LongType),
+      StructField("running_n", LongType),
+      StructField("running_cents", LongType)))).parquet(s"$base/data")
+  }
 }

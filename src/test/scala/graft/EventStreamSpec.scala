@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.ops.Events
@@ -160,6 +161,24 @@ class EventStreamSpec extends SparkSpec {
     // idempotence: a batch directory is written at most once
     val deltas = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("delta_"))
     assert(deltas.toSet === Set("delta_0", "delta_1"))
+  }
+
+  test("transformWithState running totals equal the batch prefix sums") {
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.001"
+    val out = graft.streaming.EventStream.runningTotalsAvailableNow(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id")).rowsBetween(Window.unboundedPreceding, 0)
+    val batch = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        graft.ops.Events.valueCents(col("value")).as("cents"))
+      .select(col("user_id"), col("event_id"), col("ms"),
+        count(lit(1)).over(w).as("running_n"),
+        sum(col("cents")).over(w).as("running_cents"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === batch)
   }
 
   test("AvailableNow runs equal the batch answer under the final-watermark cut") {
