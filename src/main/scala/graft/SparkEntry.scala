@@ -12,7 +12,7 @@ object SparkEntry {
     SlValidation.mainFinalQ(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (parity) and
-    * the beyond-reference extension track (x1–x18). */
+    * the beyond-reference extension track (x1–x95). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = parity ++ Extensions.queries
 
   private def parity: Map[String, (SparkSession, String) => DataFrame] = Map(

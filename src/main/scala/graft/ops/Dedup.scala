@@ -402,8 +402,15 @@ object Dedup {
     * components are shallow by construction. At extreme scale the
     * shuffle-optimal variant is alternating large-star/small-star
     * (Kiveris et al. '14) — same loop shape, fewer rounds. */
-  def dupClusters(documents: DataFrame, maxIters: Int = 20): DataFrame = {
-    val pairs = Caching.temp(minhashNearDupPairs(documents).select(col("doc_a"), col("doc_b")))
+  def dupClusters(documents: DataFrame, maxIters: Int = 20): DataFrame =
+    dupClustersFrom(minhashNearDupPairs(documents), maxIters)
+
+  /** [[dupClusters]] over a PRE-MINED pair frame — callers that run
+    * several graph consumers (x30/x59/x94) mine the LSH pairs once
+    * and fan out (same cache discipline as SlValidation's enrichment
+    * chain). */
+  def dupClustersFrom(minedPairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val pairs = Caching.temp(minedPairs.select(col("doc_a"), col("doc_b")))
     val edges = Caching.temp(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v"))
     var labels = Caching.temp(edges.select(col("u").as("doc_id")).distinct()

@@ -31,8 +31,13 @@ object Graph {
     * Output: (doc_id, rank) after [[PrIters]] steps — docs central to
     * large duplicate clusters rank highest, singleton-pair docs sit
     * near the teleport floor. */
-  def dupGraphPagerank(documents: DataFrame): DataFrame = {
-    val pairs = Dedup.minhashNearDupPairs(documents).select(col("doc_a"), col("doc_b"))
+  def dupGraphPagerank(documents: DataFrame): DataFrame =
+    pagerankFrom(Dedup.minhashNearDupPairs(documents))
+
+  /** [[dupGraphPagerank]] over a PRE-MINED pair frame (shared fan-out
+    * cache across the x30/x59/x94 graph consumers). */
+  def pagerankFrom(minedPairs: DataFrame): DataFrame = {
+    val pairs = minedPairs.select(col("doc_a"), col("doc_b"))
     val edges = Caching.temp(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v"))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -64,8 +69,12 @@ object Graph {
     * Σ deg(u)·deg(v) over ordered edges instead of 3× overcounting).
     * Two shuffle joins on node keys, never a cartesian; the corner
     * explode is 3 rows per triangle. */
-  def triangleCounts(documents: DataFrame): DataFrame = {
-    val e = Caching.temp(Dedup.minhashNearDupPairs(documents)
+  def triangleCounts(documents: DataFrame): DataFrame =
+    triangleCountsFrom(Dedup.minhashNearDupPairs(documents))
+
+  /** [[triangleCounts]] over a PRE-MINED pair frame. */
+  def triangleCountsFrom(minedPairs: DataFrame): DataFrame = {
+    val e = Caching.temp(minedPairs
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val tri = e.alias("e1")
       .join(e.alias("e2"), col("e1.v") === col("e2.u"))

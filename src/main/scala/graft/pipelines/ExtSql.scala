@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (x1–x18), generated from the SAME Scala constants the Spark
+  * (x1–x95), generated from the SAME Scala constants the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
   *
@@ -1756,7 +1756,12 @@ object ExtSql {
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
          |             ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  // ---- x96 xlsx round trip through the V2 connector ----------------
+
+  private val x96 = "SELECT doc_id, lang, n_chars FROM documents"
+
   val oracle: Map[String, String] = Map(
+    "x96_xlsx_source"     -> x96,
     "x95_running_totals"  -> x95,
     "x94_triangles"       -> x94,
     "x92_mv_refresh"      -> x92,

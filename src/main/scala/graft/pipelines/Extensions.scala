@@ -7,7 +7,7 @@ import graft.ops.{Dedup, Events, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
-  * (x1–x18) exposed via [[graft.SparkEntry]]; the matching DuckDB
+  * (x1–x95) exposed via [[graft.SparkEntry]]; the matching DuckDB
   * oracle lives in [[ExtSql]]. */
 object Extensions {
 
@@ -24,14 +24,23 @@ object Extensions {
   private val ccMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def clustersShared(s: SparkSession, d: String): DataFrame =
-    ccMemo.getOrElseUpdate((s, d), Dedup.dupClusters(docs(s, d)).persist())
+    ccMemo.getOrElseUpdate((s, d), Dedup.dupClustersFrom(pairsShared(s, d)).persist())
+
+  /** Likewise the x5 LSH pair mining itself: one signature+band pass
+    * per (session, dir) feeds x5, the components (x30/x86), PageRank
+    * (x59) and triangles (x94) — the pair frame is small (verified
+    * near-dup pairs), the mining is the expensive part. */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def pairsShared(s: SparkSession, d: String): DataFrame =
+    pairsMemo.getOrElseUpdate((s, d), Dedup.minhashNearDupPairs(docs(s, d)).persist())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats"      -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
     "x2_lang_id"         -> ((s, d) => TextAnalysis.langIdQ(docs(s, d))),
     "x3_fingerprints"    -> ((s, d) => TextAnalysis.fingerprints(docs(s, d))),
     "x4_exact_dedup"     -> ((s, d) => Dedup.exactDedup(docs(s, d))),
-    "x5_minhash_lsh_dup" -> ((s, d) => Dedup.minhashNearDupPairs(docs(s, d))),
+    "x5_minhash_lsh_dup" -> ((s, d) => pairsShared(s, d)),
     "x6_simhash_sig"     -> ((s, d) => Dedup.simhashSignatures(docs(s, d))),
     "x7_simhash_pairs"   -> ((s, d) => Dedup.simhashNearDupPairs(docs(s, d))),
     // brute pair mining is the exact baseline — sampled to every other
@@ -93,7 +102,7 @@ object Extensions {
     "x56_stream_enrich"  -> ((s, d) => graft.streaming.EventStream.enrichedPurchasesAvailableNow(s, d)),
     "x57_window_suite"   -> ((s, d) => Events.windowSuite(evs(s, d))),
     "x58_profile"        -> ((s, d) => graft.ops.DataProfile.profileNumeric(Tables.lineitem(s, d))),
-    "x59_pagerank"       -> ((s, d) => graft.ops.Graph.dupGraphPagerank(docs(s, d))),
+    "x59_pagerank"       -> ((s, d) => graft.ops.Graph.pagerankFrom(pairsShared(s, d))),
     "x60_token_ids"      -> ((s, d) => TextAnalysis.tokenIds(docs(s, d))),
     "x61_pack_offsets"   -> ((s, d) => TextAnalysis.packOffsets(docs(s, d))),
     "x62_domain_cap"     -> ((s, d) => TextAnalysis.domainCap(docs(s, d))),
@@ -132,8 +141,33 @@ object Extensions {
     "x92_mv_refresh"     -> ((s, d) => Events.mvRefresh(evs(s, d))),
     "x93_join_card"      -> ((s, d) => graft.ops.DataProfile.joinCardEst(
       Tables.lineitem(s, d), Tables.orders(s, d))),
-    "x94_triangles"      -> ((s, d) => graft.ops.Graph.triangleCounts(docs(s, d))),
-    "x95_running_totals" -> ((s, d) => graft.streaming.EventStream.runningTotalsAvailableNow(s, d)))
+    "x94_triangles"      -> ((s, d) => graft.ops.Graph.triangleCountsFrom(pairsShared(s, d))),
+    "x95_running_totals" -> ((s, d) => graft.streaming.EventStream.runningTotalsAvailableNow(s, d)),
+    "x96_xlsx_source"    -> xlsxRoundTrip _)
+
+  /** x96: documents → xlsx workbook → back through the DataSourceV2
+    * connector (`format("graft-xlsx")`) — pins the V2 read path AND
+    * the writer in one oracle row (the oracle is the original table;
+    * any drift in either direction of the round trip breaks the
+    * hash). The all-string V2 schema is cast back to the declared
+    * types, mirroring the reference's read_excel-then-coerce shape. */
+  private def xlsxRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val base = {
+      var f = new java.io.File(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      while (f != null && f.getName != "target") f = f.getParentFile
+      val dir = new java.io.File(
+        if (f == null) new java.io.File("target") else f, "graft-xlsx")
+      dir.mkdirs(); dir.getAbsolutePath
+    }
+    val path = s"$base/docs_${Integer.toHexString(d.hashCode)}.xlsx"
+    graft.sources.Xlsx.write(Seq("docs" ->
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))), path)
+    s.read.format("graft-xlsx")
+      .option("path", path).option("sheet", "docs").load()
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+  }
 
   /** x88: the DECLARATIVE grouped top-k — plain `row_number() <= k`
     * window form — run in a child session opted into

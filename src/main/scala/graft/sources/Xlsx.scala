@@ -168,6 +168,18 @@ object Xlsx {
   /** Reads one sheet as an all-string DataFrame (header row = column
     * names), like the reference's `read_excel` + blanket str-cast. */
   def read(spark: SparkSession, path: String, sheet: String): DataFrame = {
+    val (schema, data) = readSheet(path, sheet)
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        data.map(Row.fromSeq)).asJava),
+      schema)
+  }
+
+  /** Session-free core of [[read]]: header-derived all-string schema +
+    * row values. Also the parse path of the DataSourceV2 connector
+    * ([[XlsxSource]]), whose PartitionReader runs executor-side where
+    * no SparkSession exists. */
+  private[sources] def readSheet(path: String, sheet: String): (StructType, Seq[Seq[String]]) = {
     val zf = new ZipFile(path)
     try {
       val wb = parseXml(zf.getInputStream(zf.getEntry("xl/workbook.xml")))
@@ -239,11 +251,9 @@ object Xlsx {
       val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
       val data = rows.tail.map { cells =>
         val m = cells.toMap
-        Row.fromSeq((0 until nCols).map(m.get(_).orNull))
+        (0 until nCols).map(m.get(_).orNull)
       }
-      spark.createDataFrame(
-        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
-        schema)
+      (schema, data)
     } finally zf.close()
   }
 }

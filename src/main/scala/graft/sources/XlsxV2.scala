@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("graft-xlsx").option("path", …).option("sheet",
+  * …)` — the workbook reader as a REAL DataSourceV2 connector, the
+  * third source surface next to declared-schema parquet and the
+  * driver-side [[Xlsx.read]] convenience API.
+  *
+  * Why a connector and not just the helper: a V2 table participates
+  * in Catalyst like any file source — the scan node reports
+  * `readSchema`, and `SupportsPushDownRequiredColumns` makes COLUMN
+  * PRUNING real (a `select(one_col)` parses every row once but
+  * materializes exactly one column into InternalRows, and the plan
+  * shows the pruned schema — the same contract the plan gates assert
+  * for parquet scans).
+  *
+  * Geometry: one [[InputPartition]] per sheet — a worksheet is a
+  * single zipped XML stream, inherently unsplittable; the 100 TB
+  * posture for spreadsheet-shaped inputs is many workbooks → many
+  * partitions (one task each), never a big sheet. Rows parse lazily
+  * executor-side via the shared session-free parser
+  * ([[Xlsx.readSheet]]).
+  */
+class XlsxSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-xlsx"
+
+  private def pathOf(o: CaseInsensitiveStringMap) =
+    Option(o.get("path")).getOrElse(sys.error("graft-xlsx: 'path' option required"))
+  private def sheetOf(o: CaseInsensitiveStringMap) =
+    Option(o.get("sheet")).getOrElse(sys.error("graft-xlsx: 'sheet' option required"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Xlsx.readSheet(pathOf(options), sheetOf(options))._1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val o = new CaseInsensitiveStringMap(properties)
+    new XlsxTable(schema, pathOf(o), sheetOf(o))
+  }
+}
+
+private[sources] class XlsxTable(schema: StructType, path: String, sheet: String)
+  extends Table with SupportsRead {
+  override def name(): String = s"xlsx:`$path`#$sheet"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsxScanBuilder(schema, path, sheet)
+}
+
+private[sources] class XlsxScanBuilder(full: StructType, path: String, sheet: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new XlsxScan(full, required, path, sheet)
+}
+
+private[sources] case class XlsxPartitionSpec(path: String, sheet: String)
+  extends InputPartition
+
+private[sources] class XlsxScan(full: StructType, required: StructType,
+                                path: String, sheet: String) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-xlsx $path#$sheet"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(XlsxPartitionSpec(path, sheet))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsxReaderFactory(full.fieldNames, required.fieldNames)
+}
+
+private[sources] class XlsxReaderFactory(fullNames: Array[String],
+                                         requiredNames: Array[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val spec = partition.asInstanceOf[XlsxPartitionSpec]
+    new PartitionReader[InternalRow] {
+      // the projection indexes of the pruned columns in parse order
+      private val proj = requiredNames.map(n => fullNames.indexOf(n))
+      private lazy val rows: Iterator[Seq[String]] =
+        Xlsx.readSheet(spec.path, spec.sheet)._2.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) {
+          val r = rows.next()
+          current = new GenericInternalRow(
+            proj.map(i => if (i >= 0 && r(i) != null)
+              UTF8String.fromString(r(i)) else null).asInstanceOf[Array[Any]])
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

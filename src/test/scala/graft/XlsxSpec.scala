@@ -96,4 +96,23 @@ class XlsxSpec extends SparkSpec {
     assert(rows(0) === Seq(null, null, "v2", "7"))
     assert(rows(1) === Seq("1", "2", "3", null))
   }
+
+  test("DataSourceV2 connector reads the sheet and prunes columns") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("xlsxv2").toFile
+    val path = new java.io.File(dir, "t.xlsx").getPath
+    val df0 = Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("doc_id", "lang", "n")
+    Xlsx.write(Seq("docs" -> df0), path)
+    val v2 = spark.read.format("graft-xlsx")
+      .option("path", path).option("sheet", "docs").load()
+    // full read equals the driver-side helper
+    assert(v2.collect().map(_.toSeq).toSet ===
+      Xlsx.read(spark, path, "docs").collect().map(_.toSeq).toSet)
+    // pruning: a one-column projection reaches the scan
+    val pruned = v2.select(col("lang"))
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), s"expected a V2 BatchScan in:\n$p")
+    assert(!p.contains("doc_id"), s"doc_id must be pruned from the scan:\n$p")
+    assert(pruned.collect().map(_.getString(0)).toSet === Set("en", "de"))
+  }
 }
