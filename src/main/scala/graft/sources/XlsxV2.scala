@@ -52,14 +52,14 @@ class XlsxSource extends TableProvider with DataSourceRegister {
   }
 }
 
-private[sources] class XlsxTable(schema: StructType, path: String, sheet: String)
+private[sources] class XlsxTable(tableSchema: StructType, path: String, sheet: String)
   extends Table with SupportsRead {
   override def name(): String = s"xlsx:`$path`#$sheet"
-  override def schema(): StructType = schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsxScanBuilder(schema, path, sheet)
+    new XlsxScanBuilder(tableSchema, path, sheet)
 }
 
 private[sources] class XlsxScanBuilder(full: StructType, path: String, sheet: String)
