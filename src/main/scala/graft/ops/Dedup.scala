@@ -147,8 +147,14 @@ object Dedup {
     * alternative is candidates-only + re-join sets by doc_id. */
   def minhashNearDupPairs(documents: DataFrame,
                           threshold: Double = JaccardThreshold,
-                          maxBucket: Int = MaxBucket): DataFrame = {
-    val banded = Caching.temp(docShingles(documents)
+                          maxBucket: Int = MaxBucket): DataFrame =
+    minhashNearDupPairsFrom(docShingles(documents), threshold, maxBucket)
+
+  /** [[minhashNearDupPairs]] over a pre-materialized shingle frame. */
+  def minhashNearDupPairsFrom(sh: DataFrame,
+                              threshold: Double = JaccardThreshold,
+                              maxBucket: Int = MaxBucket): DataFrame = {
+    val banded = Caching.temp(sh
       .select(col("doc_id"), col("sh"), transform(col("sh"), shingleBase _).as("hb"))
       .select(col("doc_id"), col("sh"),
         posexplode(bandHashes(minhashFromBases(col("hb")))).as(Seq("band_idx", "band_hash"))))
@@ -304,9 +310,16 @@ object Dedup {
     * per-doc rank. */
   def jaccardPairsExact(documents: DataFrame,
                         threshold: Double = JaccardThreshold,
-                        maxDf: Int = MaxShingleDf): DataFrame = {
+                        maxDf: Int = MaxShingleDf): DataFrame =
+    jaccardPairsExactFrom(Caching.temp(docShingles(documents)), threshold, maxDf)
+
+  /** [[jaccardPairsExact]] over a PRE-MATERIALIZED (persisted)
+    * [[docShingles]] frame — the tokenize+shingle+md5 scan-side pass
+    * is shared across every shingle consumer by the caller. */
+  def jaccardPairsExactFrom(sh: DataFrame,
+                            threshold: Double = JaccardThreshold,
+                            maxDf: Int = MaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = Caching.temp(docShingles(documents))
     val byDoc = Window.partitionBy(col("doc_id"))
     // df via count().over(partition by s): ONE shuffle+sort of the
     // postings. (Measured alternative — groupBy(s).count + equi-join —
@@ -368,10 +381,19 @@ object Dedup {
     * norms. No cartesian, no driver-side state. */
   def tfidfCosinePairs(documents: DataFrame,
                        threshold: Double = CosineThreshold,
-                       maxDf: Int = MaxShingleDf): DataFrame = {
+                       maxDf: Int = MaxShingleDf): DataFrame =
+    tfidfCosinePairsFrom(Caching.temp(docShingles(documents)),
+      documents.select(count(lit(1)).as("n_docs")), threshold, maxDf)
+
+  /** [[tfidfCosinePairs]] over a pre-materialized shingle frame.
+    * `nDocs` stays the FULL document count (sh drops shingle-less
+    * docs) so the idf matches the oracle. */
+  def tfidfCosinePairsFrom(sh: DataFrame, nDocs: DataFrame,
+                           threshold: Double = CosineThreshold,
+                           maxDf: Int = MaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = documents.select(count(lit(1)).as("n_docs"))
-    val posts = Caching.temp(docShingles(documents)
+    val n = nDocs
+    val posts = Caching.temp(sh
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf)
@@ -505,9 +527,14 @@ object Dedup {
     * Scale: same inverted-index layout as [[jaccardPairsExact]]; the
     * test split is 10% of the corpus and only its postings replicate. */
   def contamination(documents: DataFrame, minShared: Int = 3,
-                    maxDf: Int = MaxShingleDf): DataFrame = {
+                    maxDf: Int = MaxShingleDf): DataFrame =
+    contaminationFrom(Caching.temp(docShingles(documents)), documents, minShared, maxDf)
+
+  /** [[contamination]] over a pre-materialized shingle frame. */
+  def contaminationFrom(sh: DataFrame, documents: DataFrame, minShared: Int = 3,
+                        maxDf: Int = MaxShingleDf): DataFrame = {
     val split = TextAnalysis.splitAssign(documents).select(col("doc_id"), col("split"))
-    val post = Caching.temp(docShingles(documents).join(split, Seq("doc_id"))
+    val post = Caching.temp(sh.join(split, Seq("doc_id"))
       .select(col("doc_id"), col("split"), explode(col("sh")).as("s"))
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))

@@ -33,7 +33,18 @@ object Extensions {
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def pairsShared(s: SparkSession, d: String): DataFrame =
-    pairsMemo.getOrElseUpdate((s, d), Dedup.minhashNearDupPairs(docs(s, d)).persist())
+    pairsMemo.getOrElseUpdate((s, d),
+      Dedup.minhashNearDupPairsFrom(shinglesShared(s, d)).persist())
+
+  /** And the scan-side tokenize→shingle→md5 pass itself: one
+    * materialization feeds the LSH mining (→ x5/x30/x86/x59/x94), the
+    * exact similarity join (x25), contamination (x37) and the tf-idf
+    * cosine pairs (x76). Corpus-sized but shingle-array-shaped;
+    * MEMORY_AND_DISK like every pipeline-level cache. */
+  private val shMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def shinglesShared(s: SparkSession, d: String): DataFrame =
+    shMemo.getOrElseUpdate((s, d), Dedup.docShingles(docs(s, d)).persist())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats"      -> ((s, d) => TextAnalysis.textStats(docs(s, d))),
@@ -63,7 +74,7 @@ object Extensions {
     "x22_label_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
     "x23_stream_hourly"  -> ((s, d) => graft.streaming.EventStream.hourlyAvailableNow(s, d)),
     "x24_stream_sessions" -> ((s, d) => graft.streaming.EventStream.sessionsAvailableNow(s, d)),
-    "x25_jaccard_exact"  -> ((s, d) => Dedup.jaccardPairsExact(docs(s, d))),
+    "x25_jaccard_exact"  -> ((s, d) => Dedup.jaccardPairsExactFrom(shinglesShared(s, d))),
     "x26_vocab_idf"      -> ((s, d) => TextAnalysis.vocabIdf(docs(s, d))),
     "x27_tfidf_terms"    -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "x28_value_quantiles" -> ((s, d) => Events.valueQuantiles(evs(s, d))),
@@ -77,7 +88,7 @@ object Extensions {
     "x35_salted_enrich"  -> ((s, d) => graft.ops.Skew.saltedEnrich(
       Tables.lineitem(s, d), Tables.supplier(s, d))),
     "x36_pack_bins"      -> ((s, d) => TextAnalysis.packBins(docs(s, d))),
-    "x37_contamination"  -> ((s, d) => Dedup.contamination(docs(s, d))),
+    "x37_contamination"  -> ((s, d) => Dedup.contaminationFrom(shinglesShared(s, d), docs(s, d))),
     "x38_lm_score"       -> ((s, d) => TextAnalysis.lmScore(docs(s, d))),
     "x39_repetition"     -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
     "x40_quantile_sketch" -> ((s, d) => graft.functions.QuantileSketch.groupQuantiles(
@@ -122,7 +133,8 @@ object Extensions {
     "x73_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(docs(s, d))),
     "x74_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(docs(s, d))),
     "x75_median_filter"  -> ((s, d) => TextAnalysis.medianFilter(docs(s, d))),
-    "x76_tfidf_cosine"   -> ((s, d) => Dedup.tfidfCosinePairs(docs(s, d))),
+    "x76_tfidf_cosine"   -> ((s, d) => Dedup.tfidfCosinePairsFrom(shinglesShared(s, d),
+      docs(s, d).select(count(lit(1)).as("n_docs")))),
     "x77_frame_energy"   -> ((s, d) => Multimodal.frameEnergy(s, docs(s, d)).toDF()),
     "x78_split_jsd"      -> ((s, d) => TextAnalysis.splitDivergence(docs(s, d))),
     "x79_transitions"    -> ((s, d) => Events.sessionTransitions(evs(s, d))),
