@@ -57,6 +57,28 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("custom heap top-k equals the window form on random keyed data") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(7L, 23L)) {
+      // keys of wildly different sizes incl. below-k groups; scores
+      // collide frequently so the id tiebreak matters
+      val rows = (0 until 400).map { i =>
+        val h = rng.Seed(seed + i).long._1
+        (s"k${math.floorMod(h, 11)}", i.toLong, math.floorMod(h >> 8, 13))
+      }
+      val df = rows.toDF("key", "id", "score").repartition(5)
+      for (k <- Seq(1, 3, 7)) {
+        val fast = graft.plans.TopKPerKey.topKPerKey(df,
+            Seq(col("key")), Seq(col("score").desc, col("id").asc), k)
+          .as[(String, Long, Long)].collect().toSet
+        val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("id").asc)
+        val slow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .drop("rn").as[(String, Long, Long)].collect().toSet
+        assert(fast === slow, s"seed $seed k=$k")
+      }
+    }
+  }
+
   test("salted join equals plain join under heavy key skew") {
     // 90% of facts hit one hot key — the scenario salting exists for
     val facts = (1 to 500).map { i =>
