@@ -480,23 +480,50 @@ object TextAnalysis {
   /** x60: DICTIONARY-ENCODE documents to token-id sequences (the
     * tokenize-to-ids step before training): vocabulary ids are dense
     * ranks in sorted token order; each document becomes its ordered
-    * id array. The vocab build sorts only the VOCABULARY (≪ corpus —
-    * the same driver-scale dictionary sort every real tokenizer
-    * performs once); the encode join shuffles postings on the token
-    * (AQE broadcasts the dictionary when it fits) and re-assembles
-    * per doc with one hash aggregate. */
+    * id sequence, emitted as a comma-joined string (`ids_csv`) — a
+    * flat sortable column both engines and any downstream comparator
+    * can order and hash (an array column is not totally ordered in
+    * every consumer).
+    *
+    * The dense ids are assigned in TWO PHASES so no stage ever sorts
+    * the vocabulary through a single partition (raw whitespace tokens
+    * on a web corpus are billions of distinct strings, not a 100k
+    * tokenizer vocab): (1) range-partition the distinct tokens by
+    * token and rank WITHIN each partition in parallel; (2) add the
+    * cumulative row count of all earlier ranges — a P-row (P =
+    * partition count) aggregate that is broadcast back. The encode
+    * join then shuffles postings on the token and re-assembles per doc
+    * with one hash aggregate. */
   def tokenIds(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val posts = withTokens(documents)
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
-    val vocab = posts.select(col("tok")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy(col("tok"))).cast("long") - 1)
+    val p = documents.sparkSession.sparkContext.defaultParallelism
+    // phase 1: per-range local dense ranks. The range exchange feeds two
+    // consumers (the offsets aggregate and the final join) — persisting
+    // pins ONE materialization so both see identical partition bounds.
+    val local = Caching.temp(posts.select(col("tok")).distinct()
+      .repartitionByRange(p, col("tok"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrnk",
+        row_number().over(Window.partitionBy(col("pid")).orderBy(col("tok"))).cast("long")))
+    // phase 2: cumulative offsets over the P-row partition-count table —
+    // the ONLY unpartitioned window in the plan runs over P rows, not
+    // the vocabulary
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val vocab = local.join(broadcast(offsets), Seq("pid"))
+      .select(col("tok"), (col("off") + col("lrnk") - 1).as("id"))
     posts.join(vocab, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        transform(array_sort(collect_list(struct(col("p"), col("id")))),
-          s => s.getField("id")).as("ids"))
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("p"), col("id")))),
+          s => s.getField("id").cast("string"))).as("ids_csv"))
   }
 
   /** (doc_id, w1, w2): consecutive token pairs of each document. */

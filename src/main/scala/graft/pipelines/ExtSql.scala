@@ -1480,7 +1480,7 @@ object ExtSql {
          |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) - 1 AS id
          |  FROM (SELECT DISTINCT tok FROM posts))
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |       list(id ORDER BY p) AS ids
+         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY p) AS ids_csv
          |FROM posts JOIN vocab USING (tok)
          |GROUP BY doc_id""".stripMargin
 

@@ -114,6 +114,18 @@ class PlanSpec extends SparkSpec {
       s"x27 rank must partition on doc_id:\n$p27")
   }
 
+  test("x60 vocab ids: no vocabulary-wide unpartitioned window") {
+    // the dense-id assignment must never sort the full distinct-token
+    // vocabulary through one partition: the local rank windows on the
+    // range-partition id, and the only unpartitioned window left runs
+    // over the P-row offsets table (ordered by pid, not tok)
+    val p = plan("x60_token_ids")
+    assert(!p.contains("windowspecdefinition(tok"),
+      s"x60 sorts the whole vocabulary in one window partition:\n$p")
+    assert(p.contains("windowspecdefinition(pid"),
+      s"x60 should rank within range partitions (pid):\n$p")
+  }
+
   test("x36 packing window is per-shard, x37 never cartesian, x39 window-free") {
     val p36 = SparkEntry.queries("x36_pack_bins")(spark, dir)
       .queryExecution.executedPlan.toString

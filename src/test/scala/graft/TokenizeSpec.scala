@@ -14,11 +14,32 @@ class TokenizeSpec extends SparkSpec {
       (2L, "c b", "en")
     ).toDF("doc_id", "text", "lang")
     val out = TextAnalysis.tokenIds(docs)
-      .select("doc_id", "n_tokens", "ids")
-      .as[(Long, Long, Seq[Long])].collect().map(r => r._1 -> r).toMap
+      .select("doc_id", "n_tokens", "ids_csv")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
     // vocab sorted: a=0, b=1, c=2
-    assert(out(1L) === ((1L, 4L, Seq(1L, 0L, 2L, 0L))))
-    assert(out(2L) === ((2L, 2L, Seq(2L, 1L))))
+    assert(out(1L) === ((1L, 4L, "1,0,2,0")))
+    assert(out(2L) === ((2L, 2L, "2,1")))
+  }
+
+  test("tokenIds: two-phase ids equal the single-sort dense rank on a wide vocab") {
+    // 4k distinct tokens spread over every range partition — pins that
+    // the per-range local ranks + cumulative offsets reproduce the
+    // global dense rank exactly (the scale-safe replacement for a
+    // single-partition vocabulary sort)
+    val docs = (0 until 200).map { d =>
+      val toks = (0 until 20).map(i => f"t${(d * 37 + i * 101) % 4096}%05d")
+      (d.toLong, toks.mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val vocabSorted = (0 until 200).flatMap(d =>
+      (0 until 20).map(i => f"t${(d * 37 + i * 101) % 4096}%05d"))
+      .distinct.sorted.zipWithIndex.toMap
+    val expect = (0 until 200).map { d =>
+      d.toLong -> (0 until 20)
+        .map(i => vocabSorted(f"t${(d * 37 + i * 101) % 4096}%05d")).mkString(",")
+    }.toMap
+    val got = TextAnalysis.tokenIds(docs).select("doc_id", "ids_csv")
+      .as[(Long, String)].collect().toMap
+    assert(got === expect)
   }
 
   test("packOffsets: offsets restart per bin and sum consistently with packBins") {
