@@ -16,6 +16,10 @@ run / fork := true
 // JSON line Bench/Verify print. Inherit stdout/stderr instead so the JSON
 // line reaches the console verbatim.
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: …" epilogue would STILL land
+// after the JSON line (it broke downstream parsing three rounds running)
+// — suppress it so the protocol line is the last thing on stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

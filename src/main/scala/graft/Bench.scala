@@ -59,7 +59,15 @@ object Bench {
     val qs = ok.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = ok.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,"passes":$passes,"sf":"${esc(sfDir)}"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,"passes":$passes,"sf":"${esc(sfDir)}"}"""
+    // belt-and-braces handoff (the stdout line went unparsed three
+    // rounds running): persist the protocol JSON to a known file too,
+    // and print it AFTER spark.stop() so no shutdown logging can land
+    // between it and end-of-stream.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
+    println(line)
   }
 }
