@@ -261,6 +261,21 @@ object Similarity {
     * DELIBERATELY: the join key `cell` has only K distinct values, so
     * a shuffled join would funnel the corpus into K partitions;
     * broadcasting the probe batch keeps the corpus side map-only. */
+  /** Cell-size cap for [[semanticDupPairs]]: a cell with m members
+    * costs m²/2 comparisons, and with fixed [[KmeansK]] one degenerate
+    * cell (all-near-identical embeddings — exactly what dedup targets)
+    * goes quadratic. Cells larger than this are REFINED, not dropped
+    * (dropping 1/K of the corpus would lose genuine duplicate pairs,
+    * unlike [[Dedup.MaxBucket]]'s boilerplate buckets): members are
+    * sub-blocked by their table-0 hyperplane signature
+    * ([[LshBitsPerTable]] bits → 2⁴ sub-cells), bounding the join at
+    * ~(m/16)²·16 = m²/16 per refined cell. Near-identical vectors
+    * share plane signs, so refinement keeps the pairs the operator
+    * exists to find; only moderate-cosine cross-sub pairs are missed
+    * (the operator is approximate by design). Applied identically in
+    * the DuckDB oracle. */
+  val MaxCell = 256
+
   /** x52: SEMANTIC dedup via centroid blocking (SemDeDup-style): the
     * learned k-means cells act as blocks — only pairs assigned to the
     * SAME cell are compared, cutting the all-pairs cost to Σ_cells
@@ -270,14 +285,27 @@ object Similarity {
     * projections, this blocks by LEARNED structure — on clustered
     * real-world embeddings the cells align with the duplicate groups
     * and recall approaches 1 at a fraction of LSH's candidate volume.
-    * Approximate by design (cross-cell pairs are missed). */
+    * Approximate by design (cross-cell pairs are missed).
+    *
+    * Cells above `maxCell` members are sub-blocked by hyperplane
+    * signature (see [[MaxCell]]) so no single cell's self-join goes
+    * quadratic. Cell sizes come from a K-row hash aggregate broadcast
+    * back to the corpus — the corpus itself never shuffles on the
+    * K-valued cell key before the pair join. */
   def semanticDupPairs(embeddings: DataFrame,
-                       threshold: Double = CosineThreshold): DataFrame = {
+                       threshold: Double = CosineThreshold,
+                       maxCell: Int = MaxCell): DataFrame = {
     val vs = Caching.temp(vectors(embeddings))
     val cents = kmeansCentroids(vs)
-    val cells = Caching.temp(vs.join(assignCells(vs, cents), Seq("vec_id")))
+    val assigned = vs.join(assignCells(vs, cents), Seq("vec_id"))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val cells = Caching.temp(assigned
+      .join(broadcast(counts), Seq("cell"))
+      .withColumn("sub",
+        when(col("cell_n") > maxCell, lshBucket(col("v"), 0)).otherwise(lit(0))))
     cells.alias("l").join(cells.alias("r"),
-        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+        col("l.cell") === col("r.cell") && col("l.sub") === col("r.sub") &&
+          col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
         cosine(dot(col("l.v"), col("r.v")), col("l.nrm"), col("r.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

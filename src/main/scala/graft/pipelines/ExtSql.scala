@@ -1362,14 +1362,29 @@ object ExtSql {
   }
 
   // ---- x52 semantic dedup (k-means centroid blocking) --------------
-  private val x52 =
-    raw"""WITH $kmeansCandCtes
+  private val x52 = {
+    // table-0 hyperplane sub-bucket — the refinement for cells above
+    // Similarity.MaxCell; identical plane literals to the Spark side
+    def wLit(p: Int): String =
+      Similarity.planeWeights(p).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("([", ",", "]::DOUBLE[])")
+    val sub0 = (0 until Similarity.LshBitsPerTable).map { i =>
+      s"CASE WHEN ${dotExpr(wLit(i), "cand.v")} > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    raw"""WITH $kmeansCandCtes,
+         |celln AS (SELECT cell, count(*) AS cell_n FROM cand GROUP BY 1),
+         |cs AS (
+         |  SELECT cand.vec_id, cand.v, cand.nrm, cand.cell,
+         |         CASE WHEN celln.cell_n > ${Similarity.MaxCell}
+         |              THEN $sub0 ELSE 0 END AS sub
+         |  FROM cand JOIN celln USING (cell))
          |SELECT vec_a, vec_b, cos_sim FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         ${cosExpr("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
-         |  FROM cand a JOIN cand b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  FROM cs a JOIN cs b
+         |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id)
          |WHERE cos_sim >= ${Similarity.CosineThreshold}""".stripMargin
+  }
 
   // ---- x53 hourly pivot (crosstab) ---------------------------------
   private val x53 = {

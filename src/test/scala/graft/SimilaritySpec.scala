@@ -76,6 +76,61 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.contains((0L, 1L)))
   }
 
+  /** Clustered fixture: `groups` duplicate groups of `per` near-identical
+    * vectors each (base direction + tiny deterministic jitter) — the
+    * data shape semantic dedup exists for. */
+  private def clustered(groups: Int, per: Int) = {
+    val rows = for (g <- 0 until groups; i <- 0 until per) yield {
+      // disjoint active dims per group → cross-group cosine ≈ 0, far
+      // below the dedup threshold (groups must not overlap at exactly
+      // the threshold boundary, which is a coin flip in both engines)
+      val base = Array.fill(Dim)(0.0f)
+      base((2 * g) % Dim) = 1.0f
+      base((2 * g + 1) % Dim) = 0.5f
+      // jitter ~1e-2: cosine within a group stays ≈1, across groups ≪ threshold
+      val jit = base.zipWithIndex.map { case (x, d) =>
+        x + ((g * 131 + i * 17 + d * 7) % 5 - 2) * 0.01f
+      }
+      ((g * per + i).toLong, jit.toSeq, g)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("semanticDupPairs cap: oversized cells refine by sub-bucket, keep near-identical pairs") {
+    // 300 vectors in 3 duplicate groups; k-means with SeedStride=17
+    // seeds collapses them into few cells, so a tiny cap (8) fires
+    val embs = clustered(3, 100)
+    val uncapped = semanticDupPairs(embs, maxCell = Int.MaxValue)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val capped = semanticDupPairs(embs, maxCell = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // the refinement only SPLITS blocks — never invents pairs
+    assert(capped.subsetOf(uncapped))
+    // near-identical vectors share hyperplane signs, so the capped run
+    // must retain nearly all true-duplicate pairs found uncapped
+    val kept = (capped & uncapped).size.toDouble / uncapped.size
+    assert(kept >= 0.9, s"cap kept only $kept of uncapped pairs")
+    assert(capped.nonEmpty)
+  }
+
+  test("semanticDupPairs recall vs brute on clustered embeddings >= 0.9") {
+    // the x52 recall gate, matching x11's discipline: on the clustered
+    // shape the operator targets, centroid blocking (with the default
+    // cap) must recover at least 90% of the brute-force pairs.
+    // 8 groups × SeedStride members puts exactly one k-means seed in
+    // each group (K = #natural clusters — the regime SemDeDup-style
+    // blocking is designed for; K ≫ or ≪ #clusters splits groups
+    // across cells and recall drops by construction)
+    val embs = clustered(8, SeedStride)
+    val brute = embeddingNearDupBrute(embs).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    val sem = semanticDupPairs(embs).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(brute))
+    val recall = (brute & sem).size.toDouble / brute.size
+    assert(recall >= 0.9, s"semantic-dedup recall was $recall")
+  }
+
   test("plane weights are ±1 and deterministic") {
     assert(planeWeights.length === NumPlanes)
     assert(planeWeights.forall(_.forall(w => w == 1.0 || w == -1.0)))
