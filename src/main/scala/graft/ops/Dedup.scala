@@ -423,7 +423,9 @@ object Dedup {
     * (GraphX/MLlib do the same); rounds ≤ graph diameter, and near-dup
     * components are shallow by construction. At extreme scale the
     * shuffle-optimal variant is alternating large-star/small-star
-    * (Kiveris et al. '14) — same loop shape, fewer rounds. */
+    * (Kiveris et al. '14) — implemented as [[dupClustersStarFrom]]
+    * (x97), which converges in O(log²) rounds independent of
+    * diameter. */
   def dupClusters(documents: DataFrame, maxIters: Int = 20): DataFrame =
     dupClustersFrom(minhashNearDupPairs(documents), maxIters)
 
@@ -435,8 +437,17 @@ object Dedup {
     val pairs = Caching.temp(minedPairs.select(col("doc_a"), col("doc_b")))
     val edges = Caching.temp(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v"))
-    var labels = Caching.temp(edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")))
+    // localCheckpoint, not persist, for the per-round generations:
+    // an eager local checkpoint materializes the frame AND TRUNCATES
+    // ITS LINEAGE, so round N's plan is one join over a leaf — with
+    // plain persist the logical plan grows by one join per round and
+    // re-analysis cost (eventually the analyzer stack itself) blows up
+    // past ~40 rounds. Same discipline as GraphX's periodic
+    // checkpointer; superseded generations are freed by the context
+    // cleaner once unreferenced. (Executor loss invalidates a LOCAL
+    // checkpoint — a driver-side convergence loop restarts anyway.)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -446,18 +457,12 @@ object Dedup {
       // convergence probe is a filter on the materialized frame, not a
       // second join back to the old generation (one job per round, not
       // two — the probe dominated the loop at fixture scale)
-      val next = Caching.temp(
-        labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
-          .select(col("doc_id"), col("lbl").as("old_lbl"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
-      // count(), not isEmpty: isEmpty short-circuits after one row, so
-      // only the probed partitions would land in the cache and the
-      // unpersist below would force recomputation next round. The
-      // count materializes EVERY partition of `next`, after which the
-      // superseded generation can be dropped safely.
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(col("doc_id"), col("lbl").as("old_lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint() // eager: materializes every partition
       converged = next.filter(col("lbl") =!= col("old_lbl")).count() == 0L
-      labels.unpersist(blocking = false)
-      // keep the PERSISTED frame as the next generation (the stray
+      // the checkpointed frame is the next generation (the stray
       // old_lbl column is projected away by every consumer)
       labels = next
       i += 1
@@ -471,6 +476,78 @@ object Dedup {
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
     labels.join(sizes, Seq("lbl"))
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
+  }
+
+  /** x97: [[dupClustersFrom]] via ALTERNATING LARGE-STAR / SMALL-STAR
+    * edge contraction (Kiveris et al. '14, "Connected Components in
+    * MapReduce and Beyond") — the extreme-scale variant the
+    * propagation loop's docstring promises: label propagation walks
+    * one hop per round (rounds ≈ component diameter), while each star
+    * round REWIRES the edge set itself — large-star hangs every
+    * node's larger neighbors onto its neighborhood minimum,
+    * small-star re-hangs the smaller neighbors — so components
+    * contract to stars around their minimum node in O(log²) rounds
+    * regardless of diameter (a 1M-hop chain converges in ~20 rounds,
+    * not 1M). Output contract identical to [[dupClustersFrom]]
+    * (pinned by a randomized-equivalence spec and the shared x30
+    * oracle).
+    *
+    * Scale: every step is a join/aggregate on node keys — no windows,
+    * no cartesians; each edge generation is an eager localCheckpoint
+    * (lineage truncation — see dupClustersFrom). The convergence
+    * probe compares successive canonical edge sets (both distinct:
+    * equal counts + empty except ⇒ equal). */
+  def dupClustersStarFrom(minedPairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val nodes = Caching.temp(minedPairs.select(col("doc_a").as("doc_id"))
+      .union(minedPairs.select(col("doc_b"))).distinct())
+    // eager localCheckpoint per generation — see dupClustersFrom: the
+    // edge set is rewritten every round, and lineage must not grow
+    var edges = minedPairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint()
+    var prevN = edges.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: for each node u (symmetric neighbor view), hang
+      // every LARGER neighbor on m = min(N(u) ∪ {u})
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star: per node (canonical hi side), re-hang its smaller
+      // neighbors AND itself on their minimum
+      val sMins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = ls.join(sMins, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(sMins.select(col("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint()
+      val n = next.count()
+      converged = n == prevN && next.except(edges).count() == 0L
+      edges = next
+      prevN = n
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClustersStar did not converge after $maxIters rounds — raise maxIters")
+    // at the star fixpoint every non-root points straight at its
+    // component minimum; roots have no outgoing (hi-side) edge
+    val roots = edges.groupBy(col("hi")).agg(min(col("lo")).as("cluster_id"))
+      .withColumnRenamed("hi", "doc_id")
+    val labels = nodes.join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
   }
 
   /** x86: near-dup cluster representative selection — the terminal

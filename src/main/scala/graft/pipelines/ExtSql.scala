@@ -1849,6 +1849,10 @@ object ExtSql {
     "x28_value_quantiles" -> x28,
     "x29_split_assign"    -> x29,
     "x30_dup_clusters"    -> x30,
+    // x97 computes the same components as x30 by a different algorithm
+    // (star contraction) — the oracle is deliberately the SAME SQL:
+    // agreement of both engines AND both algorithms on one answer
+    "x97_dup_clusters_star" -> x30,
     "x1_text_stats"      -> x1,
     "x2_lang_id"         -> x2,
     "x3_fingerprints"    -> x3,

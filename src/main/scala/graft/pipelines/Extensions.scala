@@ -155,7 +155,11 @@ object Extensions {
       Tables.lineitem(s, d), Tables.orders(s, d))),
     "x94_triangles"      -> ((s, d) => graft.ops.Graph.triangleCountsFrom(pairsShared(s, d))),
     "x95_running_totals" -> ((s, d) => graft.streaming.EventStream.runningTotalsAvailableNow(s, d)),
-    "x96_xlsx_source"    -> xlsxRoundTrip _)
+    "x96_xlsx_source"    -> xlsxRoundTrip _,
+    // same pair graph and same answer as x30, different algorithm:
+    // star contraction instead of label propagation (the extreme-scale
+    // path — O(log²) rounds independent of component diameter)
+    "x97_dup_clusters_star" -> ((s, d) => Dedup.dupClustersStarFrom(pairsShared(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -79,6 +79,41 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("star-contraction components equal label propagation on random graphs") {
+    // random pair graphs with components of mixed shape (chains via
+    // consecutive ids, blobs via a shared hub) — both algorithms must
+    // emit the identical (doc_id, cluster_id, n_members) rows
+    for (seed <- Seq(5L, 77L, 301L)) {
+      val pairs = (0 until 120).map { i =>
+        val h = rng.Seed(seed + i).long._1
+        val a = math.floorMod(h, 60L)
+        val b = if (i % 3 == 0) a + 1 else math.floorMod(h >> 16, 60L)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+        .toDF("doc_a", "doc_b").distinct()
+      val prop = Dedup.dupClustersFrom(pairs, maxIters = 100)
+        .as[(Long, Long, Long)].collect().toSet
+      val star = Dedup.dupClustersStarFrom(pairs, maxIters = 100)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(star === prop, s"seed $seed")
+    }
+  }
+
+  test("star contraction converges in far fewer rounds than propagation on a chain") {
+    // a 48-hop chain: label propagation moves the min one hop per
+    // round (needs ~47), star contraction halves distances each pass —
+    // 8 rounds must be enough for star and must NOT be enough for
+    // propagation (fail-loud non-convergence is part of its contract)
+    val chain = (0L until 48L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val star = Dedup.dupClustersStarFrom(chain, maxIters = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(star === (0L until 48L).map(i => (i, 0L, 48L)).toSet)
+    assertThrows[IllegalStateException] {
+      Dedup.dupClustersFrom(chain, maxIters = 8).collect()
+    }
+  }
+
   test("salted join equals plain join under heavy key skew") {
     // 90% of facts hit one hot key — the scenario salting exists for
     val facts = (1 to 500).map { i =>
