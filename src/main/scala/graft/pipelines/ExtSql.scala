@@ -3,7 +3,8 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (x1–x95), generated from the SAME Scala constants the Spark
+  * (keys x1–x97; x90 unused), generated from the SAME Scala constants
+  * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
   *

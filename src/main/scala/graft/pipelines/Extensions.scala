@@ -7,8 +7,8 @@ import graft.ops.{Dedup, Events, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
-  * (x1–x95) exposed via [[graft.SparkEntry]]; the matching DuckDB
-  * oracle lives in [[ExtSql]]. */
+  * (keys x1–x97; x90 unused) exposed via [[graft.SparkEntry]]; the
+  * matching DuckDB oracle lives in [[ExtSql]]. */
 object Extensions {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -45,6 +45,19 @@ object Extensions {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def shinglesShared(s: SparkSession, d: String): DataFrame =
     shMemo.getOrElseUpdate((s, d), Dedup.docShingles(docs(s, d)).persist())
+
+  /** The three memos above hold persisted frames (and strong session
+    * references) for the JVM lifetime BY DESIGN: the product surface
+    * is the one-session Bench/Verify harness, where "session close"
+    * and "JVM exit" coincide. An embedder driving many sessions
+    * through this object in one long-lived JVM must call this when a
+    * session ends, or the cached corpus-sized shingle frames leak. */
+  def clearMemos(session: SparkSession): Unit =
+    Seq(shMemo, pairsMemo, ccMemo).foreach { memo =>
+      memo.keys.filter(_._1 eq session).foreach { k =>
+        memo.remove(k).foreach(_.unpersist(blocking = false))
+      }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats"      -> ((s, d) => TextAnalysis.textStats(docs(s, d))),

@@ -78,6 +78,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val (keyExprs, ord, limit) = (keys, order, k)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // identity projection, not a cast: most exec nodes do emit
+      // UnsafeRows, but the InternalRow contract doesn't guarantee it
+      // (non-codegen or RDD-backed children) — normalize like the
+      // built-in sort/exchange operators do. For an already-unsafe
+      // child this is a cheap pass-through copy into the projection
+      // buffer (rows are copied into the heap anyway).
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val rowOrd = GenerateOrdering.generate(ord, childOutput)
       // per-key bounded heap, head = worst retained row (reverse order)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
@@ -85,7 +92,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = rowOrd.compare(b, a)
       }
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        val row = toUnsafe(iter.next())
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {

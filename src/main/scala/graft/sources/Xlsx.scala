@@ -247,7 +247,19 @@ object Xlsx {
       // width = widest ROW, not just the header — a data cell past the
       // header width (legal in sparse sheets) gets a filler name below
       val nCols = (rows.iterator.flatMap(_.iterator.map(_._1)).max + 1) max 1
-      val names = (0 until nCols).map(i => header.getOrElse(i, s"_c$i"))
+      val raw = (0 until nCols).map(i => header.getOrElse(i, s"_c$i"))
+      // duplicate headers are legal in xlsx; disambiguate (a_2, a_3, …)
+      // so NAME-based column resolution — the V2 pruned-read path —
+      // cannot silently alias two columns onto the first occurrence,
+      // and stays consistent with the positional driver-side read
+      val names = raw.foldLeft(Vector.empty[String]) { (acc, n) =>
+        if (!acc.contains(n)) acc :+ n
+        else {
+          var i = 2
+          while (acc.contains(s"${n}_$i")) i += 1
+          acc :+ s"${n}_$i"
+        }
+      }
       val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
       val data = rows.tail.map { cells =>
         val m = cells.toMap

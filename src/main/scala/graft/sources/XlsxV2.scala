@@ -39,47 +39,51 @@ class XlsxSource extends TableProvider with DataSourceRegister {
 
   private def pathOf(o: CaseInsensitiveStringMap) =
     Option(o.get("path")).getOrElse(sys.error("graft-xlsx: 'path' option required"))
-  private def sheetOf(o: CaseInsensitiveStringMap) =
-    Option(o.get("sheet")).getOrElse(sys.error("graft-xlsx: 'sheet' option required"))
+  // comma-separated list: each named sheet becomes ONE InputPartition
+  // (sheets must be union-compatible; the schema is the first sheet's)
+  private def sheetsOf(o: CaseInsensitiveStringMap): Seq[String] =
+    Option(o.get("sheet")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(sys.error("graft-xlsx: 'sheet' option required"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Xlsx.readSheet(pathOf(options), sheetOf(options))._1
+    Xlsx.readSheet(pathOf(options), sheetsOf(options).head)._1
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val o = new CaseInsensitiveStringMap(properties)
-    new XlsxTable(schema, pathOf(o), sheetOf(o))
+    new XlsxTable(schema, pathOf(o), sheetsOf(o))
   }
 }
 
-private[sources] class XlsxTable(tableSchema: StructType, path: String, sheet: String)
+private[sources] class XlsxTable(tableSchema: StructType, path: String, sheets: Seq[String])
   extends Table with SupportsRead {
-  override def name(): String = s"xlsx:`$path`#$sheet"
+  override def name(): String = s"xlsx:`$path`#${sheets.mkString(",")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsxScanBuilder(tableSchema, path, sheet)
+    new XlsxScanBuilder(tableSchema, path, sheets)
 }
 
-private[sources] class XlsxScanBuilder(full: StructType, path: String, sheet: String)
+private[sources] class XlsxScanBuilder(full: StructType, path: String, sheets: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new XlsxScan(full, required, path, sheet)
+  override def build(): Scan = new XlsxScan(full, required, path, sheets)
 }
 
 private[sources] case class XlsxPartitionSpec(path: String, sheet: String)
   extends InputPartition
 
 private[sources] class XlsxScan(full: StructType, required: StructType,
-                                path: String, sheet: String) extends Scan with Batch {
+                                path: String, sheets: Seq[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-xlsx $path#$sheet"
+  override def description(): String = s"graft-xlsx $path#${sheets.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(XlsxPartitionSpec(path, sheet))
+    sheets.map(XlsxPartitionSpec(path, _)).toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxReaderFactory(full.fieldNames, required.fieldNames)
 }

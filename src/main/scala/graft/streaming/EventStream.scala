@@ -26,27 +26,43 @@ case class RunOut(user_id: Long, event_id: Long, ms: Long,
   *
   * Determinism: rows of a key are sorted by (ms, event_id) inside the
   * handler before folding, so the running values are the event-time
-  * prefix sums regardless of arrival order — exactly the batch window
-  * `ROWS UNBOUNDED PRECEDING` the oracle runs. */
+  * prefix sums for any arrival order WITHIN one micro-batch. ACROSS
+  * batches the fold is order-of-arrival: the state also carries the
+  * last folded (ms, event_id), and a batch opening BEHIND that
+  * high-water mark (a late event in a later micro-batch — possible if
+  * AvailableNow splits interleaved input files) fails loud rather
+  * than silently diverging from the batch oracle's
+  * `ROWS UNBOUNDED PRECEDING` answer. Real deployments would instead
+  * buffer rows until the watermark and fold on timer expiry. */
 class RunningTotalsProcessor
   extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RunIn, RunOut] {
   import org.apache.spark.sql.{Encoders => E}
-  @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+  @transient private var totals:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
 
   override def init(outputMode: OutputMode,
                     timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-    totals = getHandle.getValueState[(Long, Long)]("totals",
-      E.tuple(E.scalaLong, E.scalaLong),
+    totals = getHandle.getValueState[(Long, Long, Long, Long)]("totals",
+      E.tuple(E.scalaLong, E.scalaLong, E.scalaLong, E.scalaLong),
       org.apache.spark.sql.streaming.TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[RunIn],
       timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RunOut] = {
-    var (n, c) = if (totals.exists()) totals.get() else (0L, 0L)
-    val out = rows.toIndexedSeq.sortBy(r => (r.ms, r.event_id)).map { r =>
+    var (n, c, lastMs, lastId) =
+      if (totals.exists()) totals.get() else (0L, 0L, Long.MinValue, Long.MinValue)
+    val sorted = rows.toIndexedSeq.sortBy(r => (r.ms, r.event_id))
+    sorted.headOption.foreach { r =>
+      if (n > 0L && (r.ms < lastMs || (r.ms == lastMs && r.event_id <= lastId)))
+        throw new IllegalStateException(
+          s"running-totals key $key received (ms=${r.ms}, id=${r.event_id}) after " +
+            s"folding (ms=$lastMs, id=$lastId) — cross-batch event-time order violated")
+    }
+    val out = sorted.map { r =>
       n += 1; c += r.cents
+      lastMs = r.ms; lastId = r.event_id
       RunOut(r.user_id, r.event_id, r.ms, n, c)
     }
-    totals.update((n, c))
+    totals.update((n, c, lastMs, lastId))
     out.iterator
   }
 }

@@ -115,4 +115,45 @@ class XlsxSpec extends SparkSpec {
     assert(!p.contains("doc_id"), s"doc_id must be pruned from the scan:\n$p")
     assert(pruned.collect().map(_.getString(0)).toSet === Set("en", "de"))
   }
+
+  test("V2 connector: a two-sheet read plans one InputPartition per sheet") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("xlsxv2m").toFile
+    val path = new java.io.File(dir, "m.xlsx").getPath
+    val s1 = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val s2 = Seq((3L, "fr")).toDF("doc_id", "lang")
+    Xlsx.write(Seq("a" -> s1, "b" -> s2), path)
+    val v2 = spark.read.format("graft-xlsx")
+      .option("path", path).option("sheet", "a,b").load()
+    // one task per worksheet — a sheet is one zipped XML stream,
+    // unsplittable, so sheet-level parallelism is the partition unit
+    assert(v2.rdd.getNumPartitions === 2)
+    assert(v2.collect().map(_.toSeq).toSet ===
+      Set(Seq("1", "en"), Seq("2", "de"), Seq("3", "fr")))
+    // pruning still applies across the union of sheet partitions
+    assert(v2.select(col("lang")).collect().map(_.getString(0)).toSet ===
+      Set("en", "de", "fr"))
+  }
+
+  test("duplicate headers disambiguate consistently for positional AND name-based reads") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("xlsxdup").toFile
+    val path = new java.io.File(dir, "dup.xlsx").getPath
+    // legal xlsx: two columns both headed "k" (plus a pre-existing k_2)
+    val df0 = Seq(("l", "r", "x")).toDF("k", "tmp", "k_2")
+      .select(col("k"), col("tmp").as("k"), col("k_2"))
+    Xlsx.write(Seq("s" -> df0), path)
+    val back = Xlsx.read(spark, path, "s")
+    // the second "k" must not collide with the literal k_2 header
+    assert(back.columns.toSeq === Seq("k", "k_2", "k_2_2") ||
+      back.columns.toSeq === Seq("k", "k_3", "k_2"),
+      s"got ${back.columns.toSeq}")
+    // name-based (V2) resolution sees the same columns as positional,
+    // and each name reads its own column's values — not the first "k"
+    val v2 = spark.read.format("graft-xlsx")
+      .option("path", path).option("sheet", "s").load()
+    assert(v2.columns.toSeq === back.columns.toSeq)
+    val row = v2.select(back.columns.map(col): _*).collect().head.toSeq
+    assert(row === Seq("l", "r", "x"))
+  }
 }
