@@ -5,7 +5,12 @@ Runs each oracle SQL from `<outdir>/oracle_sql.json` in DuckDB against the
 parquet fixtures, loads the Spark result parquet from `<outdir>/<name>/`,
 sorts columns by name and rows by all columns, and hash-compares.
 
-Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 target/verify_out
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 target/verify_out [record.json]
+
+The optional third argument writes a per-query record in the driver's
+CORRECTNESS format (rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err) — used to commit the builder's own
+sf0.1 pass as an in-repo artifact (CORRECTNESS_SELF_sf0.1.json).
 """
 import sys, json, glob, hashlib
 import duckdb
@@ -30,16 +35,19 @@ def canon(df: pd.DataFrame) -> tuple:
     return hashlib.md5("\n".join(rows).encode()).hexdigest(), len(rows)
 
 
-def main(sfdir: str, outdir: str) -> None:
+def main(sfdir: str, outdir: str, record_path: str | None = None) -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = 0
+    record = {}
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark result")
+            record[name] = dict(rows_match=None, schema_match=None, hash_match=None,
+                                spark_rows=None, oracle_rows=None, err="no spark result")
             fails += 1
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files])
@@ -47,12 +55,17 @@ def main(sfdir: str, outdir: str) -> None:
             duck_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = dict(rows_match=None, schema_match=None, hash_match=None,
+                                spark_rows=len(spark_df), oracle_rows=None,
+                                err=f"duckdb error: {e}")
             fails += 1
             continue
         sh, sn = canon(spark_df)
         dh, dn = canon(duck_df)
         ok = sh == dh
         schema_ok = sorted(spark_df.columns) == sorted(duck_df.columns)
+        record[name] = dict(rows_match=sn == dn, schema_match=schema_ok,
+                            hash_match=ok, spark_rows=sn, oracle_rows=dn, err=None)
         # dtype strictness: int32-vs-int64 style mismatches may fail the
         # driver's schema compare even when values hash-match
         dt_s = {c: str(spark_df[c].dtype) for c in spark_df.columns}
@@ -68,8 +81,12 @@ def main(sfdir: str, outdir: str) -> None:
         else:
             print(f"ok   {name}: {sn} rows")
     print(f"{'ALL OK' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
+    if record_path:
+        with open(record_path, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True)
+        print(f"record written to {record_path}")
     sys.exit(1 if fails else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
