@@ -12,8 +12,8 @@ object SparkEntry {
     SlValidation.mainFinalQ(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (parity) and
-    * the beyond-reference extension track (keys x1–x97; x90 unused —
-    * 109 oracle-checked queries in total). */
+    * the beyond-reference extension track (keys x1–x97 — 110
+    * oracle-checked queries in total). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = parity ++ Extensions.queries
 
   private def parity: Map[String, (SparkSession, String) => DataFrame] = Map(

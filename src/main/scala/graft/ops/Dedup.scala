@@ -575,6 +575,47 @@ object Dedup {
         col("n_chars").as("rep_chars"), col("n_members"))
   }
 
+  /** Repeated-span window width (tokens) for [[spanDedup]] —
+    * fixture-scaled to 8; production pipelines use ~50 (Lee et al.
+    * '22). One constant, both engines. */
+  val SpanTokens = 8
+
+  /** x90: EXACT-SUBSTRING duplication detection — the "find repeated
+    * 50-token spans across the corpus" step of training-data dedup
+    * (Lee et al. '22, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499), the span-granular complement
+    * of whole-document exact dedup (x4): boilerplate headers, license
+    * blocks and templated passages repeat across otherwise-distinct
+    * documents. Every [[SpanTokens]]-token window of every document is
+    * md5-fingerprinted; spans whose text occurs more than once come
+    * back as one row per fingerprint with occurrence/document counts
+    * and the canonical keeper (lexicographic min (doc_id, pos)).
+    *
+    * Scale: |tokens| window rows per document (a linear explode — the
+    * window fingerprints shuffle as fixed-width md5 keys, never text),
+    * then two stacked hash aggregates — (fp, doc) before fp — so
+    * map-side combine applies and there is no count-distinct Expand.
+    * A boilerplate span shared by millions of documents is ONE group
+    * row: aggregates never go quadratic, so unlike the pair-mining
+    * operators this needs no df cap. */
+  def spanDedup(documents: DataFrame, k: Int = SpanTokens): DataFrame = {
+    val spans = TextAnalysis.withTokens(documents)
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(toks)-$k+1), i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
+          .as(Seq("pos", "fp")))
+    val occ = spans.groupBy(col("fp"), col("doc_id"))
+      .agg(count(lit(1)).as("c"), min(col("pos")).as("mp"))
+    occ.groupBy(col("fp"))
+      .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("n_docs"),
+        min(struct(col("doc_id"), col("mp"))).as("keep"))
+      .filter(col("n_occurrences") > 1)
+      .select(col("fp"), col("n_occurrences"), col("n_docs"),
+        col("keep.doc_id").as("keep_doc_id"),
+        col("keep.mp").cast("long").as("keep_pos"))
+  }
+
   /** x32: INCREMENTAL exact dedup — the pattern a growing corpus runs
     * daily: a new batch is admitted only where its canonical
     * fingerprint is unseen in the accumulated state table, and

@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (keys x1–x97; x90 unused), generated from the SAME Scala constants
+  * (keys x1–x97), generated from the SAME Scala constants
   * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
@@ -1697,6 +1697,29 @@ object ExtSql {
          |       CAST(count(*) OVER (PARTITION BY md5(norm)) AS BIGINT) AS n_same
          |FROM n""".stripMargin
 
+  // ---- x90 exact-substring (repeated token-span) dedup -------------
+
+  private val x90 = {
+    val k = Dedup.SpanTokens
+    raw"""WITH $toksCte,
+         |spans AS (
+         |  SELECT doc_id, t.i - 1 AS pos,
+         |         md5(array_to_string(toks[t.i : t.i + $k - 1], ' ')) AS fp
+         |  FROM tok, unnest(range(1, len(toks) - $k + 2)) AS t(i)),
+         |occ AS (
+         |  SELECT fp, doc_id, count(*) AS c, min(pos) AS mp
+         |  FROM spans GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT fp, CAST(sum(c) AS BIGINT) AS n_occurrences,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         min(doc_id) AS keep_doc_id
+         |  FROM occ GROUP BY 1)
+         |SELECT a.fp, a.n_occurrences, a.n_docs, a.keep_doc_id,
+         |       CAST(o.mp AS BIGINT) AS keep_pos
+         |FROM agg a JOIN occ o ON a.fp = o.fp AND a.keep_doc_id = o.doc_id
+         |WHERE a.n_occurrences > 1""".stripMargin
+  }
+
   // ---- x91 zone-map audit ------------------------------------------
 
   private val x91 = {
@@ -1783,6 +1806,7 @@ object ExtSql {
     "x92_mv_refresh"      -> x92,
     "x93_join_card"       -> x93,
     "x89_normalized"      -> x89,
+    "x90_span_dedup"      -> x90,
     "x91_zone_map"        -> x91,
     "x85_zorder_layout"   -> x85,
     "x86_cluster_reps"    -> x86,

@@ -7,8 +7,8 @@ import graft.ops.{Dedup, Events, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
-  * (keys x1–x97; x90 unused) exposed via [[graft.SparkEntry]]; the
-  * matching DuckDB oracle lives in [[ExtSql]]. */
+  * (keys x1–x97) exposed via [[graft.SparkEntry]]; the matching
+  * DuckDB oracle lives in [[ExtSql]]. */
 object Extensions {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
@@ -162,6 +162,7 @@ object Extensions {
     "x87_top_spend"      -> ((s, d) => Events.topSpendEvents(evs(s, d))),
     "x88_topk_rewrite"   -> topDocsDeclarative _,
     "x89_normalized"     -> ((s, d) => TextAnalysis.normalized(docs(s, d))),
+    "x90_span_dedup"     -> ((s, d) => Dedup.spanDedup(docs(s, d))),
     "x91_zone_map"       -> ((s, d) => graft.ops.DataProfile.zoneMapAudit(Tables.lineitem(s, d))),
     "x92_mv_refresh"     -> ((s, d) => Events.mvRefresh(evs(s, d))),
     "x93_join_card"      -> ((s, d) => graft.ops.DataProfile.joinCardEst(

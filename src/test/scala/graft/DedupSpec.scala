@@ -24,6 +24,26 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 3L), (4L, 1L), (5L, 1L)))
   }
 
+  test("spanDedup finds cross-doc and within-doc repeated token spans") {
+    // span width is SpanTokens = 8; the shared 8-token run sits at
+    // pos 0 of doc 1 and pos 2 of doc 2; doc 3 repeats its own first
+    // 8 tokens at pos 8; doc 4 is too short to window at all
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z", "en"),
+      (2L, "q r a b c d e f g h", "en"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8", "en"),
+      (4L, "too short to span", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = spanDedup(docs)
+      .select("n_occurrences", "n_docs", "keep_doc_id", "keep_pos")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // exactly two duplicated spans: "a b c d e f g h" (docs 1+2,
+    // keeper = doc 1 pos 0) and "p1..p8" (doc 3 twice, keeper pos 0);
+    // every other window (incl. doc 3's interior cyclic shifts) is
+    // unique and filtered
+    assert(out === Set((2L, 2L, 1L, 0L), (2L, 1L, 3L, 0L)))
+  }
+
   test("minhash LSH finds planted near-dup pairs and self-consistent jaccard") {
     val pairs = minhashNearDupPairs(docs, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -98,9 +98,12 @@ class PlanSpec extends SparkSpec {
       s"cell-keyed join must not sort-merge (8 distinct keys):\n$p")
   }
 
-  test("x30 label-propagation join keys are the doc ids, not a cross join") {
-    val p = plan("x30_dup_clusters")
-    assert(!p.contains("CartesianProduct"), s"x30 plans a cartesian:\n$p")
+  test("x30/x97 component queries join on doc ids, never a cross join") {
+    Seq("x30_dup_clusters", "x97_dup_clusters_star").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
+    }
   }
 
   test("x26/x27 TF-IDF: one explode, hash aggregates, no window over the whole corpus") {
