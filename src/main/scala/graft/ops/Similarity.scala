@@ -178,7 +178,12 @@ object Similarity {
 
   // ---- x11: IVF top-k with a LEARNED coarse quantizer --------------
 
-  /** k-means cells for the IVF coarse quantizer. */
+  /** k-means cells for the IVF coarse quantizer. Fixture-scaled; at
+    * production scale K grows with the corpus (K ≈ n / target-cell,
+    * classically ~√n) — that keeps BOTH the per-cell pair cost
+    * ([[MaxCell]] is the backstop, not the design point) AND the
+    * cell-keyed shuffle width healthy: a self-join blocked on K·2⁴
+    * sub-cell keys needs K scaled up for the shuffle to spread. */
   val KmeansK = 8
   /** Lloyd iterations (fixed — both engines run exactly this many). */
   val KmeansIters = 2

@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (keys x1–x97), generated from the SAME Scala constants
+  * (keys x1–x98), generated from the SAME Scala constants
   * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
@@ -1799,8 +1799,12 @@ object ExtSql {
 
   private val x96 = "SELECT doc_id, lang, n_chars FROM documents"
 
+  // ---- x98 ORC round trip (oracle = the original table) ------------
+  private val x98 = "SELECT doc_id, lang, n_chars FROM documents"
+
   val oracle: Map[String, String] = Map(
     "x96_xlsx_source"     -> x96,
+    "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,
     "x94_triangles"       -> x94,
     "x92_mv_refresh"      -> x92,

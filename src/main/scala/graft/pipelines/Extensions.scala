@@ -7,7 +7,7 @@ import graft.ops.{Dedup, Events, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
-  * (keys x1–x97) exposed via [[graft.SparkEntry]]; the matching
+  * (keys x1–x98) exposed via [[graft.SparkEntry]]; the matching
   * DuckDB oracle lives in [[ExtSql]]. */
 object Extensions {
 
@@ -173,7 +173,8 @@ object Extensions {
     // same pair graph and same answer as x30, different algorithm:
     // star contraction instead of label propagation (the extreme-scale
     // path — O(log²) rounds independent of component diameter)
-    "x97_dup_clusters_star" -> ((s, d) => Dedup.dupClustersStarFrom(pairsShared(s, d))))
+    "x97_dup_clusters_star" -> ((s, d) => Dedup.dupClustersStarFrom(pairsShared(s, d))),
+    "x98_orc_source"     -> orcRoundTrip _)
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND
@@ -197,6 +198,19 @@ object Extensions {
       .option("path", path).option("sheet", "docs").load()
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
         col("n_chars").cast("long").as("n_chars"))
+  }
+
+  /** x98: documents → ORC → back — pins the remaining first-class
+    * columnar format next to parquet (x-suite inputs), csv/json-lines
+    * (SourcesSpec round trips) and xlsx (x96): the oracle is the
+    * original table, so any write- or read-side drift breaks the
+    * hash. ORC scans carry the same pushdown/pruning contract as
+    * parquet (gated in SourcesSpec). */
+  private def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val path = s"target/graft-orc/docs_${Integer.toHexString(d.hashCode)}.orc"
+    docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path).select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
   /** x88: the DECLARATIVE grouped top-k — plain `row_number() <= k`

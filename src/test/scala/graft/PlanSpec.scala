@@ -117,6 +117,15 @@ class PlanSpec extends SparkSpec {
       s"x27 rank must partition on doc_id:\n$p27")
   }
 
+  test("x90 span dedup: stacked hash aggregates, no count-distinct Expand") {
+    // the doc-count comes from a second stacked aggregate, not
+    // countDistinct — an Expand would triple the exploded span volume
+    val p = plan("x90_span_dedup")
+    assert(p.contains("HashAggregate"), s"expected hash aggregates in:\n$p")
+    assert(!p.contains("Expand"), s"x90 must not plan an Expand:\n$p")
+    assert(!p.contains("CartesianProduct"), s"x90 plans a cartesian:\n$p")
+  }
+
   test("x60 vocab ids: no vocabulary-wide unpartitioned window") {
     // the dense-id assignment must never sort the full distinct-token
     // vocabulary through one partition: the local rank windows on the

@@ -44,6 +44,24 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() < full)
   }
 
+  test("orc round-trip preserves types; filters push down and columns prune") {
+    val out = s"$tmp/docs_orc"
+    val src = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema === src.schema) // ORC is self-describing, no casts
+    assert(back.count() === src.count())
+    // the same scan contract the parquet gates pin: predicate reaches
+    // the ORC reader, projection prunes the read schema
+    val q = back.filter(col("lang") === "en").select(col("doc_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"expected lang pushdown in:\n$plan")
+    assert(!plan.contains("n_chars"), s"n_chars must be pruned from the scan:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("json-lines round-trip with declared schema; corrupt lines surface, not vanish") {
     import org.apache.spark.sql.types._
     val out = s"$tmp/events_jsonl"
