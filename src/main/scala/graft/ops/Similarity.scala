@@ -95,8 +95,15 @@ object Similarity {
 
   /** All pairs with cosine ≥ [[CosineThreshold]] — exact baseline. */
   def embeddingNearDupBrute(embeddings: DataFrame,
-                            threshold: Double = CosineThreshold): DataFrame = {
-    val vs = vectors(embeddings)
+                            threshold: Double = CosineThreshold): DataFrame =
+    embeddingNearDupBruteFrom(vectors(embeddings), threshold)
+
+  /** [[embeddingNearDupBrute]] over a pre-projected vector frame —
+    * callers running several embedding consumers project/normalize
+    * once and fan out (the shingle-pass discipline, applied to
+    * vectors). */
+  def embeddingNearDupBruteFrom(vs: DataFrame,
+                                threshold: Double = CosineThreshold): DataFrame = {
     val l = vs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val r = vs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     l.crossJoin(r)
@@ -119,8 +126,13 @@ object Similarity {
     * verified at cosine ≥ [[CosineThreshold]]. Approximate by design
     * (recall < 1); never O(n²). */
   def embeddingNearDupLsh(embeddings: DataFrame,
-                          threshold: Double = CosineThreshold): DataFrame = {
-    val vs = vectors(embeddings)
+                          threshold: Double = CosineThreshold): DataFrame =
+    embeddingNearDupLshFrom(vectors(embeddings), threshold)
+
+  /** [[embeddingNearDupLsh]] over a pre-projected vector frame. */
+  def embeddingNearDupLshFrom(vs0: DataFrame,
+                              threshold: Double = CosineThreshold): DataFrame = {
+    val vs = vs0
       .select(col("vec_id") +: col("v") +: col("nrm") +:
         (0 until LshTables).map(t => lshBucket(col("v"), t).as(s"b$t")): _*)
     val tagged = vs.select(col("vec_id"), col("v"), col("nrm"),
@@ -143,9 +155,12 @@ object Similarity {
   /** Queries = every [[QueryStride]]-th vector; for each, the exact
     * top-[[TopK]] neighbors by (cosine desc, vec_id asc), self
     * excluded. Queries are broadcast; candidates stream. */
-  def annBrute(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+  def annBrute(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    annBruteFrom(vectors(embeddings), k)
+
+  /** [[annBrute]] over a pre-projected vector frame. */
+  def annBruteFrom(vs: DataFrame, k: Int = TopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vs = vectors(embeddings)
     val qs = broadcast(
       vs.filter(col("vec_id") % QueryStride === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
@@ -301,7 +316,15 @@ object Similarity {
                        threshold: Double = CosineThreshold,
                        maxCell: Int = MaxCell): DataFrame = {
     val vs = Caching.temp(vectors(embeddings))
-    val cents = kmeansCentroids(vs)
+    semanticDupPairsFrom(vs, kmeansCentroids(vs), threshold, maxCell)
+  }
+
+  /** [[semanticDupPairs]] over pre-projected vectors and a pre-trained
+    * quantizer — callers that also run the IVF index (x11) train the
+    * k-means cells ONCE and fan out. */
+  def semanticDupPairsFrom(vs: DataFrame, cents: DataFrame,
+                           threshold: Double = CosineThreshold,
+                           maxCell: Int = MaxCell): DataFrame = {
     val assigned = vs.join(assignCells(vs, cents), Seq("vec_id"))
     val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
     val cells = Caching.temp(assigned
@@ -317,9 +340,16 @@ object Similarity {
   }
 
   def annIvf(embeddings: DataFrame, k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vs = Caching.temp(vectors(embeddings))
-    val cents = kmeansCentroids(vs).withColumn("cn", norm(col("cv")))
+    annIvfFrom(vs, kmeansCentroids(vs), k, nprobe)
+  }
+
+  /** [[annIvf]] over pre-projected vectors and a pre-trained
+    * quantizer (shared with x52 — see [[semanticDupPairsFrom]]). */
+  def annIvfFrom(vs: DataFrame, cents0: DataFrame,
+                 k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = cents0.withColumn("cn", norm(col("cv")))
     val cands = vs.join(assignCells(vs, cents), Seq("vec_id"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("cid").asc)
     val probes = vs.filter(col("vec_id") % QueryStride === 0)

@@ -46,14 +46,34 @@ object Extensions {
   private def shinglesShared(s: SparkSession, d: String): DataFrame =
     shMemo.getOrElseUpdate((s, d), Dedup.docShingles(docs(s, d)).persist())
 
-  /** The three memos above hold persisted frames (and strong session
+  /** The per-vector projection (widen + norm) shared by every
+    * embedding consumer (x8/x9/x10/x11/x52) — one repartition + one
+    * norm pass per (session, dir), not five. */
+  private val vecsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def vecsShared(s: SparkSession, d: String): DataFrame =
+    vecsMemo.getOrElseUpdate((s, d), Similarity.vectors(embs(s, d)).persist())
+
+  /** The trained k-means quantizer shared by the IVF index (x11) and
+    * semantic dedup (x52) — both train the IDENTICAL deterministic
+    * centroids on the identical vectors, so the Lloyd iterations run
+    * once. localCheckpoint (not persist): the training loop's internal
+    * temp caches are reaped per query, and a checkpointed K-row result
+    * survives that independently of its lineage. */
+  private val centsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def centsShared(s: SparkSession, d: String): DataFrame =
+    centsMemo.getOrElseUpdate((s, d),
+      Similarity.kmeansCentroids(vecsShared(s, d)).localCheckpoint())
+
+  /** The memos above hold persisted frames (and strong session
     * references) for the JVM lifetime BY DESIGN: the product surface
     * is the one-session Bench/Verify harness, where "session close"
     * and "JVM exit" coincide. An embedder driving many sessions
     * through this object in one long-lived JVM must call this when a
     * session ends, or the cached corpus-sized shingle frames leak. */
   def clearMemos(session: SparkSession): Unit =
-    Seq(shMemo, pairsMemo, ccMemo).foreach { memo =>
+    Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo).foreach { memo =>
       memo.keys.filter(_._1 eq session).foreach { k =>
         memo.remove(k).foreach(_.unpersist(blocking = false))
       }
@@ -69,11 +89,11 @@ object Extensions {
     "x7_simhash_pairs"   -> ((s, d) => Dedup.simhashNearDupPairs(docs(s, d))),
     // brute pair mining is the exact baseline — sampled to every other
     // vector so it stays the baseline, not the bottleneck, at sf0.1
-    "x8_embed_dup_brute" -> ((s, d) =>
-      Similarity.embeddingNearDupBrute(embs(s, d).filter(col("vec_id") % 2 === 0))),
-    "x9_embed_dup_lsh"   -> ((s, d) => Similarity.embeddingNearDupLsh(embs(s, d))),
-    "x10_ann_brute"      -> ((s, d) => Similarity.annBrute(embs(s, d))),
-    "x11_ann_ivf"        -> ((s, d) => Similarity.annIvf(embs(s, d))),
+    "x8_embed_dup_brute" -> ((s, d) => Similarity.embeddingNearDupBruteFrom(
+      vecsShared(s, d).filter(col("vec_id") % 2 === 0))),
+    "x9_embed_dup_lsh"   -> ((s, d) => Similarity.embeddingNearDupLshFrom(vecsShared(s, d))),
+    "x10_ann_brute"      -> ((s, d) => Similarity.annBruteFrom(vecsShared(s, d))),
+    "x11_ann_ivf"        -> ((s, d) => Similarity.annIvfFrom(vecsShared(s, d), centsShared(s, d))),
     "x12_media_meta"     -> ((s, d) => Multimodal.mediaMeta(s, docs(s, d)).toDF()),
     "x13_frame_sample"   -> ((s, d) => Multimodal.frameSample(s, docs(s, d))),
     "x14_events_parsed"  -> ((s, d) => Events.parsedEvents(evs(s, d))),
@@ -119,7 +139,8 @@ object Extensions {
     "x49_segment_dedup"  -> ((s, d) => Dedup.segmentDedup(docs(s, d))),
     "x50_fuzzy_parts"    -> ((s, d) => graft.ops.Fuzzy.fuzzyNameMatch(Tables.part(s, d))),
     "x51_bm25_search"    -> ((s, d) => graft.ops.Search.bm25Search(docs(s, d))),
-    "x52_semantic_dup"   -> ((s, d) => Similarity.semanticDupPairs(embs(s, d))),
+    "x52_semantic_dup"   -> ((s, d) =>
+      Similarity.semanticDupPairsFrom(vecsShared(s, d), centsShared(s, d))),
     "x53_hourly_pivot"   -> ((s, d) => Events.hourlyPivot(evs(s, d))),
     "x54_session_funnel" -> ((s, d) => Events.sessionFunnel(evs(s, d))),
     "x55_cohort_retention" -> ((s, d) => Events.cohortRetention(evs(s, d))),
