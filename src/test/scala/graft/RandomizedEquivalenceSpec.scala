@@ -114,6 +114,33 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("spanDedup equals an in-memory reference on random corpora") {
+    // independent reference implementation: plain Scala sliding
+    // windows over the same whitespace tokenization — pins the
+    // explode/slice/group pipeline end to end (window arithmetic,
+    // within- vs cross-doc counting, keeper tie-breaks)
+    for (seed <- Seq(13L, 211L)) {
+      val rows = corpus(seed, 50)
+      val k = 4 // short docs: default 8 would window almost nothing
+      val expected = rows
+        .flatMap { case (id, text, _) =>
+          text.split("\\s+").filter(_.nonEmpty).toSeq.sliding(k)
+            .filter(_.size == k).zipWithIndex
+            .map { case (w, pos) => (w.mkString(" "), id, pos.toLong) }
+        }
+        .groupBy(_._1).values
+        .filter(_.size > 1)
+        .map { occ =>
+          val keep = occ.map(o => (o._2, o._3)).min
+          (occ.size.toLong, occ.map(_._2).distinct.size.toLong, keep._1, keep._2)
+        }.toSet
+      val got = Dedup.spanDedup(rows.toDF("doc_id", "text", "lang"), k)
+        .select("n_occurrences", "n_docs", "keep_doc_id", "keep_pos")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("salted join equals plain join under heavy key skew") {
     // 90% of facts hit one hot key — the scenario salting exists for
     val facts = (1 to 500).map { i =>
