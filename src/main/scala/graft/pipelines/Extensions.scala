@@ -62,9 +62,21 @@ object Extensions {
     * survives that independently of its lineage. */
   private val centsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** RDD ids newly persisted by each centroid checkpoint — a
+    * localCheckpoint'd Dataset is backed by a persisted RDD that
+    * `Dataset.unpersist` can NOT release (it only uncaches
+    * CacheManager entries; ADVICE r4), so [[clearMemos]] frees these
+    * blocks by id via the public `sc.getPersistentRDDs` registry. */
+  private val centsRddIds =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
   private def centsShared(s: SparkSession, d: String): DataFrame =
-    centsMemo.getOrElseUpdate((s, d),
-      Similarity.kmeansCentroids(vecsShared(s, d)).localCheckpoint())
+    centsMemo.getOrElseUpdate((s, d), {
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      // eager by default: the checkpoint RDD is registered on return
+      val ck = Similarity.kmeansCentroids(vecsShared(s, d)).localCheckpoint()
+      centsRddIds((s, d)) = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      ck
+    })
 
   /** The memos above hold persisted frames (and strong session
     * references) for the JVM lifetime BY DESIGN: the product surface
@@ -72,12 +84,21 @@ object Extensions {
     * and "JVM exit" coincide. An embedder driving many sessions
     * through this object in one long-lived JVM must call this when a
     * session ends, or the cached corpus-sized shingle frames leak. */
-  def clearMemos(session: SparkSession): Unit =
+  def clearMemos(session: SparkSession): Unit = {
     Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo).foreach { memo =>
       memo.keys.filter(_._1 eq session).foreach { k =>
         memo.remove(k).foreach(_.unpersist(blocking = false))
       }
     }
+    // the centroid checkpoint blocks need RDD-level unpersist (ADVICE
+    // r4): Dataset.unpersist above is a no-op for them, and without
+    // this the release would wait on ContextCleaner GC
+    centsRddIds.keys.filter(_._1 eq session).foreach { k =>
+      centsRddIds.remove(k).foreach(_.foreach(id =>
+        session.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false))))
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats"      -> ((s, d) => TextAnalysis.textStats(docs(s, d))),

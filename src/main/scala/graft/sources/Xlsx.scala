@@ -251,12 +251,16 @@ object Xlsx {
       // duplicate headers are legal in xlsx; disambiguate (a_2, a_3, …)
       // so NAME-based column resolution — the V2 pruned-read path —
       // cannot silently alias two columns onto the first occurrence,
-      // and stays consistent with the positional driver-side read
+      // and stays consistent with the positional driver-side read.
+      // A chosen suffix must skip names occurring ANYWHERE in the raw
+      // header list (ADVICE r4): with headers [k, k, k_2] the second
+      // 'k' becomes k_3, so the literal k_2 column keeps its own name
+      // instead of being shadowed and renamed to k_2_2.
       val names = raw.foldLeft(Vector.empty[String]) { (acc, n) =>
         if (!acc.contains(n)) acc :+ n
         else {
           var i = 2
-          while (acc.contains(s"${n}_$i")) i += 1
+          while (acc.contains(s"${n}_$i") || raw.contains(s"${n}_$i")) i += 1
           acc :+ s"${n}_$i"
         }
       }

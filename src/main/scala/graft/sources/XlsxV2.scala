@@ -39,12 +39,23 @@ class XlsxSource extends TableProvider with DataSourceRegister {
 
   private def pathOf(o: CaseInsensitiveStringMap) =
     Option(o.get("path")).getOrElse(sys.error("graft-xlsx: 'path' option required"))
-  // comma-separated list: each named sheet becomes ONE InputPartition
-  // (sheets must be union-compatible; the schema is the first sheet's)
-  private def sheetsOf(o: CaseInsensitiveStringMap): Seq[String] =
-    Option(o.get("sheet")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  // 'sheet' names ONE sheet, taken VERBATIM — commas and padding spaces
+  // are legal inside xlsx sheet names, so the single-sheet option must
+  // never be split (ADVICE r4). Multi-sheet reads use the separate
+  // 'sheets' option: delimiter-separated (default ',', overridable via
+  // 'sheetDelimiter' when a name contains the delimiter); each named
+  // sheet becomes ONE InputPartition (sheets must be union-compatible;
+  // the table schema is the first sheet's).
+  private def sheetsOf(o: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(o.get("sheets")).map { s =>
+      val delim = Option(o.get("sheetDelimiter")).getOrElse(",")
+      s.split(java.util.regex.Pattern.quote(delim), -1)
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    multi.orElse(Option(o.get("sheet")).map(Seq(_)))
       .filter(_.nonEmpty)
-      .getOrElse(sys.error("graft-xlsx: 'sheet' option required"))
+      .getOrElse(sys.error("graft-xlsx: 'sheet' or 'sheets' option required"))
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Xlsx.readSheet(pathOf(options), sheetsOf(options).head)._1
@@ -85,25 +96,40 @@ private[sources] class XlsxScan(full: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     sheets.map(XlsxPartitionSpec(path, _)).toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(full.fieldNames, required.fieldNames)
+    new XlsxReaderFactory(required.fieldNames)
 }
 
-private[sources] class XlsxReaderFactory(fullNames: Array[String],
-                                         requiredNames: Array[String])
+private[sources] class XlsxReaderFactory(requiredNames: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val spec = partition.asInstanceOf[XlsxPartitionSpec]
     new PartitionReader[InternalRow] {
-      // the projection indexes of the pruned columns in parse order
-      private val proj = requiredNames.map(n => fullNames.indexOf(n))
-      private lazy val rows: Iterator[Seq[String]] =
-        Xlsx.readSheet(spec.path, spec.sheet)._2.iterator
+      // Resolve the pruned columns against THIS sheet's own
+      // (disambiguated) header, not the first sheet's (ADVICE r4
+      // medium): 'union-compatible' constrains the column SET, not the
+      // physical order — a later sheet with the same columns in a
+      // different order must yield each column's own values, and a
+      // sheet missing a required column must fail loud, not index out
+      // of bounds. Lazy: projection and rows parse on first next(),
+      // executor-side.
+      private lazy val (proj, rows) = {
+        val (sheetSchema, data) = Xlsx.readSheet(spec.path, spec.sheet)
+        val sheetCols = sheetSchema.fieldNames
+        val p = requiredNames.map { n =>
+          val i = sheetCols.indexOf(n)
+          if (i < 0) sys.error(s"graft-xlsx: sheet '${spec.sheet}' has no column " +
+            s"'$n' (its columns: ${sheetCols.mkString(", ")}); sheets read " +
+            "together must be union-compatible")
+          i
+        }
+        (p, data.iterator)
+      }
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) {
           val r = rows.next()
           current = new GenericInternalRow(
-            proj.map(i => if (i >= 0 && r(i) != null)
+            proj.map(i => if (r(i) != null)
               UTF8String.fromString(r(i)) else null).asInstanceOf[Array[Any]])
           true
         } else false

@@ -136,4 +136,24 @@ class SimilaritySpec extends SparkSpec {
     assert(planeWeights.forall(_.forall(w => w == 1.0 || w == -1.0)))
     assert(planeWeights === planeWeights.map(identity)) // stable
   }
+
+  test("clearMemos releases every memo block incl. the centroid checkpoint") {
+    import graft.pipelines.Extensions
+    val sc = spark.sparkContext
+    // reset any memo state left by earlier suites so the delta is ours
+    Extensions.clearMemos(spark)
+    graft.ops.Caching.reapTemps()
+    val before = sc.getPersistentRDDs.keySet
+    Extensions.queries("x11_ann_ivf")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    graft.ops.Caching.reapTemps()
+    val added = sc.getPersistentRDDs.keySet -- before
+    // the vector cache AND the localCheckpoint'd centroid RDD are live
+    assert(added.nonEmpty, "x11 should have registered persistent RDDs")
+    Extensions.clearMemos(spark)
+    val leaked = added & sc.getPersistentRDDs.keySet
+    // Dataset.unpersist alone leaves the checkpoint RDD registered
+    // (ADVICE r4) — the id-tracked RDD-level unpersist must clear it
+    assert(leaked.isEmpty, s"still registered after clearMemos: $leaked")
+  }
 }

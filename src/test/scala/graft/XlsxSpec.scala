@@ -121,10 +121,13 @@ class XlsxSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("xlsxv2m").toFile
     val path = new java.io.File(dir, "m.xlsx").getPath
     val s1 = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
-    val s2 = Seq((3L, "fr")).toDF("doc_id", "lang")
+    // sheet "b" carries the SAME columns in a DIFFERENT physical order —
+    // per-sheet header resolution (ADVICE r4 medium) must map each
+    // required name to that sheet's own column, not read positionally
+    val s2 = Seq(("fr", 3L)).toDF("lang", "doc_id")
     Xlsx.write(Seq("a" -> s1, "b" -> s2), path)
     val v2 = spark.read.format("graft-xlsx")
-      .option("path", path).option("sheet", "a,b").load()
+      .option("path", path).option("sheets", "a,b").load()
     // one task per worksheet — a sheet is one zipped XML stream,
     // unsplittable, so sheet-level parallelism is the partition unit
     assert(v2.rdd.getNumPartitions === 2)
@@ -133,6 +136,30 @@ class XlsxSpec extends SparkSpec {
     // pruning still applies across the union of sheet partitions
     assert(v2.select(col("lang")).collect().map(_.getString(0)).toSet ===
       Set("en", "de", "fr"))
+  }
+
+  test("V2 connector: a sheet missing a required column fails loud, not wrong") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxv2w").toFile
+    val path = new java.io.File(dir, "w.xlsx").getPath
+    val s1 = Seq((1L, "en")).toDF("doc_id", "lang")
+    val s2 = Seq(Tuple1(2L)).toDF("doc_id") // narrower: no 'lang'
+    Xlsx.write(Seq("a" -> s1, "b" -> s2), path)
+    val v2 = spark.read.format("graft-xlsx")
+      .option("path", path).option("sheets", "a,b").load()
+    val e = intercept[org.apache.spark.SparkException](v2.collect())
+    assert(e.getMessage.contains("union-compatible") ||
+      Option(e.getCause).exists(_.getMessage.contains("union-compatible")),
+      s"expected the union-compatibility error, got: ${e.getMessage}")
+  }
+
+  test("V2 connector: 'sheet' is verbatim — commas inside a sheet name resolve") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxv2c").toFile
+    val path = new java.io.File(dir, "c.xlsx").getPath
+    val df0 = Seq((1L, "en")).toDF("doc_id", "lang")
+    Xlsx.write(Seq("a, b" -> df0), path)
+    val v2 = spark.read.format("graft-xlsx")
+      .option("path", path).option("sheet", "a, b").load()
+    assert(v2.collect().map(_.toSeq).toSet === Set(Seq("1", "en")))
   }
 
   test("duplicate headers disambiguate consistently for positional AND name-based reads") {
@@ -144,10 +171,13 @@ class XlsxSpec extends SparkSpec {
       .select(col("k"), col("tmp").as("k"), col("k_2"))
     Xlsx.write(Seq("s" -> df0), path)
     val back = Xlsx.read(spark, path, "s")
-    // the second "k" must not collide with the literal k_2 header
-    assert(back.columns.toSeq === Seq("k", "k_2", "k_2_2") ||
-      back.columns.toSeq === Seq("k", "k_3", "k_2"),
+    // the second "k" must skip suffixes present anywhere in the raw
+    // header list (ADVICE r4): it becomes k_3, and the LITERAL k_2
+    // header keeps its own name — selecting "k_2" must never silently
+    // return the duplicated k column's data
+    assert(back.columns.toSeq === Seq("k", "k_3", "k_2"),
       s"got ${back.columns.toSeq}")
+    assert(back.select(col("k_2")).collect().head.getString(0) === "x")
     // name-based (V2) resolution sees the same columns as positional,
     // and each name reads its own column's values — not the first "k"
     val v2 = spark.read.format("graft-xlsx")
