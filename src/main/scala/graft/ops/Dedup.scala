@@ -598,13 +598,22 @@ object Dedup {
     * A boilerplate span shared by millions of documents is ONE group
     * row: aggregates never go quadratic, so unlike the pair-mining
     * operators this needs no df cap. */
-  def spanDedup(documents: DataFrame, k: Int = SpanTokens): DataFrame = {
-    val spans = TextAnalysis.withTokens(documents)
+  def spanDedup(documents: DataFrame, k: Int = SpanTokens): DataFrame =
+    spanDedupFrom(spanWindows(documents, k))
+
+  /** (doc_id, pos, fp): every k-token window's md5, pos = 0-based
+    * start token. The linear-explode scan shared by x90 and the x100
+    * reconstruction. */
+  def spanWindows(documents: DataFrame, k: Int = SpanTokens): DataFrame =
+    TextAnalysis.withTokens(documents)
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, size(toks)-$k+1), i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
           .as(Seq("pos", "fp")))
+
+  /** [[spanDedup]] over a pre-built [[spanWindows]] frame. */
+  def spanDedupFrom(spans: DataFrame): DataFrame = {
     val occ = spans.groupBy(col("fp"), col("doc_id"))
       .agg(count(lit(1)).as("c"), min(col("pos")).as("mp"))
     occ.groupBy(col("fp"))
@@ -614,6 +623,49 @@ object Dedup {
       .select(col("fp"), col("n_occurrences"), col("n_docs"),
         col("keep.doc_id").as("keep_doc_id"),
         col("keep.mp").cast("long").as("keep_pos"))
+  }
+
+  /** x100: the REMOVAL step that completes the Lee et al. '22
+    * exact-substring pipeline (arXiv:2107.06499 §4.1 — their tool cuts
+    * every duplicated span occurrence except one): x90 reports the
+    * repeated spans; this emits the deduplicated corpus text. A token
+    * is cut when some repeated-span occurrence covers it, UNLESS that
+    * occurrence is the span's canonical keeper (x90's lexicographic
+    * min (doc_id, first-pos)) — so exactly one copy of each repeated
+    * passage survives, the way [[segmentDedup]] reconstructs for
+    * whole segments (x49). Output per doc: token counts, removed
+    * count, md5 of the kept tokens in original order.
+    *
+    * Scale: the windows explode is linear; the dup join is keyed on
+    * the 32-char fp (repeated fps only — the filtered x90 output,
+    * orders of magnitude smaller than the corpus); coverage explodes
+    * ≤ k rows per CUT occurrence, then distinct + one left join both
+    * shuffle on (doc_id, pos) — fixed-width keys, never text. The
+    * reconstruction is one hash aggregate per doc_id. Nothing is
+    * quadratic in documents or occurrences. */
+  def spanCleanText(documents: DataFrame, k: Int = SpanTokens): DataFrame = {
+    val spans = Caching.temp(spanWindows(documents, k))
+    val dups = spanDedupFrom(spans)
+      .select(col("fp"), col("keep_doc_id"), col("keep_pos"))
+    // non-keeper occurrences of repeated spans → covered token ranges
+    val covered = spans.join(dups, Seq("fp"))
+      .filter(!(col("doc_id") === col("keep_doc_id") && col("pos") === col("keep_pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + k - 1)).as("p"))
+      .distinct()
+      .withColumn("cut", lit(1L))
+    TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .join(covered, Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        coalesce(sum(col("cut")), lit(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("cut").isNull,
+              struct(col("p"), col("tok"))))),
+            s => s.getField("tok")), " ")).as("clean_fp"))
   }
 
   /** x32: INCREMENTAL exact dedup — the pattern a growing corpus runs

@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (keys x1–x98), generated from the SAME Scala constants
+  * (keys x1–x100), generated from the SAME Scala constants
   * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
@@ -1697,11 +1697,13 @@ object ExtSql {
          |       CAST(count(*) OVER (PARTITION BY md5(norm)) AS BIGINT) AS n_same
          |FROM n""".stripMargin
 
-  // ---- x90 exact-substring (repeated token-span) dedup -------------
+  // ---- x90/x100 exact-substring (repeated token-span) dedup --------
 
-  private val x90 = {
+  /** Shared span CTEs: every k-token window md5 (spans), per-doc
+    * occurrence rollup (occ), per-fp totals + keeper doc (spanagg). */
+  private val spanCtes = {
     val k = Dedup.SpanTokens
-    raw"""WITH $toksCte,
+    raw"""$toksCte,
          |spans AS (
          |  SELECT doc_id, t.i - 1 AS pos,
          |         md5(array_to_string(toks[t.i : t.i + $k - 1], ' ')) AS fp
@@ -1709,15 +1711,82 @@ object ExtSql {
          |occ AS (
          |  SELECT fp, doc_id, count(*) AS c, min(pos) AS mp
          |  FROM spans GROUP BY 1, 2),
-         |agg AS (
+         |spanagg AS (
          |  SELECT fp, CAST(sum(c) AS BIGINT) AS n_occurrences,
          |         CAST(count(*) AS BIGINT) AS n_docs,
          |         min(doc_id) AS keep_doc_id
-         |  FROM occ GROUP BY 1)
+         |  FROM occ GROUP BY 1)""".stripMargin
+  }
+
+  private val x90 =
+    raw"""WITH $spanCtes
          |SELECT a.fp, a.n_occurrences, a.n_docs, a.keep_doc_id,
          |       CAST(o.mp AS BIGINT) AS keep_pos
-         |FROM agg a JOIN occ o ON a.fp = o.fp AND a.keep_doc_id = o.doc_id
+         |FROM spanagg a JOIN occ o ON a.fp = o.fp AND a.keep_doc_id = o.doc_id
          |WHERE a.n_occurrences > 1""".stripMargin
+
+  // ---- x100 span-dedup clean-text reconstruction -------------------
+  // The Lee et al. removal step: cut every token covered by a
+  // non-keeper occurrence of a repeated span, rebuild the survivors
+  // in original order, fingerprint.
+
+  private val x100 = {
+    val k = Dedup.SpanTokens
+    raw"""WITH $spanCtes,
+         |dup AS (
+         |  SELECT a.fp, a.keep_doc_id, o.mp AS keep_pos
+         |  FROM spanagg a JOIN occ o ON a.fp = o.fp AND a.keep_doc_id = o.doc_id
+         |  WHERE a.n_occurrences > 1),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.pos + u.j AS p
+         |  FROM spans s JOIN dup d ON s.fp = d.fp
+         |  CROSS JOIN unnest(range(0, $k)) AS u(j)
+         |  WHERE NOT (s.doc_id = d.keep_doc_id AND s.pos = d.keep_pos)),
+         |tks AS (
+         |  SELECT doc_id, t.i - 1 AS p, toks[t.i] AS tok
+         |  FROM tok, unnest(range(1, len(toks) + 1)) AS t(i))
+         |SELECT t.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_toks,
+         |       CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       md5(coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.tok END,
+         |                               ' ' ORDER BY t.p), '')) AS clean_fp
+         |FROM tks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+         |GROUP BY 1""".stripMargin
+  }
+
+  // ---- x99 PII detection / redaction --------------------------------
+  // Injection expression mirrored from graft.ops.Pii.injectPii (the
+  // fixture corpus has no organic PII); patterns/tokens are the SAME
+  // Scala constants, so the two engines cannot drift.
+
+  private val x99 = {
+    import graft.ops.Pii._
+    raw"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 4
+         |      WHEN 0 THEN ' contact u' || doc_id || '@example.com or admin'
+         |                  || doc_id || '@mail.example.org now'
+         |      WHEN 1 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+         |                  || '-' || lpad((doc_id * 7 % 10000)::VARCHAR, 4, '0') || ' today'
+         |      WHEN 2 THEN ' host 10.' || (doc_id % 256) || '.' || (doc_id * 3 % 256)
+         |                  || '.' || (doc_id * 7 % 256)
+         |                  || ' rang 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0000'
+         |      ELSE '' END AS a
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, a,
+         |         regexp_replace(regexp_replace(regexp_replace(a,
+         |           '$EmailPattern', '$EmailToken', 'g'),
+         |           '$Ipv4Pattern', '$IpToken', 'g'),
+         |           '$PhonePattern', '$PhoneToken', 'g') AS sc
+         |  FROM aug)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(a, '$EmailPattern')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(a, '$PhonePattern')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(a, '$Ipv4Pattern')) AS BIGINT) AS n_ips,
+         |       md5(sc) AS scrub_fp,
+         |       CAST(length(sc) AS BIGINT) AS n_scrub_chars
+         |FROM s""".stripMargin
   }
 
   // ---- x91 zone-map audit ------------------------------------------
@@ -1803,6 +1872,8 @@ object ExtSql {
   private val x98 = "SELECT doc_id, lang, n_chars FROM documents"
 
   val oracle: Map[String, String] = Map(
+    "x99_pii_scrub"       -> x99,
+    "x100_span_clean"     -> x100,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

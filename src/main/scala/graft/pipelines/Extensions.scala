@@ -7,7 +7,7 @@ import graft.ops.{Dedup, Events, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
-  * (keys x1–x98) exposed via [[graft.SparkEntry]]; the matching
+  * (keys x1–x100) exposed via [[graft.SparkEntry]]; the matching
   * DuckDB oracle lives in [[ExtSql]]. */
 object Extensions {
 
@@ -216,7 +216,9 @@ object Extensions {
     // star contraction instead of label propagation (the extreme-scale
     // path — O(log²) rounds independent of component diameter)
     "x97_dup_clusters_star" -> ((s, d) => Dedup.dupClustersStarFrom(pairsShared(s, d))),
-    "x98_orc_source"     -> orcRoundTrip _)
+    "x98_orc_source"     -> orcRoundTrip _,
+    "x99_pii_scrub"      -> ((s, d) => graft.ops.Pii.piiScrub(docs(s, d))),
+    "x100_span_clean"    -> ((s, d) => Dedup.spanCleanText(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

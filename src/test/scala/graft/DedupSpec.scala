@@ -44,6 +44,32 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((2L, 2L, 1L, 0L), (2L, 1L, 3L, 0L)))
   }
 
+  test("spanCleanText keeps the canonical occurrence, cuts the rest") {
+    // same fixture as the spanDedup test: "a b c d e f g h" is shared
+    // (keeper doc 1 pos 0), doc 3 repeats its own first 8 tokens
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z", "en"),
+      (2L, "q r a b c d e f g h", "en"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8", "en"),
+      (4L, "too short to span", "en")
+    ).toDF("doc_id", "text", "lang")
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = spanCleanText(docs)
+      .select("doc_id", "n_toks", "n_removed", "clean_fp")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    graft.ops.Caching.reapTemps()
+    // keeper doc: untouched
+    assert(out(1L) === ((11L, 0L, m("a b c d e f g h x y z"))))
+    // non-keeper cross-doc occurrence: its 8 covered tokens are cut
+    assert(out(2L) === ((10L, 8L, m("q r"))))
+    // within-doc repeat: second occurrence cut, first kept
+    assert(out(3L) === ((16L, 8L, m("p1 p2 p3 p4 p5 p6 p7 p8"))))
+    // window-less doc passes through whole
+    assert(out(4L) === ((4L, 0L, m("too short to span"))))
+  }
+
   test("minhash LSH finds planted near-dup pairs and self-consistent jaccard") {
     val pairs = minhashNearDupPairs(docs, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

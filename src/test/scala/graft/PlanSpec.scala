@@ -150,6 +150,25 @@ class PlanSpec extends SparkSpec {
     assert(!p39.contains("Window"), s"repetition stats need no window:\n$p39")
   }
 
+  test("x99 PII scrub is map-only: one projection, no exchange, no UDF") {
+    val p = plan("x99_pii_scrub")
+    assert(!p.contains("Exchange"), s"PII scrub must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"),
+      s"PII scrub must stay on codegen'd regexp expressions:\n$p")
+    // "*(n)" marks a whole-stage-codegen stage in the plan tree
+    assert(p.contains("*(1) Project"), s"expected the projection in codegen stage 1:\n$p")
+  }
+
+  test("x100 span reconstruction: keyed joins only, no cartesian, no Expand") {
+    val p = plan("x100_span_clean")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"x100 plans an unkeyed join:\n$p")
+    assert(!p.contains("Expand"), s"x100 must not plan an Expand:\n$p")
+    // the dup-span side is the filtered x90 output — bounded, so the
+    // per-token left join may broadcast it; the token side must never
+    // be on the build side of anything (it is corpus-sized)
+  }
+
   test("x29 split assignment is map-only: no exchange at all") {
     val p = plan("x29_split_assign")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
