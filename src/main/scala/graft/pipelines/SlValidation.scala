@@ -43,12 +43,17 @@ object SlValidation {
 
   // ---- stage 4: invalid SL (F1 filters, U1 union, U2 dedup) --------
   /** `get_invalid_SL` (`SL_SPK_Cleansing.py:84-91`): expired ∪ blocked,
-    * dedup by the unique MPN key. */
-  def invalidSl(eord: DataFrame, runDate: String = RunDate): DataFrame = {
-    val expired = eord.filter(col("valid_to") < lit(runDate).cast("timestamp"))
-    val blocked = eord.filter(col("blocked") === "X")
-    expired.unionByName(blocked).dropDuplicates(Seq("mpn"))
-  }
+    * dedup by the unique MPN key. MPN is unique per EORD row (the
+    * reference's Material/Plant/Number key identifies one source-list
+    * row; the analog generator disambiguates by suppkey,
+    * `SapAnalog.scala:54-57`), so concat-then-drop_duplicates is
+    * EXACTLY a disjunctive filter: the only cross-branch duplicates
+    * are rows satisfying both predicates. Expressed that way it is
+    * map-only — the r4 ledger showed the union+dedup shuffling 33 MB /
+    * 824k full-width rows for zero semantic effect. */
+  def invalidSl(eord: DataFrame, runDate: String = RunDate): DataFrame =
+    eord.filter(col("valid_to") < lit(runDate).cast("timestamp") ||
+      col("blocked") === "X")
 
   // ---- stage 5: out-of-scope plants (F2 semi-join) -----------------
   /** `get_plants_OOS` (`SL_SPK_Cleansing.py:94-98`): fact rows whose
@@ -57,10 +62,15 @@ object SlValidation {
     semiJoin(eord, broadcast(gar.filter(col("spk_sl_project") === "No")), Seq("plant"))
 
   // ---- stage 6: valid SL (F3 anti-join) ----------------------------
-  /** `get_valid_SL` (`SL_SPK_Cleansing.py:105-109`). */
+  /** `get_valid_SL` (`SL_SPK_Cleansing.py:105-109`). The reference
+    * dedups the removal list before subtracting; a left-anti join is
+    * insensitive to right-side duplicates, so the dedup shuffle is
+    * dropped and the right side pruned to the bare join key — a
+    * single-column fraction of the fact table that AQE broadcasts at
+    * any SF where it fits (no hint: it scales with the fact). */
   def validSl(eord: DataFrame, invalid: DataFrame, oos: DataFrame): DataFrame =
     antiJoin(eord,
-      invalid.unionByName(oos).dropDuplicates(Seq("mpn")), Seq("mpn"))
+      invalid.select(col("mpn")).unionByName(oos.select(col("mpn"))), Seq("mpn"))
 
   // ---- stage 7: enrichment (J1 broadcast joins + overrides) --------
   /** `map_valid_SL_SPK_Xref` (`SL_SPK_Cleansing.py:111-123`): pull

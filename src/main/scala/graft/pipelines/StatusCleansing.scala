@@ -36,12 +36,21 @@ object StatusCleansing {
       .withColumn("sum_of_inventory",
         col("unrestricted") + col("in_quality_insp") + col("blocked_qty"))
 
+  /** Grouped on the NUMERIC (material, plant) pair — bijective with
+    * the reference's Material/Plant string key, which is re-derived
+    * on the 18k output groups instead of hashed/shuffled for 600k
+    * input rows (two longs shuffle and hash cheaper than a concat'd
+    * string, and Catalyst prunes the per-row concat out of the
+    * aggregate path entirely). */
   def mb52Groupby(mb52v: DataFrame): DataFrame =
-    mb52v.groupBy(col("mp")).agg(
+    mb52v.groupBy(col("material"), col("plant")).agg(
       sum(col("unrestricted")).as("unrestricted"),
       sum(col("in_quality_insp")).as("in_quality_insp"),
       sum(col("blocked_qty")).as("blocked_qty"),
       sum(col("sum_of_inventory")).as("sum_of_inventory"))
+    .select(concat_ws("/", col("material"), col("plant")).as("mp"),
+      col("unrestricted"), col("in_quality_insp"), col("blocked_qty"),
+      col("sum_of_inventory"))
 
   /** MARC enrichment (J5/J6) + the 10-rule guarded cascade
     * (`Status_Cleansing.py:107-161`). Verdict strings are the
