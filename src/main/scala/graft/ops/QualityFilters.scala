@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis._
+import graft.ops.Portable.round4
+
+/** Corpus-quality filter stages from the public LLM-data pipelines:
+  * Gopher's document-level rule battery (Rae et al. '21,
+  * arXiv:2112.11446 Table A1), C4's line-level filters (Raffel et
+  * al. '20, arXiv:1910.10683 §2.2) and source mixture reweighting
+  * (the Pile / DoReMi-style static mixture, arXiv:2101.00027 /
+  * arXiv:2305.10429). The reference engine has none of these — they
+  * are the beyond-reference curation track (SURVEY.md §8.2), with
+  * thresholds adapted to the synthetic fixture corpus's scale so each
+  * rule actually splits it (Gopher's 50..100k word bounds would pass
+  * every 10-100-word fixture doc).
+  *
+  * Scale design: x101/x102 are map-only projections over the document
+  * scan — no shuffle, no UDFs; the per-line/per-bigram work runs in
+  * higher-order array expressions whose cost is bounded by the
+  * document length, embarrassingly parallel at 100 TB. x103 is one
+  * low-cardinality hash aggregate (map-side combined) plus a
+  * broadcast-scalar normalizer join — the grouped side never
+  * re-shuffles.
+  */
+object QualityFilters {
+
+  // ---- x101 Gopher rule battery ------------------------------------
+
+  /** Word-count bounds (Gopher: [50, 100k], scaled to the fixture). */
+  val MinWords = 30
+  val MaxWords = 90
+  /** Mean-word-length bounds (Gopher's own [3, 10]). */
+  val MinMeanLen = 3.0
+  val MaxMeanLen = 10.0
+  /** Minimum stopword hits (Gopher requires ≥ 2 of its list). */
+  val MinStopHits = 2
+  /** Max fraction of bigrams taken by the most frequent bigram
+    * (Gopher bounds the top-2-gram character share at 0.20). */
+  val MaxTopBigramFrac = 0.1
+  /** Min distinct-word ratio (Gopher's duplicate-content family). */
+  val MinDistinctRatio = 0.3
+
+  /** Most-frequent-element share of `arr` (0.0 when empty): max over
+    * distinct members of their occurrence count, over the length. */
+  private def topShare(arr: Column): Column =
+    when(size(arr) > 0, round4(
+      array_max(transform(array_distinct(arr),
+        b => size(filter(arr, x => x === b)))).cast("double") / size(arr)))
+      .otherwise(lit(0.0))
+
+  /** One row per document: the Gopher rule metrics, one 0/1 flag per
+    * rule, and the conjunction `keep`. Everything derives from one
+    * token-array expression — a single codegen'd projection. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents.select(
+      col("doc_id"),
+      toks.as("toks"),
+      size(toks).cast("long").as("n_words"),
+      stopwordCount(toks).cast("long").as("stop_hits"))
+    val withM = base.select(
+      col("doc_id"), col("n_words"), col("stop_hits"),
+      when(col("n_words") > 0, round4(
+        aggregate(transform(col("toks"), t => length(t)), lit(0L), _ + _)
+          .cast("double") / col("n_words"))).otherwise(lit(0.0)).as("mean_word_len"),
+      when(col("n_words") > 0, round4(
+        size(array_distinct(col("toks"))).cast("double") / col("n_words")))
+        .otherwise(lit(0.0)).as("distinct_ratio"),
+      topShare(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("top_bigram_frac"))
+    val okWords = col("n_words").between(MinWords, MaxWords)
+    val okMwl   = col("mean_word_len").between(MinMeanLen, MaxMeanLen)
+    val okStop  = col("stop_hits") >= MinStopHits
+    val okRep   = col("top_bigram_frac") <= MaxTopBigramFrac &&
+                  col("distinct_ratio") >= MinDistinctRatio
+    withM.select(
+      col("doc_id"), col("n_words"), col("mean_word_len"),
+      col("stop_hits"), col("distinct_ratio"), col("top_bigram_frac"),
+      okWords.cast("long").as("ok_words"),
+      okMwl.cast("long").as("ok_mean_len"),
+      okStop.cast("long").as("ok_stop"),
+      okRep.cast("long").as("ok_repetition"),
+      (okWords && okMwl && okStop && okRep).cast("long").as("keep"))
+  }
+
+  // ---- x102 C4 line filters ----------------------------------------
+
+  /** Minimum words per kept line (C4 drops lines under 5 words). */
+  val MinLineWords = 5
+  /** Stand-in for C4's badword blocklist — the fixture vocabulary has
+    * no organic blocklist hits, so one of its own common words plays
+    * the part (same simulation convention as x99's injected PII). */
+  val BlockToken = "slow"
+
+  /** C4's filters are LINE-level, but the fixture text is a single
+    * unpunctuated line — so lines are synthesized deterministically:
+    * fixed-width runs of `8 + doc_id % 5` tokens, where line `i` of
+    * doc `d` carries terminal punctuation iff `(d + i) % 4 != 0`.
+    * Both engines run the identical synthesis (mirrored in
+    * [[graft.pipelines.ExtSql]]), so the oracle exercises real
+    * mixed-verdict line filtering. A line is kept iff it has ≥
+    * [[MinLineWords]] words AND ends terminally AND lacks
+    * [[BlockToken]]; the output carries the md5 of the surviving
+    * lines re-joined with newlines (C4's cleaned document). */
+  def c4LineFilters(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val w = (lit(8) + pmod(col("doc_id"), lit(5))).cast("int")
+    val base = documents.select(col("doc_id"), toks.as("toks"), w.as("w"))
+    val nLines = floor((size(col("toks")) + col("w") - 1) / col("w")).cast("int")
+    val lines = when(size(col("toks")) > 0,
+      transform(sequence(lit(0), nLines - 1), i => {
+        val lt       = slice(col("toks"), i * col("w") + 1, col("w"))
+        val terminal = pmod(col("doc_id") + i, lit(4)) =!= 0
+        val out      = concat(concat_ws(" ", lt), when(terminal, lit(".")).otherwise(lit("")))
+        val keep     = size(lt) >= MinLineWords && terminal && !array_contains(lt, BlockToken)
+        struct(out.as("out"), size(lt).cast("long").as("nw"), keep.as("keep"))
+      })).otherwise(array().cast("array<struct<out:string,nw:bigint,keep:boolean>>"))
+    base.select(col("doc_id"), lines.as("lines"))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => l.getField("keep"))).cast("long").as("n_kept"),
+        aggregate(filter(col("lines"), l => l.getField("keep")),
+          lit(0L), (a, l) => a + l.getField("nw")).as("n_kept_words"),
+        md5(concat_ws("\n",
+          transform(filter(col("lines"), l => l.getField("keep")),
+            l => l.getField("out")))).as("clean_fp"))
+  }
+
+  // ---- x103 source mixture weights ---------------------------------
+
+  /** Mixture temperature: weight ∝ tokens^Alpha (α < 1 upweights
+    * small sources, the standard static-mixture shape). */
+  val MixtureAlpha = 0.3
+
+  /** Per-source token counts and normalized sampling weights. The
+    * aggregate is map-side combined onto ~|sources| rows; the
+    * normalizer is an unpartitioned window over that ALREADY-GROUPED
+    * frame — bounded by the source cardinality (tens, never corpus-
+    * scale; same bounded-window pattern as x60's P-row offsets table,
+    * PlanSpec-gated), which costs one ~20-row exchange instead of a
+    * second full corpus scan+aggregate. */
+  def mixtureWeights(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = documents
+      .select(col("source"), tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val w = pow(col("n_tokens").cast("double"), MixtureAlpha)
+    perSource.select(col("source"), col("n_docs"), col("n_tokens"),
+      round4(w / sum(w).over(Window.partitionBy())).as("weight"))
+  }
+}

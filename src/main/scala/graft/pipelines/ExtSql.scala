@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (keys x1–x100), generated from the SAME Scala constants
+  * (keys x1–x103), generated from the SAME Scala constants
   * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
@@ -1871,9 +1871,116 @@ object ExtSql {
   // ---- x98 ORC round trip (oracle = the original table) ------------
   private val x98 = "SELECT doc_id, lang, n_chars FROM documents"
 
+  // ---- x101 Gopher document-quality rule battery -------------------
+  // Thresholds interpolated from graft.ops.QualityFilters so the two
+  // engines cannot drift; same tok CTE as every text oracle.
+
+  private val x101 = {
+    val q = graft.ops.QualityFilters
+    val stop = strList(TextAnalysis.Stopwords)
+    raw"""WITH $toksCte,
+         |m AS (
+         |  SELECT doc_id,
+         |         len(toks) AS n_words,
+         |         len(list_filter(toks, t -> list_contains($stop, t))) AS stop_hits,
+         |         CASE WHEN len(toks) > 0
+         |              THEN ${round4("list_sum([len(t) for t in toks]) / CAST(len(toks) AS DOUBLE)")}
+         |              ELSE 0.0 END AS mean_word_len,
+         |         CASE WHEN len(toks) > 0
+         |              THEN ${round4("len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)")}
+         |              ELSE 0.0 END AS distinct_ratio,
+         |         CASE WHEN len(toks) >= 2
+         |              THEN [array_to_string(toks[i+1:i+2], ' ')
+         |                    for i in range(0, len(toks) - 1)]
+         |              ELSE [] END AS bg
+         |  FROM tok),
+         |m2 AS (
+         |  SELECT *,
+         |         CASE WHEN len(bg) > 0
+         |              THEN ${round4("list_max([len(list_filter(bg, x -> x = b)) for b in list_distinct(bg)]) / CAST(len(bg) AS DOUBLE)")}
+         |              ELSE 0.0 END AS top_bigram_frac
+         |  FROM m)
+         |SELECT doc_id,
+         |       CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+         |       CAST(stop_hits AS BIGINT) AS stop_hits,
+         |       distinct_ratio, top_bigram_frac,
+         |       CAST(CASE WHEN n_words BETWEEN ${q.MinWords} AND ${q.MaxWords}
+         |            THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+         |       CAST(CASE WHEN mean_word_len BETWEEN ${q.MinMeanLen} AND ${q.MaxMeanLen}
+         |            THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_len,
+         |       CAST(CASE WHEN stop_hits >= ${q.MinStopHits}
+         |            THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+         |       CAST(CASE WHEN top_bigram_frac <= ${q.MaxTopBigramFrac}
+         |                  AND distinct_ratio >= ${q.MinDistinctRatio}
+         |            THEN 1 ELSE 0 END AS BIGINT) AS ok_repetition,
+         |       CAST(CASE WHEN n_words BETWEEN ${q.MinWords} AND ${q.MaxWords}
+         |                  AND mean_word_len BETWEEN ${q.MinMeanLen} AND ${q.MaxMeanLen}
+         |                  AND stop_hits >= ${q.MinStopHits}
+         |                  AND top_bigram_frac <= ${q.MaxTopBigramFrac}
+         |                  AND distinct_ratio >= ${q.MinDistinctRatio}
+         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m2""".stripMargin
+  }
+
+  // ---- x102 C4 line filters ----------------------------------------
+  // Same deterministic line synthesis as QualityFilters.c4LineFilters:
+  // width 8 + doc_id % 5, terminal iff (doc_id + i) % 4 != 0. LEFT
+  // JOIN back to tok so a zero-line doc would still emit its row.
+
+  private val x102 = {
+    val q = graft.ops.QualityFilters
+    raw"""WITH $toksCte,
+         |p AS (SELECT doc_id, toks, 8 + doc_id % 5 AS w, len(toks) AS n FROM tok),
+         |l AS (
+         |  SELECT doc_id, u.i AS i,
+         |         toks[u.i * w + 1 : u.i * w + w] AS lt,
+         |         (doc_id + u.i) % 4 <> 0 AS terminal
+         |  FROM p, unnest(range(0, CAST(ceil(n / CAST(w AS DOUBLE)) AS BIGINT))) AS u(i)),
+         |k AS (
+         |  SELECT doc_id, i,
+         |         array_to_string(lt, ' ')
+         |           || CASE WHEN terminal THEN '.' ELSE '' END AS line_out,
+         |         len(lt) AS nw,
+         |         (len(lt) >= ${q.MinLineWords} AND terminal
+         |          AND NOT list_contains(lt, '${q.BlockToken}')) AS keep
+         |  FROM l),
+         |g AS (
+         |  SELECT doc_id,
+         |         count(*) AS n_lines,
+         |         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         |         coalesce(sum(CASE WHEN keep THEN nw END), 0) AS n_kept_words,
+         |         string_agg(CASE WHEN keep THEN line_out END, chr(10) ORDER BY i) AS agg_str
+         |  FROM k GROUP BY 1)
+         |SELECT t.doc_id,
+         |       CAST(coalesce(g.n_lines, 0) AS BIGINT) AS n_lines,
+         |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(coalesce(g.n_kept_words, 0) AS BIGINT) AS n_kept_words,
+         |       md5(coalesce(g.agg_str, '')) AS clean_fp
+         |FROM tok t LEFT JOIN g ON t.doc_id = g.doc_id""".stripMargin
+  }
+
+  // ---- x103 source mixture weights ---------------------------------
+
+  private val x103 = {
+    val a = graft.ops.QualityFilters.MixtureAlpha
+    raw"""WITH s AS (
+         |  SELECT source,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+         |                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), $a)) AS z FROM s)
+         |SELECT source, n_docs, n_tokens,
+         |       ${round4(s"pow(CAST(n_tokens AS DOUBLE), $a) / z")} AS weight
+         |FROM s, z""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x99_pii_scrub"       -> x99,
     "x100_span_clean"     -> x100,
+    "x101_gopher_rules"   -> x101,
+    "x102_c4_lines"       -> x102,
+    "x103_mix_weights"    -> x103,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

@@ -218,7 +218,10 @@ object Extensions {
     "x97_dup_clusters_star" -> ((s, d) => Dedup.dupClustersStarFrom(pairsShared(s, d))),
     "x98_orc_source"     -> orcRoundTrip _,
     "x99_pii_scrub"      -> ((s, d) => graft.ops.Pii.piiScrub(docs(s, d))),
-    "x100_span_clean"    -> ((s, d) => Dedup.spanCleanText(docs(s, d))))
+    "x100_span_clean"    -> ((s, d) => Dedup.spanCleanText(docs(s, d))),
+    "x101_gopher_rules"  -> ((s, d) => graft.ops.QualityFilters.gopherRules(docs(s, d))),
+    "x102_c4_lines"      -> ((s, d) => graft.ops.QualityFilters.c4LineFilters(docs(s, d))),
+    "x103_mix_weights"   -> ((s, d) => graft.ops.QualityFilters.mixtureWeights(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -159,6 +159,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), s"expected the projection in codegen stage 1:\n$p")
   }
 
+  test("x101/x102 quality filters are map-only: no exchange, no UDF") {
+    for (q <- Seq("x101_gopher_rules", "x102_c4_lines")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assert(!p.contains("BatchEvalPython"), s"$q must not plan a Python UDF:\n$p")
+    }
+  }
+
+  test("x103 mixture weights: one corpus scan, window only over the grouped rows") {
+    val p = plan("x103_mix_weights")
+    // the normalizer must come from the already-aggregated frame, not
+    // a second corpus aggregation — exactly one parquet scan
+    assert("FileScan parquet".r.findAllIn(p).length === 1,
+      s"mixture weights must scan the corpus once:\n$p")
+    assert(p.contains("Window"), s"expected the bounded normalizer window:\n$p")
+  }
+
   test("x100 span reconstruction: keyed joins only, no cartesian, no Expand") {
     val p = plan("x100_span_clean")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.QualityFilters._
+
+/** Pins the corpus-quality filter semantics (Gopher rule battery, C4
+  * line filters, source mixture weights) on hand-computable corpora. */
+class QualityFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("gopher metrics on a hand-computed doc") {
+    // 6 words, lengths 3+1+3+3+3+3 = 16 → mean 2.6667; stopwords:
+    // the, a, the → 3 hits; distinct {the,a,big,cat,sat} = 5/6;
+    // bigrams: [the a, a big, big cat, cat sat, sat the] → all
+    // unique → top share 1/5 = 0.2
+    val out = gopherRules(docs(1L -> "the a big cat sat the")).head()
+    assert(out.getAs[Long]("n_words") === 6L)
+    assert(out.getAs[Double]("mean_word_len") === 2.6667)
+    assert(out.getAs[Long]("stop_hits") === 3L)
+    assert(out.getAs[Double]("distinct_ratio") === 0.8333)
+    assert(out.getAs[Double]("top_bigram_frac") === 0.2)
+    // fails ok_words (6 < 30) and ok_mean_len (2.6667 < 3) and
+    // ok_repetition (0.2 > 0.1); passes ok_stop → keep = 0
+    assert(out.getAs[Long]("ok_words") === 0L)
+    assert(out.getAs[Long]("ok_mean_len") === 0L)
+    assert(out.getAs[Long]("ok_stop") === 1L)
+    assert(out.getAs[Long]("ok_repetition") === 0L)
+    assert(out.getAs[Long]("keep") === 0L)
+  }
+
+  test("gopher keep fires on a doc passing every rule") {
+    // 40 distinct-ish words incl. 2 stopwords, mean length in range,
+    // no dominant bigram
+    val words = (1 to 38).map(i => s"word$i") ++ Seq("the", "a")
+    val out = gopherRules(docs(1L -> words.mkString(" "))).head()
+    assert(out.getAs[Long]("n_words") === 40L)
+    assert(out.getAs[Long]("keep") === 1L)
+  }
+
+  test("top-bigram share catches a repeated-bigram doc") {
+    // "x y x y x y" → bigrams [x y, y x, x y, y x, x y] → top 3/5
+    val out = gopherRules(docs(1L -> "x y x y x y")).head()
+    assert(out.getAs[Double]("top_bigram_frac") === 0.6)
+  }
+
+  test("c4 lines: width, terminality and blocklist by construction") {
+    // doc_id=2 → w=10; 23 tokens → lines of 10/10/3. Terminal iff
+    // (2+i)%4 != 0: i=0,1 terminal, i=2 (2+2=4) not — but line 2 also
+    // fails MinLineWords. Line 0 contains 'slow' → dropped. So kept =
+    // line 1 only (tokens at positions 11-20 = t10..t19, terminal).
+    val toks = ("slow" +: (1 to 22).map(i => s"t$i")).mkString(" ")
+    val out = c4LineFilters(docs(2L -> toks)).head()
+    assert(out.getAs[Long]("n_lines") === 3L)
+    assert(out.getAs[Long]("n_kept") === 1L)
+    assert(out.getAs[Long]("n_kept_words") === 10L)
+    val expected = (10 to 19).map(i => s"t$i").mkString(" ") + "."
+    val fp = spark.sql(s"SELECT md5('${expected}') AS h").as[String].head()
+    assert(out.getAs[String]("clean_fp") === fp)
+  }
+
+  test("c4 empty-keep doc hashes the empty string") {
+    // doc_id=0, 4 tokens → one line, 4 < MinLineWords → nothing kept
+    val out = c4LineFilters(docs(0L -> "a b c d")).head()
+    assert(out.getAs[Long]("n_lines") === 1L)
+    assert(out.getAs[Long]("n_kept") === 0L)
+    val fp = spark.sql("SELECT md5('') AS h").as[String].head()
+    assert(out.getAs[String]("clean_fp") === fp)
+  }
+
+  test("mixture weights normalize to ~1 and upweight small sources") {
+    val df = Seq(
+      (1L, Seq.fill(100)("tok").mkString(" "), "big"),
+      (2L, Seq.fill(100)("tok").mkString(" "), "big"),
+      (3L, Seq.fill(10)("tok").mkString(" "), "small"))
+      .toDF("doc_id", "text", "source")
+    val rows = mixtureWeights(df).collect().map(r =>
+      r.getAs[String]("source") -> r).toMap
+    assert(rows("big").getAs[Long]("n_tokens") === 200L)
+    assert(rows("small").getAs[Long]("n_tokens") === 10L)
+    val wBig = rows("big").getAs[Double]("weight")
+    val wSmall = rows("small").getAs[Double]("weight")
+    assert(math.abs(wBig + wSmall - 1.0) < 2e-4)
+    // tokens ratio 20:1 but weight ratio only 20^0.3 ≈ 2.46:1
+    assert(wBig / wSmall < 3.0 && wBig / wSmall > 2.0)
+  }
+}
