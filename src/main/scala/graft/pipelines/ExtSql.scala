@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (keys x1–x103), generated from the SAME Scala constants
+  * (keys x1–x104), generated from the SAME Scala constants
   * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
@@ -1975,12 +1975,24 @@ object ExtSql {
          |FROM s, z""".stripMargin
   }
 
+  // ---- x104 streaming dedup-on-ingest ------------------------------
+  // Oracle = the batch form of the stream-static anti join (x32's
+  // subtraction without the within-batch grouping — the streaming
+  // query is row-wise, so its AvailableNow output IS the batch set).
+
+  private val x104 =
+    raw"""WITH fp AS (SELECT doc_id, $fpFull AS fp FROM documents)
+         |SELECT doc_id, fp FROM fp
+         |WHERE doc_id % 3 = 0
+         |  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 3 <> 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x99_pii_scrub"       -> x99,
     "x100_span_clean"     -> x100,
     "x101_gopher_rules"   -> x101,
     "x102_c4_lines"       -> x102,
     "x103_mix_weights"    -> x103,
+    "x104_stream_ingest"  -> x104,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

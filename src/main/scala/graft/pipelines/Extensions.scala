@@ -221,7 +221,8 @@ object Extensions {
     "x100_span_clean"    -> ((s, d) => Dedup.spanCleanText(docs(s, d))),
     "x101_gopher_rules"  -> ((s, d) => graft.ops.QualityFilters.gopherRules(docs(s, d))),
     "x102_c4_lines"      -> ((s, d) => graft.ops.QualityFilters.c4LineFilters(docs(s, d))),
-    "x103_mix_weights"   -> ((s, d) => graft.ops.QualityFilters.mixtureWeights(docs(s, d))))
+    "x103_mix_weights"   -> ((s, d) => graft.ops.QualityFilters.mixtureWeights(docs(s, d))),
+    "x104_stream_ingest" -> ((s, d) => graft.streaming.EventStream.ingestFilterAvailableNow(s, d)))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

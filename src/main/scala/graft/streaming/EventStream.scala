@@ -329,6 +329,51 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("ms"),
         col("value_cents"), col("c_mktsegment"))
 
+  /** Raw file schema of the documents fixture (all self-describing
+    * parquet types — no timestamp quirk here). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming scan of a documents parquet directory. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Dedup-on-ingest: the arriving batch slice (doc_id % 3 == 0, the
+    * same incremental-corpus simulation as x32) is fingerprinted and
+    * anti-joined against the STATIC historical fingerprint store —
+    * the streaming twin of [[graft.ops.Dedup.incrementalNew]]'s
+    * state-vs-batch subtraction, minus its within-batch grouping
+    * (a streaming aggregate needs a watermark; the row-wise ingest
+    * filter is the part a stream runs, and its output is order-
+    * independent so AvailableNow reproduces the batch answer
+    * exactly). Stream-on-the-left anti joins against a static
+    * relation are in Spark's supported matrix; the static side is
+    * re-planned per micro-batch, no state, no watermark. */
+  def ingestFilter(docStream: DataFrame, historicalFps: DataFrame): DataFrame =
+    docStream.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .join(historicalFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp")) // USING puts the key first; restore
+
+  /** x104: [[ingestFilter]] run to completion with AvailableNow. */
+  def ingestFilterAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val base = sinkDir("ingest")
+    val hist = graft.sources.Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+    runToParquet(ingestFilter(readDocuments(s, dir), hist), base)
+    s.read.schema(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fp", StringType)))).parquet(s"$base/data")
+  }
+
   /** x56: [[enrichedPurchases]] run to completion with AvailableNow —
     * a stream-static inner join emits exactly the batch join (the
     * static side is fully visible to every micro-batch). */

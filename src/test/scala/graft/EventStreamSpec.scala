@@ -44,6 +44,28 @@ class EventStreamSpec extends SparkSpec {
       ("1970-01-01 01:00:00", "buy", 1L, 300L)))
   }
 
+  test("streaming ingest filter passes only fingerprints unseen by the store") {
+    implicit val sc = spark.sqlContext
+    // doc_ids 0,3,6 are the arriving slice (%3==0); 1,2 are history.
+    // doc 0 duplicates history doc 1's text → filtered; 3 and 6 are
+    // new (6 duplicates 3 — the row-wise filter passes BOTH; within-
+    // batch grouping is x32's batch-side job)
+    val in = MemoryStream[(Long, String)]
+    in.addData((0L, "alpha beta"), (3L, "gamma delta"), (6L, "gamma delta"))
+    val hist = Seq((1L, "Alpha  beta"), (2L, "epsilon")).toDF("doc_id", "text")
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val q = EventStream.ingestFilter(
+        in.toDF().toDF("doc_id", "text"), hist)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ingest").as[(Long, String)].collect()
+    assert(out.map(_._1).sorted.toSeq === Seq(3L, 6L))
+    // the canonicalizing fingerprint (lowercase, collapsed whitespace)
+    // is what matched doc 0 against "Alpha  beta"
+    assert(out.map(_._2).distinct.length === 1)
+  }
+
   test("stateful sessionization closes sessions on gap within a batch") {
     implicit val sc = spark.sqlContext
     // offset from epoch: an event at exactly t=0 is "older than the
