@@ -141,6 +141,57 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules equal a plain-Scala reference on random corpora") {
+    import graft.ops.QualityFilters._
+    for (seed <- Seq(17L, 333L)) {
+      val rows = corpus(seed, 50)
+      val expected = rows.map { case (id, text, _) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+        val n = toks.size
+        val mwl = if (n > 0) r4(toks.map(_.length).sum.toDouble / n) else 0.0
+        val dr = if (n > 0) r4(toks.distinct.size.toDouble / n) else 0.0
+        val stop = toks.count(graft.ops.TextAnalysis.Stopwords.contains)
+        val bg = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val tbf = if (bg.nonEmpty)
+          r4(bg.groupBy(identity).values.map(_.size).max.toDouble / bg.size) else 0.0
+        val keep = (n >= MinWords && n <= MaxWords) &&
+          (mwl >= MinMeanLen && mwl <= MaxMeanLen) &&
+          stop >= MinStopHits &&
+          (tbf <= MaxTopBigramFrac && dr >= MinDistinctRatio)
+        (id, n.toLong, mwl, stop.toLong, dr, tbf, if (keep) 1L else 0L)
+      }.toSet
+      val got = gopherRules(rows.toDF("doc_id", "text", "lang"))
+        .select("doc_id", "n_words", "mean_word_len", "stop_hits",
+          "distinct_ratio", "top_bigram_frac", "keep")
+        .as[(Long, Long, Double, Long, Double, Double, Long)].collect().toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("c4 line filters equal a plain-Scala reference on random corpora") {
+    import graft.ops.QualityFilters._
+    for (seed <- Seq(29L, 404L)) {
+      val rows = corpus(seed, 50)
+      val expected = rows.map { case (id, text, _) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val w = (8 + id % 5).toInt
+        val lines = toks.grouped(w).zipWithIndex.map { case (lt, i) =>
+          val terminal = (id + i) % 4 != 0
+          val out = lt.mkString(" ") + (if (terminal) "." else "")
+          (out, lt.size.toLong,
+            lt.size >= MinLineWords && terminal && !lt.contains(BlockToken))
+        }.toSeq
+        val kept = lines.filter(_._3)
+        (id, lines.size.toLong, kept.size.toLong, kept.map(_._2).sum)
+      }.toSet
+      val got = c4LineFilters(rows.toDF("doc_id", "text", "lang"))
+        .select("doc_id", "n_lines", "n_kept", "n_kept_words")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("salted join equals plain join under heavy key skew") {
     // 90% of facts hit one hot key — the scenario salting exists for
     val facts = (1 to 500).map { i =>
