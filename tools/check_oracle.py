@@ -12,7 +12,7 @@ CORRECTNESS format (rows_match / schema_match / hash_match /
 spark_rows / oracle_rows / err) — used to commit the builder's own
 sf0.1 pass as an in-repo artifact (CORRECTNESS_SELF_sf0.1.json).
 """
-import sys, json, glob, hashlib
+import sys, os, json, glob, hashlib, threading
 import duckdb
 import pandas as pd
 
@@ -51,15 +51,31 @@ def main(sfdir: str, outdir: str, record_path: str | None = None) -> None:
             fails += 1
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files])
+        # Builder-side scale runs only (CHECK_TIMEOUT_S env): interrupt
+        # an oracle that outruns the budget and record it as such — at
+        # sf1 a few of the pair-mining oracles are quadratic for DuckDB
+        # even though the engine side finished; that asymmetry is the
+        # record, not a silent hang. The driver's own sf0.01 gate sets
+        # no timeout and is unaffected.
+        timeout_s = float(os.environ.get("CHECK_TIMEOUT_S", "0") or 0)
+        timer = None
+        if timeout_s > 0:
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
         try:
             duck_df = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
+            interrupted = timer is not None and not timer.is_alive()
+            msg = f"oracle timeout after {timeout_s:.0f}s (DuckDB interrupted)" \
+                if interrupted and "INTERRUPT" in str(e).upper() else f"duckdb error: {e}"
+            print(f"FAIL {name}: {msg}")
             record[name] = dict(rows_match=None, schema_match=None, hash_match=None,
-                                spark_rows=len(spark_df), oracle_rows=None,
-                                err=f"duckdb error: {e}")
+                                spark_rows=len(spark_df), oracle_rows=None, err=msg)
             fails += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         sh, sn = canon(spark_df)
         dh, dn = canon(duck_df)
         ok = sh == dh
