@@ -43,13 +43,26 @@ object QualityFilters {
   /** Min distinct-word ratio (Gopher's duplicate-content family). */
   val MinDistinctRatio = 0.3
 
-  /** Most-frequent-element share of `arr` (0.0 when empty): max over
-    * distinct members of their occurrence count, over the length. */
-  private def topShare(arr: Column): Column =
-    when(size(arr) > 0, round4(
-      array_max(transform(array_distinct(arr),
-        b => size(filter(arr, x => x === b)))).cast("double") / size(arr)))
+  /** Most-frequent-element share of `arr` (0.0 when empty). Computed
+    * as the longest equal-run in the SORTED array via one aggregate
+    * fold — O(d log d) per row. The obvious distinct×count form
+    * (transform over array_distinct, filter per member) is O(d²) in
+    * interpreted higher-order lambdas and measured 15 s for the whole
+    * corpus at sf0.1 vs sub-second for this fold. */
+  private def topShare(arr: Column): Column = {
+    val folded = aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"),
+             lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+               greatest(acc.getField("best"), run).as("best"))
+      })
+    when(size(arr) > 0,
+      round4(folded.getField("best").cast("double") / size(arr)))
       .otherwise(lit(0.0))
+  }
 
   /** One row per document: the Gopher rule metrics, one 0/1 flag per
     * rule, and the conjunction `keep`. Everything derives from one
