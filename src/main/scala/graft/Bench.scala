@@ -80,6 +80,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // spill-aware shuffle sizing: let AQE START wide (8x cores) and
+      // coalesce down — parallelismFirst (default true) keeps small
+      // shuffles at ~cores partitions, so only data-heavy shuffles
+      // (x25's candidate pairs grew 94 GB of spill over 32 fixed
+      // buckets at sf1) actually fan out. The cluster analogue of
+      // sizing shuffle.partitions to the data, not the core count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts (ns)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -168,4 +168,89 @@ object QualityFilters {
     perSource.select(col("source"), col("n_docs"), col("n_tokens"),
       round4(w / sum(w).over(Window.partitionBy())).as("weight"))
   }
+
+  // ---- x106 temperature-scaled mixture sampling --------------------
+
+  /** Total sample budget the x103 weights are spent against. */
+  val SampleTarget = 200
+
+  /** x106: draw the x103 mixture — each source contributes
+    * `max(1, round(weight · SampleTarget))` documents, chosen as the
+    * first `n_take` in the source's deterministic content-addressed
+    * order (`md5(doc_id)`, the same driverless coin every sampler in
+    * this engine flips — x29/x33/x74). Output is the drawn docs with
+    * their in-source rank and the weight that bought them.
+    *
+    * Scale: the weights frame is source-cardinality (tens of rows) →
+    * broadcast; the corpus shuffles ONCE on `source` for the per-group
+    * rank. The grouped window is the standard per-source sort shape;
+    * when only small constant k per source is wanted, the x87 heap
+    * top-k planner op is the no-sort fast path — here k varies per
+    * source, so the sort-based window is the right general form. */
+  def mixtureSample(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = mixtureWeights(documents).select(col("source"), col("weight"))
+    val nTake = greatest(lit(1L),
+      floor(col("weight") * SampleTarget + 0.5).cast("long"))
+    documents.select(col("doc_id"), col("source"))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rnk") <= nTake)
+      .select(col("doc_id"), col("source"),
+        col("rnk").cast("long").as("rnk"), col("weight"))
+  }
+
+  // ---- x107 linear quality-classifier score ------------------------
+
+  /** Fixed public weights of the logistic quality classifier over the
+    * x101 Gopher metrics — the fastText-style "quality classifier"
+    * stage of the LLaMA/CCNet pipelines (arXiv:2302.13971 §2,
+    * arXiv:1911.00359), reduced to its linear scoring shape with
+    * hand-set coefficients (no training data exists in-fixture; what
+    * matters is the feature plumbing and the cross-engine math). */
+  val ClfBias       = -1.7
+  val ClfWordsW     = 0.02
+  val ClfStopW      = 0.05
+  val ClfDistinctW  = 0.8
+  val ClfMeanLenW   = -0.1
+  val ClfBigramW    = -4.0
+
+  /** x107: per-doc logit + sigmoid score + the ≥0.5 keep label, all
+    * derived from [[gopherRules]]'s (already 4dp-rounded) metrics so
+    * both engines score identical inputs. One extra projection on top
+    * of the x101 map-only plan — still zero shuffles.
+    *
+    * Determinism: because every input is 4dp-rounded and every
+    * coefficient is a short decimal, the exact logit is always a
+    * multiple of 1e-5 — `round4(z)` would sit ON the half-boundary
+    * for ~10 % of docs and the two engines' fp representation error
+    * would tie-break differently (observed: 10/500 one-ulp logit
+    * flips at sf0.001). So the logit is assembled in EXACT integer
+    * micro-units (1e-5) and divided once: both engines produce the
+    * bit-identical double, no rounding step at all. The sigmoid keeps
+    * the 4dp round — `exp` of a transcendental never lands on a
+    * boundary (same argument as x103's `pow`). */
+  def classifierScore(documents: DataFrame): DataFrame = {
+    // exact integer micro-coefficients derived from the Clf* values:
+    // counts carry 1e-5-unit weights; the 4dp ratio metrics are first
+    // re-scaled to exact integers (×1e4) so their weights carry ×10
+    val rDist = round(col("distinct_ratio") * 10000).cast("long")
+    val rMean = round(col("mean_word_len") * 10000).cast("long")
+    val rBig  = round(col("top_bigram_frac") * 10000).cast("long")
+    val zE5 = lit(math.round(ClfBias * 100000)) +
+      col("n_words")   * lit(math.round(ClfWordsW * 100000)) +
+      col("stop_hits") * lit(math.round(ClfStopW * 100000)) +
+      rDist * lit(math.round(ClfDistinctW * 10)) +
+      rMean * lit(math.round(ClfMeanLenW * 10)) +
+      rBig  * lit(math.round(ClfBigramW * 10))
+    val z = zE5.cast("double") / 100000.0
+    val score = round4(lit(1.0) / (lit(1.0) + exp(-z)))
+    gopherRules(documents).select(
+      col("doc_id"),
+      z.as("logit"),
+      score.as("clf_score"),
+      (score >= 0.5).cast("long").as("clf_keep"))
+  }
 }

@@ -680,6 +680,51 @@ object TextAnalysis {
       .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("norm_fp"))))
   }
 
+  /** The doc_id-derived Unicode injection for [[unicodeNfc]], appended
+    * to `text`. The fixture corpus is pure ASCII, so (same simulation
+    * convention as x99's injected PII) the operator deterministically
+    * plants the cases NFC exists for — mirrored literally in
+    * [[graft.pipelines.ExtSql]] via `chr()` codepoints:
+    *  - doc_id % 5 == 0 → one decomposed pair (`e` + U+0301 → é);
+    *  - doc_id % 5 == 1 → two decomposed umlauts (`u` + U+0308 ×2);
+    *  - doc_id % 5 == 2 → a PRECOMPOSED é (non-ASCII but already NFC
+    *    — the must-not-change cohort);
+    *  - doc_id % 5 == 3 → ring + diaeresis pairs (A+U+030A, o+U+0308);
+    *  - doc_id % 5 == 4 → nothing (the pure-ASCII fast path). */
+  def injectDecomposed(text: Column, docId: Column): Column = {
+    val d5 = pmod(docId, lit(5))
+    concat(text,
+      // explicit \uXXXX escapes: a raw "é" in source would be
+      // whatever form the editor composed -- exactly the ambiguity
+      // NFC exists to resolve
+      when(d5 === 0, lit(" cafe\u0301 menu"))
+        .when(d5 === 1, lit(" u\u0308ber zu\u0308rich"))
+        .when(d5 === 2, lit(" caf\u00E9 fjord"))
+        .when(d5 === 3, lit(" A\u030Angstro\u0308m"))
+        .otherwise(lit("")))
+  }
+
+  /** x105: Unicode NFC canonicalization via the native
+    * [[graft.functions.NfcNormalize]] expression — per doc the
+    * codepoint length before/after, how many combining pairs composed,
+    * whether the text changed at all, and the post-NFC fingerprint
+    * (the hash raw exact-dedup should have used). Map-only single
+    * codegen'd projection, no shuffle, no UDF (PlanSpec-gated); the
+    * already-normalized fast path returns the input object unchanged. */
+  def unicodeNfc(documents: DataFrame): DataFrame = {
+    graft.functions.NfcNormalize.register(documents.sparkSession)
+    val aug = injectDecomposed(col("text"), col("doc_id"))
+    documents
+      .select(col("doc_id"), aug.as("raw"),
+        graft.functions.NfcNormalize.nfcCol(aug).as("nfc"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("nfc")).cast("long").as("n_nfc"),
+        (length(col("raw")) - length(col("nfc"))).cast("long").as("n_composed"),
+        (col("raw") =!= col("nfc")).cast("long").as("changed"),
+        md5(col("nfc")).as("nfc_fp"))
+  }
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

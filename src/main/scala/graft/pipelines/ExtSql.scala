@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (keys x1–x104), generated from the SAME Scala constants
+  * (keys x1–x107), generated from the SAME Scala constants
   * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
@@ -1961,18 +1961,97 @@ object ExtSql {
 
   // ---- x103 source mixture weights ---------------------------------
 
-  private val x103 = {
+  /** The per-source token-count + temperature-weight CTEs, shared by
+    * x103 and the x106 sampler so the weight math cannot drift. */
+  private val mixCtes = {
     val a = graft.ops.QualityFilters.MixtureAlpha
-    raw"""WITH s AS (
+    raw"""s AS (
          |  SELECT source,
          |         CAST(count(*) AS BIGINT) AS n_docs,
          |         CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
          |                                  t -> t <> ''))) AS BIGINT) AS n_tokens
          |  FROM documents GROUP BY 1),
-         |z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), $a)) AS z FROM s)
-         |SELECT source, n_docs, n_tokens,
-         |       ${round4(s"pow(CAST(n_tokens AS DOUBLE), $a) / z")} AS weight
-         |FROM s, z""".stripMargin
+         |z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), $a)) AS z FROM s),
+         |wt AS (
+         |  SELECT source, n_docs, n_tokens,
+         |         ${round4(s"pow(CAST(n_tokens AS DOUBLE), $a) / z")} AS weight
+         |  FROM s, z)""".stripMargin
+  }
+
+  private val x103 =
+    raw"""WITH $mixCtes
+         |SELECT source, n_docs, n_tokens, weight FROM wt""".stripMargin
+
+  // ---- x105 Unicode NFC canonicalization ---------------------------
+  // Injection mirrors TextAnalysis.injectDecomposed codepoint-for-
+  // codepoint via chr(): 769 = U+0301 combining acute, 776 = U+0308
+  // combining diaeresis, 778 = U+030A combining ring, 233 = the
+  // PRECOMPOSED U+00E9 (the already-NFC cohort). DuckDB's built-in
+  // nfc_normalize is the independent second implementation of UAX #15.
+
+  private val x105 =
+    raw"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || CASE doc_id % 5
+         |                 WHEN 0 THEN ' cafe' || chr(769) || ' menu'
+         |                 WHEN 1 THEN ' u' || chr(776) || 'ber zu' || chr(776) || 'rich'
+         |                 WHEN 2 THEN ' caf' || chr(233) || ' fjord'
+         |                 WHEN 3 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+         |                 ELSE '' END AS raw
+         |  FROM documents),
+         |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM aug)
+         |SELECT doc_id,
+         |       CAST(length(raw) AS BIGINT) AS n_raw,
+         |       CAST(length(nfc) AS BIGINT) AS n_nfc,
+         |       CAST(length(raw) - length(nfc) AS BIGINT) AS n_composed,
+         |       CAST(CASE WHEN raw <> nfc THEN 1 ELSE 0 END AS BIGINT) AS changed,
+         |       md5(nfc) AS nfc_fp
+         |FROM n""".stripMargin
+
+  // ---- x106 temperature-scaled mixture sampling --------------------
+  // Same deterministic md5(doc_id) order as every sampler oracle
+  // (x29/x33/x74); n_take = max(1, round(weight * SampleTarget)).
+
+  private val x106 = {
+    val q = graft.ops.QualityFilters
+    raw"""WITH $mixCtes,
+         |r AS (
+         |  SELECT d.doc_id, d.source, wt.weight,
+         |         row_number() OVER (
+         |           PARTITION BY d.source
+         |           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rnk
+         |  FROM documents d JOIN wt USING (source))
+         |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk, weight
+         |FROM r
+         |WHERE rnk <= greatest(1, CAST(floor(weight * ${q.SampleTarget} + 0.5) AS BIGINT))""".stripMargin
+  }
+
+  // ---- x107 linear quality-classifier score ------------------------
+  // Mirrors QualityFilters.classifierScore's fixed-point assembly: the
+  // logit is an EXACT integer in 1e-5 units (inputs are 4dp-rounded,
+  // coefficients are short decimals), divided once — bit-identical
+  // doubles on both engines with NO round4 half-boundary to tie-break.
+  // Only the sigmoid keeps the 4dp round (exp of a transcendental
+  // never lands on a boundary; same argument as x103's pow).
+
+  private val x107 = {
+    val q = graft.ops.QualityFilters
+    def e5(w: Double) = math.round(w * 100000)
+    def e1(w: Double) = math.round(w * 10)
+    val zE5 = s"(CAST(${e5(q.ClfBias)} AS BIGINT)" +
+      s" + n_words * ${e5(q.ClfWordsW)} + stop_hits * ${e5(q.ClfStopW)}" +
+      s" + CAST(round(distinct_ratio * 10000) AS BIGINT) * (${e1(q.ClfDistinctW)})" +
+      s" + CAST(round(mean_word_len * 10000) AS BIGINT) * (${e1(q.ClfMeanLenW)})" +
+      s" + CAST(round(top_bigram_frac * 10000) AS BIGINT) * (${e1(q.ClfBigramW)}))"
+    raw"""WITH g AS (
+         |$x101
+         |),
+         |f AS (SELECT doc_id, $zE5 / 100000.0 AS logit FROM g)
+         |SELECT doc_id, logit,
+         |       ${round4("1.0 / (1.0 + exp(-logit))")} AS clf_score,
+         |       CAST(CASE WHEN ${round4("1.0 / (1.0 + exp(-logit))")} >= 0.5
+         |            THEN 1 ELSE 0 END AS BIGINT) AS clf_keep
+         |FROM f""".stripMargin
   }
 
   // ---- x104 streaming dedup-on-ingest ------------------------------
@@ -1993,6 +2072,9 @@ object ExtSql {
     "x102_c4_lines"       -> x102,
     "x103_mix_weights"    -> x103,
     "x104_stream_ingest"  -> x104,
+    "x105_unicode_nfc"    -> x105,
+    "x106_mix_sample"     -> x106,
+    "x107_clf_score"      -> x107,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

@@ -7,7 +7,7 @@ import graft.ops.{Dedup, Events, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
-  * (keys x1–x100) exposed via [[graft.SparkEntry]]; the matching
+  * (keys x1–x107) exposed via [[graft.SparkEntry]]; the matching
   * DuckDB oracle lives in [[ExtSql]]. */
 object Extensions {
 
@@ -222,7 +222,10 @@ object Extensions {
     "x101_gopher_rules"  -> ((s, d) => graft.ops.QualityFilters.gopherRules(docs(s, d))),
     "x102_c4_lines"      -> ((s, d) => graft.ops.QualityFilters.c4LineFilters(docs(s, d))),
     "x103_mix_weights"   -> ((s, d) => graft.ops.QualityFilters.mixtureWeights(docs(s, d))),
-    "x104_stream_ingest" -> ((s, d) => graft.streaming.EventStream.ingestFilterAvailableNow(s, d)))
+    "x104_stream_ingest" -> ((s, d) => graft.streaming.EventStream.ingestFilterAvailableNow(s, d)),
+    "x105_unicode_nfc"   -> ((s, d) => TextAnalysis.unicodeNfc(docs(s, d))),
+    "x106_mix_sample"    -> ((s, d) => graft.ops.QualityFilters.mixtureSample(docs(s, d))),
+    "x107_clf_score"     -> ((s, d) => graft.ops.QualityFilters.classifierScore(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -186,6 +186,40 @@ class PlanSpec extends SparkSpec {
     // be on the build side of anything (it is corpus-sized)
   }
 
+  test("x105 NFC scrub is map-only: no exchange, native expression, no UDF") {
+    val p = plan("x105_unicode_nfc")
+    assert(!p.contains("Exchange"), s"NFC scrub must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"),
+      s"NFC must run as the native codegen expression, not a UDF:\n$p")
+    assert(p.contains("graft_nfc"), s"expected the native graft_nfc call in:\n$p")
+    assert(p.contains("*(1) Project"), s"expected the projection in codegen stage 1:\n$p")
+  }
+
+  test("x106 sampler: weights broadcast, corpus shuffles once on source") {
+    val df = SparkEntry.queries("x106_mix_sample")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the source-cardinality weights frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must never sort-merge against the weights:\n$p")
+    // exactly two source-keyed exchanges: the per-source rank window
+    // (the ONE corpus-row shuffle) and the weights-side token-count
+    // aggregate, whose exchange carries only per-source partial sums
+    // (|sources| rows per mapper) thanks to map-side combine. Count
+    // the FINAL adaptive plan only — the executed-plan dump repeats
+    // every node under "== Initial Plan ==".
+    val pf = p.split("== Initial Plan ==").head
+    assert("hashpartitioning\\(source".r.findAllIn(pf).length === 2,
+      s"expected the rank-window corpus shuffle + the partial-agg weight shuffle:\n$p")
+  }
+
+  test("x107 classifier score is map-only on top of the x101 plan") {
+    val p = plan("x107_clf_score")
+    assert(!p.contains("Exchange"), s"classifier scoring must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython"), s"classifier must not plan a UDF:\n$p")
+  }
+
   test("x29 split assignment is map-only: no exchange at all") {
     val p = plan("x29_split_assign")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")

@@ -88,4 +88,60 @@ class QualityFiltersSpec extends SparkSpec {
     // tokens ratio 20:1 but weight ratio only 20^0.3 ≈ 2.46:1
     assert(wBig / wSmall < 3.0 && wBig / wSmall > 2.0)
   }
+
+  test("mixture sample: per-source caps fire, picks the md5-first docs") {
+    // 3 equal sources × 120 docs → weight ≈ 1/3 each, n_take =
+    // round(0.3333 * 200) = 67 < 120, so the cap genuinely bites
+    val rows = for (s <- 0 until 3; i <- 0 until 120)
+      yield ((s * 1000 + i).toLong, "a b c d e", s"src$s")
+    val df = rows.toDF("doc_id", "text", "source")
+    val out = mixtureSample(df).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet === Set("src0", "src1", "src2"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for ((src, picked) <- bySource) {
+      val n = picked.length
+      // n_take from the same weight the engine emitted
+      val w = picked.head.getAs[Double]("weight")
+      assert(n === math.max(1L, math.floor(w * SampleTarget + 0.5).toLong))
+      // ranks are exactly 1..n
+      assert(picked.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to n).toSeq)
+      // and the chosen ids are the md5-order prefix of the source
+      val srcIds = rows.filter(_._3 == src).map(_._1)
+      val expect = srcIds.sortBy(id => (md5hex(id.toString), id)).take(n).toSet
+      assert(picked.map(_.getAs[Long]("doc_id")).toSet === expect)
+    }
+  }
+
+  test("classifier score replicates the scalar formula on the gopher metrics") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val corpus = docs(
+      1L -> "the a big cat sat the",
+      2L -> ((1 to 34).map(i => s"word$i") ++ Seq("the", "a", "of", "and", "to", "in")).mkString(" "))
+    val metrics = gopherRules(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val scored = classifierScore(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val m = metrics(id)
+      // the fixed-point assembly the operator uses: exact integer
+      // micro-units (1e-5), divided once — no rounding boundary
+      val zE5 = math.round(ClfBias * 100000) +
+        m.getAs[Long]("n_words") * math.round(ClfWordsW * 100000) +
+        m.getAs[Long]("stop_hits") * math.round(ClfStopW * 100000) +
+        math.round(m.getAs[Double]("distinct_ratio") * 10000) * math.round(ClfDistinctW * 10) +
+        math.round(m.getAs[Double]("mean_word_len") * 10000) * math.round(ClfMeanLenW * 10) +
+        math.round(m.getAs[Double]("top_bigram_frac") * 10000) * math.round(ClfBigramW * 10)
+      val z = zE5.toDouble / 100000.0
+      assert(scored(id).getAs[Double]("logit") === z)
+      val expectScore = r4(1.0 / (1.0 + math.exp(-z)))
+      assert(scored(id).getAs[Double]("clf_score") === expectScore)
+      assert(scored(id).getAs[Long]("clf_keep") === (if (expectScore >= 0.5) 1L else 0L))
+    }
+    // the junk doc scores below the keep line, the wordy one above it
+    assert(scored(1L).getAs[Long]("clf_keep") === 0L)
+    assert(scored(1L).getAs[Double]("clf_score") < scored(2L).getAs[Double]("clf_score"))
+  }
 }
