@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (keys x1–x107), generated from the SAME Scala constants
+  * (keys x1–x109), generated from the SAME Scala constants
   * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
@@ -2054,6 +2054,84 @@ object ExtSql {
          |FROM f""".stripMargin
   }
 
+  // ---- x108 HTML boilerplate extraction ----------------------------
+  // Injection mirrors Web.injectHtml literally (chr(10) = the \n the
+  // Scala literal embeds); patterns are the SAME Web.* constants.
+  // RE2 needs the 'g' flag where Java's replaceAll is implicit-global.
+
+  private val x108 = {
+    val w = graft.ops.Web
+    raw"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3
+         |    WHEN 0 THEN '<html><head><title>Doc ' || doc_id
+         |      || '</title><script type="text/javascript">var x=' || doc_id
+         |      || ';' || chr(10) || 'if(x>1){x=0;}</script><style>p {color: red}</style></head><body><p>'
+         |      || text || '</p><div id="nav"><a href="/home">home</a> <a href="/p'
+         |      || doc_id || '">more</a></div></body></html>'
+         |    WHEN 1 THEN '<body><h1>Doc ' || doc_id || '</h1>' || chr(10) || '<p>'
+         |      || text || '</p>' || chr(10) || '<!-- footer ' || doc_id || ' --></body>'
+         |    ELSE text END AS raw
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, raw,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+         |      '${w.ScriptPattern}', '', 'g'),
+         |      '${w.StylePattern}', '', 'g'),
+         |      '${w.CommentPattern}', '', 'g'),
+         |      '${w.TagPattern}', ' ', 'g'),
+         |      '${w.WsPattern}', ' ', 'g')) AS clean
+         |  FROM aug)
+         |SELECT doc_id,
+         |       regexp_extract(raw, '${w.TitlePattern}', 1) AS title,
+         |       CAST(len(regexp_extract_all(raw, '${w.TagPattern}')) AS BIGINT) AS n_tags,
+         |       CAST(len(regexp_extract_all(raw, '${w.LinkPattern}')) AS BIGINT) AS n_links,
+         |       CAST(length(raw) AS BIGINT) AS n_raw,
+         |       CAST(length(clean) AS BIGINT) AS n_clean,
+         |       md5(clean) AS clean_fp
+         |FROM c""".stripMargin
+  }
+
+  // ---- x109 URL parse + per-domain stats ---------------------------
+  // Injection mirrors Web.injectUrl; extraction patterns are the SAME
+  // Web.* constants; blocklist generated from Web.BlockedDomains.
+
+  private val x109 = {
+    val w = graft.ops.Web
+    val blocked = w.BlockedDomains.map(d => s"'$d'").mkString(", ")
+    raw"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 4
+         |    WHEN 0 THEN ' see https://www' || (doc_id % 5)
+         |                || '.corpus-hub.com/archive/d' || doc_id || '?ref=idx'
+         |    WHEN 1 THEN ' img http://cdn' || (doc_id % 3)
+         |                || '.static-assets.org/f' || doc_id || '.png'
+         |    WHEN 2 THEN ' via https://m' || (doc_id % 2) || '.spam-mirror.net/x'
+         |    ELSE '' END AS a
+         |  FROM documents),
+         |u AS (SELECT doc_id, regexp_extract(a, '${w.UrlPattern}', 0) AS url FROM aug),
+         |q AS (
+         |  SELECT doc_id,
+         |         regexp_extract(url, '${w.HostPattern}', 1) AS host,
+         |         regexp_extract(url, '${w.SchemePattern}', 1) AS scheme,
+         |         regexp_extract(url, '${w.PathPattern}', 1) AS path
+         |  FROM u),
+         |r AS (
+         |  SELECT doc_id, host, scheme,
+         |         CASE WHEN host = '' THEN '(none)'
+         |              ELSE regexp_extract(host, '${w.DomainPattern}', 1) END AS domain,
+         |         length(path) - length(replace(path, '/', '')) AS depth
+         |  FROM q)
+         |SELECT domain,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |       CAST(sum(depth) AS BIGINT) AS sum_depth,
+         |       CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END) AS BIGINT) AS n_https,
+         |       CAST(CASE WHEN domain IN ($blocked) THEN 1 ELSE 0 END AS BIGINT) AS blocked
+         |FROM r
+         |GROUP BY domain""".stripMargin
+  }
+
   // ---- x104 streaming dedup-on-ingest ------------------------------
   // Oracle = the batch form of the stream-static anti join (x32's
   // subtraction without the within-batch grouping — the streaming
@@ -2075,6 +2153,8 @@ object ExtSql {
     "x105_unicode_nfc"    -> x105,
     "x106_mix_sample"     -> x106,
     "x107_clf_score"      -> x107,
+    "x108_html_extract"   -> x108,
+    "x109_url_stats"      -> x109,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

@@ -7,7 +7,7 @@ import graft.ops.{Dedup, Events, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
-  * (keys x1–x107) exposed via [[graft.SparkEntry]]; the matching
+  * (keys x1–x109) exposed via [[graft.SparkEntry]]; the matching
   * DuckDB oracle lives in [[ExtSql]]. */
 object Extensions {
 
@@ -225,7 +225,9 @@ object Extensions {
     "x104_stream_ingest" -> ((s, d) => graft.streaming.EventStream.ingestFilterAvailableNow(s, d)),
     "x105_unicode_nfc"   -> ((s, d) => TextAnalysis.unicodeNfc(docs(s, d))),
     "x106_mix_sample"    -> ((s, d) => graft.ops.QualityFilters.mixtureSample(docs(s, d))),
-    "x107_clf_score"     -> ((s, d) => graft.ops.QualityFilters.classifierScore(docs(s, d))))
+    "x107_clf_score"     -> ((s, d) => graft.ops.QualityFilters.classifierScore(docs(s, d))),
+    "x108_html_extract"  -> ((s, d) => graft.ops.Web.htmlExtract(docs(s, d))),
+    "x109_url_stats"     -> ((s, d) => graft.ops.Web.urlStats(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -220,6 +220,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython"), s"classifier must not plan a UDF:\n$p")
   }
 
+  test("x108 HTML extraction is map-only: one projection, no shuffle, no UDF") {
+    val p = plan("x108_html_extract")
+    assert(!p.contains("Exchange"), s"tag stripping must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython"), s"extraction must not plan a UDF:\n$p")
+  }
+
+  test("x109 URL stats: map-only parse into one domain-keyed aggregate") {
+    val p = plan("x109_url_stats")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no joins belong in the URL-stats plan:\n$p")
+    // one shuffle for the domain agg + one for the distinct-host
+    // rewrite (two-phase countDistinct) — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"expected at most the agg + distinct-host exchanges:\n$p")
+  }
+
   test("x29 split assignment is map-only: no exchange at all") {
     val p = plan("x29_split_assign")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
