@@ -349,6 +349,74 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** x111 containment cut-off. */
+  val ContainmentThreshold = 0.8
+
+  /** x111: asymmetric shingle CONTAINMENT pairs — Broder '97's second
+    * resemblance measure, C(A→B) = |S(A)∩S(B)| / |S(A)|. Symmetric
+    * Jaccard (x25) misses subsumption: a short doc quoted whole inside
+    * a much longer one has J ≈ |A|/|B| ≈ 0 but C(A→B) ≈ 1 — exactly
+    * the quote/excerpt/expanded-revision duplicates a training-corpus
+    * pipeline wants flagged (the "containment" case Broder built
+    * fingerprinting for in the first place).
+    *
+    * Emits one row PER DIRECTION (doc_src, doc_dst, containment ≥ τ,
+    * src ≠ dst): exact duplicates yield both directions, a strict
+    * subset yields only src → superset.
+    *
+    * Candidate generation is the x25 machinery reshaped for asymmetry:
+    * the PREFIX FILTER applies to the SOURCE side only (C(A→B) ≥ τ
+    * forces |A∩B| ≥ ⌈τ·n_A⌉, so A must share one of its first
+    * n_A − ⌈τ·n_A⌉ + 1 rarity-ordered shingles with B's FULL capped
+    * posting set — B's prefix proves nothing about containment OF A),
+    * and the PPJoin length filter keeps only its one-sided form
+    * τ·n_src ≤ n_dst (|A∩B| ≤ min(n_A,n_B); no upper bound on the
+    * dest — that asymmetry is the point). Same [[MaxShingleDf]] df cap
+    * with the same lossy-boilerplate caveat as x25; verification
+    * re-joins the TRUE full shingle sets, so reported containment is
+    * exact and the cap/prefix only ever drop candidates, never distort
+    * values.
+    *
+    * Scale: candidate volume is Σ_s df_prefix(s)·df(s) with df capped
+    * — the one-sided join is postings-bounded like x25, never
+    * all-pairs; shuffles are the same two (shingle-keyed df + join,
+    * doc-keyed rank). */
+  def containmentPairs(documents: DataFrame,
+                       threshold: Double = ContainmentThreshold,
+                       maxDf: Int = MaxShingleDf): DataFrame =
+    containmentPairsFrom(Caching.temp(docShingles(documents)), threshold, maxDf)
+
+  /** [[containmentPairs]] over a pre-materialized [[docShingles]]. */
+  def containmentPairsFrom(sh: DataFrame,
+                           threshold: Double = ContainmentThreshold,
+                           maxDf: Int = MaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id"))
+    // capped postings (df via the same single postings window as x25)
+    val capped = Caching.temp(sh
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf))
+    // source-side prefix over the doc's CAPPED postings, rarity-first
+    val prefix = capped
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df").asc, col("s").asc)))
+      .withColumn("n_idx", count(lit(1)).over(byDoc))
+      .filter(col("rk") <= col("n_idx") - ceil(lit(threshold) * col("n_idx")) + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+    val cands = prefix.alias("l").join(capped.alias("r"),
+        col("l.s") === col("r.s") && col("l.doc_id") =!= col("r.doc_id") &&
+        lit(threshold) * col("l.n") <= col("r.n"))
+      .select(col("l.doc_id").as("doc_src"), col("r.doc_id").as("doc_dst"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_src"), col("sh").as("sh_src")), Seq("doc_src"))
+      .join(sh.select(col("doc_id").as("doc_dst"), col("sh").as("sh_dst")), Seq("doc_dst"))
+      .select(col("doc_src"), col("doc_dst"),
+        Portable.round4(size(array_intersect(col("sh_src"), col("sh_dst")))
+          .cast("double") / size(col("sh_src"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Fixed-point scale for x76's integer tf-idf weights. */
   val IdfScale = 10000L
 

@@ -725,6 +725,85 @@ object TextAnalysis {
         md5(col("nfc")).as("nfc_fp"))
   }
 
+  /** Unicode scripts x110 classifies — the order IS the dominance
+    * tie-break (earlier wins). Java regex spells a script class
+    * `\p{IsLatin}` where RE2/DuckDB spells it `\p{Latin}`, so the
+    * NAMES are the shared constant and each side derives its own
+    * class syntax (the one sanctioned exception to the pattern-∩
+    * rule — the semantics, UAX #24 script assignment, are identical). */
+  val ScriptNames: Seq[String] = Seq("Latin", "Cyrillic", "Han")
+  /** Java-regex char class for one script (Spark side). */
+  def javaScriptClass(name: String): String = s"[\\p{Is$name}]"
+  /** RE2 char class for one script (DuckDB oracle side). */
+  def re2ScriptClass(name: String): String = s"[\\p{$name}]"
+  /** Non-script classes, valid verbatim in BOTH engines. */
+  val DigitClass = "[0-9]"
+  val SpaceClass = "\\s"
+  val AsciiClass = "[\\x00-\\x7F]"
+
+  /** The doc_id-derived multilingual injection for [[scriptProfile]],
+    * appended to `text`. The fixture corpus is pure ASCII (same
+    * simulation convention as x99/x105/x108), so the operator plants
+    * the scripts it exists to detect — mirrored codepoint-for-
+    * codepoint in [[graft.pipelines.ExtSql]] via `chr()`:
+    *  - doc_id % 4 == 0 → a Cyrillic phrase ("привет мир");
+    *  - doc_id % 4 == 1 → a Han phrase ("机器学习 数据");
+    *  - doc_id % 4 == 2 → precomposed accented Latin + digits
+    *    (U+00E9/U+00FC — non-ASCII but still Latin script; combining
+    *    marks are deliberately NOT used here: U+0301 is script
+    *    Inherited, whose classification is x105's NFC problem);
+    *  - doc_id % 4 == 3 → nothing (the pure-ASCII cohort). */
+  // explicit \uXXXX escapes (same rationale as injectDecomposed): the
+  // ExtSql mirror regenerates these via chr(codePoint), so the source
+  // form must be the exact codepoint sequence, not editor-composed
+  val CyrillicInject  = " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"
+  val HanInject       = " \u673a\u5668\u5b66\u4e60 \u6570\u636e"
+  val AccentInject    = " caf\u00e9 z\u00fcrich 2024"
+
+  def injectScripts(text: Column, docId: Column): Column = {
+    val d4 = pmod(docId, lit(4))
+    concat(text,
+      when(d4 === 0, lit(CyrillicInject))
+        .when(d4 === 1, lit(HanInject))
+        .when(d4 === 2, lit(AccentInject))
+        .otherwise(lit("")))
+  }
+
+  /** x110: per-document Unicode script / character-class profile — the
+    * charset-detection stage every multilingual corpus pipeline runs
+    * before language ID (CCNet buckets by fastText lang+script;
+    * Dolma's per-language pools are script-gated). Per doc: codepoint
+    * counts for each [[ScriptNames]] script, digits, whitespace,
+    * ASCII, the arithmetic remainder (punctuation/symbols/other
+    * scripts), and the dominant script under the [[ScriptNames]]
+    * tie-break order.
+    *
+    * Scale: map-only — all counts are `regexp_count` passes fused into
+    * ONE whole-stage-codegen projection, no shuffle, no UDF
+    * (PlanSpec-gated); like x108 this is pure per-split CPU at 100 TB. */
+  def scriptProfile(documents: DataFrame): DataFrame = {
+    val aug = injectScripts(col("text"), col("doc_id"))
+    def cnt(pat: String) = regexp_count(col("raw"), lit(pat)).cast("long")
+    val counted = documents
+      .select(col("doc_id"), aug.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_chars"),
+        cnt(javaScriptClass("Latin")).as("n_latin"),
+        cnt(javaScriptClass("Cyrillic")).as("n_cyrillic"),
+        cnt(javaScriptClass("Han")).as("n_han"),
+        cnt(DigitClass).as("n_digit"),
+        cnt(SpaceClass).as("n_space"),
+        cnt(AsciiClass).as("n_ascii"))
+    counted.select(col("doc_id"), col("n_chars"), col("n_latin"),
+      col("n_cyrillic"), col("n_han"), col("n_digit"), col("n_space"),
+      col("n_ascii"),
+      (col("n_chars") - col("n_latin") - col("n_cyrillic") - col("n_han")
+        - col("n_digit") - col("n_space")).as("n_other"),
+      when(col("n_latin") >= col("n_cyrillic") && col("n_latin") >= col("n_han"), lit("Latin"))
+        .when(col("n_cyrillic") >= col("n_han"), lit("Cyrillic"))
+        .otherwise(lit("Han")).as("main_script"))
+  }
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

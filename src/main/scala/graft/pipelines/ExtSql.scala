@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (keys x1–x109), generated from the SAME Scala constants
+  * (keys x1–x111), generated from the SAME Scala constants
   * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
@@ -2132,6 +2132,96 @@ object ExtSql {
          |GROUP BY domain""".stripMargin
   }
 
+  // ---- x110 Unicode script / char-class profile --------------------
+  // Injection mirrors TextAnalysis.injectScripts codepoint-for-
+  // codepoint via chr() (the chrLit generator walks the SAME Scala
+  // string constants); script classes derive from the same
+  // ScriptNames — Java spells a script \p{IsLatin} where RE2 spells
+  // it \p{Latin}, the one sanctioned pattern divergence (documented
+  // at TextAnalysis.ScriptNames; the UAX #24 semantics are identical).
+
+  /** A DuckDB string expression reproducing `s` codepoint-for-
+    * codepoint: ASCII runs as quoted literals, everything else via
+    * chr() — so non-ASCII constants can't be corrupted by any
+    * encoding layer between Scala source and the oracle. */
+  private def chrLit(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = new StringBuilder
+    def flush(): Unit =
+      if (run.nonEmpty) { parts += s"'${run.toString.replace("'", "''")}'"; run.clear() }
+    s.foreach { c =>
+      if (c < 128) run += c else { flush(); parts += s"chr(${c.toInt})" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  private val x110 = {
+    val t = TextAnalysis
+    def cls(name: String) =
+      s"CAST(len(regexp_extract_all(raw, '${t.re2ScriptClass(name)}')) AS BIGINT)"
+    raw"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || CASE doc_id % 4
+         |                 WHEN 0 THEN ${chrLit(t.CyrillicInject)}
+         |                 WHEN 1 THEN ${chrLit(t.HanInject)}
+         |                 WHEN 2 THEN ${chrLit(t.AccentInject)}
+         |                 ELSE '' END AS raw
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |         CAST(length(raw) AS BIGINT) AS n_chars,
+         |         ${cls("Latin")} AS n_latin,
+         |         ${cls("Cyrillic")} AS n_cyrillic,
+         |         ${cls("Han")} AS n_han,
+         |         CAST(len(regexp_extract_all(raw, '${t.DigitClass}')) AS BIGINT) AS n_digit,
+         |         CAST(len(regexp_extract_all(raw, '${t.SpaceClass}')) AS BIGINT) AS n_space,
+         |         CAST(len(regexp_extract_all(raw, '${t.AsciiClass}')) AS BIGINT) AS n_ascii
+         |  FROM aug)
+         |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_han, n_digit,
+         |       n_space, n_ascii,
+         |       n_chars - n_latin - n_cyrillic - n_han - n_digit - n_space AS n_other,
+         |       CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han THEN 'Latin'
+         |            WHEN n_cyrillic >= n_han THEN 'Cyrillic'
+         |            ELSE 'Han' END AS main_script
+         |FROM c""".stripMargin
+  }
+
+  // ---- x111 asymmetric shingle containment pairs -------------------
+  // The x25 CTE chain reshaped for asymmetry: prefix filter on the
+  // SOURCE side only, one-sided length filter, candidates join the
+  // source prefix against FULL capped postings, verify against the
+  // true uncapped shingle sets (values exact, cap only drops).
+
+  private val x111 = {
+    val tau = Dedup.ContainmentThreshold
+    raw"""WITH $toksCte, $shCte,
+         |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
+         |post AS (
+         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM dsh)),
+         |capped AS (SELECT doc_id, n, s, df FROM (
+         |  SELECT doc_id, len(sh) AS n, s, df FROM post JOIN dsh USING (doc_id))
+         |  WHERE df <= ${Dedup.MaxShingleDf}),
+         |pre AS (
+         |  SELECT doc_id, n, s FROM (
+         |    SELECT doc_id, n, s,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk,
+         |           count(*) OVER (PARTITION BY doc_id) AS n_idx
+         |    FROM capped)
+         |  WHERE rk <= n_idx - ceil($tau * n_idx) + 1),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_src, r.doc_id AS doc_dst
+         |  FROM pre l JOIN capped r ON l.s = r.s AND l.doc_id <> r.doc_id
+         |   AND $tau * l.n <= r.n)
+         |SELECT doc_src, doc_dst, containment FROM (
+         |  SELECT c.doc_src, c.doc_dst,
+         |         floor((len(list_intersect(l.sh, r.sh))::DOUBLE / len(l.sh)) * 10000 + 0.5) / 10000 AS containment
+         |  FROM cand c JOIN dsh l ON l.doc_id = c.doc_src
+         |              JOIN dsh r ON r.doc_id = c.doc_dst)
+         |WHERE containment >= $tau""".stripMargin
+  }
+
   // ---- x104 streaming dedup-on-ingest ------------------------------
   // Oracle = the batch form of the stream-static anti join (x32's
   // subtraction without the within-batch grouping — the streaming
@@ -2155,6 +2245,8 @@ object ExtSql {
     "x107_clf_score"      -> x107,
     "x108_html_extract"   -> x108,
     "x109_url_stats"      -> x109,
+    "x110_script_profile" -> x110,
+    "x111_containment"    -> x111,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

@@ -252,4 +252,35 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
     assert(brute.contains((1L, 3L)))
   }
+
+  test("x111 containment is asymmetric: subset flags src->superset only") {
+    // A's 2 shingles all occur in B (A = B's prefix); B has 4 shingles
+    // so B->A containment is 0.5 and must NOT appear at tau = 0.8
+    val corpus = Seq(
+      (1L, "a b c d", "en"),                 // subset doc
+      (2L, "a b c d e f", "en"),             // superset doc
+      (3L, "x y z w v", "en"),               // unrelated
+      (4L, "x y z w v", "en")                // exact dup of 3
+    ).toDF("doc_id", "text", "lang")
+    val out = containmentPairs(corpus)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 2L, 1.0), (3L, 4L, 1.0), (4L, 3L, 1.0)))
+  }
+
+  test("x111 containment values are exact under the df cap") {
+    // capped candidates may be dropped, but emitted values must come
+    // from FULL shingle sets: uncapped is a superset with equal values
+    val docs17 = (1L to 17L).map(i => (i, s"common ngram here tail$i", "en"))
+    val corpus = (docs17 :+ ((100L, "common ngram here", "en")))
+      .toDF("doc_id", "text", "lang")
+    val capped = containmentPairs(corpus, maxDf = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncapped = containmentPairs(corpus, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    // doc 100's only shingle "common ngram here" has df 18 > 16: with
+    // the cap it can't be a candidate, without it C(100 -> i) = 1.0
+    assert(!capped.exists(_._1 == 100L))
+    assert(uncapped.count(_._1 == 100L) === 17)
+  }
 }

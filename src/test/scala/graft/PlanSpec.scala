@@ -236,6 +236,23 @@ class PlanSpec extends SparkSpec {
       s"expected at most the agg + distinct-host exchanges:\n$p")
   }
 
+  test("x110 script profile is map-only: no shuffle, no UDF") {
+    val p = plan("x110_script_profile")
+    assert(!p.contains("Exchange"), s"script profiling must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython"), s"script profiling must not plan a UDF:\n$p")
+  }
+
+  test("x111 containment join: no cartesian, source-side prefix rank survives") {
+    val p = plan("x111_containment")
+    assert(!p.contains("CartesianProduct"), s"x111 plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"x111 plans a nested loop:\n$p")
+    // losing the prefix rank silently reverts to the full postings
+    // self-join (x25's contract, one-sided here)
+    val opt = SparkEntry.queries("x111_containment")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("row_number"), s"prefix-filter rank missing from:\n$opt")
+  }
+
   test("x29 split assignment is map-only: no exchange at all") {
     val p = plan("x29_split_assign")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")

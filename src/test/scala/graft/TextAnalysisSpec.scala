@@ -152,4 +152,42 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(half.forall { case (id, s) => byId(id) == s })
   }
+
+  test("x110 scriptProfile: injected scripts dominate, counts reconcile") {
+    // doc_id picks the cohort: 0 -> Cyrillic, 1 -> Han, 2 -> accented
+    // Latin + digits, 3 -> pure ASCII
+    val out = scriptProfile(Seq(
+      (0L, "ab"), (1L, "ab"), (2L, "ab"), (3L, "ab, c!"))
+      .toDF("doc_id", "text")).orderBy("doc_id").collect()
+
+    val cyr = out(0)
+    assert(cyr.getAs[Long]("n_latin") === 2L)        // just "ab"
+    assert(cyr.getAs[Long]("n_cyrillic") === 9L)     // privet(6) + mir(3)
+    assert(cyr.getAs[String]("main_script") === "Cyrillic")
+
+    val han = out(1)
+    assert(han.getAs[Long]("n_han") === 6L)
+    assert(han.getAs[String]("main_script") === "Han")
+    // ASCII = "ab" + the two injected separator spaces
+    assert(han.getAs[Long]("n_ascii") === 4L)
+
+    val acc = out(2)
+    // e-acute and u-umlaut are Latin SCRIPT but not ASCII
+    assert(acc.getAs[Long]("n_latin") === 12L)
+    assert(acc.getAs[Long]("n_digit") === 4L)
+    assert(acc.getAs[Long]("n_ascii") === acc.getAs[Long]("n_chars") - 2L)
+    assert(acc.getAs[String]("main_script") === "Latin")
+
+    val ascii = out(3)
+    assert(ascii.getAs[Long]("n_ascii") === ascii.getAs[Long]("n_chars"))
+    assert(ascii.getAs[Long]("n_other") === 2L)      // ',' and '!'
+
+    // the remainder identity holds on every row
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_other") ===
+        r.getAs[Long]("n_chars") - r.getAs[Long]("n_latin") -
+        r.getAs[Long]("n_cyrillic") - r.getAs[Long]("n_han") -
+        r.getAs[Long]("n_digit") - r.getAs[Long]("n_space"))
+    }
+  }
 }
