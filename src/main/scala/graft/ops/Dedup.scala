@@ -417,6 +417,21 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Brute-force containment baseline (tests/RandomizedEquivalence
+    * only — the labeled all-pairs cross join, never a query path). */
+  def containmentPairsBrute(documents: DataFrame,
+                            threshold: Double = ContainmentThreshold): DataFrame = {
+    val d = docShingles(documents)
+    val l = d.select(col("doc_id").as("doc_src"), col("sh").as("sh_src"))
+    val r = d.select(col("doc_id").as("doc_dst"), col("sh").as("sh_dst"))
+    l.crossJoin(r)
+      .filter(col("doc_src") =!= col("doc_dst"))
+      .select(col("doc_src"), col("doc_dst"),
+        Portable.round4(size(array_intersect(col("sh_src"), col("sh_dst")))
+          .cast("double") / size(col("sh_src"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Fixed-point scale for x76's integer tf-idf weights. */
   val IdfScale = 10000L
 

@@ -46,6 +46,20 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("asymmetric containment join equals brute force on random corpora") {
+    // the one-sided prefix/length filters are lossless (uncapped df):
+    // C(A->B) >= tau forces |A∩B| >= ceil(tau·n_A), which cannot fit
+    // in A's post-prefix suffix of ceil(tau·n_A) - 1 shingles
+    for (seed <- Seq(11L, 42L, 99L)) {
+      val docs = corpus(seed, 40).toDF("doc_id", "text", "lang")
+      val brute = Dedup.containmentPairsBrute(docs, 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+      val fast = Dedup.containmentPairs(docs, 0.6, maxDf = Int.MaxValue)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast === brute, s"seed $seed")
+    }
+  }
+
   test("candidates-only LSH equals carry-the-sets LSH on random corpora") {
     for (seed <- Seq(7L, 123L)) {
       val docs = corpus(seed, 40).toDF("doc_id", "text", "lang")
