@@ -12,7 +12,7 @@ object SparkEntry {
     SlValidation.mainFinalQ(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (parity) and
-    * the beyond-reference extension track (keys x1–x111 — 124
+    * the beyond-reference extension track (keys x1–x112 — 125
     * oracle-checked queries in total). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = parity ++ Extensions.queries
 

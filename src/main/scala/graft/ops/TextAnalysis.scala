@@ -804,6 +804,45 @@ object TextAnalysis {
         .otherwise(lit("Han")).as("main_script"))
   }
 
+  /** x112 chunk geometry: window width and stride in tokens (overlap =
+    * width − stride). The classic RAG / long-context-pretraining
+    * chunker shape (e.g. LangChain/LlamaIndex defaults are
+    * width ≫ overlap sliding windows; Lewis et al. '20 RAG chunks
+    * passages at fixed token width). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** x112: sliding-window document chunking — one row per (doc,
+    * chunk): chunk index, token start offset, token count, the chunk
+    * text and its md5 (the id a downstream retrieval index or packing
+    * stage would key on). Chunk starts are 0, S, 2S, … while < n, so
+    * every token lands in ≥1 chunk and consecutive chunks overlap by
+    * width − stride tokens; docs tokenize-empty are dropped (and the
+    * n ≥ 1 guard keeps the start-count expression in the
+    * truncation-vs-floor-agnostic domain — see ExtSql mirror note).
+    *
+    * Scale: map-only — tokenize, one `transform` over the start
+    * sequence, one explode; no shuffle, no UDF (PlanSpec-gated). Chunk
+    * rows are ~n/S per doc, emitted streaming from the generate — at
+    * 100 TB this is scan-speed row expansion, exactly how a cluster
+    * chunker should behave. */
+  def chunkDocs(documents: DataFrame,
+                width: Int = ChunkTokens, stride: Int = ChunkStride): DataFrame = {
+    val n = size(col("toks"))
+    withTokens(documents)
+      .filter(n >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((n - 1).cast("double") / stride).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("tok_start"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(width)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        size(col("ctoks")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+      .withColumn("chunk_fp", md5(col("chunk_text")))
+  }
+
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =
     withTokens(documents)

@@ -3,7 +3,7 @@ package graft.pipelines
 import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
-  * (keys x1–x111), generated from the SAME Scala constants
+  * (keys x1–x112), generated from the SAME Scala constants
   * the Spark
   * operators use ([[TextAnalysis.LangMarkers]], [[Dedup.NumHashes]],
   * [[Similarity.planeWeights]], …) so the two engines cannot drift.
@@ -2222,6 +2222,32 @@ object ExtSql {
          |WHERE containment >= $tau""".stripMargin
   }
 
+  // ---- x112 sliding-window document chunking -----------------------
+  // Geometry constants shared with TextAnalysis; slicing is the shCte
+  // convention (1-based inclusive ≡ Spark slice(pos, len), both
+  // truncate at list end). The n >= 1 guard keeps (n-1)//S in the
+  // domain where DuckDB's floor division equals Spark's int truncation.
+
+  private val x112 = {
+    val w = TextAnalysis.ChunkTokens; val s = TextAnalysis.ChunkStride
+    raw"""WITH $toksCte,
+         |t AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 1),
+         |c AS (
+         |  SELECT doc_id, unnest(range(0, ((n - 1) // $s) + 1)) AS chunk_idx, toks
+         |  FROM t),
+         |sl AS (
+         |  SELECT doc_id, chunk_idx, chunk_idx * $s AS tok_start,
+         |         toks[chunk_idx * $s + 1 : chunk_idx * $s + $w] AS ctoks
+         |  FROM c)
+         |SELECT doc_id,
+         |       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(tok_start AS BIGINT) AS tok_start,
+         |       CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+         |       array_to_string(ctoks, ' ') AS chunk_text,
+         |       md5(array_to_string(ctoks, ' ')) AS chunk_fp
+         |FROM sl""".stripMargin
+  }
+
   // ---- x104 streaming dedup-on-ingest ------------------------------
   // Oracle = the batch form of the stream-static anti join (x32's
   // subtraction without the within-batch grouping — the streaming
@@ -2247,6 +2273,7 @@ object ExtSql {
     "x109_url_stats"      -> x109,
     "x110_script_profile" -> x110,
     "x111_containment"    -> x111,
+    "x112_chunks"         -> x112,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

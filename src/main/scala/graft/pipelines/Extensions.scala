@@ -7,7 +7,7 @@ import graft.ops.{Dedup, Events, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Composed endpoints for the beyond-reference extension queries
-  * (keys x1–x111) exposed via [[graft.SparkEntry]]; the matching
+  * (keys x1–x112) exposed via [[graft.SparkEntry]]; the matching
   * DuckDB oracle lives in [[ExtSql]]. */
 object Extensions {
 
@@ -231,7 +231,8 @@ object Extensions {
     "x110_script_profile" -> ((s, d) => TextAnalysis.scriptProfile(docs(s, d))),
     // containment shares the per-(session, dir) shingle memo with
     // x25/x37/x76 — one tokenize+shingle scan pass for the family
-    "x111_containment"   -> ((s, d) => Dedup.containmentPairsFrom(shinglesShared(s, d))))
+    "x111_containment"   -> ((s, d) => Dedup.containmentPairsFrom(shinglesShared(s, d))),
+    "x112_chunks"        -> ((s, d) => TextAnalysis.chunkDocs(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -253,6 +253,12 @@ class PlanSpec extends SparkSpec {
     assert(opt.contains("row_number"), s"prefix-filter rank missing from:\n$opt")
   }
 
+  test("x112 chunking is map-only: generate + projections, no shuffle") {
+    val p = plan("x112_chunks")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate explode"), s"expected a streaming explode in:\n$p")
+  }
+
   test("x29 split assignment is map-only: no exchange at all") {
     val p = plan("x29_split_assign")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")

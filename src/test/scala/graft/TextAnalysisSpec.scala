@@ -190,4 +190,28 @@ class TextAnalysisSpec extends SparkSpec {
         r.getAs[Long]("n_digit") - r.getAs[Long]("n_space"))
     }
   }
+
+  test("x112 chunkDocs: sliding windows tile the doc with the stated overlap") {
+    // 100 tokens, width 64, stride 48 -> starts 0, 48, 96
+    val toks100 = (0 until 100).map(i => s"t$i").mkString(" ")
+    val out = chunkDocs(Seq((1L, toks100)).toDF("doc_id", "text"))
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getAs[Long]("chunk_idx")).toSeq === Seq(0L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("tok_start")).toSeq === Seq(0L, 48L, 96L))
+    assert(out.map(_.getAs[Long]("n_chunk_tokens")).toSeq === Seq(64L, 52L, 4L))
+    // consecutive chunks overlap by width - stride = 16 tokens
+    val c0 = out(0).getAs[String]("chunk_text").split(" ")
+    val c1 = out(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.takeRight(16).toSeq === c1.take(16).toSeq)
+    // every token appears in at least one chunk
+    assert(out.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet.size === 100)
+  }
+
+  test("x112 chunkDocs: short docs get exactly one whole-doc chunk") {
+    val out = chunkDocs(Seq((1L, "a b c"), (2L, "  ")).toDF("doc_id", "text")).collect()
+    assert(out.length === 1)                        // tokenize-empty doc dropped
+    assert(out.head.getAs[Long]("chunk_idx") === 0L)
+    assert(out.head.getAs[Long]("n_chunk_tokens") === 3L)
+    assert(out.head.getAs[String]("chunk_text") === "a b c")
+  }
 }
