@@ -39,19 +39,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = readParallel(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read it as long nanos and rebuild a µs timestamp
-    * (floor — matches DuckDB's ns→ms truncation downstream).
+  /** `events.ts` has shipped in TWO fixture generations: parquet
+    * TIMESTAMP(NANOS) (which Spark 4 rejects outright — read as long
+    * nanos via the legacy conf and rebuild a µs timestamp; floor
+    * matches DuckDB's ns→µs truncation) and, in later driver drops,
+    * plain TIMESTAMP(MICROS) without UTC adjustment (arrives as
+    * TIMESTAMP_NTZ — cast to the session-TZ timestamp; every graft
+    * session pins UTC, so the wall-clock instant is unchanged). The
+    * branch is decided by the file footer's own type, so either
+    * fixture generation reads correctly.
     * NB the nanosAsLong conf is SESSION-WIDE: it also changes how any
     * other TIMESTAMP(NANOS) parquet column in this session reads (none
     * of the fixtures have one besides events). It is set here so the
     * accessor works in a foreign session (e.g. the driver's own), and
     * redundantly in every graft session builder. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

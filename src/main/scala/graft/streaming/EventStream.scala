@@ -93,23 +93,26 @@ case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
   */
 object EventStream {
 
-  /** Raw file schema of the events fixture: ts arrives as long nanos
-    * (parquet TIMESTAMP(NANOS) — see [[graft.sources.Tables.events]]). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw file schema of the events fixture, with ts as whatever the
+    * fixture generation shipped: long nanos (parquet TIMESTAMP(NANOS))
+    * or TIMESTAMP(MICROS)-as-NTZ — see [[graft.sources.Tables.events]].
+    * A streaming source must declare its schema up front, so probe the
+    * footer with a one-off batch read (footer-only, no data scan). */
+  private def rawSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   /** Streaming scan of an events parquet directory. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    val schema = rawSchema(spark, dir)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour windows per event_type: count + exact cent sum.
