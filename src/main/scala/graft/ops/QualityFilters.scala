@@ -253,4 +253,62 @@ object QualityFilters {
       score.as("clf_score"),
       (score >= 0.5).cast("long").as("clf_keep"))
   }
+
+  // ---- x115 DSIR importance weights --------------------------------
+
+  /** Hashed-feature space size for [[dsirWeights]] (the paper uses 10k
+    * buckets on web scale; 64 keeps every bucket populated on the
+    * fixture corpus so the smoothing term isn't the whole signal). */
+  val DsirBuckets = 64
+  /** The "target distribution" slice: English docs stand in for the
+    * paper's high-quality target corpus (the fixture's only
+    * quality-correlated partition that is text-derived). */
+  val DsirTargetLang = "en"
+
+  /** x115: Data Selection via Importance Resampling (Xie et al. '23,
+    * arXiv:2302.03169) — per-document log importance weight
+    * log p_target(doc) − log p_raw(doc) under bag-of-hashed-unigram
+    * models of a target slice vs the whole corpus. Docs whose feature
+    * profile looks like the target get positive weights; sampling
+    * ∝ exp(weight) then reshapes the corpus toward the target
+    * distribution (the principled form of the x106 mixture sampler).
+    *
+    * Portability: both models are exact integer counts; each hashed
+    * feature's Laplace-smoothed log-ratio is computed ONCE (B=64-row
+    * table, identical double argument in both engines), scaled to the
+    * 1e-7 grid as BIGINT, and the per-doc weight is an exact integer
+    * dot product count·λ — order-independent, so partial-aggregation
+    * order can't move the 4dp result (the x38 trick).
+    *
+    * Scale: two hash aggregates over the token stream (feature counts
+    * for target + raw come off ONE scan), a B-row λ table broadcast to
+    * the per-doc feature counts, one per-doc aggregate. The corpus
+    * shuffles once, on (doc_id, f) — no windows, no collect. */
+  def dsirWeights(documents: DataFrame, buckets: Int = DsirBuckets): DataFrame = {
+    val scale = lit(Similarity.CentroidScale)
+    val tf = Caching.temp(withTokens(documents)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("f")))
+    val raw = tf.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val tgt = tf.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val totR = raw.agg(sum(col("cr")).as("tr"))
+    val totT = tgt.agg(sum(col("ct")).as("tt"))
+    val lam = raw.join(tgt, Seq("f"), "left")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .select(col("f"),
+        floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+                   (col("tt") + buckets).cast("double")) -
+               log((col("cr") + 1).cast("double") /
+                   (col("tr") + buckets).cast("double"))) *
+          scale.cast("double")).cast("long").as("lp"))
+    tf.groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"), sum(col("n") * col("lp")).as("s"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round4(col("s").cast("double") / scale.cast("double")).as("log_weight"))
+  }
 }

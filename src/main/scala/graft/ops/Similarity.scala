@@ -339,6 +339,47 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** x114: mutual k-nearest-neighbor graph over the embedding corpus —
+    * the edge set behind graph-based semantic clustering and diversity
+    * pruning (e.g. SemDeDup's cluster step, or coreset selection): an
+    * edge (a,b) exists iff b is in a's top-k AND a is in b's top-k.
+    * Mutuality prunes hub nodes (a popular vector lands in thousands
+    * of top-k lists; requiring reciprocity keeps only genuinely close
+    * pairs).
+    *
+    * EVERY corpus vector is a query here — a broadcast-probe IVF scan
+    * (x11's shape) would broadcast the corpus itself, so the blocking
+    * is x52's instead: candidate pairs come from the learned k-means
+    * cells, oversized cells sub-refined by hyperplane signature
+    * ([[MaxCell]] — capped, never quadratic). Neighbor lists are then
+    * per-node windows over within-cell candidates (bounded by the
+    * refined cell size), and the mutual filter is one keyed self-join
+    * of the two directed lists. Approximate by design: cross-cell
+    * neighbors are missed, exactly like x52's pairs. */
+  def knnGraphFrom(vs: DataFrame, cents: DataFrame, k: Int = TopK,
+                   maxCell: Int = MaxCell): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = vs.join(assignCells(vs, cents), Seq("vec_id"))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val cells = Caching.temp(assigned
+      .join(broadcast(counts), Seq("cell"))
+      .withColumn("sub",
+        when(col("cell_n") > maxCell, lshBucket(col("v"), 0)).otherwise(lit(0))))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst").asc)
+    val nbrs = Caching.temp(cells.alias("l").join(cells.alias("r"),
+        col("l.cell") === col("r.cell") && col("l.sub") === col("r.sub") &&
+          col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
+        cosine(dot(col("l.v"), col("r.v")), col("l.nrm"), col("r.nrm")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k))
+    nbrs.alias("f").join(nbrs.alias("b"),
+        col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
+      .filter(col("f.src") < col("f.dst"))
+      .select(col("f.src").as("vec_a"), col("f.dst").as("vec_b"),
+        col("f.cos_sim"))
+  }
+
   def annIvf(embeddings: DataFrame, k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
     val vs = Caching.temp(vectors(embeddings))
     annIvfFrom(vs, kmeansCentroids(vs), k, nprobe)

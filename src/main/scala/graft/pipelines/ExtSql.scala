@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Multimodal, QualityFilters, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL for the beyond-reference extension queries
   * (keys x1–x112), generated from the SAME Scala constants
@@ -2248,6 +2248,89 @@ object ExtSql {
          |FROM sl""".stripMargin
   }
 
+  // ---- x113 bucketed co-located join -------------------------------
+  // The oracle is the PLAIN join over the raw parquet — bucketing is
+  // pure storage layout, so the answer must be bit-identical. Revenue
+  // is exact fixed-point: cents × (100 - whole discount pct), BIGINT
+  // in both engines (no float product crosses an engine boundary).
+
+  private val x113 =
+    raw"""SELECT o_orderpriority,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+         |                (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+         |            AS BIGINT) AS revenue_e4
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin
+
+  // ---- x114 mutual kNN graph ---------------------------------------
+  // Same cell blocking as x52 (kmeans cells + hyperplane sub-refine
+  // above MaxCell), then per-node top-k windows over within-cell
+  // candidates and a reciprocal join: edge iff each end ranks the
+  // other in its top-k. Ties on the 4dp cosine break by dst id in
+  // both engines.
+
+  private val x114 = {
+    def wLit(p: Int): String =
+      Similarity.planeWeights(p).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("([", ",", "]::DOUBLE[])")
+    val sub0 = (0 until Similarity.LshBitsPerTable).map { i =>
+      s"CASE WHEN ${dotExpr(wLit(i), "cand.v")} > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    raw"""WITH $kmeansCandCtes,
+         |celln AS (SELECT cell, count(*) AS cell_n FROM cand GROUP BY 1),
+         |cs AS (
+         |  SELECT cand.vec_id, cand.v, cand.nrm, cand.cell,
+         |         CASE WHEN celln.cell_n > ${Similarity.MaxCell}
+         |              THEN $sub0 ELSE 0 END AS sub
+         |  FROM cand JOIN celln USING (cell)),
+         |nbrs AS (
+         |  SELECT src, dst, cos_sim FROM (
+         |    SELECT src, dst, cos_sim,
+         |           row_number() OVER (PARTITION BY src
+         |             ORDER BY cos_sim DESC, dst) AS rnk
+         |    FROM (
+         |      SELECT a.vec_id AS src, b.vec_id AS dst,
+         |             ${cosExpr("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+         |      FROM cs a JOIN cs b
+         |        ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id <> b.vec_id))
+         |  WHERE rnk <= ${Similarity.TopK})
+         |SELECT f.src AS vec_a, f.dst AS vec_b, f.cos_sim
+         |FROM nbrs f JOIN nbrs b ON f.src = b.dst AND f.dst = b.src
+         |WHERE f.src < f.dst""".stripMargin
+  }
+
+  // ---- x115 DSIR importance weights --------------------------------
+  // Both unigram models are exact counts off one token stream; each
+  // hashed feature's Laplace-smoothed log-ratio is computed once
+  // (identical double argument in both engines), scaled to the 1e-7
+  // grid as BIGINT, and the per-doc weight is an exact integer dot
+  // product — the x38 portability trick.
+
+  private val x115 = {
+    val b = QualityFilters.DsirBuckets; val tl = QualityFilters.DsirTargetLang
+    val scale = Similarity.CentroidScale
+    raw"""WITH $toksCte,
+         |tf AS (
+         |  SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 4))::BIGINT % $b AS f
+         |  FROM (SELECT doc_id, lang, unnest(toks) AS t FROM tok)),
+         |rawc AS (SELECT f, count(*) AS cr FROM tf GROUP BY 1),
+         |tgtc AS (SELECT f, count(*) AS ct FROM tf WHERE lang = '$tl' GROUP BY 1),
+         |trc AS (SELECT sum(cr) AS tr FROM rawc),
+         |ttc AS (SELECT sum(ct) AS tt FROM tgtc),
+         |lam AS (
+         |  SELECT f,
+         |         CAST(floor((ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + $b)::DOUBLE) -
+         |                     ln((cr + 1)::DOUBLE / (tr + $b)::DOUBLE)) *
+         |                    $scale::DOUBLE) AS BIGINT) AS lp
+         |  FROM rawc LEFT JOIN tgtc USING (f) CROSS JOIN trc CROSS JOIN ttc),
+         |df AS (SELECT doc_id, f, count(*) AS n FROM tf GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |       floor(CAST(sum(n * lp) AS DOUBLE) / $scale::DOUBLE * 10000 + 0.5) / 10000
+         |         AS log_weight
+         |FROM df JOIN lam USING (f) GROUP BY 1""".stripMargin
+  }
+
   // ---- x104 streaming dedup-on-ingest ------------------------------
   // Oracle = the batch form of the stream-static anti join (x32's
   // subtraction without the within-batch grouping — the streaming
@@ -2274,6 +2357,9 @@ object ExtSql {
     "x110_script_profile" -> x110,
     "x111_containment"    -> x111,
     "x112_chunks"         -> x112,
+    "x113_bucketed_join"  -> x113,
+    "x114_knn_graph"      -> x114,
+    "x115_dsir_weights"   -> x115,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

@@ -98,6 +98,7 @@ object Extensions {
         session.sparkContext.getPersistentRDDs.get(id)
           .foreach(_.unpersist(blocking = false))))
     }
+    graft.sources.Bucketing.clearMemos(session)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,7 +233,10 @@ object Extensions {
     // containment shares the per-(session, dir) shingle memo with
     // x25/x37/x76 — one tokenize+shingle scan pass for the family
     "x111_containment"   -> ((s, d) => Dedup.containmentPairsFrom(shinglesShared(s, d))),
-    "x112_chunks"        -> ((s, d) => TextAnalysis.chunkDocs(docs(s, d))))
+    "x112_chunks"        -> ((s, d) => TextAnalysis.chunkDocs(docs(s, d))),
+    "x113_bucketed_join" -> ((s, d) => graft.sources.Bucketing.bucketedJoin(s, d)),
+    "x114_knn_graph"     -> ((s, d) => Similarity.knnGraphFrom(vecsShared(s, d), centsShared(s, d))),
+    "x115_dsir_weights"  -> ((s, d) => graft.ops.QualityFilters.dsirWeights(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table layout: the storage-side answer to the repeated
+  * fact⋈fact shuffle (salting — [[graft.ops.Skew]] — is the
+  * compute-side answer to the skewed one).
+  *
+  * At 100 TB the dominant recurring cost of a lineitem⋈orders-shaped
+  * join is re-shuffling BOTH fact tables on the join key every query.
+  * Writing each side `bucketBy(N, key)` pays that shuffle ONCE at
+  * ingest: Spark records the hash-partitioned layout in the catalog,
+  * and every later equi-join on the key reads bucket i against bucket
+  * i with NO Exchange on either side. Each side is additionally
+  * `repartition(N, key)` before the write — repartition and bucketBy
+  * share the same Murmur3 hash, so every task holds exactly one
+  * bucket → ONE file per bucket (`sortBy` records per-bucket order;
+  * Spark 3+ no longer propagates it as scan output ordering, so the
+  * SMJ re-sorts each partition LOCALLY — cheap, and crucially without
+  * any Exchange).
+  *
+  * The resulting x113 plan is the 100 TB ideal for co-located joins:
+  * scan → SortMergeJoin with zero Exchange below the join — the only
+  * shuffle in the query is the final 5-group rollup (PlanSpec gates
+  * both properties). Revenue is exact fixed-point
+  * (cents × whole discount percent — BIGINT in both engines), so the
+  * oracle — the PLAIN join over the raw parquet — must match bit-for-
+  * bit: bucketing is pure layout, never semantics.
+  */
+object Bucketing {
+
+  val Buckets = 8
+
+  /** Bucketed external tables for (session, dir), written once per
+    * pair under target/ and registered in the session catalog. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  private def tables(s: SparkSession, d: String): (String, String) =
+    memo.getOrElseUpdate((s, d), {
+      val tag = Integer.toHexString(d.hashCode)
+      val (ordT, liT) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(Buckets, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"target/graft-bucketed/orders_$tag")
+        .saveAsTable(ordT)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          // exact revenue: cents × (100 - whole discount pct), BIGINT
+          (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+            .as("rev_e4"))
+        .repartition(Buckets, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"target/graft-bucketed/lineitem_$tag")
+        .saveAsTable(liT)
+      (ordT, liT)
+    })
+
+  /** x113: the co-located join itself — lineitem⋈orders on the bucket
+    * key (`merge` hint: a broadcast would dodge the layout the query
+    * exists to exercise), rolled up per order priority. The only
+    * Exchange in the whole plan is the final 5-group aggregate. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (ordT, liT) = tables(s, d)
+    val li  = s.table(liT).hint("merge")
+    val ord = s.table(ordT)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_e4")).as("revenue_e4"))
+  }
+
+  /** Drop the session-scoped catalog entries (mirror of
+    * [[graft.pipelines.Extensions.clearMemos]]'s contract). */
+  def clearMemos(s: SparkSession): Unit = {
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      val (ordT, liT) = memo.remove(k).get
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+    }
+  }
+}

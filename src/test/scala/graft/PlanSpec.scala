@@ -385,6 +385,43 @@ class PlanSpec extends SparkSpec {
       s"zone-map scan must read only shipdate+orderkey:\n$p91")
   }
 
+  test("x113 bucketed join: co-located SMJ with no Exchange below the join") {
+    val df = SparkEntry.queries("x113_bucketed_join")(spark, dir)
+    df.collect() // finalize the adaptive plan (and write the tables)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"),
+      s"the merge hint must hold — a broadcast would dodge the bucketed layout:\n$p")
+    // the ONLY exchange is the final 5-group rollup; the join itself
+    // reads bucket i ⋈ bucket i straight off the scans
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly the final-aggregate exchange:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"both scans must report the bucketed layout:\n$p")
+  }
+
+  test("x114 kNN graph: cell-blocked pairs, per-node windows, no cartesian") {
+    val df = SparkEntry.queries("x114_knn_graph")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      s"pairing must stay on the (cell, sub) block keys:\n$p")
+    // the only BNLJ allowed is the broadcast K-row centroid assignment
+    assert(!p.contains("Window [") || !p.contains("Window [row_number() windowspecdefinition()"),
+      "windows must be partitioned")
+    assert(p.contains("hashpartitioning(src"),
+      s"the top-k window must partition by src, never run global:\n$p")
+  }
+
+  test("x115 DSIR: broadcast λ table, keyed aggregates, no cartesian pairing") {
+    val df = SparkEntry.queries("x115_dsir_weights")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), s"no cartesian belongs here:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 64-row λ table must broadcast to the doc-feature counts:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected the broadcast λ join:\n$p")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

@@ -13,6 +13,29 @@ class QualityFiltersSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("x115 DSIR weights separate target-like from off-target docs") {
+    // target (en) docs draw from vocabulary A, others from disjoint
+    // vocabulary B → an A-worded doc's features are target-typical
+    // (positive log ratio), a B-worded doc's are target-atypical
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta alpha beta", "en"),
+      (2L, "alpha gamma delta beta gamma alpha", "en"),
+      (3L, "omega sigma kappa zeta omega sigma", "fr"),
+      (4L, "sigma zeta kappa omega zeta kappa", "zh"),
+      (5L, "alpha beta gamma delta beta gamma", "es") // A-worded non-target
+    ).toDF("doc_id", "text", "lang")
+    val w = dsirWeights(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("log_weight"))).toMap
+    assert(w.values.forall(_._1 === 6L))
+    // every A-worded doc outranks every B-worded doc, regardless of
+    // its own lang label (DSIR scores CONTENT against the target model)
+    // (absolute signs are smoothing-dependent at this corpus size —
+    // B=64 dwarfs the 30-token totals — so only the ordering is pinned)
+    for (a <- Seq(1L, 2L, 5L); b <- Seq(3L, 4L))
+      assert(w(a)._2 > w(b)._2, s"doc $a should outrank doc $b in $w")
+  }
+
   test("gopher metrics on a hand-computed doc") {
     // 6 words, lengths 3+1+3+3+3+3 = 16 → mean 2.6667; stopwords:
     // the, a, the → 3 hits; distinct {the,a,big,cat,sat} = 5/6;

