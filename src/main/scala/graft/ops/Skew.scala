@@ -61,6 +61,47 @@ object Skew {
     * deduped rows per key. Results are identical to the direct
     * aggregation (the oracle IS the direct form); only the shuffle
     * geometry changes. Sums are exact BIGINT cents. */
+  // ---- x116 consistent-hash resharding -----------------------------
+
+  /** Node counts for [[reshardAudit]]: the before/after topologies. */
+  val ShardsOld = 8
+  val ShardsNew = 9
+
+  /** Highest-random-weight owner of `key` among nodes n0..n{n-1}:
+    * argmax over md5("n<i>:" + key) — hex strings compare identically
+    * in every engine, and md5 ties are unobservable. The max hash is
+    * `greatest(...)` over the n per-node hashes, the owner a when-
+    * chain back from it: pure codegen'd projection, no explode. */
+  private def hrwOwner(key: Column, n: Int): Column = {
+    def h(i: Int): Column = md5(concat(lit(s"n$i:"), key))
+    val top = greatest((0 until n).map(h): _*)
+    (1 until n).foldLeft(when(h(0) === top, lit("n0"))) { (acc, i) =>
+      acc.when(h(i) === top, lit(s"n$i"))
+    }
+  }
+
+  /** x116: rendezvous-hash resharding audit (Thaler & Ravishankar
+    * '98 HRW — the consistent-hashing family behind every sharded
+    * store). Growing a hash-mod cluster from N to N+1 remaps ~N/(N+1)
+    * of all keys (everything reshuffles); HRW remaps exactly the keys
+    * whose new node's hash wins — 1/(N+1) in expectation. At 100 TB
+    * that is the difference between rewriting the whole corpus and
+    * moving one node's share. The audit emits both assignments per
+    * document plus the two movement flags; the aggregate movement
+    * rates come out of the oracle-checked rows themselves. Map-only:
+    * one projection, no shuffle, no UDF (PlanSpec-gated). */
+  def reshardAudit(documents: DataFrame): DataFrame = {
+    val key = col("doc_id").cast("string")
+    documents.select(
+      col("doc_id"),
+      hrwOwner(key, ShardsOld).as("hrw_old"),
+      hrwOwner(key, ShardsNew).as("hrw_new"),
+      pmod(col("doc_id"), lit(ShardsOld.toLong)).as("mod_old"),
+      pmod(col("doc_id"), lit(ShardsNew.toLong)).as("mod_new"))
+      .withColumn("hrw_moved", (col("hrw_old") =!= col("hrw_new")).cast("long"))
+      .withColumn("mod_moved", (col("mod_old") =!= col("mod_new")).cast("long"))
+  }
+
   def twoPhaseAgg(events: DataFrame, salts: Int = Salts): DataFrame = {
     val cents = Events.valueCents(col("value")).as("cents")
     val partial = events

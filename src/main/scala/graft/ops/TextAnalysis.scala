@@ -566,6 +566,72 @@ object TextAnalysis {
       .limit(BpeTopK)
   }
 
+  /** x117 merge count: small enough that the DuckDB oracle's unrolled
+    * CTE chain stays reviewable, large enough that later merges build
+    * on earlier ones (multi-char symbols demonstrably form). */
+  val BpeMerges = 8
+
+  /** x117: the full iterative BPE TRAINING loop (Sennrich et al. '16,
+    * arXiv:1508.07909) — x73 is one COUNT step; this runs
+    * [[BpeMerges]] complete merge iterations: count all adjacent
+    * symbol pairs over the frequency-weighted vocabulary, adopt the
+    * argmax pair as a new symbol, re-segment, repeat. Returns the
+    * learned merge table (rank, pair, count) — the tokenizer model
+    * itself, whose whole trajectory the oracle re-derives
+    * independently (any drift in any iteration changes every later
+    * merge).
+    *
+    * Portability: a word's segmentation is ONE delimited string —
+    * "\nsym\n\nsym\n" (tokens never contain whitespace, so "\n" is
+    * collision-free) — and a merge is ONE literal `replace` of
+    * "\nl\n\nr\n" with "\nlr\n". Both engines' replace scans
+    * left-to-right non-overlapping, which IS greedy BPE application
+    * ("aaa" + (a,a) → [aa, a]), and consuming the shared middle
+    * delimiter makes back-to-back occurrences merge exactly like the
+    * array walk would. No per-engine fold/loop semantics to align.
+    *
+    * Scale: like [[bpePairs]], everything runs over the DISTINCT
+    * vocabulary (|vocab| ≪ corpus; a 100 TB corpus collapses to its
+    * vocabulary in the first aggregate). Each iteration is one
+    * pair-explode + hash aggregate + global top-1 (TakeOrdered, 1 row
+    * to the driver — the [[graft.ops.Dedup]] loops' convergence-probe
+    * pattern) + one map-only re-segmentation; the working set is
+    * persisted per generation and the superseded one dropped. */
+  def bpeTrain(documents: DataFrame, iters: Int = BpeMerges): DataFrame = {
+    val nl = "\n"
+    var state = Caching.temp(withTokens(documents)
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(concat(lit(nl), array_join(split(col("w"), ""), nl + nl), lit(nl))
+        .as("state"), col("wc")))
+    state.count()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (it <- 1 to iters) {
+      val best = state
+        .select(col("wc"), split(btrim(col("state"), lit(nl)), nl + nl).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("wc"), col("ss"),
+          explode(sequence(lit(1), size(col("ss")) - 1)).as("i"))
+        .select(element_at(col("ss"), col("i")).as("lsym"),
+          element_at(col("ss"), col("i") + 1).as("rsym"), col("wc"))
+        .groupBy(col("lsym"), col("rsym")).agg(sum(col("wc")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
+        .limit(1).collect()
+      val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((it.toLong, l, r, c))
+      val next = Caching.temp(state.select(
+        replace(col("state"), lit(nl + l + nl + nl + r + nl), lit(nl + l + r + nl))
+          .as("state"), col("wc")))
+      next.count()
+      state.unpersist(blocking = false)
+      state = next
+    }
+    state.unpersist(blocking = false)
+    val s = documents.sparkSession
+    import s.implicits._
+    merges.result().toDF("merge_rank", "lsym", "rsym", "pair_count")
+  }
+
   /** x38: statistical LM quality score (CCNet-style filter): train an
     * add-one-smoothed BIGRAM language model on the corpus itself, then
     * score every document by its average negative log-likelihood

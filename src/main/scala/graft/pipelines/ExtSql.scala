@@ -2331,6 +2331,76 @@ object ExtSql {
          |FROM df JOIN lam USING (f) GROUP BY 1""".stripMargin
   }
 
+  // ---- x116 consistent-hash resharding audit -----------------------
+  // HRW owner = argmax over md5("n<i>:" || key); hex strings compare
+  // identically in both engines. The when-chain mirrors Skew.hrwOwner.
+
+  private val x116 = {
+    import graft.ops.Skew
+    def hs(n: Int): String =
+      (0 until n).map(i => s"md5('n$i:' || k)").mkString("greatest(", ", ", ")")
+    def owner(n: Int): String =
+      (0 until n).map(i =>
+        s"WHEN md5('n$i:' || k) = top$n THEN 'n$i'").mkString("CASE ", " ", " END")
+    raw"""WITH k AS (
+         |  SELECT doc_id, doc_id::VARCHAR AS k FROM documents),
+         |t AS (
+         |  SELECT doc_id, k, ${hs(Skew.ShardsOld)} AS top${Skew.ShardsOld},
+         |         ${hs(Skew.ShardsNew)} AS top${Skew.ShardsNew}
+         |  FROM k),
+         |o AS (
+         |  SELECT doc_id,
+         |         ${owner(Skew.ShardsOld)} AS hrw_old,
+         |         ${owner(Skew.ShardsNew)} AS hrw_new,
+         |         doc_id % ${Skew.ShardsOld} AS mod_old,
+         |         doc_id % ${Skew.ShardsNew} AS mod_new
+         |  FROM t)
+         |SELECT doc_id, hrw_old, hrw_new,
+         |       CAST(mod_old AS BIGINT) AS mod_old,
+         |       CAST(mod_new AS BIGINT) AS mod_new,
+         |       CAST(CASE WHEN hrw_old <> hrw_new THEN 1 ELSE 0 END AS BIGINT) AS hrw_moved,
+         |       CAST(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END AS BIGINT) AS mod_moved
+         |FROM o""".stripMargin
+  }
+
+  // ---- x117 BPE merge training -------------------------------------
+  // Unrolled CTE chain (the kmeans-oracle pattern): each iteration
+  // re-derives pair counts from the previous generation's delimited
+  // states, takes the same (count DESC, l, r) argmax, and applies the
+  // same literal replace — so the whole training trajectory must
+  // agree, not just the final table.
+
+  private val x117 = {
+    val iters = TextAnalysis.BpeMerges
+    val nl = "chr(10)"
+    def stepCtes(i: Int): String =
+      raw"""p$i AS (
+           |  SELECT ss[j] AS l, ss[j + 1] AS r, sum(wc) AS cnt
+           |  FROM (SELECT string_split(trim(state, $nl), $nl || $nl) AS ss, wc
+           |        FROM w${i - 1}),
+           |       unnest(range(1, len(ss))) AS t(j)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$i AS (
+           |  SELECT replace(state, $nl || l || $nl || $nl || r || $nl,
+           |                 $nl || l || r || $nl) AS state, wc
+           |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    val finalSel = (1 to iters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lsym, r AS rsym, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM m$i")
+      .mkString("\n|UNION ALL ".stripMargin)
+    raw"""WITH $toksCte,
+         |wcnt AS (
+         |  SELECT t AS w, count(*) AS wc
+         |  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),
+         |w0 AS (
+         |  SELECT $nl || array_to_string([w[i] for i in range(1, len(w) + 1)],
+         |                                $nl || $nl) || $nl AS state, wc
+         |  FROM wcnt),
+         |${(1 to iters).map(stepCtes).mkString(",\n")}
+         |$finalSel""".stripMargin
+  }
+
   // ---- x104 streaming dedup-on-ingest ------------------------------
   // Oracle = the batch form of the stream-static anti join (x32's
   // subtraction without the within-batch grouping — the streaming
@@ -2360,6 +2430,8 @@ object ExtSql {
     "x113_bucketed_join"  -> x113,
     "x114_knn_graph"      -> x114,
     "x115_dsir_weights"   -> x115,
+    "x116_reshard"        -> x116,
+    "x117_bpe_train"      -> x117,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

@@ -422,6 +422,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected the broadcast λ join:\n$p")
   }
 
+  test("x116 reshard audit is map-only: one projection, no shuffle, no UDF") {
+    val p = plan("x116_reshard")
+    assert(!p.contains("Exchange"), s"reshard audit must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython"), s"reshard audit must not plan a UDF:\n$p")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

@@ -28,6 +28,24 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(saltSpread > 1)
   }
 
+  test("x116 HRW reshard: movers all land on the new node, minimal movement") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Skew.reshardAudit(docs).collect()
+    val n = out.length.toDouble
+    // the HRW invariant growing N→N+1: a key moves IFF the new node's
+    // hash wins, so every mover's destination is the new node
+    val movers = out.filter(_.getAs[Long]("hrw_moved") == 1L)
+    assert(movers.nonEmpty && movers.forall(_.getAs[String]("hrw_new") == s"n${Skew.ShardsNew - 1}"))
+    // and nobody else changed owner
+    assert(out.filter(_.getAs[Long]("hrw_moved") == 0L)
+      .forall(r => r.getAs[String]("hrw_old") == r.getAs[String]("hrw_new")))
+    // movement rates: HRW ≈ 1/9 of keys; hash-mod ≈ 8/9
+    val hrwRate = movers.length / n
+    val modRate = out.count(_.getAs[Long]("mod_moved") == 1L) / n
+    assert(hrwRate > 0.04 && hrwRate < 0.20, s"HRW movement was $hrwRate")
+    assert(modRate > 0.75, s"mod movement was $modRate")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {

@@ -8,6 +8,38 @@ import graft.ops.TextAnalysis
 class TokenizeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("x117 BPE training reproduces the classic merge trajectory by hand") {
+    // Sennrich-style corpus: low×3 lower×2 newest×4 widest×1.
+    // Hand-derived with (count DESC, l, r) tie-breaks:
+    //  1 (w,e,6)  2 (l,o,5)  3 (s,t,5)  4 (e,we,4)
+    //  5 (ewe,st,4)  6 (n,ewest,4)  7 (lo,w,3)  8 (lo,we,2)
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest", "en"),
+      (2L, "newest newest widest", "en")
+    ).toDF("doc_id", "text", "lang")
+    val merges = TextAnalysis.bpeTrain(docs).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lsym"),
+        r.getAs[String]("rsym"), r.getAs[Long]("pair_count"))).sortBy(_._1)
+    assert(merges === Array(
+      (1L, "w", "e", 6L), (2L, "l", "o", 5L), (3L, "s", "t", 5L),
+      (4L, "e", "we", 4L), (5L, "ewe", "st", 4L), (6L, "n", "ewest", 4L),
+      (7L, "lo", "w", 3L), (8L, "lo", "we", 2L)))
+  }
+
+  test("x117 greedy apply: back-to-back and overlapping occurrences behave like BPE") {
+    // 'ababab' must merge every (a,b) pair — the shared-delimiter
+    // replace has to catch back-to-back occurrences; 'aaa' must merge
+    // greedily left-to-right to [aa, a], not [a, aa]
+    val docs = Seq((1L, "ababab aaa", "en")).toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.bpeTrain(docs, iters = 2).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lsym"),
+        r.getAs[String]("rsym"), r.getAs[Long]("pair_count"))).sortBy(_._1)
+    // iter1 pairs: (a,b)=3, (b,a)=2, (a,a)=2 → merge (a,b) 3
+    // after: ababab=[ab,ab,ab], aaa untouched
+    // iter2 pairs: (ab,ab)=2, (a,a)=2 → tie, 'a' < 'ab' → (a,a) 2
+    assert(m === Array((1L, "a", "b", 3L), (2L, "a", "a", 2L)))
+  }
+
   test("tokenIds: dense sorted vocab ids, per-doc order preserved") {
     val docs = Seq(
       (1L, "b a c a", "en"),
