@@ -111,6 +111,45 @@ object Olap {
     *
     * Scale: one map-side projection (branch-free bit math inside
     * whole-stage codegen) + one hash aggregate on 256 buckets. */
+  // ---- x119 small-file compaction plan -----------------------------
+
+  /** Bin capacity for [[compactionPlan]], in proxy bytes. */
+  val CompactTargetBytes = 65536L
+  /** Synthetic file count per (returnflag, linestatus) partition. */
+  val CompactFilesPerPart = 40L
+
+  /** x119: the small-files compaction planner (the OPTIMIZE /
+    * bin-packing step every lakehouse runs; at 100 TB the "millions of
+    * tiny files" problem is a metadata-and-open-cost killer, and the
+    * fix is exactly this plan executed as one rewrite job). The file
+    * inventory is synthesized deterministically from lineitem — files
+    * keyed by (l_returnflag, l_linestatus, l_orderkey mod 40) with a
+    * skewed integer size proxy — then each partition's files are
+    * packed size-ordered into [[CompactTargetBytes]] bins by
+    * cumulative offset: bin = floor(bytes-before / target). Files
+    * larger than the target land alone in their own bin (compaction
+    * no-op), exactly like the real planner. One hash aggregate to the
+    * inventory + per-partition windows — the plan frame is
+    * |partitions|·40 rows regardless of corpus size. All integer
+    * arithmetic. */
+  def compactionPlan(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        pmod(col("l_orderkey"), lit(CompactFilesPerPart)).as("file_id"),
+        ((pmod(col("l_orderkey"), lit(97L)) + 16L) * 8L).as("row_bytes"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("row_bytes")).as("size_bytes"))
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("size_bytes").asc, col("file_id").asc)
+    inv
+      .withColumn("cum_before",
+        coalesce(sum(col("size_bytes")).over(w) - col("size_bytes"), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $CompactTargetBytes"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("file_id"),
+        col("n_rows"), col("size_bytes"), col("bin"))
+  }
+
   def zorderLayout(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
     graft.functions.ZOrder2.register(spark)

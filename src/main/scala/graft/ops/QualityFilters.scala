@@ -254,6 +254,56 @@ object QualityFilters {
       (score >= 0.5).cast("long").as("clf_keep"))
   }
 
+  // ---- x118 UniMax budget allocation -------------------------------
+
+  /** Per-source epoch cap for [[unimaxAlloc]], in tenths (11 = 1.1
+    * epochs) so the cap is exact integer arithmetic. */
+  val UnimaxCapTenths = 11L
+
+  /** x118: UniMax sampling allocation (Chung et al. '23,
+    * arXiv:2304.09151) — distribute a total token budget over sources
+    * so no source repeats more than C epochs: walk sources SMALLEST
+    * first; a source takes min(its C-epoch cap, an equal share of the
+    * remaining budget). Small sources cap out; the freed budget
+    * spreads evenly over the larger ones. The greedy walk has a
+    * closed form over the size-sorted prefix — source i is capped iff
+    * every j ≤ i satisfies cap_j·(m−j+1) + Σ_{l<j} cap_l ≤ B — so the
+    * whole allocation is two windows over the |sources|-row grouped
+    * frame (the x103 bounded-window pattern; the corpus itself
+    * collapses in one aggregate and never re-shuffles). Budget B =
+    * total corpus tokens (one average epoch); all arithmetic is exact
+    * integer (caps in tenths, floor-div fair share), so both engines
+    * agree bit-for-bit; only the final epochs ratio rounds 4dp. */
+  def unimaxAlloc(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = withTokens(documents)
+      .select(col("source"), size(col("toks")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("cap_tokens", expr(s"n_tokens * $UnimaxCapTenths div 10"))
+    val tot = src.agg(sum(col("n_tokens")).as("budget"))
+    val wOrd = Window.orderBy(col("cap_tokens").asc, col("source").asc)
+    val wAll = Window.partitionBy()
+    val ranked = src.crossJoin(broadcast(tot))
+      .withColumn("idx", row_number().over(wOrd).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("cum_before",
+        coalesce(sum(col("cap_tokens")).over(wOrd) - col("cap_tokens"), lit(0L)))
+      .withColumn("cond",
+        (col("cap_tokens") * (col("m") - col("idx") + 1) + col("cum_before") <=
+          col("budget")).cast("int"))
+      .withColumn("capped", (min(col("cond")).over(wOrd) === 1).cast("long"))
+    ranked
+      .withColumn("k", sum(col("capped")).over(wAll))
+      .withColumn("capped_sum",
+        coalesce(sum(when(col("capped") === 1, col("cap_tokens"))).over(wAll), lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1, col("cap_tokens"))
+          .otherwise(expr("(budget - capped_sum) div (m - k)")))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"), col("capped"),
+        col("alloc_tokens"),
+        round4(col("alloc_tokens").cast("double") / col("n_tokens")).as("epochs"))
+  }
+
   // ---- x115 DSIR importance weights --------------------------------
 
   /** Hashed-feature space size for [[dsirWeights]] (the paper uses 10k

@@ -2401,6 +2401,78 @@ object ExtSql {
          |$finalSel""".stripMargin
   }
 
+  // ---- x118 UniMax budget allocation -------------------------------
+  // Same two-window closed form over the size-sorted source frame;
+  // all integer arithmetic (caps in tenths, floor-div fair share).
+
+  private val x118 = {
+    val capT = QualityFilters.UnimaxCapTenths
+    raw"""WITH $toksCte,
+         |src AS (
+         |  SELECT d.source, CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+         |  FROM tok t JOIN documents d USING (doc_id)
+         |  GROUP BY 1),
+         |capd AS (
+         |  SELECT source, n_tokens, n_tokens * $capT // 10 AS cap_tokens,
+         |         (SELECT sum(n_tokens) FROM src) AS budget
+         |  FROM src),
+         |ranked AS (
+         |  SELECT *,
+         |         row_number() OVER ord AS idx,
+         |         count(*) OVER () AS m,
+         |         coalesce(sum(cap_tokens) OVER ord - cap_tokens, 0) AS cum_before
+         |  FROM capd
+         |  WINDOW ord AS (ORDER BY cap_tokens, source
+         |                 ROWS UNBOUNDED PRECEDING)),
+         |conds AS (
+         |  SELECT *,
+         |         CASE WHEN cap_tokens * (m - idx + 1) + cum_before <= budget
+         |              THEN 1 ELSE 0 END AS cond
+         |  FROM ranked),
+         |flags AS (
+         |  SELECT *,
+         |         CASE WHEN min(cond) OVER (ORDER BY cap_tokens, source
+         |                                   ROWS UNBOUNDED PRECEDING) = 1
+         |              THEN 1 ELSE 0 END AS capped
+         |  FROM conds),
+         |agg AS (
+         |  SELECT *,
+         |         sum(capped) OVER () AS k,
+         |         coalesce(sum(CASE WHEN capped = 1 THEN cap_tokens END)
+         |                    OVER (), 0) AS capped_sum
+         |  FROM flags)
+         |SELECT source, n_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+         |       CAST(capped AS BIGINT) AS capped,
+         |       CAST(CASE WHEN capped = 1 THEN cap_tokens
+         |                 ELSE (budget - capped_sum) // (m - k) END AS BIGINT)
+         |         AS alloc_tokens,
+         |       floor(CAST(CASE WHEN capped = 1 THEN cap_tokens
+         |                       ELSE (budget - capped_sum) // (m - k) END AS DOUBLE)
+         |             / n_tokens * 10000 + 0.5) / 10000 AS epochs
+         |FROM agg""".stripMargin
+  }
+
+  // ---- x119 small-file compaction plan -----------------------------
+
+  private val x119 = {
+    import graft.ops.Olap
+    raw"""WITH inv AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |         l_orderkey % ${Olap.CompactFilesPerPart} AS file_id,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum((l_orderkey % 97 + 16) * 8) AS BIGINT) AS size_bytes
+         |  FROM lineitem
+         |  GROUP BY 1, 2, 3)
+         |SELECT l_returnflag, l_linestatus, CAST(file_id AS BIGINT) AS file_id,
+         |       n_rows, size_bytes,
+         |       CAST(coalesce(sum(size_bytes) OVER w - size_bytes, 0)
+         |            // ${Olap.CompactTargetBytes} AS BIGINT) AS bin
+         |FROM inv
+         |WINDOW w AS (PARTITION BY l_returnflag, l_linestatus
+         |             ORDER BY size_bytes, file_id
+         |             ROWS UNBOUNDED PRECEDING)""".stripMargin
+  }
+
   // ---- x104 streaming dedup-on-ingest ------------------------------
   // Oracle = the batch form of the stream-static anti join (x32's
   // subtraction without the within-batch grouping — the streaming
@@ -2432,6 +2504,8 @@ object ExtSql {
     "x115_dsir_weights"   -> x115,
     "x116_reshard"        -> x116,
     "x117_bpe_train"      -> x117,
+    "x118_unimax"         -> x118,
+    "x119_compaction"     -> x119,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

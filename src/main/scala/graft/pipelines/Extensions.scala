@@ -238,7 +238,9 @@ object Extensions {
     "x114_knn_graph"     -> ((s, d) => Similarity.knnGraphFrom(vecsShared(s, d), centsShared(s, d))),
     "x115_dsir_weights"  -> ((s, d) => graft.ops.QualityFilters.dsirWeights(docs(s, d))),
     "x116_reshard"       -> ((s, d) => graft.ops.Skew.reshardAudit(docs(s, d))),
-    "x117_bpe_train"     -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d))))
+    "x117_bpe_train"     -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d))),
+    "x118_unimax"        -> ((s, d) => graft.ops.QualityFilters.unimaxAlloc(docs(s, d))),
+    "x119_compaction"    -> ((s, d) => graft.ops.Olap.compactionPlan(Tables.lineitem(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

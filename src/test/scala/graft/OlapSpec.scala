@@ -171,6 +171,28 @@ class OlapSpec extends SparkSpec {
       (3L, 2L, 500L, 600L), (4L, 2L, 700L, 800L)))
   }
 
+  test("x119 compaction: sequential size-ordered packing respects bin geometry") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val out = graft.ops.Olap.compactionPlan(li).collect()
+      .map(r => ((r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")),
+        (r.getAs[Long]("file_id"), r.getAs[Long]("size_bytes"), r.getAs[Long]("bin"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.nonEmpty)
+    val target = graft.ops.Olap.CompactTargetBytes
+    for ((_, files) <- out) {
+      // re-derive the bin from the size-ordered cumulative offset
+      val ordered = files.sortBy(f => (f._2, f._1))
+      var cum = 0L
+      for ((_, size, bin) <- ordered) {
+        assert(bin === cum / target, s"bin mismatch at cum=$cum size=$size")
+        cum += size
+      }
+      // bins start at 0 and are contiguous
+      val bins = ordered.map(_._3)
+      assert(bins.head === 0L && bins.distinct === bins.distinct.sorted)
+    }
+  }
+
   test("tfidfCosinePairs: identical docs score 1.0, disjoint docs never pair") {
     val t1 = "alpha beta gamma delta"
     val docs = Seq((1L, t1, "en", "s", 22L), (2L, t1, "en", "s", 22L),

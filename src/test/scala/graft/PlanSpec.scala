@@ -428,6 +428,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython"), s"reshard audit must not plan a UDF:\n$p")
   }
 
+  test("x118/x119: corpus collapses before the bounded planning windows") {
+    // x118: the only join is the broadcast scalar budget; the windows
+    // run over the |sources|-row grouped frame, never the corpus
+    val p118 = plan("x118_unimax")
+    assert(!p118.contains("SortMergeJoin") && !p118.contains("CartesianProduct"),
+      s"budget must broadcast to the grouped frame:\n$p118")
+    // x119: packing windows are keyed by the table partition
+    val p119 = plan("x119_compaction")
+    assert(p119.contains("hashpartitioning(l_returnflag"),
+      s"packing window must partition by (returnflag, linestatus):\n$p119")
+    assert(!p119.contains("SinglePartition") || !p119.contains("Window"),
+      s"no global window belongs in the packing plan:\n$p119")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

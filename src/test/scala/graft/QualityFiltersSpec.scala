@@ -13,6 +13,28 @@ class QualityFiltersSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("x118 UniMax: small sources cap out, the rest split the freed budget evenly") {
+    // sources: tiny=2 tokens, small=4, big=12, huge=18 → B=36,
+    // caps (1.1 epochs, tenths) = 2, 4, 13, 19
+    // walk ascending: tiny 2·4+0=8≤36 capped; small 4·3+2=14≤36 capped;
+    // big 13·2+6=32≤36 capped; huge 19+19=38>36 uncapped →
+    // alloc = 36−19 = 17 (floor-div by 1)
+    val corpus = Seq(
+      (1L, "a b", "t"), (2L, "c d e f", "s"),
+      (3L, ("g " * 12).trim, "b"), (4L, ("h " * 18).trim, "h")
+    ).toDF("doc_id", "text", "source")
+    val out = unimaxAlloc(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("cap_tokens"), r.getAs[Long]("capped"),
+          r.getAs[Long]("alloc_tokens"))).toMap
+    assert(out("t") === ((2L, 1L, 2L)))
+    assert(out("s") === ((4L, 1L, 4L)))
+    assert(out("b") === ((13L, 1L, 13L)))
+    assert(out("h") === ((19L, 0L, 17L)))
+    // budget exactly exhausted here: 2+4+13+17 = 36
+    assert(out.values.map(_._3).sum === 36L)
+  }
+
   test("x115 DSIR weights separate target-like from off-target docs") {
     // target (en) docs draw from vocabulary A, others from disjoint
     // vocabulary B → an A-worded doc's features are target-typical
