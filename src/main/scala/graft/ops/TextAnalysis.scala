@@ -604,7 +604,10 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(concat(lit(nl), array_join(split(col("w"), ""), nl + nl), lit(nl))
         .as("state"), col("wc")))
-    state.count()
+    // generation g stays cached until generation g+1 has materialized
+    // THROUGH it (the argmax collect below) — a deferred unpersist, so
+    // no extra eager count() job per iteration
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (it <- 1 to iters) {
       val best = state
@@ -617,15 +620,16 @@ object TextAnalysis {
         .groupBy(col("lsym"), col("rsym")).agg(sum(col("wc")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
         .limit(1).collect()
+      if (prev != null) prev.unpersist(blocking = false)
       val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((it.toLong, l, r, c))
       val next = Caching.temp(state.select(
         replace(col("state"), lit(nl + l + nl + nl + r + nl), lit(nl + l + r + nl))
           .as("state"), col("wc")))
-      next.count()
-      state.unpersist(blocking = false)
+      prev = state
       state = next
     }
+    if (prev != null) prev.unpersist(blocking = false)
     state.unpersist(blocking = false)
     val s = documents.sparkSession
     import s.implicits._
