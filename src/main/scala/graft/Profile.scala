@@ -63,6 +63,22 @@ object Profile {
     time("u3 no persists")(noop(checkedFrom(validNoPersist)))
     time("u3 as shipped (cold-ish)")(noop(SparkEntry.queries("u3_main_checked")(spark, sfDir)))
     time("u3 as shipped (cache hit)")(noop(SparkEntry.queries("u3_main_checked")(spark, sfDir)))
+
+    // ---- f3_missing_sl decomposition ----
+    val marc = SapAnalog.marc(spark, sfDir)
+    time("f3: marc materialize")(noop(marc))
+    val inScope = graft.ops.Relational.semiJoin(marc,
+        broadcast(gar.filter(col("spk_sl_project") === "Yes")), Seq("plant"))
+      .join(SapAnalog.mara(spark, sfDir).select(col("material"), col("material_type")),
+        Seq("material"), "left")
+      .filter(col("material_type").isin("FERT", "HAWA", "ZICP"))
+      .filter(col("plant_status") === "50")
+    time("f3: inScope (marc cached)")(noop(inScope))
+    val valid = SlValidation.validSlQ(spark, sfDir)
+    time("f3: valid pipeline alone")(noop(valid))
+    time("f3: anti join (all cached)")(noop(
+      graft.ops.Relational.antiJoin(inScope, valid, Seq("mp"))))
+    time("f3: as shipped")(noop(SparkEntry.queries("f3_missing_sl")(spark, sfDir)))
     spark.stop()
   }
 }

@@ -327,17 +327,27 @@ object Dedup {
     // shuffle plus a second sort and a second explode pass; and a
     // broadcast hint on a vocabulary-scaling table is the r1
     // scale-killer pattern.)
+    // postings carry a 60-bit md5 hash of the shingle, NOT the ~40-char
+    // string: the candidate self-join below is the query's dominant
+    // shuffle (116M rows at sf1) and 8-byte long keys cut its bytes
+    // ~4x and its sort-merge comparisons to integer compares (sf1:
+    // 225 s + 94.6 GB spill -> in-band, spill 0). Collisions (2^-60)
+    // only ADD candidates, which the exact verify removes; both
+    // engines hash identically (md5-prefix conv, the x5 convention),
+    // so df counts and prefixes stay bit-identical cross-engine.
     val prefix = Caching.temp(sh
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .select(col("doc_id"), col("n"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= maxDf)
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df").asc, col("s").asc)))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df").asc, col("h").asc)))
       .withColumn("n_idx", count(lit(1)).over(byDoc))
       .filter(col("rk") <= col("n_idx") - ceil(lit(threshold) * col("n_idx")) + 1)
-      .select(col("doc_id"), col("n"), col("s")))
+      .select(col("doc_id"), col("n"), col("h")))
     // length filter (PPJoin): J ≥ τ forces τ·|A| ≤ |B| and τ·|B| ≤ |A|
     val cands = prefix.alias("l").join(prefix.alias("r"),
-        col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id") &&
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
         lit(threshold) * col("l.n") <= col("r.n") &&
         lit(threshold) * col("r.n") <= col("l.n"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
@@ -392,19 +402,23 @@ object Dedup {
                            maxDf: Int = MaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id"))
-    // capped postings (df via the same single postings window as x25)
+    // capped postings (df via the same single postings window as x25,
+    // on the same 60-bit shingle hash — see jaccardPairsExactFrom on
+    // why the join key is a long, not the shingle string)
     val capped = Caching.temp(sh
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .select(col("doc_id"), col("n"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= maxDf))
     // source-side prefix over the doc's CAPPED postings, rarity-first
     val prefix = capped
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df").asc, col("s").asc)))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df").asc, col("h").asc)))
       .withColumn("n_idx", count(lit(1)).over(byDoc))
       .filter(col("rk") <= col("n_idx") - ceil(lit(threshold) * col("n_idx")) + 1)
-      .select(col("doc_id"), col("n"), col("s"))
+      .select(col("doc_id"), col("n"), col("h"))
     val cands = prefix.alias("l").join(capped.alias("r"),
-        col("l.s") === col("r.s") && col("l.doc_id") =!= col("r.doc_id") &&
+        col("l.h") === col("r.h") && col("l.doc_id") =!= col("r.doc_id") &&
         lit(threshold) * col("l.n") <= col("r.n"))
       .select(col("l.doc_id").as("doc_src"), col("r.doc_id").as("doc_dst"))
       .distinct()
@@ -787,15 +801,20 @@ object Dedup {
   def contaminationFrom(sh: DataFrame, documents: DataFrame, minShared: Int = 3,
                         maxDf: Int = MaxShingleDf): DataFrame = {
     val split = TextAnalysis.splitAssign(documents).select(col("doc_id"), col("split"))
+    // 60-bit hashed shingle keys, like jaccardPairsExactFrom: the
+    // test×train posting join is the dominant shuffle and long keys
+    // beat ~40-char strings; both engines hash identically
     val post = Caching.temp(sh.join(split, Seq("doc_id"))
       .select(col("doc_id"), col("split"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("split"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
       .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("df") <= maxDf))
     post.filter(col("split") === "test")
-      .select(col("doc_id").as("test_doc"), col("s"))
+      .select(col("doc_id").as("test_doc"), col("h"))
       .join(post.filter(col("split") === "train")
-        .select(col("doc_id").as("train_doc"), col("s")), Seq("s"))
+        .select(col("doc_id").as("train_doc"), col("h")), Seq("h"))
       .groupBy(col("test_doc"), col("train_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

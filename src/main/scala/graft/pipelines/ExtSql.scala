@@ -545,21 +545,22 @@ object ExtSql {
     raw"""WITH $toksCte, $shCte,
          |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
          |post AS (
-         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
-         |  FROM (SELECT doc_id, unnest(sh) AS s FROM dsh)),
-         |capped AS (SELECT doc_id, n, s, df FROM (
-         |  SELECT doc_id, len(sh) AS n, s, df FROM post JOIN dsh USING (doc_id))
+         |  SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+         |  FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         |        FROM (SELECT doc_id, unnest(sh) AS s FROM dsh))),
+         |capped AS (SELECT doc_id, n, h, df FROM (
+         |  SELECT doc_id, len(sh) AS n, h, df FROM post JOIN dsh USING (doc_id))
          |  WHERE df <= ${Dedup.MaxShingleDf}),
          |pre AS (
-         |  SELECT doc_id, n, s FROM (
-         |    SELECT doc_id, n, s,
-         |           row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk,
+         |  SELECT doc_id, n, h FROM (
+         |    SELECT doc_id, n, h,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rk,
          |           count(*) OVER (PARTITION BY doc_id) AS n_idx
          |    FROM capped)
          |  WHERE rk <= n_idx - ceil(${Dedup.JaccardThreshold} * n_idx) + 1),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM pre l JOIN pre r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  FROM pre l JOIN pre r ON l.h = r.h AND l.doc_id < r.doc_id
          |   AND ${Dedup.JaccardThreshold} * l.n <= r.n
          |   AND ${Dedup.JaccardThreshold} * r.n <= l.n)
          |SELECT doc_a, doc_b, jaccard FROM (
@@ -1050,13 +1051,15 @@ object ExtSql {
          |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
          |$splitCte,
          |post AS (
-         |  SELECT doc_id, split, s, count(*) OVER (PARTITION BY s) AS df
-         |  FROM (SELECT d.doc_id, sp.split, unnest(d.sh) AS s
-         |        FROM dsh d JOIN sp USING (doc_id))),
-         |capped AS (SELECT doc_id, split, s FROM post WHERE df <= ${Dedup.MaxShingleDf})
+         |  SELECT doc_id, split, h, count(*) OVER (PARTITION BY h) AS df
+         |  FROM (SELECT doc_id, split,
+         |               ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         |        FROM (SELECT d.doc_id, sp.split, unnest(d.sh) AS s
+         |              FROM dsh d JOIN sp USING (doc_id)))),
+         |capped AS (SELECT doc_id, split, h FROM post WHERE df <= ${Dedup.MaxShingleDf})
          |SELECT t.doc_id AS test_doc, tr.doc_id AS train_doc,
          |       CAST(count(*) AS BIGINT) AS n_shared
-         |FROM capped t JOIN capped tr ON t.s = tr.s
+         |FROM capped t JOIN capped tr ON t.h = tr.h
          |WHERE t.split = 'test' AND tr.split = 'train'
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
 
@@ -2198,21 +2201,22 @@ object ExtSql {
     raw"""WITH $toksCte, $shCte,
          |dsh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
          |post AS (
-         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
-         |  FROM (SELECT doc_id, unnest(sh) AS s FROM dsh)),
-         |capped AS (SELECT doc_id, n, s, df FROM (
-         |  SELECT doc_id, len(sh) AS n, s, df FROM post JOIN dsh USING (doc_id))
+         |  SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+         |  FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         |        FROM (SELECT doc_id, unnest(sh) AS s FROM dsh))),
+         |capped AS (SELECT doc_id, n, h, df FROM (
+         |  SELECT doc_id, len(sh) AS n, h, df FROM post JOIN dsh USING (doc_id))
          |  WHERE df <= ${Dedup.MaxShingleDf}),
          |pre AS (
-         |  SELECT doc_id, n, s FROM (
-         |    SELECT doc_id, n, s,
-         |           row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk,
+         |  SELECT doc_id, n, h FROM (
+         |    SELECT doc_id, n, h,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rk,
          |           count(*) OVER (PARTITION BY doc_id) AS n_idx
          |    FROM capped)
          |  WHERE rk <= n_idx - ceil($tau * n_idx) + 1),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS doc_src, r.doc_id AS doc_dst
-         |  FROM pre l JOIN capped r ON l.s = r.s AND l.doc_id <> r.doc_id
+         |  FROM pre l JOIN capped r ON l.h = r.h AND l.doc_id <> r.doc_id
          |   AND $tau * l.n <= r.n)
          |SELECT doc_src, doc_dst, containment FROM (
          |  SELECT c.doc_src, c.doc_dst,
