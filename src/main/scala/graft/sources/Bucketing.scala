@@ -33,9 +33,22 @@ object Bucketing {
   val Buckets = 8
 
   /** Bucketed external tables for (session, dir), written once per
-    * pair under target/ and registered in the session catalog. */
+    * pair under the build dir and registered in the session catalog. */
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  /** Table location anchored at the compiled-classes `target/` dir,
+    * NOT the cwd — the driver harness may invoke Verify/Bench from
+    * any directory, and a cwd-relative `option("path", …)` would
+    * resolve against <cwd>/spark-warehouse (the EventStream sinkDir
+    * lesson). */
+  private def tableDir(leaf: String): String = {
+    var d = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    while (d != null && d.getName != "target") d = d.getParentFile
+    val base = if (d != null) d else new java.io.File("target")
+    new java.io.File(new java.io.File(base, "graft-bucketed"), leaf).getAbsolutePath
+  }
 
   private def tables(s: SparkSession, d: String): (String, String) =
     memo.getOrElseUpdate((s, d), {
@@ -46,7 +59,7 @@ object Bucketing {
         .repartition(Buckets, col("o_orderkey"))
         .write.mode("overwrite")
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"target/graft-bucketed/orders_$tag")
+        .option("path", tableDir(s"orders_$tag"))
         .saveAsTable(ordT)
       Tables.lineitem(s, d)
         .select(col("l_orderkey"),
@@ -57,7 +70,7 @@ object Bucketing {
         .repartition(Buckets, col("l_orderkey"))
         .write.mode("overwrite")
         .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"target/graft-bucketed/lineitem_$tag")
+        .option("path", tableDir(s"lineitem_$tag"))
         .saveAsTable(liT)
       (ordT, liT)
     })
