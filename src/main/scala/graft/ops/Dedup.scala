@@ -345,8 +345,14 @@ object Dedup {
       .withColumn("n_idx", count(lit(1)).over(byDoc))
       .filter(col("rk") <= col("n_idx") - ceil(lit(threshold) * col("n_idx")) + 1)
       .select(col("doc_id"), col("n"), col("h")))
-    // length filter (PPJoin): J ≥ τ forces τ·|A| ≤ |B| and τ·|B| ≤ |A|
-    val cands = prefix.alias("l").join(prefix.alias("r"),
+    // length filter (PPJoin): J ≥ τ forces τ·|A| ≤ |B| and τ·|B| ≤ |A|.
+    // shuffle_hash, not sort-merge: the join INPUT is small (capped
+    // postings) but its OUTPUT is the Σdf² candidate stream — SMJ
+    // buffers same-key row groups while streaming that output and the
+    // sort machinery spills under the saturated-corpus worst case;
+    // a per-partition hash map over the postings never sorts.
+    val cands = prefix.alias("l").hint("shuffle_hash")
+      .join(prefix.alias("r"),
         col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
         lit(threshold) * col("l.n") <= col("r.n") &&
         lit(threshold) * col("r.n") <= col("l.n"))
@@ -417,7 +423,8 @@ object Dedup {
       .withColumn("n_idx", count(lit(1)).over(byDoc))
       .filter(col("rk") <= col("n_idx") - ceil(lit(threshold) * col("n_idx")) + 1)
       .select(col("doc_id"), col("n"), col("h"))
-    val cands = prefix.alias("l").join(capped.alias("r"),
+    val cands = prefix.alias("l").hint("shuffle_hash")
+      .join(capped.alias("r"),
         col("l.h") === col("r.h") && col("l.doc_id") =!= col("r.doc_id") &&
         lit(threshold) * col("l.n") <= col("r.n"))
       .select(col("l.doc_id").as("doc_src"), col("r.doc_id").as("doc_dst"))
