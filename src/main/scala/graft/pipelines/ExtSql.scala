@@ -2477,6 +2477,19 @@ object ExtSql {
          |             ROWS UNBOUNDED PRECEDING)""".stripMargin
   }
 
+  // ---- x120 schema-evolution read ----------------------------------
+  // The oracle reconstructs the merged view from the single source
+  // table: gen-1 rows (even doc_id) lack n_chars (null), gen-2 rows
+  // carry it — what mergeSchema + partition discovery must produce.
+
+  private val x120 =
+    raw"""SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,
+         |       CAST(1 AS BIGINT) AS gen
+         |FROM documents WHERE doc_id % 2 = 0
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars, CAST(2 AS BIGINT) AS gen
+         |FROM documents WHERE doc_id % 2 = 1""".stripMargin
+
   // ---- x104 streaming dedup-on-ingest ------------------------------
   // Oracle = the batch form of the stream-static anti join (x32's
   // subtraction without the within-batch grouping — the streaming
@@ -2510,6 +2523,7 @@ object ExtSql {
     "x117_bpe_train"      -> x117,
     "x118_unimax"         -> x118,
     "x119_compaction"     -> x119,
+    "x120_schema_evol"    -> x120,
     "x96_xlsx_source"     -> x96,
     "x98_orc_source"      -> x98,
     "x95_running_totals"  -> x95,

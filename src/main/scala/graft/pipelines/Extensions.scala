@@ -240,7 +240,8 @@ object Extensions {
     "x116_reshard"       -> ((s, d) => graft.ops.Skew.reshardAudit(docs(s, d))),
     "x117_bpe_train"     -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d))),
     "x118_unimax"        -> ((s, d) => graft.ops.QualityFilters.unimaxAlloc(docs(s, d))),
-    "x119_compaction"    -> ((s, d) => graft.ops.Olap.compactionPlan(Tables.lineitem(s, d))))
+    "x119_compaction"    -> ((s, d) => graft.ops.Olap.compactionPlan(Tables.lineitem(s, d))),
+    "x120_schema_evol"   -> schemaEvolution _)
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND
@@ -272,6 +273,30 @@ object Extensions {
     * original table, so any write- or read-side drift breaks the
     * hash. ORC scans carry the same pushdown/pruning contract as
     * parquet (gated in SourcesSpec). */
+  /** x120: schema-evolution read — the "a year of pipeline drops"
+    * reality at 100 TB: generation 1 files lack a column that
+    * generation 2 added. Two parquet generations are written under
+    * `gen=<n>` subdirs (partition DISCOVERY yields the `gen` column —
+    * no data rewrite encodes it) and read back with
+    * `mergeSchema=true`: Spark unions the footer schemas and fills
+    * gen-1 rows with null `n_chars` — exactly the cheap evolution
+    * contract (add-nullable-column) a petabyte table relies on, since
+    * rewriting history is off the table. Paths anchor at the build
+    * dir, not the cwd (the Bucketing/sinkDir lesson). */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Bucketing.buildPath(
+      s"graft-evol/docs_${Integer.toHexString(d.hashCode)}")
+    val d0 = docs(s, d)
+    d0.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    d0.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$base/gen=2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("gen").cast("long").as("gen"))
+  }
+
   private def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
     val path = s"target/graft-orc/docs_${Integer.toHexString(d.hashCode)}.orc"
     docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))

@@ -42,12 +42,16 @@ object Bucketing {
     * any directory, and a cwd-relative `option("path", …)` would
     * resolve against <cwd>/spark-warehouse (the EventStream sinkDir
     * lesson). */
-  private def tableDir(leaf: String): String = {
+  private def tableDir(leaf: String): String = buildPath(s"graft-bucketed/$leaf")
+
+  /** <classes>/…/target/<leaf> — shared anchor for every query-path
+    * artifact write (bucketed tables, schema-evolution generations). */
+  def buildPath(leaf: String): String = {
     var d = new java.io.File(
       getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
     while (d != null && d.getName != "target") d = d.getParentFile
     val base = if (d != null) d else new java.io.File("target")
-    new java.io.File(new java.io.File(base, "graft-bucketed"), leaf).getAbsolutePath
+    new java.io.File(base, leaf).getAbsolutePath
   }
 
   private def tables(s: SparkSession, d: String): (String, String) =

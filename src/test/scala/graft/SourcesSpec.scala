@@ -91,4 +91,18 @@ class SourcesSpec extends SparkSpec {
         .json(dir.toString).collect()
     }
   }
+
+  test("x120 schema evolution: merged schema, null backfill, discovered partition") {
+    val out = SparkEntry.queries("x120_schema_evol")(spark, "/root/testdata/sf0.001")
+    val schema = out.schema
+    assert(schema.fieldNames.toSeq === Seq("doc_id", "lang", "n_chars", "gen"))
+    val rows = out.collect()
+    assert(rows.length === 500)
+    // gen-1 rows (even ids) predate the n_chars column: null backfill
+    assert(rows.filter(_.getAs[Long]("gen") == 1L).forall(_.isNullAt(2)))
+    // gen-2 rows carry real values; the gen column came from partition
+    // DISCOVERY (gen=<n> dirs), not from any data file
+    assert(rows.filter(_.getAs[Long]("gen") == 2L).forall(r => !r.isNullAt(2)))
+    assert(rows.forall(r => (r.getAs[Long]("doc_id") % 2 == 0) == (r.getAs[Long]("gen") == 1L)))
+  }
 }
