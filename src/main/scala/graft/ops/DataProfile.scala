@@ -195,4 +195,29 @@ object DataProfile {
           greatest(col("d_left"), col("d_right"))).cast("long").as("est_rows"),
         col("actual_rows"))
   }
+
+  /** x122 anonymity threshold: a quasi-identifier group under K rows
+    * is re-identifiable. */
+  val KAnonThreshold = 5
+
+  /** x122: K-ANONYMITY audit over the customer quasi-identifiers
+    * (nation, market segment, account balance rounded to a $1000
+    * band) — the release-gate check a privacy review runs before a
+    * table leaves the pipeline: every QI combination with its row
+    * count and whether it clears k ≥ [[KAnonThreshold]]. The balance
+    * goes through the integral-cents convention first, then floor
+    * division, so the band edge is bit-identical in both engines.
+    *
+    * Scale: one hash aggregate keyed by the QI tuple; output is
+    * bounded by the QI domain (|nations|×|segments|×|bands|), not the
+    * row count. The k-flag is a projection on the aggregate. */
+  def kAnonymity(customer: DataFrame, k: Int = KAnonThreshold): DataFrame =
+    customer
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(floor(col("c_acctbal") * 100 + 0.5) / 100000.0)
+          .cast("long").as("bal_band"))
+      .groupBy(col("nationkey"), col("mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("k_anonymous", col("n_rows") >= k)
 }

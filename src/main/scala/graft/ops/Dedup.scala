@@ -179,6 +179,70 @@ object Dedup {
       .distinct()
   }
 
+  /** x128: MinHash ESTIMATOR CALIBRATION — for every LSH candidate
+    * pair (same banding as x5, but NOT threshold-filtered: calibration
+    * needs the misses too), the number of agreeing signature
+    * components next to the TRUE Jaccard, aggregated per agreement
+    * count: pair volume, the estimator's value m/k, the mean true
+    * Jaccard, and the mean absolute error. This is the measurement
+    * that justifies (or indicts) the k=[[NumHashes]]/b=[[Bands]]
+    * parameter choice — E[m/k] = J (Broder '97), and the per-bucket
+    * MAE shows how wide the k=12 estimator really is.
+    *
+    * Scale: unlike x5 (shingle sets ride the band shuffle), this is
+    * the CANDIDATES-ONLY form x5's scaladoc names as the extreme-scale
+    * alternative: the band join carries doc_ids alone, and sets +
+    * signatures are re-joined by doc_id afterwards — the band shuffle
+    * stays narrow no matter how wide the documents are, at the cost
+    * of two extra hash joins against the signature frame. Mean/MAE
+    * are integral-grid sums (1e-4), aggregation-order-independent. */
+  def minhashCalibration(documents: DataFrame): DataFrame =
+    minhashCalibrationFrom(docShingles(documents))
+
+  /** [[minhashCalibration]] over a pre-materialized shingle frame. */
+  def minhashCalibrationFrom(sh: DataFrame,
+                             maxBucket: Int = MaxBucket): DataFrame = {
+    val sig = Caching.temp(sh
+      .select(col("doc_id"), col("sh"), transform(col("sh"), shingleBase _).as("hb"))
+      .select(col("doc_id"), col("sh"), minhashFromBases(col("hb")).as("sig")))
+    val banded = sig.select(col("doc_id"),
+      posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash")))
+    val bands = banded.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val cand = bands.alias("l").join(bands.alias("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("sig").as("sig_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("sig").as("sig_b"))
+    val matches = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(matches.cast("long").as("n_match"),
+        floor(jaccard(col("sh_a"), col("sh_b")) * 10000 + 0.5)
+          .cast("long").as("j4"))
+      .withColumn("e4",
+        floor(col("n_match") * 10000.0 / NumHashes + 0.5).cast("long"))
+      .groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("j4")).as("sum_j4"),
+        sum(abs(col("e4") - col("j4"))).as("sum_err"))
+      .select(col("n_match"),
+        Portable.round4(col("n_match") / lit(NumHashes.toDouble))
+          .as("est_jaccard"),
+        col("n_pairs"),
+        Portable.round4(col("sum_j4").cast("double") / col("n_pairs") / 10000.0)
+          .as("mean_jaccard"),
+        Portable.round4(col("sum_err").cast("double") / col("n_pairs") / 10000.0)
+          .as("mae"))
+  }
+
   // ---- SimHash -----------------------------------------------------
 
   /** Per-token 16-bit hash: first 4 hex nibbles of md5 as an integer.

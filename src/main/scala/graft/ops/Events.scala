@@ -401,4 +401,110 @@ object Events {
         valueCents(col("value")).as("cents")),
       Seq(col("event_type")),
       Seq(col("cents").desc, col("event_id").asc), k)
+
+  private val HourMs = 3600000L
+
+  /** x121: hourly session CONCURRENCY — for each hour, how many gap
+    * sessions (x16) were active (overlapped the hour) and how many
+    * distinct users had one. This is interval-overlap ("range join")
+    * semantics, expressed WITHOUT any non-equi join: each session
+    * interval explodes into the hours it covers and the count is a
+    * plain hash aggregate. A sequence-explode beats a range join here
+    * because one side (the hour grid) is derivable from the interval
+    * itself — no calendar table, no O(sessions × hours) nested loop.
+    *
+    * Scale: the explode factor is bounded by session DURATION (a gap
+    * session only spans hours it has events in, within 30-min gaps),
+    * so output rows ≈ sessions × avg-span — linear, map-side, on top
+    * of the one x16 sessionization shuffle; then one hash aggregate
+    * keyed by hour. No join at any size. */
+  def sessionConcurrency(events: DataFrame): DataFrame =
+    sessions(events)
+      .select(col("user_id"),
+        explode(sequence(
+          col("start_ms") - pmod(col("start_ms"), lit(HourMs)),
+          col("end_ms") - pmod(col("end_ms"), lit(HourMs)),
+          lit(HourMs))).as("hour_ms"))
+      .groupBy(col("hour_ms"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** x124: per-type Tukey VALUE BANDS — exact quartiles of the cent
+    * values per event type, IQR fences at 1.5×, and the outlier count
+    * outside them (the standard anomaly band for metric streams).
+    * Fences are snapped to the 1e-4 grid BEFORE the comparison so the
+    * flag is identical in both engines.
+    *
+    * Scale: `percentile` (exact, interpolating) aggregates a per-group
+    * counts-map whose size is the number of DISTINCT cent values —
+    * bounded by the fixed-point value domain, not the row count, so
+    * the map stays small at any SF (for unbounded domains the swap-in
+    * is the mergeable rank sketch of x40). The fence frame is one row
+    * per type; joining it back is a broadcast hash join by
+    * construction, and the outlier pass is the same single scan
+    * re-aggregated — two scans, two tiny shuffles, no sort. */
+  def valueBands(events: DataFrame): DataFrame = {
+    val cents = events.select(col("event_type"),
+      valueCents(col("value")).as("cents"))
+    val fences = cents.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), lit(0.25)).as("q1"),
+        percentile(col("cents"), lit(0.75)).as("q3"))
+      .select(col("event_type"),
+        Portable.round4(col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        Portable.round4(col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    cents.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** x125: time-series GAP FILL — the per-type hourly count series
+    * densified to every hour between that type's first and last event,
+    * absent hours as explicit zeros (what a monitoring/forecasting
+    * consumer needs; a groupBy alone silently skips empty hours).
+    *
+    * Scale: ONE hash aggregate over the events does all the heavy
+    * lifting; the dense hour grid is derived from the per-type
+    * [min,max] of that aggregate's OUTPUT (|types| rows) by a
+    * sequence-explode, so the left join is between two frames both
+    * bounded by |types| × |hours| — the observed side is broadcast.
+    * Nothing about this plan changes when the event count scales
+    * 100×; only the first aggregate's input does. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val counts = Caching.temp(events
+      .select(col("event_type"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .groupBy(col("event_type"), col("hour_ms"))
+      .agg(count(lit(1)).as("n")))
+    val grid = counts.groupBy(col("event_type"))
+      .agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(HourMs))).as("hour_ms"))
+    grid.join(broadcast(counts), Seq("event_type", "hour_ms"), "left")
+      .select(col("event_type"), col("hour_ms"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** x126: GROUPING SETS marginals — the by-type and by-hour marginal
+    * aggregates in ONE pass (`groupingSets`, the generalization that
+    * x18's ROLLUP and x72's CUBE are shorthands for), tagged with
+    * `grouping_id` so a consumer can split the levels. One query
+    * replaces two scans + a union of two aggregates.
+    *
+    * Scale: Expand duplicates each input row once per set (2× here)
+    * BEFORE the partial aggregate, so the shuffle carries only the
+    * two marginals' groups — strictly cheaper than running the two
+    * aggregations as separate jobs over the raw table. */
+  def groupingSetsMarginals(events: DataFrame): DataFrame =
+    parsedEvents(events)
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("hour"))),
+        col("event_type"), col("hour"))
+      // grouping_id() must be an AGGREGATE expression — the analyzer
+      // only resolves it inside the grouping-sets Aggregate itself
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
+      .select(col("event_type"), col("hour"), col("gid"),
+        col("n_events"), col("value_cents"))
 }

@@ -923,4 +923,72 @@ object TextAnalysis {
         fingerprint(col("text")).as("fp_full"),
         array_min(transform(col("sh"), s => md5(s))).as("fp_min_shingle"),
         rollingFingerprint(col("tv")).as("fp_rolling"))
+
+  /** x123: per-language QUALITY PERCENTILE — each doc's percent_rank
+    * of its quality score within its language, plus the decile it
+    * lands in. This is the feature-normalization step curriculum /
+    * mixture samplers want: "top 10% English" means something, raw
+    * scores across languages don't. The rank order (quality, doc_id)
+    * is TOTAL, so percent_rank is deterministic and the DuckDB window
+    * agrees bit-for-bit; the percentile is snapped to the 1e-4 grid.
+    *
+    * Scale: one shuffle on lang + a per-language sort. A language
+    * partition is the whole corpus slice — when a single language
+    * dominates (English at web scale), this window is the textbook
+    * skewed-window case; the swap-in is the x60 two-phase
+    * range-partitioned rank (per-range local ranks + broadcast
+    * offsets), which this op's contract allows because the rank order
+    * is total. Kept as the single-window form here where it's the
+    * right plan for bounded groups. */
+  def qualityPercentile(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").asc, col("doc_id").asc)
+    textStats(documents)
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        Portable.round4(percent_rank().over(w)).as("pctl"))
+      .withColumn("decile", least(lit(9L), floor(col("pctl") * 10).cast("long")))
+  }
+
+  /** x127: per-source DATASET CARD — the one-row-per-source summary a
+    * data release ships (datasheet/data-card practice): volume, token
+    * mass, language spread, mean quality, and the exact-duplicate
+    * rate against the WHOLE corpus (a source whose docs mostly exist
+    * elsewhere is a re-crawl, not new data). Means are computed on
+    * integral grids (token counts; quality·10⁴) so they are
+    * aggregation-order-independent in both engines.
+    *
+    * Scale: two hash aggregates — one on the canonical fingerprint
+    * (corpus-wide copy counts), one on source — plus a fingerprint-
+    * keyed join of the doc frame against the fp counts; all three key
+    * on high-cardinality columns that partition evenly. |output| =
+    * |sources|. */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val stats = withTokens(documents)
+      .select(col("doc_id"), col("source"), col("lang"),
+        fingerprint(col("text")).as("fp"),
+        size(col("toks")).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        // floor(+0.5), NOT a bare cast: Spark casts double→long by
+        // truncation, DuckDB by rounding — the explicit round is the
+        // only form both engines agree on
+        floor(qualityScore(col("text"), col("toks")) * 10000 + 0.5)
+          .cast("long").as("q4"))
+    val fpCounts = stats.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    stats.join(fpCounts, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("q4")).as("sum_q4"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        Portable.round4(col("sum_q4") / col("n_docs") / lit(10000.0))
+          .as("mean_quality"),
+        col("n_chars"), col("n_dup_docs"),
+        Portable.round4(col("n_dup_docs").cast("double") / col("n_docs"))
+          .as("dup_rate"))
+  }
 }

@@ -2501,7 +2501,185 @@ object ExtSql {
          |WHERE doc_id % 3 = 0
          |  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 3 <> 0)""".stripMargin
 
+  // ---- x121 session concurrency ------------------------------------
+
+  private val x121 =
+    raw"""WITH $sessionCtes,
+         |hrs AS (
+         |  SELECT user_id,
+         |         unnest(generate_series(start_ms - start_ms % 3600000,
+         |                                end_ms - end_ms % 3600000,
+         |                                3600000)) AS hour_ms
+         |  FROM sagg)
+         |SELECT hour_ms, CAST(count(*) AS BIGINT) AS n_sessions,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM hrs GROUP BY 1""".stripMargin
+
+  // ---- x122 k-anonymity audit --------------------------------------
+
+  private val x122 =
+    raw"""SELECT nationkey, mktsegment, bal_band,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       count(*) >= ${graft.ops.DataProfile.KAnonThreshold} AS k_anonymous
+         |FROM (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |         c_mktsegment AS mktsegment,
+         |         CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+         |                    / 100000.0) AS BIGINT) AS bal_band
+         |  FROM customer)
+         |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- x123 per-language quality percentile ------------------------
+
+  private val x123 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    raw"""WITH $toksCte,
+         |q AS (
+         |  SELECT doc_id, lang,
+         |         $qualityScoreSql
+         |  FROM (
+         |    SELECT doc_id, lang, text,
+         |           len(toks) AS n_tokens,
+         |           len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |           len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |    FROM tok)),
+         |p AS (
+         |  SELECT doc_id, lang, quality_score,
+         |         floor(percent_rank() OVER (PARTITION BY lang
+         |                 ORDER BY quality_score, doc_id) * 10000 + 0.5) / 10000 AS pctl
+         |  FROM q)
+         |SELECT doc_id, lang, quality_score, pctl,
+         |       least(9, CAST(floor(pctl * 10) AS BIGINT)) AS decile
+         |FROM p""".stripMargin
+  }
+
+  // ---- x124 per-type Tukey value bands -----------------------------
+
+  private val x124 =
+    raw"""WITH c AS (SELECT event_type, $centsExpr AS cents FROM events),
+         |f AS (
+         |  SELECT event_type,
+         |         floor((q1 - (q3 - q1) * 1.5) * 10000 + 0.5) / 10000 AS lo,
+         |         floor((q3 + (q3 - q1) * 1.5) * 10000 + 0.5) / 10000 AS hi
+         |  FROM (SELECT event_type,
+         |               quantile_cont(cents, 0.25) AS q1,
+         |               quantile_cont(cents, 0.75) AS q3
+         |        FROM c GROUP BY 1))
+         |SELECT event_type, lo, hi,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_outliers
+         |FROM c JOIN f USING (event_type)
+         |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- x125 hourly gap fill ----------------------------------------
+
+  private val x125 =
+    raw"""WITH counts AS (
+         |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT event_type,
+         |         unnest(generate_series(lo, hi, 3600000)) AS hour_ms
+         |  FROM (SELECT event_type, min(hour_ms) AS lo, max(hour_ms) AS hi
+         |        FROM counts GROUP BY 1))
+         |SELECT g.event_type, g.hour_ms,
+         |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+         |FROM grid g LEFT JOIN counts c
+         |  ON g.event_type = c.event_type AND g.hour_ms = c.hour_ms""".stripMargin
+
+  // ---- x126 grouping-sets marginals --------------------------------
+
+  private val x126 =
+    raw"""SELECT event_type, hour,
+         |       CAST(GROUPING(event_type, hour) AS BIGINT) AS gid,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(value_cents) AS BIGINT) AS value_cents
+         |FROM (
+         |  SELECT event_type,
+         |         CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |         $centsExpr AS value_cents
+         |  FROM events)
+         |GROUP BY GROUPING SETS ((event_type), (hour))""".stripMargin
+
+  // ---- x127 per-source dataset card --------------------------------
+
+  private val x127 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    // local tok CTE: the shared one drops `source`, the card's key
+    raw"""WITH tok AS (
+         |  SELECT doc_id, source, lang, text,
+         |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |stats AS (
+         |  SELECT doc_id, source, lang, $fpFull AS fp,
+         |         CAST(len(toks) AS BIGINT) AS n_toks,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(floor(quality_score * 10000 + 0.5) AS BIGINT) AS q4
+         |  FROM (
+         |    SELECT doc_id, source, lang, text, toks,
+         |           $qualityScoreSql
+         |    FROM (
+         |      SELECT doc_id, source, lang, text, toks,
+         |             len(toks) AS n_tokens,
+         |             len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |             len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |      FROM tok))),
+         |fpc AS (SELECT fp, count(*) AS n_copies FROM stats GROUP BY 1)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       floor(sum(q4) / CAST(count(*) AS DOUBLE) / 10000.0 * 10000 + 0.5)
+         |         / 10000 AS mean_quality,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_docs,
+         |       floor(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+         |             / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS dup_rate
+         |FROM stats JOIN fpc USING (fp)
+         |GROUP BY 1""".stripMargin
+  }
+
+  // ---- x128 minhash estimator calibration --------------------------
+
+  private val x128 = {
+    val k = Dedup.NumHashes
+    raw"""WITH $x5Ctes,
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         |   AND l.doc_id < r.doc_id),
+         |pr AS (
+         |  SELECT CAST(len(list_filter(range(1, ${k + 1}),
+         |                              i -> l.sig[i] = r.sig[i])) AS BIGINT) AS n_match,
+         |         CAST(floor(($jaccardExpr) * 10000 + 0.5) AS BIGINT) AS j4
+         |  FROM cand c
+         |  JOIN sig l ON c.doc_a = l.doc_id
+         |  JOIN sig r ON c.doc_b = r.doc_id)
+         |SELECT n_match,
+         |       floor(n_match / $k.0 * 10000 + 0.5) / 10000 AS est_jaccard,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       floor(sum(j4) / CAST(count(*) AS DOUBLE) / 10000.0 * 10000 + 0.5)
+         |         / 10000 AS mean_jaccard,
+         |       floor(sum(abs(e4 - j4)) / CAST(count(*) AS DOUBLE) / 10000.0 * 10000
+         |             + 0.5) / 10000 AS mae
+         |FROM (SELECT *, CAST(floor(n_match * 10000.0 / $k + 0.5) AS BIGINT) AS e4
+         |      FROM pr)
+         |GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x121_concurrency"    -> x121,
+    "x122_k_anonymity"    -> x122,
+    "x123_quality_pctl"   -> x123,
+    "x124_value_bands"    -> x124,
+    "x125_gap_fill"       -> x125,
+    "x126_grouping_sets"  -> x126,
+    "x127_dataset_card"   -> x127,
+    "x128_minhash_calib"  -> x128,
     "x99_pii_scrub"       -> x99,
     "x100_span_clean"     -> x100,
     "x101_gopher_rules"   -> x101,

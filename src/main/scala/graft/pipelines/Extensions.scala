@@ -241,7 +241,16 @@ object Extensions {
     "x117_bpe_train"     -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d))),
     "x118_unimax"        -> ((s, d) => graft.ops.QualityFilters.unimaxAlloc(docs(s, d))),
     "x119_compaction"    -> ((s, d) => graft.ops.Olap.compactionPlan(Tables.lineitem(s, d))),
-    "x120_schema_evol"   -> schemaEvolution _)
+    "x120_schema_evol"   -> schemaEvolution _,
+    "x121_concurrency"   -> ((s, d) => Events.sessionConcurrency(evs(s, d))),
+    "x122_k_anonymity"   -> ((s, d) => graft.ops.DataProfile.kAnonymity(Tables.customer(s, d))),
+    "x123_quality_pctl"  -> ((s, d) => TextAnalysis.qualityPercentile(docs(s, d))),
+    "x124_value_bands"   -> ((s, d) => Events.valueBands(evs(s, d))),
+    "x125_gap_fill"      -> ((s, d) => Events.gapFill(evs(s, d))),
+    "x126_grouping_sets" -> ((s, d) => Events.groupingSetsMarginals(evs(s, d))),
+    "x127_dataset_card"  -> ((s, d) => TextAnalysis.datasetCard(docs(s, d))),
+    // calibration shares the same shingle memo as x5/x25/x37/x76/x111
+    "x128_minhash_calib" -> ((s, d) => Dedup.minhashCalibrationFrom(shinglesShared(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

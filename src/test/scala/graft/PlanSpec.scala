@@ -442,6 +442,48 @@ class PlanSpec extends SparkSpec {
       s"no global window belongs in the packing plan:\n$p119")
   }
 
+  test("x121 concurrency: interval overlap plans as explode+agg, never a join") {
+    val p = plan("x121_concurrency")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the hour grid derives from the interval itself — no join belongs here:\n$p")
+    assert(p.contains("Generate explode"), s"expected the hour explode in:\n$p")
+  }
+
+  test("x122 k-anonymity: one aggregation, one exchange, map-side partials") {
+    val p = plan("x122_k_anonymity")
+    assert(!p.contains("Join"), s"the QI audit is a pure aggregate:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"one hash-agg exchange (plus AQE reads) at most:\n$p")
+  }
+
+  test("x124/x125: derived small sides broadcast back; no sort-merge of events") {
+    Seq("x124_value_bands", "x125_gap_fill").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the |types|-bounded frame must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q: nothing here may shuffle-sort or go quadratic:\n$p")
+    }
+  }
+
+  test("x126 grouping sets: ONE aggregate pass via Expand, not a union of scans") {
+    val p = plan("x126_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets should plan an Expand:\n$p")
+    assert(!p.contains("Union"), s"marginals must not plan as unioned scans:\n$p")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      s"one events scan feeds both marginals:\n$p")
+  }
+
+  test("x128 calibration: candidates-only band join, sets re-joined by doc_id") {
+    val df = SparkEntry.queries("x128_minhash_calib")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"calibration must stay blocked (banded), never all-pairs:\n$p")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{DataProfile, Dedup, Events, TextAnalysis}
+
+/** Pins the round-6 operators: session concurrency (x121), k-anonymity
+  * (x122), quality percentiles (x123), Tukey value bands (x124), gap
+  * fill (x125), grouping-sets marginals (x126), dataset cards (x127),
+  * and MinHash estimator calibration (x128). */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("x121 sessionConcurrency: a session spanning two hours counts in both") {
+    // user 10: events at 0 and 70 min — 70-min span but the 30-min gap
+    // splits them into two sessions (hour 0 and hour 1); user 20: one
+    // 25-min-gap session from min 50 to min 75 spanning hours 0 and 1
+    val events = Seq(
+      (1L, ts(0), 10L, "click", 0.0, "{}"),
+      (2L, ts(70), 10L, "click", 0.0, "{}"),
+      (3L, ts(50), 20L, "view", 0.0, "{}"),
+      (4L, ts(75), 20L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.sessionConcurrency(events)
+      .select("hour_ms", "n_sessions", "n_users")
+      .as[(Long, Long, Long)].collect()
+      .map { case (h, a, b) => h -> ((a, b)) }.toMap
+    assert(out === Map(0L -> ((2L, 2L)), 3600000L -> ((2L, 2L))))
+  }
+
+  test("x122 kAnonymity: $1000 bands (negative-safe) and the k flag") {
+    val cust = Seq(
+      (1L, "a", 1, 500.0, "AUTO"), (2L, "b", 1, 999.99, "AUTO"),
+      (3L, "c", 1, 400.0, "AUTO"), (4L, "d", 1, 0.0, "AUTO"),
+      (5L, "e", 1, 999.0, "AUTO"),                       // 5 in band 0 → k-anon
+      (6L, "f", 1, 1000.0, "AUTO"),                      // band 1, alone
+      (7L, "g", 1, -500.0, "AUTO")                       // band -1, alone
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = DataProfile.kAnonymity(cust)
+      .select("bal_band", "n_rows", "k_anonymous")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set((0L, 5L, true), (1L, 1L, false), (-1L, 1L, false)))
+  }
+
+  test("x123 qualityPercentile: percent_rank over the total order, decile clamped") {
+    val docs = Seq(
+      (1L, "aaa bbb", "en", "s", 7L),
+      (2L, "the and is of to in aaa bbb ccc ddd", "en", "s", 10L),
+      (3L, "x", "en", "s", 1L),
+      (4L, "solo", "fr", "s", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.qualityPercentile(docs)
+      .select("doc_id", "pctl", "decile").as[(Long, Double, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // en ranks: 3 docs → pctl 0, 0.5, 1; fr singleton → pctl 0
+    assert(out(4L) === ((0.0, 0L)))
+    assert(out.values.map(_._1).toSet.subsetOf(Set(0.0, 0.5, 1.0)))
+    assert(out.count { case (_, (p, _)) => p == 1.0 } == 1)
+    // decile of pctl 1.0 clamps to 9, of 0.5 is 5
+    val byPctl = out.values.toMap
+    assert(byPctl(1.0) === 9L)
+    assert(byPctl(0.5) === 5L)
+  }
+
+  test("x124 valueBands: exact quartile fences and the outlier count") {
+    // one type, cents 100..400 plus a 10000 spike: q1=200, q3=400 →
+    // lo=-100, hi=700 → exactly one outlier
+    val events = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, ts(i.toLong), 1L, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.valueBands(events)
+      .select("lo", "hi", "n_events", "n_outliers")
+      .as[(Double, Double, Long, Long)].head()
+    assert(out === ((-100.0, 700.0, 5L, 1L)))
+  }
+
+  test("x125 gapFill: absent hours materialize as zero rows, per type") {
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 0.0, "{}"),
+      (2L, ts(10), 1L, "click", 0.0, "{}"),
+      (3L, ts(130), 1L, "click", 0.0, "{}"),   // hour 2 — hour 1 is a gap
+      (4L, ts(30), 1L, "view", 0.0, "{}")      // view: single hour, no gaps
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.gapFill(events)
+      .select("event_type", "hour_ms", "n_events")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("click", 0L, 2L), ("click", 3600000L, 0L), ("click", 7200000L, 1L),
+      ("view", 0L, 1L)))
+  }
+
+  test("x126 groupingSetsMarginals: both marginals, tagged by grouping_id") {
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(10), 1L, "view", 2.0, "{}"),
+      (3L, ts(70), 1L, "click", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.groupingSetsMarginals(events)
+      .select("event_type", "hour", "gid", "n_events")
+      .as[(Option[String], Option[String], Long, Long)].collect().toSet
+    // gid 1 = hour missing (by-type marginal), gid 2 = type missing
+    assert(out === Set(
+      (Some("click"), None, 1L, 2L), (Some("view"), None, 1L, 1L),
+      (None, Some("1970-01-01 00:00:00"), 2L, 2L),
+      (None, Some("1970-01-01 01:00:00"), 2L, 1L)))
+  }
+
+  test("x127 datasetCard: corpus-wide duplicate rate lands on the right source") {
+    val docs = Seq(
+      (1L, "same text here", "en", "crawlA", 14L),
+      (2L, "same  TEXT here", "fr", "crawlB", 15L),   // dup of 1 after canon
+      (3L, "unique body", "en", "crawlB", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.datasetCard(docs)
+      .select("source", "n_docs", "n_langs", "n_dup_docs", "dup_rate")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // BOTH copies of a duplicated fingerprint count as dup docs, each
+    // against its own source
+    assert(out("crawlA") === ((1L, 1L, 1L, 1.0)))
+    assert(out("crawlB") === ((2L, 2L, 1L, 0.5)))
+  }
+
+  test("x128 minhashCalibration: identical docs agree on all components with J=1") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base, "en", "s", 1L),
+      (2L, base, "en", "s", 1L),               // exact dup of 1
+      (3L, "totally different words entirely here now", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.minhashCalibration(docs)
+      .select("n_match", "est_jaccard", "n_pairs", "mean_jaccard", "mae")
+      .as[(Long, Double, Long, Double, Double)].collect()
+    // the only LSH candidate pair is the identical one: every band
+    // collides, all 12 components match, true J = 1, error = 0
+    assert(out.toSeq === Seq((Dedup.NumHashes.toLong, 1.0, 1L, 1.0, 0.0)))
+  }
+}
