@@ -220,4 +220,39 @@ object DataProfile {
       .groupBy(col("nationkey"), col("mktsegment"), col("bal_band"))
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("k_anonymous", col("n_rows") >= k)
+
+  /** x129: CHI-SQUARE ASSOCIATION between two categorical columns
+    * (lang × source) — the independence check a dataset audit runs to
+    * catch collection bias ("is language independent of crawl
+    * source?"). One row per observed cell: the observed count, the
+    * expected count under independence (row·col/N), and the cell's
+    * χ² contribution (o−e)²/e. The statistic is the sum of the
+    * contribs; emitting cells keeps the result deterministic (each
+    * contrib is a single double expression over exact integers — no
+    * order-dependent double summation) and shows WHERE the
+    * association lives.
+    *
+    * Scale: ONE Expand pass ([[graft.ops.Events.groupingSetsMarginals]]
+    * pattern) computes cells + both marginals + the total in a single
+    * scan/shuffle; the three marginal frames are bounded by the
+    * category domains and broadcast back onto the cells. */
+  def chi2Assoc(documents: DataFrame): DataFrame = {
+    val g = Caching.temp(documents
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+          Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n")))
+    val cells = g.filter(col("gid") === 0).select(col("lang"), col("source"), col("n"))
+    val rows  = g.filter(col("gid") === 1).select(col("lang"), col("n").as("row_n"))
+    val cols  = g.filter(col("gid") === 2).select(col("source"), col("n").as("col_n"))
+    val tot   = g.filter(col("gid") === 3).select(col("n").as("total"))
+    val e = (col("row_n") * col("col_n")).cast("double") / col("total")
+    cells.join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"),
+        Portable.round4(e).as("expected"),
+        Portable.round4((col("n") - e) * (col("n") - e) / e).as("contrib"))
+  }
 }

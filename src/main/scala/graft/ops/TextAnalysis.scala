@@ -924,6 +924,68 @@ object TextAnalysis {
         array_min(transform(col("sh"), s => md5(s))).as("fp_min_shingle"),
         rollingFingerprint(col("tv")).as("fp_rolling"))
 
+  /** x132: HELD-OUT bigram LM scoring — x38's add-one model, but with
+    * train/test discipline: the model (bigram counts, unigram counts,
+    * vocabulary) is built ONLY from even doc_ids and scores ONLY odd
+    * doc_ids, via LEFT joins with zero-backoff for unseen events
+    * ((0+1)/(0+V) for a novel bigram under a novel history). This is
+    * the honest perplexity a quality-filter threshold should be tuned
+    * on — in-corpus scoring (x38) rewards memorization, and the gap
+    * between the two is itself a leakage signal.
+    *
+    * Scale: identical plan shape to x38 (the model is a distributed
+    * table, never collected; test bigrams shuffle-join it on (w1,w2)),
+    * plus nothing — the split predicates are map-side filters. The
+    * per-bigram logp goes through the 1e-7-grid BIGINT sum so the
+    * per-doc mean is aggregation-order-independent. */
+  def heldoutLmScore(documents: DataFrame): DataFrame = {
+    val train = documents.filter(col("doc_id") % 2 === 0)
+    val biTrain = Caching.temp(docBigrams(train))
+    val c12 = biTrain.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = biTrain.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = withTokens(train)
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    docBigrams(documents.filter(col("doc_id") % 2 === 1))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+          * Similarity.CentroidScale).cast("long").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Portable.round4(-(col("slp").cast("double") /
+          (col("n_bigrams") * lit(Similarity.CentroidScale)).cast("double"))).as("nll"))
+  }
+
+  /** x133 per-stratum reservoir depth. */
+  val ReservoirK = 10
+
+  /** x133: per-language DETERMINISTIC RESERVOIR — exactly
+    * min(k, |stratum|) docs per language, drawn uniformly-at-"random"
+    * by ranking on a salted content-independent hash of the doc id
+    * (md5, so re-runs and both engines agree; a true Random would
+    * make the result unverifiable). Complements x33 (fixed FRACTION
+    * per stratum) and x74 (weighted): fixed COUNT per stratum is the
+    * contract eval-set construction needs.
+    *
+    * Scale: one shuffle on lang + per-partition top-k heaps —
+    * WindowGroupLimit pushes rnk ≤ k below the sort exactly as in
+    * x17, so no partition ever fully sorts. */
+  def reservoirSample(documents: DataFrame, k: Int = ReservoirK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("res:"), col("doc_id").cast("string"))).as("hkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+  }
+
   /** x123: per-language QUALITY PERCENTILE — each doc's percent_rank
     * of its quality score within its language, plus the decile it
     * lands in. This is the feature-normalization step curriculum /

@@ -154,4 +154,40 @@ object Web {
       .withColumn("blocked",
         col("domain").isInCollection(BlockedDomains).cast("long"))
   }
+
+  /** Tracking query params stripped by [[normalizeUrl]] (the CCNet/
+    * crawl-dedup canonicalization set: referrer + ad-click IDs). */
+  val TrackingParamPattern = "(?:ref|utm_[a-z0-9]+|fbclid|gclid)=[^&#]*(?:&|$)"
+
+  /** Canonical form of one URL column: fragment dropped, tracking
+    * params dropped (dangling `?`/`&` cleaned), scheme + host
+    * lowercased, path left byte-exact. Pure regexp chain — RE2-safe
+    * (no backreferences), so DuckDB mirrors it verbatim. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag  = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, TrackingParamPattern, "")
+    val clean   = regexp_replace(noTrack, "[?&]+$", "")
+    val rest    = regexp_replace(clean, "^https?://[^/\\s?#]+", "")
+    concat(lower(regexp_extract(clean, SchemePattern, 1)), lit("://"),
+      lower(regexp_extract(clean, HostPattern, 1)), rest)
+  }
+
+  /** x130: URL CANONICALIZATION + collapse — normalize each doc's URL
+    * and count docs per canonical URL (the crawl-frontier dedup step:
+    * `?ref=`/`utm_` variants of one page must collapse to one key
+    * BEFORE fetch-dedup, or the crawler re-fetches every variant).
+    * Docs without a URL land on `(none)`.
+    *
+    * Scale: a map-only regexp projection (no UDF, codegen'd) into one
+    * hash aggregate keyed by the canonical URL — the same shape as
+    * exact dedup (x4), keys shuffle, bodies never do. */
+  def urlNormalize(documents: DataFrame): DataFrame = {
+    val aug = injectUrl(col("text"), col("doc_id"))
+    val url = regexp_extract(aug, UrlPattern, 0)
+    documents
+      .select(when(url === "", "(none)")
+        .otherwise(normalizeUrl(url)).as("url_norm"))
+      .groupBy(col("url_norm"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

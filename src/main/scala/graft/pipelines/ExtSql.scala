@@ -2671,7 +2671,116 @@ object ExtSql {
          |GROUP BY 1""".stripMargin
   }
 
+  // ---- x129 chi-square association (lang × source) -----------------
+
+  private val x129 =
+    raw"""WITH cells AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS row_n FROM documents GROUP BY 1),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS col_n FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+         |SELECT lang, source, n,
+         |       ${round4("e")} AS expected,
+         |       ${round4("(n - e) * (n - e) / e")} AS contrib
+         |FROM (
+         |  SELECT cells.lang, cells.source, cells.n,
+         |         (row_n * col_n)::DOUBLE / total AS e
+         |  FROM cells JOIN r USING (lang) JOIN c USING (source), t)""".stripMargin
+
+  // ---- x130 URL canonicalization + collapse ------------------------
+
+  private val x130 = {
+    val w = graft.ops.Web
+    raw"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 4
+         |    WHEN 0 THEN ' see https://www' || (doc_id % 5)
+         |                || '.corpus-hub.com/archive/d' || doc_id || '?ref=idx'
+         |    WHEN 1 THEN ' img http://cdn' || (doc_id % 3)
+         |                || '.static-assets.org/f' || doc_id || '.png'
+         |    WHEN 2 THEN ' via https://m' || (doc_id % 2) || '.spam-mirror.net/x'
+         |    ELSE '' END AS a
+         |  FROM documents),
+         |u AS (SELECT regexp_extract(a, '${w.UrlPattern}', 0) AS url FROM aug),
+         |cl AS (
+         |  SELECT url,
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(url, '#.*$$', ''),
+         |             '${w.TrackingParamPattern}', '', 'g'),
+         |           '[?&]+$$', '') AS clean
+         |  FROM u),
+         |nm AS (
+         |  SELECT CASE WHEN url = '' THEN '(none)' ELSE
+         |    lower(regexp_extract(clean, '${w.SchemePattern}', 1)) || '://' ||
+         |    lower(regexp_extract(clean, '${w.HostPattern}', 1)) ||
+         |    regexp_replace(clean, '^https?://[^/\s?#]+', '')
+         |  END AS url_norm FROM cl)
+         |SELECT url_norm, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM nm GROUP BY 1""".stripMargin
+  }
+
+  // ---- x131 snapshot diff ------------------------------------------
+
+  private val x131 =
+    raw"""SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         |  SELECT CASE WHEN doc_id % 5 = 4 THEN 'added'
+         |              WHEN doc_id % 5 = 0 THEN 'removed'
+         |              WHEN doc_id % 5 = 2 THEN 'changed'
+         |              ELSE 'unchanged' END AS status
+         |  FROM documents)
+         |GROUP BY 1""".stripMargin
+
+  // ---- x132 held-out bigram LM score -------------------------------
+
+  private val x132 = {
+    val scale = Similarity.CentroidScale
+    raw"""WITH $toksCte,
+         |bitr AS (
+         |  SELECT doc_id, u.w1, u.w2 FROM (
+         |    SELECT doc_id,
+         |           [{'w1': toks[i+1], 'w2': toks[i+2]} for i in range(0, len(toks) - 1)] AS bs
+         |    FROM tok WHERE doc_id % 2 = 0 AND len(toks) >= 2),
+         |  unnest(bs) AS t(u)),
+         |bite AS (
+         |  SELECT doc_id, u.w1, u.w2 FROM (
+         |    SELECT doc_id,
+         |           [{'w1': toks[i+1], 'w2': toks[i+2]} for i in range(0, len(toks) - 1)] AS bs
+         |    FROM tok WHERE doc_id % 2 = 1 AND len(toks) >= 2),
+         |  unnest(bs) AS t(u)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bitr GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bitr GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT t) AS v
+         |        FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 2 = 0)),
+         |lp AS (
+         |  SELECT bite.doc_id,
+         |         CAST(floor(ln((coalesce(c12.c12, 0) + 1)::DOUBLE
+         |                       / (coalesce(c1.c1, 0) + voc.v)::DOUBLE) * $scale)
+         |              AS BIGINT) AS lp
+         |  FROM bite LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1), voc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       ${round4(s"-(sum(lp)::DOUBLE / (count(*) * $scale)::DOUBLE)")} AS nll
+         |FROM lp GROUP BY 1""".stripMargin
+  }
+
+  // ---- x133 per-language deterministic reservoir -------------------
+
+  private val x133 =
+    raw"""SELECT doc_id, lang, rnk FROM (
+         |  SELECT doc_id, lang,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |                ORDER BY md5('res:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |              AS BIGINT) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= ${TextAnalysis.ReservoirK}""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x129_chi2_assoc"     -> x129,
+    "x130_url_norm"       -> x130,
+    "x131_snapshot_diff"  -> x131,
+    "x132_heldout_lm"     -> x132,
+    "x133_reservoir"      -> x133,
     "x121_concurrency"    -> x121,
     "x122_k_anonymity"    -> x122,
     "x123_quality_pctl"   -> x123,

@@ -250,7 +250,12 @@ object Extensions {
     "x126_grouping_sets" -> ((s, d) => Events.groupingSetsMarginals(evs(s, d))),
     "x127_dataset_card"  -> ((s, d) => TextAnalysis.datasetCard(docs(s, d))),
     // calibration shares the same shingle memo as x5/x25/x37/x76/x111
-    "x128_minhash_calib" -> ((s, d) => Dedup.minhashCalibrationFrom(shinglesShared(s, d))))
+    "x128_minhash_calib" -> ((s, d) => Dedup.minhashCalibrationFrom(shinglesShared(s, d))),
+    "x129_chi2_assoc"    -> ((s, d) => graft.ops.DataProfile.chi2Assoc(docs(s, d))),
+    "x130_url_norm"      -> ((s, d) => graft.ops.Web.urlNormalize(docs(s, d))),
+    "x131_snapshot_diff" -> snapshotDiff _,
+    "x132_heldout_lm"    -> ((s, d) => TextAnalysis.heldoutLmScore(docs(s, d))),
+    "x133_reservoir"     -> ((s, d) => TextAnalysis.reservoirSample(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND
@@ -292,6 +297,44 @@ object Extensions {
     * contract (add-nullable-column) a petabyte table relies on, since
     * rewriting history is off the table. Paths anchor at the build
     * dir, not the cwd (the Bucketing/sinkDir lesson). */
+  /** x131: SNAPSHOT DIFF — write two table generations (gen1 drops
+    * doc_id%5==4, gen2 drops %5==0 and rewrites the text of %5==2),
+    * then diff them the way a lakehouse audit does: full outer join
+    * on the key, rows classified added / removed / changed /
+    * unchanged by content hash, one count per class. The engine
+    * REALLY writes and re-reads both generations and really compares
+    * hashes; the oracle derives the same classes arithmetically from
+    * the generation rules.
+    *
+    * Scale: the diff is one co-partitioned full-outer shuffle join on
+    * the key plus a 4-row aggregate — and on bucketed generations
+    * (x113) even that shuffle disappears. Content compare is by md5,
+    * so only (key, 32-char hash) ever moves, never the bodies. */
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Bucketing.buildPath(
+      s"graft-diff/docs_${Integer.toHexString(d.hashCode)}")
+    val d0 = docs(s, d)
+    d0.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    d0.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    val g1 = s.read.parquet(s"$base/gen1")
+      .select(col("doc_id").as("k1"), md5(col("text")).as("h1"))
+    val g2 = s.read.parquet(s"$base/gen2")
+      .select(col("doc_id").as("k2"), md5(col("text")).as("h2"))
+    g1.join(g2, col("k1") === col("k2"), "full_outer")
+      .select(
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+  }
+
   private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
     val base = graft.sources.Bucketing.buildPath(
       s"graft-evol/docs_${Integer.toHexString(d.hashCode)}")

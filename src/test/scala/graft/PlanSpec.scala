@@ -484,6 +484,35 @@ class PlanSpec extends SparkSpec {
       s"calibration must stay blocked (banded), never all-pairs:\n$p")
   }
 
+  test("x129 chi2: one Expand pass feeds cells and all marginals") {
+    val df = SparkEntry.queries("x129_chi2_assoc")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Expand"), s"marginals should come from one grouping-sets pass:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bounded marginal frames must broadcast onto the cells:\n$p")
+  }
+
+  test("x130 url normalization: map-only regexp chain into one aggregate, no UDF") {
+    val p = plan("x130_url_norm")
+    assert(!p.contains("Join"), s"canonicalization needs no join:\n$p")
+    assert(!p.contains("BatchEvalPython"), s"no UDF belongs here:\n$p")
+  }
+
+  test("x132 held-out LM: model joins stay keyed, no cartesian pairing") {
+    val p = plan("x132_heldout_lm")
+    assert(!p.contains("CartesianProduct"),
+      s"only the broadcast 1-row vocab may cross:\n$p")
+  }
+
+  test("x133 reservoir: per-stratum rank limit pushes below the sort") {
+    val p = plan("x133_reservoir")
+    assert(p.contains("WindowGroupLimit"),
+      s"rnk<=k must become a per-partition heap (WindowGroupLimit):\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"the reservoir window must partition by lang, never run global:\n$p")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

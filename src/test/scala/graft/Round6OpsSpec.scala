@@ -123,6 +123,66 @@ class Round6OpsSpec extends SparkSpec {
     assert(out("crawlB") === ((2L, 2L, 1L, 0.5)))
   }
 
+  test("x129 chi2Assoc: independence arithmetic on a hand 2x2 table") {
+    // counts: (en,a)=3 (en,b)=1 (fr,a)=1 (fr,b)=3; N=8
+    val docs = (Seq.fill(3)(("en", "a")) ++ Seq(("en", "b"), ("fr", "a")) ++
+      Seq.fill(3)(("fr", "b"))).zipWithIndex
+      .map { case ((l, s), i) => (i.toLong, s"t$i", l, s, 2L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.DataProfile.chi2Assoc(docs)
+      .select("lang", "source", "n", "expected", "contrib")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // e(en,a) = 4*4/8 = 2; contrib = (3-2)^2/2 = 0.5 — all four cells
+    assert(out(("en", "a")) === ((3L, 2.0, 0.5)))
+    assert(out(("en", "b")) === ((1L, 2.0, 0.5)))
+    assert(out(("fr", "b")) === ((3L, 2.0, 0.5)))
+  }
+
+  test("x130 normalizeUrl: tracking params out, case folded, real params kept") {
+    val out = Seq("https://EX.com/A/B?utm_x=1&keep=2&ref=3#sec",
+        "http://h.org/p?ref=only", "https://plain.net/x")
+      .toDF("u").select(graft.ops.Web.normalizeUrl($"u").as("n"))
+      .as[String].collect().toSeq
+    assert(out === Seq("https://ex.com/A/B?keep=2", "http://h.org/p",
+      "https://plain.net/x"))
+  }
+
+  test("x131 snapshotDiff: generation rules land on the four classes") {
+    val out = SparkEntry.queries("x131_snapshot_diff")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect().toMap
+    // 500 docs, doc_id 0..499: %5==4 added, %5==0 removed, %5==2 changed
+    assert(out === Map("added" -> 100L, "removed" -> 100L,
+      "changed" -> 100L, "unchanged" -> 200L))
+  }
+
+  test("x132 heldoutLmScore: seen and unseen bigrams under add-one backoff") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def grid(x: Double) = math.floor(x * 1e7) / 1e7
+    val docs = Seq(
+      (0L, "a b", "en", "s", 3L),     // train: c12(a,b)=1, c1(a)=1, V={a,b}
+      (1L, "a b", "en", "s", 3L),     // test, seen bigram: ln(2/3)
+      (3L, "x y", "en", "s", 3L)      // test, unseen: ln(1/(0+2))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.heldoutLmScore(docs)
+      .select("doc_id", "n_bigrams", "nll")
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, n, v) => d -> ((n, v)) }.toMap
+    assert(out(1L) === ((1L, r4(-grid(math.log(2.0 / 3.0))))))
+    assert(out(3L) === ((1L, r4(-grid(math.log(0.5))))))
+  }
+
+  test("x133 reservoirSample: exactly min(k, stratum) rows, ranks contiguous") {
+    val docs = (0 until 25).map(i => (i.toLong, s"t$i", "en", "s", 2L))
+      .++(Seq((100L, "u", "fr", "s", 1L), (101L, "v", "fr", "s", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.reservoirSample(docs)
+      .select("lang", "rnk").as[(String, Long)].collect()
+    assert(out.count(_._1 == "en") === 10)
+    assert(out.filter(_._1 == "fr").map(_._2).sorted.toSeq === Seq(1L, 2L))
+    assert(out.filter(_._1 == "en").map(_._2).sorted.toSeq === (1L to 10L))
+  }
+
   test("x128 minhashCalibration: identical docs agree on all components with J=1") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
