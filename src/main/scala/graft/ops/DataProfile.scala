@@ -221,6 +221,39 @@ object DataProfile {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("k_anonymous", col("n_rows") >= k)
 
+  /** x135 privacy budget. */
+  val DpEpsilon = 1.0
+
+  /** x135: ε-DIFFERENTIALLY-PRIVATE COUNTS (Laplace mechanism,
+    * sensitivity 1) over per-language doc counts — the other half of
+    * the privacy surface next to the x122 k-anonymity audit: what a
+    * pipeline RELEASES when exact counts would leak. The Laplace draw
+    * is the textbook inverse-CDF transform noise = −(1/ε)·sign(u−½)·
+    * ln(1−2|u−½|), with u a SEEDED uniform derived from md5 of the
+    * group key — a fixed-seed PRNG, so both engines reproduce the
+    * identical draw and the oracle can verify the mechanism's
+    * arithmetic end-to-end. A production release would use a secret
+    * seed and emit ONLY `noisy`; `n` and `noise` are kept here
+    * because verifiability is this harness's contract.
+    *
+    * Scale: one hash aggregate; the noise is a projection on its
+    * |languages|-row output. */
+  def dpCounts(documents: DataFrame, epsilon: Double = DpEpsilon): DataFrame = {
+    // 52-bit uniform in (0,1): (v+0.5)/2^52 with v the first 13 md5
+    // hex digits — strictly inside the interval, so ln(1−2|u−½|) is
+    // finite for every group
+    val u = (conv(substring(md5(concat(lit("dp:"), col("lang"))), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0)
+    val noise = -(lit(1.0) / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        Portable.round4(noise).as("noise"),
+        Portable.round4(col("n") + noise).as("noisy"))
+  }
+
   /** x129: CHI-SQUARE ASSOCIATION between two categorical columns
     * (lang × source) — the independence check a dataset audit runs to
     * catch collection bias ("is language independent of crawl

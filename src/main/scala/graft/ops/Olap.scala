@@ -165,4 +165,51 @@ object Olap {
         // rows 3x (grouping-sets rewrite) for marginal audit value
         countDistinct(col("l_partkey")).as("n_parts"))
   }
+
+  /** x134 probe segment. */
+  val BloomJoinSegment = "BUILDING"
+
+  /** x134: BLOOM-PRUNED JOIN — the runtime-filter pattern made
+    * explicit: the dimension subset's join keys build a bounded
+    * [[graft.functions.BloomFilter]] (4096 bits, ~128 packed words),
+    * the filter rides to every fact row as ONE broadcast map row (the
+    * broadcast-scalar pattern — never a driver collect), and a
+    * map-side membership predicate drops bloom-negative fact rows
+    * BEFORE the exact join. The exact join then clears the (few,
+    * deterministic) false positives, so the RESULT equals the plain
+    * join — what changes is how many fact rows pay the shuffle/build.
+    * This is what Spark's own `spark.sql.optimizer.runtimeFilter.
+    * bloomFilter` does inside AQE; spelled out as an operator it works
+    * on any engine version and any predicate the planner can't see.
+    *
+    * Scale: the filter is O(1) — size is [[graft.functions.
+    * BloomFilter.Bits]], independent of dimension cardinality; the
+    * probe is 3 md5s per fact row, map-side, codegen'd; at ~1/|segments|
+    * dim selectivity the pruned fact side shrinks the exact join's
+    * input by the same factor. */
+  def bloomPrunedJoin(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import graft.functions.BloomFilter
+    val dims = customer.filter(col("c_mktsegment") === BloomJoinSegment)
+      .select(col("c_custkey"))
+    val packed = BloomFilter.build(dims.select(col("c_custkey").cast("string").as("k")), "k")
+      .agg(map_from_entries(collect_list(struct(col("word_idx"), col("bits"))))
+        .as("wmap"))
+    val hit = forall(
+      BloomFilter.positions(col("o_custkey").cast("string")),
+      p => coalesce(element_at(col("wmap"), (p / BloomFilter.WordBits).cast("long")),
+          lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(BloomFilter.WordBits.toLong)))) =!= 0)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .crossJoin(broadcast(packed))
+      .filter(hit)
+      // dims scales with SF — no broadcast hint (the r1 lesson); AQE
+      // picks broadcast at small SF, shuffle join at large, and either
+      // way the bloom has already shrunk the fact side
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+  }
 }

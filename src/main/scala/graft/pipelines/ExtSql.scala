@@ -2775,7 +2775,35 @@ object ExtSql {
          |  FROM documents)
          |WHERE rnk <= ${TextAnalysis.ReservoirK}""".stripMargin
 
+  // ---- x134 bloom-pruned join (result ≡ the plain join) ------------
+
+  private val x134 =
+    raw"""SELECT o_orderpriority,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |         AS total_cents
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = '${graft.ops.Olap.BloomJoinSegment}'
+         |GROUP BY 1""".stripMargin
+
+  // ---- x135 ε-DP Laplace counts ------------------------------------
+
+  private val x135 = {
+    val eps = graft.ops.DataProfile.DpEpsilon
+    raw"""SELECT lang, n, ${round4("noise")} AS noise, ${round4("n + noise")} AS noisy
+         |FROM (
+         |  SELECT lang, n,
+         |         -(1.0 / $eps) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+         |  FROM (
+         |    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |           (('0x' || substr(md5('dp:' || lang), 1, 13))::BIGINT + 0.5)
+         |             / 4503599627370496.0 AS u
+         |    FROM documents GROUP BY 1))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x134_bloom_join"     -> x134,
+    "x135_dp_counts"      -> x135,
     "x129_chi2_assoc"     -> x129,
     "x130_url_norm"       -> x130,
     "x131_snapshot_diff"  -> x131,

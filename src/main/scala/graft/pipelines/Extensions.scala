@@ -255,7 +255,10 @@ object Extensions {
     "x130_url_norm"      -> ((s, d) => graft.ops.Web.urlNormalize(docs(s, d))),
     "x131_snapshot_diff" -> snapshotDiff _,
     "x132_heldout_lm"    -> ((s, d) => TextAnalysis.heldoutLmScore(docs(s, d))),
-    "x133_reservoir"     -> ((s, d) => TextAnalysis.reservoirSample(docs(s, d))))
+    "x133_reservoir"     -> ((s, d) => TextAnalysis.reservoirSample(docs(s, d))),
+    "x134_bloom_join"    -> ((s, d) =>
+      graft.ops.Olap.bloomPrunedJoin(Tables.orders(s, d), Tables.customer(s, d))),
+    "x135_dp_counts"     -> ((s, d) => graft.ops.DataProfile.dpCounts(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

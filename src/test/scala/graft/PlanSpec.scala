@@ -513,6 +513,34 @@ class PlanSpec extends SparkSpec {
       s"the reservoir window must partition by lang, never run global:\n$p")
   }
 
+  test("x134 bloom join: map-side membership filter prunes BELOW the exact join") {
+    val df = SparkEntry.queries("x134_bloom_join")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("forall"),
+      s"the bloom membership predicate must reach the physical plan:\n$p")
+    // the probe must be a broadcast of the ONE packed-filter row (the
+    // broadcast-scalar pattern), never a shuffle of the fact table to
+    // meet the filter
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"packed filter must broadcast to the fact rows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cross join:\n$p")
+    // the filter sits below the custkey equi-join: the Filter node
+    // containing the probe must appear AFTER (deeper than) the join line
+    val lines = p.linesIterator.toVector
+    val joinLn = lines.indexWhere(l => l.contains("Join") && l.contains("c_custkey"))
+    val probeLn = lines.indexWhere(_.contains("forall"))
+    assert(joinLn >= 0 && probeLn > joinLn,
+      s"bloom probe must prune before the exact join consumes the rows:\n$p")
+  }
+
+  test("x135 dp counts: one aggregate, noise is a projection on |langs| rows") {
+    val p = plan("x135_dp_counts")
+    assert(!p.contains("Join"), s"the mechanism needs no join:\n$p")
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") <= 2,
+      s"one partial+final aggregate pair at most:\n$p")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

@@ -183,6 +183,44 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.filter(_._1 == "en").map(_._2).sorted.toSeq === (1L to 10L))
   }
 
+  test("x134 bloomPrunedJoin: result is EXACTLY the plain join aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val cust = graft.sources.Tables.customer(spark, dir)
+    val out = graft.ops.Olap.bloomPrunedJoin(orders, cust)
+      .select("o_orderpriority", "n_orders", "total_cents")
+      .as[(String, Long, Long)].collect().toSet
+    val plain = orders.join(cust, $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment" === graft.ops.Olap.BloomJoinSegment)
+      .groupBy($"o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.floor($"o_totalprice" * 100 + 0.5)
+            .cast("long")).as("total_cents"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === plain)
+    assert(out.nonEmpty)
+  }
+
+  test("x135 dpCounts: the seeded Laplace draw matches the closed form") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val docs = Seq((1L, "a", "en", "s", 1L), (2L, "b", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (n, noise, noisy) = graft.ops.DataProfile.dpCounts(docs)
+      .select("n", "noise", "noisy").as[(Long, Double, Double)].head()
+    // recompute the draw outside Spark: u from the first 13 md5 hex
+    // digits of "dp:en", then the inverse-CDF Laplace transform
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("dp:en".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(13)
+    val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+    val expect = -1.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    assert(n === 2L)
+    assert(noise === r4(expect))
+    assert(noisy === r4(2.0 + expect))
+  }
+
   test("x128 minhashCalibration: identical docs agree on all components with J=1") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
