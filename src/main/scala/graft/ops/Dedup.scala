@@ -243,6 +243,35 @@ object Dedup {
           .as("mae"))
   }
 
+  /** x136: cross-source CONTAMINATION MATRIX — for every source pair,
+    * how many distinct k-token SPAN fingerprints (the x90 window
+    * unit) they share: the dataset-governance question behind x37's
+    * benchmark check, asked of the corpus against ITSELF. Span-level
+    * rather than whole-doc fingerprints deliberately — re-crawls and
+    * mirrors rarely share byte-identical documents (different
+    * boilerplate, different truncation) but share their passages, and
+    * a pair sharing most of its spans is one distribution that
+    * mixture weights are silently double-counting.
+    *
+    * Scale: the window explode is x90's linear scan; (source, fp)
+    * pairs dedup in one hash aggregate; the fp self-join fans out at
+    * most |sources| rows per span — bounded by the source DOMAIN,
+    * not the corpus — and the output is ≤ |sources|² rows. The same
+    * shape as the LSH band join, with the domain bound in place of
+    * the bucket cap. */
+  def sourceOverlap(documents: DataFrame, k: Int = SpanTokens): DataFrame = {
+    val fps = graft.ops.TextAnalysis.withTokens(documents)
+      .filter(size(col("toks")) >= k)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(toks)-$k+1), i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
+        .as("fp"))
+      .distinct()
+    fps.alias("a").join(fps.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ---- SimHash -----------------------------------------------------
 
   /** Per-token 16-bit hash: first 4 hex nibbles of md5 as an integer.

@@ -986,6 +986,85 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("rnk"))
   }
 
+  /** x137 pass threshold and z for the 95% interval. */
+  val QualityPassBar = 0.5
+  val WilsonZ = 1.96
+
+  /** x137: per-language quality PASS RATE with a WILSON 95% interval —
+    * point estimates without uncertainty are how small-language
+    * filtering decisions go wrong (a 0.8 pass rate over 40 docs and
+    * over 40,000 are different facts). Wilson rather than normal
+    * approximation because small strata are exactly the case that
+    * matters: the interval stays inside [0,1] and behaves at k=0/k=n.
+    * All doubles flow through one fixed expression order and round to
+    * the 1e-4 grid, so both engines agree bit-for-bit.
+    *
+    * Scale: one hash aggregate to |languages| rows; the interval is a
+    * projection on the aggregate output. */
+  def qualityCi(documents: DataFrame): DataFrame = {
+    val z2 = WilsonZ * WilsonZ
+    val n = col("n").cast("double")
+    val p = col("k") / n
+    val denom = lit(1.0) + lit(z2) / n
+    val center = p + lit(z2) / (n * 2)
+    val half = lit(WilsonZ) * sqrt(p * (lit(1.0) - p) / n + lit(z2) / (n * n * 4))
+    withTokens(documents)
+      .select(col("lang"),
+        (qualityScore(col("text"), col("toks")) >= QualityPassBar).as("pass"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("k"))
+      .select(col("lang"), col("n"), col("k"),
+        Portable.round4(p).as("rate"),
+        Portable.round4((center - half) / denom).as("lo"),
+        Portable.round4((center + half) / denom).as("hi"))
+  }
+
+  /** x138 smoothing: +0.5 per bin (10 bins → +5 per split total). */
+  val PsiBins = 10
+
+  /** x138: POPULATION STABILITY INDEX between the train and test
+    * splits' quality-score distributions — the drift monitor every
+    * production scorer runs (PSI > 0.2 = investigate): the x29
+    * content-addressed split SHOULD make the two distributions
+    * identical up to sampling noise, so this is also a standing check
+    * that the split hash is not correlated with content. Per decile
+    * bin: counts, smoothed shares (+0.5/bin — keeps ln finite on
+    * empty bins, mirrored exactly), and the bin's PSI term
+    * (p−q)·ln(p/q); the statistic is the sum of the 10 terms.
+    *
+    * Scale: one aggregate over the corpus to (split × bin ≤ 30)
+    * rows; the dense bin grid is a 10-row sequence-explode joined by
+    * broadcast. */
+  def psiDrift(documents: DataFrame): DataFrame = {
+    val q = withTokens(documents)
+      .select(col("doc_id"),
+        least(lit(PsiBins - 1L),
+          floor(qualityScore(col("text"), col("toks")) * PsiBins).cast("long"))
+          .as("bin"))
+    val counts = Caching.temp(splitAssign(documents)
+      .select(col("doc_id"), col("split"))
+      .join(q, Seq("doc_id"))
+      .filter(col("split") =!= "val")
+      .groupBy(col("split"), col("bin"))
+      .agg(count(lit(1)).as("c")))
+    val tots = counts.groupBy(col("split")).agg(sum(col("c")).as("tot"))
+    val grid = documents.sparkSession.range(PsiBins).toDF("bin")
+    def share(split: String, as: String, totAs: String) = grid
+      .join(broadcast(counts.filter(col("split") === split).select(col("bin"), col("c"))),
+        Seq("bin"), "left")
+      .crossJoin(broadcast(tots.filter(col("split") === split).select(col("tot"))))
+      .select(col("bin"), coalesce(col("c"), lit(0L)).as(as), col("tot").as(totAs))
+    val p = (col("n_train") + 0.5) / (col("tot_train") + PsiBins * 0.5)
+    val qq = (col("n_test") + 0.5) / (col("tot_test") + PsiBins * 0.5)
+    share("train", "n_train", "tot_train")
+      .join(share("test", "n_test", "tot_test"), Seq("bin"))
+      .select(col("bin"), col("n_train"), col("n_test"),
+        Portable.round4(p).as("p_train"),
+        Portable.round4(qq).as("p_test"),
+        Portable.round4((p - qq) * log(p / qq)).as("psi_term"))
+  }
+
   /** x123: per-language QUALITY PERCENTILE — each doc's percent_rank
     * of its quality score within its language, plus the decile it
     * lands in. This is the feature-normalization step curriculum /

@@ -2801,7 +2801,110 @@ object ExtSql {
          |    FROM documents GROUP BY 1))""".stripMargin
   }
 
+  // ---- x136 cross-source overlap matrix ----------------------------
+
+  private val x136 = {
+    val k = Dedup.SpanTokens
+    raw"""WITH tok AS (
+         |  SELECT source,
+         |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |fps AS (
+         |  SELECT DISTINCT source,
+         |         md5(array_to_string(toks[t.i : t.i + $k - 1], ' ')) AS fp
+         |  FROM tok, unnest(range(1, len(toks) - $k + 2)) AS t(i))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- x137 quality pass rate with Wilson interval -----------------
+
+  private val x137 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    val z = TextAnalysis.WilsonZ
+    val z2 = TextAnalysis.WilsonZ * TextAnalysis.WilsonZ
+    raw"""WITH $toksCte,
+         |q AS (
+         |  SELECT lang,
+         |         CASE WHEN quality_score >= ${TextAnalysis.QualityPassBar}
+         |              THEN 1 ELSE 0 END AS pass
+         |  FROM (
+         |    SELECT lang, $qualityScoreSql
+         |    FROM (
+         |      SELECT lang, text,
+         |             len(toks) AS n_tokens,
+         |             len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |             len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |      FROM tok))),
+         |a AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(pass) AS BIGINT) AS k
+         |  FROM q GROUP BY 1)
+         |SELECT lang, n, k,
+         |       ${round4("p")} AS rate,
+         |       ${round4(s"(p + $z2 / (nd * 2) - $z * sqrt(p * (1.0 - p) / nd + $z2 / (nd * nd * 4))) / (1.0 + $z2 / nd)")} AS lo,
+         |       ${round4(s"(p + $z2 / (nd * 2) + $z * sqrt(p * (1.0 - p) / nd + $z2 / (nd * nd * 4))) / (1.0 + $z2 / nd)")} AS hi
+         |FROM (SELECT lang, n, k,
+         |             k / CAST(n AS DOUBLE) AS p, CAST(n AS DOUBLE) AS nd
+         |      FROM a)""".stripMargin
+  }
+
+  // ---- x138 PSI drift between the train/test splits ----------------
+
+  private val x138 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    val b = TextAnalysis.PsiBins
+    raw"""WITH $toksCte,
+         |qd AS (
+         |  SELECT doc_id,
+         |         least(${b - 1}, CAST(floor(quality_score * $b) AS BIGINT)) AS bin
+         |  FROM (
+         |    SELECT doc_id, $qualityScoreSql
+         |    FROM (
+         |      SELECT doc_id, text,
+         |             len(toks) AS n_tokens,
+         |             len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |             len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |      FROM tok))),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bucket < ${TextAnalysis.TrainPct} THEN 'train'
+         |              WHEN bucket < ${TextAnalysis.ValPct} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 4))::BIGINT
+         |                 % 100 AS bucket
+         |        FROM documents)),
+         |cnt AS (
+         |  SELECT split, bin, CAST(count(*) AS BIGINT) AS c
+         |  FROM sp JOIN qd USING (doc_id) WHERE split <> 'val' GROUP BY 1, 2),
+         |tot AS (SELECT split, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         |grid AS (SELECT unnest(range(0, $b)) AS bin),
+         |tr AS (
+         |  SELECT g.bin, coalesce(c.c, 0) AS n_train, t.tot AS tot_train
+         |  FROM grid g
+         |  LEFT JOIN (SELECT bin, c FROM cnt WHERE split = 'train') c USING (bin),
+         |       (SELECT tot FROM tot WHERE split = 'train') t),
+         |te AS (
+         |  SELECT g.bin, coalesce(c.c, 0) AS n_test, t.tot AS tot_test
+         |  FROM grid g
+         |  LEFT JOIN (SELECT bin, c FROM cnt WHERE split = 'test') c USING (bin),
+         |       (SELECT tot FROM tot WHERE split = 'test') t)
+         |SELECT bin, n_train, n_test,
+         |       ${round4("p")} AS p_train,
+         |       ${round4("q")} AS p_test,
+         |       ${round4("(p - q) * ln(p / q)")} AS psi_term
+         |FROM (SELECT tr.bin, n_train, n_test,
+         |             (n_train + 0.5) / (tot_train + ${b * 0.5}) AS p,
+         |             (n_test + 0.5) / (tot_test + ${b * 0.5}) AS q
+         |      FROM tr JOIN te USING (bin))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x136_src_overlap"    -> x136,
+    "x137_quality_ci"     -> x137,
+    "x138_psi_drift"      -> x138,
     "x134_bloom_join"     -> x134,
     "x135_dp_counts"      -> x135,
     "x129_chi2_assoc"     -> x129,

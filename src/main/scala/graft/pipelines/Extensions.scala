@@ -258,7 +258,10 @@ object Extensions {
     "x133_reservoir"     -> ((s, d) => TextAnalysis.reservoirSample(docs(s, d))),
     "x134_bloom_join"    -> ((s, d) =>
       graft.ops.Olap.bloomPrunedJoin(Tables.orders(s, d), Tables.customer(s, d))),
-    "x135_dp_counts"     -> ((s, d) => graft.ops.DataProfile.dpCounts(docs(s, d))))
+    "x135_dp_counts"     -> ((s, d) => graft.ops.DataProfile.dpCounts(docs(s, d))),
+    "x136_src_overlap"   -> ((s, d) => Dedup.sourceOverlap(docs(s, d))),
+    "x137_quality_ci"    -> ((s, d) => TextAnalysis.qualityCi(docs(s, d))),
+    "x138_psi_drift"     -> ((s, d) => TextAnalysis.psiDrift(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

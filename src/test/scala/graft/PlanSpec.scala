@@ -541,6 +541,20 @@ class PlanSpec extends SparkSpec {
       s"one partial+final aggregate pair at most:\n$p")
   }
 
+  test("x136-x138 governance ops: keyed joins and broadcasts only") {
+    // x136: the fp self-join fans out by the source DOMAIN per key
+    val p136 = plan("x136_src_overlap")
+    assert(!p136.contains("CartesianProduct") && !p136.contains("BroadcastNestedLoop"),
+      s"overlap matrix must join on fp, never all-pairs:\n$p136")
+    // x137: a pure aggregate + projection
+    val p137 = plan("x137_quality_ci")
+    assert(!p137.contains("Join"), s"Wilson interval needs no join:\n$p137")
+    // x138: the 10-row grid and the scalar totals broadcast
+    val p138 = plan("x138_psi_drift")
+    assert(!p138.contains("SortMergeJoin") && !p138.contains("CartesianProduct"),
+      s"PSI joins are bounded-side broadcasts:\n$p138")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

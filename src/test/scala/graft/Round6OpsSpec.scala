@@ -221,6 +221,66 @@ class Round6OpsSpec extends SparkSpec {
     assert(noisy === r4(2.0 + expect))
   }
 
+  test("x136 sourceOverlap: shared-span counts per source pair, canon order") {
+    // docs share the 8-token passage "w1..w8"; trailing tokens differ,
+    // so ONLY that one window is common to a and b; c is disjoint
+    val base = (1 to 8).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$base ua", "en", "a", 1L),
+      (2L, s"$base ub", "en", "b", 1L),
+      (3L, s"$base uc again ub", "en", "b", 1L),     // same span, same source
+      (4L, (11 to 19).map("c" + _).mkString(" "), "en", "c", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.Dedup.sourceOverlap(docs)
+      .select("source_a", "source_b", "n_shared")
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("a", "b", 1L)))
+  }
+
+  test("x137 qualityCi: Wilson interval matches the closed form") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    // the pass/fail verdict itself is x1-pinned (quality score); this
+    // test pins the INTERVAL arithmetic against the closed form on
+    // whatever (k, n) the fixture docs produce
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"lang" === "en")
+    val row = TextAnalysis.qualityCi(docs)
+      .select("n", "k", "rate", "lo", "hi").as[(Long, Long, Double, Double, Double)]
+      .head()
+    val (n, k) = (row._1.toDouble, row._2.toDouble)
+    assert(row._1 > 0 && row._2 > 0 && row._2 < row._1,
+      s"fixture should produce a non-degenerate rate, got $row")
+    val z = TextAnalysis.WilsonZ
+    val z2 = z * z
+    val p = k / n
+    val half = z * math.sqrt(p * (1 - p) / n + z2 / (n * n * 4))
+    val center = p + z2 / (n * 2)
+    val denom = 1.0 + z2 / n
+    assert(row._3 === r4(p))
+    assert(row._4 === r4((center - half) / denom))
+    assert(row._5 === r4((center + half) / denom))
+    assert(row._4 < row._3 && row._3 < row._5)
+  }
+
+  test("x138 psiDrift: dense 10-bin grid, finite terms, split totals add up") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.psiDrift(docs)
+      .select("bin", "n_train", "n_test", "psi_term")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).sorted.toSeq === (0L to 9L))
+    assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite),
+      "smoothing must keep every PSI term finite, empty bins included")
+    val splits = TextAnalysis.splitAssign(docs).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(out.map(_._2).sum === splits("train"))
+    assert(out.map(_._3).sum === splits("test"))
+    // the content-addressed split should NOT drift against itself; at
+    // sf0.001 the test split holds only ~44 docs, so smoothing noise
+    // (6 empty bins × 0.019) dominates — the bound is the "no real
+    // drift" band for that sample size, not zero
+    assert(out.map(_._4).sum < 0.5, s"unexpected drift: ${out.mkString(", ")}")
+  }
+
   test("x128 minhashCalibration: identical docs agree on all components with J=1") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
