@@ -288,4 +288,45 @@ object DataProfile {
         Portable.round4(e).as("expected"),
         Portable.round4((col("n") - e) * (col("n") - e) / e).as("contrib"))
   }
+
+  // ---- x141 robust (median/MAD) outliers ---------------------------
+
+  /** x141 fence: |x − median| > [[MadK]] · 1.4826 · MAD (the normal-
+    * consistency constant, Hampel's rule of thumb). */
+  val MadK = 3.0
+  val MadConsistency = 1.4826
+
+  /** x141: robust per-language length outliers — median and MAD of
+    * `n_chars`, the Hampel fence, and how many docs fall outside it.
+    * The mean/σ z-score (x44's shape) is itself dragged by the tail it
+    * is hunting; median/MAD is the standard robust replacement for
+    * long-tailed document lengths.
+    *
+    * Determinism: medians come from the exact interpolating
+    * `percentile` (≡ DuckDB `quantile_cont`, the x28 precedent) —
+    * over an integral column the result is integral or exactly .5, so
+    * |x − med| is exact; the fence is snapped to the 1e-4 grid BEFORE
+    * comparison (x124's convention), making the flag identical in
+    * both engines.
+    *
+    * Scale: two exact-percentile aggregates keyed by lang (counts-map
+    * size bounded by the distinct-length domain, not row count — the
+    * x124 note; unbounded domains swap in the x40 rank sketch) with
+    * the per-language stats broadcast back — three scans, no sort. */
+  def madOutliers(documents: DataFrame): DataFrame = {
+    val x = documents.select(col("lang"), col("n_chars").cast("long").as("x"))
+    val med = x.groupBy(col("lang"))
+      .agg(percentile(col("x"), lit(0.5)).as("med"))
+    val dev = x.join(broadcast(med), Seq("lang"))
+      .select(col("lang"), abs(col("x") - col("med")).as("adev"))
+    val mad = dev.groupBy(col("lang"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    val fence = Portable.round4(lit(MadK * MadConsistency) * col("mad"))
+    dev.join(broadcast(med.join(mad, Seq("lang"))), Seq("lang"))
+      .select(col("lang"), Portable.round4(col("med")).as("med"),
+        Portable.round4(col("mad")).as("mad"), fence.as("fence"),
+        when(col("adev") > fence, 1L).otherwise(0L).as("out"))
+      .groupBy(col("lang"), col("med"), col("mad"), col("fence"))
+      .agg(count(lit(1)).as("n"), sum(col("out")).as("n_outliers"))
+  }
 }

@@ -64,6 +64,28 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** x146 normalization: lowercase, punctuation/digits → space,
+    * whitespace collapsed — the aggressive canonical key public
+    * pipelines layer ABOVE raw-exact dedup (Dolma's "exact" and
+    * Lee et al. §3.1 both normalize before hashing). */
+  def normalizedFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z\\s]", " "), "\\s+", " ")))
+
+  /** x146: NORMALIZED-exact dedup — x4 re-keyed on
+    * [[normalizedFingerprint]], with `n_raw_variants` counting how many
+    * distinct RAW fingerprints each normalized group collapses (the
+    * measurable gain of normalizing: groups with n_raw_variants > 1
+    * are dups that raw-exact dedup missed). Same scale shape as x4 —
+    * hash aggregate on 32-char keys, bodies never shuffle; the
+    * distinct-count is per-group over two fixed-width hashes. */
+  def normalizedDedup(documents: DataFrame): DataFrame =
+    documents
+      .select(normalizedFingerprint(col("text")).as("nfp"),
+        fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("nfp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("fp")).as("n_raw_variants"))
+
   // ---- MinHash + LSH -----------------------------------------------
 
   /** Mersenne prime modulus for the universal-hash MinHash family. */

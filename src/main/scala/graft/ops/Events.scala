@@ -507,4 +507,110 @@ object Events {
         count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
       .select(col("event_type"), col("hour"), col("gid"),
         col("n_events"), col("value_cents"))
+
+  private val DayMs  = 86400000L
+  private val WeekMs = 7 * DayMs
+
+  /** x139 decay per elapsed DAY (missing days decay too — the index is
+    * the real day offset, not the observed-row ordinal). */
+  val EwmaDecay = 0.9
+
+  /** x139: EWMA-smoothed daily event volume per type, plus the
+    * actual/smoothed ratio (the classic volume-drift alarm; x44's
+    * z-score twin with exponential rather than boxcar memory). The
+    * recursive EWMA is evaluated in closed form so one window pass
+    * computes it: with i = day − day₀,
+    * ewma_t = Σ_{i≤t} w^{t−i}·n_i / Σ_{i≤t} w^{t−i}
+    *        = Σ n_i·w^{−i} / Σ w^{−i}  (the w^t deflation cancels in
+    * the ratio, so no term ever multiplies two large magnitudes).
+    *
+    * Scale: the corpus-sized work is ONE hash aggregate to the
+    * (type × day) grid; the window runs over that tiny grid — series
+    * length per type, not event count. Cross-engine: the running sums
+    * add in the same ascending-day order in both engines and the only
+    * libm calls are pow(w, −i) on small integer exponents; results
+    * leave through the 1e-4 grid. */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val daily = Caching.temp(events
+      .select(col("event_type"),
+        floor(unix_millis(col("ts")) / DayMs).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n")))
+    val day0 = daily.agg(min(col("day")).as("day0"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wi = pow(lit(EwmaDecay), -col("i").cast("double"))
+    daily.crossJoin(broadcast(day0))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("day") - col("day0")).as("i"))
+      .withColumn("num", sum(col("n") * wi).over(w))
+      .withColumn("den", sum(wi).over(w))
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        Portable.round4(col("num") / col("den")).as("ewma"),
+        Portable.round4(col("n") / (col("num") / col("den"))).as("ratio"))
+  }
+
+  /** x144 trailing-window width in days. */
+  val RollingDays = 7
+
+  /** x144: rolling 7-day DISTINCT active users per event type — the
+    * weekly-active-users series. Windowed COUNT(DISTINCT) doesn't
+    * exist in either engine, and a per-day set union doesn't
+    * distribute; the scalable formulation is contribution-explode:
+    * each distinct (type, user, day) activity contributes to the 7
+    * observation days it is visible from, then one hash aggregate
+    * counts distinct users per (type, obs_day). Days past the data's
+    * end are clipped so every emitted day has full semantics.
+    *
+    * Scale: the distinct pass collapses raw events to activity keys
+    * FIRST (the explode factor applies to distinct activity, not raw
+    * volume), the explode is a fixed 7×, and both aggregates shuffle
+    * only keys. The exact-distinct final agg is the contract here;
+    * the sketch trade (x65's grouped HLL) applies when approximate
+    * is acceptable. */
+  def rollingDistinctUsers(events: DataFrame): DataFrame = {
+    val act = Caching.temp(events
+      .select(col("event_type"), col("user_id"),
+        floor(unix_millis(col("ts")) / DayMs).cast("long").as("day"))
+      .distinct())
+    val mx = act.agg(max(col("day")).as("max_day"))
+    act
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("day"), col("day") + (RollingDays - 1))).as("obs_day"))
+      .crossJoin(broadcast(mx))
+      .filter(col("obs_day") <= col("max_day"))
+      .groupBy(col("event_type"), col("obs_day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+  }
+
+  /** x147: week-over-week active-user overlap — per week (having a
+    * predecessor): last week's actives, this week's, the overlap, the
+    * Jaccard, and the churned/new decomposition. The standing growth
+    * KPI; set semantics like x66 but BETWEEN adjacent periods.
+    *
+    * Scale: one distinct pass to (user, week) keys; the adjacency
+    * "intersection" is a self-join co-partitioned on (user_id, week)
+    * — shifting one side by +1 week turns interval adjacency into an
+    * equi-join, so no range join and no per-week set materialization;
+    * week-level frames after aggregation are |weeks|-sized. */
+  def wowUserOverlap(events: DataFrame): DataFrame = {
+    val wk = Caching.temp(events
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / WeekMs).cast("long").as("week"))
+      .distinct())
+    val tot = wk.groupBy(col("week")).agg(count(lit(1)).as("n"))
+    val both = wk.select(col("user_id"), (col("week") + 1).as("week"))
+      .join(wk, Seq("user_id", "week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_both"))
+    val nb = coalesce(col("n_both"), lit(0L))
+    tot.select(col("week"), col("n").as("n_curr"))
+      .join(broadcast(tot.select((col("week") + 1).as("week"), col("n").as("n_prev"))),
+        Seq("week"))
+      .join(broadcast(both), Seq("week"), "left")
+      .select(col("week"), col("n_prev"), col("n_curr"), nb.as("n_both"),
+        Portable.round4(nb.cast("double") /
+          (col("n_prev") + col("n_curr") - nb).cast("double")).as("jaccard"),
+        (col("n_prev") - nb).as("n_churned"),
+        (col("n_curr") - nb).as("n_new"))
+  }
 }

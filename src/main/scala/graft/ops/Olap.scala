@@ -212,4 +212,36 @@ object Olap {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
   }
+
+  // ---- x148 Benford first-digit audit ------------------------------
+
+  /** x148: BENFORD'S-LAW audit of order totals — the distribution of
+    * first significant digits of `o_totalprice` (in integral cents)
+    * against the log₁₀(1 + 1/d) expectation. The standard forensic
+    * screen for fabricated or truncated monetary data; a synthetic
+    * uniform generator fails it loudly, which is itself the read.
+    *
+    * Determinism: the digit comes from the CENTS STRING (first char of
+    * the BIGINT's decimal form) — pure integer/string ops, no
+    * log-of-double digit extraction to disagree at a boundary; doubles
+    * appear only in the 9-row share/expectation arithmetic, snapped to
+    * 1e-4.
+    *
+    * Scale: one map-only projection + a 9-group hash aggregate
+    * (partial aggregation collapses each split to ≤9 rows before the
+    * shuffle); the total joins back by broadcast. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val g = orders
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("tot"))
+    val share = col("n").cast("double") / col("tot").cast("double")
+    val expected = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    g.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        Portable.round4(share).as("share"),
+        Portable.round4(expected).as("expected"),
+        Portable.round4(abs(share - expected)).as("abs_dev"))
+  }
 }

@@ -273,13 +273,21 @@ object TextAnalysis {
     * uncontaminated as a 100 TB corpus grows. Map-only. */
   def splitAssign(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), col("lang"),
-        pmod(conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
-          .cast("long"), lit(100)).as("bucket"))
+      .select(col("doc_id"), col("lang"), splitBucket(col("doc_id")).as("bucket"))
       .withColumn("split",
         when(col("bucket") < TrainPct, "train")
           .when(col("bucket") < ValPct, "val")
           .otherwise("test"))
+
+  /** The x29 hash bucket / split label as doc-local COLUMNS, for ops
+    * that tag splits inline without a join (x145). */
+  def splitBucket(docId: Column): Column =
+    pmod(conv(substring(md5(concat(lit("split:"), docId.cast("string"))), 1, 4), 16, 10)
+      .cast("long"), lit(100))
+  def splitOf(docId: Column): Column = {
+    val b = splitBucket(docId)
+    when(b < TrainPct, "train").when(b < ValPct, "val").otherwise("test")
+  }
 
   /** Per-stratum sample size for [[stratifiedSample]]. */
   val SamplePerStratum = 20
@@ -1057,8 +1065,10 @@ object TextAnalysis {
       .select(col("bin"), coalesce(col("c"), lit(0L)).as(as), col("tot").as(totAs))
     val p = (col("n_train") + 0.5) / (col("tot_train") + PsiBins * 0.5)
     val qq = (col("n_test") + 0.5) / (col("tot_test") + PsiBins * 0.5)
+    // both sides are PsiBins rows by construction — hint it, or the
+    // un-materialized cache's inflated estimate plans a sort-merge
     share("train", "n_train", "tot_train")
-      .join(share("test", "n_test", "tot_test"), Seq("bin"))
+      .join(broadcast(share("test", "n_test", "tot_test")), Seq("bin"))
       .select(col("bin"), col("n_train"), col("n_test"),
         Portable.round4(p).as("p_train"),
         Portable.round4(qq).as("p_test"),
@@ -1131,5 +1141,135 @@ object TextAnalysis {
         col("n_chars"), col("n_dup_docs"),
         Portable.round4(col("n_dup_docs").cast("double") / col("n_docs"))
           .as("dup_rate"))
+  }
+
+  // ---- x142 readability --------------------------------------------
+
+  /** Sentence boundary runs / syllable nuclei (vowel groups) for the
+    * x142 readability score — the classic regex approximations (a
+    * vowel-group count is the standard cheap syllable estimator). */
+  val SentencePattern = "[.!?]+"
+  val SyllablePattern = "[aeiouy]+"
+
+  /** x142 band cuts, applied to the 1e-4-snapped score. */
+  val FleschEasyBar  = 60.0
+  val FleschMediumBar = 30.0
+
+  /** x142: Flesch reading-ease per document — words/sentence and
+    * syllables/word over regex counts, banded easy/medium/hard (a
+    * standard curriculum/quality signal next to x1's ratios and
+    * x101's Gopher battery). Zero-token docs band as `(empty)` with a
+    * NULL score rather than dividing by zero.
+    *
+    * Scale: map-only — three regex counts and arithmetic in one
+    * codegen projection, no shuffle, no UDF; runs at scan speed like
+    * x1. The band compares the ALREADY-snapped score against literal
+    * cuts, so both engines band identically. */
+  def readability(documents: DataFrame): DataFrame = {
+    val nw = size(tokens(col("text"))).cast("long")
+    val ns = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit(SentencePattern), lit(0))).cast("long"))
+    val sy = size(regexp_extract_all(lower(col("text")), lit(SyllablePattern), lit(0)))
+      .cast("long")
+    val score = Portable.round4(
+      lit(206.835) - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+        - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+    documents
+      .select(col("doc_id"), col("lang"), nw.as("n_words"), ns.as("n_sentences"),
+        sy.as("n_syllables"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(score).as("flesch"))
+      .withColumn("band",
+        when(col("n_words") === 0, "(empty)")
+          .when(col("flesch") >= FleschEasyBar, "easy")
+          .when(col("flesch") >= FleschMediumBar, "medium")
+          .otherwise("hard"))
+  }
+
+  // ---- x140 Zipf slope ---------------------------------------------
+
+  /** x140: ranks entering the log-log regression (the Zipf head). */
+  val ZipfTopR = 100
+
+  /** x140: Zipf's-law fit per language — the least-squares slope (and
+    * rank-1 intercept) of ln(freq) against ln(rank) over the top-100
+    * token frequencies. Natural corpora sit near slope −1; a synthetic
+    * or template-heavy source shows up as a flat or cliffed head, so
+    * this is a standing corpus-health probe next to x26's IDF and
+    * x138's PSI.
+    *
+    * Determinism (x69 pattern): ln values enter as 1e-6 fixed-point
+    * BIGINTs, so all regression moments are EXACT integer sums that
+    * commute across partitions; floats appear only in the final
+    * per-language slope formula (identical IEEE op sequence in both
+    * engines), snapped to 1e-4.
+    *
+    * Scale: token counting is one hash aggregate; the top-100 head is
+    * taken by the HEAP operator ([[graft.plans.TopKPerKey]]) — no
+    * vocabulary-wide sort or window anywhere (the x60 lesson); the
+    * rank itself is then a window over ≤ 100·|langs| surviving rows. */
+  def zipfSlope(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = withTokens(documents)
+      .select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+    val top = graft.plans.TopKPerKey.topKPerKey(freqs,
+      Seq(col("lang")), Seq(col("f").desc, col("tok").asc), ZipfTopR)
+    val r = row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("f").desc, col("tok").asc))
+    def lnFix(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val moments = top.withColumn("r", r)
+      .select(col("lang"), lnFix(col("r")).as("lx"), lnFix(col("f")).as("ly"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"), sum(col("lx") * col("ly")).as("sxy"))
+    val n = col("n").cast("double")
+    val slope = (n * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (n * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    moments.select(col("lang"), col("n"),
+      Portable.round4(slope).as("slope"),
+      Portable.round4((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / n / 1e6).as("ln_f1"))
+  }
+
+  // ---- x143 Lorenz concentration -----------------------------------
+
+  /** x143: token-mass LORENZ CURVE per language — docs ranked by token
+    * count (desc), bucketed into rank deciles, with each decile's doc
+    * count, token mass and the cumulative share of the language's
+    * tokens. "The top 10% of documents hold 38% of the tokens" is the
+    * concentration read a mixture designer (x103/x118) starts from.
+    *
+    * Determinism: decile = ceil(10·rn/cnt) in EXACT integer arithmetic
+    * ((10·rn + cnt − 1) div cnt); token sums are integral; the only
+    * double is the final cumulative share, snapped to 1e-4.
+    *
+    * Scale: one shuffle on lang + a per-language sort for the ranking
+    * window (same bounded-group caveat and two-phase swap-in as x123);
+    * everything after runs on the 10-row-per-language decile frame. */
+  def lorenzDeciles(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("n_toks").desc, col("doc_id").asc)
+    val wLang = Window.partitionBy(col("lang"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTokens(documents)
+      .select(col("lang"), col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .select(col("lang"), col("n_toks"),
+        row_number().over(wRank).cast("long").as("rn"),
+        count(lit(1)).over(wLang).as("cnt"))
+      .select(col("lang"), col("n_toks"),
+        floor((col("rn") * 10 + col("cnt") - 1) / col("cnt")).cast("long").as("decile"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+      .select(col("lang"), col("decile"), col("n_docs"), col("toks"),
+        Portable.round4(sum(col("toks")).over(wCum).cast("double") /
+          sum(col("toks")).over(wLang).cast("double")).as("cum_share"))
   }
 }

@@ -190,4 +190,37 @@ object Web {
       .groupBy(col("url_norm"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  // ---- x145 cross-split URL leakage --------------------------------
+
+  /** x145: URL-level SPLIT LEAKAGE audit — canonical URLs (x130's
+    * normalization) that appear in MORE THAN ONE of the x29
+    * train/val/test splits, with per-split doc counts. Content-level
+    * decontamination (x37/x78) misses the page-identity channel: two
+    * crawls of one URL differ textually but are still the same
+    * document, so a URL straddling train and test leaks the benchmark.
+    * Split assignment is content-hash-based (doc_id), so URL collisions
+    * across splits are exactly what this surfaces.
+    *
+    * Scale: map-only canonicalization + split tagging in ONE
+    * projection (both are doc-local), then a single hash aggregate on
+    * the canonical URL with conditional counts — the x4 dedup shape;
+    * no join (the split comes from the same row), keys-only shuffle. */
+  def urlSplitLeakage(documents: DataFrame): DataFrame = {
+    val aug = injectUrl(col("text"), col("doc_id"))
+    val url = regexp_extract(aug, UrlPattern, 0)
+    documents
+      .select(normalizeUrl(url).as("url_norm"),
+        TextAnalysis.splitOf(col("doc_id")).as("split"))
+      .filter(col("url_norm") =!= "://")
+      .groupBy(col("url_norm"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .filter(
+        (when(col("n_train") > 0, 1).otherwise(0) +
+          when(col("n_val") > 0, 1).otherwise(0) +
+          when(col("n_test") > 0, 1).otherwise(0)) >= 2)
+  }
 }

@@ -2901,7 +2901,254 @@ object ExtSql {
          |      FROM tr JOIN te USING (bin))""".stripMargin
   }
 
+  // ---- x139 EWMA-smoothed daily event volume -----------------------
+
+  private val x139 = {
+    val w = Events.EwmaDecay
+    raw"""WITH daily AS (
+         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |d0 AS (SELECT min(day) AS day0 FROM daily),
+         |idx AS (SELECT event_type, day, n, day - day0 AS i FROM daily, d0),
+         |c AS (
+         |  SELECT event_type, day, n,
+         |         sum(n * pow($w, -i)) OVER win AS num,
+         |         sum(pow($w, -i)) OVER win AS den
+         |  FROM idx
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY i
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_type, day, n AS n_events,
+         |       ${round4("num / den")} AS ewma,
+         |       ${round4("n / (num / den)")} AS ratio
+         |FROM c""".stripMargin
+  }
+
+  // ---- x140 Zipf slope per language --------------------------------
+
+  private val x140 = {
+    val r = TextAnalysis.ZipfTopR
+    raw"""WITH $toksCte,
+         |tf AS (
+         |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT lang, unnest(toks) AS tok FROM tok) GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT lang, f,
+         |         row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok ASC) AS r
+         |  FROM tf),
+         |fx AS (
+         |  SELECT lang,
+         |         CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lx,
+         |         CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS ly
+         |  FROM rk WHERE r <= $r),
+         |m AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         |         CAST(sum(lx * lx) AS BIGINT) AS sxx,
+         |         CAST(sum(lx * ly) AS BIGINT) AS sxy
+         |  FROM fx GROUP BY 1)
+         |SELECT lang, n, ${round4("slope")} AS slope,
+         |       ${round4("(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0")} AS ln_f1
+         |FROM (
+         |  SELECT lang, n, sx, sy,
+         |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+         |  FROM m)""".stripMargin
+  }
+
+  // ---- x141 median/MAD robust length outliers ----------------------
+
+  private val x141 = {
+    val k = graft.ops.DataProfile.MadK * graft.ops.DataProfile.MadConsistency
+    raw"""WITH med AS (
+         |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+         |  FROM documents GROUP BY 1),
+         |dev AS (
+         |  SELECT d.lang, abs(d.n_chars - m.med) AS adev
+         |  FROM documents d JOIN med m USING (lang)),
+         |mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1),
+         |st AS (SELECT m.lang, m.med, a.mad FROM med m JOIN mad a USING (lang))
+         |SELECT dev.lang, ${round4("st.med")} AS med, ${round4("st.mad")} AS mad,
+         |       ${round4(s"$k * st.mad")} AS fence,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN dev.adev > ${round4(s"$k * st.mad")}
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev JOIN st USING (lang)
+         |GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
+  // ---- x142 Flesch readability -------------------------------------
+
+  private val x142 = {
+    val t = TextAnalysis
+    raw"""SELECT doc_id, lang, n_words, n_sentences, n_syllables, flesch,
+         |       CASE WHEN n_words = 0 THEN '(empty)'
+         |            WHEN flesch >= ${t.FleschEasyBar} THEN 'easy'
+         |            WHEN flesch >= ${t.FleschMediumBar} THEN 'medium'
+         |            ELSE 'hard' END AS band
+         |FROM (
+         |  SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+         |         CASE WHEN n_words = 0 THEN NULL
+         |              ELSE ${round4("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)")}
+         |         END AS flesch
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |           CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+         |                                t -> t <> '')) AS BIGINT) AS n_words,
+         |           greatest(1, CAST(len(regexp_extract_all(text, '${t.SentencePattern}')) AS BIGINT)) AS n_sentences,
+         |           CAST(len(regexp_extract_all(lower(text), '${t.SyllablePattern}')) AS BIGINT) AS n_syllables
+         |    FROM documents))""".stripMargin
+  }
+
+  // ---- x143 token-mass Lorenz deciles ------------------------------
+
+  private val x143 =
+    raw"""WITH $toksCte,
+         |t AS (SELECT lang, doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM tok),
+         |r AS (
+         |  SELECT lang, n_toks,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY n_toks DESC, doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS cnt
+         |  FROM t),
+         |g AS (
+         |  SELECT lang, CAST((10 * rn + cnt - 1) // cnt AS BIGINT) AS decile,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_toks) AS BIGINT) AS toks
+         |  FROM r GROUP BY 1, 2)
+         |SELECT lang, decile, n_docs, toks,
+         |       ${round4("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)")} AS cum_share
+         |FROM (
+         |  SELECT lang, decile, n_docs, toks,
+         |         sum(toks) OVER (PARTITION BY lang ORDER BY decile
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(toks) OVER (PARTITION BY lang) AS tot
+         |  FROM g)""".stripMargin
+
+  // ---- x144 rolling 7-day distinct users ---------------------------
+
+  private val x144 = {
+    val w = Events.RollingDays
+    raw"""WITH act AS (
+         |  SELECT DISTINCT event_type, user_id, epoch_ms(ts) // 86400000 AS day
+         |  FROM events),
+         |mx AS (SELECT max(day) AS max_day FROM act),
+         |e AS (
+         |  SELECT event_type, user_id, day + g.i AS obs_day
+         |  FROM act, unnest(range(0, $w)) AS g(i))
+         |SELECT event_type, obs_day,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+         |FROM e, mx WHERE obs_day <= max_day
+         |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- x145 cross-split URL leakage --------------------------------
+
+  private val x145 = {
+    val w = graft.ops.Web
+    val t = TextAnalysis
+    raw"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 4
+         |    WHEN 0 THEN ' see https://www' || (doc_id % 5)
+         |                || '.corpus-hub.com/archive/d' || doc_id || '?ref=idx'
+         |    WHEN 1 THEN ' img http://cdn' || (doc_id % 3)
+         |                || '.static-assets.org/f' || doc_id || '.png'
+         |    WHEN 2 THEN ' via https://m' || (doc_id % 2) || '.spam-mirror.net/x'
+         |    ELSE '' END AS a
+         |  FROM documents),
+         |u AS (SELECT doc_id, regexp_extract(a, '${w.UrlPattern}', 0) AS url
+         |      FROM aug),
+         |cl AS (
+         |  SELECT doc_id,
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(url, '#.*$$', ''),
+         |             '${w.TrackingParamPattern}', '', 'g'),
+         |           '[?&]+$$', '') AS clean
+         |  FROM u WHERE url <> ''),
+         |nm AS (
+         |  SELECT doc_id,
+         |         lower(regexp_extract(clean, '${w.SchemePattern}', 1)) || '://' ||
+         |         lower(regexp_extract(clean, '${w.HostPattern}', 1)) ||
+         |         regexp_replace(clean, '^https?://[^/\s?#]+', '') AS url_norm
+         |  FROM cl),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN b < ${t.TrainPct} THEN 'train'
+         |              WHEN b < ${t.ValPct} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 4))::BIGINT
+         |                 % 100 AS b
+         |        FROM documents))
+         |SELECT url_norm,
+         |       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |       CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |FROM nm JOIN sp USING (doc_id)
+         |GROUP BY 1
+         |HAVING (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_val > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) >= 2""".stripMargin
+  }
+
+  // ---- x146 normalized-exact dedup ---------------------------------
+
+  private val x146 =
+    raw"""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z\s]', ' ', 'g'),
+         |                               '\s+', ' ', 'g'))) AS nfp,
+         |       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_copies,
+         |       CAST(count(DISTINCT $fpFull) AS BIGINT) AS n_raw_variants
+         |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- x147 week-over-week active-user overlap ---------------------
+
+  private val x147 =
+    raw"""WITH wk AS (
+         |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+         |tot AS (SELECT week, CAST(count(*) AS BIGINT) AS n FROM wk GROUP BY 1),
+         |bth AS (
+         |  SELECT a.week + 1 AS week, CAST(count(*) AS BIGINT) AS n_both
+         |  FROM wk a JOIN wk b ON b.user_id = a.user_id AND b.week = a.week + 1
+         |  GROUP BY 1)
+         |SELECT c.week, p.n AS n_prev, c.n AS n_curr,
+         |       coalesce(b.n_both, 0) AS n_both,
+         |       ${round4("CAST(coalesce(b.n_both, 0) AS DOUBLE) / CAST(p.n + c.n - coalesce(b.n_both, 0) AS DOUBLE)")} AS jaccard,
+         |       p.n - coalesce(b.n_both, 0) AS n_churned,
+         |       c.n - coalesce(b.n_both, 0) AS n_new
+         |FROM tot c JOIN tot p ON p.week = c.week - 1
+         |LEFT JOIN bth b ON b.week = c.week""".stripMargin
+
+  // ---- x148 Benford first-digit audit ------------------------------
+
+  private val x148 =
+    raw"""WITH g AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+         |SELECT digit, n,
+         |       ${round4("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)")} AS share,
+         |       ${round4("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))")} AS expected,
+         |       ${round4("abs(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))")} AS abs_dev
+         |FROM g, t""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x139_ewma_daily"     -> x139,
+    "x140_zipf_slope"     -> x140,
+    "x141_mad_outliers"   -> x141,
+    "x142_readability"    -> x142,
+    "x143_lorenz"         -> x143,
+    "x144_rolling_users"  -> x144,
+    "x145_url_leakage"    -> x145,
+    "x146_norm_dedup"     -> x146,
+    "x147_wow_users"      -> x147,
+    "x148_benford"        -> x148,
     "x136_src_overlap"    -> x136,
     "x137_quality_ci"     -> x137,
     "x138_psi_drift"      -> x138,

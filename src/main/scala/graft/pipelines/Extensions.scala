@@ -261,7 +261,17 @@ object Extensions {
     "x135_dp_counts"     -> ((s, d) => graft.ops.DataProfile.dpCounts(docs(s, d))),
     "x136_src_overlap"   -> ((s, d) => Dedup.sourceOverlap(docs(s, d))),
     "x137_quality_ci"    -> ((s, d) => TextAnalysis.qualityCi(docs(s, d))),
-    "x138_psi_drift"     -> ((s, d) => TextAnalysis.psiDrift(docs(s, d))))
+    "x138_psi_drift"     -> ((s, d) => TextAnalysis.psiDrift(docs(s, d))),
+    "x139_ewma_daily"    -> ((s, d) => Events.ewmaDaily(evs(s, d))),
+    "x140_zipf_slope"    -> ((s, d) => TextAnalysis.zipfSlope(docs(s, d))),
+    "x141_mad_outliers"  -> ((s, d) => graft.ops.DataProfile.madOutliers(docs(s, d))),
+    "x142_readability"   -> ((s, d) => TextAnalysis.readability(docs(s, d))),
+    "x143_lorenz"        -> ((s, d) => TextAnalysis.lorenzDeciles(docs(s, d))),
+    "x144_rolling_users" -> ((s, d) => Events.rollingDistinctUsers(evs(s, d))),
+    "x145_url_leakage"   -> ((s, d) => graft.ops.Web.urlSplitLeakage(docs(s, d))),
+    "x146_norm_dedup"    -> ((s, d) => Dedup.normalizedDedup(docs(s, d))),
+    "x147_wow_users"     -> ((s, d) => Events.wowUserOverlap(evs(s, d))),
+    "x148_benford"       -> ((s, d) => graft.ops.Olap.benfordAudit(Tables.orders(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -449,6 +449,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), s"expected the hour explode in:\n$p")
   }
 
+  test("x142 readability is map-only: no exchange, no UDF") {
+    val p = plan("x142_readability")
+    assert(!p.contains("Exchange"), s"readability must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython"), s"no Python UDF belongs here:\n$p")
+  }
+
+  test("x140 Zipf head comes from the heap operator, not a vocab-wide window") {
+    val p = plan("x140_zipf_slope")
+    assert(p.contains("TopKPerKeyFinal"),
+      s"the top-100 head must come from the heap top-k:\n$p")
+    // the only Window re-ranks the <=100-per-lang survivors; it must
+    // sit ABOVE the heap operator, never on the full vocabulary
+    val win = p.indexOf("Window")
+    val heap = p.indexOf("TopKPerKeyFinal")
+    assert(win >= 0 && win < heap,
+      s"the re-rank window must consume the heap output (plan lists parents first):\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"nothing here may collapse to one partition:\n$p")
+  }
+
+  test("x144 rolling distinct users: explode + aggregates, data-edge clip broadcast") {
+    val p = plan("x144_rolling_users")
+    assert(p.contains("Generate explode"), s"expected the 7-day explode in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"only the broadcast max-day scalar may join:\n$p")
+  }
+
+  test("x139/x141/x147: per-key windows and broadcast stat joins only") {
+    val p139 = plan("x139_ewma_daily")
+    assert(!p139.contains("SortMergeJoin"),
+      s"x139: the day0 scalar joins by broadcast:\n$p139")
+    // the EWMA window partitions by event_type (never SinglePartition
+    // with an ORDER — the grid is |types|x|days|, each type its own slice)
+    assert(p139.contains("Window"), s"x139 needs its running window:\n$p139")
+    val p141 = plan("x141_mad_outliers")
+    assert(!p141.contains("SortMergeJoin") && !p141.contains("CartesianProduct"),
+      s"x141: per-language stats must broadcast back:\n$p141")
+    val p147 = plan("x147_wow_users")
+    assert(!p147.contains("CartesianProduct"),
+      s"x147: adjacency is an equi-join after the +1 shift:\n$p147")
+  }
+
   test("x122 k-anonymity: one aggregation, one exchange, map-side partials") {
     val p = plan("x122_k_anonymity")
     assert(!p.contains("Join"), s"the QI audit is a pure aggregate:\n$p")

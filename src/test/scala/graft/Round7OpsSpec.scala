@@ -1,0 +1,167 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{DataProfile, Dedup, Events, Olap, TextAnalysis, Web}
+
+/** Pins the round-7 operators: EWMA daily volume (x139), Zipf slope
+  * (x140), median/MAD outliers (x141), Flesch readability (x142),
+  * Lorenz deciles (x143), rolling 7-day distinct users (x144),
+  * cross-split URL leakage (x145), normalized-exact dedup (x146),
+  * week-over-week user overlap (x147), Benford audit (x148). */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+  private def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+
+  test("x139 ewmaDaily: closed-form EWMA with real-day-gap decay") {
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 0.0, "{}"),
+      (2L, ts(1), 2L, "click", 0.0, "{}"),
+      (3L, ts(2 * 1440), 1L, "click", 0.0, "{}")   // day 2 — day 1 empty
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.ewmaDaily(events)
+      .select("day", "n_events", "ewma", "ratio")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(0L, 2L), "only observed days appear")
+    assert(out(0L) === ((2L, 2.0, 1.0)))
+    // day 2: w^-0 and w^-2 terms — the skipped day still decays
+    val w = Events.EwmaDecay
+    val ew = (2.0 + math.pow(w, -2.0)) / (1.0 + math.pow(w, -2.0))
+    assert(out(2L) === ((1L, r4(ew), r4(1.0 / ew))))
+  }
+
+  test("x140 zipfSlope: matches the fixed-point regression closed form") {
+    // one language, frequencies 4/2/1 → ranks 1/2/3
+    val docs = Seq((1L, "a a b", "en", "s", 5L), (2L, "a a b c", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.zipfSlope(docs)
+      .select("lang", "n", "slope", "ln_f1")
+      .as[(String, Long, Double, Double)].head()
+    def lnFix(x: Double) = math.floor(math.log(x) * 1e6 + 0.5)
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L))
+      .map { case (r, f) => (lnFix(r.toDouble), lnFix(f.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxx, sxy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._1 * p._2).sum)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out._1 === "en" && out._2 === 3L)
+    assert(out._3 === r4(slope))
+    assert(out._4 === r4((sy - slope * sx) / n / 1e6))
+    // freq ≈ 4/r^1.26: the head is steeper than Zipf's -1 here
+    assert(out._3 < -1.0 && out._3 > -1.5)
+  }
+
+  test("x141 madOutliers: zero-MAD fence and interpolated medians") {
+    val docs =
+      (Seq.fill(4)(10L) :+ 100L).zipWithIndex.map { case (c, i) =>
+        (i.toLong, "t", "en", "s", c)
+      } ++ Seq((10L, "t", "fr", "s", 1L), (11L, "t", "fr", "s", 2L))
+    val out = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DataProfile.madOutliers(out)
+      .select("lang", "med", "mad", "fence", "n", "n_outliers")
+      .as[(String, Double, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // en: med 10, MAD 0 → fence 0 → the spike is the only |dev| > 0
+    assert(got("en") === ((10.0, 0.0, 0.0, 5L, 1L)))
+    // fr: med 1.5 (interpolated), adev 0.5/0.5 → MAD 0.5
+    val fence = r4(DataProfile.MadK * DataProfile.MadConsistency * 0.5)
+    assert(got("fr") === ((1.5, 0.5, fence, 2L, 0L)))
+  }
+
+  test("x142 readability: Flesch arithmetic, banding, and the empty guard") {
+    val docs = Seq(
+      (1L, "Hello world.", "en", "s", 12L),
+      (2L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.readability(docs)
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "band")
+      .as[(Long, Long, Long, Long, Option[Double], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // hello(e,o) world(o) → 3 vowel groups; 2 words, 1 sentence
+    val f = r4(206.835 - 1.015 * (2.0 / 1.0) - 84.6 * (3.0 / 2.0))
+    assert(out(1L) === ((2L, 1L, 3L, Some(f), "easy")))
+    assert(out(2L) === ((0L, 1L, 0L, None, "(empty)")))
+  }
+
+  test("x143 lorenzDeciles: exact decile cuts and cumulative shares") {
+    val docs = (1 to 10).map { i =>
+      (i.toLong, (1 to i).map(j => s"w$j").mkString(" "), "en", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.lorenzDeciles(docs)
+      .select("decile", "n_docs", "toks", "cum_share")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1L to 10L))
+    assert(out.forall(_._2 == 1L))
+    assert(out.map(_._3).toSeq === (1L to 10L).reverse.toSeq)
+    assert(out.head._4 === r4(10.0 / 55))
+    assert(out.last._4 === 1.0)
+  }
+
+  test("x144 rollingDistinctUsers: 7-day visibility, clipped at the data edge") {
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 0.0, "{}"),
+      (2L, ts(3 * 1440), 2L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.rollingDistinctUsers(events)
+      .select("obs_day", "n_users_7d").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("x145 urlSplitLeakage: flags only canonical URLs straddling splits") {
+    val out = Web.urlSplitLeakage(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select("url_norm", "n_train", "n_val", "n_test")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "the shared spam-mirror URL must straddle splits")
+    out.foreach { case (u, tr, va, te) =>
+      assert(Seq(tr, va, te).count(_ > 0) >= 2, s"$u is not a leak")
+      assert(!u.contains("ref=") && !u.contains("utm_"), "must be canonical")
+    }
+    // splitOf must agree with the x29 frame it shortcuts
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaCol = docs.select($"doc_id", TextAnalysis.splitOf($"doc_id").as("s"))
+    val viaFrame = TextAnalysis.splitAssign(docs).select($"doc_id", $"split".as("f"))
+    assert(viaCol.join(viaFrame, "doc_id").filter($"s" =!= $"f").count() === 0L)
+  }
+
+  test("x146 normalizedDedup: punctuation/case variants collapse, raw variants counted") {
+    val docs = Seq(
+      (1L, "Hello, World!", "en", "s", 13L),
+      (2L, "hello world", "en", "s", 11L),
+      (3L, "something else", "en", "s", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.normalizedDedup(docs)
+      .select("keep_doc_id", "n_copies", "n_raw_variants")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 2L), (3L, 1L, 1L)))
+  }
+
+  test("x147 wowUserOverlap: adjacent-week Jaccard and churn decomposition") {
+    val wk = 10080L // minutes per week
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 0.0, "{}"),
+      (2L, ts(1), 2L, "click", 0.0, "{}"),
+      (3L, ts(wk), 2L, "view", 0.0, "{}"),
+      (4L, ts(wk + 1), 3L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.wowUserOverlap(events)
+      .select("week", "n_prev", "n_curr", "n_both", "jaccard", "n_churned", "n_new")
+      .as[(Long, Long, Long, Long, Double, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1L, r4(1.0 / 3), 1L, 1L)))
+  }
+
+  test("x148 benfordAudit: string-derived digits and the log10 expectation") {
+    val orders = Seq(1.00, 2.50, 19.99, 0.05).toDF("o_totalprice")
+    val out = Olap.benfordAudit(orders)
+      .select("digit", "n", "share", "expected", "abs_dev")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val e1 = math.log10(2.0)
+    assert(out(1L) === ((2L, 0.5, r4(e1), r4(math.abs(0.5 - e1)))))
+    assert(out(2L)._1 === 1L && out(5L)._1 === 1L)
+    assert(out(2L)._2 === 0.25 && out(5L)._2 === 0.25)
+  }
+}
