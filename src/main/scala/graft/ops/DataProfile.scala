@@ -289,6 +289,59 @@ object DataProfile {
         Portable.round4((col("n") - e) * (col("n") - e) / e).as("contrib"))
   }
 
+  // ---- x153 Kolmogorov–Smirnov drift between sources ---------------
+
+  /** x153: two-sample KS STATISTIC between every source pair on the
+    * document-length distribution — D = max_x |F_a(x) − F_b(x)|, the
+    * distribution-free "did these two crawls draw from the same
+    * population" screen (sharper than x138's binned PSI when the
+    * interesting difference is a shift, not a reshape).
+    *
+    * Determinism: the sup runs over EXACT integers — F_a − F_b at x
+    * is (cum_a·tot_b − cum_b·tot_a)/(tot_a·tot_b), and the shared
+    * denominator makes the numerator an exact BIGINT argmax; the one
+    * double is the final D, snapped to 1e-4. (cum·tot needs
+    * tot_a·tot_b < 2⁶³ — fine until ~3·10⁹ docs per source; past
+    * that the swap-in is pre-bucketed CDFs, which bounds the grid
+    * too.)
+    *
+    * Scale: the corpus collapses in ONE hash aggregate to
+    * (source × length) counts — bounded by the LENGTH DOMAIN, not the
+    * row count; the dense (length × source) CDF grid comes from a
+    * broadcast value-spine left-join + one per-source window; the
+    * pair fan-out joins grid rows on the length key with the
+    * |sources|-bounded per-key width. */
+  def ksSourceDrift(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Caching.temp(documents
+      .groupBy(col("source"), col("n_chars").cast("long").as("x"))
+      .agg(count(lit(1)).as("cnt")))
+    val xs = c.select(col("x")).distinct()
+    val srcs = c.select(col("source")).distinct()
+    val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = xs.crossJoin(broadcast(srcs))
+      .join(broadcast(c), Seq("source", "x"), "left")
+      .select(col("source"), col("x"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+    val tots = c.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val a = grid.join(broadcast(tots), Seq("source"))
+      .select(col("source").as("source_a"), col("x"),
+        col("cum").as("cum_a"), col("tot").as("tot_a"))
+    val b = grid.join(broadcast(tots), Seq("source"))
+      .select(col("source").as("source_b"), col("x"),
+        col("cum").as("cum_b"), col("tot").as("tot_b"))
+    a.join(b, Seq("x"))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("tot_a"), col("tot_b"),
+        abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")).as("num"))
+      .groupBy(col("source_a"), col("source_b"), col("tot_a"), col("tot_b"))
+      .agg(max(col("num")).as("max_num"))
+      .select(col("source_a"), col("source_b"), col("tot_a"), col("tot_b"),
+        Portable.round4(col("max_num").cast("double") /
+          (col("tot_a") * col("tot_b")).cast("double")).as("ks"))
+  }
+
   // ---- x141 robust (median/MAD) outliers ---------------------------
 
   /** x141 fence: |x − median| > [[MadK]] · 1.4826 · MAD (the normal-

@@ -583,6 +583,82 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users_7d"))
   }
 
+  /** x151: event-type CO-OCCURRENCE LIFT — for each unordered type
+    * pair, how much more (or less) often users do both than
+    * independence predicts: lift = P(a∧b) / (P(a)·P(b)) with
+    * probabilities over distinct users. The market-basket association
+    * screen; lift ≫ 1 marks coupled behaviors, ≪ 1 substitutes.
+    *
+    * Scale: one distinct pass to (user, type) keys; the pair fan-out
+    * is a self-join co-partitioned on user_id whose per-user width is
+    * bounded by the TYPE ENUM (≤ |types|² pairs per user, not corpus-
+    * driven); type totals and the user total broadcast back. The
+    * lift arithmetic is exact until one final double: lift =
+    * (n_ab·n_users) / (n_a·n_b), each factor an exact BIGINT. */
+  def typeLift(events: DataFrame): DataFrame = {
+    val ut = Caching.temp(events
+      .select(col("user_id"), col("event_type")).distinct())
+    val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+        Portable.round4((col("n_ab") * col("n_users")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  /** x152: CUSUM CHANGE-POINT detection on the daily volume series per
+    * event type — the classic "when did the level shift" probe
+    * (Page '54), complementing x44's boxcar z-score and x139's EWMA
+    * ratio: CUSUM accumulates small sustained drifts that neither
+    * alarm sees, and its |max| marks the most likely change day.
+    *
+    * Determinism: the running sum is kept EXACT by scaling — with D
+    * observed days and T total events for a type,
+    * S_t = Σ_{i≤t} (n_i·D − T) is an exact BIGINT (cusum = S_t/D only
+    * at the output edge), and the change-point is the exact-integer
+    * argmax of |S_t| (ties: first day), so both engines agree
+    * bit-for-bit with no floating accumulation anywhere.
+    *
+    * Scale: the corpus collapses in ONE hash aggregate to the
+    * (type × day) grid; windows run per type over that tiny series
+    * (x139's shape). n_i·D − T stays far inside 2⁶³ for any real
+    * series (n·D ≤ total·days). */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = Caching.temp(events
+      .select(col("event_type"),
+        floor(unix_millis(col("ts")) / DayMs).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n")))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("t"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wType = Window.partitionBy(col("event_type"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("s", sum(col("n") * col("d") - col("t")).over(wCum))
+      .withColumn("smax", max(abs(col("s"))).over(wType))
+      .withColumn("is_cp",
+        (abs(col("s")) === col("smax")) &&
+          (min(when(abs(col("s")) === col("smax"), col("day"))).over(wType)
+            === col("day")))
+      .select(col("event_type"), col("day"), col("n"),
+        Portable.round4(col("s").cast("double") / col("d").cast("double"))
+          .as("cusum"),
+        col("is_cp").cast("long").as("is_cp"))
+  }
+
   /** x147: week-over-week active-user overlap — per week (having a
     * predecessor): last week's actives, this week's, the overlap, the
     * Jaccard, and the churned/new decomposition. The standing growth

@@ -1237,6 +1237,83 @@ object TextAnalysis {
         / n / 1e6).as("ln_f1"))
   }
 
+  // ---- x149 OOV rate against the frequency vocabulary --------------
+
+  /** x149 vocabulary size (top tokens by global frequency). */
+  val OovVocabK = 500
+
+  /** x149: per-document OUT-OF-VOCABULARY rate against the top-
+    * [[OovVocabK]] frequency vocabulary — the tokenizer-coverage
+    * metric that decides whether a frequency-truncated vocab (x60's
+    * id table, x117's merges) is big enough: a doc with a high OOV
+    * rate will shatter into bytes/UNKs at training time. Docs with
+    * zero tokens emit a NULL rate (no coverage claim to make).
+    *
+    * Scale: vocabulary selection is the heap-based global top-k
+    * (TakeOrderedAndProject over the token aggregate — the x21 shape,
+    * never a full vocab sort-shuffle); the K-row vocab BROADCASTS to
+    * the exploded token stream (flag = left-join miss), then one
+    * doc_id-keyed aggregate; empty docs re-enter by a left join from
+    * the corpus spine. */
+  def oovRate(documents: DataFrame): DataFrame = {
+    val vocab = withTokens(documents)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(OovVocabK)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    val perDoc = withTokens(documents)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(Portable.round4(
+            col("n_oov").cast("double") / col("n_tokens").cast("double"))))
+  }
+
+  // ---- x150 Heaps'-law fit -----------------------------------------
+
+  /** x150: HEAPS'-LAW fit per language — the least-squares slope β and
+    * intercept of ln(distinct tokens) against ln(total tokens) over
+    * per-document points (V ≈ K·Nᵝ, natural text β ≈ 0.4–0.6). The
+    * companion corpus-health probe to x140's Zipf head: template or
+    * repetitive sources show β near 0 (vocabulary stops growing),
+    * concatenated-random junk shows β near 1.
+    *
+    * Same determinism pattern as x140/x69: ln's enter as 1e-6
+    * fixed-point BIGINTs, regression moments are exact integer sums,
+    * floats only in the final per-language formula. Scale: map-only
+    * per-doc counts (no shuffle until the |langs|-row aggregate). */
+  def heapsFit(documents: DataFrame): DataFrame = {
+    def lnFix(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val pts = withTokens(documents)
+      .select(col("lang"), size(col("toks")).cast("long").as("nt"),
+        size(array_distinct(col("toks"))).cast("long").as("nd"))
+      .filter(col("nt") > 0)
+      .select(col("lang"), lnFix(col("nt")).as("lx"), lnFix(col("nd")).as("ly"))
+    val moments = pts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"), sum(col("lx") * col("ly")).as("sxy"))
+    val n = col("n").cast("double")
+    val beta = (n * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (n * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    moments.select(col("lang"), col("n"),
+      Portable.round4(beta).as("beta"),
+      Portable.round4((col("sy").cast("double") - beta * col("sx").cast("double"))
+        / n / 1e6).as("ln_k"))
+  }
+
   // ---- x143 Lorenz concentration -----------------------------------
 
   /** x143: token-mass LORENZ CURVE per language — docs ranked by token

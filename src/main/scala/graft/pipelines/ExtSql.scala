@@ -3138,7 +3138,137 @@ object ExtSql {
          |       ${round4("abs(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))")} AS abs_dev
          |FROM g, t""".stripMargin
 
+  // ---- x149 OOV rate against the top-K vocabulary ------------------
+
+  private val x149 = {
+    val k = TextAnalysis.OovVocabK
+    raw"""WITH $toksCte,
+         |vf AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(toks) AS tok FROM tok) GROUP BY 1),
+         |voc AS (SELECT tok FROM vf ORDER BY cnt DESC, tok ASC LIMIT $k),
+         |ex AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         |pd AS (
+         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_oov
+         |  FROM ex e LEFT JOIN voc v ON v.tok = e.tok GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |       coalesce(pd.n_tokens, 0) AS n_tokens,
+         |       coalesce(pd.n_oov, 0) AS n_oov,
+         |       CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN NULL
+         |            ELSE ${round4("coalesce(pd.n_oov, 0) / CAST(coalesce(pd.n_tokens, 0) AS DOUBLE)")}
+         |       END AS oov_rate
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
+  // ---- x150 Heaps'-law fit per language ----------------------------
+
+  private val x150 =
+    raw"""WITH $toksCte,
+         |pts AS (
+         |  SELECT lang,
+         |         CAST(floor(ln(CAST(len(toks) AS DOUBLE)) * 1000000 + 0.5)
+         |              AS BIGINT) AS lx,
+         |         CAST(floor(ln(CAST(len(list_distinct(toks)) AS DOUBLE)) * 1000000 + 0.5)
+         |              AS BIGINT) AS ly
+         |  FROM tok WHERE len(toks) > 0),
+         |m AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         |         CAST(sum(lx * lx) AS BIGINT) AS sxx,
+         |         CAST(sum(lx * ly) AS BIGINT) AS sxy
+         |  FROM pts GROUP BY 1)
+         |SELECT lang, n, ${round4("beta")} AS beta,
+         |       ${round4("(CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0")} AS ln_k
+         |FROM (
+         |  SELECT lang, n, sx, sy,
+         |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+         |  FROM m)""".stripMargin
+
+  // ---- x151 event-type co-occurrence lift --------------------------
+
+  private val x151 =
+    raw"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         |tt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+         |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+         |pr AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM ut a JOIN ut b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_ab,
+         |       ${round4("CAST(n_ab * n_users AS DOUBLE) / CAST(ta.n * tb.n AS DOUBLE)")} AS lift
+         |FROM pr
+         |JOIN tt ta ON ta.event_type = type_a
+         |JOIN tt tb ON tb.event_type = type_b, nu""".stripMargin
+
+  // ---- x152 CUSUM change-point -------------------------------------
+
+  private val x152 =
+    raw"""WITH daily AS (
+         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+         |         CAST(sum(n) AS BIGINT) AS t
+         |  FROM daily GROUP BY 1),
+         |cs AS (
+         |  SELECT event_type, day, n, d,
+         |         sum(n * d - t) OVER (PARTITION BY event_type ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+         |  FROM daily JOIN st USING (event_type)),
+         |m1 AS (SELECT *, max(abs(s)) OVER (PARTITION BY event_type) AS smax FROM cs),
+         |m2 AS (
+         |  SELECT *, min(CASE WHEN abs(s) = smax THEN day END)
+         |              OVER (PARTITION BY event_type) AS cpday
+         |  FROM m1)
+         |SELECT event_type, day, n,
+         |       ${round4("CAST(s AS DOUBLE) / CAST(d AS DOUBLE)")} AS cusum,
+         |       CAST(CASE WHEN abs(s) = smax AND day = cpday THEN 1 ELSE 0 END
+         |            AS BIGINT) AS is_cp
+         |FROM m2""".stripMargin
+
+  // ---- x153 two-sample KS between sources --------------------------
+
+  private val x153 =
+    raw"""WITH c AS (
+         |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |xs AS (SELECT DISTINCT x FROM c),
+         |ss AS (SELECT DISTINCT source FROM c),
+         |grid AS (
+         |  SELECT s.source, xs.x, coalesce(c.cnt, 0) AS cnt
+         |  FROM xs CROSS JOIN ss s
+         |  LEFT JOIN c ON c.source = s.source AND c.x = xs.x),
+         |g2 AS (
+         |  SELECT source, x,
+         |         sum(cnt) OVER (PARTITION BY source ORDER BY x
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM grid),
+         |tt AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         ta.tot AS tot_a, tb.tot AS tot_b,
+         |         abs(a.cum * tb.tot - b.cum * ta.tot) AS num
+         |  FROM g2 a JOIN g2 b ON a.x = b.x AND a.source < b.source
+         |  JOIN tt ta ON ta.source = a.source
+         |  JOIN tt tb ON tb.source = b.source)
+         |SELECT source_a, source_b, tot_a, tot_b,
+         |       ${round4("CAST(max(num) AS DOUBLE) / CAST(tot_a * tot_b AS DOUBLE)")} AS ks
+         |FROM p GROUP BY 1, 2, 3, 4""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x149_oov_rate"       -> x149,
+    "x150_heaps_fit"      -> x150,
+    "x151_type_lift"      -> x151,
+    "x152_cusum"          -> x152,
+    "x153_ks_drift"       -> x153,
     "x139_ewma_daily"     -> x139,
     "x140_zipf_slope"     -> x140,
     "x141_mad_outliers"   -> x141,

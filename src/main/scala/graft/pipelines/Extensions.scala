@@ -271,7 +271,12 @@ object Extensions {
     "x145_url_leakage"   -> ((s, d) => graft.ops.Web.urlSplitLeakage(docs(s, d))),
     "x146_norm_dedup"    -> ((s, d) => Dedup.normalizedDedup(docs(s, d))),
     "x147_wow_users"     -> ((s, d) => Events.wowUserOverlap(evs(s, d))),
-    "x148_benford"       -> ((s, d) => graft.ops.Olap.benfordAudit(Tables.orders(s, d))))
+    "x148_benford"       -> ((s, d) => graft.ops.Olap.benfordAudit(Tables.orders(s, d))),
+    "x149_oov_rate"      -> ((s, d) => TextAnalysis.oovRate(docs(s, d))),
+    "x150_heaps_fit"     -> ((s, d) => TextAnalysis.heapsFit(docs(s, d))),
+    "x151_type_lift"     -> ((s, d) => Events.typeLift(evs(s, d))),
+    "x152_cusum"         -> ((s, d) => Events.cusumChangepoint(evs(s, d))),
+    "x153_ks_drift"      -> ((s, d) => graft.ops.DataProfile.ksSourceDrift(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

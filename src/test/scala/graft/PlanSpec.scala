@@ -476,6 +476,28 @@ class PlanSpec extends SparkSpec {
       s"only the broadcast max-day scalar may join:\n$p")
   }
 
+  test("x149 OOV: heap top-k vocabulary, broadcast to the token stream") {
+    val p = plan("x149_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the K-row vocabulary must come from the global heap top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary must broadcast to the exploded tokens:\n$p")
+    assert(!p.contains("CartesianProduct"), s"nothing here may go all-pairs:\n$p")
+  }
+
+  test("x150/x152/x153: corpus collapses before the bounded-grid math") {
+    val p150 = plan("x150_heaps_fit")
+    assert(!p150.contains("Join"), s"x150 is a projection + one aggregate:\n$p150")
+    assert(!p150.contains("Generate"),
+      s"x150 needs no explode — distinct counts are array ops per row:\n$p150")
+    val p152 = plan("x152_cusum")
+    assert(!p152.contains("SortMergeJoin") && !p152.contains("CartesianProduct"),
+      s"x152: per-type stats broadcast back to the day grid:\n$p152")
+    val p153 = plan("x153_ks_drift")
+    assert(!p153.contains("CartesianProduct"),
+      s"x153: the only cross is the broadcast source spine:\n$p153")
+  }
+
   test("x139/x141/x147: per-key windows and broadcast stat joins only") {
     val p139 = plan("x139_ewma_daily")
     assert(!p139.contains("SortMergeJoin"),

@@ -153,6 +153,83 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 2L, 1L, r4(1.0 / 3), 1L, 1L)))
   }
 
+  test("x149 oovRate: misses against the top-K head, empty docs stay null") {
+    // 600 distinct padded tokens; t0001..t0100 appear twice → the
+    // K=500 vocab is them + the 400 lexicographically-first singles
+    // (t0101..t0500); t0501..t0600 are OOV
+    val all = (1 to 600).map(i => f"t$i%04d")
+    val docs = Seq(
+      (1L, all.mkString(" "), "en", "s", 1L),
+      (2L, all.take(100).mkString(" "), "en", "s", 1L),
+      (3L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextAnalysis.oovRate(docs)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((600L, 100L, Some(r4(100.0 / 600)))))
+    assert(out(2L) === ((100L, 0L, Some(0.0))))
+    assert(out(3L) === ((0L, 0L, None)))
+  }
+
+  test("x150 heapsFit: fixed-point regression on per-doc (N, V) points") {
+    val docs = Seq(
+      (1L, "a b a b", "en", "s", 7L),                 // N=4, V=2
+      (2L, "a b c d e f g h", "en", "s", 15L)         // N=8, V=8
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextAnalysis.heapsFit(docs)
+      .select("lang", "n", "beta", "ln_k")
+      .as[(String, Long, Double, Double)].head()
+    def lnFix(x: Double) = math.floor(math.log(x) * 1e6 + 0.5)
+    val pts = Seq((4.0, 2.0), (8.0, 8.0)).map { case (a, b) => (lnFix(a), lnFix(b)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxx, sxy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._1 * p._2).sum)
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out === (("en", 2L, r4(beta), r4((sy - beta * sx) / n / 1e6))))
+    // doubling N quadrupled V here → β = 2 on this 2-point toy
+    assert(out._3 === 2.0)
+  }
+
+  test("x151 typeLift: exact integer lift over distinct users") {
+    val events = Seq(
+      (1L, ts(0), 1L, "A", 0.0, "{}"), (2L, ts(1), 1L, "B", 0.0, "{}"),
+      (3L, ts(2), 2L, "A", 0.0, "{}"), (4L, ts(3), 2L, "B", 0.0, "{}"),
+      (5L, ts(4), 2L, "B", 0.0, "{}"),   // duplicate activity — distinct'd
+      (6L, ts(5), 3L, "A", 0.0, "{}"), (7L, ts(6), 4L, "C", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.typeLift(events)
+      .select("type_a", "type_b", "n_a", "n_b", "n_ab", "lift")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // only (A,B) co-occurs: 2 of 4 users; lift = (2·4)/(3·2)
+    assert(out.toSeq === Seq(("A", "B", 3L, 2L, 2L, r4(8.0 / 6.0))))
+  }
+
+  test("x152 cusumChangepoint: exact scaled sums, first-max change day") {
+    val events = (Seq.fill(1)(0L) ++ Seq.fill(1)(1L) ++ Seq.fill(4)(2L))
+      .zipWithIndex.map { case (day, i) =>
+        (i.toLong, ts(day * 1440), 1L, "click", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.cusumChangepoint(events)
+      .select("day", "n", "cusum", "is_cp")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    // D=3, T=6; terms n·D−T = −3,−3,+6 → S = −3,−6,0 → cusum −1,−2,0
+    assert(out.toSeq === Seq((0L, 1L, -1.0, 0L), (1L, 1L, -2.0, 1L),
+      (2L, 4L, 0.0, 0L)))
+  }
+
+  test("x153 ksSourceDrift: D on a hand CDF pair, exact integer argmax") {
+    val docs = Seq(
+      (1L, "t", "en", "a", 1L), (2L, "t", "en", "a", 2L),
+      (3L, "t", "en", "b", 2L), (4L, "t", "en", "b", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.DataProfile.ksSourceDrift(docs)
+      .select("source_a", "source_b", "tot_a", "tot_b", "ks")
+      .as[(String, String, Long, Long, Double)].collect()
+    // F_a = .5,1,1 and F_b = 0,.5,1 over x=1,2,3 → D = 0.5
+    assert(out.toSeq === Seq(("a", "b", 2L, 2L, 0.5)))
+  }
+
   test("x148 benfordAudit: string-derived digits and the log10 expectation") {
     val orders = Seq(1.00, 2.50, 19.99, 0.05).toDF("o_totalprice")
     val out = Olap.benfordAudit(orders)
