@@ -583,6 +583,106 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users_7d"))
   }
 
+  /** x155 conversion: a purchase of at least this many cents. */
+  val AbConvType = "purchase"
+  val AbConvCents = 15000L
+
+  /** x155: A/B TWO-PROPORTION z-TEST — users split into variants by
+    * id parity (the deterministic stand-in for an assignment column —
+    * an A/A split, so |z| < 1.96 is the expected healthy read),
+    * conversion = made a purchase of ≥ [[AbConvCents]]; one row with
+    * both arms' n/k, the rates, and the pooled-variance z statistic.
+    * The experiment readout every product-analytics engine ships.
+    * A degenerate pool (conversion 0% or 100%) has no variance: z is
+    * NULL, never 0/0 (which ANSI mode turns into a runtime error).
+    *
+    * Scale: two distinct passes collapse the corpus to user keys; the
+    * converter flag attaches via a user-keyed co-partitioned left
+    * join; then a 2-row aggregate, with the z arithmetic on one
+    * broadcast row per arm. Doubles appear only in the final formula
+    * (division/sqrt are IEEE-identical in both engines), snapped to
+    * 1e-4. */
+  def abTest(events: DataFrame): DataFrame = {
+    val users = events.select(col("user_id")).distinct()
+    val conv = events
+      .filter(col("event_type") === AbConvType &&
+        valueCents(col("value")) >= AbConvCents)
+      .select(col("user_id")).distinct().withColumn("conv", lit(1L))
+    val arms = users
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("long"))
+      .join(conv, Seq("user_id"), "left")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("conv"), lit(0L))).as("k"))
+    val a = arms.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("k").as("k_a"))
+    val b = arms.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("k").as("k_b"))
+    val pa = col("k_a").cast("double") / col("n_a").cast("double")
+    val pb = col("k_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        Portable.round4(pa).as("rate_a"),
+        Portable.round4(pb).as("rate_b"),
+        when(pp <= 0.0 || pp >= 1.0, lit(null).cast("double"))
+          .otherwise(Portable.round4(z)).as("z"))
+  }
+
+  /** x156: SEASONALITY PROFILE — the (day-of-week × hour-of-day) event
+    * grid with each cell's share of total traffic; the fingerprint
+    * capacity planning and anomaly baselining read first. Day-of-week
+    * comes from pure epoch arithmetic ((epoch_day + 4) mod 7, 0 =
+    * Sunday) — never from calendar functions, whose week conventions
+    * differ across engines.
+    *
+    * Scale: map-only projection into a ≤168-cell hash aggregate
+    * (map-side partials collapse each split to the grid), total
+    * broadcast back. */
+  def seasonality(events: DataFrame): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val grid = events.select(
+        pmod(floor(ms / DayMs) + 4, lit(7)).cast("long").as("dow"),
+        floor(pmod(ms, lit(DayMs)) / HourMs).cast("long").as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = grid.agg(sum(col("n_events")).as("tot"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n_events"),
+        Portable.round4(col("n_events").cast("double") / col("tot").cast("double"))
+          .as("share"))
+  }
+
+  /** x157: CONVERSION LATENCY — for every purchase with a prior view
+    * by the same user, the view→purchase delay; output is one row of
+    * exact interpolated percentiles over the integral ms deltas. The
+    * funnel-speed complement to x54's stage counts.
+    *
+    * Scale: the as-of lookup is x19's carry-forward window (one
+    * shuffle on user_id, strictly-preceding frame — no range join);
+    * the percentile aggregate is exact over a counts-map bounded by
+    * the distinct-delay domain (x28's note; unbounded domains swap in
+    * the x40 sketch). */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("last_view_ms",
+        last(when(col("event_type") === "view", col("ms")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === AbConvType && col("last_view_ms").isNotNull)
+      .select((col("ms") - col("last_view_ms")).as("delta"))
+      .agg(count(lit(1)).as("n"),
+        Portable.round4(percentile(col("delta"), lit(0.5))).as("p50"),
+        Portable.round4(percentile(col("delta"), lit(0.9))).as("p90"),
+        Portable.round4(percentile(col("delta"), lit(0.99))).as("p99"))
+  }
+
   /** x151: event-type CO-OCCURRENCE LIFT — for each unordered type
     * pair, how much more (or less) often users do both than
     * independence predicts: lift = P(a∧b) / (P(a)·P(b)) with

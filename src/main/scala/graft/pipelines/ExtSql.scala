@@ -3263,7 +3263,85 @@ object ExtSql {
          |       ${round4("CAST(max(num) AS DOUBLE) / CAST(tot_a * tot_b AS DOUBLE)")} AS ks
          |FROM p GROUP BY 1, 2, 3, 4""".stripMargin
 
+  // ---- x154 native session windows ---------------------------------
+
+  /** Same gap sessions as x16/x24 (exactly-gap merges — pinned by
+    * NativeSessionSpec); end = last event + gap (the window's
+    * exclusive edge), emitted only once the final watermark passes it. */
+  private val x154 =
+    raw"""WITH $sessionCtes, $wmCte
+         |SELECT user_id, start_ms, end_ms + ${Events.SessionGapMs} AS end_ms,
+         |       n_events, value_cents
+         |FROM sagg, wm
+         |WHERE end_ms + ${Events.SessionGapMs} <= wm""".stripMargin
+
+  // ---- x155 A/B two-proportion z-test ------------------------------
+
+  private val x155 =
+    raw"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |cv AS (SELECT DISTINCT user_id FROM events
+         |       WHERE event_type = '${Events.AbConvType}'
+         |         AND $centsExpr >= ${Events.AbConvCents}),
+         |arms AS (
+         |  SELECT u.user_id % 2 AS variant,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS k
+         |  FROM u LEFT JOIN cv USING (user_id) GROUP BY 1),
+         |w AS (
+         |  SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+         |  FROM (SELECT n, k FROM arms WHERE variant = 0) a,
+         |       (SELECT n, k FROM arms WHERE variant = 1) b)
+         |SELECT n_a, k_a, n_b, k_b,
+         |       ${round4("pa")} AS rate_a, ${round4("pb")} AS rate_b,
+         |       CASE WHEN pp <= 0.0 OR pp >= 1.0 THEN NULL
+         |            ELSE ${round4("(pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))")}
+         |       END AS z
+         |FROM (
+         |  SELECT n_a, k_a, n_b, k_b,
+         |         CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         |         CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         |         CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+         |  FROM w)""".stripMargin
+
+  // ---- x156 day-of-week × hour seasonality -------------------------
+
+  private val x156 =
+    raw"""WITH g AS (
+         |  SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+         |         (epoch_ms(ts) % 86400000) // 3600000 AS hour,
+         |         CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM g)
+         |SELECT dow, hour, n_events,
+         |       ${round4("CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE)")} AS share
+         |FROM g, t""".stripMargin
+
+  // ---- x157 view→purchase conversion latency -----------------------
+
+  private val x157 =
+    raw"""WITH c AS (
+         |  SELECT event_type, ms,
+         |         last_value(CASE WHEN event_type = 'view' THEN ms END IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS last_view_ms
+         |  FROM (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+         |        FROM events)),
+         |d AS (
+         |  SELECT ms - last_view_ms AS delta FROM c
+         |  WHERE event_type = '${Events.AbConvType}' AND last_view_ms IS NOT NULL)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       ${round4("quantile_cont(delta, 0.5)")} AS p50,
+         |       ${round4("quantile_cont(delta, 0.9)")} AS p90,
+         |       ${round4("quantile_cont(delta, 0.99)")} AS p99
+         |FROM d""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x154_native_sessions" -> x154,
+    "x155_ab_test"        -> x155,
+    "x156_seasonality"    -> x156,
+    "x157_conv_latency"   -> x157,
     "x149_oov_rate"       -> x149,
     "x150_heaps_fit"      -> x150,
     "x151_type_lift"      -> x151,

@@ -276,7 +276,12 @@ object Extensions {
     "x150_heaps_fit"     -> ((s, d) => TextAnalysis.heapsFit(docs(s, d))),
     "x151_type_lift"     -> ((s, d) => Events.typeLift(evs(s, d))),
     "x152_cusum"         -> ((s, d) => Events.cusumChangepoint(evs(s, d))),
-    "x153_ks_drift"      -> ((s, d) => graft.ops.DataProfile.ksSourceDrift(docs(s, d))))
+    "x153_ks_drift"      -> ((s, d) => graft.ops.DataProfile.ksSourceDrift(docs(s, d))),
+    "x154_native_sessions" -> ((s, d) =>
+      graft.streaming.EventStream.nativeSessionsAvailableNow(s, d)),
+    "x155_ab_test"       -> ((s, d) => Events.abTest(evs(s, d))),
+    "x156_seasonality"   -> ((s, d) => Events.seasonality(evs(s, d))),
+    "x157_conv_latency"  -> ((s, d) => Events.conversionLatency(evs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

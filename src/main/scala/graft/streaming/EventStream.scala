@@ -435,6 +435,45 @@ object EventStream {
       .agg(max(struct(col("ms"), col("value_cents"))).as("m"))
       .select(col("user_id"), col("m.ms").as("ms"), col("m.value_cents"))
 
+  /** x154: NATIVE gap sessionization — the declarative
+    * `session_window(ts, gap)` aggregate (Spark's built-in merging
+    * session windows) next to x24's hand-rolled
+    * flatMapGroupsWithState twin. The built-in keeps all state in the
+    * state store's merging-session format (no user code, RocksDB
+    * range-merge capable) — the form to prefer when the session
+    * payload is just aggregates; x24's form is for custom carry
+    * (first/last event ids, per-session rules).
+    *
+    * Boundary contract (pinned empirically by spec AND oracle): a
+    * pause of EXACTLY the gap still merges — touching windows count
+    * as overlapping — so the split rule is `> gap`, identical to the
+    * custom x24 operator; the two differ only in the emitted end
+    * (here last event time + gap, the window's exclusive edge). */
+  def nativeSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Events.valueCents(col("value"))).as("value_cents"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"), col("value_cents"))
+
+  /** x154 with AvailableNow: Append emits each session once the final
+    * watermark (max event time − 1 h) passes its end — the oracle
+    * applies the same cut to the batch gap-sessionization answer. */
+  def nativeSessionsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val base = sinkDir("nsessions")
+    runToParquet(nativeSessions(readEvents(s, dir)), base)
+    s.read.schema(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("start_ms", LongType),
+      StructField("end_ms", LongType),
+      StructField("n_events", LongType),
+      StructField("value_cents", LongType)))).parquet(s"$base/data")
+  }
+
   /** Streaming sessionization over (user_id, ts, value). */
   def sessions(events: DataFrame): Dataset[SessionOut] = {
     val spark = events.sparkSession

@@ -498,6 +498,18 @@ class PlanSpec extends SparkSpec {
       s"x153: the only cross is the broadcast source spine:\n$p153")
   }
 
+  test("x155/x156/x157: user-keyed collapses, grid-sized broadcasts") {
+    val p155 = plan("x155_ab_test")
+    assert(!p155.contains("CartesianProduct"),
+      s"x155: the only cross is the broadcast 1-row arm:\n$p155")
+    val p156 = plan("x156_seasonality")
+    assert(!p156.contains("SortMergeJoin") && !p156.contains("CartesianProduct"),
+      s"x156: the total joins back by broadcast:\n$p156")
+    val p157 = plan("x157_conv_latency")
+    assert(!p157.contains("CartesianProduct") && !p157.contains("Join"),
+      s"x157: the as-of lookup is a window carry, never a join:\n$p157")
+  }
+
   test("x139/x141/x147: per-key windows and broadcast stat joins only") {
     val p139 = plan("x139_ewma_daily")
     assert(!p139.contains("SortMergeJoin"),

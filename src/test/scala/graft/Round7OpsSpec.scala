@@ -230,6 +230,56 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a", "b", 2L, 2L, 0.5)))
   }
 
+  test("x155 abTest: A/A split arithmetic and the degenerate-pool NULL guard") {
+    // u2,u4 → variant 0; u1,u3 → variant 1; conversions (purchase
+    // ≥ 150): u4 and u1 → both arms 1/2 → z = 0
+    val events = Seq(
+      (1L, ts(0), 1L, "purchase", 200.0, "{}"),
+      (2L, ts(1), 2L, "purchase", 100.0, "{}"),
+      (3L, ts(2), 3L, "click", 0.0, "{}"),
+      (4L, ts(3), 4L, "purchase", 160.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.abTest(events)
+      .select("n_a", "k_a", "n_b", "k_b", "rate_a", "rate_b", "z")
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])].head()
+    assert(out === ((2L, 1L, 2L, 1L, 0.5, 0.5, Some(0.0))))
+    // every user converts → pooled variance 0 → NULL z, not an
+    // ANSI-mode 0/0 runtime error
+    val all = Seq(
+      (1L, ts(0), 1L, "purchase", 200.0, "{}"),
+      (2L, ts(1), 2L, "purchase", 300.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val deg = Events.abTest(all).select("rate_a", "rate_b", "z")
+      .as[(Double, Double, Option[Double])].head()
+    assert(deg === ((1.0, 1.0, None)))
+  }
+
+  test("x156 seasonality: epoch-arithmetic day-of-week, 1970-01-01 is Thursday") {
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 0.0, "{}"),            // Thu (dow 4), hour 0
+      (2L, ts(25 * 60), 1L, "click", 0.0, "{}"),      // Fri (dow 5), hour 1
+      (3L, ts(25 * 60), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.seasonality(events)
+      .select("dow", "hour", "n_events", "share")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out === Set((4L, 0L, 1L, r4(1.0 / 3)), (5L, 1L, 2L, r4(2.0 / 3))))
+  }
+
+  test("x157 conversionLatency: strictly-preceding views, interpolated tails") {
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, new Timestamp(1000L), 1L, "purchase", 0.0, "{}"),
+      (3L, new Timestamp(5000L), 1L, "purchase", 0.0, "{}"),
+      (4L, ts(9), 2L, "purchase", 0.0, "{}")          // no prior view → out
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.conversionLatency(events)
+      .select("n", "p50", "p90", "p99")
+      .as[(Long, Double, Double, Double)].head()
+    // deltas {1000, 5000}: p50 = 3000, p90 = 1000+0.9·4000, p99 = 4960
+    assert(out === ((2L, 3000.0, 4600.0, 4960.0)))
+  }
+
   test("x148 benfordAudit: string-derived digits and the log10 expectation") {
     val orders = Seq(1.00, 2.50, 19.99, 0.05).toDF("o_totalprice")
     val out = Olap.benfordAudit(orders)
