@@ -583,6 +583,41 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users_7d"))
   }
 
+  /** x159: VARIANT JSON SHREDDING — semi-structured event payloads
+    * parsed ONCE into Spark 4's binary VariantType and shredded by
+    * typed path extraction (`parse_json` → `variant_get`), the
+    * engine-native replacement for per-path `get_json_object` re-parses
+    * (x14) and for UDF JSON handling. The fixture props are flat, so
+    * the op deterministically AUGMENTS them into nested objects +
+    * arrays + an optionally-absent key (the x99/x108/x109 injection
+    * convention, mirrored codepoint-for-codepoint in the oracle) —
+    * the regex-free path/array/missing-key semantics are what's under
+    * test.
+    *
+    * Scale: map-only — one parse + four typed extractions in a single
+    * codegen projection, no shuffle, no UDF; the variant binary never
+    * leaves the row. */
+  def variantShred(events: DataFrame): DataFrame = {
+    val e3 = pmod(col("event_id"), lit(3))
+    val e5 = pmod(col("event_id"), lit(5))
+    val aug = concat(
+      lit("{\"k\": "), get_json_object(col("props"), "$.k"),
+      lit(", \"meta\": {\"ua\": \"ua"), e3,
+      lit("\", \"tags\": [\"t"), e5, lit("\", \"t"), pmod(col("event_id"), lit(7)),
+      lit("\"]}"),
+      when(pmod(col("event_id"), lit(4)) =!= 0,
+        concat(lit(", \"price\": "), valueCents(col("value")).cast("string")))
+        .otherwise(lit("")),
+      lit("}"))
+    val v = parse_json(aug)
+    events.select(col("event_id"), v.as("v"))
+      .select(col("event_id"),
+        try_variant_get(col("v"), "$.k", "long").as("k"),
+        try_variant_get(col("v"), "$.meta.ua", "string").as("ua"),
+        try_variant_get(col("v"), "$.meta.tags[1]", "string").as("tag1"),
+        try_variant_get(col("v"), "$.price", "long").as("price"))
+  }
+
   /** x155 conversion: a purchase of at least this many cents. */
   val AbConvType = "purchase"
   val AbConvCents = 15000L

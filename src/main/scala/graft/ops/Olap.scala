@@ -213,6 +213,48 @@ object Olap {
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
   }
 
+  // ---- x160 banded range join --------------------------------------
+
+  /** x160 irregular band edges (cents, half-open [lo, hi)) and the
+    * fixed bucket width the intervals shred into. */
+  val RangeBreaks: Seq[Long] = Seq(0L, 300L, 1000L, 3100L, 10000L, 20000L, 40000L)
+  val RangeBucketW = 2000L
+
+  /** x160: BANDED RANGE JOIN — point-in-interval lookup of each
+    * event's cent value against an IRREGULAR band dimension, executed
+    * as an equi-join: every interval is shredded into the fixed-width
+    * buckets it overlaps, the fact side computes its bucket with one
+    * division, and the residual lo ≤ v < hi predicate filters the
+    * ≤ 2-candidate fan-out. This is THE standard distributed answer
+    * to range joins (Spark would otherwise plan a broadcast
+    * nested-loop): shuffle stays keyed, work is linear, and the
+    * explode factor is interval-width/bucket-width, bounded by the
+    * dimension's construction. Unmatched points land on band −1
+    * (left join), so the aggregate is total.
+    *
+    * x124/x80 bucket by QUANTILES of the data; this op's contract is
+    * an EXTERNAL interval table (rate cards, SLA tiers, IP ranges) —
+    * the case where the join, not the histogram, is the problem. */
+  def bandedRangeJoin(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dim = RangeBreaks.init.zip(RangeBreaks.tail).zipWithIndex
+      .map { case ((lo, hi), b) => (lo, hi, b.toLong) }
+      .toDF("lo", "hi", "band")
+      .select(col("lo"), col("hi"), col("band"),
+        explode(sequence(floor(col("lo") / RangeBucketW).cast("long"),
+          floor((col("hi") - 1) / RangeBucketW).cast("long"))).as("bucket"))
+    val ev = events
+      .select(graft.ops.Events.valueCents(col("value")).as("cents"))
+      .withColumn("bucket", floor(col("cents") / RangeBucketW).cast("long"))
+    ev.join(broadcast(dim),
+        ev("bucket") === dim("bucket") &&
+          ev("cents") >= dim("lo") && ev("cents") < dim("hi"),
+        "left")
+      .groupBy(coalesce(col("band"), lit(-1L)).as("band"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+  }
+
   // ---- x148 Benford first-digit audit ------------------------------
 
   /** x148: BENFORD'S-LAW audit of order totals — the distribution of

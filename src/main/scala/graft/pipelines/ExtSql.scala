@@ -3337,7 +3337,55 @@ object ExtSql {
          |       ${round4("quantile_cont(delta, 0.99)")} AS p99
          |FROM d""".stripMargin
 
+  // ---- x158 partitioned write + pruned read ------------------------
+
+  /** The oracle is the original table under the same predicate — the
+    * engine result only matches if the partitioned write AND the
+    * pruned read both round-trip faithfully. */
+  private val x158 =
+    raw"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang = 'en' AND n_chars > 100""".stripMargin
+
+  // ---- x159 variant JSON shredding ---------------------------------
+
+  private val x159 =
+    raw"""WITH a AS (
+         |  SELECT event_id,
+         |    '{"k": ' || json_extract_string(props, '$$.k')
+         |    || ', "meta": {"ua": "ua' || (event_id % 3)
+         |    || '", "tags": ["t' || (event_id % 5) || '", "t' || (event_id % 7)
+         |    || '"]}'
+         |    || CASE WHEN event_id % 4 <> 0
+         |            THEN ', "price": ' || CAST($centsExpr AS VARCHAR)
+         |            ELSE '' END
+         |    || '}' AS j
+         |  FROM events)
+         |SELECT event_id,
+         |       CAST(json_extract_string(j, '$$.k') AS BIGINT) AS k,
+         |       json_extract_string(j, '$$.meta.ua') AS ua,
+         |       json_extract_string(j, '$$.meta.tags[1]') AS tag1,
+         |       CAST(json_extract_string(j, '$$.price') AS BIGINT) AS price
+         |FROM a""".stripMargin
+
+  // ---- x160 banded range join --------------------------------------
+
+  private val x160 = {
+    val o = graft.ops.Olap
+    val vals = o.RangeBreaks.init.zip(o.RangeBreaks.tail).zipWithIndex
+      .map { case ((lo, hi), b) => s"($lo, $hi, $b)" }.mkString(", ")
+    raw"""WITH dim(lo, hi, band) AS (VALUES $vals),
+         |e AS (SELECT $centsExpr AS cents FROM events)
+         |SELECT CAST(coalesce(band, -1) AS BIGINT) AS band,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(cents) AS BIGINT) AS value_cents
+         |FROM e LEFT JOIN dim ON cents >= lo AND cents < hi
+         |GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x158_partition_prune" -> x158,
+    "x159_variant_shred"  -> x159,
+    "x160_range_join"     -> x160,
     "x154_native_sessions" -> x154,
     "x155_ab_test"        -> x155,
     "x156_seasonality"    -> x156,

@@ -281,7 +281,10 @@ object Extensions {
       graft.streaming.EventStream.nativeSessionsAvailableNow(s, d)),
     "x155_ab_test"       -> ((s, d) => Events.abTest(evs(s, d))),
     "x156_seasonality"   -> ((s, d) => Events.seasonality(evs(s, d))),
-    "x157_conv_latency"  -> ((s, d) => Events.conversionLatency(evs(s, d))))
+    "x157_conv_latency"  -> ((s, d) => Events.conversionLatency(evs(s, d))),
+    "x158_partition_prune" -> partitionedPruned _,
+    "x159_variant_shred" -> ((s, d) => Events.variantShred(evs(s, d))),
+    "x160_range_join"    -> ((s, d) => graft.ops.Olap.bandedRangeJoin(evs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND
@@ -373,6 +376,26 @@ object Extensions {
     s.read.option("mergeSchema", "true").parquet(base)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("gen").cast("long").as("gen"))
+  }
+
+  /** x158: HIVE-PARTITIONED write + PARTITION-PRUNED read — documents
+    * written `partitionBy("lang")`, read back with a partition
+    * predicate (lang) AND a data predicate (n_chars): the pruned scan
+    * must list ONLY the matching lang directory (PartitionFilters —
+    * directory-level pruning, no footer even opened elsewhere) while
+    * the data predicate pushes into the parquet row groups. The
+    * layout contract a 100 TB date/lang-partitioned table lives by;
+    * PlanSpec gates both filter classes. Oracle = the same predicate
+    * on the original table (any write/read/pruning drift breaks the
+    * hash). */
+  private def partitionedPruned(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Bucketing.buildPath(
+      s"graft-part/docs_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(base)
+    s.read.parquet(base)
+      .filter(col("lang") === "en" && col("n_chars") > 100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
   private def orcRoundTrip(s: SparkSession, d: String): DataFrame = {

@@ -498,6 +498,29 @@ class PlanSpec extends SparkSpec {
       s"x153: the only cross is the broadcast source spine:\n$p153")
   }
 
+  test("x158 pruned read: directory-level partition filter AND row-group pushdown") {
+    val df = SparkEntry.queries("x158_partition_prune")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"),
+      s"the lang predicate must prune directories, not rows:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(n_chars"),
+      s"the data predicate must reach the parquet row groups:\n$p")
+  }
+
+  test("x159 variant shredding is map-only: one parse, no shuffle, no UDF") {
+    val p = plan("x159_variant_shred")
+    assert(!p.contains("Exchange"), s"shredding must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython"), s"no UDF belongs here:\n$p")
+  }
+
+  test("x160 range join: banded equi-join, never a nested loop") {
+    val p = plan("x160_range_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the shredded dim must broadcast as an EQUI join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the whole point is avoiding the nested-loop range join:\n$p")
+  }
+
   test("x155/x156/x157: user-keyed collapses, grid-sized broadcasts") {
     val p155 = plan("x155_ab_test")
     assert(!p155.contains("CartesianProduct"),

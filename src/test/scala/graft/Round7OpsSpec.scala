@@ -280,6 +280,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(out === ((2L, 3000.0, 4600.0, 4960.0)))
   }
 
+  test("x159 variantShred: typed paths, array index, absent key stays null") {
+    val events = Seq(
+      (4L, ts(0), 1L, "click", 2.5, "{\"k\": 7}"),    // %4==0 → no price
+      (5L, ts(1), 1L, "click", 3.0, "{\"k\": 9}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.variantShred(events)
+      .select("event_id", "k", "ua", "tag1", "price")
+      .as[(Long, Long, String, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(4L) === ((7L, "ua1", "t4", None)))
+    assert(out(5L) === ((9L, "ua2", "t5", Some(300L))))
+  }
+
+  test("x160 bandedRangeJoin: inclusive lo, exclusive hi, overflow on -1") {
+    val events = Seq(2.99, 3.00, 9.99, 10.00, 500.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, ts(i.toLong), 1L, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Olap.bandedRangeJoin(events)
+      .select("band", "n_events", "value_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    // cents 299/300/999/1000/50000 → bands 0,1,1,2,-1
+    assert(out === Set((0L, 1L, 299L), (1L, 2L, 1299L), (2L, 1L, 1000L),
+      (-1L, 1L, 50000L)))
+  }
+
   test("x148 benfordAudit: string-derived digits and the log10 expectation") {
     val orders = Seq(1.00, 2.50, 19.99, 0.05).toDF("o_totalprice")
     val out = Olap.benfordAudit(orders)
