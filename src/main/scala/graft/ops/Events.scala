@@ -583,6 +583,40 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users_7d"))
   }
 
+  /** x161 result depth. */
+  val PathTopK = 10
+
+  /** x161: TOP SESSION PATHS — each gap session's ordered event-type
+    * sequence collapsed to a `a>b>c` path string, ranked by frequency
+    * (the "how do users actually move" read behind funnel design;
+    * x54 asserts one fixed funnel, this DISCOVERS the paths).
+    *
+    * Determinism: the per-session event order is the total
+    * (ms, event_id) order — the collected structs sort on exactly
+    * that prefix before the types are joined, so the path string is
+    * partition-order-independent; the top-k cutoff orders by
+    * (count desc, path asc).
+    *
+    * Scale: rides the x16 sessionization shuffle; the per-session
+    * collect is bounded by session LENGTH (the 30-min gap bounds it
+    * for humans; a bot session would need the slice-cap swap-in
+    * before the sort); path aggregation shuffles path strings, and
+    * the global top-k is the heap TakeOrderedAndProject, never a full
+    * sort. */
+  def topSessionPaths(events: DataFrame): DataFrame = {
+    val paths = sessionized(events)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("ms"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+    val top = paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(PathTopK)
+    top.withColumn("rnk", row_number().over(
+      Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("long"))
+  }
+
   /** x159: VARIANT JSON SHREDDING — semi-structured event payloads
     * parsed ONCE into Spark 4's binary VariantType and shredded by
     * typed path extraction (`parse_json` → `variant_get`), the

@@ -361,4 +361,66 @@ object QualityFilters {
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         round4(col("s").cast("double") / scale.cast("double")).as("log_weight"))
   }
+
+  // ---- x163 classifier calibration curve ---------------------------
+
+  /** x163: RELIABILITY DIAGRAM for the x107 classifier — predicted-
+    * probability deciles vs the observed x137 quality-pass rate per
+    * bin. The MLOps read behind every "should I trust this filter's
+    * 0.8": a calibrated classifier's mean prediction tracks its
+    * actual rate; the bin deltas here are the miscalibration.
+    *
+    * Determinism: the 4dp score re-enters exact integer space
+    * (s4 = score·10⁴) so bin means are exact integer sums; the decile
+    * bin floor(score·10) is computed on the SAME double grid value in
+    * both engines — bit-identical even where the grid point is not an
+    * exact binary decimal. One corpus pass per side, join on doc_id,
+    * ≤10-row aggregate. */
+  def calibrationCurve(documents: DataFrame): DataFrame = {
+    val s = classifierScore(documents).select(col("doc_id"), col("clf_score"))
+    val q = withTokens(documents).select(col("doc_id"),
+      (qualityScore(col("text"), col("toks")) >= TextAnalysis.QualityPassBar)
+        .cast("long").as("pass"))
+    s.join(q, Seq("doc_id"))
+      .select(
+        least(lit(9L), floor(col("clf_score") * 10).cast("long")).as("bin"),
+        floor(col("clf_score") * 10000 + 0.5).cast("long").as("s4"),
+        col("pass"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pass")).as("k"), sum(col("s4")).as("ss"))
+      .select(col("bin"), col("n"), col("k"),
+        round4(col("ss").cast("double") / (col("n") * 10000L).cast("double"))
+          .as("mean_pred"),
+        round4(col("k").cast("double") / col("n").cast("double")).as("act_rate"))
+  }
+
+  // ---- x164 effective sample size of the DSIR weights --------------
+
+  /** x164 weight quantum (1e-3): keeps Σw² inside BIGINT to ~10⁸ docs
+    * per source at typical weight scales; beyond that the swap-in is
+    * per-partition double partials (ESS is a diagnostic, not a
+    * contract). */
+  val EssScale = 1000.0
+
+  /** x164: EFFECTIVE SAMPLE SIZE of the x115 importance weights per
+    * source — ESS = (Σw)²/Σw², the standard importance-sampling
+    * degeneracy check: ess_frac near 1 means reweighting is cheap,
+    * near 0 means a few documents dominate the resampled corpus and
+    * the weights are doing violence. Weights are exp(log_weight)
+    * quantized to [[EssScale]] so both sums are exact integers; the
+    * final ratio is one double per source. */
+  def essPerSource(documents: DataFrame): DataFrame = {
+    val w = dsirWeights(documents).select(col("doc_id"),
+      floor(exp(col("log_weight")) * EssScale + 0.5).cast("long").as("wq"))
+    documents.select(col("doc_id"), col("source"))
+      .join(w, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("wq")).as("sw"),
+        sum(col("wq") * col("wq")).as("sww"))
+      .select(col("source"), col("n"),
+        round4(col("sw").cast("double") * col("sw").cast("double") /
+          col("sww").cast("double")).as("ess"),
+        round4(col("sw").cast("double") * col("sw").cast("double") /
+          col("sww").cast("double") / col("n").cast("double")).as("ess_frac"))
+  }
 }

@@ -969,6 +969,44 @@ object TextAnalysis {
           (col("n_bigrams") * lit(Similarity.CentroidScale)).cast("double"))).as("nll"))
   }
 
+  /** x162 support floor / result depth. */
+  val PmiMinCount = 5
+  val PmiTopK = 20
+
+  /** x162: PMI COLLOCATIONS — the top word bigrams by pointwise mutual
+    * information, ln(p(ab)/(p(a)p(b))), with a support floor (the
+    * classic collocation extractor; high-PMI pairs are the multiword
+    * units a tokenizer/vocab designer wants to know about, and a
+    * boilerplate-heavy corpus announces itself with absurd ones).
+    *
+    * Determinism & scale: counts are exact integer aggregates; PMI is
+    * computed in LOG SPACE — ln c_ab + 2·ln T − ln B − ln c_a − ln c_b
+    * — so no product ever overflows at any corpus size (c_ab·T² would
+    * pass 2⁶³ long before 100 TB); identical IEEE op order in both
+    * engines, snapped to 1e-4 BEFORE ranking with (w1, w2) ties. The
+    * unigram attach is a keyed join on the word (vocab-sized, not
+    * broadcastable by contract); the top-k is the global heap. */
+  def pmiCollocations(documents: DataFrame): DataFrame = {
+    val bi = Caching.temp(docBigrams(documents))
+    val cAb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val uni = Caching.temp(withTokens(documents)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val tTot = uni.agg(sum(col("c")).as("t"))
+    val bTot = bi.agg(count(lit(1)).as("b"))
+    val pmi = log(col("c_ab").cast("double")) +
+      lit(2.0) * log(col("t").cast("double")) -
+      log(col("b").cast("double")) -
+      log(col("c_a").cast("double")) - log(col("c_b").cast("double"))
+    cAb.filter(col("c_ab") >= PmiMinCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .select(col("w1"), col("w2"), col("c_ab"), Portable.round4(pmi).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+  }
+
   /** x133 per-stratum reservoir depth. */
   val ReservoirK = 10
 

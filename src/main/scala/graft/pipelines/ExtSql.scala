@@ -2037,15 +2037,21 @@ object ExtSql {
   // Only the sigmoid keeps the 4dp round (exp of a transcendental
   // never lands on a boundary; same argument as x103's pow).
 
-  private val x107 = {
+  /** The x107 exact-integer logit fragment (over the x101 feature
+    * columns), shared by x107 and the x163 calibration curve. */
+  private val clfZE5: String = {
     val q = graft.ops.QualityFilters
     def e5(w: Double) = math.round(w * 100000)
     def e1(w: Double) = math.round(w * 10)
-    val zE5 = s"(CAST(${e5(q.ClfBias)} AS BIGINT)" +
+    s"(CAST(${e5(q.ClfBias)} AS BIGINT)" +
       s" + n_words * ${e5(q.ClfWordsW)} + stop_hits * ${e5(q.ClfStopW)}" +
       s" + CAST(round(distinct_ratio * 10000) AS BIGINT) * (${e1(q.ClfDistinctW)})" +
       s" + CAST(round(mean_word_len * 10000) AS BIGINT) * (${e1(q.ClfMeanLenW)})" +
       s" + CAST(round(top_bigram_frac * 10000) AS BIGINT) * (${e1(q.ClfBigramW)}))"
+  }
+
+  private val x107 = {
+    val zE5 = clfZE5
     raw"""WITH g AS (
          |$x101
          |),
@@ -2311,10 +2317,12 @@ object ExtSql {
   // grid as BIGINT, and the per-doc weight is an exact integer dot
   // product — the x38 portability trick.
 
-  private val x115 = {
+  /** The x115 DSIR CTE chain (through `df`/`lam`), shared with the
+    * x164 effective-sample-size oracle. */
+  private lazy val dsirCtes: String = {
     val b = QualityFilters.DsirBuckets; val tl = QualityFilters.DsirTargetLang
     val scale = Similarity.CentroidScale
-    raw"""WITH $toksCte,
+    raw"""$toksCte,
          |tf AS (
          |  SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 4))::BIGINT % $b AS f
          |  FROM (SELECT doc_id, lang, unnest(toks) AS t FROM tok)),
@@ -2328,7 +2336,12 @@ object ExtSql {
          |                     ln((cr + 1)::DOUBLE / (tr + $b)::DOUBLE)) *
          |                    $scale::DOUBLE) AS BIGINT) AS lp
          |  FROM rawc LEFT JOIN tgtc USING (f) CROSS JOIN trc CROSS JOIN ttc),
-         |df AS (SELECT doc_id, f, count(*) AS n FROM tf GROUP BY 1, 2)
+         |df AS (SELECT doc_id, f, count(*) AS n FROM tf GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val x115 = {
+    val scale = Similarity.CentroidScale
+    raw"""WITH $dsirCtes
          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
          |       floor(CAST(sum(n * lp) AS DOUBLE) / $scale::DOUBLE * 10000 + 0.5) / 10000
          |         AS log_weight
@@ -3382,7 +3395,117 @@ object ExtSql {
          |GROUP BY 1""".stripMargin
   }
 
+  // ---- x161 top session paths --------------------------------------
+
+  private val x161 = {
+    val k = Events.PathTopK
+    raw"""WITH $sessionCtes,
+         |p AS (
+         |  SELECT user_id, session_seq,
+         |         array_to_string(list(event_type ORDER BY ms, event_id), '>')
+         |           AS path
+         |  FROM sessions GROUP BY 1, 2),
+         |g AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |      FROM p GROUP BY 1)
+         |SELECT path, n_sessions,
+         |       CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+         |            AS BIGINT) AS rnk
+         |FROM g ORDER BY n_sessions DESC, path LIMIT $k""".stripMargin
+  }
+
+  // ---- x162 PMI collocations ---------------------------------------
+
+  private val x162 = {
+    val (mc, k) = (TextAnalysis.PmiMinCount, TextAnalysis.PmiTopK)
+    raw"""WITH $toksCte,
+         |bi AS (
+         |  SELECT u.w1, u.w2 FROM (
+         |    SELECT [{'w1': toks[i+1], 'w2': toks[i+2]}
+         |            for i in range(0, len(toks) - 1)] AS bs
+         |    FROM tok WHERE len(toks) >= 2),
+         |  unnest(bs) AS t(u)),
+         |cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+         |        FROM bi GROUP BY 1, 2),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |        FROM (SELECT unnest(toks) AS tok FROM tok) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+         |bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi)
+         |SELECT w1, w2, c_ab,
+         |       ${round4("ln(CAST(c_ab AS DOUBLE)) + 2.0 * ln(CAST(t AS DOUBLE)) - ln(CAST(b AS DOUBLE)) - ln(CAST(ua.c AS DOUBLE)) - ln(CAST(ub.c AS DOUBLE))")} AS pmi
+         |FROM cab
+         |JOIN uni ua ON ua.tok = w1
+         |JOIN uni ub ON ub.tok = w2, tt, bt
+         |WHERE c_ab >= $mc
+         |ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
+  }
+
+  // ---- x163 classifier calibration curve ---------------------------
+
+  private val x163 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    raw"""WITH g AS (
+         |$x101
+         |),
+         |f AS (SELECT doc_id, $clfZE5 / 100000.0 AS logit FROM g),
+         |s AS (SELECT doc_id, ${round4("1.0 / (1.0 + exp(-logit))")} AS cs FROM f),
+         |q AS (
+         |  WITH $toksCte
+         |  SELECT doc_id,
+         |         CASE WHEN quality_score >= ${TextAnalysis.QualityPassBar}
+         |              THEN 1 ELSE 0 END AS pass
+         |  FROM (
+         |    SELECT doc_id, $qualityScoreSql
+         |    FROM (
+         |      SELECT doc_id, text,
+         |             len(toks) AS n_tokens,
+         |             len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |             len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |      FROM tok))),
+         |j AS (
+         |  SELECT least(9, CAST(floor(cs * 10) AS BIGINT)) AS bin,
+         |         CAST(floor(cs * 10000 + 0.5) AS BIGINT) AS s4, pass
+         |  FROM s JOIN q USING (doc_id)),
+         |a AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(pass) AS BIGINT) AS k,
+         |         CAST(sum(s4) AS BIGINT) AS ss
+         |  FROM j GROUP BY 1)
+         |SELECT bin, n, k,
+         |       ${round4("CAST(ss AS DOUBLE) / CAST(n * 10000 AS DOUBLE)")} AS mean_pred,
+         |       ${round4("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)")} AS act_rate
+         |FROM a""".stripMargin
+  }
+
+  // ---- x164 effective sample size per source -----------------------
+
+  private val x164 = {
+    val scale = Similarity.CentroidScale
+    val es = graft.ops.QualityFilters.EssScale
+    raw"""WITH $dsirCtes,
+         |w AS (
+         |  SELECT doc_id,
+         |         floor(CAST(sum(n * lp) AS DOUBLE) / $scale::DOUBLE * 10000 + 0.5) / 10000
+         |           AS log_weight
+         |  FROM df JOIN lam USING (f) GROUP BY 1),
+         |wq AS (
+         |  SELECT doc_id, CAST(floor(exp(log_weight) * $es + 0.5) AS BIGINT) AS wq
+         |  FROM w),
+         |a AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(wq) AS BIGINT) AS sw,
+         |         CAST(sum(wq * wq) AS BIGINT) AS sww
+         |  FROM documents JOIN wq USING (doc_id) GROUP BY 1)
+         |SELECT source, n,
+         |       ${round4("CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)")} AS ess,
+         |       ${round4("CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)")} AS ess_frac
+         |FROM a""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x163_calibration"    -> x163,
+    "x164_ess"            -> x164,
+    "x161_session_paths"  -> x161,
+    "x162_pmi_colloc"     -> x162,
     "x158_partition_prune" -> x158,
     "x159_variant_shred"  -> x159,
     "x160_range_join"     -> x160,

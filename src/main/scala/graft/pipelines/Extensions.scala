@@ -284,7 +284,11 @@ object Extensions {
     "x157_conv_latency"  -> ((s, d) => Events.conversionLatency(evs(s, d))),
     "x158_partition_prune" -> partitionedPruned _,
     "x159_variant_shred" -> ((s, d) => Events.variantShred(evs(s, d))),
-    "x160_range_join"    -> ((s, d) => graft.ops.Olap.bandedRangeJoin(evs(s, d))))
+    "x160_range_join"    -> ((s, d) => graft.ops.Olap.bandedRangeJoin(evs(s, d))),
+    "x161_session_paths" -> ((s, d) => Events.topSessionPaths(evs(s, d))),
+    "x162_pmi_colloc"    -> ((s, d) => TextAnalysis.pmiCollocations(docs(s, d))),
+    "x163_calibration"   -> ((s, d) => graft.ops.QualityFilters.calibrationCurve(docs(s, d))),
+    "x164_ess"           -> ((s, d) => graft.ops.QualityFilters.essPerSource(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -521,6 +521,25 @@ class PlanSpec extends SparkSpec {
       s"the whole point is avoiding the nested-loop range join:\n$p")
   }
 
+  test("x161/x162: global top-k via the heap, never a full sort") {
+    val p161 = plan("x161_session_paths")
+    assert(p161.contains("TakeOrderedAndProject"),
+      s"x161: path top-k must be the heap operator:\n$p161")
+    assert(!p161.contains("CartesianProduct"), s"x161:\n$p161")
+    val p162 = plan("x162_pmi_colloc")
+    assert(p162.contains("TakeOrderedAndProject"),
+      s"x162: PMI top-k must be the heap operator:\n$p162")
+    assert(!p162.contains("CartesianProduct"),
+      s"x162: unigram attaches are keyed joins:\n$p162")
+  }
+
+  test("x163/x164: doc-keyed joins only, bounded output aggregates") {
+    Seq("x163_calibration", "x164_ess").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("x155/x156/x157: user-keyed collapses, grid-sized broadcasts") {
     val p155 = plan("x155_ab_test")
     assert(!p155.contains("CartesianProduct"),

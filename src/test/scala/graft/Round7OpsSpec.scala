@@ -305,6 +305,58 @@ class Round7OpsSpec extends SparkSpec {
       (-1L, 1L, 50000L)))
   }
 
+  test("x161 topSessionPaths: (ms, id)-ordered paths, count-then-path ranking") {
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(1), 1L, "click", 0.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 0.0, "{}"),
+      (4L, ts(0), 2L, "view", 0.0, "{}"),
+      (5L, ts(100), 2L, "click", 0.0, "{}")   // > 30-min gap → own session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.topSessionPaths(events)
+      .select("path", "n_sessions", "rnk")
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(out.toSeq === Seq(("click", 1L, 1L), ("view", 1L, 2L),
+      ("view>click>purchase", 1L, 3L)))
+  }
+
+  test("x162 pmiCollocations: log-space PMI, support floor, tie order") {
+    // (a,b) appears 5x as whole docs; (c,d) 5x and (d,c) 4x inside one
+    // alternating doc — (d,c) dies on the support floor
+    val docs = ((1 to 5).map(i => (i.toLong, "a b", "en", "s", 3L)) :+
+      (9L, "c d c d c d c d c d", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextAnalysis.pmiCollocations(docs)
+      .select("w1", "w2", "c_ab", "pmi")
+      .as[(String, String, Long, Double)].collect()
+    // T=20 tokens, B=14 bigrams, all counts 5: identical PMI, (a,b) first
+    val pmi = r4(math.log(5.0) + 2.0 * math.log(20.0) - math.log(14.0)
+      - math.log(5.0) - math.log(5.0))
+    assert(out.toSeq === Seq(("a", "b", 5L, pmi), ("c", "d", 5L, pmi)))
+  }
+
+  test("x163 calibrationCurve: bins partition the corpus, rates recompute") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.ops.QualityFilters.calibrationCurve(docs)
+      .select("bin", "n", "k", "mean_pred", "act_rate")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.map(_._2).sum === docs.count())
+    out.foreach { case (bin, n, k, mp, ar) =>
+      assert(bin >= 0 && bin <= 9 && k >= 0 && k <= n)
+      assert(mp >= 0.0 && mp <= 1.0)
+      assert(ar === r4(k.toDouble / n))
+    }
+  }
+
+  test("x164 essPerSource: identical docs carry equal weights, ESS = n") {
+    val docs = (1 to 4).map(i => (i.toLong, "alpha beta gamma", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.QualityFilters.essPerSource(docs)
+      .select("source", "n", "ess", "ess_frac")
+      .as[(String, Long, Double, Double)].head()
+    assert(out === (("s", 4L, 4.0, 1.0)))
+  }
+
   test("x148 benfordAudit: string-derived digits and the log10 expectation") {
     val orders = Seq(1.00, 2.50, 19.99, 0.05).toDF("o_totalprice")
     val out = Olap.benfordAudit(orders)
