@@ -307,8 +307,10 @@ object DataProfile {
     *
     * Scale: the corpus collapses in ONE hash aggregate to
     * (source × length) counts — bounded by the LENGTH DOMAIN, not the
-    * row count; the dense (length × source) CDF grid comes from a
-    * broadcast value-spine left-join + one per-source window; the
+    * row count; the dense (length × source) CDF grid crosses the
+    * value spine with the BROADCAST source enum, attaches counts by a
+    * keyed join (the counts frame is domain-sized — never broadcast),
+    * then one per-source window; the
     * pair fan-out joins grid rows on the length key with the
     * |sources|-bounded per-key width. */
   def ksSourceDrift(documents: DataFrame): DataFrame = {
@@ -320,8 +322,11 @@ object DataProfile {
     val srcs = c.select(col("source")).distinct()
     val wCum = Window.partitionBy(col("source")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the SOURCE spine broadcasts (an enum); the counts frame does NOT
+    // — it scales with the length domain, so it joins the grid as a
+    // plain keyed join on (source, x)
     val grid = xs.crossJoin(broadcast(srcs))
-      .join(broadcast(c), Seq("source", "x"), "left")
+      .join(c, Seq("source", "x"), "left")
       .select(col("source"), col("x"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wCum))
     val tots = c.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))

@@ -511,6 +511,17 @@ object Events {
   private val DayMs  = 86400000L
   private val WeekMs = 7 * DayMs
 
+  /** The exact (event_type × day) daily-count grid — the shared input
+    * of x139's EWMA and x152's CUSUM (ONE definition so a future
+    * day-boundary fix cannot drift between them; the ExtSql `daily`
+    * CTE mirrors this single form). */
+  private[ops] def dailyCounts(events: DataFrame): DataFrame =
+    Caching.temp(events
+      .select(col("event_type"),
+        floor(unix_millis(col("ts")) / DayMs).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n")))
+
   /** x139 decay per elapsed DAY (missing days decay too — the index is
     * the real day offset, not the observed-row ordinal). */
   val EwmaDecay = 0.9
@@ -522,7 +533,16 @@ object Events {
     * computes it: with i = day − day₀,
     * ewma_t = Σ_{i≤t} w^{t−i}·n_i / Σ_{i≤t} w^{t−i}
     *        = Σ n_i·w^{−i} / Σ w^{−i}  (the w^t deflation cancels in
-    * the ratio, so no term ever multiplies two large magnitudes).
+    * the ratio).
+    *
+    * The exponent rebases on EACH TYPE's own first day (a window min,
+    * same pass) — w^−i must stay finite in a double, and a type whose
+    * data starts late in a long-lived corpus would otherwise inherit
+    * the corpus-global offset (w^−i overflows past i ≈ 6,700 days).
+    * One 18+-year CONTIGUOUS single-type series is still the honest
+    * horizon of this closed form; past that the swap-in is the
+    * trailing-H-day frame (w^H < 1 ulp long before: w^400 ≈ 5e−19),
+    * whose dropped tail is numerically unobservable.
     *
     * Scale: the corpus-sized work is ONE hash aggregate to the
     * (type × day) grid; the window runs over that tiny grid — series
@@ -531,18 +551,14 @@ object Events {
     * libm calls are pow(w, −i) on small integer exponents; results
     * leave through the 1e-4 grid. */
   def ewmaDaily(events: DataFrame): DataFrame = {
-    val daily = Caching.temp(events
-      .select(col("event_type"),
-        floor(unix_millis(col("ts")) / DayMs).cast("long").as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n")))
-    val day0 = daily.agg(min(col("day")).as("day0"))
+    val daily = dailyCounts(events)
+    val wType = Window.partitionBy(col("event_type"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wi = pow(lit(EwmaDecay), -col("i").cast("double"))
-    daily.crossJoin(broadcast(day0))
+    daily
       .select(col("event_type"), col("day"), col("n"),
-        (col("day") - col("day0")).as("i"))
+        (col("day") - min(col("day")).over(wType)).as("i"))
       .withColumn("num", sum(col("n") * wi).over(w))
       .withColumn("den", sum(wi).over(w))
       .select(col("event_type"), col("day"), col("n").as("n_events"),
@@ -805,11 +821,7 @@ object Events {
     * (x139's shape). n_i·D − T stays far inside 2⁶³ for any real
     * series (n·D ≤ total·days). */
   def cusumChangepoint(events: DataFrame): DataFrame = {
-    val daily = Caching.temp(events
-      .select(col("event_type"),
-        floor(unix_millis(col("ts")) / DayMs).cast("long").as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n")))
+    val daily = dailyCounts(events)
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("d"), sum(col("n")).as("t"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))

@@ -408,19 +408,24 @@ object QualityFilters {
     * near 0 means a few documents dominate the resampled corpus and
     * the weights are doing violence. Weights are exp(log_weight)
     * quantized to [[EssScale]] so both sums are exact integers; the
-    * final ratio is one double per source. */
+    * final ratio is one double per source. A source whose weights ALL
+    * quantize to zero (log_weight < ln(0.5/EssScale) ≈ −7.6 — the
+    * maximally off-target case ESS exists to flag) reports NULL, not
+    * the 0/0 NaN (x155's degenerate-pool convention). */
   def essPerSource(documents: DataFrame): DataFrame = {
     val w = dsirWeights(documents).select(col("doc_id"),
       floor(exp(col("log_weight")) * EssScale + 0.5).cast("long").as("wq"))
+    val ess = col("sw").cast("double") * col("sw").cast("double") /
+      col("sww").cast("double")
     documents.select(col("doc_id"), col("source"))
       .join(w, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("wq")).as("sw"),
         sum(col("wq") * col("wq")).as("sww"))
       .select(col("source"), col("n"),
-        round4(col("sw").cast("double") * col("sw").cast("double") /
-          col("sww").cast("double")).as("ess"),
-        round4(col("sw").cast("double") * col("sw").cast("double") /
-          col("sww").cast("double") / col("n").cast("double")).as("ess_frac"))
+        when(col("sww") === 0, lit(null).cast("double"))
+          .otherwise(round4(ess)).as("ess"),
+        when(col("sww") === 0, lit(null).cast("double"))
+          .otherwise(round4(ess / col("n").cast("double"))).as("ess_frac"))
   }
 }

@@ -2916,14 +2916,20 @@ object ExtSql {
 
   // ---- x139 EWMA-smoothed daily event volume -----------------------
 
-  private val x139 = {
-    val w = Events.EwmaDecay
-    raw"""WITH daily AS (
+  /** The (event_type × day) daily-count CTE shared by x139 and x152
+    * (one definition, mirroring [[Events.dailyCounts]]). */
+  private val dailyCte =
+    raw"""daily AS (
          |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
          |         CAST(count(*) AS BIGINT) AS n
-         |  FROM events GROUP BY 1, 2),
-         |d0 AS (SELECT min(day) AS day0 FROM daily),
-         |idx AS (SELECT event_type, day, n, day - day0 AS i FROM daily, d0),
+         |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  private val x139 = {
+    val w = Events.EwmaDecay
+    raw"""WITH $dailyCte,
+         |idx AS (SELECT event_type, day, n,
+         |               day - min(day) OVER (PARTITION BY event_type) AS i
+         |        FROM daily),
          |c AS (
          |  SELECT event_type, day, n,
          |         sum(n * pow($w, -i)) OVER win AS num,
@@ -3223,10 +3229,7 @@ object ExtSql {
   // ---- x152 CUSUM change-point -------------------------------------
 
   private val x152 =
-    raw"""WITH daily AS (
-         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-         |         CAST(count(*) AS BIGINT) AS n
-         |  FROM events GROUP BY 1, 2),
+    raw"""WITH $dailyCte,
          |st AS (
          |  SELECT event_type, CAST(count(*) AS BIGINT) AS d,
          |         CAST(sum(n) AS BIGINT) AS t
@@ -3496,8 +3499,12 @@ object ExtSql {
          |         CAST(sum(wq * wq) AS BIGINT) AS sww
          |  FROM documents JOIN wq USING (doc_id) GROUP BY 1)
          |SELECT source, n,
-         |       ${round4("CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)")} AS ess,
-         |       ${round4("CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)")} AS ess_frac
+         |       CASE WHEN sww = 0 THEN NULL
+         |            ELSE ${round4("CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)")}
+         |       END AS ess,
+         |       CASE WHEN sww = 0 THEN NULL
+         |            ELSE ${round4("CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |       END AS ess_frac
          |FROM a""".stripMargin
   }
 

@@ -33,6 +33,21 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(2L) === ((1L, r4(ew), r4(1.0 / ew))))
   }
 
+  test("x139 ewmaDaily: the exponent rebases on EACH type's first day") {
+    // type B starts 8,000 days after A — on the corpus-global index
+    // pow(w, -8000) would overflow to Inf and NaN the whole B series
+    val events = Seq(
+      (1L, ts(0), 1L, "A", 0.0, "{}"),
+      (2L, ts(8000L * 1440), 1L, "B", 0.0, "{}"),
+      (3L, ts(8001L * 1440), 1L, "B", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.ewmaDaily(events)
+      .select("event_type", "day", "ewma", "ratio")
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.forall(r => !r._3.isNaN && !r._4.isNaN), s"NaN in ${out.toSeq}")
+    assert(out.filter(_._1 == "B").map(_._3).toSet === Set(1.0))
+  }
+
   test("x140 zipfSlope: matches the fixed-point regression closed form") {
     // one language, frequencies 4/2/1 → ranks 1/2/3
     val docs = Seq((1L, "a a b", "en", "s", 5L), (2L, "a a b c", "en", "s", 7L))
@@ -355,6 +370,23 @@ class Round7OpsSpec extends SparkSpec {
       .select("source", "n", "ess", "ess_frac")
       .as[(String, Long, Double, Double)].head()
     assert(out === (("s", 4L, 4.0, 1.0)))
+  }
+
+  test("x164 essPerSource: an all-zero-weight source reports NULL, not NaN") {
+    // the off-target doc's DSIR log-weight is a SUM of per-token log
+    // ratios — 40 off-target tokens push it far below ln(0.0005), so
+    // every weight quantizes to 0 and the 0/0 must surface as NULL
+    val off = Seq.fill(40)("zzz").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en", "good", 15L),
+      (2L, off, "fr", "bad", off.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.QualityFilters.essPerSource(docs)
+      .select("source", "ess", "ess_frac")
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("bad") === ((None, None)))
+    assert(out("good")._1.isDefined && out("good")._2.isDefined)
   }
 
   test("x148 benfordAudit: string-derived digits and the log10 expectation") {
