@@ -286,4 +286,133 @@ object Olap {
         Portable.round4(expected).as("expected"),
         Portable.round4(abs(share - expected)).as("abs_dev"))
   }
+
+  /** RFM tile count (quartiles). */
+  val RfmTiles = 4
+
+  /** x167: RFM SEGMENTATION — the classic customer-value banding
+    * (recency / frequency / monetary, each cut into quartiles) every
+    * marketing warehouse derives from the order log. Metrics per
+    * customer: days since their last order (relative to the corpus
+    * max order date), order count, lifetime spend in exact cents.
+    *
+    * Scale: one hash aggregate over orders (shuffles keys+3 partials,
+    * map-side combined), then THREE two-phase range-partitioned ranks
+    * ([[Ranking.globalRowNumber]]) — NTILE over an unpartitioned
+    * window would sort every customer through one partition; instead
+    * tile = floor((rank−1)·T / n) + 1 from the global rank, with the
+    * identical closed form in the oracle (NTILE itself is avoided in
+    * BOTH engines: its uneven-remainder group sizing differs from the
+    * closed form, so the formula is the cross-engine contract).
+    * Rank order carries (metric, custkey) so ties are total. The
+    * customer count n is a 1-row aggregate broadcast via crossJoin. */
+  def rfm(orders: DataFrame): DataFrame = {
+    val maxDate = orders.agg(max(col("o_orderdate")).as("max_d"))
+    val base = Caching.temp(orders
+      .crossJoin(broadcast(maxDate))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        datediff(max(col("max_d")), max(col("o_orderdate"))).cast("long").as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("mon_cents")))
+    val n = base.agg(count(lit(1)).as("n"))
+    // three independent sorted tilings; descending metrics rank by the
+    // negated value (range partitioning orders by the column itself)
+    val r = Ranking.globalRowNumber(base, Seq(col("rec_days"), col("custkey")), "rr")
+      .select(col("custkey"), col("rr"))
+    val f = Ranking.globalRowNumber(base, Seq((-col("freq")).as("nf"), col("custkey")), "fr")
+      .select(col("custkey"), col("fr"))
+    val m = Ranking.globalRowNumber(base, Seq((-col("mon_cents")).as("nm"), col("custkey")), "mr")
+      .select(col("custkey"), col("mr"))
+    def tile(rank: Column): Column =
+      (floor((rank - 1) * RfmTiles / col("n")) + 1).cast("long")
+    base.join(r, Seq("custkey")).join(f, Seq("custkey")).join(m, Seq("custkey"))
+      .crossJoin(broadcast(n))
+      .select(col("custkey"), col("rec_days"), col("freq"), col("mon_cents"),
+        tile(col("rr")).as("r_tile"), tile(col("fr")).as("f_tile"),
+        tile(col("mr")).as("m_tile"),
+        concat(tile(col("rr")).cast("string"), tile(col("fr")).cast("string"),
+          tile(col("mr")).cast("string")).as("segment"))
+  }
+
+  /** x168: MARKET-BASKET brand affinity — support / confidence / lift
+    * for every brand pair that co-occurs in an order (the association
+    * screen behind "frequently bought together"). Counts are over
+    * DISTINCT (order, brand): an order with three lines of Brand#3
+    * contributes one basket membership.
+    *
+    * Scale: lineitem⋈part is a keyed shuffle join (part scales with
+    * SF — deliberately unhinted; AQE may still broadcast at small
+    * SF), then the pair generation is a self-join on l_orderkey whose
+    * per-order fan-out is bounded by the order's line count (≤ B·(B−1)/2
+    * with B ≤ the brand domain, 25) — linear in orders, never
+    * all-pairs across orders. The singles table is brand-domain-sized
+    * and broadcast onto both legs of each pair. */
+  def basketLift(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val ob = Caching.temp(
+      lineitem.select(col("l_orderkey"), col("l_partkey"))
+        .join(part.select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct())
+    val nOrders = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val singles = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_single"))
+    val pairs = ob.alias("a").join(ob.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("p_brand").as("brand_a"), col("n_single").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(singles.select(col("p_brand").as("brand_b"), col("n_single").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        Portable.round4(col("n_ab").cast("double") / col("n_orders").cast("double")).as("support"),
+        Portable.round4(col("n_ab").cast("double") * col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+
+  /** x169: PARETO FRONTIER (2-D skyline) of parts — cheapest price
+    * for the size you need: a part survives iff no other part is at
+    * most as expensive AND at least as large with one strict
+    * inequality (Börzsönyi '01 skyline semantics; ties — identical
+    * (price, size) — all survive, neither dominates).
+    *
+    * Scale: the naive NOT-EXISTS is an all-pairs quadratic. The 2-D
+    * structure collapses it to sort + prefix-max: group to the best
+    * size per price (hash agg; the distinct-price table is bounded by
+    * the PRICE DOMAIN, not the part count), then an EXCLUSIVE prefix
+    * max over price order computed in two phases (per-range running
+    * max + a P-row broadcast of earlier-range maxima) — no
+    * unpartitioned window over the price domain. A price's best size
+    * is on the frontier iff it strictly exceeds every cheaper price's
+    * best; the frontier (≤ |size domain| rows) broadcasts back onto
+    * the part table to recover every surviving part. */
+  def paretoFront(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pp = part.select(col("p_partkey"),
+      floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_c"),
+      col("p_size").cast("long").as("size"))
+    val best = pp.groupBy(col("price_c")).agg(max(col("size")).as("best_sz"))
+    val p = part.sparkSession.sparkContext.defaultParallelism
+    val ranged = Caching.temp(best.repartitionByRange(p, col("price_c"))
+      .withColumn("pid", spark_partition_id()))
+    val local = ranged.withColumn("run_before",
+      max(col("best_sz")).over(Window.partitionBy(col("pid"))
+        .orderBy(col("price_c")).rowsBetween(Window.unboundedPreceding, -1)))
+    val pidPrev = ranged.groupBy(col("pid")).agg(max(col("best_sz")).as("pmax"))
+      .withColumn("prev_max",
+        max(col("pmax")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid"), col("prev_max"))
+    val frontier = local.join(broadcast(pidPrev), Seq("pid"))
+      .filter(col("best_sz") > greatest(
+        coalesce(col("run_before"), lit(Long.MinValue)),
+        coalesce(col("prev_max"), lit(Long.MinValue))))
+      // fresh aliases — frontier descends from pp, so keeping the
+      // original attribute ids would make the join self-ambiguous
+      .select(col("price_c").as("f_price"), col("best_sz").as("f_size"))
+    pp.join(broadcast(frontier),
+        col("price_c") === col("f_price") && col("size") === col("f_size"))
+      .select(col("p_partkey"), col("price_c"), col("size"))
+  }
 }

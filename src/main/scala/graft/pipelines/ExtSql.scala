@@ -3508,7 +3508,113 @@ object ExtSql {
          |FROM a""".stripMargin
   }
 
+  // ---- x165 sorted-neighborhood blocking pairs ---------------------
+  private val x165 = {
+    val w = graft.ops.Fuzzy.SnWindow
+    val d = graft.ops.Fuzzy.MaxEditDist
+    raw"""WITH names AS (SELECT DISTINCT p_name, reverse(p_name) AS skey FROM part),
+         |r AS (SELECT p_name, row_number() OVER (ORDER BY skey) AS rnk FROM names)
+         |SELECT least(a.p_name, b.p_name) AS name_a,
+         |       greatest(a.p_name, b.p_name) AS name_b,
+         |       CAST(b.rnk - a.rnk AS BIGINT) AS gap,
+         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND $w
+         |WHERE abs(length(a.p_name) - length(b.p_name)) <= $d
+         |  AND levenshtein(a.p_name, b.p_name) <= $d""".stripMargin
+  }
+
+  // ---- x166 Jaro-Winkler scored name match -------------------------
+  private val x166 = {
+    val t = graft.ops.Fuzzy.JwThreshold
+    raw"""WITH names AS (
+         |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS block
+         |  FROM part)
+         |SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |       ${round4("jaro_winkler_similarity(a.p_name, b.p_name)")} AS sim
+         |FROM names a JOIN names b
+         |  ON a.block = b.block AND a.p_name < b.p_name
+         |WHERE ${round4("jaro_winkler_similarity(a.p_name, b.p_name)")} >= $t""".stripMargin
+  }
+
+  // ---- x167 RFM quartile segmentation ------------------------------
+  private val x167 = {
+    val tiles = graft.ops.Olap.RfmTiles
+    raw"""WITH base AS (
+         |  SELECT o_custkey AS custkey,
+         |         CAST(date_diff('day',
+         |           CAST(max(o_orderdate) AS DATE),
+         |           (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS BIGINT)
+         |           AS rec_days,
+         |         CAST(count(*) AS BIGINT) AS freq,
+         |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |           AS mon_cents
+         |  FROM orders GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM base),
+         |rk AS (
+         |  SELECT custkey,
+         |         row_number() OVER (ORDER BY rec_days, custkey) AS rr,
+         |         row_number() OVER (ORDER BY freq DESC, custkey) AS fr,
+         |         row_number() OVER (ORDER BY mon_cents DESC, custkey) AS mr
+         |  FROM base),
+         |t AS (
+         |  SELECT custkey,
+         |         CAST(floor((rr - 1) * $tiles / n.n) + 1 AS BIGINT) AS r_tile,
+         |         CAST(floor((fr - 1) * $tiles / n.n) + 1 AS BIGINT) AS f_tile,
+         |         CAST(floor((mr - 1) * $tiles / n.n) + 1 AS BIGINT) AS m_tile
+         |  FROM rk CROSS JOIN n)
+         |SELECT base.custkey, rec_days, freq, mon_cents, r_tile, f_tile, m_tile,
+         |       r_tile::VARCHAR || f_tile::VARCHAR || m_tile::VARCHAR AS segment
+         |FROM base JOIN t ON base.custkey = t.custkey""".stripMargin
+  }
+
+  // ---- x168 market-basket brand lift -------------------------------
+  private val x168 =
+    raw"""WITH ob AS (
+         |  SELECT DISTINCT l_orderkey, p_brand
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+         |singles AS (
+         |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_single FROM ob GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         |         CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM ob a JOIN ob b
+         |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+         |  GROUP BY 1, 2)
+         |SELECT brand_a, brand_b, n_ab,
+         |       ${round4("n_ab::DOUBLE / n.n_orders::DOUBLE")} AS support,
+         |       ${round4("n_ab::DOUBLE * n.n_orders::DOUBLE / (sa.n_single::DOUBLE * sb.n_single::DOUBLE)")} AS lift
+         |FROM pairs
+         |     JOIN singles sa ON sa.p_brand = pairs.brand_a
+         |     JOIN singles sb ON sb.p_brand = pairs.brand_b
+         |     CROSS JOIN n""".stripMargin
+
+  // ---- x169 Pareto frontier (2-D skyline) --------------------------
+  private val x169 =
+    raw"""WITH pp AS (
+         |  SELECT p_partkey,
+         |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         |         CAST(p_size AS BIGINT) AS size
+         |  FROM part),
+         |best AS (SELECT price_c, max(size) AS best_sz FROM pp GROUP BY 1),
+         |pref AS (
+         |  SELECT price_c, best_sz,
+         |         max(best_sz) OVER (ORDER BY price_c
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_max
+         |  FROM best),
+         |front AS (
+         |  SELECT price_c, best_sz FROM pref
+         |  WHERE before_max IS NULL OR best_sz > before_max)
+         |SELECT p_partkey, pp.price_c, pp.size
+         |FROM pp JOIN front
+         |  ON pp.price_c = front.price_c AND pp.size = front.best_sz""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x165_sorted_neighbor" -> x165,
+    "x166_jw_match"       -> x166,
+    "x167_rfm"            -> x167,
+    "x168_basket_lift"    -> x168,
+    "x169_pareto_front"   -> x169,
     "x163_calibration"    -> x163,
     "x164_ess"            -> x164,
     "x161_session_paths"  -> x161,

@@ -288,7 +288,13 @@ object Extensions {
     "x161_session_paths" -> ((s, d) => Events.topSessionPaths(evs(s, d))),
     "x162_pmi_colloc"    -> ((s, d) => TextAnalysis.pmiCollocations(docs(s, d))),
     "x163_calibration"   -> ((s, d) => graft.ops.QualityFilters.calibrationCurve(docs(s, d))),
-    "x164_ess"           -> ((s, d) => graft.ops.QualityFilters.essPerSource(docs(s, d))))
+    "x164_ess"           -> ((s, d) => graft.ops.QualityFilters.essPerSource(docs(s, d))),
+    "x165_sorted_neighbor" -> ((s, d) => graft.ops.Fuzzy.sortedNeighborPairs(Tables.part(s, d))),
+    "x166_jw_match"      -> ((s, d) => graft.ops.Fuzzy.jwNameMatch(Tables.part(s, d))),
+    "x167_rfm"           -> ((s, d) => graft.ops.Olap.rfm(Tables.orders(s, d))),
+    "x168_basket_lift"   -> ((s, d) =>
+      graft.ops.Olap.basketLift(Tables.lineitem(s, d), Tables.part(s, d))),
+    "x169_pareto_front"  -> ((s, d) => graft.ops.Olap.paretoFront(Tables.part(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND
