@@ -870,4 +870,80 @@ object Events {
         (col("n_prev") - nb).as("n_churned"),
         (col("n_curr") - nb).as("n_new"))
   }
+
+  /** ACF lags computed (1..MaxAcfLag days). */
+  val MaxAcfLag = 7
+
+  /** x170: AUTOCORRELATION FUNCTION of total daily event volume at
+    * lags 1..[[MaxAcfLag]] — the time-series diagnostic that
+    * QUANTIFIES the weekly cycle x156's seasonality grid displays
+    * (lag-7 spike = weekly rhythm; lag-1 ≈ 1 = smooth drift; all
+    * lags ≈ 0 = white noise). Pearson correlation of (volume_d,
+    * volume_{d+L}) over the overlapping day pairs per lag.
+    *
+    * Determinism: daily counts are exact integers, so every moment —
+    * n·Σxy − Σx·Σy and the two variance legs — is computed in BIGINT
+    * and only the final ratio is a double (rounded 4dp), identical in
+    * both engines regardless of aggregation order. Zero-variance legs
+    * (constant series) yield NULL via a guard, not NaN.
+    *
+    * Scale: the corpus collapses to the day-domain grid in one hash
+    * aggregate; the lag pairing is an EQUI self-join on day+L over
+    * that |days|-row grid (missing days simply contribute no pair —
+    * the gap-skipping ACF), and the per-lag moments are a ≤MaxAcfLag-
+    * row aggregate. Nothing downstream of the first aggregate touches
+    * corpus-sized data. */
+  def acfDailyVolume(events: DataFrame): DataFrame = {
+    val daily = Caching.temp(dailyCounts(events)
+      .groupBy(col("day")).agg(sum(col("n")).as("n")))
+    val lagged = daily.select(col("day"), col("n").as("x"),
+        explode(sequence(lit(1), lit(MaxAcfLag))).as("lag"))
+      .select((col("day") + col("lag")).as("day"), col("lag").cast("long").as("lag"), col("x"))
+    val m = lagged.join(daily.select(col("day"), col("n").as("y")), Seq("day"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val cov  = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    m.select(col("lag"), col("n_pairs"),
+      when(varx > 0 && vary > 0,
+        Portable.round4(cov.cast("double") /
+          (sqrt(varx.cast("double")) * sqrt(vary.cast("double")))))
+        .as("acf"))
+  }
+
+  /** x171: MARKOV TRANSITION MATRIX between consecutive event types
+    * within a gap session — P(next = b | current = a) plus the row
+    * marginals, the one-step model behind x161's verbatim path mining
+    * (paths SHOW the top sequences; this gives every pairwise
+    * continuation probability, the "what usually happens after a
+    * view" table).
+    *
+    * Determinism: consecutive means adjacent under the total
+    * (ms, event_id) session order — the same `lead` order every
+    * engine agrees on; probabilities are exact-integer counts until
+    * one final 4dp-rounded division.
+    *
+    * Scale: rides the x16 sessionization shuffle (one window pass per
+    * user partition); the transition aggregate shuffles ≤|type|²
+    * distinct keys with map-side combine, and the output is bounded
+    * by the type-domain square, never the event count. */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val byUserSession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ms"), col("event_id"))
+    val steps = sessionized(events)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUserSession))
+      .filter(col("next_type").isNotNull)
+    val pairs = steps.groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = pairs.groupBy(col("cur_type")).agg(sum(col("n")).as("n_out"))
+    pairs.join(broadcast(outTot), Seq("cur_type"))
+      .select(col("cur_type"), col("next_type"), col("n"), col("n_out"),
+        Portable.round4(col("n").cast("double") / col("n_out").cast("double"))
+          .as("p_next"))
+  }
 }

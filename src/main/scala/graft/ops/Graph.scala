@@ -85,4 +85,66 @@ object Graph {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"))
   }
+
+  /** k of the x172 core; 2 = "parts with at least two STRONG
+    * co-purchase partners that themselves stay in the core". */
+  val KCoreK = 2
+  /** Minimum co-purchase support for a graph edge (pairs seen in ≥2
+    * distinct orders — one shared basket is noise). */
+  val KCoreMinSupport = 2
+  /** Fixed peel rounds BOTH engines run (the x117/x59 unrolled-oracle
+    * convention); the builder-side fixpoint probe needed ≤5 at sf0.1. */
+  val KCoreRounds = 8
+
+  /** x172: K-CORE DECOMPOSITION (k = [[KCoreK]]) of the part
+    * co-purchase graph — the maximal subgraph where every part keeps
+    * ≥ k co-purchase partners AFTER its weak neighbors are discarded
+    * too (Seidman '83). The fourth graph-analytics family next to
+    * connectivity (x30/x97), centrality (x59) and local density
+    * (x94): cores expose the stable cross-sell backbone that raw
+    * degree inflates with one-off baskets.
+    *
+    * Both engines run EXACTLY [[KCoreRounds]] synchronous peels
+    * (remove nodes with alive-degree < k, recompute) so the oracle
+    * unrolls as CTEs; the Spark side additionally verifies the peel
+    * reached its fixpoint and fails loud otherwise — silent
+    * non-convergence would ship a supergraph of the core.
+    *
+    * Scale: edge building rides the x168 basket shape (per-order pair
+    * fan-out bounded by basket size, support filter keyed on the pair
+    * — never all-pairs across orders). Each peel is one hash
+    * aggregate + one semi-join, both keyed on the node id; the alive
+    * set only shrinks; per-round eager `localCheckpoint` truncates
+    * the loop lineage (the x86/x97 lesson — driver re-analysis cost
+    * grows superlinearly otherwise). Output: surviving parts with
+    * their within-core degree. */
+  def kCoreParts(lineitem: DataFrame): DataFrame = {
+    val ob = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = ob.alias("a").join(ob.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= KCoreMinSupport)
+    val edges = Caching.temp(
+      pairs.select(col("pa").as("u"), col("pb").as("v"))
+        .union(pairs.select(col("pb"), col("pa"))))
+    var alive = edges.select(col("u")).distinct().localCheckpoint()
+    def peel(a: DataFrame): DataFrame = edges
+      .join(a.select(col("u")), Seq("u"))
+      .join(a.select(col("u").as("v")), Seq("v"))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= KCoreK)
+      .select(col("u"))
+    for (_ <- 1 to KCoreRounds)
+      alive = peel(alive).localCheckpoint()
+    if (peel(alive).count() != alive.count())
+      throw new IllegalStateException(
+        s"kCoreParts: peel not at fixpoint after $KCoreRounds rounds — raise KCoreRounds")
+    edges.join(alive, Seq("u"))
+      .join(alive.select(col("u").as("v")), Seq("v"))
+      .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= KCoreK)
+      .select(col("u").as("p_partkey"), col("core_deg"))
+  }
 }

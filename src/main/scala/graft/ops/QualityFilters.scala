@@ -428,4 +428,63 @@ object QualityFilters {
         when(col("sww") === 0, lit(null).cast("double"))
           .otherwise(round4(ess / col("n").cast("double"))).as("ess_frac"))
   }
+
+  // ---- x173 Neyman-allocation stratified sampling ------------------
+
+  /** Total Neyman sample budget. */
+  val NeymanTarget = 100
+
+  /** x173: NEYMAN-ALLOCATION stratified sample — the optimal
+    * fixed-budget allocation n_h ∝ N_h·σ_h (Neyman '34): variable
+    * strata (by doc-length spread, here per source) earn more of the
+    * budget than uniform strata of the same size. The survey-design
+    * counterpart to x106's preference-weighted mixture: allocation is
+    * DERIVED from the data's dispersion, not chosen.
+    *
+    * Determinism: N_h·σ_h = sqrt(N_h·Σy² − (Σy)²) — the radicand is
+    * assembled EXACTLY in DECIMAL(38,0) (BIGINT would overflow at
+    * ~10¹² docs × (5k chars)²; DuckDB's HUGEINT mirrors it), and only
+    * then crosses to double for the sqrt/ratio — identical nearest-
+    * double in both engines. Draw order inside a stratum is the
+    * engine-independent content-addressed coin (md5(doc_id), doc_id)
+    * every sampler here flips (x29/x33/x106). A zero-variance stratum
+    * earns 0 — that IS Neyman semantics (one doc would already
+    * estimate it exactly).
+    *
+    * Scale: one hash aggregate to the |sources|-row moment table
+    * (map-side combined), allocation arithmetic on that tiny frame
+    * broadcast back, one corpus shuffle on `source` for the per-
+    * stratum rank — x106's exact plan shape. */
+  def neymanSample(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val mom = documents
+      .select(col("source"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars").cast(dec)).as("sy"),
+        sum((col("n_chars") * col("n_chars")).cast(dec)).as("syy"))
+      .select(col("source"), col("n_h"),
+        sqrt((col("n_h").cast(dec) * col("syy") - col("sy") * col("sy"))
+          .cast("double")).as("nsig"))
+    // Σ N_h·σ_h folds doubles left-to-right in SOURCE order (the §8.3
+    // sequential-fold convention) — a bare sum() would be partial-
+    // aggregation-order-dependent and could flip a floor boundary
+    val tot = mom.agg(aggregate(
+      transform(array_sort(collect_list(struct(col("source"), col("nsig")))),
+        s => s.getField("nsig")),
+      lit(0.0), (acc, x) => acc + x).as("tot_nsig"))
+    val alloc = mom.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_h"),
+        least(col("n_h"),
+          floor(lit(NeymanTarget) * col("nsig") / col("tot_nsig") + 0.5)
+            .cast("long")).as("n_alloc"))
+    documents.select(col("doc_id"), col("source"))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= col("n_alloc"))
+      .select(col("doc_id"), col("source"), col("rnk"), col("n_alloc"))
+  }
 }

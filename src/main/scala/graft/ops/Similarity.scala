@@ -410,4 +410,62 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** x174: LABEL-CENTROID CONFUSION screen — per label: member count,
+    * COHESION (mean member→own-centroid cosine) and the nearest
+    * FOREIGN centroid with its cosine. The label-quality probe run
+    * before training on labeled embeddings: low cohesion = the label
+    * is internally incoherent; a near foreign centroid = the pair is
+    * confusable and candidates for merging (the analysis x22's raw
+    * centroid components exist to feed).
+    *
+    * Determinism: centroids come from x22's exact integer component
+    * sums (order-independent), so each component is the same
+    * nearest-double `sum/(n·10⁷)` in both engines; each member cosine
+    * snaps to a 1e-4-grid BIGINT BEFORE the mean (double sums don't
+    * commute, integer sums do — the x155/x164 convention); centroid-
+    * pair cosines are 4dp-snapped before the (cos desc, label asc)
+    * argmax so both engines pick the same neighbor.
+    *
+    * Scale: one corpus pass for the component sums (x22's hash
+    * aggregate), one for the member cosines with the |labels|-row
+    * centroid table BROADCAST onto it (the corpus never shuffles);
+    * the pair argmax runs on a |labels|²-row broadcast square. */
+  def labelConfusion(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = Caching.temp(labelCentroids(embeddings)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(max(col("n")).as("n"),
+        array_sort(collect_list(struct(col("dim"), col("component_sum")))).as("cs"))
+      .select(col("label"), col("n"),
+        transform(col("cs"), s => s.getField("component_sum").cast("double") /
+          (col("n") * lit(CentroidScale)).cast("double")).as("cv"))
+      .select(col("label"), col("n"), col("cv"), norm(col("cv")).as("cn")))
+    val cohesion = embeddings
+      .select(col("label").cast("long").as("label"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"),
+        floor(dot(col("v"), col("cv")) / (col("nrm") * col("cn")) * 10000 + 0.5)
+          .cast("long").as("cos4"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), sum(col("cos4")).as("s4"))
+      .select(col("label"), col("n_members"),
+        Portable.round4(col("s4").cast("double") /
+          (col("n_members") * 10000L).cast("double")).as("cohesion"))
+    val l = cents.select(col("label").as("la"), col("cv").as("cva"), col("cn").as("cna"))
+    val r = cents.select(col("label").as("lb"), col("cv").as("cvb"), col("cn").as("cnb"))
+    val wNear = Window.partitionBy(col("la"))
+      .orderBy(col("cos_c").desc, col("lb").asc)
+    val nearest = broadcast(l).join(broadcast(r), col("la") =!= col("lb"))
+      .select(col("la"), col("lb"),
+        cosine(dot(col("cva"), col("cvb")), col("cna"), col("cnb")).as("cos_c"))
+      .withColumn("nr", row_number().over(wNear))
+      .filter(col("nr") === 1)
+      .select(col("la").as("label"), col("lb").as("nearest_label"),
+        col("cos_c").as("nearest_cos"))
+    cohesion.join(broadcast(nearest), Seq("label"))
+  }
 }

@@ -3609,7 +3609,136 @@ object ExtSql {
          |FROM pp JOIN front
          |  ON pp.price_c = front.price_c AND pp.size = front.best_sz""".stripMargin
 
+  // ---- x170 autocorrelation of daily volume ------------------------
+  private val x170 = {
+    val maxLag = Events.MaxAcfLag
+    raw"""WITH $dailyCte,
+         |d AS (SELECT day, CAST(sum(n) AS BIGINT) AS n FROM daily GROUP BY 1),
+         |m AS (
+         |  SELECT r.range AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |         sum(a.n) AS sx, sum(b.n) AS sy, sum(a.n * b.n) AS sxy,
+         |         sum(a.n * a.n) AS sxx, sum(b.n * b.n) AS syy
+         |  FROM d a CROSS JOIN range(1, ${maxLag + 1}) r
+         |       JOIN d b ON b.day = a.day + r.range
+         |  GROUP BY 1)
+         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+         |       CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+         |            THEN ${round4("((n_pairs * sxy - sx * sy)::DOUBLE) / (sqrt((n_pairs * sxx - sx * sx)::DOUBLE) * sqrt((n_pairs * syy - sy * sy)::DOUBLE))")}
+         |       END AS acf
+         |FROM m""".stripMargin
+  }
+
+  // ---- x171 session Markov transition matrix -----------------------
+  private val x171 =
+    raw"""WITH $sessionCtes,
+         |steps AS (
+         |  SELECT event_type AS cur_type,
+         |         lead(event_type) OVER (PARTITION BY user_id, session_seq
+         |                                ORDER BY ms, event_id) AS next_type
+         |  FROM sessions),
+         |p AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+         |      FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |o AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS n_out FROM p GROUP BY 1)
+         |SELECT cur_type, next_type, n, n_out,
+         |       ${round4("n::DOUBLE / n_out::DOUBLE")} AS p_next
+         |FROM p JOIN o USING (cur_type)""".stripMargin
+
+  // ---- x172 k-core of the part co-purchase graph -------------------
+  private val x172 = {
+    val k = graft.ops.Graph.KCoreK
+    val sup = graft.ops.Graph.KCoreMinSupport
+    // every peel references its predecessor TWICE (both edge ends) —
+    // MATERIALIZED, or DuckDB inlines the CTE tree into 2^rounds
+    // copies of the base pair join (observed: 90+ CPU-minutes at sf0.1)
+    val peels = (1 to graft.ops.Graph.KCoreRounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT e.u FROM e JOIN a${i - 1} x ON e.u = x.u JOIN a${i - 1} y ON e.v = y.u
+         |  GROUP BY e.u HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    val last = s"a${graft.ops.Graph.KCoreRounds}"
+    raw"""WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pr AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM ob a JOIN ob b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $sup),
+         |e AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pr UNION ALL SELECT pb, pa FROM pr),
+         |a0 AS MATERIALIZED (SELECT DISTINCT u FROM e),
+         |$peels
+         |SELECT e.u AS p_partkey, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e JOIN $last x ON e.u = x.u JOIN $last y ON e.v = y.u
+         |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+  }
+
+  // ---- x173 Neyman-allocation stratified sample --------------------
+  private val x173 = {
+    val t = graft.ops.QualityFilters.NeymanTarget
+    raw"""WITH mom AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+         |         sum(n_chars::DECIMAL(38,0)) AS sy,
+         |         sum((n_chars * n_chars)::DECIMAL(38,0)) AS syy
+         |  FROM documents GROUP BY 1),
+         |m2 AS (SELECT source, n_h,
+         |              sqrt(((n_h::DECIMAL(38,0)) * syy - sy * sy)::DOUBLE) AS nsig
+         |       FROM mom),
+         |tot AS (SELECT list_sum(list(nsig ORDER BY source)) AS tot_nsig FROM m2),
+         |alloc AS (
+         |  SELECT source, n_h,
+         |         least(n_h, CAST(floor($t * nsig / tot_nsig + 0.5) AS BIGINT)) AS n_alloc
+         |  FROM m2 CROSS JOIN tot),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rnk
+         |  FROM documents)
+         |SELECT doc_id, r.source, rnk, n_alloc
+         |FROM r JOIN alloc USING (source) WHERE rnk <= n_alloc""".stripMargin
+  }
+
+  // ---- x174 label-centroid confusion screen ------------------------
+  private val x174 = {
+    val scale = Similarity.CentroidScale
+    raw"""WITH comp AS (
+         |  SELECT label, u.d AS dim,
+         |         sum(CAST(floor(u.x * $scale) AS BIGINT)) AS component_sum,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) v,
+         |       unnest([{'d': i-1, 'x': e[i]} for i in range(1, len(e)+1)]) AS t(u)
+         |  GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT CAST(label AS BIGINT) AS label, max(n) AS n,
+         |         list(component_sum::DOUBLE / ((n * $scale)::DOUBLE) ORDER BY dim) AS cv
+         |  FROM comp GROUP BY 1),
+         |cn AS (SELECT label, n, cv,
+         |              sqrt(list_sum([x * x for x in cv])) AS cnrm FROM cents),
+         |mem AS (
+         |  SELECT CAST(label AS BIGINT) AS label, v,
+         |         sqrt(list_sum([x * x for x in v])) AS nrm
+         |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)),
+         |coh AS (
+         |  SELECT m.label, CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(sum(CAST(floor(${dotExpr("m.v", "c.cv")} / (m.nrm * c.cnrm) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s4
+         |  FROM mem m JOIN cn c ON m.label = c.label GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.label AS la, b.label AS lb,
+         |         ${cosExpr("a.cv", "a.cnrm", "b.cv", "b.cnrm")} AS cos_c
+         |  FROM cn a JOIN cn b ON a.label <> b.label),
+         |near AS (
+         |  SELECT la, lb, cos_c,
+         |         row_number() OVER (PARTITION BY la ORDER BY cos_c DESC, lb) AS nr
+         |  FROM pairs)
+         |SELECT coh.label, n_members,
+         |       ${round4("s4::DOUBLE / ((n_members * 10000)::DOUBLE)")} AS cohesion,
+         |       near.lb AS nearest_label, near.cos_c AS nearest_cos
+         |FROM coh JOIN near ON coh.label = near.la AND near.nr = 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x170_acf"            -> x170,
+    "x171_transitions"    -> x171,
+    "x172_kcore"          -> x172,
+    "x173_neyman"         -> x173,
+    "x174_label_confusion" -> x174,
     "x165_sorted_neighbor" -> x165,
     "x166_jw_match"       -> x166,
     "x167_rfm"            -> x167,

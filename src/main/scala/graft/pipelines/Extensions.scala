@@ -294,7 +294,13 @@ object Extensions {
     "x167_rfm"           -> ((s, d) => graft.ops.Olap.rfm(Tables.orders(s, d))),
     "x168_basket_lift"   -> ((s, d) =>
       graft.ops.Olap.basketLift(Tables.lineitem(s, d), Tables.part(s, d))),
-    "x169_pareto_front"  -> ((s, d) => graft.ops.Olap.paretoFront(Tables.part(s, d))))
+    "x169_pareto_front"  -> ((s, d) => graft.ops.Olap.paretoFront(Tables.part(s, d))),
+    "x170_acf"           -> ((s, d) => Events.acfDailyVolume(evs(s, d))),
+    "x171_transitions"   -> ((s, d) => Events.typeTransitions(evs(s, d))),
+    "x172_kcore"         -> ((s, d) => graft.ops.Graph.kCoreParts(Tables.lineitem(s, d))),
+    "x173_neyman"        -> ((s, d) => graft.ops.QualityFilters.neymanSample(docs(s, d))),
+    "x174_label_confusion" -> ((s, d) =>
+      graft.ops.Similarity.labelConfusion(Tables.embeddings(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -673,6 +673,60 @@ class PlanSpec extends SparkSpec {
       s"PSI joins are bounded-side broadcasts:\n$p138")
   }
 
+  test("x165-x169 record-linkage/olap batch: keyed joins, no all-pairs") {
+    // x165: neighbor pairing is an EQUI join on the global rank
+    val p165 = plan("x165_sorted_neighbor")
+    assert(!p165.contains("CartesianProduct"),
+      s"sorted-neighborhood must pair by rank equi-join:\n$p165")
+    // x166: the JW scorer joins inside the last-token block
+    val df166 = SparkEntry.queries("x166_jw_match")(spark, dir)
+    df166.collect() // finalize the adaptive plan so codegen stages print
+    val p166 = df166.queryExecution.executedPlan.toString
+    assert(!p166.contains("CartesianProduct"),
+      s"JW match must join on the block key:\n$p166")
+    assert(p166.linesIterator.exists(l => l.contains("*(") && l.contains("graft_jaro_winkler")),
+      s"expected graft_jaro_winkler inside a codegen stage in:\n$p166")
+    // x167/x168/x169: only broadcast scalars may cross
+    for (q <- Seq("x167_rfm", "x168_basket_lift", "x169_pareto_front")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cartesian:\n$p")
+    }
+    // x169: the frontier re-join onto the part table is a broadcast
+    assert(plan("x169_pareto_front").contains("BroadcastHashJoin"),
+      "pareto frontier must broadcast back onto parts")
+  }
+
+  test("x170-x174 batch: corpus shuffles once, small sides broadcast") {
+    // x170: the lag self-join runs on the |days|-row grid, keyed
+    val p170 = plan("x170_acf")
+    assert(!p170.contains("CartesianProduct"), s"ACF pairs by day equi-join:\n$p170")
+    // x171: both windows partition by user/session — never global
+    val p171 = plan("x171_transitions")
+    assert(!p171.contains("SinglePartition"),
+      s"transition windows must stay user-partitioned:\n$p171")
+    assert(!p171.contains("CartesianProduct"), s"no all-pairs in transitions:\n$p171")
+    // x173: the per-stratum rank partitions by source (the only
+    // SinglePartition exchange is the 1-row Σ-moment aggregate);
+    // alloc broadcasts
+    val p173 = plan("x173_neyman")
+    assert(p173.contains("windowspecdefinition(source"),
+      s"Neyman rank must partition by source:\n$p173")
+    assert(!p173.contains("CartesianProduct"), s"alloc must broadcast:\n$p173")
+    // x174: the member-cosine join must broadcast the |labels|-row
+    // centroid table — the corpus never shuffles on label
+    val p174 = plan("x174_label_confusion")
+    assert(p174.contains("BroadcastHashJoin"),
+      s"centroids must broadcast onto members:\n$p174")
+    assert(!p174.contains("SortMergeJoin"),
+      s"the corpus must not shuffle to meet centroids:\n$p174")
+  }
+
+  test("x172 k-core: support-filtered keyed joins only, no all-pairs") {
+    val p = plan("x172_kcore")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"k-core peels must join on node/pair keys:\n$p")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan
