@@ -104,10 +104,12 @@ object Graph {
     * (x94): cores expose the stable cross-sell backbone that raw
     * degree inflates with one-off baskets.
     *
-    * Both engines run EXACTLY [[KCoreRounds]] synchronous peels
-    * (remove nodes with alive-degree < k, recompute) so the oracle
-    * unrolls as CTEs; the Spark side additionally verifies the peel
-    * reached its fixpoint and fails loud otherwise — silent
+    * The oracle unrolls EXACTLY [[KCoreRounds]] synchronous peels
+    * (remove nodes with alive-degree < k, recompute) as MATERIALIZED
+    * CTEs; the Spark side peels to the SAME fixpoint but stops as
+    * soon as a round removes nothing (the alive set only shrinks, so
+    * an unchanged count is the fixpoint and a_r = a_8), and fails
+    * loud if [[KCoreRounds]] rounds weren't enough — silent
     * non-convergence would ship a supergraph of the core.
     *
     * Scale: edge building rides the x168 basket shape (per-order pair
@@ -119,26 +121,41 @@ object Graph {
     * grows superlinearly otherwise). Output: surviving parts with
     * their within-core degree. */
   def kCoreParts(lineitem: DataFrame): DataFrame = {
-    val ob = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = ob.alias("a").join(ob.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    // one wide shuffle to per-order sorted part baskets (bounded by
+    // basket size), then the i<j pair fan-out is a map-side explode —
+    // same one-shuffle shape as Olap.basketLift
+    val pairs = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= KCoreMinSupport)
     val edges = Caching.temp(
       pairs.select(col("pa").as("u"), col("pb").as("v"))
         .union(pairs.select(col("pb"), col("pa"))))
     var alive = edges.select(col("u")).distinct().localCheckpoint()
+    var prevN = alive.count()
     def peel(a: DataFrame): DataFrame = edges
       .join(a.select(col("u")), Seq("u"))
       .join(a.select(col("u").as("v")), Seq("v"))
       .groupBy(col("u")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= KCoreK)
       .select(col("u"))
-    for (_ <- 1 to KCoreRounds)
-      alive = peel(alive).localCheckpoint()
-    if (peel(alive).count() != alive.count())
+    // alive only ever SHRINKS, so an unchanged count IS the fixpoint —
+    // converging early is result-identical to the oracle's full 8
+    // rounds (a_r = a_8) and skips the dead iterations' actions
+    var converged = false
+    var r = 0
+    while (r < KCoreRounds && !converged) {
+      val next = peel(alive).localCheckpoint()
+      val n = next.count()
+      converged = n == prevN
+      alive = next; prevN = n; r += 1
+    }
+    if (!converged && peel(alive).count() != prevN)
       throw new IllegalStateException(
         s"kCoreParts: peel not at fixpoint after $KCoreRounds rounds — raise KCoreRounds")
     edges.join(alive, Seq("u"))

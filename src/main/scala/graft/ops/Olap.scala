@@ -349,17 +349,25 @@ object Olap {
     * all-pairs across orders. The singles table is brand-domain-sized
     * and broadcast onto both legs of each pair. */
   def basketLift(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val ob = Caching.temp(
+    // ONE wide shuffle: straight to per-order sorted brand SETS
+    // (collect_set dedups the duplicate brand lines), then singles and
+    // the i<j pair fan-out are map-side explodes of the ≤25-element
+    // array — the r5 rewrite replacing a distinct + self-join +
+    // pair-aggregate chain (three corpus shuffles) with this one
+    val baskets = Caching.temp(
       lineitem.select(col("l_orderkey"), col("l_partkey"))
         .join(part.select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("p_brand")).distinct())
-    val nOrders = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val singles = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_single"))
-    val pairs = ob.alias("a").join(ob.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.p_brand") < col("b.p_brand"))
-      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs")))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val singles = baskets.select(explode(col("bs")).as("p_brand"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_single"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), i + 2, size(col("bs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(singles.select(col("p_brand").as("brand_a"), col("n_single").as("n_a"))), Seq("brand_a"))
