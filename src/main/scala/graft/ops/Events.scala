@@ -946,4 +946,41 @@ object Events {
         Portable.round4(col("n").cast("double") / col("n_out").cast("double"))
           .as("p_next"))
   }
+
+  /** x176: MULTI-TOUCH LINEAR ATTRIBUTION — every purchase splits its
+    * credit EQUALLY across the view events that strictly precede it
+    * in the same gap session (the standard linear model between
+    * last-touch and first-touch; x157 measures the latency of one
+    * view→purchase hop, this assigns fractional credit across all of
+    * them). One row per (purchase, credited view).
+    *
+    * Determinism: "strictly preceding" is the total (ms, event_id)
+    * session order — exact in both engines; credit = 1/n_touch is a
+    * 4dp-rounded single division per row.
+    *
+    * Scale: the views⋈purchases join is an EQUI join co-keyed on
+    * (user_id, session_seq) riding the x16 sessionization shuffle;
+    * per-purchase fan-out is bounded by session LENGTH (the 30-min
+    * human gap bounds it — same bot-session caveat as x161). A
+    * purchase with no preceding view earns no row (nothing to
+    * credit), mirrored by the oracle's inner join. */
+  def linearAttribution(events: DataFrame): DataFrame = {
+    val s = Caching.temp(sessionized(events)
+      .select(col("user_id"), col("session_seq"), col("event_type"),
+        col("event_id"), col("ms")))
+    val purchases = s.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_seq"),
+        col("event_id").as("purchase_id"), col("ms").as("pms"))
+    val views = s.filter(col("event_type") === "view")
+      .select(col("user_id"), col("session_seq"),
+        col("event_id").as("view_id"), col("ms").as("vms"))
+    val touched = purchases.join(views, Seq("user_id", "session_seq"))
+      .filter(col("vms") < col("pms") ||
+        (col("vms") === col("pms") && col("view_id") < col("purchase_id")))
+    val counts = touched.groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_touch"))
+    touched.join(counts, Seq("purchase_id"))
+      .select(col("purchase_id"), col("view_id"), col("n_touch"),
+        Portable.round4(lit(1.0) / col("n_touch").cast("double")).as("credit"))
+  }
 }

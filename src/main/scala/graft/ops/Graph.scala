@@ -164,4 +164,57 @@ object Graph {
       .filter(col("core_deg") >= KCoreK)
       .select(col("u").as("p_partkey"), col("core_deg"))
   }
+
+  /** Predicted links kept in x178. */
+  val AaTopK = 20
+  /** Fixed-point scale for the per-wedge 1/ln(deg) contribution. */
+  val AaScale = 1000000L
+
+  /** x178: ADAMIC–ADAR LINK PREDICTION over the x114 mutual-kNN
+    * graph — score every NON-edge two-hop pair by Σ_w 1/ln(deg(w))
+    * over common neighbors w (Adamic & Adar '03): rare shared
+    * neighbors certify near-missed semantic pairs the per-cell kNN
+    * blocking didn't surface; the top predictions are the "re-mine
+    * these with a finer pass" worklist. (The x5 LSH dup graph is the
+    * WRONG input here — propagation makes its components cliques, so
+    * it has zero open wedges at every SF; the kNN graph is sparse by
+    * construction, ~8k open wedges at sf0.001.) Completes the graph
+    * family: connectivity (x30/x97), centrality (x59), density
+    * (x94), cores (x172), now prediction.
+    *
+    * Determinism: each wedge contributes ⌊AaScale/ln(deg_w) + 0.5⌋ —
+    * an exact BIGINT — so the score sum commutes (double sums don't);
+    * a middle node needs deg ≥ 2 to form a wedge, so ln is never 0.
+    * Top-k orders by (exact score desc, doc_a, doc_b).
+    *
+    * Scale: wedge volume is Σ_w deg(w)² — the x94 triangle-join
+    * exposure; on a dedup graph degrees are cluster-bounded, and a
+    * production run caps hub degrees first (the x25 df-cap pattern).
+    * Existing edges drop via a LEFT ANTI join on the canonical pair;
+    * the global top-k is the heap TakeOrderedAndProject, not a full
+    * sort. */
+  def adamicAdarFrom(edges0: DataFrame): DataFrame = {
+    // first two columns = the canonically-ordered (a < b) edge list
+    val Array(ca, cb) = edges0.columns.take(2)
+    val e = Caching.temp(edges0.select(col(ca).as("u"), col(cb).as("v")))
+    val sym = e.union(e.select(col("v"), col("u")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // deg-1 middle nodes can't form a wedge — drop them BEFORE the
+    // contribution (ln(1) = 0 would also make the ANSI cast throw)
+    val nb = sym.select(col("u").as("w"), col("v").as("n"))
+      .join(deg.filter(col("deg") >= 2).select(col("u").as("w"),
+        floor(lit(AaScale).cast("double") / log(col("deg").cast("double")) + 0.5)
+          .cast("long").as("c")), Seq("w"))
+    val wedges = nb.alias("l").join(nb.alias("r"),
+        col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("node_a"), col("r.n").as("node_b"), col("l.c").as("c"))
+    val scores = wedges.groupBy(col("node_a"), col("node_b"))
+      .agg(sum(col("c")).as("s6"), count(lit(1)).as("n_common"))
+    scores.join(e, col("node_a") === col("u") && col("node_b") === col("v"), "left_anti")
+      .orderBy(col("s6").desc, col("node_a").asc, col("node_b").asc)
+      .limit(AaTopK)
+      .select(col("node_a"), col("node_b"), col("n_common"),
+        Portable.round4(col("s6").cast("double") / lit(AaScale).cast("double"))
+          .as("aa_score"))
+  }
 }

@@ -348,25 +348,34 @@ object Olap {
     * with B ≤ the brand domain, 25) — linear in orders, never
     * all-pairs across orders. The singles table is brand-domain-sized
     * and broadcast onto both legs of each pair. */
-  def basketLift(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    // ONE wide shuffle: straight to per-order sorted brand SETS
-    // (collect_set dedups the duplicate brand lines), then singles and
-    // the i<j pair fan-out are map-side explodes of the ≤25-element
-    // array — the r5 rewrite replacing a distinct + self-join +
-    // pair-aggregate chain (three corpus shuffles) with this one
-    val baskets = Caching.temp(
+  /** Per-order sorted distinct brand sets — the shared one-shuffle
+    * input of x168 and x175 (collect_set dedups duplicate brand
+    * lines; the array is bounded by the 25-brand domain). */
+  private def brandBaskets(lineitem: DataFrame, part: DataFrame): DataFrame =
+    Caching.temp(
       lineitem.select(col("l_orderkey"), col("l_partkey"))
         .join(part.select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("p_brand"))).as("bs")))
+
+  /** The i<j pair fan-out of a basket frame — map-side explode, one
+    * row per unordered pair with a < b in array (= lexical) order. */
+  private def basketPairs(baskets: DataFrame): DataFrame = baskets
+    .select(explode(flatten(transform(col("bs"), (x, i) =>
+      transform(slice(col("bs"), i + 2, size(col("bs"))),
+        y => struct(x.as("a"), y.as("b")))))).as("p"))
+
+  def basketLift(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    // ONE wide shuffle: straight to per-order sorted brand SETS, then
+    // singles and the i<j pair fan-out are map-side explodes of the
+    // ≤25-element array — the r5 rewrite replacing a distinct +
+    // self-join + pair-aggregate chain (three corpus shuffles)
+    val baskets = brandBaskets(lineitem, part)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val singles = baskets.select(explode(col("bs")).as("p_brand"))
       .groupBy(col("p_brand")).agg(count(lit(1)).as("n_single"))
-    val pairs = baskets
-      .select(explode(flatten(transform(col("bs"), (x, i) =>
-        transform(slice(col("bs"), i + 2, size(col("bs"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    val pairs = basketPairs(baskets)
       .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
@@ -422,5 +431,80 @@ object Olap {
     pp.join(broadcast(frontier),
         col("price_c") === col("f_price") && col("size") === col("f_size"))
       .select(col("p_partkey"), col("price_c"), col("size"))
+  }
+
+  /** Neighbors kept per item in x175. */
+  val ItemTopK = 3
+
+  /** x175: ITEM-ITEM NEIGHBOR LISTS — per brand, its [[ItemTopK]]
+    * most-similar brands by co-occurrence COSINE n_ab/√(n_a·n_b)
+    * (Sarwar '01 item-based CF, the "customers also bought" building
+    * block; x168's lift ranks PAIRS globally, this ranks NEIGHBORS
+    * per item — the recommendation read).
+    *
+    * Determinism: the cosine is 4dp-snapped BEFORE ranking and ties
+    * break on the neighbor name; √ of an exact BIGINT product is the
+    * same nearest-double in both engines.
+    *
+    * Scale: rides the x168 one-shuffle basket shape; the symmetrized
+    * pair table is ≤\|brand domain\|² rows, the per-item window ranks
+    * ≤\|domain\| neighbors per key. With parts as items the pair
+    * table grows to the co-occurrence support — still keyed windows,
+    * never all-pairs across orders. */
+  def itemNeighbors(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baskets = brandBaskets(lineitem, part)
+    val singles = baskets.select(explode(col("bs")).as("p_brand"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_single"))
+    val pairs = basketPairs(baskets)
+      .groupBy(col("p.a").as("ba"), col("p.b").as("bb"))
+      .agg(count(lit(1)).as("n_ab"))
+    val sym = pairs.select(col("ba").as("brand"), col("bb").as("neighbor"), col("n_ab"))
+      .union(pairs.select(col("bb"), col("ba"), col("n_ab")))
+    val scored = sym
+      .join(broadcast(singles.select(col("p_brand").as("brand"), col("n_single").as("n_s"))), Seq("brand"))
+      .join(broadcast(singles.select(col("p_brand").as("neighbor"), col("n_single").as("n_n"))), Seq("neighbor"))
+      .select(col("brand"), col("neighbor"), col("n_ab"),
+        Portable.round4(col("n_ab").cast("double") /
+          sqrt((col("n_s") * col("n_n")).cast("double"))).as("cos_sim"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("brand"))
+          .orderBy(col("cos_sim").desc, col("neighbor").asc)).cast("long"))
+      .filter(col("rnk") <= ItemTopK)
+  }
+
+  /** x179: HERFINDAHL–HIRSCHMAN concentration of supplier revenue
+    * within each nation — the antitrust-style concentration index
+    * (Σ share², in the conventional 0–10000 points) next to x143's
+    * Lorenz CURVE: one number per market, comparable across nations.
+    *
+    * Determinism: HHI = Σ(c_s/C)² = (Σc_s²)/C² — the numerator is an
+    * EXACT DECIMAL(38,0) sum of squared supplier cents (BIGINT would
+    * overflow at ~3×10⁹ cents per supplier), so the whole index is
+    * ONE double division per nation, no order-dependent double sum.
+    *
+    * Scale: lineitem⋈supplier is a keyed shuffle join (supplier
+    * scales with SF — unhinted); two stacked hash aggregates
+    * (supplier cents → nation moments), output \|nations\|-sized. */
+  def supplierHhi(lineitem: DataFrame, supplier: DataFrame,
+                  nation: DataFrame): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+      .cast("long")
+    val bySupp = lineitem.select(col("l_suppkey"), cents.as("c"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("c")).as("sc"))
+    bySupp
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("sc").cast("decimal(38,0)")).as("tot"),
+        sum((col("sc").cast("decimal(38,0)")) * col("sc").cast("decimal(38,0)")).as("sq"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"),
+        col("tot").cast("long").as("rev_cents"),
+        Portable.round4(col("sq").cast("double") * 10000.0 /
+          (col("tot").cast("double") * col("tot").cast("double"))).as("hhi"))
   }
 }

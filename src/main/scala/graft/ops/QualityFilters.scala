@@ -487,4 +487,43 @@ object QualityFilters {
       .filter(col("rnk") <= col("n_alloc"))
       .select(col("doc_id"), col("source"), col("rnk"), col("n_alloc"))
   }
+
+  // ---- x177 cross-source quantile normalization --------------------
+
+  /** x177: QUANTILE NORMALIZATION of the x107 classifier score across
+    * sources — each doc's score is replaced by the GLOBAL score at
+    * the same within-source quantile (the batch-effect correction
+    * genomics calls quantile normalization and ranking systems call
+    * score calibration across segments: a "0.9 in a lenient source"
+    * and a "0.9 in a strict source" stop meaning different things).
+    *
+    * Determinism: both ranks are total orders on (score, doc_id);
+    * the midpoint position map pos = ⌊(2r−1)·N / (2·n_src)⌋ + 1 is
+    * pure BIGINT floor-division (Spark `div` ≡ DuckDB `//`), so the
+    * correspondence is exact — no interpolated doubles cross engines.
+    *
+    * Scale: the within-source rank is a source-partitioned window;
+    * the global rank is [[graft.ops.Ranking.globalRowNumber]]'s
+    * two-phase shape (no corpus-wide single-partition sort); the
+    * final lookup is an EQUI join on the rank key. */
+  def quantileNormalize(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = Caching.temp(classifierScore(documents)
+      .select(col("doc_id"), col("clf_score"))
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id")))
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("clf_score"), col("doc_id"))
+    val ranked = sc
+      .withColumn("r", row_number().over(bySrc).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val global = graft.ops.Ranking.globalRowNumber(
+      sc.select(col("clf_score").as("gs"), col("doc_id").as("gid")),
+      Seq(col("gs"), col("gid")), "grnk")
+    val nTot = sc.agg(count(lit(1)).as("n_tot"))
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("pos", expr("((2 * r - 1) * n_tot) div (2 * n_src) + 1"))
+      .join(global.select(col("grnk"), col("gs")), col("pos") === col("grnk"))
+      .select(col("doc_id"), col("source"), col("clf_score"),
+        col("gs").as("norm_score"))
+  }
 }

@@ -3733,7 +3733,128 @@ object ExtSql {
          |FROM coh JOIN near ON coh.label = near.la AND near.nr = 1""".stripMargin
   }
 
+  /** Shared x168/x175 per-order brand-basket pair counts. */
+  private val basketCtes =
+    raw"""ob AS (
+         |  SELECT DISTINCT l_orderkey, p_brand
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |singles AS (
+         |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_single FROM ob GROUP BY 1),
+         |bpairs AS (
+         |  SELECT a.p_brand AS ba, b.p_brand AS bb,
+         |         CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM ob a JOIN ob b
+         |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+         |  GROUP BY 1, 2)""".stripMargin
+
+  // ---- x175 item-item neighbor lists -------------------------------
+  private val x175 = {
+    val k = graft.ops.Olap.ItemTopK
+    raw"""WITH $basketCtes,
+         |sym AS (
+         |  SELECT ba AS brand, bb AS neighbor, n_ab FROM bpairs
+         |  UNION ALL SELECT bb, ba, n_ab FROM bpairs),
+         |scored AS (
+         |  SELECT brand, neighbor, n_ab,
+         |         ${round4("n_ab::DOUBLE / sqrt((sa.n_single * sb.n_single)::DOUBLE)")} AS cos_sim
+         |  FROM sym
+         |       JOIN singles sa ON sa.p_brand = sym.brand
+         |       JOIN singles sb ON sb.p_brand = sym.neighbor)
+         |SELECT brand, neighbor, n_ab, cos_sim, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY brand
+         |    ORDER BY cos_sim DESC, neighbor) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $k""".stripMargin
+  }
+
+  // ---- x176 multi-touch linear attribution -------------------------
+  private val x176 =
+    raw"""WITH $sessionCtes,
+         |p AS (SELECT user_id, session_seq, event_id AS purchase_id, ms AS pms
+         |      FROM sessions WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, session_seq, event_id AS view_id, ms AS vms
+         |      FROM sessions WHERE event_type = 'view'),
+         |touched AS (
+         |  SELECT purchase_id, view_id
+         |  FROM p JOIN v USING (user_id, session_seq)
+         |  WHERE vms < pms OR (vms = pms AND view_id < purchase_id)),
+         |c AS (SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_touch
+         |      FROM touched GROUP BY 1)
+         |SELECT purchase_id, view_id, n_touch,
+         |       ${round4("1.0 / n_touch::DOUBLE")} AS credit
+         |FROM touched JOIN c USING (purchase_id)""".stripMargin
+
+  // ---- x177 cross-source quantile normalization --------------------
+  private val x177 =
+    raw"""WITH sc AS (
+         |  SELECT s.doc_id, s.clf_score, d.source
+         |  FROM ($x107) s JOIN documents d ON s.doc_id = d.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, source, clf_score,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY clf_score, doc_id) AS BIGINT) AS r,
+         |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |  FROM sc),
+         |gq AS (
+         |  SELECT clf_score AS gs,
+         |         CAST(row_number() OVER (ORDER BY clf_score, doc_id) AS BIGINT) AS grnk
+         |  FROM sc),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM sc)
+         |SELECT doc_id, source, clf_score, gs AS norm_score
+         |FROM ranked CROSS JOIN n
+         |     JOIN gq ON ((2 * r - 1) * n_tot) // (2 * n_src) + 1 = grnk""".stripMargin
+
+  // ---- x178 Adamic-Adar link prediction over the x114 kNN graph ----
+  private val x178 = {
+    import graft.ops.Graph.{AaScale, AaTopK}
+    raw"""WITH knn AS MATERIALIZED ($x114),
+         |edges AS (
+         |  SELECT vec_a AS u, vec_b AS v FROM knn
+         |  UNION ALL SELECT vec_b, vec_a FROM knn),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |nb AS (
+         |  SELECT e.u AS w, e.v AS n,
+         |         CAST(floor($AaScale::DOUBLE / ln(d.deg::DOUBLE) + 0.5) AS BIGINT) AS c
+         |  FROM edges e JOIN deg d USING (u) WHERE d.deg >= 2),
+         |wedges AS (
+         |  SELECT l.n AS node_a, r.n AS node_b, l.c
+         |  FROM nb l JOIN nb r ON l.w = r.w AND l.n < r.n),
+         |scores AS (
+         |  SELECT node_a, node_b, CAST(sum(c) AS BIGINT) AS s6,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM wedges GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT s.* FROM scores s
+         |  WHERE NOT EXISTS (SELECT 1 FROM knn e
+         |                    WHERE e.vec_a = s.node_a AND e.vec_b = s.node_b))
+         |SELECT node_a, node_b, n_common,
+         |       ${round4(s"s6::DOUBLE / $AaScale::DOUBLE")} AS aa_score
+         |FROM pred ORDER BY s6 DESC, node_a, node_b LIMIT $AaTopK""".stripMargin
+  }
+
+  // ---- x179 supplier revenue HHI per nation ------------------------
+  private val x179 =
+    raw"""WITH bysupp AS (
+         |  SELECT s_nationkey, s_suppkey,
+         |         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+         |             AS BIGINT)) AS sc
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         |         sum(sc::DECIMAL(38,0)) AS tot,
+         |         sum(sc::DECIMAL(38,0) * sc::DECIMAL(38,0)) AS sq
+         |  FROM bysupp GROUP BY 1)
+         |SELECT n_name, n_suppliers, CAST(tot AS BIGINT) AS rev_cents,
+         |       ${round4("sq::DOUBLE * 10000.0 / (tot::DOUBLE * tot::DOUBLE)")} AS hhi
+         |FROM m JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x175_item_neighbors" -> x175,
+    "x176_attribution"    -> x176,
+    "x177_quantile_norm"  -> x177,
+    "x178_link_pred"      -> x178,
+    "x179_supplier_hhi"   -> x179,
     "x170_acf"            -> x170,
     "x171_transitions"    -> x171,
     "x172_kcore"          -> x172,

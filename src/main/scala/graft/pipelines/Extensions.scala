@@ -46,6 +46,15 @@ object Extensions {
   private def shinglesShared(s: SparkSession, d: String): DataFrame =
     shMemo.getOrElseUpdate((s, d), Dedup.docShingles(docs(s, d)).persist())
 
+  /** The mutual-kNN edge list, shared by x114 and the x178 link
+    * predictor — the per-cell candidate join is the expensive part;
+    * the edge frame itself is k·n-bounded. */
+  private val knnMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def knnShared(s: SparkSession, d: String): DataFrame =
+    knnMemo.getOrElseUpdate((s, d),
+      graft.ops.Similarity.knnGraphFrom(vecsShared(s, d), centsShared(s, d)).persist())
+
   /** The per-vector projection (widen + norm) shared by every
     * embedding consumer (x8/x9/x10/x11/x52) — one repartition + one
     * norm pass per (session, dir), not five. */
@@ -85,7 +94,7 @@ object Extensions {
     * through this object in one long-lived JVM must call this when a
     * session ends, or the cached corpus-sized shingle frames leak. */
   def clearMemos(session: SparkSession): Unit = {
-    Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo).foreach { memo =>
+    Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo).foreach { memo =>
       memo.keys.filter(_._1 eq session).foreach { k =>
         memo.remove(k).foreach(_.unpersist(blocking = false))
       }
@@ -235,7 +244,7 @@ object Extensions {
     "x111_containment"   -> ((s, d) => Dedup.containmentPairsFrom(shinglesShared(s, d))),
     "x112_chunks"        -> ((s, d) => TextAnalysis.chunkDocs(docs(s, d))),
     "x113_bucketed_join" -> ((s, d) => graft.sources.Bucketing.bucketedJoin(s, d)),
-    "x114_knn_graph"     -> ((s, d) => Similarity.knnGraphFrom(vecsShared(s, d), centsShared(s, d))),
+    "x114_knn_graph"     -> ((s, d) => knnShared(s, d)),
     "x115_dsir_weights"  -> ((s, d) => graft.ops.QualityFilters.dsirWeights(docs(s, d))),
     "x116_reshard"       -> ((s, d) => graft.ops.Skew.reshardAudit(docs(s, d))),
     "x117_bpe_train"     -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d))),
@@ -300,7 +309,14 @@ object Extensions {
     "x172_kcore"         -> ((s, d) => graft.ops.Graph.kCoreParts(Tables.lineitem(s, d))),
     "x173_neyman"        -> ((s, d) => graft.ops.QualityFilters.neymanSample(docs(s, d))),
     "x174_label_confusion" -> ((s, d) =>
-      graft.ops.Similarity.labelConfusion(Tables.embeddings(s, d))))
+      graft.ops.Similarity.labelConfusion(Tables.embeddings(s, d))),
+    "x175_item_neighbors" -> ((s, d) =>
+      graft.ops.Olap.itemNeighbors(Tables.lineitem(s, d), Tables.part(s, d))),
+    "x176_attribution"   -> ((s, d) => Events.linearAttribution(evs(s, d))),
+    "x177_quantile_norm" -> ((s, d) => graft.ops.QualityFilters.quantileNormalize(docs(s, d))),
+    "x178_link_pred"     -> ((s, d) => graft.ops.Graph.adamicAdarFrom(knnShared(s, d))),
+    "x179_supplier_hhi"  -> ((s, d) => graft.ops.Olap.supplierHhi(
+      Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -727,6 +727,32 @@ class PlanSpec extends SparkSpec {
       s"k-core peels must join on node/pair keys:\n$p")
   }
 
+  test("x175-x179 batch: bounded fan-outs, keyed joins, heap top-k") {
+    // x175: basket explode + broadcast singles — no all-pairs
+    val p175 = plan("x175_item_neighbors")
+    assert(!p175.contains("CartesianProduct"), s"item pairs from baskets:\n$p175")
+    // x176: the views⋈purchases join is co-keyed on (user, session)
+    val p176 = plan("x176_attribution")
+    assert(!p176.contains("CartesianProduct") && !p176.contains("BroadcastNestedLoop"),
+      s"attribution joins on (user_id, session_seq):\n$p176")
+    // x177: per-source window partitioned; global rank two-phase; the
+    // position lookup is an equi join on the rank
+    val p177 = plan("x177_quantile_norm")
+    assert(p177.contains("windowspecdefinition(source"),
+      s"within-source rank must partition by source:\n$p177")
+    assert(!p177.contains("CartesianProduct"), s"rank lookup is keyed:\n$p177")
+    // x178: wedge join keyed on the middle node; top-k is the heap
+    val p178 = plan("x178_link_pred")
+    assert(!p178.contains("CartesianProduct"), s"wedges join on w:\n$p178")
+    assert(p178.contains("TakeOrderedAndProject"),
+      s"global top-k must be the heap, not a full sort:\n$p178")
+    // x179: two stacked aggregates; nation broadcast
+    val p179 = plan("x179_supplier_hhi")
+    assert(!p179.contains("CartesianProduct"), s"HHI joins stay keyed:\n$p179")
+    assert(p179.contains("BroadcastHashJoin"),
+      s"the nation dim must broadcast:\n$p179")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

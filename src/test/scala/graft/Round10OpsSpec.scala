@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{Events, Graph, Olap, QualityFilters}
+
+/** Pins the x175–x179 batch: item-neighbor cosine ranking, linear
+  * attribution credit, quantile-normalization position mapping,
+  * Adamic–Adar scoring, and the HHI closed form. */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("itemNeighbors: cosine ranks neighbors per item with name tiebreak") {
+    val part = Seq((1L, "B1"), (2L, "B2"), (3L, "B3"))
+      .toDF("p_partkey", "p_brand")
+    // baskets: {B1,B2} ×2, {B1,B3} ×1, {B1} ×1 → n: B1=4, B2=2, B3=1
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 1L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Olap.itemNeighbors(li, part)
+      .as[(String, String, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // B1: B2 cos 2/sqrt(8)=0.7071 rank1; B3 cos 1/sqrt(4)=0.5 rank2
+    assert(got(("B1", "B2")) === ((2L, 0.7071, 1L)))
+    assert(got(("B1", "B3")) === ((1L, 0.5, 2L)))
+    assert(got(("B2", "B1")) === ((2L, 0.7071, 1L)))
+    assert(got(("B3", "B1")) === ((1L, 0.5, 1L)))
+    assert(got.size === 4)
+  }
+
+  private def ev(id: Long, user: Long, typ: String, ms: Long) =
+    (id, new Timestamp(ms), user, typ, 1.0, "{}")
+
+  test("linearAttribution splits credit over strictly-preceding views in session") {
+    val rows = Seq(
+      ev(1, 1, "view", 1000), ev(2, 1, "view", 2000),
+      ev(3, 1, "purchase", 3000),
+      ev(4, 1, "view", 4000), // after the purchase — no credit
+      // second user: purchase with no preceding view → no rows
+      ev(5, 2, "purchase", 1000), ev(6, 2, "view", 2000))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.linearAttribution(rows)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((3L, 1L, 2L, 0.5), (3L, 2L, 2L, 0.5)))
+  }
+
+  test("quantileNormalize maps each source rank to the global midpoint score") {
+    // two sources with disjoint score ranges (per-doc text drives the
+    // x107 score; use n_chars-independent fixed texts so scores order
+    // by construction is stable) — here we only assert STRUCTURE:
+    // every doc keeps its source, norm_score comes from the global
+    // score multiset, and within a source norm_score is monotone in
+    // clf_score
+    val docs = (1 to 20).map { i =>
+      val src = if (i <= 10) "a" else "b"
+      val words = (1 to (i % 7) + 2).map(j => s"w$j w$i").mkString(" ")
+      (i.toLong, s"$words text", "en", src, 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualityFilters.quantileNormalize(docs)
+      .as[(Long, String, Double, Double)].collect()
+    assert(out.length === 20)
+    val globalScores = out.map(_._3).sorted.toSeq
+    assert(out.forall(r => globalScores.contains(r._4)))
+    for (src <- Seq("a", "b")) {
+      val s = out.filter(_._2 == src).sortBy(r => (r._3, r._1)).map(_._4)
+      assert(s.sorted.toSeq === s.toSeq, s"monotone in $src")
+    }
+  }
+
+  test("adamicAdar scores open wedges only, exact integer contributions") {
+    // path graph 1-2-3 plus hub 2-4: wedges at 2: (1,3),(1,4),(3,4)
+    // deg(2)=3 → c = floor(1e6/ln 3 + .5) = 910239
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val got = Graph.adamicAdarFrom(edges)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val c = math.floor(1e6 / math.log(3.0) + 0.5) / 1e6
+    val want = math.floor(c * 10000 + 0.5) / 10000
+    assert(got === Set((1L, 3L, 1L, want), (1L, 4L, 1L, want), (3L, 4L, 1L, want)))
+  }
+
+  test("supplierHhi: monopoly scores 10000, equal split scores 10000/n") {
+    val supplier = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((0L, "MONO"), (1L, "DUO"))
+      .toDF("n_nationkey", "n_name")
+    val li = Seq(
+      // nation 0: all revenue at supplier 1 → HHI 10000
+      (1L, 100.0, 0.0), (1L, 50.0, 0.0),
+      // nation 1: suppliers 3 and 4 split evenly → HHI 5000
+      (3L, 80.0, 0.0), (4L, 80.0, 0.0)
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val got = Olap.supplierHhi(li, supplier, nation)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("MONO", 1L, 15000L, 10000.0),
+      ("DUO", 2L, 16000L, 5000.0)))
+  }
+}
