@@ -983,4 +983,66 @@ object Events {
       .select(col("purchase_id"), col("view_id"), col("n_touch"),
         Portable.round4(lit(1.0) / col("n_touch").cast("double")).as("credit"))
   }
+
+  /** x180: KAPLAN–MEIER SURVIVAL curve of days from first view to
+    * first purchase — the survival-analysis estimator (Kaplan & Meier
+    * '58) that handles CENSORING correctly where a naive conversion
+    * rate can't: users who haven't purchased YET (still alive at the
+    * corpus end) leave the risk set without counting as failures.
+    * Cohort = users with ≥1 view; event = first purchase at-or-after
+    * the first view; censor time = corpus end. One row per event/
+    * censor day: risk set, events, censored, S(t).
+    *
+    * Determinism: S(t) = Π(1 − d/n) is evaluated as exp of the
+    * RUNNING ln-sum over ascending day order — an ordered windowed
+    * fold is the same left-to-right double sequence in both engines
+    * (the §8.3 convention), and each ln argument is the same exact
+    * rational-valued double. A day that exhausts its risk set drives
+    * the ln-sum to −∞ and S to an exact 0.
+    *
+    * Scale: two corpus aggregates (per-user firsts → per-day counts);
+    * everything after lives on the day-domain grid, and the running
+    * window runs over that grid, not the corpus. */
+  def kmSurvival(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val horizon = base.agg(max(col("ms")).as("hms"))
+    val perUser = base
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ms"))).as("vms"),
+        min(when(col("event_type") === "purchase", col("ms"))).as("pms0"))
+      .filter(col("vms").isNotNull)
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("vms"),
+        when(col("pms0") >= col("vms"), col("pms0")).as("pms"), col("hms"))
+    val durations = perUser.select(
+      when(col("pms").isNotNull,
+        floor((col("pms") - col("vms")) / lit(DayMs)).cast("long"))
+        .otherwise(floor((col("hms") - col("vms")) / lit(DayMs)).cast("long"))
+        .as("t_day"),
+      col("pms").isNotNull.cast("long").as("is_event"))
+    val daily = durations.groupBy(col("t_day"))
+      .agg(sum(col("is_event")).as("d_events"),
+        (count(lit(1)) - sum(col("is_event"))).as("c_censored"))
+    val nTot = daily.agg(sum(col("d_events") + col("c_censored")).as("n_all"))
+    val wAsc = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // d = n_risk (the risk set exhausts) can only happen on the LAST
+    // row — Σ(d+c) = n_all leaves nobody afterwards — and there
+    // 1−d/n = 0: Spark's log(0) is NULL while DuckDB's errors, so that
+    // row is guarded to an exact 0 and its ln term stays NULL (both
+    // engines' window sum skips NULLs identically)
+    val term = lit(1.0) - col("d_events").cast("double") / col("n_risk").cast("double")
+    daily.crossJoin(broadcast(nTot))
+      .withColumn("n_risk",
+        col("n_all") - coalesce(sum(col("d_events") + col("c_censored")).over(wAsc), lit(0L)))
+      .withColumn("lnS",
+        sum(when(col("d_events") < col("n_risk"), log(term))).over(wRun))
+      .select(col("t_day"), col("n_risk"), col("d_events"), col("c_censored"),
+        when(col("d_events") === col("n_risk"), lit(0.0))
+          .otherwise(Portable.round4(exp(coalesce(col("lnS"), lit(0.0)))))
+          .as("survival"))
+  }
 }

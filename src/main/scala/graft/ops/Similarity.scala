@@ -468,4 +468,52 @@ object Similarity {
         col("cos_c").as("nearest_cos"))
     cohesion.join(broadcast(nearest), Seq("label"))
   }
+
+  /** int8 levels for the x181 scalar quantizer. */
+  val SqLevels = 255
+
+  /** x181: SCALAR-QUANTIZATION ERROR AUDIT — int8-quantize every
+    * embedding against per-dimension corpus (min, max) ranges
+    * (q = round((x−min)·255/range), the standard vector-DB SQ8
+    * scheme) and report the per-label reconstruction error. The
+    * go/no-go check before shipping a 4× smaller index: labels whose
+    * members quantize badly (wide internal spread) lose recall first.
+    *
+    * Determinism: (min, max) are exact input doubles; each dim's
+    * reconstruction x̂ = min + q·range/255 is the same double in both
+    * engines (identical op order), and the per-vector squared error
+    * snaps to a 1e-12 integer grid BEFORE the label mean (the
+    * integer-sum convention). Constant dims (range 0) contribute
+    * exact 0.
+    *
+    * Scale: one 64-row (dim) aggregate over the corpus, broadcast
+    * back as an array; one map-side quantize+error pass; one label
+    * aggregate. The corpus shuffles once (label keys). */
+  def sqErrorAudit(embeddings: DataFrame): DataFrame = {
+    val vs = embeddings.select(col("label").cast("long").as("label"),
+      toDouble(col("embedding")).as("v"))
+    val ranges = vs
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy().agg(
+        array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("rg"))
+    val errE12 = aggregate(
+      zip_with(col("v"), col("rg"), (x, r) => {
+        val mn = r.getField("mn"); val mx = r.getField("mx")
+        val range = mx - mn
+        val q = when(range > 0,
+          floor((x - mn) * SqLevels / range + 0.5)).otherwise(lit(0.0))
+        val xr = mn + q * range / SqLevels
+        (x - xr) * (x - xr)
+      }),
+      lit(0.0), (acc, e) => acc + e)
+    vs.crossJoin(broadcast(ranges))
+      .select(col("label"),
+        floor(errE12 * 1e12 + 0.5).cast("long").as("err12"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Portable.round4(sum(col("err12")).cast("double") /
+          (count(lit(1)).cast("double") * 1e8)).as("mse_e4"),
+        Portable.round4(max(col("err12")).cast("double") / 1e8).as("max_err_e4"))
+  }
 }

@@ -3849,7 +3849,75 @@ object ExtSql {
          |       ${round4("sq::DOUBLE * 10000.0 / (tot::DOUBLE * tot::DOUBLE)")} AS hhi
          |FROM m JOIN nation ON s_nationkey = n_nationkey""".stripMargin
 
+  // ---- x180 Kaplan-Meier view→purchase survival --------------------
+  private val x180 =
+    raw"""WITH base AS (
+         |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+         |h AS (SELECT max(ms) AS hms FROM base),
+         |pu AS (
+         |  SELECT user_id,
+         |         min(CASE WHEN event_type = 'view' THEN ms END) AS vms,
+         |         min(CASE WHEN event_type = 'purchase' THEN ms END) AS pms0
+         |  FROM base GROUP BY 1),
+         |du AS (
+         |  SELECT CASE WHEN pms0 >= vms THEN (pms0 - vms) // 86400000
+         |              ELSE (hms - vms) // 86400000 END AS t_day,
+         |         CASE WHEN pms0 >= vms THEN 1 ELSE 0 END AS is_event
+         |  FROM pu CROSS JOIN h WHERE vms IS NOT NULL),
+         |daily AS (
+         |  SELECT t_day, CAST(sum(is_event) AS BIGINT) AS d_events,
+         |         CAST(count(*) - sum(is_event) AS BIGINT) AS c_censored
+         |  FROM du GROUP BY 1),
+         |n AS (SELECT CAST(sum(d_events + c_censored) AS BIGINT) AS n_all FROM daily),
+         |r AS (
+         |  SELECT t_day, d_events, c_censored,
+         |         n_all - CAST(coalesce(sum(d_events + c_censored) OVER (ORDER BY t_day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |           AS n_risk
+         |  FROM daily CROSS JOIN n),
+         |s AS (
+         |  SELECT *, sum(CASE WHEN d_events < n_risk
+         |                THEN ln(1.0 - d_events::DOUBLE / n_risk::DOUBLE) END)
+         |            OVER (ORDER BY t_day
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns
+         |  FROM r)
+         |SELECT t_day, n_risk, d_events, c_censored,
+         |       CASE WHEN d_events = n_risk THEN 0.0
+         |            ELSE ${round4("exp(coalesce(lns, 0.0))")} END AS survival
+         |FROM s""".stripMargin
+
+  // ---- x181 scalar-quantization error audit ------------------------
+  private val x181 = {
+    val lv = Similarity.SqLevels
+    raw"""WITH vs AS (
+         |  SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |rg AS (
+         |  SELECT u.d AS dim, min(u.x) AS mn, max(u.x) AS mx
+         |  FROM vs, unnest([{'d': i-1, 'x': v[i]} for i in range(1, len(v)+1)]) AS t(u)
+         |  GROUP BY 1),
+         |ra AS (SELECT list({'mn': mn, 'mx': mx} ORDER BY dim) AS rl FROM rg),
+         |errs AS (
+         |  SELECT label,
+         |         CAST(floor(list_sum([
+         |           CASE WHEN rl[i].mx - rl[i].mn > 0 THEN
+         |             (v[i] - (rl[i].mn + floor((v[i] - rl[i].mn) * $lv /
+         |                (rl[i].mx - rl[i].mn) + 0.5) * (rl[i].mx - rl[i].mn) / $lv))
+         |             * (v[i] - (rl[i].mn + floor((v[i] - rl[i].mn) * $lv /
+         |                (rl[i].mx - rl[i].mn) + 0.5) * (rl[i].mx - rl[i].mn) / $lv))
+         |           ELSE 0.0 END
+         |           for i in range(1, ${Similarity.Dim + 1})]) * 1e12 + 0.5) AS BIGINT)
+         |           AS err12
+         |  FROM vs CROSS JOIN ra)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       ${round4("sum(err12)::DOUBLE / (count(*)::DOUBLE * 1e8)")} AS mse_e4,
+         |       ${round4("max(err12)::DOUBLE / 1e8")} AS max_err_e4
+         |FROM errs GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x180_km_survival"    -> x180,
+    "x181_sq_audit"       -> x181,
     "x175_item_neighbors" -> x175,
     "x176_attribution"    -> x176,
     "x177_quantile_norm"  -> x177,

@@ -316,7 +316,9 @@ object Extensions {
     "x177_quantile_norm" -> ((s, d) => graft.ops.QualityFilters.quantileNormalize(docs(s, d))),
     "x178_link_pred"     -> ((s, d) => graft.ops.Graph.adamicAdarFrom(knnShared(s, d))),
     "x179_supplier_hhi"  -> ((s, d) => graft.ops.Olap.supplierHhi(
-      Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))))
+      Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "x180_km_survival"   -> ((s, d) => Events.kmSurvival(evs(s, d))),
+    "x181_sq_audit"      -> ((s, d) => Similarity.sqErrorAudit(embs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -751,6 +751,20 @@ class PlanSpec extends SparkSpec {
     assert(!p179.contains("CartesianProduct"), s"HHI joins stay keyed:\n$p179")
     assert(p179.contains("BroadcastHashJoin"),
       s"the nation dim must broadcast:\n$p179")
+    // x180: the corpus collapses in per-user + per-day aggregates;
+    // the running windows live on the day-domain grid (their
+    // SinglePartition is grid-sized by construction)
+    val p180 = plan("x180_km_survival")
+    assert(!p180.contains("CartesianProduct") || p180.contains("BroadcastNestedLoop"),
+      s"KM scalars broadcast:\n$p180")
+    assert(p180.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"per-user then per-day aggregates expected:\n$p180")
+    // x181: the 1-row range table broadcasts; the corpus shuffles once
+    val p181 = plan("x181_sq_audit")
+    assert(!p181.contains("CartesianProduct"),
+      s"range table must broadcast to the corpus:\n$p181")
+    assert(!p181.contains("SortMergeJoin"),
+      s"no corpus-vs-corpus join in the audit:\n$p181")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {

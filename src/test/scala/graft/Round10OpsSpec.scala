@@ -79,6 +79,59 @@ class Round10OpsSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 1L, want), (1L, 4L, 1L, want), (3L, 4L, 1L, want)))
   }
 
+  test("kmSurvival: censoring leaves the risk set without failing") {
+    val day = 86400000L
+    val rows = Seq(
+      // user 1: view day0, purchase day1 → event at t=1
+      ev(1, 1, "view", 0), ev(2, 1, "purchase", day),
+      // user 2: view day0, never purchases → censored at horizon t=2
+      ev(3, 2, "view", 0),
+      // user 3: purchase BEFORE the first view → censored (no valid event)
+      ev(4, 3, "purchase", 0), ev(5, 3, "view", day),
+      // horizon marker: last event at day2
+      ev(6, 2, "error", 2 * day))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.kmSurvival(rows).orderBy("t_day")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // t=1: user1 event, user3 censored (horizon day2 − view day1 = 1):
+    //   n=3, d=1, c=1 → S = 1 − 1/3 = 0.6667
+    // t=2: user2 censored: n=1, d=0, c=1 → S unchanged
+    assert(got === Seq(
+      (1L, 3L, 1L, 1L, 0.6667),
+      (2L, 1L, 0L, 1L, 0.6667)))
+  }
+
+  test("kmSurvival: exhausting the risk set pins survival to exact 0") {
+    val day = 86400000L
+    val rows = Seq(
+      ev(1, 1, "view", 0), ev(2, 1, "purchase", day),
+      ev(3, 2, "view", 0), ev(4, 2, "purchase", day))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.kmSurvival(rows)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L, 0L, 0.0)))
+  }
+
+  test("sqErrorAudit: in-range vectors round-trip within the int8 grid") {
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    // dim0 range [0,1], dim1 constant, dims 2-3 zero
+    val rows = Seq(
+      (1L, vec(0.0, 5.0, 0, 0), 0),
+      (2L, vec(1.0, 5.0, 0, 0), 0),
+      (3L, vec(0.5, 5.0, 0, 0), 1))
+    val got = graft.ops.Similarity.sqErrorAudit(
+      rows.toDF("vec_id", "embedding", "label"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // endpoints and constant dims reconstruct exactly
+    assert(got(0L) === ((0L, 2L, 0.0, 0.0)))
+    // 0.5 → q=round(127.5)=128 → xr=128/255 → err=(0.5−128/255)²≈3.84e−6
+    val err = math.pow(0.5 - 128.0 / 255.0, 2)
+    val e12 = math.floor(err * 1e12 + 0.5)
+    val want = math.floor(e12 / 1e8 * 10000 + 0.5) / 10000
+    assert(got(1L)._3 === want && got(1L)._4 === want)
+  }
+
   test("supplierHhi: monopoly scores 10000, equal split scores 10000/n") {
     val supplier = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
       .toDF("s_suppkey", "s_nationkey")
