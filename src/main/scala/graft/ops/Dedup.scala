@@ -1021,4 +1021,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** x184: DEDUP REPORT CARD — the cluster-size histogram of the x30
+    * component labeling: per size, how many clusters and what share
+    * of the graph's documents they hold. The one-page summary every
+    * dedup run ships (is duplication a long tail of pairs or a few
+    * boilerplate families?), and the direct input to "how many docs
+    * does keep-one-per-cluster delete" (= Σ (size−1)·n_clusters).
+    * Sizes cover only docs IN the pair graph — singletons never enter
+    * x30's labeling (by design; the corpus minus the graph is the
+    * implicit size-1 bucket).
+    *
+    * Scale: two aggregates over the cluster-label frame (itself
+    * near-dup-pair-bounded, far smaller than the corpus); the
+    * histogram is \|size domain\|-sized, totals broadcast back. */
+  def dedupReport(clusters: DataFrame): DataFrame = {
+    val tot = clusters.agg(count(lit(1)).as("n_docs_graph"))
+    clusters.groupBy(col("n_members"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_members"), col("n_clusters"),
+        (col("n_members") * col("n_clusters")).as("n_docs"),
+        Portable.round4((col("n_members") * col("n_clusters")).cast("double") /
+          col("n_docs_graph").cast("double")).as("doc_share"),
+        ((col("n_members") - 1) * col("n_clusters")).as("n_removable"))
+  }
 }

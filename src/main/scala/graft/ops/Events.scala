@@ -984,6 +984,42 @@ object Events {
         Portable.round4(lit(1.0) / col("n_touch").cast("double")).as("credit"))
   }
 
+  /** x182: EVENTUALLY-FOLLOWS relation — for every ordered type pair
+    * (a, b): in how many sessions does SOME a-event precede SOME
+    * b-event (van der Aalst's process-mining footprint matrix, the
+    * any-distance complement of x171's adjacent-only transitions).
+    * The diagonal a=b counts sessions where a RECURS (first(a) <
+    * last(a) ⟺ ≥2 occurrences) — the rework signal.
+    *
+    * Determinism: precedence is first-position(a) < last-position(b)
+    * under the per-session (ms, event_id) row_number — exact integers.
+    *
+    * Scale: positions ride the x16 sessionization shuffle; the span
+    * table holds ≤\|type domain\| rows per session, so the per-session
+    * span self-join fans out ≤\|types\|² per session — linear in
+    * sessions; the final aggregate is the \|types\|² footprint. */
+  def eventuallyFollows(events: DataFrame): DataFrame = {
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ms"), col("event_id"))
+    val pos = sessionized(events)
+      .withColumn("pos", row_number().over(bySession).cast("long"))
+    val spans = Caching.temp(pos
+      .groupBy(col("user_id"), col("session_seq"), col("event_type"))
+      .agg(min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos")))
+    val nSess = spans.select(col("user_id"), col("session_seq")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    spans.alias("a").join(spans.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.session_seq") === col("b.session_seq") &&
+        col("a.first_pos") < col("b.last_pos"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_sessions"),
+        Portable.round4(col("n_sessions").cast("double") /
+          col("n_total").cast("double")).as("support"))
+  }
+
   /** x180: KAPLAN–MEIER SURVIVAL curve of days from first view to
     * first purchase — the survival-analysis estimator (Kaplan & Meier
     * '58) that handles CENSORING correctly where a naive conversion

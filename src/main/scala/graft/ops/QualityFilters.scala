@@ -520,6 +520,9 @@ object QualityFilters {
       sc.select(col("clf_score").as("gs"), col("doc_id").as("gid")),
       Seq(col("gs"), col("gid")), "grnk")
     val nTot = sc.agg(count(lit(1)).as("n_tot"))
+    // (2r−1)·N stays inside BIGINT up to N ≈ 3×10⁹ docs (N² < 2⁶³);
+    // past that, swap both engines to DECIMAL(38,0)/HUGEINT operands —
+    // the formula itself is scale-free
     ranked.crossJoin(broadcast(nTot))
       .withColumn("pos", expr("((2 * r - 1) * n_tot) div (2 * n_src) + 1"))
       .join(global.select(col("grnk"), col("gs")), col("pos") === col("grnk"))

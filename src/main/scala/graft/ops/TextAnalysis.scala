@@ -1387,4 +1387,47 @@ object TextAnalysis {
         Portable.round4(sum(col("toks")).over(wCum).cast("double") /
           sum(col("toks")).over(wLang).cast("double")).as("cum_share"))
   }
+
+  /** Largest coverage grid point: 2^13 = 8192 vocab entries. */
+  val CoverageMaxLog2 = 13
+
+  /** x183: VOCAB COVERAGE CURVE — what share of the corpus token MASS
+    * the top-K frequency vocabulary covers, at K = 1, 2, 4, …, 8192
+    * (the tokenizer-economics curve behind vocab sizing: x149 scores
+    * docs against ONE fixed vocab, this sweeps the size axis; read
+    * with x140's Zipf slope, which predicts its shape).
+    *
+    * Determinism: the frequency rank is the total (count desc, token)
+    * order; each token's grid bucket (smallest 2^i ≥ rank) is an
+    * exact-integer WHEN/CASE chain — ceil(log2(rank)) in doubles
+    * would misbucket exact powers of two on a one-ulp error.
+    *
+    * Scale: one corpus aggregate to the vocabulary; the rank is the
+    * two-phase [[Ranking.globalRowNumber]] (never a vocabulary-wide
+    * single-partition sort — the x60 lesson); the running coverage
+    * sum lives on the ≤14-row grid. */
+  def vocabCoverage(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = Caching.temp(withTokens(documents)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+    val total = freqs.agg(sum(col("cnt")).as("t"))
+    val ranked = Ranking.globalRowNumber(freqs,
+      Seq((-col("cnt")).as("nc"), col("tok")), "rnk")
+    val gridK = (0 to CoverageMaxLog2).map(1L << _)
+    // smallest K tested first: when(rnk<=1, 1).otherwise(when(rnk<=2, 2)…)
+    val bucket = gridK.foldRight(lit(null).cast("long")) { (k, rest) =>
+      when(col("rnk") <= k, lit(k)).otherwise(rest)
+    }
+    val wRun = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.select(col("cnt"), bucket.as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(sum(col("cnt")).as("bucket_mass"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("bucket_mass"),
+        sum(col("bucket_mass")).over(wRun).as("covered"),
+        Portable.round4(sum(col("bucket_mass")).over(wRun).cast("double") /
+          col("t").cast("double")).as("share"))
+  }
 }

@@ -3915,7 +3915,74 @@ object ExtSql {
          |FROM errs GROUP BY 1""".stripMargin
   }
 
+  // ---- x182 eventually-follows footprint ---------------------------
+  private val x182 =
+    raw"""WITH $sessionCtes,
+         |pos AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         CAST(row_number() OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ms, event_id) AS BIGINT) AS pos
+         |  FROM sessions),
+         |spans AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         min(pos) AS first_pos, max(pos) AS last_pos
+         |  FROM pos GROUP BY 1, 2, 3),
+         |n AS (SELECT CAST(count(DISTINCT (user_id, session_seq)) AS BIGINT)
+         |        AS n_total FROM spans)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |       CAST(count(*) AS BIGINT) AS n_sessions,
+         |       ${round4("count(*)::DOUBLE / max(n.n_total)::DOUBLE")} AS support
+         |FROM spans a
+         |     JOIN spans b ON a.user_id = b.user_id
+         |                 AND a.session_seq = b.session_seq
+         |                 AND a.first_pos < b.last_pos
+         |     CROSS JOIN n
+         |GROUP BY 1, 2""".stripMargin
+
+  // ---- x183 vocab coverage curve -----------------------------------
+  private val x183 = {
+    val gridK = (0 to TextAnalysis.CoverageMaxLog2).map(1L << _)
+    val caseChain = gridK.map(k => s"WHEN rnk <= $k THEN $k").mkString(" ")
+    raw"""WITH $toksCte,
+         |freqs AS (
+         |  SELECT t AS tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM freqs),
+         |ranked AS (
+         |  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+         |    AS BIGINT) AS rnk
+         |  FROM freqs),
+         |g AS (
+         |  SELECT CAST(CASE $caseChain END AS BIGINT) AS k,
+         |         CAST(sum(cnt) AS BIGINT) AS bucket_mass
+         |  FROM ranked WHERE CASE $caseChain END IS NOT NULL GROUP BY 1)
+         |SELECT k, bucket_mass,
+         |       CAST(sum(bucket_mass) OVER (ORDER BY k
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS covered,
+         |       ${round4("(sum(bucket_mass) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / tot.t::DOUBLE")}
+         |         AS share
+         |FROM g CROSS JOIN tot""".stripMargin
+  }
+
+  // ---- x184 dedup report card --------------------------------------
+  private val x184 =
+    raw"""$x30Ctes,
+         |lbl AS (
+         |  SELECT l.doc_id, l.cluster_id, s.n_members
+         |  FROM labels l JOIN sizes s USING (cluster_id)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_graph FROM lbl)
+         |SELECT n_members, CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |       CAST(n_members * count(DISTINCT cluster_id) AS BIGINT) AS n_docs,
+         |       ${round4("(n_members * count(DISTINCT cluster_id))::DOUBLE / max(tot.n_docs_graph)::DOUBLE")} AS doc_share,
+         |       CAST((n_members - 1) * count(DISTINCT cluster_id) AS BIGINT) AS n_removable
+         |FROM lbl CROSS JOIN tot
+         |GROUP BY n_members""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x182_ev_follows"     -> x182,
+    "x183_vocab_coverage" -> x183,
+    "x184_dedup_report"   -> x184,
     "x180_km_survival"    -> x180,
     "x181_sq_audit"       -> x181,
     "x175_item_neighbors" -> x175,

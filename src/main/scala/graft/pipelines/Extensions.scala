@@ -318,7 +318,10 @@ object Extensions {
     "x179_supplier_hhi"  -> ((s, d) => graft.ops.Olap.supplierHhi(
       Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "x180_km_survival"   -> ((s, d) => Events.kmSurvival(evs(s, d))),
-    "x181_sq_audit"      -> ((s, d) => Similarity.sqErrorAudit(embs(s, d))))
+    "x181_sq_audit"      -> ((s, d) => Similarity.sqErrorAudit(embs(s, d))),
+    "x182_ev_follows"    -> ((s, d) => Events.eventuallyFollows(evs(s, d))),
+    "x183_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(docs(s, d))),
+    "x184_dedup_report"  -> ((s, d) => Dedup.dedupReport(clustersShared(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -765,6 +765,23 @@ class PlanSpec extends SparkSpec {
       s"range table must broadcast to the corpus:\n$p181")
     assert(!p181.contains("SortMergeJoin"),
       s"no corpus-vs-corpus join in the audit:\n$p181")
+    // x182: the span self-join is co-keyed on (user, session)
+    val p182 = plan("x182_ev_follows")
+    assert(!p182.contains("CartesianProduct"),
+      s"footprint joins per session, never across:\n$p182")
+    // x183: rank is the two-phase shape (its spark_partition_id sits
+    // under the Caching.temp InMemoryTableScan, so probe the logical
+    // plan); the only SinglePartition windows are the P-row offsets
+    // and the ≤14-row grid cumsum
+    val p183 = plan("x183_vocab_coverage")
+    assert(!p183.contains("CartesianProduct"), s"coverage joins stay keyed:\n$p183")
+    // the per-range rank windows live under the Caching.temp cache
+    // boundary; the visible two-phase marker is the P-row offsets
+    // window ordered by the range-partition id
+    assert(p183.contains("windowspecdefinition(__pid"),
+      s"the vocab rank must be the two-phase range-partitioned shape:\n$p183")
+    assert(!p183.contains("windowspecdefinition(tok"),
+      s"never a vocabulary-wide window:\n$p183")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {

@@ -132,6 +132,58 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(1L)._3 === want && got(1L)._4 === want)
   }
 
+  test("eventuallyFollows: any-distance precedence plus the recurrence diagonal") {
+    val rows = Seq(
+      // session 1 (user 1): view, cart, view, purchase
+      ev(1, 1, "view", 1000), ev(2, 1, "cart", 2000),
+      ev(3, 1, "view", 3000), ev(4, 1, "purchase", 4000),
+      // session 2 (user 2): purchase only
+      ev(5, 2, "purchase", 1000))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.eventuallyFollows(rows)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // view→purchase, view→cart (pos1 < cart), cart→view (cart < view@3),
+    // cart→purchase, view→view (recurs); NOT purchase→anything
+    assert(got(("view", "purchase")) === ((1L, 0.5)))
+    assert(got(("view", "cart")) === ((1L, 0.5)))
+    assert(got(("cart", "view")) === ((1L, 0.5)))
+    assert(got(("cart", "purchase")) === ((1L, 0.5)))
+    assert(got(("view", "view")) === ((1L, 0.5)))
+    assert(!got.contains(("purchase", "view")))
+    assert(got.size === 5)
+  }
+
+  test("vocabCoverage: power-of-two buckets accumulate the exact token mass") {
+    // token frequencies: a×8, b×4, c×2, d×1, e×1 → total 16
+    val docs = Seq(
+      (1L, "a a a a a a a a b b b b", "en", "s", 10L),
+      (2L, "c c d e", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextAnalysis.vocabCoverage(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // rank1=a(8) → k1; rank2=b(4) → k2; ranks 3,4=c,d → k4; rank5=e → k8
+    assert(got(1L) === ((1L, 8L, 8L, 0.5)))
+    assert(got(2L) === ((2L, 4L, 12L, 0.75)))
+    assert(got(4L) === ((4L, 3L, 15L, 0.9375)))
+    assert(got(8L) === ((8L, 1L, 16L, 1.0)))
+    assert(got.size === 4)
+  }
+
+  test("dedupReport: histogram, shares and removable counts are exact") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // one 3-cluster
+      (4L, 4L, 2L), (5L, 4L, 2L),               // one 2-cluster
+      (6L, 6L, 2L), (7L, 6L, 2L)                // another 2-cluster
+    ).toDF("doc_id", "cluster_id", "n_members")
+    val got = graft.ops.Dedup.dedupReport(clusters)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(got === Set(
+      (3L, 1L, 3L, math.floor(3.0 / 7 * 10000 + 0.5) / 10000, 2L),
+      (2L, 2L, 4L, math.floor(4.0 / 7 * 10000 + 0.5) / 10000, 2L)))
+  }
+
   test("supplierHhi: monopoly scores 10000, equal split scores 10000/n") {
     val supplier = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
       .toDF("s_suppkey", "s_nationkey")
