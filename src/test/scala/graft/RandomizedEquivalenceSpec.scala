@@ -219,4 +219,65 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(salted === plain)
   }
+
+  test("pareto frontier equals the quadratic NOT-EXISTS reference on random parts") {
+    for (seed <- Seq(7L, 23L, 77L)) {
+      val params = Gen.Parameters.default
+      val gen = for {
+        p <- Gen.choose(100, 140) // narrow price domain → many ties
+        s <- Gen.choose(1, 12)
+      } yield (p, s)
+      val rows = (0 until 120).map { i =>
+        val (p, s) = gen.pureApply(params, rng.Seed(seed * 1000 + i), 100)
+        (i.toLong, s"part$i", "B", "T", s, p / 10.0)
+      }
+      val df = rows.toDF("p_partkey", "p_name", "p_brand", "p_type",
+        "p_size", "p_retailprice")
+      // reference: p survives iff no q with price<=p, size>=s, one strict
+      val pts = rows.map { case (k, _, _, _, s, pr) =>
+        (k, math.floor(pr * 100 + 0.5).toLong, s.toLong)
+      }
+      val expected = pts.filter { case (_, p, s) =>
+        !pts.exists { case (_, p2, s2) =>
+          p2 <= p && s2 >= s && (p2 < p || s2 > s)
+        }
+      }.map(_._1).toSet
+      val got = graft.ops.Olap.paretoFront(df).select("p_partkey")
+        .as[Long].collect().toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("distributed k-core equals an in-memory peel on random co-purchase data") {
+    import graft.ops.Graph.{KCoreK, KCoreMinSupport}
+    for (seed <- Seq(5L, 31L, 88L)) {
+      val params = Gen.Parameters.default
+      val gen = for {
+        o <- Gen.choose(0, 59)
+        p <- Gen.choose(0, 29)
+      } yield (o.toLong, p.toLong)
+      val rows = (0 until 400).map(i =>
+        gen.pureApply(params, rng.Seed(seed * 500 + i), 100))
+      // in-memory reference peel
+      val ob = rows.distinct
+      val sup = ob.groupBy(_._1).values.toSeq
+        .flatMap(b => b.map(_._2).sorted.combinations(2).map(c => (c(0), c(1))))
+        .groupBy(identity).view.mapValues(_.size)
+        .filter(_._2 >= KCoreMinSupport).keys.toSeq
+      var adj = sup.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        val weak = adj.filter(_._2.size < KCoreK).keySet
+        changed = weak.nonEmpty
+        adj = (adj -- weak).view.mapValues(_ -- weak).toMap
+          .filter(_._2.nonEmpty)
+      }
+      val expected = adj.view.mapValues(_.size.toLong).toMap
+      val got = graft.ops.Graph.kCoreParts(
+          rows.toDF("l_orderkey", "l_partkey"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
 }
