@@ -387,4 +387,107 @@ object DataProfile {
       .groupBy(col("lang"), col("med"), col("mad"), col("fence"))
       .agg(count(lit(1)).as("n"), sum(col("out")).as("n_outliers"))
   }
+
+  /** x185: DATA-QUALITY CONTRACT SUITE — a Great-Expectations-style
+    * assertion battery over the warehouse tables, emitted as one row
+    * per check (name, violations, passed): referential integrity on
+    * the three hot FK edges, key uniqueness, domain-range and
+    * non-negativity checks. The standing CI gate every pipeline runs
+    * before publishing a snapshot; x131's snapshot diff tells you
+    * WHAT changed, this tells you whether the result still honors
+    * the contract.
+    *
+    * Scale: each FK check is a LEFT ANTI join keyed on the FK (child
+    * shuffles once, parent side broadcast/keyed as AQE sizes it);
+    * uniqueness is a keyed aggregate; range checks are map-side
+    * filters into 1-row counts. Each check prunes its scan to the
+    * checked columns; the union is |checks|-sized. */
+  def dqChecks(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
+               part: DataFrame): DataFrame = {
+    val fkOrdersCust = orders.select(col("o_custkey"))
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val fkLineOrders = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val fkLinePart = lineitem.select(col("l_partkey"))
+      .join(part.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val uniqPart = part.groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("n"))
+    val qtyPos = lineitem.filter(col("l_quantity") <= 0)
+      .agg(count(lit(1)).as("n"))
+    val priceNonneg = lineitem.filter(col("l_extendedprice") < 0)
+      .agg(count(lit(1)).as("n"))
+    val discRange = lineitem
+      .filter(col("l_discount") < 0 || col("l_discount") > 0.5)
+      .agg(count(lit(1)).as("n"))
+    // compare as DATES on both sides — a timestamp-vs-date compare
+    // would count 1998-12-31 23:00 as a violation here but not in the
+    // oracle's CAST(… AS DATE) view
+    val dateRange = orders
+      .filter(to_date(col("o_orderdate")) < to_date(lit("1992-01-01")) ||
+        to_date(col("o_orderdate")) > to_date(lit("1998-12-31")))
+      .agg(count(lit(1)).as("n"))
+    val checks = Seq(
+      "fk_orders_custkey"   -> fkOrdersCust,
+      "fk_lineitem_orderkey" -> fkLineOrders,
+      "fk_lineitem_partkey" -> fkLinePart,
+      "unique_part_partkey" -> uniqPart,
+      "range_l_quantity_positive" -> qtyPos,
+      "range_l_extendedprice_nonneg" -> priceNonneg,
+      "range_l_discount_0_05" -> discRange,
+      "range_o_orderdate_1992_1998" -> dateRange)
+    checks.map { case (name, agg) =>
+      agg.select(lit(name).as("check_name"), col("n").as("n_violations"),
+        (col("n") === 0).cast("long").as("passed"))
+    }.reduce(_.union(_))
+  }
+
+  /** The x186 measure set: exact integer views of the lineitem
+    * numeric columns (cents / basis points). */
+  private val CorrMeasures: Seq[(String, Column)] = Seq(
+    "quantity"  -> col("l_quantity").cast("long"),
+    "price_c"   -> floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+    "discount_bp" -> floor(col("l_discount") * 10000 + 0.5).cast("long"),
+    "tax_bp"    -> floor(col("l_tax") * 10000 + 0.5).cast("long"))
+
+  /** x186: MEASURE CORRELATION MATRIX — pairwise Pearson between the
+    * lineitem numeric measures in ONE corpus pass (all 14 moments in
+    * a single map-side-combined aggregate; no per-pair rescans, no
+    * Expand). The standard feature-profiling screen before modeling.
+    *
+    * Determinism: every measure is an exact integer (cents / basis
+    * points), all moments accumulate in DECIMAL(38,0) (Σ price_c²
+    * alone passes 2⁶³ near ~10⁸ rows), and each correlation is one
+    * double expression over exact numbers, 4dp-rounded. */
+  def measureCorrelation(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ms = CorrMeasures
+    val aggs =
+      ms.map { case (n, c) => sum(c.cast(dec)).as(s"s_$n") } ++
+      ms.map { case (n, c) => sum((c * c).cast(dec)).as(s"ss_$n") } ++
+      ms.combinations(2).map { case Seq((na, ca), (nb, cb)) =>
+        sum((ca * cb).cast(dec)).as(s"sp_${na}_$nb")
+      }.toSeq
+    // ONE corpus pass: the 1-row moment table is cached, the six pair
+    // projections read it, not lineitem
+    val m = Caching.temp(
+      lineitem.agg(count(lit(1)).cast(dec).as("n"), aggs: _*))
+    val pairs = ms.combinations(2).map { case Seq((na, _), (nb, _)) =>
+      val cov  = col("n") * col(s"sp_${na}_$nb") - col(s"s_$na") * col(s"s_$nb")
+      val va   = col("n") * col(s"ss_$na") - col(s"s_$na") * col(s"s_$na")
+      val vb   = col("n") * col(s"ss_$nb") - col(s"s_$nb") * col(s"s_$nb")
+      m.select(lit(na).as("var_a"), lit(nb).as("var_b"),
+        when(va > 0 && vb > 0,
+          Portable.round4(cov.cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double")))))
+          .as("corr"))
+    }.toSeq
+    pairs.reduce(_.union(_))
+  }
 }

@@ -984,6 +984,52 @@ object Events {
         Portable.round4(lit(1.0) / col("n_touch").cast("double")).as("credit"))
   }
 
+  /** x187: DIFFERENCE-IN-DIFFERENCES estimator — the quasi-
+    * experimental companion to x155's A/B z-test: conversion rates
+    * per (variant × pre/post) cell, the per-variant deltas, and the
+    * DiD = ΔB − ΔA that nets out the common time trend (Card &
+    * Krueger '94 shape). Periods split at the exact integer midpoint
+    * of the corpus [min, max] ms; variants are x155's user-id parity;
+    * conversion is x155's predicate (purchase ≥ its cents floor), all
+    * per (user, period).
+    *
+    * Determinism: cells are exact distinct-user counts; each rate is
+    * 4dp-rounded and the deltas/DiD are differences OF the rounded
+    * rates — exact 1e-4-grid arithmetic in both engines.
+    *
+    * Scale: two distinct passes to (user, period) keys, a 4-cell
+    * aggregate, the rest on broadcast scalars. */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"),
+      valueCents(col("value")).as("vc"), unix_millis(col("ts")).as("ms"))
+    val span = base.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    val tagged = Caching.temp(base.crossJoin(broadcast(span))
+      .withColumn("period", (col("ms") >= col("mid")).cast("long"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("long")))
+    val users = tagged.select(col("variant"), col("period"), col("user_id"))
+      .distinct()
+      .groupBy(col("variant"), col("period")).agg(count(lit(1)).as("n"))
+    val conv = tagged
+      .filter(col("event_type") === AbConvType && col("vc") >= AbConvCents)
+      .select(col("variant"), col("period"), col("user_id")).distinct()
+      .groupBy(col("variant"), col("period")).agg(count(lit(1)).as("k"))
+    val cells = users.join(conv, Seq("variant", "period"), "left")
+      .select(col("variant"), col("period"), col("n"),
+        coalesce(col("k"), lit(0L)).as("k"))
+    def rate(v: Int, p: Int) = cells
+      .filter(col("variant") === v && col("period") === p)
+      .select(Portable.round4(col("k").cast("double") / col("n").cast("double"))
+        .as(s"r_${if (v == 0) "a" else "b"}_${if (p == 0) "pre" else "post"}"))
+    rate(0, 0).crossJoin(broadcast(rate(0, 1)))
+      .crossJoin(broadcast(rate(1, 0))).crossJoin(broadcast(rate(1, 1)))
+      .select(col("r_a_pre"), col("r_a_post"), col("r_b_pre"), col("r_b_post"),
+        Portable.round4(col("r_a_post") - col("r_a_pre")).as("delta_a"),
+        Portable.round4(col("r_b_post") - col("r_b_pre")).as("delta_b"),
+        Portable.round4((col("r_b_post") - col("r_b_pre")) -
+          (col("r_a_post") - col("r_a_pre"))).as("did"))
+  }
+
   /** x182: EVENTUALLY-FOLLOWS relation — for every ordered type pair
     * (a, b): in how many sessions does SOME a-event precede SOME
     * b-event (van der Aalst's process-mining footprint matrix, the

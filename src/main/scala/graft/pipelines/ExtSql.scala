@@ -3979,7 +3979,102 @@ object ExtSql {
          |FROM lbl CROSS JOIN tot
          |GROUP BY n_members""".stripMargin
 
+  // ---- x185 data-quality contract suite ----------------------------
+  private val x185 = {
+    def check(name: String, countSql: String): String =
+      s"""SELECT '$name' AS check_name, CAST(($countSql) AS BIGINT) AS n_violations,
+         |       CAST(($countSql) = 0 AS BIGINT) AS passed""".stripMargin
+    Seq(
+      check("fk_orders_custkey",
+        "SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"),
+      check("fk_lineitem_orderkey",
+        "SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"),
+      check("fk_lineitem_partkey",
+        "SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)"),
+      check("unique_part_partkey",
+        "SELECT count(*) FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1)"),
+      check("range_l_quantity_positive",
+        "SELECT count(*) FROM lineitem WHERE l_quantity <= 0"),
+      check("range_l_extendedprice_nonneg",
+        "SELECT count(*) FROM lineitem WHERE l_extendedprice < 0"),
+      check("range_l_discount_0_05",
+        "SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5"),
+      check("range_o_orderdate_1992_1998",
+        "SELECT count(*) FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1992-01-01' OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'")
+    ).mkString("\nUNION ALL\n")
+  }
+
+  // ---- x186 measure correlation matrix -----------------------------
+  private val x186 = {
+    val ms = Seq(
+      "quantity"    -> "CAST(l_quantity AS BIGINT)",
+      "price_c"     -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+      "discount_bp" -> "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)",
+      "tax_bp"      -> "CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)")
+    val aggs =
+      ms.map { case (n, e) => s"sum(($e)::DECIMAL(38,0)) AS s_$n" } ++
+      ms.map { case (n, e) => s"sum((($e) * ($e))::DECIMAL(38,0)) AS ss_$n" } ++
+      ms.combinations(2).map { case Seq((na, ea), (nb, eb)) =>
+        s"sum((($ea) * ($eb))::DECIMAL(38,0)) AS sp_${na}_$nb"
+      }
+    val pairs = ms.combinations(2).map { case Seq((na, _), (nb, _)) =>
+      val cov = s"(m.n * m.sp_${na}_$nb - m.s_$na * m.s_$nb)"
+      val va  = s"(m.n * m.ss_$na - m.s_$na * m.s_$na)"
+      val vb  = s"(m.n * m.ss_$nb - m.s_$nb * m.s_$nb)"
+      s"""SELECT '$na' AS var_a, '$nb' AS var_b,
+         |  CASE WHEN $va > 0 AND $vb > 0
+         |       THEN ${round4(s"$cov::DOUBLE / (sqrt($va::DOUBLE) * sqrt($vb::DOUBLE))")}
+         |  END AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    raw"""WITH m AS (
+         |  SELECT count(*)::DECIMAL(38,0) AS n, ${aggs.mkString(", ")}
+         |  FROM lineitem)
+         |$pairs""".stripMargin
+  }
+
+  // ---- x187 difference-in-differences ------------------------------
+  private val x187 = {
+    val (ct, cc) = (Events.AbConvType, Events.AbConvCents)
+    raw"""WITH base AS (
+         |  SELECT user_id, event_type,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+         |         epoch_ms(ts) AS ms
+         |  FROM events),
+         |span AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM base),
+         |tagged AS (
+         |  SELECT user_id, event_type, vc,
+         |         CAST(ms >= span.mid AS BIGINT) AS period,
+         |         CAST(user_id % 2 AS BIGINT) AS variant
+         |  FROM base CROSS JOIN span),
+         |u AS (
+         |  SELECT variant, period, CAST(count(DISTINCT user_id) AS BIGINT) AS n
+         |  FROM tagged GROUP BY 1, 2),
+         |c AS (
+         |  SELECT variant, period, CAST(count(DISTINCT user_id) AS BIGINT) AS k
+         |  FROM tagged WHERE event_type = '$ct' AND vc >= $cc GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT u.variant, u.period,
+         |         ${round4("coalesce(c.k, 0)::DOUBLE / u.n::DOUBLE")} AS r
+         |  FROM u LEFT JOIN c USING (variant, period)),
+         |w AS (
+         |  SELECT
+         |    max(CASE WHEN variant = 0 AND period = 0 THEN r END) AS r_a_pre,
+         |    max(CASE WHEN variant = 0 AND period = 1 THEN r END) AS r_a_post,
+         |    max(CASE WHEN variant = 1 AND period = 0 THEN r END) AS r_b_pre,
+         |    max(CASE WHEN variant = 1 AND period = 1 THEN r END) AS r_b_post
+         |  FROM cells)
+         |SELECT r_a_pre, r_a_post, r_b_pre, r_b_post,
+         |       ${round4("r_a_post - r_a_pre")} AS delta_a,
+         |       ${round4("r_b_post - r_b_pre")} AS delta_b,
+         |       ${round4("(r_b_post - r_b_pre) - (r_a_post - r_a_pre)")} AS did
+         |FROM w""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x185_dq_checks"      -> x185,
+    "x186_measure_corr"   -> x186,
+    "x187_did"            -> x187,
     "x182_ev_follows"     -> x182,
     "x183_vocab_coverage" -> x183,
     "x184_dedup_report"   -> x184,

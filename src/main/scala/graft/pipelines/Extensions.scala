@@ -321,7 +321,13 @@ object Extensions {
     "x181_sq_audit"      -> ((s, d) => Similarity.sqErrorAudit(embs(s, d))),
     "x182_ev_follows"    -> ((s, d) => Events.eventuallyFollows(evs(s, d))),
     "x183_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(docs(s, d))),
-    "x184_dedup_report"  -> ((s, d) => Dedup.dedupReport(clustersShared(s, d))))
+    "x184_dedup_report"  -> ((s, d) => Dedup.dedupReport(clustersShared(s, d))),
+    "x185_dq_checks"     -> ((s, d) => graft.ops.DataProfile.dqChecks(
+      Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.customer(s, d), Tables.part(s, d))),
+    "x186_measure_corr"  -> ((s, d) =>
+      graft.ops.DataProfile.measureCorrelation(Tables.lineitem(s, d))),
+    "x187_did"           -> ((s, d) => Events.diffInDiff(evs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

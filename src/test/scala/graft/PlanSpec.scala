@@ -765,6 +765,19 @@ class PlanSpec extends SparkSpec {
       s"range table must broadcast to the corpus:\n$p181")
     assert(!p181.contains("SortMergeJoin"),
       s"no corpus-vs-corpus join in the audit:\n$p181")
+    // x185: FK checks are LEFT ANTI joins, never NOT-IN nested loops
+    val p185 = plan("x185_dq_checks")
+    assert(!p185.contains("CartesianProduct") && !p185.contains("BroadcastNestedLoop"),
+      s"FK audits must anti-join on the key:\n$p185")
+    // x186: one wide aggregate pass — no Expand, no per-pair rescans
+    // (the pair projections read the cached 1-row moment table)
+    val p186 = plan("x186_measure_corr")
+    assert(!p186.contains("Expand"),
+      s"moments must come from plain aggregates, not Expand:\n$p186")
+    // the InMemoryRelation's child prints once per Union branch, but
+    // all six pair projections read the cached 1-row moment table
+    assert(p186.contains("InMemoryTableScan"),
+      s"one cached moment table feeds all six correlations:\n$p186")
     // x182: the span self-join is co-keyed on (user, session)
     val p182 = plan("x182_ev_follows")
     assert(!p182.contains("CartesianProduct"),

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.when
+
 import graft.ops.{Events, Graph, Olap, QualityFilters}
 
 /** Pins the x175–x179 batch: item-neighbor cosine ranking, linear
@@ -182,6 +184,71 @@ class Round10OpsSpec extends SparkSpec {
     assert(got === Set(
       (3L, 1L, 3L, math.floor(3.0 / 7 * 10000 + 0.5) / 10000, 2L),
       (2L, 2L, 4L, math.floor(4.0 / 7 * 10000 + 0.5) / 10000, 2L)))
+  }
+
+  test("dqChecks flags exactly the injected violations") {
+    val customer = Seq((1L, "a")).toDF("c_custkey", "c_name")
+    val part = Seq((1L, "p"), (1L, "p2"), (2L, "q"))
+      .toDF("p_partkey", "p_name") // duplicate partkey 1
+    val orders = Seq(
+      (10L, 1L, Timestamp.valueOf("1995-06-01 00:00:00")),
+      (11L, 9L, Timestamp.valueOf("1995-06-01 00:00:00")), // orphan custkey
+      (12L, 1L, Timestamp.valueOf("1990-01-01 00:00:00"))  // out of range
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (10L, 1L, 5.0, 100.0, 0.1, 0.02),
+      (99L, 1L, 1.0, 100.0, 0.1, 0.02),  // orphan orderkey
+      (10L, 7L, 1.0, 100.0, 0.1, 0.02),  // orphan partkey
+      (10L, 2L, 0.0, 100.0, 0.1, 0.02),  // qty not positive
+      (10L, 2L, 1.0, -5.0, 0.9, 0.02)    // negative price + discount range
+    ).toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax")
+    val got = graft.ops.DataProfile.dqChecks(orders, li, customer, part)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("fk_orders_custkey") === ((1L, 0L)))
+    assert(got("fk_lineitem_orderkey") === ((1L, 0L)))
+    assert(got("fk_lineitem_partkey") === ((1L, 0L)))
+    assert(got("unique_part_partkey") === ((1L, 0L)))
+    assert(got("range_l_quantity_positive") === ((1L, 0L)))
+    assert(got("range_l_extendedprice_nonneg") === ((1L, 0L)))
+    assert(got("range_l_discount_0_05") === ((1L, 0L)))
+    assert(got("range_o_orderdate_1992_1998") === ((1L, 0L)))
+  }
+
+  test("measureCorrelation: perfectly coupled measures score ±1") {
+    // price = 100·qty (r=+1); discount = 0.5 − 0.01·qty (r=−1); tax constant
+    val li = (1 to 20).map { i =>
+      (i.toLong, 1L, i.toDouble, i * 100.0, 0.5 - i * 0.01, 0.05)
+    }.toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax")
+    val got = graft.ops.DataProfile.measureCorrelation(li)
+      .as[(String, String, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("quantity", "price_c")) === Some(1.0))
+    assert(got(("quantity", "discount_bp")) === Some(-1.0))
+    // the constant tax leg has zero variance → NULL guard
+    assert(got(("quantity", "tax_bp")) === None)
+    assert(got(("price_c", "discount_bp")) === Some(-1.0))
+    assert(got.size === 6)
+  }
+
+  test("diffInDiff nets the common trend out of the treated delta") {
+    val day = 86400000L
+    // corpus spans [0, 4d] → mid = 2d; variant = user parity
+    // A (even users): pre 0/1 converts, post 1/1 → delta_a = +1
+    // B (odd users): pre 0/1, post 1/1 → did = 0
+    val rows = Seq(
+      ev(1, 2, "view", 0), ev(2, 2, "purchase", 3 * day),
+      ev(3, 3, "view", 0), ev(4, 3, "purchase", 3 * day),
+      ev(5, 2, "error", 4 * day))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // value 1.0 → 100 cents < AbConvCents: raise purchases to qualify
+      .withColumn("value",
+        when($"event_type" === "purchase", 200.0).otherwise($"value"))
+    val got = Events.diffInDiff(rows)
+      .as[(Double, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(got === ((0.0, 1.0, 0.0, 1.0, 1.0, 1.0, 0.0)))
   }
 
   test("supplierHhi: monopoly scores 10000, equal split scores 10000/n") {
