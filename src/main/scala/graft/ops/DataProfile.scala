@@ -490,4 +490,69 @@ object DataProfile {
     }.toSeq
     pairs.reduce(_.union(_))
   }
+
+  /** Bootstrap replicates (B); CI bounds at 1-based sorted positions
+    * [[BootLoIdx]]/[[BootHiIdx]] ≈ the 2.5/97.5 percentiles. */
+  val BootReplicates = 40
+  val BootLoIdx = 1
+  val BootHiIdx = 40 - 1
+  /** Poisson(1) CDF thresholds for the inverse-CDF draw (k = 0..8;
+    * shared literals — BOTH engines compare against these exact
+    * doubles, so every draw is identical). */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.9999988694148251)
+
+  /** x188: POISSON BOOTSTRAP confidence interval for the mean doc
+    * length per source — the one-pass bootstrap that works at any
+    * scale (Chamandy et al., Google '12): instead of B resamples of
+    * the corpus, every row draws B independent Poisson(1) weights
+    * (multinomial → Poisson approximation), so the whole procedure is
+    * ONE map-side explode + one aggregate; no per-replicate shuffles,
+    * no RNG state. CI = the 2.5/97.5-position replicate means.
+    *
+    * Determinism: the uniform behind each draw is the content-
+    * addressed md5 of (doc_id, replicate) — the engine-independent
+    * coin every sampler here flips — inverted through the SHARED
+    * [[PoissonCdf]] literals; replicate means are exact-integer
+    * Σw·x / Σw with one double each; the CI picks SORTED POSITIONS
+    * (not interpolated percentiles, whose conventions differ across
+    * engines).
+    *
+    * Scale: the explode is a B× map-side fan-out into a
+    * (source × B)-key aggregate with map-side combine — the corpus
+    * shuffles B·|sources| partial rows per task, not B corpora; the
+    * per-source sort of B means is a 40-element array. */
+  def bootstrapCi(documents: DataFrame): DataFrame = {
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("b").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2.0, 60))
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size.toLong)) {
+      case ((p, k), rest) => when(u < p, lit(k.toLong)).otherwise(rest)
+    }
+    val reps = documents.select(col("doc_id"), col("source"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootReplicates - 1))).as("b"))
+      .select(col("source"), col("b"), w.as("w"), col("n_chars"))
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("n_chars")).as("swx"))
+      .filter(col("sw") > 0)
+      .select(col("source"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("m"))
+    // a tiny source can LOSE replicates (all-zero Poisson weights →
+    // sw = 0 filtered): guard the position lookup, else ANSI
+    // element_at throws past the array end
+    val ci = reps.groupBy(col("source"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .select(col("source"),
+        when(size(col("ms")) >= BootHiIdx,
+          Portable.round4(element_at(col("ms"), BootLoIdx))).as("ci_lo"),
+        when(size(col("ms")) >= BootHiIdx,
+          Portable.round4(element_at(col("ms"), BootHiIdx))).as("ci_hi"))
+    documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        Portable.round4(sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars"))
+      .join(broadcast(ci), Seq("source"))
+  }
 }

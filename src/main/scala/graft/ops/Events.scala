@@ -984,6 +984,45 @@ object Events {
         Portable.round4(lit(1.0) / col("n_touch").cast("double")).as("credit"))
   }
 
+  /** Minimum events for the x189 regularity screen (2+ gaps — enough
+    * for a spread; the fixture's human-gap sessions top out at 4). */
+  val BotMinEvents = 3
+  /** Gap spread (ms) at or under which a session reads as machine-regular. */
+  val BotJitterMs = 1000L
+
+  /** x189: SESSION REGULARITY / BOT SCREEN — per session (≥
+    * [[BotMinEvents]] events): inter-event gap min/max/variance and
+    * the machine-regularity flag (gap spread ≤ [[BotJitterMs]] — a
+    * human's gaps jitter by seconds, a poller's by milliseconds).
+    * The standard abuse/quality filter run before any behavioral
+    * metric; x16 summarizes sessions, this scores their RHYTHM.
+    *
+    * Determinism: gaps are exact integer ms under the (ms, event_id)
+    * session order; the variance moment n·Σg²−(Σg)² is exact BIGINT
+    * with one final 4dp double.
+    *
+    * Scale: one lag window riding the x16 sessionization shuffle, one
+    * session-keyed aggregate — output is session-bounded. */
+  def sessionRegularity(events: DataFrame): DataFrame = {
+    val byS = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ms"), col("event_id"))
+    val gaps = sessionized(events)
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(byS))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("gap_min"), max(col("gap")).as("gap_max"),
+        sum(col("gap")).as("sg"), sum(col("gap") * col("gap")).as("sgg"))
+      .filter(col("n_gaps") >= BotMinEvents - 1)
+      .select(col("user_id"), col("session_seq"),
+        (col("n_gaps") + 1).as("n_events"), col("gap_min"), col("gap_max"),
+        Portable.round4((col("n_gaps") * col("sgg") - col("sg") * col("sg"))
+          .cast("double") /
+          (col("n_gaps") * col("n_gaps")).cast("double")).as("gap_var"),
+        (col("gap_max") - col("gap_min") <= BotJitterMs).cast("long")
+          .as("is_regular"))
+  }
+
   /** x187: DIFFERENCE-IN-DIFFERENCES estimator — the quasi-
     * experimental companion to x155's A/B z-test: conversion rates
     * per (variant × pre/post) cell, the per-variant deltas, and the

@@ -469,6 +469,32 @@ object Similarity {
     cohesion.join(broadcast(nearest), Seq("label"))
   }
 
+  /** x190: IVF RECALL EVALUATION — per strided query (x10's query
+    * set), recall@k of the learned-quantizer IVF index (x11) against
+    * the exact brute-force neighbors (x10): \|IVF ∩ brute\| / k. The
+    * number that decides whether the approximate index ships — the
+    * direct quantification of the cell-blocking approximation both
+    * x11 and x52 document qualitatively.
+    *
+    * Scale: both inputs are existing top-k outputs (k rows per
+    * query); the overlap is an equi join on (q_id, neighbor) and a
+    * query-keyed aggregate — nothing corpus-sized is recomputed
+    * here beyond the two index runs themselves. */
+  def ivfRecall(vs: DataFrame, cents: DataFrame, k: Int = TopK): DataFrame = {
+    val brute = annBruteFrom(vs, k).select(col("q_id"), col("vec_id"))
+    val ivf = annIvfFrom(vs, cents, k)
+      .filter(col("q_id") % QueryStride === 0)
+      .select(col("q_id"), col("vec_id"))
+    val common = brute.join(ivf, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+      .join(common, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_brute"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        Portable.round4(coalesce(col("n_common"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("recall"))
+  }
+
   /** int8 levels for the x181 scalar quantizer. */
   val SqLevels = 255
 

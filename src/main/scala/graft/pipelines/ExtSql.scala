@@ -4071,7 +4071,78 @@ object ExtSql {
          |FROM w""".stripMargin
   }
 
+  // ---- x188 Poisson bootstrap CI -----------------------------------
+  private val x188 = {
+    import graft.ops.DataProfile.{BootHiIdx, BootLoIdx, BootReplicates, PoissonCdf}
+    val wCase = PoissonCdf.zipWithIndex
+      .map { case (p, k) => s"WHEN u < $p THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdf.size} END")
+    raw"""WITH reps AS (
+         |  SELECT source, b,
+         |         CAST($wCase AS BIGINT) AS w, n_chars
+         |  FROM (
+         |    SELECT source, n_chars, r.range AS b,
+         |           ('0x' || substr(md5(doc_id::VARCHAR || ':' || r.range::VARCHAR), 1, 15))::BIGINT::DOUBLE
+         |             / ${math.pow(2.0, 60)} AS u
+         |    FROM documents CROSS JOIN range(0, $BootReplicates) r)),
+         |means AS (
+         |  SELECT source,
+         |         sum(w * n_chars)::DOUBLE / sum(w)::DOUBLE AS m
+         |  FROM reps GROUP BY source, b HAVING sum(w) > 0),
+         |ci AS (
+         |  SELECT source, list(m ORDER BY m) AS ms FROM means GROUP BY 1)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+         |       ${round4("sum(d.n_chars)::DOUBLE / count(*)::DOUBLE")} AS mean_chars,
+         |       CASE WHEN len(any_value(ci.ms)) >= $BootHiIdx
+         |            THEN ${round4(s"any_value(ci.ms)[$BootLoIdx]")} END AS ci_lo,
+         |       CASE WHEN len(any_value(ci.ms)) >= $BootHiIdx
+         |            THEN ${round4(s"any_value(ci.ms)[$BootHiIdx]")} END AS ci_hi
+         |FROM documents d JOIN ci ON d.source = ci.source
+         |GROUP BY d.source""".stripMargin
+  }
+
+  // ---- x189 session regularity / bot screen ------------------------
+  private val x189 = {
+    import graft.ops.Events.{BotJitterMs, BotMinEvents}
+    raw"""WITH $sessionCtes,
+         |g AS (
+         |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |         ms - lag(ms) OVER (PARTITION BY user_id, session_seq
+         |                            ORDER BY ms, event_id) AS gap
+         |  FROM sessions),
+         |a AS (
+         |  SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_gaps,
+         |         min(gap) AS gap_min, max(gap) AS gap_max,
+         |         CAST(sum(gap) AS BIGINT) AS sg,
+         |         CAST(sum(gap * gap) AS BIGINT) AS sgg
+         |  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2)
+         |SELECT user_id, session_seq, n_gaps + 1 AS n_events, gap_min, gap_max,
+         |       ${round4("(n_gaps * sgg - sg * sg)::DOUBLE / (n_gaps * n_gaps)::DOUBLE")} AS gap_var,
+         |       CAST(gap_max - gap_min <= $BotJitterMs AS BIGINT) AS is_regular
+         |FROM a WHERE n_gaps >= ${BotMinEvents - 1}""".stripMargin
+  }
+
+  // ---- x190 IVF recall against brute force -------------------------
+  private val x190 = {
+    val k = Similarity.TopK
+    raw"""WITH brute AS MATERIALIZED ($x10),
+         |ivf AS MATERIALIZED (
+         |  SELECT * FROM ($x11) WHERE q_id % ${Similarity.QueryStride} = 0),
+         |common AS (
+         |  SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM brute b JOIN ivf i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+         |  GROUP BY 1)
+         |SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |       coalesce(any_value(common.n_common), 0) AS n_common,
+         |       ${round4(s"coalesce(any_value(common.n_common), 0)::DOUBLE / $k")} AS recall
+         |FROM brute b LEFT JOIN common ON b.q_id = common.q_id
+         |GROUP BY b.q_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x188_bootstrap_ci"   -> x188,
+    "x189_bot_sessions"   -> x189,
+    "x190_ivf_recall"     -> x190,
     "x185_dq_checks"      -> x185,
     "x186_measure_corr"   -> x186,
     "x187_did"            -> x187,

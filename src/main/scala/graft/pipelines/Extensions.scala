@@ -327,7 +327,11 @@ object Extensions {
       Tables.customer(s, d), Tables.part(s, d))),
     "x186_measure_corr"  -> ((s, d) =>
       graft.ops.DataProfile.measureCorrelation(Tables.lineitem(s, d))),
-    "x187_did"           -> ((s, d) => Events.diffInDiff(evs(s, d))))
+    "x187_did"           -> ((s, d) => Events.diffInDiff(evs(s, d))),
+    "x188_bootstrap_ci"  -> ((s, d) => graft.ops.DataProfile.bootstrapCi(docs(s, d))),
+    "x189_bot_sessions"  -> ((s, d) => Events.sessionRegularity(evs(s, d))),
+    "x190_ivf_recall"    -> ((s, d) =>
+      Similarity.ivfRecall(vecsShared(s, d), centsShared(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -765,6 +765,17 @@ class PlanSpec extends SparkSpec {
       s"range table must broadcast to the corpus:\n$p181")
     assert(!p181.contains("SortMergeJoin"),
       s"no corpus-vs-corpus join in the audit:\n$p181")
+    // x188: the replicate fan-out is a map-side explode into ONE
+    // (source × B)-keyed aggregate — no per-replicate shuffles
+    val p188 = plan("x188_bootstrap_ci")
+    assert(!p188.contains("CartesianProduct"),
+      s"bootstrap replicates explode map-side:\n$p188")
+    assert(p188.contains("Generate explode"),
+      s"expected the Poisson replicate explode:\n$p188")
+    // x189: the gap window rides the user partition, never global
+    val p189 = plan("x189_bot_sessions")
+    assert(!p189.contains("SinglePartition"),
+      s"regularity windows must stay user-partitioned:\n$p189")
     // x185: FK checks are LEFT ANTI joins, never NOT-IN nested loops
     val p185 = plan("x185_dq_checks")
     assert(!p185.contains("CartesianProduct") && !p185.contains("BroadcastNestedLoop"),

@@ -251,6 +251,58 @@ class Round10OpsSpec extends SparkSpec {
     assert(got === ((0.0, 1.0, 0.0, 1.0, 1.0, 1.0, 0.0)))
   }
 
+  test("bootstrapCi: CI brackets the mean and collapses for constant data") {
+    val docs = (
+      (1 to 200).map(i => (i.toLong, "t", "en", "varied", (i * 7 % 100 + 50).toLong)) ++
+      (201 to 400).map(i => (i.toLong, "t", "en", "flat", 100L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.DataProfile.bootstrapCi(docs)
+      .as[(String, Long, Double, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nV, mV, loV, hiV) = got("varied")
+    assert(nV === 200L)
+    assert(loV.get <= mV && mV <= hiV.get)
+    assert(hiV.get > loV.get) // real dispersion → nonzero width
+    val (_, _, mF, loF, hiF) = got("flat")
+    // constant outcome: every replicate mean is exactly 100
+    assert(mF === 100.0 && loF === Some(100.0) && hiF === Some(100.0))
+  }
+
+  test("sessionRegularity: exact gap variance, regular flag on tight spreads") {
+    val rows = Seq(
+      // user 1: gaps exactly 1000, 1000 → var 0, regular
+      ev(1, 1, "view", 0), ev(2, 1, "view", 1000), ev(3, 1, "view", 2000),
+      // user 2: gaps 1000, 5000 → spread 4000 → not regular
+      ev(4, 2, "view", 0), ev(5, 2, "view", 1000), ev(6, 2, "view", 6000),
+      // user 3: only 2 events → below the min, excluded
+      ev(7, 3, "view", 0), ev(8, 3, "view", 1000))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.sessionRegularity(rows)
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, 3L, 1000L, 1000L, 0.0, 1L)))
+    // var = (2·(1e6+25e6) − 36e6)/4 = 4e6
+    assert(got(2L) === ((2L, 1L, 3L, 1000L, 5000L, 4000000.0, 0L)))
+    assert(!got.contains(3L))
+  }
+
+  test("ivfRecall: identical indexes score 1.0; the IVF never beats brute") {
+    val emb = (0 until 300).map { i =>
+      val v = Array.tabulate(64)(d => (math.sin(i * 37 + d) / 2).toFloat)
+      (i.toLong, v, i % 5)
+    }.toDF("vec_id", "embedding", "label")
+    val vs = graft.ops.Similarity.vectors(emb)
+    val cents = graft.ops.Similarity.kmeansCentroids(vs)
+    val got = graft.ops.Similarity.ivfRecall(vs, cents)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, nb, nc, r) =>
+      assert(nb === 10L, s"query $q")
+      assert(nc <= nb && r <= 1.0 && r >= 0.0, s"query $q")
+      assert(r === nc / 10.0, s"query $q")
+    }
+  }
+
   test("supplierHhi: monopoly scores 10000, equal split scores 10000/n") {
     val supplier = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
       .toDF("s_suppkey", "s_nationkey")
