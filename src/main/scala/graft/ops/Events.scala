@@ -984,6 +984,91 @@ object Events {
         Portable.round4(lit(1.0) / col("n_touch").cast("double")).as("credit"))
   }
 
+  /** x192 anomaly band: a day flags when its volume leaves
+    * [1/AnomalyRatio, AnomalyRatio] × its weekday's mean. */
+  val AnomalyRatio = 1.5
+
+  /** x192: SEASONALLY-ADJUSTED VOLUME ANOMALIES — each day's total
+    * volume against the mean of ITS OWN WEEKDAY (the x156 dow
+    * convention, (epoch_day+4) mod 7): a quiet Sunday is normal, a
+    * Sunday-sized Tuesday is not. The dow-conditioned screen that
+    * catches what raw-volume alarms (x44/x139/x152) conflate with the
+    * weekly cycle.
+    *
+    * Determinism: expected = Σ_dow n / days_dow and the ratio
+    * n·days/Σ are one 4dp double each from exact integers; the flag
+    * compares the ROUNDED ratio against the band so both engines
+    * decide identically.
+    *
+    * Scale: everything after the x139 daily grid aggregate lives on
+    * the day domain; the 7-row dow means broadcast back. */
+  def seasonalAnomaly(events: DataFrame): DataFrame = {
+    val daily = Caching.temp(dailyCounts(events)
+      .groupBy(col("day")).agg(sum(col("n")).as("n")))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)).cast("long"))
+    val dowMeans = daily.groupBy(col("dow"))
+      .agg(sum(col("n")).as("sn"), count(lit(1)).as("days"))
+    val ratio = Portable.round4(
+      (col("n") * col("days")).cast("double") / col("sn").cast("double"))
+    daily.join(broadcast(dowMeans), Seq("dow"))
+      .select(col("day"), col("dow"), col("n"),
+        Portable.round4(col("sn").cast("double") / col("days").cast("double"))
+          .as("expected"),
+        ratio.as("ratio"),
+        (ratio >= AnomalyRatio || ratio <= Portable.round4(lit(1.0 / AnomalyRatio)))
+          .cast("long").as("is_anomaly"))
+  }
+
+  /** x193 value-band thresholds (cents) — 5 fixed bins. */
+  val PsiValueCuts: Seq[Long] = Seq(2500L, 5000L, 10000L, 20000L)
+
+  /** x193: WEEKLY PSI DRIFT TRAJECTORY — the population-stability
+    * index of the event-value distribution for EVERY week against the
+    * corpus's first week (x138 compares two static cohorts; this is
+    * the monitoring time series that says WHEN the distribution
+    * walked). Laplace-0.5 smoothing per x138's convention; one row
+    * per week with its event count and PSI.
+    *
+    * Determinism: the 5-bin PSI sum folds the per-bin terms in BIN
+    * ORDER (sorted-array fold — the §8.3 convention), each term one
+    * double from exact smoothed counts.
+    *
+    * Scale: one corpus aggregate to (week × 5 bins); everything after
+    * is week-domain-sized with the reference row broadcast. */
+  def weeklyValuePsi(events: DataFrame): DataFrame = {
+    val bin = PsiValueCuts.zipWithIndex.foldRight(lit(PsiValueCuts.size.toLong)) {
+      case ((cut, i), rest) => when(valueCents(col("value")) < cut, lit(i.toLong)).otherwise(rest)
+    }
+    val nBins = PsiValueCuts.size + 1
+    val cells = Caching.temp(events
+      .select(floor(unix_millis(col("ts")) / WeekMs).cast("long").as("week"),
+        bin.as("bin"))
+      .groupBy(col("week"), col("bin")).agg(count(lit(1)).as("c")))
+    val grid = cells.select(col("week")).distinct()
+      .crossJoin(events.sparkSession.range(nBins).toDF("bin"))
+    val full = grid.join(cells, Seq("week", "bin"), "left")
+      .select(col("week"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    val tots = full.groupBy(col("week")).agg(sum(col("c")).as("tot"))
+    val refWeek = full.agg(min(col("week")).as("rw"))
+    val ref = full.crossJoin(broadcast(refWeek)).filter(col("week") === col("rw"))
+      .select(col("bin"), col("c").as("rc"))
+    val refTot = ref.agg(sum(col("rc")).as("rtot"))
+    val p = (col("c") + 0.5) / (col("tot") + nBins * 0.5)
+    val q = (col("rc") + 0.5) / (col("rtot") + nBins * 0.5)
+    val terms = full
+      .join(broadcast(tots), Seq("week"))
+      .join(broadcast(ref), Seq("bin"))
+      .crossJoin(broadcast(refTot))
+      .select(col("week"), col("tot"), col("bin"),
+        ((p - q) * log(p / q)).as("term"))
+    terms.groupBy(col("week"))
+      .agg(max(col("tot")).as("n_events"),
+        Portable.round4(aggregate(
+          transform(array_sort(collect_list(struct(col("bin"), col("term")))),
+            s => s.getField("term")),
+          lit(0.0), (acc, x) => acc + x)).as("psi"))
+  }
+
   /** Minimum events for the x189 regularity screen (2+ gaps — enough
     * for a spread; the fixture's human-gap sessions top out at 4). */
   val BotMinEvents = 3

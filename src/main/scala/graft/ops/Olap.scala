@@ -473,6 +473,33 @@ object Olap {
       .filter(col("rnk") <= ItemTopK)
   }
 
+  /** Bundles kept by x191. */
+  val TripleTopK = 20
+
+  /** x191: TOP BRAND TRIPLES — the 3-itemset step of Apriori-style
+    * basket mining (x168 ranks pairs, this surfaces the strongest
+    * 3-way bundles by distinct-order support). Top-[[TripleTopK]] by
+    * (support desc, lexical triple).
+    *
+    * Scale: rides the one-shuffle basket shape; the i<j<k fan-out is
+    * a map-side triple-nested array comprehension bounded by
+    * C(\|brand domain\|,3) = 2,300 keys total — the aggregate and the
+    * heap top-k never see corpus-sized data. With parts as items the
+    * same shape applies with per-basket C(B,3) fan-out. */
+  def topTriples(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val baskets = brandBaskets(lineitem, part)
+    val triples = baskets.select(explode(flatten(transform(col("bs"), (x, i) =>
+      flatten(transform(slice(col("bs"), i + 2, size(col("bs"))), (y, j) =>
+        transform(slice(col("bs"), i + j + lit(3), size(col("bs"))),
+          z => struct(x.as("a"), y.as("b"), z.as("c")))))))).as("t"))
+    triples.groupBy(col("t.a").as("brand_a"), col("t.b").as("brand_b"),
+        col("t.c").as("brand_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("brand_a").asc,
+        col("brand_b").asc, col("brand_c").asc)
+      .limit(TripleTopK)
+  }
+
   /** x179: HERFINDAHL–HIRSCHMAN concentration of supplier revenue
     * within each nation — the antitrust-style concentration index
     * (Σ share², in the conventional 0–10000 points) next to x143's

@@ -4139,7 +4139,80 @@ object ExtSql {
          |GROUP BY b.q_id""".stripMargin
   }
 
+  // ---- x191 top brand triples --------------------------------------
+  private val x191 = {
+    val k = graft.ops.Olap.TripleTopK
+    raw"""WITH ob AS (
+         |  SELECT DISTINCT l_orderkey, p_brand
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+         |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, c.p_brand AS brand_c,
+         |       CAST(count(*) AS BIGINT) AS n_orders
+         |FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+         |          JOIN ob c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+         |GROUP BY 1, 2, 3
+         |ORDER BY n_orders DESC, brand_a, brand_b, brand_c
+         |LIMIT $k""".stripMargin
+  }
+
+  // ---- x192 seasonally-adjusted volume anomalies -------------------
+  private val x192 = {
+    val r = Events.AnomalyRatio
+    val lo = s"floor((1.0 / $r) * 10000 + 0.5) / 10000"
+    raw"""WITH $dailyCte,
+         |d AS (SELECT day, CAST(sum(n) AS BIGINT) AS n,
+         |             CAST((day + 4) % 7 AS BIGINT) AS dow
+         |      FROM daily GROUP BY 1),
+         |m AS (SELECT dow, CAST(sum(n) AS BIGINT) AS sn,
+         |             CAST(count(*) AS BIGINT) AS days
+         |      FROM d GROUP BY 1)
+         |SELECT day, d.dow, n,
+         |       ${round4("sn::DOUBLE / days::DOUBLE")} AS expected,
+         |       ${round4("(n * days)::DOUBLE / sn::DOUBLE")} AS ratio,
+         |       CAST(${round4("(n * days)::DOUBLE / sn::DOUBLE")} >= $r
+         |            OR ${round4("(n * days)::DOUBLE / sn::DOUBLE")} <= $lo
+         |            AS BIGINT) AS is_anomaly
+         |FROM d JOIN m ON d.dow = m.dow""".stripMargin
+  }
+
+  // ---- x193 weekly PSI drift trajectory ----------------------------
+  private val x193 = {
+    val cuts = Events.PsiValueCuts
+    val nBins = cuts.size + 1
+    val binCase = cuts.zipWithIndex
+      .map { case (c, i) => s"WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) < $c THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${cuts.size} END")
+    raw"""WITH cells AS (
+         |  SELECT CAST(epoch_ms(ts) // ${7 * 86400000L} AS BIGINT) AS week,
+         |         CAST($binCase AS BIGINT) AS bin,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT w.week, b.range AS bin
+         |  FROM (SELECT DISTINCT week FROM cells) w
+         |       CROSS JOIN range(0, $nBins) b),
+         |full_g AS (
+         |  SELECT grid.week, grid.bin, coalesce(cells.c, 0) AS c
+         |  FROM grid LEFT JOIN cells USING (week, bin)),
+         |tots AS (SELECT week, CAST(sum(c) AS BIGINT) AS tot FROM full_g GROUP BY 1),
+         |rw AS (SELECT min(week) AS w0 FROM full_g),
+         |ref AS (SELECT bin, c AS rc FROM full_g CROSS JOIN rw WHERE week = rw.w0),
+         |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot FROM ref),
+         |terms AS (
+         |  SELECT f.week, tots.tot, f.bin,
+         |         ((f.c + 0.5) / (tots.tot + $nBins * 0.5)
+         |          - (ref.rc + 0.5) / (rt.rtot + $nBins * 0.5))
+         |         * ln(((f.c + 0.5) / (tots.tot + $nBins * 0.5))
+         |              / ((ref.rc + 0.5) / (rt.rtot + $nBins * 0.5))) AS term
+         |  FROM full_g f JOIN tots USING (week) JOIN ref USING (bin) CROSS JOIN rt)
+         |SELECT week, max(tot) AS n_events,
+         |       ${round4("list_sum(list(term ORDER BY bin))")} AS psi
+         |FROM terms GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x191_top_triples"    -> x191,
+    "x192_seasonal_anom"  -> x192,
+    "x193_weekly_psi"     -> x193,
     "x188_bootstrap_ci"   -> x188,
     "x189_bot_sessions"   -> x189,
     "x190_ivf_recall"     -> x190,

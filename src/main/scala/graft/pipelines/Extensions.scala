@@ -331,7 +331,11 @@ object Extensions {
     "x188_bootstrap_ci"  -> ((s, d) => graft.ops.DataProfile.bootstrapCi(docs(s, d))),
     "x189_bot_sessions"  -> ((s, d) => Events.sessionRegularity(evs(s, d))),
     "x190_ivf_recall"    -> ((s, d) =>
-      Similarity.ivfRecall(vecsShared(s, d), centsShared(s, d))))
+      Similarity.ivfRecall(vecsShared(s, d), centsShared(s, d))),
+    "x191_top_triples"   -> ((s, d) =>
+      graft.ops.Olap.topTriples(Tables.lineitem(s, d), Tables.part(s, d))),
+    "x192_seasonal_anom" -> ((s, d) => Events.seasonalAnomaly(evs(s, d))),
+    "x193_weekly_psi"    -> ((s, d) => Events.weeklyValuePsi(evs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

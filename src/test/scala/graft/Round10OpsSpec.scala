@@ -303,6 +303,55 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("topTriples: i<j<k basket fan-out counts distinct-order support") {
+    val part = Seq((1L, "B1"), (2L, "B2"), (3L, "B3"), (4L, "B4"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), // {B1..B4}: 4 triples
+      (11L, 1L), (11L, 2L), (11L, 3L),            // {B1,B2,B3}
+      (12L, 1L), (12L, 1L), (12L, 2L)             // pair only — no triple
+    ).toDF("l_orderkey", "l_partkey")
+    val got = graft.ops.Olap.topTriples(li, part)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got.head === (("B1", "B2", "B3", 2L)))
+    assert(got.toSet === Set(
+      ("B1", "B2", "B3", 2L), ("B1", "B2", "B4", 1L),
+      ("B1", "B3", "B4", 1L), ("B2", "B3", "B4", 1L)))
+  }
+
+  test("seasonalAnomaly flags days leaving the weekday band") {
+    val day = 86400000L
+    // two Thursdays (epoch day 0 is a Thursday: dow 4): volumes 10, 30
+    // → mean 20 → ratios 0.5 and 1.5, both flagged; one Friday alone →
+    // ratio 1.0, never flagged
+    val rows =
+      (1 to 10).map(i => ev(i.toLong, 1, "view", 0 * day + i)) ++
+      (11 to 40).map(i => ev(i.toLong, 1, "view", 7 * day + i)) ++
+      (41 to 45).map(i => ev(i.toLong, 1, "view", 1 * day + i))
+    val got = Events.seasonalAnomaly(rows.toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props"))
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 4L, 10L, 20.0, 0.5, 1L)))
+    assert(got(7L) === ((7L, 4L, 30L, 20.0, 1.5, 1L)))
+    assert(got(1L) === ((1L, 5L, 5L, 5.0, 1.0, 0L)))
+  }
+
+  test("weeklyValuePsi: the reference week scores 0, a shifted week doesn't") {
+    val wk = 7 * 86400000L
+    def pv(id: Long, ms: Long, v: Double) =
+      (id, new Timestamp(ms), 1L, "view", v, "{}")
+    // week 0: all values in bin 0; week 1: all in the top bin
+    val rows = (1 to 20).map(i => pv(i.toLong, i.toLong, 10.0)) ++
+      (21 to 40).map(i => pv(i.toLong, wk + i, 500.0))
+    val got = Events.weeklyValuePsi(rows.toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 20L, 0.0)))
+    assert(got(1L)._2 === 20L)
+    assert(got(1L)._3 > 5.0) // full mass swap → large PSI
+  }
+
   test("supplierHhi: monopoly scores 10000, equal split scores 10000/n") {
     val supplier = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
       .toDF("s_suppkey", "s_nationkey")
