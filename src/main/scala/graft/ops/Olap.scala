@@ -473,6 +473,96 @@ object Olap {
       .filter(col("rnk") <= ItemTopK)
   }
 
+  /** x194: REVENUE BRIDGE (price–volume–mix decomposition) — per
+    * brand, the revenue change between the corpus's FIRST and LAST
+    * ship year split into the FP&A bridge components: volume effect
+    * Δq·p₀, price effect Δp·q₀, and the joint term Δp·Δq (their sum
+    * reconstructs ΔR exactly in the reals). The standard "why did
+    * revenue move" waterfall.
+    *
+    * Determinism: quantities and revenue cents are exact BIGINTs; the
+    * unit prices p = r/q are one double division each and every
+    * component is a single 4dp-rounded expression; ΔR itself is
+    * reported as the exact integer difference.
+    *
+    * Scale: one keyed join (lineitem⋈part), one hash aggregate to
+    * (brand × 2 years), a self-merge of the |brand|-row slices. */
+  def revenueBridge(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+      .cast("long")
+    val base = Caching.temp(
+      lineitem.select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+          cents.as("r"), year(col("l_shipdate")).cast("long").as("yr"))
+        .join(part.select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("yr"))
+        .agg(sum(col("q")).as("qt"), sum(col("r")).as("rv")))
+    val span = base.agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+    val tagged = base.crossJoin(broadcast(span))
+    val s0 = tagged.filter(col("yr") === col("y0"))
+      .select(col("p_brand"), col("qt").as("q0"), col("rv").as("r0"))
+    val s1 = tagged.filter(col("yr") === col("y1"))
+      .select(col("p_brand"), col("qt").as("q1"), col("rv").as("r1"))
+    val p0 = col("r0").cast("double") / col("q0").cast("double")
+    val p1 = col("r1").cast("double") / col("q1").cast("double")
+    s0.join(s1, Seq("p_brand"))
+      .select(col("p_brand"), col("r0"), col("r1"),
+        (col("r1") - col("r0")).as("delta_cents"),
+        Portable.round4((col("q1") - col("q0")).cast("double") * p0).as("volume_effect"),
+        Portable.round4((p1 - p0) * col("q0").cast("double")).as("price_effect"),
+        Portable.round4((p1 - p0) * (col("q1") - col("q0")).cast("double")).as("joint_effect"))
+  }
+
+  /** x195: SHIP-DELAY PERCENTILES per order priority — days from
+    * order to line ship date, the operational SLA read (does URGENT
+    * actually ship faster?). Exact interpolating percentiles over
+    * integral day counts, the x157 convention.
+    *
+    * Scale: one keyed shuffle join (lineitem⋈orders — both scale,
+    * deliberately unhinted), one |priorities|-row percentile
+    * aggregate. */
+  def shipDelay(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("d"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Portable.round4(percentile(col("d"), lit(0.5))).as("p50"),
+        Portable.round4(percentile(col("d"), lit(0.9))).as("p90"),
+        Portable.round4(percentile(col("d"), lit(0.99))).as("p99"))
+
+  /** x196: RETURN-RATE RANKING by Wilson lower bound — brands ranked
+    * by the 95% LOWER confidence bound of their return share
+    * (l_returnflag = 'R'), the "how not to sort by average" fix: a
+    * 50%-return brand seen 4 times must not outrank a 30% brand seen
+    * 40,000 times. Reuses x137's exact Wilson expression order.
+    *
+    * Scale: one hash aggregate to the brand domain; the rank window
+    * runs over that bounded domain. */
+  def returnRank(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = graft.ops.TextAnalysis.WilsonZ
+    val z2 = z * z
+    val n = col("n").cast("double")
+    val p = col("k") / n
+    val denom = lit(1.0) + lit(z2) / n
+    val center = p + lit(z2) / (n * 2)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n + lit(z2) / (n * n * 4))
+    lineitem.select(col("l_partkey"),
+        (col("l_returnflag") === "R").as("ret"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(when(col("ret"), 1L).otherwise(0L)).as("k"))
+      .select(col("p_brand"), col("n"), col("k"),
+        Portable.round4(p).as("rate"),
+        Portable.round4((center - half) / denom).as("lo"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("lo").desc, col("p_brand").asc)).cast("long"))
+  }
+
   /** Bundles kept by x191. */
   val TripleTopK = 20
 

@@ -4209,7 +4209,67 @@ object ExtSql {
          |FROM terms GROUP BY 1""".stripMargin
   }
 
+  // ---- x194 revenue bridge (price-volume-mix) ----------------------
+  private val x194 =
+    raw"""WITH base AS (
+         |  SELECT p_brand,
+         |         CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+         |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qt,
+         |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+         |             AS BIGINT)) AS BIGINT) AS rv
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |span AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM base),
+         |s0 AS (SELECT p_brand, qt AS q0, rv AS r0 FROM base CROSS JOIN span
+         |       WHERE yr = span.y0),
+         |s1 AS (SELECT p_brand, qt AS q1, rv AS r1 FROM base CROSS JOIN span
+         |       WHERE yr = span.y1)
+         |SELECT p_brand, r0, r1, r1 - r0 AS delta_cents,
+         |       ${round4("(q1 - q0)::DOUBLE * (r0::DOUBLE / q0::DOUBLE)")} AS volume_effect,
+         |       ${round4("(r1::DOUBLE / q1::DOUBLE - r0::DOUBLE / q0::DOUBLE) * q0::DOUBLE")} AS price_effect,
+         |       ${round4("(r1::DOUBLE / q1::DOUBLE - r0::DOUBLE / q0::DOUBLE) * (q1 - q0)::DOUBLE")} AS joint_effect
+         |FROM s0 JOIN s1 USING (p_brand)""".stripMargin
+
+  // ---- x195 ship-delay percentiles per priority --------------------
+  private val x195 =
+    raw"""WITH d AS (
+         |  SELECT o_orderpriority,
+         |         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+         |           CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         |       ${round4("quantile_cont(d, 0.5)")} AS p50,
+         |       ${round4("quantile_cont(d, 0.9)")} AS p90,
+         |       ${round4("quantile_cont(d, 0.99)")} AS p99
+         |FROM d GROUP BY 1""".stripMargin
+
+  // ---- x196 return-rate ranking by Wilson lower bound --------------
+  private val x196 = {
+    val z = TextAnalysis.WilsonZ
+    val z2 = z * z
+    val p = "(k::DOUBLE / n::DOUBLE)"
+    val denom = s"(1.0 + $z2 / n::DOUBLE)"
+    val center = s"($p + $z2 / (n::DOUBLE * 2))"
+    val half = s"($z * sqrt($p * (1.0 - $p) / n::DOUBLE + $z2 / (n::DOUBLE * n::DOUBLE * 4)))"
+    raw"""WITH a AS (
+         |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1),
+         |s AS (
+         |  SELECT p_brand, n, k,
+         |         ${round4(p)} AS rate,
+         |         ${round4(s"($center - $half) / $denom")} AS lo
+         |  FROM a)
+         |SELECT p_brand, n, k, rate, lo,
+         |       CAST(row_number() OVER (ORDER BY lo DESC, p_brand) AS BIGINT) AS rnk
+         |FROM s""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x194_revenue_bridge" -> x194,
+    "x195_ship_delay"     -> x195,
+    "x196_return_rank"    -> x196,
     "x191_top_triples"    -> x191,
     "x192_seasonal_anom"  -> x192,
     "x193_weekly_psi"     -> x193,

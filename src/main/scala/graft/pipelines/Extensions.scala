@@ -335,7 +335,13 @@ object Extensions {
     "x191_top_triples"   -> ((s, d) =>
       graft.ops.Olap.topTriples(Tables.lineitem(s, d), Tables.part(s, d))),
     "x192_seasonal_anom" -> ((s, d) => Events.seasonalAnomaly(evs(s, d))),
-    "x193_weekly_psi"    -> ((s, d) => Events.weeklyValuePsi(evs(s, d))))
+    "x193_weekly_psi"    -> ((s, d) => Events.weeklyValuePsi(evs(s, d))),
+    "x194_revenue_bridge" -> ((s, d) =>
+      graft.ops.Olap.revenueBridge(Tables.lineitem(s, d), Tables.part(s, d))),
+    "x195_ship_delay"    -> ((s, d) =>
+      graft.ops.Olap.shipDelay(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "x196_return_rank"   -> ((s, d) =>
+      graft.ops.Olap.returnRank(Tables.lineitem(s, d), Tables.part(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -352,6 +352,40 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(1L)._3 > 5.0) // full mass swap → large PSI
   }
 
+  test("revenueBridge: components reconstruct the exact revenue delta") {
+    val part = Seq((1L, "B1")).toDF("p_partkey", "p_brand")
+    def li(yr: String, q: Long, price: Double) =
+      (1L, 1L, q.toDouble, price, 0.0, java.sql.Date.valueOf(s"$yr-06-01"))
+    // 1994: q=10 @ 5.00 → r0=5000c; 1996: q=20 @ 6.00 → r1=12000c
+    val rows = Seq(li("1994", 10, 50.0), li("1996", 20, 120.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+    val got = graft.ops.Olap.revenueBridge(rows, part)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().head
+    val (_, r0, r1, d, vol, pr, joint) = got
+    assert((r0, r1, d) === ((5000L, 12000L, 7000L)))
+    // p0=500 c/u, p1=600: vol=10·500=5000, price=100·10=1000, joint=100·10=1000
+    assert((vol, pr, joint) === ((5000.0, 1000.0, 1000.0)))
+    assert(vol + pr + joint === d.toDouble)
+  }
+
+  test("returnRank: the small perfect-return brand ranks below the big steady one") {
+    val part = Seq((1L, "SMALL"), (2L, "BIG")).toDF("p_partkey", "p_brand")
+    val rows = (
+      // SMALL: 2/2 returns (Wilson lo ≈ 0.342); BIG: 400/1000 (lo ≈ 0.370)
+      Seq.fill(2)((1L, "R")) ++
+      Seq.fill(400)((2L, "R")) ++ Seq.fill(600)((2L, "N"))
+    ).map { case (p, f) => (p, f) }.toDF("l_partkey", "l_returnflag")
+    val got = graft.ops.Olap.returnRank(rows, part)
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // rate(SMALL)=1.0 > rate(BIG)=0.4, but the Wilson lower bound
+    // flips the order — the entire point of the ranking
+    assert(got("SMALL")._4 === 1.0 && got("BIG")._4 === 0.4)
+    assert(got("BIG")._5 > got("SMALL")._5)
+    assert(got("BIG")._6 === 1L && got("SMALL")._6 === 2L)
+  }
+
   test("supplierHhi: monopoly scores 10000, equal split scores 10000/n") {
     val supplier = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
       .toDF("s_suppkey", "s_nationkey")
