@@ -248,6 +248,67 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("eventuallyFollows equals an in-memory footprint on random sessions") {
+    import java.sql.Timestamp
+    for (seed <- Seq(3L, 19L, 64L)) {
+      val params = Gen.Parameters.default
+      val types = Vector("view", "cart", "purchase", "error")
+      val gen = for {
+        u <- Gen.choose(1, 6)
+        t <- Gen.oneOf(types)
+        m <- Gen.choose(0, 120000) // all gaps < 30 min → one session/user
+      } yield (u.toLong, t, m.toLong)
+      val rows = (0 until 150).map { i =>
+        val (u, t, m) = gen.pureApply(params, rng.Seed(seed * 300 + i), 100)
+        (i.toLong, new Timestamp(m), u, t, 1.0, "{}")
+      }
+      // in-memory reference: per user (one session), ordered by (ms, id)
+      val byUser = rows.groupBy(_._3).values.map(_.sortBy(r => (r._2.getTime, r._1)))
+      val expected = byUser.flatMap { s =>
+        val seq = s.map(_._4)
+        for {
+          a <- seq.distinct; b <- seq.distinct
+          if seq.indexOf(a) < seq.lastIndexOf(b)
+        } yield (a, b)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nSess = byUser.size.toLong
+      val got = graft.ops.Events.eventuallyFollows(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .as[(String, String, Long, Double)].collect()
+      assert(got.map(r => (r._1, r._2) -> r._3).toMap === expected, s"seed $seed")
+      got.foreach { case (a, b, n, sup) =>
+        assert(sup === math.floor(n.toDouble / nSess * 10000 + 0.5) / 10000,
+          s"seed $seed support($a,$b)")
+      }
+    }
+  }
+
+  test("quantileNormalize is a within-source monotone map onto the global multiset") {
+    for (seed <- Seq(13L, 57L)) {
+      val params = Gen.Parameters.default
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+      val gen = for {
+        n <- Gen.choose(4, 20)
+        ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+        src <- Gen.oneOf("s1", "s2", "s3")
+      } yield (ws.mkString(" "), src)
+      val rows = (0 until 60).map { i =>
+        val (t, src) = gen.pureApply(params, rng.Seed(seed * 100 + i), 100)
+        (i.toLong, t, "en", src, t.length.toLong)
+      }
+      val out = graft.ops.QualityFilters.quantileNormalize(
+          rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .as[(Long, String, Double, Double)].collect()
+      assert(out.length === 60, s"seed $seed")
+      val global = out.map(_._3).toSet
+      assert(out.forall(r => global.contains(r._4)), s"seed $seed: range ⊆ scores")
+      out.groupBy(_._2).foreach { case (src, g) =>
+        val sorted = g.sortBy(r => (r._3, r._1)).map(_._4)
+        assert(sorted.sorted.toSeq === sorted.toSeq, s"seed $seed $src monotone")
+      }
+    }
+  }
+
   test("distributed k-core equals an in-memory peel on random co-purchase data") {
     import graft.ops.Graph.{KCoreK, KCoreMinSupport}
     for (seed <- Seq(5L, 31L, 88L)) {
