@@ -404,15 +404,22 @@ object DataProfile {
     * checked columns; the union is |checks|-sized. */
   def dqChecks(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
                part: DataFrame): DataFrame = {
+    // NULL child keys are exempt from the FK checks on BOTH engines:
+    // the oracle's `NOT IN` yields NULL (row not counted) on a NULL
+    // FK, so the anti-join side filters them out explicitly — without
+    // this the engines disagree on any dataset with NULL keys.
     val fkOrdersCust = orders.select(col("o_custkey"))
+      .filter(col("o_custkey").isNotNull)
       .join(customer.select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("n"))
     val fkLineOrders = lineitem.select(col("l_orderkey"))
+      .filter(col("l_orderkey").isNotNull)
       .join(orders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n"))
     val fkLinePart = lineitem.select(col("l_partkey"))
+      .filter(col("l_partkey").isNotNull)
       .join(part.select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left_anti")
       .agg(count(lit(1)).as("n"))

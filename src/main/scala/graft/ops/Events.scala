@@ -882,7 +882,9 @@ object Events {
     * volume_{d+L}) over the overlapping day pairs per lag.
     *
     * Determinism: daily counts are exact integers, so every moment —
-    * n·Σxy − Σx·Σy and the two variance legs — is computed in BIGINT
+    * n·Σxy − Σx·Σy and the two variance legs — is computed in
+    * DECIMAL(38,0) (matching the oracle's HUGEINT promotion of
+    * sum(BIGINT); LongType would wrap on the n_day² terms at volume)
     * and only the final ratio is a double (rounded 4dp), identical in
     * both engines regardless of aggregation order. Zero-variance legs
     * (constant series) yield NULL via a guard, not NaN.
@@ -899,13 +901,17 @@ object Events {
     val lagged = daily.select(col("day"), col("n").as("x"),
         explode(sequence(lit(1), lit(MaxAcfLag))).as("lag"))
       .select((col("day") + col("lag")).as("day"), col("lag").cast("long").as("lag"), col("x"))
+    // Moments in DECIMAL(38,0), not LongType: the oracle's sum(BIGINT)
+    // promotes to HUGEINT, and the n_day² terms pass 2⁶³ at large daily
+    // volumes — same overflow class x186/x179/x173 already handle.
+    val dec = "decimal(38,0)"
     val m = lagged.join(daily.select(col("day"), col("n").as("y")), Seq("day"))
       .groupBy(col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
     val cov  = col("n_pairs") * col("sxy") - col("sx") * col("sy")
     val varx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
     val vary = col("n_pairs") * col("syy") - col("sy") * col("sy")

@@ -297,42 +297,67 @@ object Olap {
     * max order date), order count, lifetime spend in exact cents.
     *
     * Scale: one hash aggregate over orders (shuffles keys+3 partials,
-    * map-side combined), then THREE two-phase range-partitioned ranks
-    * ([[Ranking.globalRowNumber]]) — NTILE over an unpartitioned
-    * window would sort every customer through one partition; instead
-    * tile = floor((rank−1)·T / n) + 1 from the global rank, with the
-    * identical closed form in the oracle (NTILE itself is avoided in
-    * BOTH engines: its uneven-remainder group sizing differs from the
-    * closed form, so the formula is the cross-engine contract).
-    * Rank order carries (metric, custkey) so ties are total. The
-    * customer count n is a 1-row aggregate broadcast via crossJoin. */
+    * map-side combined), then ONE two-phase range-partitioned rank
+    * ([[Ranking.globalRowNumber]]) over the MELTED (customer, metric)
+    * frame — NTILE over an unpartitioned window would sort every
+    * customer through one partition; three separate rank passes (the
+    * r5 shape) were scale-SAFE but stage-scheduling-bound (~15 stages
+    * for 3×|customers| rows). The melt concatenates the three metric
+    * orders into one total order (metric_idx, sort_val, custkey);
+    * because each metric block holds EXACTLY n rows, the per-metric
+    * rank is global_rank − metric_idx·n — one range shuffle instead
+    * of three, then one custkey-keyed pivot aggregate that lands on
+    * the same hash partitioning the base aggregate already produced.
+    * tile = floor((rank−1)·T / n) + 1, the identical closed form in
+    * the oracle (NTILE itself is avoided in BOTH engines: its
+    * uneven-remainder group sizing differs from the closed form, so
+    * the formula is the cross-engine contract). Rank order carries
+    * (metric_idx, value, custkey) so ties are total and identical to
+    * the per-metric (value, custkey) order. The customer count n is a
+    * 1-row aggregate broadcast via crossJoin. */
   def rfm(orders: DataFrame): DataFrame = {
-    val maxDate = orders.agg(max(col("o_orderdate")).as("max_d"))
+    // ONE orders scan: recency derives from the per-customer max date
+    // and the GLOBAL max is a tiny aggregate over the customer frame
+    // (max of per-customer maxes), not a second pass over orders
     val base = Caching.temp(orders
-      .crossJoin(broadcast(maxDate))
       .groupBy(col("o_custkey").as("custkey"))
       .agg(
-        datediff(max(col("max_d")), max(col("o_orderdate"))).cast("long").as("rec_days"),
+        max(col("o_orderdate")).as("last_d"),
         count(lit(1)).as("freq"),
         sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("mon_cents")))
-    val n = base.agg(count(lit(1)).as("n"))
-    // three independent sorted tilings; descending metrics rank by the
-    // negated value (range partitioning orders by the column itself)
-    val r = Ranking.globalRowNumber(base, Seq(col("rec_days"), col("custkey")), "rr")
-      .select(col("custkey"), col("rr"))
-    val f = Ranking.globalRowNumber(base, Seq((-col("freq")).as("nf"), col("custkey")), "fr")
-      .select(col("custkey"), col("fr"))
-    val m = Ranking.globalRowNumber(base, Seq((-col("mon_cents")).as("nm"), col("custkey")), "mr")
-      .select(col("custkey"), col("mr"))
+    val stats = base.agg(max(col("last_d")).as("max_d"), count(lit(1)).as("n"))
+    // melt: metric 0 = recency (asc), 1 = frequency, 2 = monetary —
+    // descending metrics sort by the negated value (range partitioning
+    // orders by the column values themselves); n rides along so the
+    // tile projection needs no second broadcast
+    val melted = base.crossJoin(broadcast(stats))
+      .select(col("custkey"), col("n"), explode(array(
+        struct(lit(0L).as("mi"),
+          datediff(col("max_d"), col("last_d")).cast("long").as("sv")),
+        struct(lit(1L).as("mi"), (-col("freq")).as("sv")),
+        struct(lit(2L).as("mi"), (-col("mon_cents")).as("sv")))).as("e"))
+      .select(col("custkey"), col("n"), col("e.mi").as("mi"), col("e.sv").as("sv"))
+    val ranked = Ranking.globalRowNumber(
+      melted, Seq(col("mi"), col("sv"), col("custkey")), "gr")
     def tile(rank: Column): Column =
       (floor((rank - 1) * RfmTiles / col("n")) + 1).cast("long")
-    base.join(r, Seq("custkey")).join(f, Seq("custkey")).join(m, Seq("custkey"))
-      .crossJoin(broadcast(n))
+    // the pivot reconstructs the metric VALUES from the melted rows
+    // (sv is the metric, negated where descending), so no join back to
+    // base is needed — the rank pass + one pivot aggregate IS the query
+    ranked
+      .select(col("custkey"), col("mi"), col("sv"),
+        tile(col("gr") - col("mi") * col("n")).as("t"))
+      .groupBy(col("custkey"))
+      .agg(max(when(col("mi") === 0, col("sv"))).as("rec_days"),
+        max(when(col("mi") === 1, -col("sv"))).as("freq"),
+        max(when(col("mi") === 2, -col("sv"))).as("mon_cents"),
+        max(when(col("mi") === 0, col("t"))).as("r_tile"),
+        max(when(col("mi") === 1, col("t"))).as("f_tile"),
+        max(when(col("mi") === 2, col("t"))).as("m_tile"))
       .select(col("custkey"), col("rec_days"), col("freq"), col("mon_cents"),
-        tile(col("rr")).as("r_tile"), tile(col("fr")).as("f_tile"),
-        tile(col("mr")).as("m_tile"),
-        concat(tile(col("rr")).cast("string"), tile(col("fr")).cast("string"),
-          tile(col("mr")).cast("string")).as("segment"))
+        col("r_tile"), col("f_tile"), col("m_tile"),
+        concat(col("r_tile").cast("string"), col("f_tile").cast("string"),
+          col("m_tile").cast("string")).as("segment"))
   }
 
   /** x168: MARKET-BASKET brand affinity — support / confidence / lift

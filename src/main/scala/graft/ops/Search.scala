@@ -80,4 +80,92 @@ object Search {
         Portable.round4(col("total").cast("double") / ScoreScale).as("score"),
         col("rnk"))
   }
+
+  /** RRF rank constant (Cormack et al. '09 default). */
+  val RrfK = 60
+  /** Fixed-point grid for RRF contributions (integer division — the
+    * sum of ≤2 exact integers is aggregation-order-free). */
+  val RrfScale = 10000000L
+
+  /** Document-as-query BM25 leg for [[hybridRrf]]: each probe doc
+    * (the x11 stride — ids ≡ 0 mod [[Similarity.QueryStride]]) queries
+    * the corpus with its own DISTINCT terms; scoring is [[bm25Search]]
+    * verbatim (same constants, same fixed association order, same
+    * 1e-7-grid integer contributions), self-matches excluded to mirror
+    * the ANN leg.
+    *
+    * Scale: unlike x51's workload-bounded query batch, the probe-term
+    * frame scales with corpus/stride — so it joins the postings KEYED
+    * on the term (no broadcast), and the per-query top-k is a
+    * WindowGroupLimit-pruned partitioned window. */
+  def docProbeBm25(documents: DataFrame, k: Int = TopK): DataFrame = {
+    val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
+    val dl = Caching.temp(TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks")))
+    val qterms = tf.filter(col("doc_id") % Similarity.QueryStride === 0)
+      .select(col("doc_id").as("q_id"), col("tok").as("term"))
+    val dfq = tf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val den = col("tf") + lit(K1) * (lit(1.0 - B) +
+      lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks")))
+    val contrib = qterms.join(tf, col("term") === col("tok"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .join(dfq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("q_id"), col("doc_id"),
+        floor(idf * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
+          .cast("long").as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("total").desc, col("doc_id").asc)
+    contrib.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rnk"))
+  }
+
+  /** x198: HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the
+    * canonical RAG retrieval read: for each probe document, fuse its
+    * lexical BM25 top-k ([[docProbeBm25]], the x51 machinery) with its
+    * dense ANN top-k ([[Similarity.annIvfFrom]], the x11 index) by
+    * RRF: score = Σ_legs 1/(RrfK + rank), candidates present in both
+    * legs rise above single-leg hits.
+    *
+    * Determinism: each leg's contribution is the exact integer
+    * RrfScale div (RrfK + rank) — integer division agrees across
+    * engines and the ≤2-term sum has no float order sensitivity; the
+    * displayed score is one final 4dp division. Final ranking by
+    * (rrf desc, doc_id) is total.
+    *
+    * Scale: the legs are the AUDITED x51/x11 shapes (inverted-index
+    * postings join; IVF probe of nprobe cells — never brute-force);
+    * the fusion itself is a (q_id, doc_id)-keyed FULL OUTER join of
+    * two k·|probes|-row frames plus one partitioned top-k window —
+    * everything downstream of the legs is top-k-bounded, never
+    * corpus-sized. Callers pass the SHARED vector projection and
+    * trained quantizer (the x8–x11/x52 memos) so the corpus is
+    * neither rescanned nor re-trained for the dense leg. */
+  def hybridRrf(documents: DataFrame, vs: DataFrame, cents: DataFrame,
+                k: Int = TopK): DataFrame = {
+    val ann = Similarity.annIvfFrom(vs, cents)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk").as("ann_rnk"))
+    val lex = docProbeBm25(documents)
+      .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val fused = lex.join(ann, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"), col("lex_rnk"), col("ann_rnk"),
+        (coalesce(expr(s"$RrfScale div ($RrfK + lex_rnk)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfK + ann_rnk)"), lit(0L))).as("rrf_i"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_i").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("lex_rnk"), col("ann_rnk"),
+        Portable.round4(col("rrf_i").cast("double") / RrfScale).as("rrf"),
+        col("rnk"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cross-engine-stable 4dp rounding: `floor(x·10⁴ + 0.5) / 10⁴` is pure
@@ -605,7 +605,23 @@ object TextAnalysis {
     * to the driver — the [[graft.ops.Dedup]] loops' convergence-probe
     * pattern) + one map-only re-segmentation; the working set is
     * persisted per generation and the superseded one dropped. */
-  def bpeTrain(documents: DataFrame, iters: Int = BpeMerges): DataFrame = {
+  def bpeTrain(documents: DataFrame, iters: Int = BpeMerges): DataFrame =
+    mergesToDF(documents.sparkSession, bpeMergesList(documents, iters))
+
+  /** The x117 merge table as a local frame (driver-side list → DF);
+    * split out so the x197 encoder can reuse ONE training run via the
+    * Extensions memo instead of re-running the loop. */
+  def mergesToDF(s: SparkSession,
+                 merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    import s.implicits._
+    merges.toDF("merge_rank", "lsym", "rsym", "pair_count")
+  }
+
+  /** The [[bpeTrain]] loop itself, returning the learned merges as a
+    * driver-side list (8 rows — the convergence-probe collect each
+    * iteration is the loop's 1-row argmax, see the x117 scaladoc). */
+  def bpeMergesList(documents: DataFrame,
+                    iters: Int = BpeMerges): Seq[(Long, String, String, Long)] = {
     val nl = "\n"
     var state = Caching.temp(withTokens(documents)
       .select(explode(col("toks")).as("w"))
@@ -639,9 +655,63 @@ object TextAnalysis {
     }
     if (prev != null) prev.unpersist(blocking = false)
     state.unpersist(blocking = false)
-    val s = documents.sparkSession
-    import s.implicits._
-    merges.result().toDF("merge_rank", "lsym", "rsym", "pair_count")
+    merges.result()
+  }
+
+  /** x197: BPE ENCODE — apply a LEARNED merge table ([[bpeTrain]]'s
+    * output, in rank order) to re-tokenize the corpus into subword
+    * ids: the step between tokenizer training (x117) and sequence
+    * packing (x36/x61), completing the tokenizer loop. Output one row
+    * per document: dense subword-id sequence (`ids_csv`, the x60 flat
+    * sortable convention) and its length.
+    *
+    * Greedy application IS the x117 replace trick: a token's
+    * character segmentation is one "\nsym\n\nsym\n" string and the 8
+    * merges are 8 NESTED literal `replace`s in ONE map-only
+    * projection — both engines' replace scans left-to-right
+    * non-overlapping, exactly BPE's greedy merge order, and nesting
+    * applies merge i+1 to merge i's output just like the training
+    * loop did. Subword ids are the dense lexicographic rank of the
+    * subword symbols (the x60 id convention, via the two-phase
+    * [[Ranking.globalRowNumber]]).
+    *
+    * Scale: everything except the final assembly runs over the
+    * DISTINCT vocabulary — encode once per distinct token (map-only
+    * 8-deep replace), assign ids on the subword vocabulary (≤ vocab +
+    * merge count symbols), re-attach ids per token at VOCAB scale.
+    * The corpus-scale work is one postings shuffle on the token and
+    * one per-doc hash aggregate — the same two-shuffle shape as x60,
+    * regardless of merge count. The merge table itself is a driver
+    * list folded into the expression tree (≪ kB — the "broadcast" is
+    * the plan), never a join. */
+  def bpeEncode(documents: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    val nl = "\n"
+    val stateInit = concat(lit(nl), array_join(split(col("tok"), ""), nl + nl), lit(nl))
+    val encState = merges.foldLeft(stateInit) { case (c, (l, r)) =>
+      replace(c, lit(nl + l + nl + nl + r + nl), lit(nl + l + r + nl)) }
+    val vocabEnc = Caching.temp(withTokens(documents)
+      .select(explode(col("toks")).as("tok")).distinct()
+      .select(col("tok"), split(btrim(encState, lit(nl)), nl + nl).as("subs")))
+    val subIds = Ranking.globalRowNumber(
+      vocabEnc.select(explode(col("subs")).as("sym")).distinct(),
+      Seq(col("sym")), "r")
+      .select(col("sym"), (col("r") - 1).as("id"))
+    val tokIds = vocabEnc
+      .select(col("tok"), posexplode(col("subs")).as(Seq("q", "sym")))
+      .join(subIds, Seq("sym"))
+      .groupBy(col("tok"))
+      .agg(transform(array_sort(collect_list(struct(col("q"), col("id")))),
+        e => e.getField("id")).as("ids"))
+    withTokens(documents)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .join(tokIds, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("ids"))).as("n_subwords"),
+        concat_ws(",", transform(
+          flatten(transform(array_sort(collect_list(struct(col("p"), col("ids")))),
+            e => e.getField("ids"))),
+          id => id.cast("string"))).as("ids_csv"))
   }
 
   /** x38: statistical LM quality score (CCNet-style filter): train an

@@ -2387,35 +2387,146 @@ object ExtSql {
   // same literal replace — so the whole training trajectory must
   // agree, not just the final table.
 
-  private val x117 = {
+  /** The x117 training-chain CTE text (wcnt word counts, w0..wN
+    * delimited states, m1..mN argmax merges), shared by the trainer
+    * oracle (x117) and the encoder oracle (x197). `mat` adds
+    * AS MATERIALIZED (the x172 lesson): x197 references every m_i a
+    * second time from its encode chain, and DuckDB's per-reference
+    * CTE inlining would otherwise re-derive the training prefix for
+    * each one. */
+  private def bpeChainCtes(mat: Boolean): String = {
     val iters = TextAnalysis.BpeMerges
     val nl = "chr(10)"
+    val M = if (mat) " MATERIALIZED" else ""
     def stepCtes(i: Int): String =
-      raw"""p$i AS (
+      raw"""p$i AS$M (
            |  SELECT ss[j] AS l, ss[j + 1] AS r, sum(wc) AS cnt
            |  FROM (SELECT string_split(trim(state, $nl), $nl || $nl) AS ss, wc
            |        FROM w${i - 1}),
            |       unnest(range(1, len(ss))) AS t(j)
            |  GROUP BY 1, 2),
-           |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-           |w$i AS (
+           |m$i AS$M (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$i AS$M (
            |  SELECT replace(state, $nl || l || $nl || $nl || r || $nl,
            |                 $nl || l || r || $nl) AS state, wc
            |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    raw"""wcnt AS$M (
+         |  SELECT t AS w, count(*) AS wc
+         |  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),
+         |w0 AS$M (
+         |  SELECT $nl || array_to_string([w[i] for i in range(1, len(w) + 1)],
+         |                                $nl || $nl) || $nl AS state, wc
+         |  FROM wcnt),
+         |${(1 to iters).map(stepCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private val x117 = {
+    val iters = TextAnalysis.BpeMerges
     val finalSel = (1 to iters).map(i =>
       s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lsym, r AS rsym, " +
         s"CAST(cnt AS BIGINT) AS pair_count FROM m$i")
       .mkString("\n|UNION ALL ".stripMargin)
     raw"""WITH $toksCte,
-         |wcnt AS (
-         |  SELECT t AS w, count(*) AS wc
-         |  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),
-         |w0 AS (
-         |  SELECT $nl || array_to_string([w[i] for i in range(1, len(w) + 1)],
-         |                                $nl || $nl) || $nl AS state, wc
-         |  FROM wcnt),
-         |${(1 to iters).map(stepCtes).mkString(",\n")}
+         |${bpeChainCtes(mat = false)}
          |$finalSel""".stripMargin
+  }
+
+  // ---- x197 BPE corpus encode --------------------------------------
+  // Re-derives the full training chain (shared text with x117, with
+  // MATERIALIZED m/w CTEs), then encodes the DISTINCT vocabulary with
+  // the same nested-replace trick, assigns dense lexicographic subword
+  // ids (the x60 convention) and assembles per-doc id sequences.
+
+  private val x197 = {
+    val iters = TextAnalysis.BpeMerges
+    val nl = "chr(10)"
+    def encCtes(i: Int): String =
+      raw"""e$i AS MATERIALIZED (
+           |  SELECT w, replace(state, $nl || l || $nl || $nl || r || $nl,
+           |                 $nl || l || r || $nl) AS state
+           |  FROM e${i - 1} CROSS JOIN m$i)""".stripMargin
+    raw"""WITH $toksCte,
+         |${bpeChainCtes(mat = true)},
+         |e0 AS MATERIALIZED (
+         |  SELECT w, $nl || array_to_string([w[i] for i in range(1, len(w) + 1)],
+         |                                   $nl || $nl) || $nl AS state
+         |  FROM wcnt),
+         |${(1 to iters).map(encCtes).mkString(",\n")},
+         |enc AS MATERIALIZED (
+         |  SELECT w, string_split(trim(state, $nl), $nl || $nl) AS subs
+         |  FROM e$iters),
+         |sid AS MATERIALIZED (
+         |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id
+         |  FROM (SELECT DISTINCT unnest(subs) AS sym FROM enc)),
+         |posts AS (
+         |  SELECT doc_id, j AS p, toks[j] AS w
+         |  FROM tok, unnest(range(1, len(toks) + 1)) AS t(j)),
+         |ps AS (
+         |  SELECT doc_id, p, q, subs[q] AS sym
+         |  FROM (SELECT doc_id, p, subs FROM posts JOIN enc USING (w)),
+         |       unnest(range(1, len(subs) + 1)) AS t(q))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+         |       array_to_string(list(id ORDER BY p, q), ',') AS ids_csv
+         |FROM ps JOIN sid USING (sym)
+         |GROUP BY 1""".stripMargin
+  }
+
+  // ---- x198 hybrid BM25+ANN retrieval with RRF fusion --------------
+  // Both legs re-derive their audited oracles (the x11 text embeds as
+  // a MATERIALIZED CTE — the x190 pattern; the lexical leg is the x51
+  // formula with the probe docs' own distinct terms as the query
+  // batch, self-matches excluded). Fusion = FULL OUTER on (q_id, doc)
+  // with exact-integer RRF contributions (RrfScale // (K + rank)).
+
+  private val x198 = {
+    import graft.ops.Search.{RrfK, RrfScale, ScoreScale, TopK, K1, B}
+    val stride = Similarity.QueryStride
+    raw"""WITH $toksCte,
+         |ann AS MATERIALIZED ($x11),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |n AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl),
+         |tfg AS MATERIALIZED (
+         |  SELECT doc_id, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
+         |qt AS (
+         |  SELECT doc_id AS q_id, tok AS term FROM tfg
+         |  WHERE doc_id % $stride = 0),
+         |dfq AS (
+         |  SELECT tok, count(*) AS df FROM tfg
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |contrib AS (
+         |  SELECT q.q_id, t.doc_id,
+         |         CAST(floor(ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+         |                    * (t.tf * ${K1 + 1}) / (t.tf + $K1 * ((1.0 - $B)
+         |                       + $B * (dl.dl::DOUBLE * n.n_docs / n.total_toks)))
+         |                    * $ScoreScale + 0.5) AS BIGINT) AS fp
+         |  FROM qt q JOIN tfg t ON t.tok = q.term
+         |       JOIN dfq f ON f.tok = t.tok
+         |       JOIN dl ON dl.doc_id = t.doc_id
+         |       CROSS JOIN n
+         |  WHERE q.q_id <> t.doc_id),
+         |lex AS MATERIALIZED (
+         |  SELECT q_id, doc_id, rnk FROM (
+         |    SELECT q_id, doc_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY total DESC, doc_id) AS rnk
+         |    FROM (SELECT q_id, doc_id, CAST(sum(fp) AS BIGINT) AS total
+         |          FROM contrib GROUP BY 1, 2))
+         |  WHERE rnk <= $TopK),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, a.q_id) AS q_id,
+         |         coalesce(l.doc_id, a.vec_id) AS doc_id,
+         |         l.rnk AS lex_rnk, a.rnk AS ann_rnk,
+         |         coalesce($RrfScale // ($RrfK + l.rnk), 0)
+         |           + coalesce($RrfScale // ($RrfK + a.rnk), 0) AS rrf_i
+         |  FROM lex l FULL OUTER JOIN ann a
+         |    ON l.q_id = a.q_id AND l.doc_id = a.vec_id)
+         |SELECT q_id, doc_id, lex_rnk, ann_rnk,
+         |       ${round4(s"rrf_i::DOUBLE / $RrfScale")} AS rrf,
+         |       CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY rrf_i DESC, doc_id) AS rnk FROM fused)
+         |WHERE rnk <= $TopK""".stripMargin
   }
 
   // ---- x118 UniMax budget allocation -------------------------------
@@ -4270,6 +4381,8 @@ object ExtSql {
     "x194_revenue_bridge" -> x194,
     "x195_ship_delay"     -> x195,
     "x196_return_rank"    -> x196,
+    "x197_bpe_encode"     -> x197,
+    "x198_hybrid_rrf"     -> x198,
     "x191_top_triples"    -> x191,
     "x192_seasonal_anom"  -> x192,
     "x193_weekly_psi"     -> x193,

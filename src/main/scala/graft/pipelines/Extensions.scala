@@ -87,6 +87,16 @@ object Extensions {
       ck
     })
 
+  /** ONE x117 BPE training run per (session, dir) — the learned merge
+    * table is a driver-side 8-row list (the loop's per-iteration
+    * argmax collects run at query CONSTRUCTION, so plan-level cache
+    * reuse can't dedupe it); shared by the trainer output (x117) and
+    * the corpus encoder (x197). */
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, String, String, Long)]]
+  private def bpeShared(s: SparkSession, d: String): Seq[(Long, String, String, Long)] =
+    bpeMemo.getOrElseUpdate((s, d), TextAnalysis.bpeMergesList(docs(s, d)))
+
   /** The memos above hold persisted frames (and strong session
     * references) for the JVM lifetime BY DESIGN: the product surface
     * is the one-session Bench/Verify harness, where "session close"
@@ -107,6 +117,8 @@ object Extensions {
         session.sparkContext.getPersistentRDDs.get(id)
           .foreach(_.unpersist(blocking = false))))
     }
+    // driver-side merge lists hold no blocks, but do hold session refs
+    bpeMemo.keys.filter(_._1 eq session).foreach(bpeMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
   }
 
@@ -247,7 +259,7 @@ object Extensions {
     "x114_knn_graph"     -> ((s, d) => knnShared(s, d)),
     "x115_dsir_weights"  -> ((s, d) => graft.ops.QualityFilters.dsirWeights(docs(s, d))),
     "x116_reshard"       -> ((s, d) => graft.ops.Skew.reshardAudit(docs(s, d))),
-    "x117_bpe_train"     -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d))),
+    "x117_bpe_train"     -> ((s, d) => TextAnalysis.mergesToDF(s, bpeShared(s, d))),
     "x118_unimax"        -> ((s, d) => graft.ops.QualityFilters.unimaxAlloc(docs(s, d))),
     "x119_compaction"    -> ((s, d) => graft.ops.Olap.compactionPlan(Tables.lineitem(s, d))),
     "x120_schema_evol"   -> schemaEvolution _,
@@ -341,7 +353,11 @@ object Extensions {
     "x195_ship_delay"    -> ((s, d) =>
       graft.ops.Olap.shipDelay(Tables.lineitem(s, d), Tables.orders(s, d))),
     "x196_return_rank"   -> ((s, d) =>
-      graft.ops.Olap.returnRank(Tables.lineitem(s, d), Tables.part(s, d))))
+      graft.ops.Olap.returnRank(Tables.lineitem(s, d), Tables.part(s, d))),
+    "x197_bpe_encode"    -> ((s, d) => TextAnalysis.bpeEncode(docs(s, d),
+      bpeShared(s, d).map(m => (m._2, m._3)))),
+    "x198_hybrid_rrf"    -> ((s, d) => graft.ops.Search.hybridRrf(
+      docs(s, d), vecsShared(s, d), centsShared(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

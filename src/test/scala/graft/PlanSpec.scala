@@ -755,8 +755,8 @@ class PlanSpec extends SparkSpec {
     // the running windows live on the day-domain grid (their
     // SinglePartition is grid-sized by construction)
     val p180 = plan("x180_km_survival")
-    assert(!p180.contains("CartesianProduct") || p180.contains("BroadcastNestedLoop"),
-      s"KM scalars broadcast:\n$p180")
+    assert(!p180.contains("CartesianProduct"),
+      s"KM scalars must broadcast (BNLJ), never CartesianProduct:\n$p180")
     assert(p180.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
       s"per-user then per-day aggregates expected:\n$p180")
     // x181: the 1-row range table broadcasts; the corpus shuffles once
