@@ -217,4 +217,57 @@ object Graph {
         Portable.round4(col("s6").cast("double") / lit(AaScale).cast("double"))
           .as("aa_score"))
   }
+
+  /** Fixed synchronous label-propagation rounds (both engines run
+    * exactly this many — the KmeansIters convention, NOT a fixpoint:
+    * synchronous LPA can 2-cycle on bipartite structures, so a
+    * convergence gate would be ill-posed; fixed-round labels are the
+    * deterministic cross-engine contract). */
+  val LpaRounds = 4
+
+  /** x201: COMMUNITY DETECTION by synchronous label propagation
+    * (Raghavan et al. '07) over the x114 mutual-kNN graph — the
+    * community layer on top of the existing graph battery (x30/x97
+    * find CONNECTED components; this finds densely-linked groups
+    * inside them, the semantic clusters a curriculum/mixture designer
+    * samples from). Every node starts as its own label; each round
+    * every node adopts the most frequent label among its NEIGHBORS
+    * (ties → smallest label). Output: (vec_id, community, community
+    * size) after [[LpaRounds]] rounds.
+    *
+    * Determinism: the per-node update is an exact-integer argmax
+    * (count desc, label asc) — a total order, identical in both
+    * engines; rounds are fixed, so the whole trajectory must agree
+    * (the x117 property).
+    *
+    * Scale: each round is ONE keyed join (edges ⋈ labels on the
+    * neighbor endpoint) + two hash aggregates — degree-bounded, no
+    * windows over unbounded partitions (the per-node argmax is a
+    * struct-min, map-side combinable). Labels persist per generation
+    * with the superseded one dropped ([[graft.ops.Similarity
+    * .kmeansCentroids]]'s protocol); at 100 TB the same loop runs
+    * with the edge list bucketed on u so the per-round join is
+    * shuffle-free. */
+  def lpaCommunitiesFrom(edges0: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val Array(ca, cb) = edges0.columns.take(2)
+    val e = Caching.temp(edges0.select(col(ca).as("u"), col(cb).as("v"))
+      .union(edges0.select(col(cb).as("u"), col(ca).as("v"))))
+    var labels = Caching.temp(e.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val next = Caching.temp(
+        e.join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .select(col("u"), struct((-col("cnt")).as("nc"), col("lbl")).as("sc"))
+          .groupBy(col("u")).agg(min(col("sc")).as("m"))
+          .select(col("u"), col("m.lbl").as("lbl")))
+      next.count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("u").as("vec_id"), col("lbl").as("community"),
+        col("community_size"))
+  }
 }

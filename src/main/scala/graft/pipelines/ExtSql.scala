@@ -162,6 +162,23 @@ object ExtSql {
 
   private val x5 = s"WITH $x5Ctes\n$x5Select"
 
+  // ---- x199 streaming near-dup ingest ------------------------------
+  // Batch-equivalence oracle for the AvailableNow run: the arriving
+  // slice's UNCAPPED bands (bands0 — membership probing is linear, the
+  // MaxBucket cap only guards pair-mining self-joins) inner-joined
+  // against the DISTINCT historical band store. The engine's streaming
+  // query is stateless/row-wise, so the batch derivation is exact.
+
+  private val x199 =
+    raw"""WITH $x5Ctes,
+         |hist AS (
+         |  SELECT DISTINCT band_idx, band_hash FROM bands0
+         |  WHERE doc_id % 3 <> 0)
+         |SELECT a.doc_id, a.band_idx, a.band_hash
+         |FROM (SELECT doc_id, band_idx, band_hash FROM bands0
+         |      WHERE doc_id % 3 = 0) a
+         |JOIN hist USING (band_idx, band_hash)""".stripMargin
+
   // ---- x6/x7 SimHash -----------------------------------------------
 
   private def simhashExpr(vals: String): String =
@@ -341,6 +358,105 @@ object ExtSql {
          |    SELECT p.q_id, cand.vec_id, ${cosExpr("p.qv", "p.qn", "cand.v", "cand.nrm")} AS cos_sim
          |    FROM probes p JOIN cand USING (cell) WHERE p.q_id <> cand.vec_id))
          |WHERE rnk <= ${Similarity.TopK}""".stripMargin
+  }
+
+  // ---- x200 IVF-PQ recall ------------------------------------------
+  // Mirrors Similarity.ivfPqRecall exactly: unit vectors → per-subspace
+  // deterministic-seed Lloyd codebooks (fixed-point means — the x11
+  // convention, with the subspace id as an extra grouping key) → PQ
+  // codes → IVF-probed ADC ranking on 1e-12-grid integer LUT entries →
+  // recall@k against the x10 brute baseline.
+
+  private val x200 = {
+    val M = Similarity.PqM; val sub = Similarity.PqSubDim
+    val ksub = Similarity.PqKsub; val iters = Similarity.PqIters
+    val stride = Similarity.SeedStride; val scale = Similarity.CentroidScale
+    val np = Similarity.NProbe; val k = Similarity.TopK
+    val qs = Similarity.QueryStride; val ki = Similarity.KmeansIters
+    def d2(a: String, b: String): String =
+      s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, $sub + 1)])"
+    // one PQ Lloyd step: assignment by (L2 asc, cid asc), then
+    // per-(m, code, dim) fixed-point means; empty codewords keep old
+    def pqAssignCte(books: String, out: String): String =
+      raw"""$out AS MATERIALIZED (
+           |  SELECT vec_id, m, cid AS code FROM (
+           |    SELECT vh.vec_id, b.m, b.cid,
+           |           row_number() OVER (PARTITION BY vh.vec_id, b.m
+           |             ORDER BY ${d2(s"vh.w[b.m*$sub+1 : b.m*$sub+$sub]", "b.cv")}, b.cid) AS rn
+           |    FROM vh CROSS JOIN $books b)
+           |  WHERE rn = 1)""".stripMargin
+    def stepCtes(i: Int): String =
+      raw"""${pqAssignCte(s"pb$i", s"pqa$i")},
+           |pqs$i AS (
+           |  SELECT m, code, u.d AS dim,
+           |         CAST(sum(CAST(floor(u.x * $scale) AS BIGINT)) AS BIGINT) AS cs,
+           |         count(*) AS n
+           |  FROM (SELECT a.m, a.code, vh.w[a.m*$sub+1 : a.m*$sub+$sub] AS swv
+           |        FROM pqa$i a JOIN vh USING (vec_id)),
+           |       unnest([{'d': i-1, 'x': swv[i]} for i in range(1, len(swv) + 1)]) AS t(u)
+           |  GROUP BY 1, 2, 3),
+           |pqn$i AS (
+           |  SELECT m, code AS cid,
+           |         list(cs::DOUBLE / (n * $scale)::DOUBLE ORDER BY dim) AS cv
+           |  FROM pqs$i GROUP BY 1, 2),
+           |pb${i + 1} AS MATERIALIZED (
+           |  SELECT o.m, o.cid, coalesce(nu.cv, o.cv) AS cv
+           |  FROM pb$i o LEFT JOIN pqn$i nu USING (m, cid))""".stripMargin
+    raw"""WITH $kmeansCandCtes,
+         |vh AS MATERIALIZED (
+         |  SELECT vec_id, [v[i] / nrm for i in range(1, ${dim + 1})] AS w FROM vn),
+         |pb0 AS MATERIALIZED (
+         |  SELECT mm.m, vec_id // $stride AS cid,
+         |         w[mm.m*$sub+1 : mm.m*$sub+$sub] AS cv
+         |  FROM vh, (SELECT unnest(range(0, $M)) AS m) mm
+         |  WHERE vec_id % $stride = 0 AND vec_id < ${stride.toLong * ksub}),
+         |${(0 until iters).map(stepCtes).mkString(",\n")},
+         |${pqAssignCte(s"pb$iters", "codes")},
+         |pqprobes AS MATERIALIZED (
+         |  SELECT q_id, cell FROM (
+         |    SELECT vn.vec_id AS q_id, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${cosExpr("vn.v", "vn.nrm", "c.cv", "c.cn")} DESC, c.cid) AS crnk
+         |    FROM vn CROSS JOIN
+         |      (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn FROM cent$ki) c
+         |    WHERE vn.vec_id % $qs = 0)
+         |  WHERE crnk <= $np),
+         |lut AS MATERIALIZED (
+         |  SELECT q.vec_id AS q_id, b.m, b.cid AS code,
+         |         CAST(floor(${d2(s"q.w[b.m*$sub+1 : b.m*$sub+$sub]", "b.cv")}
+         |                    * 1e12 + 0.5) AS BIGINT) AS pd12
+         |  FROM (SELECT vec_id, w FROM vh WHERE vec_id % $qs = 0) q
+         |       CROSS JOIN pb$iters b),
+         |adc AS MATERIALIZED (
+         |  SELECT p.q_id, c.vec_id, CAST(sum(l.pd12) AS BIGINT) AS ad
+         |  FROM pqprobes p JOIN cand c ON p.cell = c.cell AND p.q_id <> c.vec_id
+         |       JOIN codes USING (vec_id)
+         |       JOIN lut l ON l.q_id = p.q_id AND l.m = codes.m AND l.code = codes.code
+         |  GROUP BY 1, 2),
+         |pqtop AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rnk
+         |    FROM adc)
+         |  WHERE rnk <= $k),
+         |brute AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS q_id, vn.vec_id,
+         |             ${cosExpr("q.v", "q.nrm", "vn.v", "vn.nrm")} AS cos_sim
+         |      FROM (SELECT * FROM vn WHERE vec_id % $qs = 0) q CROSS JOIN vn
+         |      WHERE q.vec_id <> vn.vec_id))
+         |  WHERE rnk <= $k),
+         |common AS (
+         |  SELECT b.q_id, count(*) AS n_common
+         |  FROM brute b JOIN pqtop USING (q_id, vec_id) GROUP BY 1)
+         |SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |       CAST(coalesce(any_value(c.n_common), 0) AS BIGINT) AS n_common,
+         |       ${round4(s"coalesce(any_value(c.n_common), 0)::DOUBLE / $k")} AS recall
+         |FROM brute b LEFT JOIN common c USING (q_id)
+         |GROUP BY 1""".stripMargin
   }
 
   // ---- x12/x13 multimodal ------------------------------------------
@@ -2529,6 +2645,38 @@ object ExtSql {
          |WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ---- x201 label-propagation communities --------------------------
+  // Unrolled fixed-round chain over the x114 mutual-kNN edges; every
+  // CTE MATERIALIZED (the x172 lesson — inlining re-derives the knn
+  // mining per reference). Per-round argmax = (count DESC, label ASC),
+  // the engine's struct-min order.
+
+  private val x201 = {
+    val rounds = graft.ops.Graph.LpaRounds
+    def stepCtes(r: Int): String =
+      raw"""cnt$r AS MATERIALIZED (
+           |  SELECT e.u, l.lbl, count(*) AS cnt
+           |  FROM e JOIN l${r - 1} l ON e.v = l.u
+           |  GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (
+           |  SELECT u, lbl FROM (
+           |    SELECT u, lbl,
+           |           row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+           |    FROM cnt$r)
+           |  WHERE rn = 1)""".stripMargin
+    raw"""WITH knn AS MATERIALIZED ($x114),
+         |e AS MATERIALIZED (
+         |  SELECT vec_a AS u, vec_b AS v FROM knn
+         |  UNION ALL SELECT vec_b, vec_a FROM knn),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u, u AS lbl FROM e),
+         |${(1 to rounds).map(stepCtes).mkString(",\n")},
+         |sizes AS (
+         |  SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+         |  FROM l$rounds GROUP BY 1)
+         |SELECT l.u AS vec_id, l.lbl AS community, s.community_size
+         |FROM l$rounds l JOIN sizes s USING (lbl)""".stripMargin
+  }
+
   // ---- x118 UniMax budget allocation -------------------------------
   // Same two-window closed form over the size-sorted source frame;
   // all integer arithmetic (caps in tenths, floor-div fair share).
@@ -4383,6 +4531,9 @@ object ExtSql {
     "x196_return_rank"    -> x196,
     "x197_bpe_encode"     -> x197,
     "x198_hybrid_rrf"     -> x198,
+    "x199_neardup_ingest" -> x199,
+    "x200_ivfpq_recall"   -> x200,
+    "x201_lpa_communities" -> x201,
     "x191_top_triples"    -> x191,
     "x192_seasonal_anom"  -> x192,
     "x193_weekly_psi"     -> x193,

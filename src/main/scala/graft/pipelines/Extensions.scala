@@ -357,7 +357,13 @@ object Extensions {
     "x197_bpe_encode"    -> ((s, d) => TextAnalysis.bpeEncode(docs(s, d),
       bpeShared(s, d).map(m => (m._2, m._3)))),
     "x198_hybrid_rrf"    -> ((s, d) => graft.ops.Search.hybridRrf(
-      docs(s, d), vecsShared(s, d), centsShared(s, d))))
+      docs(s, d), vecsShared(s, d), centsShared(s, d))),
+    "x199_neardup_ingest" -> ((s, d) =>
+      graft.streaming.EventStream.nearDupIngestAvailableNow(s, d)),
+    "x200_ivfpq_recall"  -> ((s, d) =>
+      Similarity.ivfPqRecall(vecsShared(s, d), centsShared(s, d))),
+    "x201_lpa_communities" -> ((s, d) =>
+      graft.ops.Graph.lpaCommunitiesFrom(knnShared(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -377,6 +377,71 @@ object EventStream {
       StructField("fp", StringType)))).parquet(s"$base/data")
   }
 
+  /** NEAR-dup-on-ingest: extends [[ingestFilter]] from exact to NEAR
+    * duplicates — the arriving slice (doc_id % 3 == 0, the x32/x104
+    * incremental-corpus simulation) is MinHash-banded ROW-WISE (the
+    * x5 machinery from [[graft.ops.Dedup]], identical constants) and
+    * every band probed against the STATIC historical band store via a
+    * stream-static LEFT SEMI join on (band_idx, band_hash). Output:
+    * one row per (arriving doc, colliding band) — the near-dup
+    * SUSPECT log an ingest pipeline routes to batch verification
+    * (x5's Jaccard confirm); any shared band is candidate evidence,
+    * which is exactly LSH's contract.
+    *
+    * Row-wise and STATELESS (no watermark, no state store): banding
+    * is a per-row projection, the probe is an equi join against a
+    * static relation re-planned per micro-batch, so the output is
+    * order-independent and AvailableNow reproduces the batch answer
+    * exactly (the oracle proves it).
+    *
+    * Scale: the historical store is (band_idx, band_hash) DISTINCT —
+    * [[graft.ops.Dedup.Bands]] keys per historical doc, never the
+    * documents themselves — and the probe is keyed, never all-pairs.
+    * The store is UNCAPPED deliberately: the MaxBucket cap guards
+    * pair-MINING self-joins (m² blowup); a membership probe is linear
+    * per arriving band, and dropping boilerplate buckets here would
+    * silently wave boilerplate dups through the gate. */
+  def nearDupIngest(docStream: DataFrame, historicalBands: DataFrame): DataFrame = {
+    import graft.ops.Dedup
+    docStream.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.ops.TextAnalysis.shingles(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      // bases materialize as a real column before the k mixes (the
+      // minhashFromBases contract — inlined they re-md5 k times)
+      .select(col("doc_id"), transform(col("sh"), Dedup.shingleBase _).as("hb"))
+      .select(col("doc_id"),
+        posexplode(Dedup.bandHashes(Dedup.minhashFromBases(col("hb"))))
+          .as(Seq("band_idx", "band_hash")))
+      .select(col("doc_id"), col("band_idx").cast("long").as("band_idx"),
+        col("band_hash"))
+      .join(historicalBands, Seq("band_idx", "band_hash"), "left_semi")
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+  }
+
+  /** The historical (band_idx, band_hash) store for [[nearDupIngest]]:
+    * distinct LSH bands of the non-arriving corpus slice. */
+  def historicalBandStore(documents: DataFrame): DataFrame = {
+    import graft.ops.Dedup
+    Dedup.docShingles(documents.filter(col("doc_id") % 3 =!= 0))
+      .select(transform(col("sh"), Dedup.shingleBase _).as("hb"))
+      .select(posexplode(Dedup.bandHashes(Dedup.minhashFromBases(col("hb"))))
+        .as(Seq("band_idx", "band_hash")))
+      .select(col("band_idx").cast("long").as("band_idx"), col("band_hash"))
+      .distinct()
+  }
+
+  /** x199: [[nearDupIngest]] run to completion with AvailableNow. */
+  def nearDupIngestAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val base = sinkDir("neardup")
+    val hist = historicalBandStore(graft.sources.Tables.documents(s, dir))
+    runToParquet(nearDupIngest(readDocuments(s, dir), hist), base)
+    s.read.schema(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("band_idx", LongType),
+      StructField("band_hash", StringType)))).parquet(s"$base/data")
+  }
+
   /** x56: [[enrichedPurchases]] run to completion with AvailableNow —
     * a stream-static inner join emits exactly the batch join (the
     * static side is fully visible to every micro-batch). */

@@ -66,6 +66,29 @@ class EventStreamSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length === 1)
   }
 
+  test("streaming near-dup ingest flags bands shared with the historical store") {
+    implicit val sc = spark.sqlContext
+    // doc 0 (arriving, %3==0) repeats history doc 1's text verbatim →
+    // every one of its 4 LSH bands collides; doc 3's text shares no
+    // shingle with history → no band can collide (a band hash is a
+    // function of the shingle set alone, and the hash constants are
+    // fixed, so this is deterministic)
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (0L, "one two three four five"),
+      (3L, "totally different words over here now"))
+    val hist = EventStream.historicalBandStore(
+      Seq((1L, "one two three four five"), (2L, "unrelated history text entry"))
+        .toDF("doc_id", "text"))
+    val q = EventStream.nearDupIngest(in.toDF().toDF("doc_id", "text"), hist)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("neardup").as[(Long, Long, String)].collect()
+    assert(out.map(_._1).distinct.toSeq === Seq(0L))
+    assert(out.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("stateful sessionization closes sessions on gap within a batch") {
     implicit val sc = spark.sqlContext
     // offset from epoch: an event at exactly t=0 is "older than the

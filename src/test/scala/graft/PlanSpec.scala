@@ -808,6 +808,33 @@ class PlanSpec extends SparkSpec {
       s"never a vocabulary-wide window:\n$p183")
   }
 
+  test("x197-x201 round-6 batch: keyed joins, no all-pairs, bounded fan-outs") {
+    // x197: both corpus-scale joins (postings on tok, syms at vocab
+    // scale) are keyed; the 8 merges are nested replaces in the plan,
+    // never a join against a merge table
+    val p197 = plan("x197_bpe_encode")
+    assert(!p197.contains("CartesianProduct"), s"encode joins stay keyed:\n$p197")
+    assert(!p197.contains("windowspecdefinition(tok"),
+      s"never a vocabulary-wide window:\n$p197")
+    // x198: the only nested-loop is the ANN leg's broadcast centroid
+    // cross (K rows); the fusion is a keyed full-outer join
+    val p198 = plan("x198_hybrid_rrf")
+    assert(!p198.contains("CartesianProduct"),
+      s"fusion legs stay keyed (broadcast NLJ on K centroids only):\n$p198")
+    assert(p198.contains("FullOuter"), s"RRF fuses via full outer join:\n$p198")
+    // x200: codebooks/LUT are broadcast; candidate ADC joins are keyed
+    val p200 = plan("x200_ivfpq_recall")
+    assert(!p200.contains("CartesianProduct"),
+      s"PQ training/ADC must broadcast the codebook, never cartesian:\n$p200")
+    // x201: each LPA round is a keyed edge⋈label join (the loop runs
+    // at construction; the final plan is the size join over the last
+    // generation's cached labels)
+    val p201 = plan("x201_lpa_communities")
+    assert(!p201.contains("CartesianProduct"), s"LPA joins stay keyed:\n$p201")
+    assert(p201.contains("InMemoryTableScan"),
+      s"the final labels generation must come from the round cache:\n$p201")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan
