@@ -619,11 +619,12 @@ object Similarity {
     * on the corpus side. The full-vector corpus frame appears ONLY in
     * training/encoding; the query path reads codes. */
   def ivfPqRecall(vs: DataFrame, cents0: DataFrame,
-                  k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
+                  k: Int = TopK, nprobe: Int = NProbe,
+                  books: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Caching.temp(unitVectors(vs))
-    val books = pqCodebooks(w)
-    val codes = pqAssign(w, books)
+    val bk = books.getOrElse(pqCodebooks(w))
+    val codes = pqAssign(w, bk)
     // coarse IVF probes — the x11 derivation verbatim
     val cents = cents0.withColumn("cn", norm(col("cv")))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("cid").asc)
@@ -637,7 +638,7 @@ object Similarity {
       .select(col("q_id"), col("cid").as("cell"))
     val lut = w.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("q_id"), col("w").as("qw"))
-      .crossJoin(broadcast(books))
+      .crossJoin(broadcast(bk))
       .select(col("q_id"), col("m"), col("cid").as("code"),
         floor(d2(subSlice(col("qw"), col("m")), col("cv")) * 1e12 + 0.5)
           .cast("long").as("pd12"))

@@ -87,6 +87,25 @@ object Extensions {
       ck
     })
 
+  /** ONE PQ codebook training per (session, dir) — the x200 index's
+    * per-subspace Lloyd loop runs eagerly at query construction, so
+    * only a memo can dedupe it across bench passes (the centsMemo
+    * rationale, one compression level deeper). localCheckpoint for
+    * the same reason as the coarse quantizer; block ids tracked for
+    * [[clearMemos]]. */
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pqRddIds =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
+  private def pqBooksShared(s: SparkSession, d: String): DataFrame =
+    pqMemo.getOrElseUpdate((s, d), {
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val ck = Similarity.pqCodebooks(
+        Similarity.unitVectors(vecsShared(s, d))).localCheckpoint()
+      pqRddIds((s, d)) = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      ck
+    })
+
   /** ONE x117 BPE training run per (session, dir) — the learned merge
     * table is a driver-side 8-row list (the loop's per-iteration
     * argmax collects run at query CONSTRUCTION, so plan-level cache
@@ -104,7 +123,8 @@ object Extensions {
     * through this object in one long-lived JVM must call this when a
     * session ends, or the cached corpus-sized shingle frames leak. */
   def clearMemos(session: SparkSession): Unit = {
-    Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo).foreach { memo =>
+    Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo)
+      .foreach { memo =>
       memo.keys.filter(_._1 eq session).foreach { k =>
         memo.remove(k).foreach(_.unpersist(blocking = false))
       }
@@ -112,11 +132,12 @@ object Extensions {
     // the centroid checkpoint blocks need RDD-level unpersist (ADVICE
     // r4): Dataset.unpersist above is a no-op for them, and without
     // this the release would wait on ContextCleaner GC
-    centsRddIds.keys.filter(_._1 eq session).foreach { k =>
-      centsRddIds.remove(k).foreach(_.foreach(id =>
-        session.sparkContext.getPersistentRDDs.get(id)
-          .foreach(_.unpersist(blocking = false))))
-    }
+    Seq(centsRddIds, pqRddIds).foreach(reg =>
+      reg.keys.filter(_._1 eq session).foreach { k =>
+        reg.remove(k).foreach(_.foreach(id =>
+          session.sparkContext.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(blocking = false))))
+      })
     // driver-side merge lists hold no blocks, but do hold session refs
     bpeMemo.keys.filter(_._1 eq session).foreach(bpeMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
@@ -358,10 +379,14 @@ object Extensions {
       bpeShared(s, d).map(m => (m._2, m._3)))),
     "x198_hybrid_rrf"    -> ((s, d) => graft.ops.Search.hybridRrf(
       docs(s, d), vecsShared(s, d), centsShared(s, d))),
+    // the historical band store rides the shared shingle memo (one
+    // tokenize+shingle scan per session/dir, like x5/x25/x37)
     "x199_neardup_ingest" -> ((s, d) =>
-      graft.streaming.EventStream.nearDupIngestAvailableNow(s, d)),
+      graft.streaming.EventStream.nearDupIngestAvailableNow(
+        s, d, Some(shinglesShared(s, d)))),
     "x200_ivfpq_recall"  -> ((s, d) =>
-      Similarity.ivfPqRecall(vecsShared(s, d), centsShared(s, d))),
+      Similarity.ivfPqRecall(vecsShared(s, d), centsShared(s, d),
+        books = Some(pqBooksShared(s, d)))),
     "x201_lpa_communities" -> ((s, d) =>
       graft.ops.Graph.lpaCommunitiesFrom(knnShared(s, d))))
 

@@ -420,10 +420,13 @@ object EventStream {
   }
 
   /** The historical (band_idx, band_hash) store for [[nearDupIngest]]:
-    * distinct LSH bands of the non-arriving corpus slice. */
-  def historicalBandStore(documents: DataFrame): DataFrame = {
+    * distinct LSH bands of the non-arriving corpus slice, derived
+    * from a pre-materialized (doc_id, sh) shingle frame — callers
+    * with the x5/x25 shingle memo pass it so the tokenize+shingle+md5
+    * scan runs once per (session, dir), not per stream start. */
+  def historicalBandStoreFrom(shingles: DataFrame): DataFrame = {
     import graft.ops.Dedup
-    Dedup.docShingles(documents.filter(col("doc_id") % 3 =!= 0))
+    shingles.filter(col("doc_id") % 3 =!= 0)
       .select(transform(col("sh"), Dedup.shingleBase _).as("hb"))
       .select(posexplode(Dedup.bandHashes(Dedup.minhashFromBases(col("hb"))))
         .as(Seq("band_idx", "band_hash")))
@@ -431,10 +434,16 @@ object EventStream {
       .distinct()
   }
 
+  /** [[historicalBandStoreFrom]] over raw documents (tests). */
+  def historicalBandStore(documents: DataFrame): DataFrame =
+    historicalBandStoreFrom(graft.ops.Dedup.docShingles(documents))
+
   /** x199: [[nearDupIngest]] run to completion with AvailableNow. */
-  def nearDupIngestAvailableNow(s: SparkSession, dir: String): DataFrame = {
+  def nearDupIngestAvailableNow(s: SparkSession, dir: String,
+                                shingles: Option[DataFrame] = None): DataFrame = {
     val base = sinkDir("neardup")
-    val hist = historicalBandStore(graft.sources.Tables.documents(s, dir))
+    val hist = shingles.map(historicalBandStoreFrom).getOrElse(
+      historicalBandStore(graft.sources.Tables.documents(s, dir)))
     runToParquet(nearDupIngest(readDocuments(s, dir), hist), base)
     s.read.schema(StructType(Seq(
       StructField("doc_id", LongType),

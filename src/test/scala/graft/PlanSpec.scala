@@ -828,11 +828,15 @@ class PlanSpec extends SparkSpec {
       s"PQ training/ADC must broadcast the codebook, never cartesian:\n$p200")
     // x201: each LPA round is a keyed edge⋈label join (the loop runs
     // at construction; the final plan is the size join over the last
-    // generation's cached labels)
+    // generation's CHECKPOINTED labels — lineage truncated per round,
+    // so the visible plan is shallow: a leaf RDD scan, never the
+    // unrolled 4-round join tree)
     val p201 = plan("x201_lpa_communities")
     assert(!p201.contains("CartesianProduct"), s"LPA joins stay keyed:\n$p201")
-    assert(p201.contains("InMemoryTableScan"),
-      s"the final labels generation must come from the round cache:\n$p201")
+    assert(p201.contains("Scan ExistingRDD"),
+      s"the final labels generation must be a checkpointed leaf:\n$p201")
+    assert(!p201.contains("windowspecdefinition"),
+      s"the per-node argmax is a struct-min aggregate, not a window:\n$p201")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {
