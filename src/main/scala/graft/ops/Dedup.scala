@@ -201,6 +201,42 @@ object Dedup {
       .distinct()
   }
 
+  /** x205: CROSS-SPLIT near-dup CONFIRMATION — the batch verifier
+    * behind the x199 streaming suspect log: every (arriving,
+    * historical) pair sharing an LSH band (same split convention —
+    * arriving = doc_id % 3 == 0) is exact-Jaccard-verified at the x5
+    * threshold. x199 flags suspects in-stream with band evidence
+    * only; this is the periodic batch pass that turns the suspect
+    * queue into confirmed (doc_new, doc_hist, jaccard) dedup actions.
+    *
+    * Scale: identical blocking economics to x5 (the MaxBucket cap
+    * applies — this IS pair mining, unlike x199's linear membership
+    * probe; oversize boilerplate buckets drop as there), except the
+    * join is arriving×historical instead of the full self-join, so
+    * candidate volume is bounded by the slice product per bucket. */
+  def ingestConfirmFrom(sh: DataFrame,
+                        threshold: Double = JaccardThreshold,
+                        maxBucket: Int = MaxBucket): DataFrame = {
+    val banded = Caching.temp(sh
+      .select(col("doc_id"), col("sh"), transform(col("sh"), shingleBase _).as("hb"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(bandHashes(minhashFromBases(col("hb")))).as(Seq("band_idx", "band_hash"))))
+    // the cap counts the WHOLE bucket (both splits), mirroring x5 —
+    // the oracle's bands CTE is shared verbatim
+    val bands = banded.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    bands.alias("l").join(bands.alias("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") % 3 === 0 && col("r.doc_id") % 3 =!= 0)
+      .select(col("l.doc_id").as("doc_new"), col("r.doc_id").as("doc_hist"),
+        jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
   /** x128: MinHash ESTIMATOR CALIBRATION — for every LSH candidate
     * pair (same banding as x5, but NOT threshold-filtered: calibration
     * needs the misses too), the number of agreeing signature

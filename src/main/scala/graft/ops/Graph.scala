@@ -250,7 +250,11 @@ object Graph {
     * re-analysis dominates — measured 53 s → 8 s at sf0.1 for the
     * identical four rounds); at 100 TB the same loop runs with the
     * edge list bucketed on u so the per-round join is shuffle-free. */
-  def lpaCommunitiesFrom(edges0: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+  /** The [[lpaCommunitiesFrom]] loop itself, returning the final
+    * (u, lbl) generation — a CHECKPOINTED leaf, so callers (x201's
+    * size join, x202's modularity audit, the Extensions memo) compose
+    * on a stable frame without re-running the rounds. */
+  def lpaLabels(edges0: DataFrame, rounds: Int = LpaRounds): DataFrame = {
     val Array(ca, cb) = edges0.columns.take(2)
     val e = Caching.temp(edges0.select(col(ca).as("u"), col(cb).as("v"))
       .union(edges0.select(col(cb).as("u"), col(ca).as("v"))))
@@ -264,9 +268,63 @@ object Graph {
         .select(col("u"), col("m.lbl").as("lbl"))
         .localCheckpoint() // eager: materializes + truncates lineage
     }
+    labels
+  }
+
+  def lpaCommunitiesFrom(edges0: DataFrame, rounds: Int = LpaRounds): DataFrame =
+    lpaCommunitiesFromLabels(lpaLabels(edges0, rounds))
+
+  /** x201's output shape over pre-computed labels. */
+  def lpaCommunitiesFromLabels(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("lbl"))
       .select(col("u").as("vec_id"), col("lbl").as("community"),
         col("community_size"))
+  }
+
+  /** x202: MODULARITY AUDIT of a community assignment (Newman '06) —
+    * the quality number for x201's partition: per community c,
+    * contribution Q_c = e_c/m − (d_c/2m)², where e_c = intra-community
+    * undirected edges, d_c = degree sum, m = total edges; Σ Q_c is the
+    * partition's modularity (dense-inside/sparse-between partitions
+    * score high, a random cut scores ≈ 0). The go/no-go read before
+    * communities feed a sampler or curriculum.
+    *
+    * Determinism: every count is an exact integer; the contribution is
+    * computed as the exact integer 4m·e_c − d_c² over the exact
+    * denominator 4m², divided once and 4dp-rounded (identical
+    * expression order in both engines). The integer legs stay inside
+    * BIGINT up to m ≈ 2³⁰ edges (4m·e_c < 2⁶³); past that, swap both
+    * engines to DECIMAL(38,0)/HUGEINT operands — the x177 convention.
+    *
+    * Scale: one keyed join of the (a < b) edge list against the label
+    * table per endpoint (labels broadcast when community-count-sized;
+    * here keyed — edges shuffle once per side), then community-keyed
+    * aggregates. Nothing beyond the edge list is ever materialized. */
+  def modularityFrom(edges0: DataFrame, labels: DataFrame): DataFrame = {
+    val Array(ca, cb) = edges0.columns.take(2)
+    val e = Caching.temp(edges0.select(col(ca).as("a"), col(cb).as("b")))
+    val la = labels.select(col("u").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("u").as("b"), col("lbl").as("lb"))
+    val tagged = Caching.temp(e.join(la, Seq("a")).join(lb, Seq("b")))
+    val m = tagged.agg(count(lit(1)).as("m"))
+    val intra = tagged.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("internal_edges"))
+    val degs = tagged.select(col("la").as("lbl"))
+      .union(tagged.select(col("lb")))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("degree_sum"))
+    val members = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    members
+      .join(degs, Seq("lbl"), "left")
+      .join(intra, Seq("lbl"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("lbl").as("community"), col("n_members"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        Portable.round4(
+          (lit(4L) * col("m") * coalesce(col("internal_edges"), lit(0L)) -
+            coalesce(col("degree_sum"), lit(0L)) * coalesce(col("degree_sum"), lit(0L)))
+            .cast("double") / (lit(4L) * col("m") * col("m")).cast("double"))
+          .as("q_contrib"))
   }
 }

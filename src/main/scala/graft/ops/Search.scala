@@ -168,4 +168,49 @@ object Search {
         Portable.round4(col("rrf_i").cast("double") / RrfScale).as("rrf"),
         col("rnk"))
   }
+
+  /** x204: FUSION EVALUATION — recall@k of the ANN-only leg (x11) and
+    * the fused hybrid list (x198) against the exact cosine ground
+    * truth (x10), per probe. fused_recall − ann_recall is the
+    * measured effect of the fusion (the x190 evaluation, applied to
+    * the retrieval stack's top layer instead of the index).
+    *
+    * READ THE SIGN CAREFULLY: against a COSINE ground truth this
+    * difference is negative by construction whenever the lexical leg
+    * carries signal the dense metric doesn't — RRF interleaves ~k/2
+    * candidates from each leg, so agreement with the dense-only
+    * oracle drops toward 0.5 exactly when fusion is doing its job
+    * (measured: ann 0.75 avg vs fused 0.50 flat at sf0.1). The
+    * operator's value is making that trade VISIBLE: against a human
+    * relevance ground truth the sign flips — this harness slot is
+    * where such labels plug in, with the cosine truth as the
+    * always-available default.
+    *
+    * Scale: all three inputs are existing top-k outputs (k rows per
+    * probe); the overlaps are (q_id, id)-keyed equi joins and
+    * probe-keyed aggregates — nothing corpus-sized happens here
+    * beyond the three retrieval runs themselves, which reuse the
+    * shared projection/quantizer memos. */
+  def fusionEval(documents: DataFrame, vs: DataFrame, cents: DataFrame,
+                 k: Int = TopK): DataFrame = {
+    val brute = Caching.temp(Similarity.annBruteFrom(vs, k)
+      .select(col("q_id"), col("vec_id")))
+    val ann = Similarity.annIvfFrom(vs, cents, k)
+      .select(col("q_id"), col("vec_id"))
+    val fused = hybridRrf(documents, vs, cents, k)
+      .select(col("q_id"), col("doc_id").as("vec_id"))
+    val nb = brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+    val ah = brute.join(ann, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("ann_hits"))
+    val fh = brute.join(fused, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("fused_hits"))
+    nb.join(ah, Seq("q_id"), "left").join(fh, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_brute"),
+        coalesce(col("ann_hits"), lit(0L)).as("ann_hits"),
+        coalesce(col("fused_hits"), lit(0L)).as("fused_hits"),
+        Portable.round4(coalesce(col("ann_hits"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("ann_recall"),
+        Portable.round4(coalesce(col("fused_hits"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("fused_recall"))
+  }
 }

@@ -684,15 +684,24 @@ object TextAnalysis {
     * regardless of merge count. The merge table itself is a driver
     * list folded into the expression tree (≪ kB — the "broadcast" is
     * the plan), never a join. */
-  def bpeEncode(documents: DataFrame,
-                merges: Seq[(String, String)]): DataFrame = {
+  /** The DISTINCT vocabulary encoded by a merge table: (tok, subs) —
+    * the shared first stage of [[bpeEncode]] (x197) and
+    * [[bpeCompressionStats]] (x203). Map-only: the merges nest as
+    * literal replaces in one projection. */
+  def encodedVocab(documents: DataFrame,
+                   merges: Seq[(String, String)]): DataFrame = {
     val nl = "\n"
     val stateInit = concat(lit(nl), array_join(split(col("tok"), ""), nl + nl), lit(nl))
     val encState = merges.foldLeft(stateInit) { case (c, (l, r)) =>
       replace(c, lit(nl + l + nl + nl + r + nl), lit(nl + l + r + nl)) }
-    val vocabEnc = Caching.temp(withTokens(documents)
+    withTokens(documents)
       .select(explode(col("toks")).as("tok")).distinct()
-      .select(col("tok"), split(btrim(encState, lit(nl)), nl + nl).as("subs")))
+      .select(col("tok"), split(btrim(encState, lit(nl)), nl + nl).as("subs"))
+  }
+
+  def bpeEncode(documents: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    val vocabEnc = Caching.temp(encodedVocab(documents, merges))
     val subIds = Ranking.globalRowNumber(
       vocabEnc.select(explode(col("subs")).as("sym")).distinct(),
       Seq(col("sym")), "r")
@@ -712,6 +721,47 @@ object TextAnalysis {
           flatten(transform(array_sort(collect_list(struct(col("p"), col("ids")))),
             e => e.getField("ids"))),
           id => id.cast("string"))).as("ids_csv"))
+  }
+
+  /** x203: TOKENIZER COMPRESSION REPORT — per source: characters,
+    * whitespace tokens, subwords after applying the x117 merges, and
+    * the two ratios a tokenizer ships or dies by (chars/subword = the
+    * fertility-inverse that sets context-window economics;
+    * subwords/token = how much the merges actually compressed the
+    * whitespace baseline). The per-SOURCE grain is the point: a
+    * tokenizer trained on the mixture can compress one source well
+    * and fragment another, and this is the table that shows it.
+    *
+    * Determinism: all counts exact integers; two final 4dp divisions.
+    * Scale: subword counts come from the DISTINCT vocabulary
+    * ([[encodedVocab]], map-only) joined to the token postings — one
+    * postings shuffle + two hash aggregates; the id-assembly stage of
+    * x197 is skipped entirely (stats need counts, not sequences). */
+  def bpeCompressionStats(documents: DataFrame,
+                          merges: Seq[(String, String)]): DataFrame = {
+    val vocabEnc = encodedVocab(documents, merges)
+      .select(col("tok"), size(col("subs")).cast("long").as("ns"))
+    val perDoc = withTokens(documents)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(vocabEnc, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("ns")).as("n_subs"))
+    documents
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("nc"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_subs")), lit(0L)).as("n_subwords"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_tokens"), col("n_subwords"),
+        when(col("n_subwords") > 0, Portable.round4(
+          col("n_chars").cast("double") / col("n_subwords").cast("double")))
+          .as("chars_per_subword"),
+        when(col("n_tokens") > 0, Portable.round4(
+          col("n_subwords").cast("double") / col("n_tokens").cast("double")))
+          .as("subwords_per_token"))
   }
 
   /** x38: statistical LM quality score (CCNet-style filter): train an

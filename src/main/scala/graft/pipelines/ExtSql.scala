@@ -2553,7 +2553,10 @@ object ExtSql {
   // the same nested-replace trick, assigns dense lexicographic subword
   // ids (the x60 convention) and assembles per-doc id sequences.
 
-  private val x197 = {
+  /** Training chain + vocabulary-encode chain ending at
+    * `enc(w, subs)` — shared by the id-sequence oracle (x197) and
+    * the compression report (x203). */
+  private lazy val bpeEncCtes: String = {
     val iters = TextAnalysis.BpeMerges
     val nl = "chr(10)"
     def encCtes(i: Int): String =
@@ -2561,8 +2564,7 @@ object ExtSql {
            |  SELECT w, replace(state, $nl || l || $nl || $nl || r || $nl,
            |                 $nl || l || r || $nl) AS state
            |  FROM e${i - 1} CROSS JOIN m$i)""".stripMargin
-    raw"""WITH $toksCte,
-         |${bpeChainCtes(mat = true)},
+    raw"""${bpeChainCtes(mat = true)},
          |e0 AS MATERIALIZED (
          |  SELECT w, $nl || array_to_string([w[i] for i in range(1, len(w) + 1)],
          |                                   $nl || $nl) || $nl AS state
@@ -2570,7 +2572,12 @@ object ExtSql {
          |${(1 to iters).map(encCtes).mkString(",\n")},
          |enc AS MATERIALIZED (
          |  SELECT w, string_split(trim(state, $nl), $nl || $nl) AS subs
-         |  FROM e$iters),
+         |  FROM e$iters)""".stripMargin
+  }
+
+  private lazy val x197 = {
+    raw"""WITH $toksCte,
+         |$bpeEncCtes,
          |sid AS MATERIALIZED (
          |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id
          |  FROM (SELECT DISTINCT unnest(subs) AS sym FROM enc)),
@@ -2645,13 +2652,81 @@ object ExtSql {
          |WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ---- x203 tokenizer compression report ---------------------------
+  // Same training+encode chain as x197; the aggregate skips the
+  // id-assembly stage (stats need counts, not sequences).
+
+  private lazy val x203 =
+    raw"""WITH $toksCte,
+         |$bpeEncCtes,
+         |ns AS (SELECT w, len(subs) AS ns FROM enc),
+         |perdoc AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n_toks, CAST(sum(ns.ns) AS BIGINT) AS n_subs
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM tok) p
+         |       JOIN ns USING (w)
+         |  GROUP BY 1)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+         |       CAST(coalesce(sum(p.n_toks), 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(sum(p.n_subs), 0) AS BIGINT) AS n_subwords,
+         |       CASE WHEN coalesce(sum(p.n_subs), 0) > 0
+         |            THEN ${round4("sum(length(d.text))::DOUBLE / sum(p.n_subs)::DOUBLE")}
+         |            END AS chars_per_subword,
+         |       CASE WHEN coalesce(sum(p.n_toks), 0) > 0
+         |            THEN ${round4("sum(p.n_subs)::DOUBLE / sum(p.n_toks)::DOUBLE")}
+         |            END AS subwords_per_token
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |GROUP BY 1""".stripMargin
+
+  // ---- x204 retrieval-fusion evaluation ----------------------------
+  // recall@k of the ANN leg and the fused list against the exact
+  // cosine ground truth — the three retrieval oracles embed verbatim.
+
+  private lazy val x204 = {
+    val k = graft.ops.Search.TopK
+    raw"""WITH gt AS MATERIALIZED ($x10),
+         |ivftop AS MATERIALIZED ($x11),
+         |fusedtop AS MATERIALIZED ($x198),
+         |nb AS (SELECT q_id, count(*) AS n_brute FROM gt GROUP BY 1),
+         |ah AS (
+         |  SELECT b.q_id, count(*) AS ann_hits
+         |  FROM gt b JOIN ivftop a ON b.q_id = a.q_id AND b.vec_id = a.vec_id
+         |  GROUP BY 1),
+         |fh AS (
+         |  SELECT b.q_id, count(*) AS fused_hits
+         |  FROM gt b JOIN fusedtop f ON b.q_id = f.q_id AND b.vec_id = f.doc_id
+         |  GROUP BY 1)
+         |SELECT nb.q_id, CAST(nb.n_brute AS BIGINT) AS n_brute,
+         |       CAST(coalesce(ah.ann_hits, 0) AS BIGINT) AS ann_hits,
+         |       CAST(coalesce(fh.fused_hits, 0) AS BIGINT) AS fused_hits,
+         |       ${round4(s"coalesce(ah.ann_hits, 0)::DOUBLE / $k")} AS ann_recall,
+         |       ${round4(s"coalesce(fh.fused_hits, 0)::DOUBLE / $k")} AS fused_recall
+         |FROM nb LEFT JOIN ah USING (q_id) LEFT JOIN fh USING (q_id)""".stripMargin
+  }
+
+  // ---- x205 cross-split near-dup confirmation ----------------------
+  // The x5 capped band chain verbatim; the join is arriving(%3==0) ×
+  // historical instead of the full self-join.
+
+  private lazy val x205 =
+    raw"""WITH $x5Ctes
+         |SELECT DISTINCT doc_new, doc_hist, jaccard FROM (
+         |  SELECT l.doc_id AS doc_new, r.doc_id AS doc_hist, $jaccardExpr AS jaccard
+         |  FROM bands l JOIN bands r
+         |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         |   AND l.doc_id % 3 = 0 AND r.doc_id % 3 <> 0)
+         |WHERE jaccard >= ${Dedup.JaccardThreshold}""".stripMargin
+
   // ---- x201 label-propagation communities --------------------------
   // Unrolled fixed-round chain over the x114 mutual-kNN edges; every
   // CTE MATERIALIZED (the x172 lesson — inlining re-derives the knn
   // mining per reference). Per-round argmax = (count DESC, label ASC),
   // the engine's struct-min order.
 
-  private val x201 = {
+  /** The x201 fixed-round LPA chain (knn edges → symmetrized e →
+    * l0..lN label generations), shared by the community listing
+    * (x201) and the modularity audit (x202). */
+  private lazy val lpaChainCtes: String = {
     val rounds = graft.ops.Graph.LpaRounds
     def stepCtes(r: Int): String =
       raw"""cnt$r AS MATERIALIZED (
@@ -2664,18 +2739,55 @@ object ExtSql {
            |           row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
            |    FROM cnt$r)
            |  WHERE rn = 1)""".stripMargin
-    raw"""WITH knn AS MATERIALIZED ($x114),
+    raw"""knn AS MATERIALIZED ($x114),
          |e AS MATERIALIZED (
          |  SELECT vec_a AS u, vec_b AS v FROM knn
          |  UNION ALL SELECT vec_b, vec_a FROM knn),
          |l0 AS MATERIALIZED (SELECT DISTINCT u, u AS lbl FROM e),
-         |${(1 to rounds).map(stepCtes).mkString(",\n")},
+         |${(1 to rounds).map(stepCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val lpaFinal = s"l${graft.ops.Graph.LpaRounds}"
+
+  private lazy val x201 =
+    raw"""WITH $lpaChainCtes,
          |sizes AS (
          |  SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
-         |  FROM l$rounds GROUP BY 1)
+         |  FROM $lpaFinal GROUP BY 1)
          |SELECT l.u AS vec_id, l.lbl AS community, s.community_size
-         |FROM l$rounds l JOIN sizes s USING (lbl)""".stripMargin
-  }
+         |FROM $lpaFinal l JOIN sizes s USING (lbl)""".stripMargin
+
+  // ---- x202 modularity audit of the x201 partition -----------------
+  // Q_c computed as the exact integer (4m·e_c − d_c²) over 4m² —
+  // identical expression order to Graph.modularityFrom.
+
+  private lazy val x202 =
+    raw"""WITH $lpaChainCtes,
+         |tagged AS MATERIALIZED (
+         |  SELECT la.lbl AS la, lb.lbl AS lb
+         |  FROM knn k JOIN $lpaFinal la ON k.vec_a = la.u
+         |             JOIN $lpaFinal lb ON k.vec_b = lb.u),
+         |m AS (SELECT count(*) AS m FROM tagged),
+         |intra AS (
+         |  SELECT la AS lbl, count(*) AS internal_edges
+         |  FROM tagged WHERE la = lb GROUP BY 1),
+         |degs AS (
+         |  SELECT lbl, count(*) AS degree_sum FROM (
+         |    SELECT la AS lbl FROM tagged UNION ALL SELECT lb FROM tagged)
+         |  GROUP BY 1),
+         |members AS (
+         |  SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM $lpaFinal GROUP BY 1)
+         |SELECT mb.lbl AS community, mb.n_members,
+         |       CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+         |       CAST(coalesce(dg.degree_sum, 0) AS BIGINT) AS degree_sum,
+         |       ${round4("(4 * m.m * coalesce(i.internal_edges, 0) - " +
+               "coalesce(dg.degree_sum, 0) * coalesce(dg.degree_sum, 0))::DOUBLE " +
+               "/ (4 * m.m * m.m)::DOUBLE")} AS q_contrib
+         |FROM members mb
+         |LEFT JOIN degs dg USING (lbl)
+         |LEFT JOIN intra i USING (lbl)
+         |CROSS JOIN m""".stripMargin
 
   // ---- x118 UniMax budget allocation -------------------------------
   // Same two-window closed form over the size-sorted source frame;
@@ -4534,6 +4646,10 @@ object ExtSql {
     "x199_neardup_ingest" -> x199,
     "x200_ivfpq_recall"   -> x200,
     "x201_lpa_communities" -> x201,
+    "x202_modularity"     -> x202,
+    "x203_bpe_compression" -> x203,
+    "x204_fusion_eval"    -> x204,
+    "x205_ingest_confirm" -> x205,
     "x191_top_triples"    -> x191,
     "x192_seasonal_anom"  -> x192,
     "x193_weekly_psi"     -> x193,

@@ -106,6 +106,22 @@ object Extensions {
       ck
     })
 
+  /** ONE LPA round-loop per (session, dir) — the x201 label frame is
+    * a checkpointed leaf shared by the community listing (x201) and
+    * the modularity audit (x202); the loop's per-round checkpoints
+    * run eagerly at construction, so only a memo dedupes them. */
+  private val lpaMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val lpaRddIds =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
+  private def lpaShared(s: SparkSession, d: String): DataFrame =
+    lpaMemo.getOrElseUpdate((s, d), {
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val labels = graft.ops.Graph.lpaLabels(knnShared(s, d))
+      lpaRddIds((s, d)) = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      labels
+    })
+
   /** ONE x117 BPE training run per (session, dir) — the learned merge
     * table is a driver-side 8-row list (the loop's per-iteration
     * argmax collects run at query CONSTRUCTION, so plan-level cache
@@ -132,7 +148,7 @@ object Extensions {
     // the centroid checkpoint blocks need RDD-level unpersist (ADVICE
     // r4): Dataset.unpersist above is a no-op for them, and without
     // this the release would wait on ContextCleaner GC
-    Seq(centsRddIds, pqRddIds).foreach(reg =>
+    Seq(centsRddIds, pqRddIds, lpaRddIds).foreach(reg =>
       reg.keys.filter(_._1 eq session).foreach { k =>
         reg.remove(k).foreach(_.foreach(id =>
           session.sparkContext.getPersistentRDDs.get(id)
@@ -388,7 +404,15 @@ object Extensions {
       Similarity.ivfPqRecall(vecsShared(s, d), centsShared(s, d),
         books = Some(pqBooksShared(s, d)))),
     "x201_lpa_communities" -> ((s, d) =>
-      graft.ops.Graph.lpaCommunitiesFrom(knnShared(s, d))))
+      graft.ops.Graph.lpaCommunitiesFromLabels(lpaShared(s, d))),
+    "x202_modularity"    -> ((s, d) =>
+      graft.ops.Graph.modularityFrom(knnShared(s, d), lpaShared(s, d))),
+    "x203_bpe_compression" -> ((s, d) => TextAnalysis.bpeCompressionStats(
+      docs(s, d), bpeShared(s, d).map(m => (m._2, m._3)))),
+    "x204_fusion_eval"   -> ((s, d) => graft.ops.Search.fusionEval(
+      docs(s, d), vecsShared(s, d), centsShared(s, d))),
+    "x205_ingest_confirm" -> ((s, d) =>
+      Dedup.ingestConfirmFrom(shinglesShared(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

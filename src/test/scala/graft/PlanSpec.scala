@@ -837,6 +837,27 @@ class PlanSpec extends SparkSpec {
       s"the final labels generation must be a checkpointed leaf:\n$p201")
     assert(!p201.contains("windowspecdefinition"),
       s"the per-node argmax is a struct-min aggregate, not a window:\n$p201")
+    // x202: keyed label joins over the checkpointed generation
+    val p202 = plan("x202_modularity")
+    assert(!p202.contains("CartesianProduct"),
+      s"modularity joins stay keyed:\n$p202")
+    assert(p202.contains("Scan ExistingRDD"),
+      s"labels must come from the checkpointed LPA leaf:\n$p202")
+    // x203: vocab-keyed postings join, no sequence assembly
+    val p203 = plan("x203_bpe_compression")
+    assert(!p203.contains("CartesianProduct"),
+      s"compression stats join on the token key:\n$p203")
+    assert(!p203.contains("collect_list"),
+      s"stats must skip the x197 id-assembly stage:\n$p203")
+    // x204: three top-k frames fused by keyed joins (the only NLJ is
+    // the legs' broadcast centroid cross)
+    val p204 = plan("x204_fusion_eval")
+    assert(!p204.contains("CartesianProduct"),
+      s"fusion eval overlaps are keyed equi joins:\n$p204")
+    // x205: band-keyed candidate join, never all-pairs
+    val p205 = plan("x205_ingest_confirm")
+    assert(!p205.contains("CartesianProduct"),
+      s"confirmation pairs join on the band key:\n$p205")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {

@@ -341,4 +341,59 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       assert(got === expected, s"seed $seed")
     }
   }
+
+  test("distributed LPA equals the in-memory synchronous reference on random graphs") {
+    for (seed <- Seq(5L, 23L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = (0 until 60).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // in-memory synchronous neighbor-majority, tie -> min label
+      val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = adj.keys.map(u => u -> u).toMap
+      for (_ <- 1 to graft.ops.Graph.LpaRounds) {
+        lbl = adj.map { case (u, nbrs) =>
+          val counts = nbrs.groupBy(lbl).view.mapValues(_.size).toMap
+          val best = counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+          u -> best
+        }
+      }
+      val got = graft.ops.Graph.lpaLabels(edges.toDF("vec_a", "vec_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === lbl, s"seed $seed")
+    }
+  }
+
+  test("distributed BPE encode equals the in-memory greedy reference on random corpora") {
+    for (seed <- Seq(13L, 57L)) {
+      val docs = corpus(seed, 25)
+        .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val merges = graft.ops.TextAnalysis.bpeMergesList(docs, iters = 5)
+        .map(m => (m._2, m._3))
+      // in-memory greedy left-to-right merge application per token
+      def applyMerge(syms: List[String], l: String, r: String): List[String] =
+        syms match {
+          case a :: b :: rest if a == l && b == r => (l + r) :: applyMerge(rest, l, r)
+          case a :: rest => a :: applyMerge(rest, l, r)
+          case Nil => Nil
+        }
+      def encodeTok(tok: String): List[String] =
+        merges.foldLeft(tok.split("").toList) { case (s, (l, r)) => applyMerge(s, l, r) }
+      val texts = corpus(seed, 25).map { case (id, t, _) => id -> t }.toMap
+      val allSubs = texts.values.flatMap(_.split("\\s+").filter(_.nonEmpty))
+        .toSet[String].flatMap(encodeTok)
+      val ids = allSubs.toSeq.sorted.zipWithIndex.toMap
+      val expected = texts.map { case (id, t) =>
+        val subs = t.split("\\s+").filter(_.nonEmpty).toList.flatMap(encodeTok)
+        (id, subs.length.toLong, subs.map(ids).mkString(","))
+      }.toSet
+      val got = graft.ops.TextAnalysis.bpeEncode(docs, merges)
+        .as[(Long, Long, String)].collect().toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
 }
