@@ -81,6 +81,16 @@ object Search {
         col("rnk"))
   }
 
+  /** Per-probe query-term budget for [[docProbeBm25]]: each probe doc
+    * queries with its top-[[QTermCap]] terms by (tf desc, term asc) —
+    * the x25 df-cap philosophy applied to the query side. Uncapped,
+    * the saturated-vocab worst case (every term matching ~1/|vocab|
+    * of all postings) makes the contrib join Θ(|probes|·|terms|·
+    * postings-per-term): measured ~750 M rows / 63 s at sf1 on the
+    * ~31-word fixture. The cap bounds it at |probes|·QTermCap·df and
+    * keeps the high-tf terms that dominate the BM25 totals anyway. */
+  val QTermCap = 16
+
   /** RRF rank constant (Cormack et al. '09 default). */
   val RrfK = 60
   /** Fixed-point grid for RRF contributions (integer division — the
@@ -89,22 +99,28 @@ object Search {
 
   /** Document-as-query BM25 leg for [[hybridRrf]]: each probe doc
     * (the x11 stride — ids ≡ 0 mod [[Similarity.QueryStride]]) queries
-    * the corpus with its own DISTINCT terms; scoring is [[bm25Search]]
-    * verbatim (same constants, same fixed association order, same
-    * 1e-7-grid integer contributions), self-matches excluded to mirror
-    * the ANN leg.
+    * the corpus with its top-[[QTermCap]] terms (tf desc, term asc —
+    * see the cap's scaladoc for the worst-case bound it buys);
+    * scoring is [[bm25Search]] verbatim (same constants, same fixed
+    * association order, same 1e-7-grid integer contributions),
+    * self-matches excluded to mirror the ANN leg.
     *
     * Scale: unlike x51's workload-bounded query batch, the probe-term
     * frame scales with corpus/stride — so it joins the postings KEYED
     * on the term (no broadcast), and the per-query top-k is a
     * WindowGroupLimit-pruned partitioned window. */
-  def docProbeBm25(documents: DataFrame, k: Int = TopK): DataFrame = {
+  def docProbeBm25(documents: DataFrame, k: Int = TopK,
+                   termCap: Int = QTermCap): DataFrame = {
     val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
     val dl = Caching.temp(TextAnalysis.withTokens(documents)
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
     val stats = broadcast(dl.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("tok").asc)
     val qterms = tf.filter(col("doc_id") % Similarity.QueryStride === 0)
+      .withColumn("trn", row_number().over(wq))
+      .filter(col("trn") <= termCap)
       .select(col("doc_id").as("q_id"), col("tok").as("term"))
     val dfq = tf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -2602,7 +2602,7 @@ object ExtSql {
   // with exact-integer RRF contributions (RrfScale // (K + rank)).
 
   private val x198 = {
-    import graft.ops.Search.{RrfK, RrfScale, ScoreScale, TopK, K1, B}
+    import graft.ops.Search.{RrfK, RrfScale, ScoreScale, TopK, K1, B, QTermCap}
     val stride = Similarity.QueryStride
     raw"""WITH $toksCte,
          |ann AS MATERIALIZED ($x11),
@@ -2612,8 +2612,12 @@ object ExtSql {
          |  SELECT doc_id, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
          |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
          |qt AS (
-         |  SELECT doc_id AS q_id, tok AS term FROM tfg
-         |  WHERE doc_id % $stride = 0),
+         |  SELECT q_id, term FROM (
+         |    SELECT doc_id AS q_id, tok AS term,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY tf DESC, tok) AS trn
+         |    FROM tfg WHERE doc_id % $stride = 0)
+         |  WHERE trn <= $QTermCap),
          |dfq AS (
          |  SELECT tok, count(*) AS df FROM tfg
          |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
