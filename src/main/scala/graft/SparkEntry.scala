@@ -12,8 +12,9 @@ object SparkEntry {
     SlValidation.mainFinalQ(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (parity) and
-    * the beyond-reference extension track (keys x1–x201 — 214
-    * oracle-checked queries in total: 13 parity + 201 extension). */
+    * the beyond-reference extension track — the authoritative count is
+    * `queries.size` (13 parity + everything [[Extensions.queries]]
+    * carries); every key is oracle-checked via [[oracleSql]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = parity ++ Extensions.queries
 
   private def parity: Map[String, (SparkSession, String) => DataFrame] = Map(

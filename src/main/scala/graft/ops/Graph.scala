@@ -256,17 +256,35 @@ object Graph {
     * on a stable frame without re-running the rounds. */
   def lpaLabels(edges0: DataFrame, rounds: Int = LpaRounds): DataFrame = {
     val Array(ca, cb) = edges0.columns.take(2)
+    val sc = edges0.sparkSession.sparkContext
     val e = Caching.temp(edges0.select(col(ca).as("u"), col(cb).as("v"))
       .union(edges0.select(col(cb).as("u"), col(ca).as("v"))))
-    var labels = e.select(col("u")).distinct()
-      .select(col("u"), col("u").as("lbl")).localCheckpoint()
+    // Superseded-generation reaping (ADVICE r6): each eager
+    // localCheckpoint is backed by persisted RDD blocks that
+    // Dataset.unpersist can NOT release, so the previous generation's
+    // blocks are freed by id via the public getPersistentRDDs registry
+    // once the next generation has materialized (the [[pqCodebooks]]
+    // persist-chain protocol, at the RDD level). Only the FINAL
+    // generation's blocks survive the call — intermediates are never
+    // referenced again.
+    var prevIds: Set[Int] = Set.empty
+    def ckpt(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager: materializes + truncates lineage
+      val newIds = sc.getPersistentRDDs.keySet.toSet -- before
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+      prevIds = newIds
+      out
+    }
+    var labels = ckpt(e.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl")))
     for (_ <- 1 to rounds) {
-      labels = e.join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
+      labels = ckpt(e.join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .select(col("u"), struct((-col("cnt")).as("nc"), col("lbl")).as("sc"))
         .groupBy(col("u")).agg(min(col("sc")).as("m"))
-        .select(col("u"), col("m.lbl").as("lbl"))
-        .localCheckpoint() // eager: materializes + truncates lineage
+        .select(col("u"), col("m.lbl").as("lbl")))
     }
     labels
   }

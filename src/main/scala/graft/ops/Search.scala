@@ -168,9 +168,9 @@ object Search {
     * neither rescanned nor re-trained for the dense leg. */
   def hybridRrf(documents: DataFrame, vs: DataFrame, cents: DataFrame,
                 k: Int = TopK): DataFrame = {
-    val ann = Similarity.annIvfFrom(vs, cents)
+    val ann = Similarity.annIvfFrom(vs, cents, k) // k forwarded (ADVICE r6)
       .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk").as("ann_rnk"))
-    val lex = docProbeBm25(documents)
+    val lex = docProbeBm25(documents, k)
       .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
     val fused = lex.join(ann, Seq("q_id", "doc_id"), "full_outer")
       .select(col("q_id"), col("doc_id"), col("lex_rnk"), col("ann_rnk"),

@@ -139,7 +139,10 @@ object Extensions {
     * through this object in one long-lived JVM must call this when a
     * session ends, or the cached corpus-sized shingle frames leak. */
   def clearMemos(session: SparkSession): Unit = {
-    Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo)
+    Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo,
+        lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
+                 // session ref AND a memoized frame whose checkpoint
+                 // blocks the loop below frees — an unrecoverable read
       .foreach { memo =>
       memo.keys.filter(_._1 eq session).foreach { k =>
         memo.remove(k).foreach(_.unpersist(blocking = false))
