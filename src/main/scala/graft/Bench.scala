@@ -1,10 +1,15 @@
 package graft
 
+import java.lang.management.ManagementFactory
 import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.graftbench.ListenerDrain
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Driver-run benchmark: times every SparkEntry query. Protocol
   * (round-5 hardening):
@@ -29,16 +34,41 @@ import org.apache.spark.sql.SparkSession
   *    rows/bytes, spill, post-query storage residency) lives in
   *    `target/bench.json` only.
   *
-  * Telemetry: a [[SparkListener]] accumulates per-stage shuffle
-  * read/write bytes+records and spill; per (query, pass) deltas are
-  * attributed after a listener-bus drain (see
-  * [[org.apache.spark.graftbench.ListenerDrain]]) so async stage
-  * events land on the query that ran them. Post-query storage
-  * residency (`sc.getRDDStorageInfo`) is snapshotted AFTER the
-  * operator-local cache reap, so the ledger shows exactly which
-  * pipeline-level caches were resident when each query finished —
-  * the instrument VERDICT r4 asked for to attribute the x41
-  * regression and the suite-head cache-thrash hypothesis.
+  * ROUND-7 ATTRIBUTION TELEMETRY (VERDICT r6 task 1: the driver's r6
+  * run charged the parity composites 10x their standalone cost with
+  * near-zero shuffle — a suite-context effect, not a plan change, so
+  * the ledger now records WHERE non-executor time goes per query):
+  *  - `gc_ms` per pass: collector-time delta over every
+  *    [[java.lang.management.GarbageCollectorMXBean]] — heap-pressure
+  *    wall-clock is now visible per query, not inferred;
+  *  - `phase_ms` (min pass): Catalyst driver-phase durations from
+  *    [[org.apache.spark.sql.catalyst.QueryPlanningTracker]] via a
+  *    [[QueryExecutionListener]] (analysis / optimization / planning),
+  *    plus the action's own duration — separates "the driver was
+  *    re-analyzing a 40-join composite" from "the executors were slow";
+  *  - `load_avg` at each query's end and per-pass: 1-min system load
+  *    from the OS MXBean — a 32-thread local-mode suite on a busy host
+  *    shows 3-6x pass-to-pass swings (x111 39→6.4 s in the r6 driver
+  *    ledger); the load trace proves/disproves host contention;
+  *  - `heap_mb_after` per query and per-pass boundary.
+  *
+  * ROUND-7 RESIDENCY BOUNDING (VERDICT r6 tasks 1-2): a long-lived
+  * local-mode driver accumulates broadcast blocks and shuffle state
+  * that only ContextCleaner can reap — and ContextCleaner only acts
+  * when a GC actually collects the dead references, which a 28 GB
+  * heap can defer for most of the suite. Two bounds:
+  *  - `spark.cleaner.periodicGC.interval=1min` (default 30min — never
+  *    fires inside one bench run): the knob Spark ships for exactly
+  *    this long-lived-big-heap driver shape;
+  *  - an explicit System.gc() at each pass boundary, so every pass
+  *    starts from a reaped baseline and the pass-boundary ledger rows
+  *    record how much debris the pass accumulated;
+  *  - optionally (`SPARK_GRAFT_EVICT_BETWEEN_PASSES=1`) the
+  *    session-lifetime extension memos are dropped at pass boundaries
+  *    ([[graft.pipelines.Extensions.clearMemos]]), making each pass an
+  *    independent bounded-residency epoch — the sf1 protocol, where
+  *    pass-2 collapses under accumulated memo pressure were measured
+  *    (x25 97.6→206.9 s in the r6 sf1 table).
   */
 object Bench {
 
@@ -65,18 +95,51 @@ object Bench {
       writeBytes.get, writeRecords.get, spillBytes.get)
   }
 
-  /** One query's ledger row: per-pass seconds plus the telemetry of
-    * the pass that produced the min. */
+  /** Suite-lifetime Catalyst phase-time totals (ms) from every
+    * completed query execution; snapshot+diff per query, same
+    * discipline as [[StageTotals]]. Delivery rides the shared async
+    * listener bus, so the same [[ListenerDrain]] flush covers it. */
+  private final class PhaseTotals extends QueryExecutionListener {
+    private val acc = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+    private def add(phase: String, ms: Long): Unit =
+      acc.computeIfAbsent(phase, _ => new AtomicLong).addAndGet(ms)
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit = {
+      qe.tracker.phases.foreach { case (p, s) => add(p, s.durationMs) }
+      add("action_total", durationNs / 1000000L)
+    }
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           error: Exception): Unit = ()
+    def snap: Map[String, Long] = acc.asScala.map { case (k, v) => k -> v.get }.toMap
+  }
+
+  /** One query's ledger row: per-pass seconds + GC ms, plus the
+    * telemetry of the pass that produced the min. */
   private final case class Row(
       var best: Double = Double.NaN,
       val passSecs: collection.mutable.ArrayBuffer[Double] = collection.mutable.ArrayBuffer(),
+      val passGcMs: collection.mutable.ArrayBuffer[Long] = collection.mutable.ArrayBuffer(),
       var tele: Vector[Long] = Vector.fill(5)(0L),
-      var storageMbAfter: Double = 0.0)
+      var phaseMs: Map[String, Long] = Map.empty,
+      var storageMbAfter: Double = 0.0,
+      var heapMbAfter: Double = 0.0,
+      var loadAvg: Double = 0.0)
+
+  private def gcMsNow: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  private def loadNow: Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+  private def heapMbNow: Double = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory - rt.freeMemory) / 1e6
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val evictBetweenPasses =
+      sys.env.getOrElse("SPARK_GRAFT_EVICT_BETWEEN_PASSES", "0") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,6 +151,10 @@ object Bench {
       // sizing shuffle.partitions to the data, not the core count.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // residency bound (r7): ContextCleaner can only reap dead
+      // broadcast/shuffle state after a GC notices the references died;
+      // the 30min default means that never happens inside one suite run
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts (ns)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -97,14 +164,19 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     val totals = new StageTotals
     spark.sparkContext.addSparkListener(totals)
+    val phases = new PhaseTotals
+    spark.listenerManager.register(phases)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val rows = collection.mutable.LinkedHashMap[String, Row](names.map(_ -> Row()): _*)
     val errs = collection.mutable.LinkedHashMap.empty[String, String]
+    val passMeta = collection.mutable.ArrayBuffer.empty[String]
 
     def runOne(name: String): Unit = {
       ListenerDrain.drain(spark.sparkContext)
       val before = totals.snap
+      val phBefore = phases.snap
+      val gcBefore = gcMsNow
       val t0 = System.nanoTime()
       // noop sink: forces FULL evaluation of every output column —
       // count() would let Catalyst prune projected computations and
@@ -116,9 +188,14 @@ object Bench {
         ListenerDrain.drain(spark.sparkContext)
         val row = rows(name)
         row.passSecs += dt
+        row.passGcMs += (gcMsNow - gcBefore)
         if (row.best.isNaN || dt < row.best) {
           row.best = dt
           row.tele = totals.snap.lazyZip(before).map(_ - _)
+          val phAfter = phases.snap
+          row.phaseMs = phAfter.map { case (k, v) =>
+            k -> (v - phBefore.getOrElse(k, 0L)) }.filter(_._2 != 0)
+          row.loadAvg = loadNow
         }
       } catch { case e: Throwable =>
         errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -130,35 +207,70 @@ object Bench {
         graft.ops.Caching.reapTemps()
         // post-reap residency = the pipeline-level caches alive at this
         // point of the suite (the eviction diagnosis instrument)
-        rows(name).storageMbAfter =
+        val row = rows(name)
+        row.storageMbAfter =
           spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+        row.heapMbAfter = heapMbNow
       }
     }
 
-    for (_ <- 1 to passes; name <- names) runOne(name)
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
+    /** Pass boundary: flush listeners, optionally evict the
+      * session-lifetime memos, force one full GC so ContextCleaner
+      * reaps dead broadcast/shuffle state, and record the boundary. */
+    def passBoundary(pass: Int, passT0: Long, passGc0: Long): Unit = {
+      ListenerDrain.drain(spark.sparkContext)
+      if (evictBetweenPasses) {
+        graft.pipelines.Extensions.clearMemos(spark)
+        spark.catalog.clearCache()
+      }
+      val heapBefore = heapMbNow
+      System.gc()
+      val secs = (System.nanoTime() - passT0) / 1e9
+      passMeta += s"""{"pass":$pass,"secs":${r3(secs)},"gc_ms":${gcMsNow - passGc0},""" +
+        s""""heap_mb_before_gc":${r3(heapBefore)},"heap_mb_after_gc":${r3(heapMbNow)},""" +
+        s""""load_avg":${r3(loadNow)}}"""
+    }
+
+    for (p <- 1 to passes) {
+      val passT0 = System.nanoTime(); val passGc0 = gcMsNow
+      for (name <- names) runOne(name)
+      passBoundary(p, passT0, passGc0)
+    }
     // min-of-3 for the noise-dominated sub-second rows
-    for (name <- names if !rows(name).best.isNaN && rows(name).best < 1.0) runOne(name)
+    locally {
+      val passT0 = System.nanoTime(); val passGc0 = gcMsNow
+      for (name <- names if !rows(name).best.isNaN && rows(name).best < 1.0) runOne(name)
+      passBoundary(passes + 1, passT0, passGc0)
+    }
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    def r3(d: Double): Double = math.rint(d * 1000) / 1000
     val ok = rows.filterNot { case (_, r) => r.best.isNaN }
     val total = ok.values.map(_.best).sum
     val es = errs.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val qs = ok.map { case (k, r) => s""""${esc(k)}":${r.best}""" }.mkString("{", ",", "}")
     val teleJson = ok.map { case (k, r) =>
       val t = r.tele
+      val ph = r.phaseMs.toSeq.sortBy(_._1)
+        .map { case (p, ms) => s""""${esc(p)}":$ms""" }.mkString("{", ",", "}")
       s""""${esc(k)}":{"passes":[${r.passSecs.map(r3).mkString(",")}],""" +
+        s""""gc_ms":[${r.passGcMs.mkString(",")}],"phase_ms":$ph,""" +
         s""""shuffle_read_mb":${r3(t(0) / 1e6)},"shuffle_read_rows":${t(1)},""" +
         s""""shuffle_write_mb":${r3(t(2) / 1e6)},"shuffle_write_rows":${t(3)},""" +
-        s""""spill_mb":${r3(t(4) / 1e6)},"storage_mb_after":${r3(r.storageMbAfter)}}"""
+        s""""spill_mb":${r3(t(4) / 1e6)},"storage_mb_after":${r3(r.storageMbAfter)},""" +
+        s""""heap_mb_after":${r3(r.heapMbAfter)},"load_avg":${r3(r.loadAvg)}}"""
     }.mkString("{", ",", "}")
-    val noise = "min over " + passes + " passes; +1 extra pass (min-of-3) for queries under 1s"
+    val noise = "min over " + passes + " passes; +1 extra pass (min-of-3) for queries under 1s" +
+      (if (evictBetweenPasses) "; memos+caches evicted at pass boundaries" else "")
     val ledger =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,""" +
-        s""""passes":$passes,"noise":"${esc(noise)}","telemetry":$teleJson,"sf":"${esc(sfDir)}"}"""
+        s""""passes":$passes,"noise":"${esc(noise)}","pass_meta":[${passMeta.mkString(",")}],""" +
+        s""""evict_between_passes":$evictBetweenPasses,""" +
+        s""""telemetry":$teleJson,"sf":"${esc(sfDir)}"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, ledger + "\n")

@@ -1,25 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc single-query timer: runMain graft.QTime <sfDir> <name>... */
+/** Ad-hoc single-query timer: runMain graft.QTime <sfDir> <name>...
+  *
+  * Round-7 protocol (VERDICT r6 task 2): two passes with the
+  * session-lifetime extension memos EVICTED at the pass boundary
+  * ([[graft.pipelines.Extensions.clearMemos]] + catalog cache clear +
+  * one forced GC so ContextCleaner reaps dead broadcast/shuffle
+  * state). Without the eviction, pass 2 at sf1 ran under the
+  * accumulated memo residency of pass 1 and collapsed (x25 97.6 →
+  * 206.9 s in the r6 table) — each pass is now an independent
+  * bounded-residency epoch, so pass-to-pass swings measure warm-up
+  * and host noise, not accumulation. Disable with
+  * SPARK_GRAFT_EVICT_BETWEEN_PASSES=0 to reproduce the accumulation
+  * regime. */
 object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val evict = sys.env.getOrElse("SPARK_GRAFT_EVICT_BETWEEN_PASSES", "1") == "1"
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // same AQE wide-start posture as Bench — measurements must match
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      .config("spark.cleaner.periodicGC.interval", "1min") // same as Bench
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (pass <- 1 to 2; n <- args.drop(1)) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[qtime] pass$pass $n%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-      graft.ops.Caching.reapTemps() // same per-query protocol as Bench
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    for (pass <- 1 to 2) {
+      for (n <- args.drop(1)) {
+        val gc0 = gcMs
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[qtime] pass$pass $n%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+          f"  gc=${gcMs - gc0}%5d ms")
+        graft.ops.Caching.reapTemps() // same per-query protocol as Bench
+      }
+      if (evict && pass == 1) {
+        graft.pipelines.Extensions.clearMemos(spark)
+        spark.catalog.clearCache()
+        System.gc()
+        println("[qtime] pass boundary: memos+caches evicted, GC forced")
+      }
     }
     spark.stop()
   }

@@ -923,6 +923,92 @@ object Dedup {
             s => s.getField("tok")), " ")).as("clean_fp"))
   }
 
+  /** x206: minimum repeat length (tokens) for [[exactSubstrSpans]] —
+    * the Lee et al. '22 ExactSubstr threshold (arXiv:2107.06499 §4.1:
+    * 50 tokens). The operator's ONLY parameter: unlike x90's fixed
+    * k-window report, nothing else tunes what gets found. */
+  val ExactSubstrTokens = 50
+
+  /** x206: EXACT SUBSTRING DEDUP REGIONS — the full Lee et al. rule:
+    * every MAXIMAL token range in which each position is covered by
+    * some duplicated substring of ≥ [[ExactSubstrTokens]] tokens, with
+    * its exact extent (one row per (doc, maximal span)). This is the
+    * suffix-array result: in a suffix array over the concatenated
+    * corpus, a position starts a duplicated ≥L-substring iff its
+    * SA-adjacent neighbor shares an LCP ≥ L — and "LCP ≥ L with some
+    * other suffix" partitions suffixes into EQUAL-FIRST-L-TOKEN
+    * classes. The SA's total order is unnecessary work for that
+    * predicate, so this pass replaces the range-partitioned global
+    * suffix sort with a hash aggregation on the md5 of each suffix's
+    * first L tokens ([[spanWindows]] — linear explode, fixed-width
+    * keys): a class with ≥ 2 members is exactly an SA run with
+    * internal LCPs ≥ L. Consecutive duplicated suffix starts then
+    * merge into maximal spans (gaps-and-islands over pos, per doc) —
+    * correct because every L-window inside a repeated M-token passage
+    * (M ≥ L) is itself repeated, so maximal repeats surface with
+    * their full extent, no window-size parameter to tune. The
+    * equivalence to a literal suffix-array + LCP reference is pinned
+    * by a randomized property ([[graft.RandomizedEquivalenceSpec]]).
+    *
+    * Scale: one linear window explode (md5 keys, never text), one
+    * map-side-combinable fp aggregate, one fp semi-join back, and a
+    * per-DOCUMENT islands window (partitions bounded by document
+    * length, never corpus-wide) — each stage linear in corpus tokens;
+    * a global suffix sort would shuffle the same rows through a range
+    * partitioner for strictly more work. */
+  def exactSubstrSpans(documents: DataFrame,
+                       minTokens: Int = ExactSubstrTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = Caching.temp(spanWindows(documents, minTokens))
+    val dupFps = wins.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select(col("fp"))
+    val starts = wins.join(dupFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    starts
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + minTokens - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"),
+        col("n_windows"))
+  }
+
+  /** x209: DUPLICATED-TOKEN RATE per source — the corpus-level
+    * go/no-go number the Lee et al. pipeline reports before/after
+    * dedup: the fraction of each source's tokens covered by some
+    * duplicated ≥[[ExactSubstrTokens]]-token substring. The x206
+    * maximal spans are DISJOINT per document by construction (islands
+    * of consecutive duplicated starts), so coverage is an exact sum
+    * of span lengths — no per-token explode, no distinct.
+    *
+    * Scale: the x206 pass plus one doc-keyed aggregate, one left join
+    * back to the document scan, and a ≤|sources|-key hash aggregate —
+    * everything after the span pass is linear and map-side
+    * combinable. */
+  def dupRateBySource(documents: DataFrame,
+                      minTokens: Int = ExactSubstrTokens): DataFrame = {
+    val perDoc = exactSubstrSpans(documents, minTokens)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("dup_toks"), count(lit(1)).as("n_spans"))
+    TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        coalesce(sum(col("dup_toks")), lit(0L)).as("n_dup_tokens"),
+        coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_dup_tokens"), col("n_spans"),
+        when(col("n_tokens") > 0, Portable.round4(
+          col("n_dup_tokens").cast("double") / col("n_tokens").cast("double")))
+          .as("dup_rate"))
+  }
+
   /** x32: INCREMENTAL exact dedup — the pattern a growing corpus runs
     * daily: a new batch is admitted only where its canonical
     * fingerprint is unseen in the accumulated state table, and

@@ -304,6 +304,51 @@ object QualityFilters {
         round4(col("alloc_tokens").cast("double") / col("n_tokens")).as("epochs"))
   }
 
+  // ---- x210 curriculum mix table -----------------------------------
+
+  /** x210: CURRICULUM MIX TABLE — the sampler input that fuses the
+    * engine's three corpus-organization axes: semantic community
+    * (the x201 LPA labels over the mutual-kNN graph — the fixture's
+    * doc_id ≡ vec_id), predicted language (x2) and quality (the x17
+    * score). Per (community, pred_lang): doc count, 4dp mean quality,
+    * and a sqrt-allocation sampling weight (sqrt dampens head
+    * communities the way x118's cap dampens epochs — the standard
+    * multilingual-sampling temperature of 0.5, applied to
+    * communities). Docs OUTSIDE the kNN graph land in community −1:
+    * the unclustered pool a curriculum must still budget for.
+    *
+    * Determinism: quality snaps to the 1e-4 grid per doc BEFORE the
+    * mean (integer sums commute — the x174 cohesion convention);
+    * sqrt(n) snaps to the same grid before the exact-integer
+    * normalizer sum; two final 4dp divisions.
+    *
+    * Scale: one map-only projection of the document scan (langid +
+    * quality), one left join against the node-sized label frame, one
+    * low-cardinality hash aggregate, one broadcast-scalar normalizer
+    * — the x103 shape with the community axis joined in. */
+  def curriculumMix(labels: DataFrame, documents: DataFrame): DataFrame = {
+    val lab = labels.select(col("u").as("doc_id"), col("lbl").as("community"))
+    val perDoc = withTokens(documents)
+      .select(col("doc_id"),
+        TextAnalysis.langId(col("toks")).as("pred_lang"),
+        floor(qualityScore(col("text"), col("toks")) * 10000 + lit(0.5))
+          .cast("long").as("q4"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(coalesce(col("community"), lit(-1L)).as("community"),
+        col("pred_lang"), col("q4"))
+    val grouped = perDoc.groupBy(col("community"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q4")).as("sq4"))
+      .withColumn("s4",
+        floor(sqrt(col("n_docs").cast("double")) * 10000 + lit(0.5)).cast("long"))
+    val tot = grouped.agg(sum(col("s4")).as("w_total"))
+    grouped.crossJoin(broadcast(tot))
+      .select(col("community"), col("pred_lang"), col("n_docs"),
+        round4(col("sq4").cast("double") /
+          (col("n_docs") * 10000L).cast("double")).as("mean_quality"),
+        round4(col("s4").cast("double") / col("w_total").cast("double"))
+          .as("mix_weight"))
+  }
+
   // ---- x115 DSIR importance weights --------------------------------
 
   /** Hashed-feature space size for [[dsirWeights]] (the paper uses 10k

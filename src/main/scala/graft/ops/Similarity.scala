@@ -411,6 +411,90 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** x207: rounds of greedy MMR selection per query (fixed — both
+    * engines run exactly this many; ≤ [[TopK]] by construction). */
+  val MmrK = 5
+  /** 4dp-cosine integer grid for the MMR arithmetic. */
+  val MmrScale = 10000L
+
+  /** x207: MAXIMAL-MARGINAL-RELEVANCE top-k (Carbonell & Goldstein
+    * '98) — the diversity-aware re-read of an ANN result list: per
+    * probe query, greedily pick [[MmrK]] of its IVF top-[[TopK]]
+    * candidates, each round taking argmax of
+    * `rel(d) − max_{s∈selected} sim(d, s)` (λ = ½, folded out — it
+    * scales both terms equally on this grid). Round 1 is the pure
+    * relevance argmax; later rounds penalize redundancy against what
+    * is already picked, so near-duplicate candidates (the x5/x52
+    * clusters) stop crowding the list — the curriculum/sampling read
+    * on top of the x201 communities.
+    *
+    * Determinism: relevance and pairwise cosines snap to the
+    * [[MmrScale]] integer grid BEFORE any arithmetic (the x155
+    * convention), the greedy argmax orders by (mmr desc, vec_id asc)
+    * — total — and rounds are fixed, so the whole selection
+    * trajectory agrees across engines (the x117 property, applied to
+    * a selection loop).
+    *
+    * Scale: the candidate pool is the AUDITED x11 IVF shape (never
+    * brute); everything after it is top-k-bounded — the pairwise leg
+    * is ≤ k² rows per query, each round one bounded join + two hash
+    * aggregates. The pool and its pairwise sims are eagerly
+    * localCheckpoint'd ONCE: the [[MmrK]] greedy rounds then compose
+    * on flat leaves instead of nesting the IVF plan 3^rounds times
+    * (the x201 lineage-truncation discipline — here the truncation
+    * bounds driver-side ANALYSIS, not a distributed loop); the
+    * checkpoint blocks are k·|queries|-row tiny and reaped by the
+    * context cleaner when the result frame dies. */
+  def mmrSelectFrom(vs: DataFrame, cents: DataFrame,
+                    k: Int = MmrK): DataFrame = {
+    val cv = vs.select(col("vec_id"), col("v"), col("nrm"))
+    val pool = annIvfFrom(vs, cents)
+      .join(cv, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        floor(col("cos_sim") * MmrScale + lit(0.5)).cast("long").as("rel_i"),
+        col("v"), col("nrm"))
+      .localCheckpoint()
+    val sims = pool.alias("a")
+      .join(pool.alias("b"),
+        col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.q_id").as("q_id"), col("a.vec_id").as("cand"),
+        col("b.vec_id").as("other"),
+        floor(cosine(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm"))
+          * MmrScale + lit(0.5)).cast("long").as("sim_i"))
+      .localCheckpoint()
+    val cands = pool.select(col("q_id"), col("vec_id"), col("rel_i"))
+    // per-query greedy argmax of the scored frame — a struct-min hash
+    // aggregate (map-side combinable), never a window over the pool
+    def pick(scored: DataFrame, round: Int): DataFrame =
+      scored
+        .groupBy(col("q_id"))
+        .agg(min(struct((-col("mmr_i")).as("neg"), col("vec_id"),
+          col("rel_i"), col("pen_i"), col("mmr_i"))).as("m"))
+        .select(col("q_id"), col("m.vec_id").as("vec_id"),
+          lit(round.toLong).as("pick_round"), col("m.rel_i").as("rel_i"),
+          col("m.pen_i").as("pen_i"), col("m.mmr_i").as("mmr_i"))
+    var selected = pick(cands.select(col("q_id"), col("vec_id"), col("rel_i"),
+      lit(null).cast("long").as("pen_i"), col("rel_i").as("mmr_i")), 1)
+    for (t <- 2 to k) {
+      val sel = selected.select(col("q_id"), col("vec_id"))
+      val pen = sims
+        .join(sel.withColumnRenamed("vec_id", "other"), Seq("q_id", "other"))
+        .groupBy(col("q_id"), col("cand").as("vec_id"))
+        .agg(max(col("sim_i")).as("pen_i"))
+      val scored = cands
+        .join(sel, Seq("q_id", "vec_id"), "left_anti")
+        .join(pen, Seq("q_id", "vec_id"))
+        .select(col("q_id"), col("vec_id"), col("rel_i"), col("pen_i"),
+          (col("rel_i") - col("pen_i")).as("mmr_i"))
+      selected = selected.unionByName(pick(scored, t))
+    }
+    selected.select(col("q_id"), col("vec_id"), col("pick_round"),
+      Portable.round4(col("rel_i").cast("double") / MmrScale).as("rel"),
+      Portable.round4(col("pen_i").cast("double") / MmrScale)
+        .as("max_sim_selected"),
+      Portable.round4(col("mmr_i").cast("double") / MmrScale).as("mmr"))
+  }
+
   /** x174: LABEL-CENTROID CONFUSION screen — per label: member count,
     * COHESION (mean member→own-centroid cosine) and the nearest
     * FOREIGN centroid with its cosine. The label-quality probe run
@@ -431,17 +515,23 @@ object Similarity {
     * aggregate), one for the member cosines with the |labels|-row
     * centroid table BROADCAST onto it (the corpus never shuffles);
     * the pair argmax runs on a |labels|²-row broadcast square. */
-  def labelConfusion(embeddings: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cents = Caching.temp(labelCentroids(embeddings)
+  /** (label, n, cv, cn): exact-integer-mean label centroids assembled
+    * from [[labelCentroids]]'s component sums — shared by the x174
+    * confusion screen and the x211 outlier screen. */
+  def labelCentroidVectors(embeddings: DataFrame): DataFrame =
+    labelCentroids(embeddings)
       .groupBy(col("label").cast("long").as("label"))
       .agg(max(col("n")).as("n"),
         array_sort(collect_list(struct(col("dim"), col("component_sum")))).as("cs"))
       .select(col("label"), col("n"),
         transform(col("cs"), s => s.getField("component_sum").cast("double") /
           (col("n") * lit(CentroidScale)).cast("double")).as("cv"))
-      .select(col("label"), col("n"), col("cv"), norm(col("cv")).as("cn")))
+      .select(col("label"), col("n"), col("cv"), norm(col("cv")).as("cn"))
+
+  def labelConfusion(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = Caching.temp(labelCentroidVectors(embeddings))
     val cohesion = embeddings
       .select(col("label").cast("long").as("label"),
         toDouble(col("embedding")).as("v"))
@@ -493,6 +583,53 @@ object Similarity {
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         Portable.round4(coalesce(col("n_common"), lit(0L)).cast("double") /
           lit(k).cast("double")).as("recall"))
+  }
+
+  /** x211: z-score cut for [[embeddingOutliers]] — flag members more
+    * than this many label-σ BELOW their label's mean centroid cosine. */
+  val OutlierZ = 2.0
+
+  /** x211: EMBEDDING OUTLIER SCREEN — the per-VECTOR read of what
+    * x174 measures per label: each member's cosine to its own label
+    * centroid, standardized against the label's mean/σ, flagging
+    * members ≥ [[OutlierZ]] σ below the mean (mislabeled points,
+    * corrupt embeddings, or genuine tail content — the screen a
+    * labeled-embedding corpus runs before the labels feed training
+    * or the x22/x174 analyses).
+    *
+    * Determinism: member cosines snap to the 1e-4 grid as BIGINT; the
+    * label mean and variance come from exact integer sums (Σx, Σx²),
+    * so z = (n·x − Σx)/√(n·Σx² − (Σx)²) is one double sqrt + one
+    * division with identical operands in both engines, rounded 4dp
+    * before the threshold compare. Labels with zero variance (or one
+    * member) are skipped — z is undefined there.
+    *
+    * Scale: the |labels|-row centroid table and the |labels|-row
+    * moment table both BROADCAST onto the corpus scan; the corpus is
+    * read twice (x22's component-sum aggregate + the member-cosine
+    * pass) and never shuffles on anything wider than the label key. */
+  def embeddingOutliers(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = Caching.temp(labelCentroidVectors(embeddings))
+    val mem = Caching.temp(embeddings
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        floor(dot(col("v"), col("cv")) / (col("nrm") * col("cn")) * 10000 + lit(0.5))
+          .cast("long").as("cos4")))
+    val stats = mem.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("cos4")).as("s1"),
+        sum(col("cos4") * col("cos4")).as("s2"))
+      .filter(col("n") * col("s2") - col("s1") * col("s1") > 0)
+    mem.join(broadcast(stats), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        Portable.round4(col("cos4").cast("double") / 10000).as("cos_centroid"),
+        Portable.round4((col("cos4") * col("n") - col("s1")).cast("double") /
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")))
+          .as("z"))
+      .filter(col("z") <= -OutlierZ)
   }
 
   // ---- x200: IVF-PQ ------------------------------------------------

@@ -764,6 +764,53 @@ object TextAnalysis {
           .as("subwords_per_token"))
   }
 
+  /** x208: TOKENIZER FERTILITY PER LANGUAGE — the multilingual audit
+    * x203 started, now on the axis that decides mixture weights: per
+    * PREDICTED language (the x2 langid, so the report needs no labels),
+    * subwords/word (fertility — how much the x117 merges fragment that
+    * language) and chars/subword (context-window economics per
+    * language). A tokenizer trained on the mixture can compress one
+    * language and shatter another; UniMax-style samplers (x118)
+    * re-weight on exactly this table.
+    *
+    * Determinism: langid is the exact marker-hit argmax (x2), counts
+    * are exact integers, two final 4dp divisions — the x203
+    * convention, regrouped.
+    *
+    * Scale: subword counts come from the DISTINCT vocabulary
+    * ([[encodedVocab]], map-only over |vocab|) joined to the token
+    * postings (one shuffle); langid is a map-only projection of the
+    * document scan; the final aggregate groups on ≤ |languages| keys
+    * with map-side combine. Nothing beyond the postings ever
+    * shuffles. */
+  def tokenizerFertility(documents: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame = {
+    val vocabEnc = encodedVocab(documents, merges)
+      .select(col("tok"), size(col("subs")).cast("long").as("ns"))
+    val perDoc = withTokens(documents)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(vocabEnc, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("ns")).as("n_subs"))
+    withTokens(documents)
+      .select(col("doc_id"), langId(col("toks")).as("pred_lang"),
+        length(col("text")).cast("long").as("nc"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_subs")), lit(0L)).as("n_subwords"))
+      .select(col("pred_lang"), col("n_docs"), col("n_chars"),
+        col("n_tokens"), col("n_subwords"),
+        when(col("n_tokens") > 0, Portable.round4(
+          col("n_subwords").cast("double") / col("n_tokens").cast("double")))
+          .as("subwords_per_token"),
+        when(col("n_subwords") > 0, Portable.round4(
+          col("n_chars").cast("double") / col("n_subwords").cast("double")))
+          .as("chars_per_subword"))
+  }
+
   /** x38: statistical LM quality score (CCNet-style filter): train an
     * add-one-smoothed BIGRAM language model on the corpus itself, then
     * score every document by its average negative log-likelihood

@@ -62,6 +62,11 @@ object ExtSql {
       |                     THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3)
       |             * 10000 + 0.5) / 10000 AS quality_score""".stripMargin
 
+  /** [[qualityScoreSql]] as a bare expression (x210 re-snaps it to the
+    * 1e-4 integer grid before aggregation). */
+  private val qualityScoreSqlNoAlias: String =
+    qualityScoreSql.stripSuffix(" AS quality_score")
+
   // ---- x1 text stats -----------------------------------------------
 
   private val x1 = {
@@ -2721,6 +2726,134 @@ object ExtSql {
          |   AND l.doc_id % 3 = 0 AND r.doc_id % 3 <> 0)
          |WHERE jaccard >= ${Dedup.JaccardThreshold}""".stripMargin
 
+  // ---- x206 exact-substring dedup regions --------------------------
+  // Suffix-array semantics via equal-first-L-token classes (see the
+  // Dedup.exactSubstrSpans scaladoc): duplicated L-window starts
+  // merged into maximal spans by gaps-and-islands over pos.
+
+  private lazy val x206 = {
+    val L = Dedup.ExactSubstrTokens
+    raw"""WITH $toksCte,
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, t.i - 1 AS pos,
+         |         md5(array_to_string(toks[t.i : t.i + $L - 1], ' ')) AS fp
+         |  FROM tok, unnest(range(1, len(toks) - $L + 2)) AS t(i)),
+         |dupfp AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
+         |starts AS (
+         |  SELECT doc_id, pos FROM w WHERE fp IN (SELECT fp FROM dupfp)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM starts)
+         |SELECT doc_id,
+         |       CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + $L - 1 AS BIGINT) AS span_end,
+         |       CAST(max(pos) - min(pos) + $L AS BIGINT) AS span_len,
+         |       CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, grp""".stripMargin
+  }
+
+  // ---- x207 MMR diversity-aware top-k selection --------------------
+  // Unrolled fixed-round greedy chain (the kmeans/BPE convention) on
+  // top of the x11 IVF candidates: integer-grid relevance/pairwise
+  // cosines, per-round argmax (mmr DESC, vec_id ASC), cumulative
+  // selected set per round.
+
+  private lazy val x207 = {
+    val k = Similarity.MmrK
+    val sc = Similarity.MmrScale
+    def pickSql(scored: String, round: Int): String =
+      raw"""SELECT q_id, vec_id, CAST($round AS BIGINT) AS pick_round,
+           |       rel_i, pen_i, mmr_i
+           |FROM (SELECT q_id, vec_id, rel_i, pen_i, mmr_i,
+           |             row_number() OVER (PARTITION BY q_id
+           |               ORDER BY mmr_i DESC, vec_id) AS rn FROM $scored)
+           |WHERE rn = 1""".stripMargin
+    def stepCtes(t: Int): String =
+      raw"""pen$t AS (
+           |  SELECT s.q_id, s.cand AS vec_id, max(s.sim_i) AS pen_i
+           |  FROM sims s JOIN sel${t - 1} e ON s.q_id = e.q_id AND s.other = e.vec_id
+           |  GROUP BY 1, 2),
+           |sc$t AS (
+           |  SELECT c.q_id, c.vec_id, c.rel_i, p.pen_i,
+           |         c.rel_i - p.pen_i AS mmr_i
+           |  FROM cands c JOIN pen$t p USING (q_id, vec_id)
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} e
+           |                    WHERE e.q_id = c.q_id AND e.vec_id = c.vec_id)),
+           |sel$t AS MATERIALIZED (
+           |  SELECT * FROM sel${t - 1}
+           |  UNION ALL ${pickSql(s"sc$t", t)})""".stripMargin
+    raw"""WITH $vecCte,
+         |ivf AS MATERIALIZED ($x11),
+         |pool AS MATERIALIZED (
+         |  SELECT i.q_id, i.vec_id,
+         |         CAST(floor(i.cos_sim * $sc + 0.5) AS BIGINT) AS rel_i,
+         |         e.v, e.nrm
+         |  FROM ivf i JOIN vn e USING (vec_id)),
+         |cands AS MATERIALIZED (SELECT q_id, vec_id, rel_i FROM pool),
+         |sims AS MATERIALIZED (
+         |  SELECT a.q_id, a.vec_id AS cand, b.vec_id AS other,
+         |         CAST(floor(${cosExpr("a.v", "a.nrm", "b.v", "b.nrm")} * $sc + 0.5)
+         |              AS BIGINT) AS sim_i
+         |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  ${pickSql(
+              "(SELECT q_id, vec_id, rel_i, CAST(NULL AS BIGINT) AS pen_i, " +
+                "rel_i AS mmr_i FROM cands)", 1)}),
+         |${(2 to k).map(stepCtes).mkString(",\n")}
+         |SELECT q_id, vec_id, pick_round,
+         |       ${round4(s"rel_i::DOUBLE / $sc")} AS rel,
+         |       ${round4(s"pen_i::DOUBLE / $sc")} AS max_sim_selected,
+         |       ${round4(s"mmr_i::DOUBLE / $sc")} AS mmr
+         |FROM sel$k""".stripMargin
+  }
+
+  // ---- x208 tokenizer fertility per language -----------------------
+  // The x203 compression report regrouped on the x2 langid prediction;
+  // pred_lang CASE generated from the same LangMarkers constants.
+
+  /** Per-doc predicted language CTE (`lng(doc_id, pred_lang)`) — the
+    * x2 argmax, regenerated from the shared constants for x208. */
+  private lazy val langCte: String = {
+    val langs = TextAnalysis.LangMarkers
+    val hitCols = langs.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${strList(ws)}, t))) AS hits_$l"
+    }.mkString(",\n           ")
+    val cases = langs.zipWithIndex.init.map { case ((l, _), i) =>
+      val later = langs.drop(i + 1).map { case (l2, _) => s"hits_$l >= hits_$l2" }
+      s"WHEN ${later.mkString(" AND ")} THEN '$l'"
+    }.mkString("\n              ")
+    raw"""lng AS (
+         |  SELECT doc_id,
+         |         CASE $cases
+         |              ELSE '${langs.last._1}' END AS pred_lang
+         |  FROM (SELECT doc_id, $hitCols FROM tok))""".stripMargin
+  }
+
+  private lazy val x208 =
+    raw"""WITH $toksCte,
+         |$bpeEncCtes,
+         |$langCte,
+         |ns AS (SELECT w, len(subs) AS ns FROM enc),
+         |perdoc AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n_toks, CAST(sum(ns.ns) AS BIGINT) AS n_subs
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM tok) p
+         |       JOIN ns USING (w)
+         |  GROUP BY 1)
+         |SELECT g.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+         |       CAST(coalesce(sum(p.n_toks), 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(sum(p.n_subs), 0) AS BIGINT) AS n_subwords,
+         |       CASE WHEN coalesce(sum(p.n_toks), 0) > 0
+         |            THEN ${round4("sum(p.n_subs)::DOUBLE / sum(p.n_toks)::DOUBLE")}
+         |            END AS subwords_per_token,
+         |       CASE WHEN coalesce(sum(p.n_subs), 0) > 0
+         |            THEN ${round4("sum(length(d.text))::DOUBLE / sum(p.n_subs)::DOUBLE")}
+         |            END AS chars_per_subword
+         |FROM documents d JOIN lng g USING (doc_id)
+         |     LEFT JOIN perdoc p USING (doc_id)
+         |GROUP BY 1""".stripMargin
+
   // ---- x201 label-propagation communities --------------------------
   // Unrolled fixed-round chain over the x114 mutual-kNN edges; every
   // CTE MATERIALIZED (the x172 lesson — inlining re-derives the knn
@@ -2792,6 +2925,109 @@ object ExtSql {
          |LEFT JOIN degs dg USING (lbl)
          |LEFT JOIN intra i USING (lbl)
          |CROSS JOIN m""".stripMargin
+
+  // ---- x209 duplicated-token rate per source -----------------------
+  // The x206 maximal spans are disjoint per doc, so coverage is an
+  // exact sum of span lengths.
+
+  private lazy val x209 =
+    raw"""WITH $toksCte,
+         |sp AS MATERIALIZED ($x206),
+         |pd AS (
+         |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_toks,
+         |         CAST(count(*) AS BIGINT) AS n_spans
+         |  FROM sp GROUP BY 1)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(sum(pd.dup_toks), 0) AS BIGINT) AS n_dup_tokens,
+         |       CAST(coalesce(sum(pd.n_spans), 0) AS BIGINT) AS n_spans,
+         |       CASE WHEN sum(len(t.toks)) > 0
+         |            THEN ${round4(
+                "coalesce(sum(pd.dup_toks), 0)::DOUBLE / sum(len(t.toks))::DOUBLE")}
+         |            END AS dup_rate
+         |FROM documents d JOIN tok t USING (doc_id) LEFT JOIN pd USING (doc_id)
+         |GROUP BY 1""".stripMargin
+
+  // ---- x210 curriculum mix table -----------------------------------
+  // LPA community (x201 chain) x predicted language (x2 CASE) x 1e-4
+  // grid quality; sqrt-allocation weight over the exact-integer
+  // normalizer.
+
+  private lazy val x210 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    raw"""WITH $toksCte,
+         |$lpaChainCtes,
+         |$langCte,
+         |qd AS (
+         |  SELECT doc_id,
+         |         CAST(floor(($qualityScoreSqlNoAlias) * 10000 + 0.5) AS BIGINT) AS q4
+         |  FROM (
+         |    SELECT doc_id, text,
+         |           len(toks) AS n_tokens,
+         |           len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |           len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |    FROM tok)),
+         |perdoc AS (
+         |  SELECT CAST(coalesce(l.lbl, -1) AS BIGINT) AS community,
+         |         g.pred_lang, q.q4
+         |  FROM documents d JOIN lng g USING (doc_id) JOIN qd q USING (doc_id)
+         |       LEFT JOIN $lpaFinal l ON l.u = d.doc_id),
+         |grp AS (
+         |  SELECT community, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(q4) AS BIGINT) AS sq4,
+         |         CAST(floor(sqrt(count(*)::DOUBLE) * 10000 + 0.5) AS BIGINT) AS s4
+         |  FROM perdoc GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(s4) AS BIGINT) AS w_total FROM grp)
+         |SELECT community, pred_lang, n_docs,
+         |       ${round4("sq4::DOUBLE / (n_docs * 10000)::DOUBLE")} AS mean_quality,
+         |       ${round4("s4::DOUBLE / w_total::DOUBLE")} AS mix_weight
+         |FROM grp CROSS JOIN tot""".stripMargin
+  }
+
+  // ---- x211 embedding outlier screen -------------------------------
+  // Per-member centroid cosine on the 1e-4 grid; label moments from
+  // exact integer sums; z = (n·x − Σx)/sqrt(n·Σx² − (Σx)²).
+
+  private lazy val x211 = {
+    val scale = Similarity.CentroidScale
+    val zCut = Similarity.OutlierZ
+    raw"""WITH comp AS (
+         |  SELECT label, u.d AS dim,
+         |         sum(CAST(floor(u.x * $scale) AS BIGINT)) AS component_sum,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) v,
+         |       unnest([{'d': i-1, 'x': e[i]} for i in range(1, len(e)+1)]) AS t(u)
+         |  GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT CAST(label AS BIGINT) AS label, max(n) AS n,
+         |         list(component_sum::DOUBLE / ((n * $scale)::DOUBLE) ORDER BY dim) AS cv
+         |  FROM comp GROUP BY 1),
+         |cn AS (SELECT label, cv,
+         |              sqrt(list_sum([x * x for x in cv])) AS cnrm FROM cents),
+         |mem AS (
+         |  SELECT CAST(label AS BIGINT) AS label, vec_id, v,
+         |         sqrt(list_sum([x * x for x in v])) AS nrm
+         |  FROM (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+         |c4 AS MATERIALIZED (
+         |  SELECT m.label, m.vec_id,
+         |         CAST(floor(${dotExpr("m.v", "c.cv")} / (m.nrm * c.cnrm)
+         |                    * 10000 + 0.5) AS BIGINT) AS cos4
+         |  FROM mem m JOIN cn c USING (label)),
+         |st AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(cos4) AS BIGINT) AS s1,
+         |         CAST(sum(cos4 * cos4) AS BIGINT) AS s2
+         |  FROM c4 GROUP BY 1
+         |  HAVING CAST(count(*) AS BIGINT) * CAST(sum(cos4 * cos4) AS BIGINT)
+         |         - CAST(sum(cos4) AS BIGINT) * CAST(sum(cos4) AS BIGINT) > 0)
+         |SELECT vec_id, label, cos_centroid, z FROM (
+         |  SELECT c.vec_id, c.label,
+         |         ${round4("cos4::DOUBLE / 10000")} AS cos_centroid,
+         |         ${round4(
+                "(cos4 * n - s1)::DOUBLE / sqrt((n * s2 - s1 * s1)::DOUBLE)")} AS z
+         |  FROM c4 c JOIN st USING (label))
+         |WHERE z <= -$zCut""".stripMargin
+  }
 
   // ---- x118 UniMax budget allocation -------------------------------
   // Same two-window closed form over the size-sorted source frame;
@@ -4654,6 +4890,12 @@ object ExtSql {
     "x203_bpe_compression" -> x203,
     "x204_fusion_eval"    -> x204,
     "x205_ingest_confirm" -> x205,
+    "x206_exact_substr"   -> x206,
+    "x207_mmr_select"     -> x207,
+    "x208_fertility"      -> x208,
+    "x209_dup_rate"       -> x209,
+    "x210_curriculum_mix" -> x210,
+    "x211_embed_outliers" -> x211,
     "x191_top_triples"    -> x191,
     "x192_seasonal_anom"  -> x192,
     "x193_weekly_psi"     -> x193,

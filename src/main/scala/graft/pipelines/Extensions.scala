@@ -415,7 +415,16 @@ object Extensions {
     "x204_fusion_eval"   -> ((s, d) => graft.ops.Search.fusionEval(
       docs(s, d), vecsShared(s, d), centsShared(s, d))),
     "x205_ingest_confirm" -> ((s, d) =>
-      Dedup.ingestConfirmFrom(shinglesShared(s, d))))
+      Dedup.ingestConfirmFrom(shinglesShared(s, d))),
+    "x206_exact_substr"  -> ((s, d) => Dedup.exactSubstrSpans(docs(s, d))),
+    "x207_mmr_select"    -> ((s, d) =>
+      Similarity.mmrSelectFrom(vecsShared(s, d), centsShared(s, d))),
+    "x208_fertility"     -> ((s, d) => TextAnalysis.tokenizerFertility(
+      docs(s, d), bpeShared(s, d).map(m => (m._2, m._3)))),
+    "x209_dup_rate"      -> ((s, d) => Dedup.dupRateBySource(docs(s, d))),
+    "x210_curriculum_mix" -> ((s, d) =>
+      graft.ops.QualityFilters.curriculumMix(lpaShared(s, d), docs(s, d))),
+    "x211_embed_outliers" -> ((s, d) => Similarity.embeddingOutliers(embs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -860,6 +860,43 @@ class PlanSpec extends SparkSpec {
       s"confirmation pairs join on the band key:\n$p205")
   }
 
+  test("round-7 ops: keyed joins only, bounded windows, no cartesians") {
+    // x206: fp-keyed semi-join + per-DOC islands window (never an
+    // unpartitioned corpus-wide window), no count-distinct Expand
+    val p206 = plan("x206_exact_substr")
+    assert(!p206.contains("CartesianProduct"),
+      s"x206 must join on the window fp:\n$p206")
+    assert(p206.contains("windowspecdefinition(doc_id"),
+      s"x206 islands window must partition on doc_id:\n$p206")
+    assert(!p206.contains("Expand"), s"x206 must not plan an Expand:\n$p206")
+    // x207: every greedy round is a (q_id[, vec_id])-keyed join over
+    // the checkpointed pool — the only NLJ allowed is the IVF leg's
+    // broadcast centroid cross, which the checkpoint truncates away
+    val p207 = plan("x207_mmr_select")
+    assert(!p207.contains("CartesianProduct"),
+      s"x207 rounds must stay keyed:\n$p207")
+    assert(!p207.contains("BroadcastNestedLoopJoin"),
+      s"x207 rounds must stay keyed:\n$p207")
+    // x208: postings-keyed join + <=|languages| hash aggregate — no
+    // window, no id-assembly collect_list
+    val p208 = plan("x208_fertility")
+    assert(!p208.contains("CartesianProduct"), s"x208 keyed joins only:\n$p208")
+    assert(!p208.contains("collect_list"),
+      s"x208 must skip the x197 id-assembly stage:\n$p208")
+    // x209: the span pass + doc-keyed aggregates — keyed joins only
+    val p209 = plan("x209_dup_rate")
+    assert(!p209.contains("CartesianProduct"), s"x209 keyed joins only:\n$p209")
+    // x210: the only nested-loop is the broadcast 1-row normalizer
+    // cross (the x103/x118 shape); no CartesianProduct ever
+    val p210 = plan("x210_curriculum_mix")
+    assert(!p210.contains("CartesianProduct"), s"x210 keyed joins only:\n$p210")
+    // x211: label-keyed broadcast joins, stacked hash aggregates
+    val p211 = plan("x211_embed_outliers")
+    assert(!p211.contains("CartesianProduct"), s"x211 keyed joins only:\n$p211")
+    assert(!p211.contains("SortMergeJoin"),
+      s"x211 label joins must broadcast (|labels| rows):\n$p211")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

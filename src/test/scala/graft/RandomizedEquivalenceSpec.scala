@@ -396,4 +396,68 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       assert(got === expected, s"seed $seed")
     }
   }
+
+  test("exactSubstrSpans equals an in-memory suffix-array + LCP reference") {
+    // Literal suffix-array derivation of the Lee et al. duplicated
+    // regions: concatenate the corpus with unique separator tokens,
+    // sort all suffixes, compute adjacent LCPs; a position starts a
+    // duplicated >=L substring iff its SA-adjacent LCP (either side)
+    // is >= L; consecutive duplicated starts merge per doc. The
+    // operator derives the same set via equal-first-L-token hash
+    // classes — this property pins the equivalence the scaladoc
+    // claims.
+    val L = 4
+    for (seed <- Seq(13L, 211L)) {
+      val base = corpus(seed, 40)
+      // plant long shared passages: cross-doc copies of slices and a
+      // within-doc repetition, so maximal spans exceed L and overlap
+      val toks = base.map { case (id, t, _) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val donors = base.filter(_._2.split("\\s+").length >= 8).take(4)
+      val planted = donors.zipWithIndex.map { case ((id, _, _), i) =>
+        val src = toks(id)
+        val slice = src.slice(1, 1 + math.min(6, src.length - 1))
+        val body = (slice ++ Seq(s"mid$i") ++ slice).mkString(" ") // within-doc repeat
+        (1000L + i, body, "en")
+      }
+      val rows = base ++ planted
+      val docToks = rows.map { case (id, t, _) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector }
+      // ---- in-memory suffix array over the separated concatenation
+      val seqB = Vector.newBuilder[String]
+      val ownB = Vector.newBuilder[(Long, Int)]
+      docToks.foreach { case (id, ts) =>
+        ts.zipWithIndex.foreach { case (t, i) => seqB += t; ownB += ((id, i)) }
+        seqB += s"@sep$id@"; ownB += ((-1L, -1))
+      }
+      val s = seqB.result(); val own = ownB.result(); val n = s.length
+      implicit val sfxOrd: Ordering[Vector[String]] =
+        Ordering.Implicits.seqOrdering[Vector, String]
+      val sa = (0 until n).sortBy(i => s.drop(i))
+      def lcp(a: Int, b: Int): Int = {
+        var k = 0
+        while (a + k < n && b + k < n && s(a + k) == s(b + k)) k += 1
+        k
+      }
+      val adj = (1 until n).map(r => lcp(sa(r - 1), sa(r)))
+      val dupStarts = (0 until n).filter { r =>
+        (r > 0 && adj(r - 1) >= L) || (r < n - 1 && adj(r) >= L)
+      }.map(sa).map(own).filter(_._1 >= 0)
+      val expected = dupStarts.groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        // gaps-and-islands merge of consecutive duplicated starts
+        val islands = sorted.foldLeft(List.empty[List[Int]]) {
+          case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(_.reverse)
+        islands.map { isl =>
+          (id, isl.head.toLong, (isl.last + L - 1).toLong,
+            (isl.last - isl.head + L).toLong, isl.size.toLong)
+        }
+      }.toSet
+      val got = Dedup.exactSubstrSpans(
+        rows.toDF("doc_id", "text", "lang"), minTokens = L)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
 }
