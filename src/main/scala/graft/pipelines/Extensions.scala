@@ -87,6 +87,19 @@ object Extensions {
       ck
     })
 
+  /** ONE IVF probe run per (session, dir): the x11 top-k frame is
+    * tiny (|queries|·k rows) but its candidate join re-ran in FIVE
+    * queries (x11, the x190 recall audit, the x198 dense leg, x204,
+    * the x207 MMR pool) — persisting the x11 frame lets CacheManager
+    * plan-matching substitute the materialized result into the other
+    * four, which build the IDENTICAL annIvfFrom plan from the same
+    * memoized inputs (no plumbing needed beyond this one persist). */
+  private val ivfMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def ivfShared(s: SparkSession, d: String): DataFrame =
+    ivfMemo.getOrElseUpdate((s, d),
+      Similarity.annIvfFrom(vecsShared(s, d), centsShared(s, d)).persist())
+
   /** ONE PQ codebook training per (session, dir) — the x200 index's
     * per-subspace Lloyd loop runs eagerly at query construction, so
     * only a memo can dedupe it across bench passes (the centsMemo
@@ -140,6 +153,7 @@ object Extensions {
     * session ends, or the cached corpus-sized shingle frames leak. */
   def clearMemos(session: SparkSession): Unit = {
     Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo,
+        ivfMemo,
         lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
                  // session ref AND a memoized frame whose checkpoint
                  // blocks the loop below frees — an unrecoverable read
@@ -176,7 +190,7 @@ object Extensions {
       vecsShared(s, d).filter(col("vec_id") % 2 === 0))),
     "x9_embed_dup_lsh"   -> ((s, d) => Similarity.embeddingNearDupLshFrom(vecsShared(s, d))),
     "x10_ann_brute"      -> ((s, d) => Similarity.annBruteFrom(vecsShared(s, d))),
-    "x11_ann_ivf"        -> ((s, d) => Similarity.annIvfFrom(vecsShared(s, d), centsShared(s, d))),
+    "x11_ann_ivf"        -> ((s, d) => ivfShared(s, d)),
     "x12_media_meta"     -> ((s, d) => Multimodal.mediaMeta(s, docs(s, d)).toDF()),
     "x13_frame_sample"   -> ((s, d) => Multimodal.frameSample(s, docs(s, d))),
     "x14_events_parsed"  -> ((s, d) => Events.parsedEvents(evs(s, d))),
