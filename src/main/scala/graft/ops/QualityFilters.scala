@@ -349,6 +349,68 @@ object QualityFilters {
           .as("mix_weight"))
   }
 
+  // ---- x212 corpus curation manifest -------------------------------
+
+  /** x212: CORPUS CURATION MANIFEST — the end-to-end decision table a
+    * production pipeline materializes: one row per document with the
+    * final keep/drop verdict and the FIRST failing stage as the
+    * reason, fusing the curation battery in application order:
+    *  1. `heldout`      — val/test split member (x29): not training
+    *     data at all;
+    *  2. `exact_dup`    — not its fingerprint group's keeper (x4);
+    *  3. `near_dup`     — in an LSH cluster (x30) and not the x86
+    *     representative (longest text, doc_id tie-break);
+    *  4. `low_quality`  — fails the Gopher battery (x101);
+    *  5. `contaminated` — train doc sharing ≥3 capped shingles with a
+    *     test-split doc (the x37 train side);
+    *  6. `keep`.
+    * The cascade order matters and is part of the contract: a
+    * near-dup loser that is ALSO low quality reports `near_dup` (the
+    * cheaper stage to attribute), mirroring how the reference's rule
+    * cascades report the first matching verdict (SURVEY.md §2.8).
+    *
+    * Scale: every stage is an existing audited shape — map-only
+    * fingerprints/split/quality, the cluster frame and contamination
+    * pairs arrive PRE-MINED (callers pass the shared memos), and the
+    * fusion itself is five doc_id-keyed joins of doc-or-smaller-sized
+    * frames. Nothing here adds a shuffle beyond the stages already
+    * measured. */
+  def corpusManifest(documents: DataFrame, clusters: DataFrame,
+                     contam: DataFrame): DataFrame = {
+    val split = TextAnalysis.splitAssign(documents)
+      .select(col("doc_id"), col("split"))
+    val exact = documents
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .join(Dedup.exactDedup(documents).select(col("fp"), col("keep_doc_id")),
+        Seq("fp"))
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("keep_doc_id")).cast("long").as("exact_loser"))
+    val cl = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val reps = cl.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("n_chars")).as("nc"), col("doc_id"))).as("m"))
+      .select(col("cluster_id"), col("m.doc_id").as("rep_doc"))
+    val nearLoser = cl.join(reps, Seq("cluster_id"))
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("rep_doc")).cast("long").as("near_loser"))
+    val quality = gopherRules(documents).select(col("doc_id"), col("keep"))
+    val contamFlag = contam.select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("contam", lit(1L))
+    documents.select(col("doc_id"), col("source"))
+      .join(split, Seq("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(nearLoser, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .join(contamFlag, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("split"),
+        when(col("split") =!= "train", "heldout")
+          .when(col("exact_loser") === 1, "exact_dup")
+          .when(coalesce(col("near_loser"), lit(0L)) === 1, "near_dup")
+          .when(col("keep") === 0, "low_quality")
+          .when(coalesce(col("contam"), lit(0L)) === 1, "contaminated")
+          .otherwise("keep").as("verdict"))
+  }
+
   // ---- x115 DSIR importance weights --------------------------------
 
   /** Hashed-feature space size for [[dsirWeights]] (the paper uses 10k

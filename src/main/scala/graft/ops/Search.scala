@@ -86,10 +86,28 @@ object Search {
     * the x25 df-cap philosophy applied to the query side. Uncapped,
     * the saturated-vocab worst case (every term matching ~1/|vocab|
     * of all postings) makes the contrib join Θ(|probes|·|terms|·
-    * postings-per-term): measured ~750 M rows / 63 s at sf1 on the
-    * ~31-word fixture. The cap bounds it at |probes|·QTermCap·df and
-    * keeps the high-tf terms that dominate the BM25 totals anyway. */
+    * postings-per-term) — measured ~750 M rows at sf1 on the ~31-word
+    * fixture. The cap bounds it at |probes|·QTermCap·df and keeps the
+    * high-tf terms that dominate the BM25 totals anyway. */
   val QTermCap = 16
+
+  /** CHAMPION-LIST posting bound for [[docProbeBm25]] (Manning et al.,
+    * IIR §7.1.3 "champion lists"): each term's postings are truncated
+    * to its top-[[ChampionCap]] documents by (tf desc, doc_id asc)
+    * BEFORE the probe join, so the contrib join is
+    * Θ(|probes|·QTermCap·min(df, C)) — independent of how saturated a
+    * term's posting list is. The r7 sf1 measurement that forced this:
+    * with the term cap alone, every one of the ~31 fixture terms
+    * still matched ~87% of 50k documents, the contrib join expanded
+    * to ~350 M rows and x198 cost ~475 s both passes (the sf0.1 cost
+    * ×100 — BOTH sides of the join scale with the corpus). Champion
+    * truncation is the standard exact-on-Zipf approximation: a term
+    * with df ≤ C is untouched (every test SF below sf0.1), and a
+    * saturated term keeps the tf-dominant postings that decide the
+    * top-k anyway. idf still uses the TRUE df. The per-term top-C is
+    * a WindowGroupLimit-pruned window — per-partition heaps before
+    * the shuffle, the scalable two-phase top-k. */
+  val ChampionCap = 2048
 
   /** RRF rank constant (Cormack et al. '09 default). */
   val RrfK = 60
@@ -110,7 +128,8 @@ object Search {
     * on the term (no broadcast), and the per-query top-k is a
     * WindowGroupLimit-pruned partitioned window. */
   def docProbeBm25(documents: DataFrame, k: Int = TopK,
-                   termCap: Int = QTermCap): DataFrame = {
+                   termCap: Int = QTermCap,
+                   championCap: Int = ChampionCap): DataFrame = {
     val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
     val dl = Caching.temp(TextAnalysis.withTokens(documents)
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
@@ -124,11 +143,19 @@ object Search {
       .select(col("doc_id").as("q_id"), col("tok").as("term"))
     val dfq = tf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // champion lists: the probe join reads only each term's top-C
+    // postings ([[ChampionCap]]); df above stays the TRUE df
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("tf").desc, col("doc_id").asc)
+    val champ = tf
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= championCap)
+      .drop("crn")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val den = col("tf") + lit(K1) * (lit(1.0 - B) +
       lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks")))
-    val contrib = qterms.join(tf, col("term") === col("tok"))
+    val contrib = qterms.join(champ, col("term") === col("tok"))
       .filter(col("q_id") =!= col("doc_id"))
       .join(dfq, Seq("tok"))
       .join(dl, Seq("doc_id"))

@@ -2607,7 +2607,8 @@ object ExtSql {
   // with exact-integer RRF contributions (RrfScale // (K + rank)).
 
   private val x198 = {
-    import graft.ops.Search.{RrfK, RrfScale, ScoreScale, TopK, K1, B, QTermCap}
+    import graft.ops.Search.{RrfK, RrfScale, ScoreScale, TopK, K1, B, QTermCap,
+      ChampionCap}
     val stride = Similarity.QueryStride
     raw"""WITH $toksCte,
          |ann AS MATERIALIZED ($x11),
@@ -2626,13 +2627,20 @@ object ExtSql {
          |dfq AS (
          |  SELECT tok, count(*) AS df FROM tfg
          |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |champ AS MATERIALIZED (
+         |  SELECT doc_id, tok, tf FROM (
+         |    SELECT doc_id, tok, tf,
+         |           row_number() OVER (PARTITION BY tok
+         |             ORDER BY tf DESC, doc_id) AS crn
+         |    FROM tfg)
+         |  WHERE crn <= $ChampionCap),
          |contrib AS (
          |  SELECT q.q_id, t.doc_id,
          |         CAST(floor(ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
          |                    * (t.tf * ${K1 + 1}) / (t.tf + $K1 * ((1.0 - $B)
          |                       + $B * (dl.dl::DOUBLE * n.n_docs / n.total_toks)))
          |                    * $ScoreScale + 0.5) AS BIGINT) AS fp
-         |  FROM qt q JOIN tfg t ON t.tok = q.term
+         |  FROM qt q JOIN champ t ON t.tok = q.term
          |       JOIN dfq f ON f.tok = t.tok
          |       JOIN dl ON dl.doc_id = t.doc_id
          |       CROSS JOIN n
@@ -3028,6 +3036,59 @@ object ExtSql {
          |  FROM c4 c JOIN st USING (label))
          |WHERE z <= -$zCut""".stripMargin
   }
+
+  // ---- x212 corpus curation manifest -------------------------------
+  // First-failing-stage cascade over the embedded x29/x4/x30+x86/
+  // x101/x37 oracles — the composition IS the contract, so every
+  // stage re-derives from its audited oracle text.
+
+  private lazy val x212 =
+    raw"""WITH sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN b < ${TextAnalysis.TrainPct} THEN 'train'
+         |              WHEN b < ${TextAnalysis.ValPct} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+         |        FROM documents)),
+         |fps AS (
+         |  SELECT doc_id, $fpFull AS fp FROM documents),
+         |ex AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp)
+         |              THEN 1 ELSE 0 END AS exact_loser
+         |  FROM fps),
+         |cl AS MATERIALIZED ($x30),
+         |clc AS (
+         |  SELECT c.doc_id, c.cluster_id, d.n_chars
+         |  FROM cl c JOIN documents d USING (doc_id)),
+         |reps AS (
+         |  SELECT cluster_id, doc_id AS rep_doc FROM (
+         |    SELECT cluster_id, doc_id,
+         |           row_number() OVER (PARTITION BY cluster_id
+         |             ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM clc)
+         |  WHERE rn = 1),
+         |nl AS (
+         |  SELECT c.doc_id,
+         |         CASE WHEN c.doc_id <> r.rep_doc THEN 1 ELSE 0 END AS near_loser
+         |  FROM clc c JOIN reps r USING (cluster_id)),
+         |gq AS MATERIALIZED ($x101),
+         |cm AS MATERIALIZED ($x37),
+         |cf AS (SELECT DISTINCT train_doc AS doc_id, 1 AS contam FROM cm)
+         |SELECT d.doc_id, d.source, sp.split,
+         |       CASE WHEN sp.split <> 'train' THEN 'heldout'
+         |            WHEN ex.exact_loser = 1 THEN 'exact_dup'
+         |            WHEN coalesce(nl.near_loser, 0) = 1 THEN 'near_dup'
+         |            WHEN gq.keep = 0 THEN 'low_quality'
+         |            WHEN coalesce(cf.contam, 0) = 1 THEN 'contaminated'
+         |            ELSE 'keep' END AS verdict
+         |FROM documents d
+         |JOIN sp USING (doc_id)
+         |JOIN ex USING (doc_id)
+         |LEFT JOIN nl USING (doc_id)
+         |JOIN gq USING (doc_id)
+         |LEFT JOIN cf USING (doc_id)""".stripMargin
 
   // ---- x118 UniMax budget allocation -------------------------------
   // Same two-window closed form over the size-sorted source frame;
@@ -4896,6 +4957,7 @@ object ExtSql {
     "x209_dup_rate"       -> x209,
     "x210_curriculum_mix" -> x210,
     "x211_embed_outliers" -> x211,
+    "x212_corpus_manifest" -> x212,
     "x191_top_triples"    -> x191,
     "x192_seasonal_anom"  -> x192,
     "x193_weekly_psi"     -> x193,

@@ -438,7 +438,12 @@ object Extensions {
     "x209_dup_rate"      -> ((s, d) => Dedup.dupRateBySource(docs(s, d))),
     "x210_curriculum_mix" -> ((s, d) =>
       graft.ops.QualityFilters.curriculumMix(lpaShared(s, d), docs(s, d))),
-    "x211_embed_outliers" -> ((s, d) => Similarity.embeddingOutliers(embs(s, d))))
+    "x211_embed_outliers" -> ((s, d) => Similarity.embeddingOutliers(embs(s, d))),
+    // the cluster frame and the contamination pairs ride the shared
+    // LSH/shingle memos — the manifest adds joins, not mining passes
+    "x212_corpus_manifest" -> ((s, d) =>
+      graft.ops.QualityFilters.corpusManifest(docs(s, d), clustersShared(s, d),
+        Dedup.contaminationFrom(shinglesShared(s, d), docs(s, d)))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -822,6 +822,11 @@ class PlanSpec extends SparkSpec {
     assert(!p198.contains("CartesianProduct"),
       s"fusion legs stay keyed (broadcast NLJ on K centroids only):\n$p198")
     assert(p198.contains("FullOuter"), s"RRF fuses via full outer join:\n$p198")
+    // champion-list truncation (r7): the per-term top-C must plan as
+    // a WindowGroupLimit (per-partition heaps before the shuffle) —
+    // losing it silently reverts to sorting saturated posting lists
+    assert(p198.contains("WindowGroupLimit"),
+      s"champion top-C must be WindowGroupLimit-pruned:\n$p198")
     // x200: codebooks/LUT are broadcast; candidate ADC joins are keyed
     val p200 = plan("x200_ivfpq_recall")
     assert(!p200.contains("CartesianProduct"),
@@ -895,6 +900,9 @@ class PlanSpec extends SparkSpec {
     assert(!p211.contains("CartesianProduct"), s"x211 keyed joins only:\n$p211")
     assert(!p211.contains("SortMergeJoin"),
       s"x211 label joins must broadcast (|labels| rows):\n$p211")
+    // x212: five doc_id-keyed joins over pre-mined frames
+    val p212 = plan("x212_corpus_manifest")
+    assert(!p212.contains("CartesianProduct"), s"x212 keyed joins only:\n$p212")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {

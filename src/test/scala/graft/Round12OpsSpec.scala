@@ -178,6 +178,71 @@ class Round12OpsSpec extends SparkSpec {
       (-1L, "en", 1L, 0.512, 0.3333)))
   }
 
+  // ---- x212 corpus curation manifest -------------------------------
+
+  /** The x29 split bucket, reproduced bit-for-bit (first 4 md5 hex
+    * chars mod 100) so tests can pick ids by split deterministically. */
+  private def splitBucket(id: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"split:$id".getBytes("UTF-8"))
+    (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 100
+  }
+  private def trainIds: Seq[Long] =
+    (0L until 200L).filter(splitBucket(_) < graft.ops.TextAnalysis.TrainPct)
+  /** Gopher-passing text: 40 distinct words (2 stopwords), mean word
+    * length ~5.6, all bigrams distinct. */
+  private def goodText(tag: String, extra: Int = 0): String =
+    ("the and " + (1 to 38 + extra).map(i => s"${tag}word$i").mkString(" "))
+
+  test("corpusManifest reports the first failing stage per doc") {
+    import graft.ops.{QualityFilters, TextAnalysis}
+    val Seq(a, b, c) = trainIds.take(3)
+    val heldoutId =
+      (0L until 200L).find(splitBucket(_) >= TextAnalysis.ValPct).get
+    val text = goodText("x")
+    val docs = Seq(
+      (a, text, "en", "s", text.length.toLong),          // keeper (min id)
+      (b, text, "en", "s", text.length.toLong),          // exact copy
+      (c, "tiny", "en", "s", 4L),                        // fails Gopher
+      (heldoutId, text, "en", "s", text.length.toLong)   // val/test split
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noClusters = Seq.empty[(Long, Long, Long)]
+      .toDF("doc_id", "cluster_id", "n_members")
+    val noContam = Seq.empty[(Long, Long, Long)]
+      .toDF("test_doc", "train_doc", "n_shared")
+    val got = QualityFilters.corpusManifest(docs, noClusters, noContam)
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(math.min(a, b)) === "keep")
+    assert(got(math.max(a, b)) === "exact_dup")
+    assert(got(c) === "low_quality")
+    assert(got(heldoutId) === "heldout")
+  }
+
+  test("corpusManifest: near-dup rep survives, loser and contaminated drop") {
+    import graft.ops.QualityFilters
+    val Seq(a, b, c) = trainIds.take(3)
+    val text1 = goodText("p")
+    val text2 = goodText("q", extra = 1) // one more word → longer
+    val text3 = goodText("r")
+    val docs = Seq(
+      (a, text1, "en", "s", text1.length.toLong),
+      (b, text2, "en", "s", text2.length.toLong),
+      (c, text3, "en", "s", text3.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val clusters = Seq((a, 0L, 2L), (b, 0L, 2L))
+      .toDF("doc_id", "cluster_id", "n_members")
+    val contam = Seq((999L, c, 5L)).toDF("test_doc", "train_doc", "n_shared")
+    val got = QualityFilters.corpusManifest(docs, clusters, contam)
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // text2 is longer → b is the x86 rep; a loses as near_dup even
+    // though it passes quality; c is flagged by the x37 train side
+    assert(got(a) === "near_dup")
+    assert(got(b) === "keep")
+    assert(got(c) === "contaminated")
+  }
+
   // ---- x211 embedding outlier screen -------------------------------
 
   test("embeddingOutliers flags the far-from-centroid member, skips zero-variance labels") {
