@@ -172,6 +172,35 @@ object Search {
       .select(col("q_id"), col("doc_id"), col("rnk"))
   }
 
+  /** x213: CHAMPION-LIST RECALL AUDIT — overlap@k of the champion-
+    * truncated lexical leg ([[docProbeBm25]] as shipped) against the
+    * exact untruncated leg, per probe: the measured price of the
+    * [[ChampionCap]] bound, exactly how x190/x200 price the ANN
+    * index's approximations. recall = 1.0 wherever every queried
+    * term's df ≤ C (all fixture SFs below sf0.1 — the audit proves
+    * the bound inactive there); where truncation bites, the number
+    * says how often a top-k doc lived outside some term's champion
+    * list.
+    *
+    * Scale: the EXACT leg is the deliberately-unbounded reference —
+    * this audit is a small-SF instrument (the x8/x10 brute-baseline
+    * convention), not a production path; the champion leg and the
+    * overlap join are top-k-bounded. */
+  def championRecall(documents: DataFrame, k: Int = TopK): DataFrame = {
+    val exact = docProbeBm25(documents, k, championCap = Int.MaxValue)
+      .select(col("q_id"), col("doc_id"))
+    val champ = docProbeBm25(documents, k)
+      .select(col("q_id"), col("doc_id"))
+    val hits = exact.join(champ, Seq("q_id", "doc_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        Portable.round4(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   /** x198: HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the
     * canonical RAG retrieval read: for each probe document, fuse its
     * lexical BM25 top-k ([[docProbeBm25]], the x51 machinery) with its

@@ -486,6 +486,11 @@ object Similarity {
         .join(pen, Seq("q_id", "vec_id"))
         .select(col("q_id"), col("vec_id"), col("rel_i"), col("pen_i"),
           (col("rel_i") - col("pen_i")).as("mmr_i"))
+      // NO per-round persist: round t references round t−1 three
+      // times, but ReuseExchange already dedupes the identical
+      // exchanges inside the one executed DAG — measured 5.5 s
+      // in-suite at sf0.1 plain vs 7.7 s with per-round Caching.temp
+      // (the cache materialization jobs cost more than they save)
       selected = selected.unionByName(pick(scored, t))
     }
     selected.select(col("q_id"), col("vec_id"), col("pick_round"),

@@ -3037,6 +3037,75 @@ object ExtSql {
          |WHERE z <= -$zCut""".stripMargin
   }
 
+  // ---- x213 champion-list recall audit -----------------------------
+  // The x198 lexical leg twice — exact vs champion-truncated — from
+  // one shared tfg/qt/dfq prefix; overlap@k per probe.
+
+  private lazy val x213 = {
+    import graft.ops.Search.{ScoreScale, TopK, K1, B, QTermCap, ChampionCap}
+    val stride = Similarity.QueryStride
+    def leg(p: String, champ: Boolean): String = {
+      val postings = if (champ) s"${p}cp" else "tfg"
+      val champCte = if (champ)
+        raw"""${p}cp AS MATERIALIZED (
+             |  SELECT doc_id, tok, tf FROM (
+             |    SELECT doc_id, tok, tf,
+             |           row_number() OVER (PARTITION BY tok
+             |             ORDER BY tf DESC, doc_id) AS crn
+             |    FROM tfg)
+             |  WHERE crn <= $ChampionCap),
+             |""".stripMargin
+      else ""
+      raw"""$champCte${p}contrib AS (
+           |  SELECT q.q_id, t.doc_id,
+           |         CAST(floor(ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+           |                    * (t.tf * ${K1 + 1}) / (t.tf + $K1 * ((1.0 - $B)
+           |                       + $B * (dl.dl::DOUBLE * n.n_docs / n.total_toks)))
+           |                    * $ScoreScale + 0.5) AS BIGINT) AS fp
+           |  FROM qt q JOIN $postings t ON t.tok = q.term
+           |       JOIN dfq f ON f.tok = t.tok
+           |       JOIN dl ON dl.doc_id = t.doc_id
+           |       CROSS JOIN n
+           |  WHERE q.q_id <> t.doc_id),
+           |${p}top AS MATERIALIZED (
+           |  SELECT q_id, doc_id FROM (
+           |    SELECT q_id, doc_id,
+           |           row_number() OVER (PARTITION BY q_id
+           |             ORDER BY total DESC, doc_id) AS rnk
+           |    FROM (SELECT q_id, doc_id, CAST(sum(fp) AS BIGINT) AS total
+           |          FROM ${p}contrib GROUP BY 1, 2))
+           |  WHERE rnk <= $TopK)""".stripMargin
+    }
+    raw"""WITH $toksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |n AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl),
+         |tfg AS MATERIALIZED (
+         |  SELECT doc_id, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
+         |qt AS (
+         |  SELECT q_id, term FROM (
+         |    SELECT doc_id AS q_id, tok AS term,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY tf DESC, tok) AS trn
+         |    FROM tfg WHERE doc_id % $stride = 0)
+         |  WHERE trn <= $QTermCap),
+         |dfq AS (
+         |  SELECT tok, count(*) AS df FROM tfg
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |${leg("e", champ = false)},
+         |${leg("c", champ = true)},
+         |hits AS (
+         |  SELECT e.q_id, count(*) AS hits
+         |  FROM etop e JOIN ctop c ON e.q_id = c.q_id AND e.doc_id = c.doc_id
+         |  GROUP BY 1)
+         |SELECT ne.q_id, ne.n_exact,
+         |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |       ${round4("coalesce(h.hits, 0)::DOUBLE / ne.n_exact::DOUBLE")} AS recall
+         |FROM (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+         |      FROM etop GROUP BY 1) ne
+         |LEFT JOIN hits h USING (q_id)""".stripMargin
+  }
+
   // ---- x212 corpus curation manifest -------------------------------
   // First-failing-stage cascade over the embedded x29/x4/x30+x86/
   // x101/x37 oracles — the composition IS the contract, so every
@@ -4958,6 +5027,7 @@ object ExtSql {
     "x210_curriculum_mix" -> x210,
     "x211_embed_outliers" -> x211,
     "x212_corpus_manifest" -> x212,
+    "x213_champion_recall" -> x213,
     "x191_top_triples"    -> x191,
     "x192_seasonal_anom"  -> x192,
     "x193_weekly_psi"     -> x193,

@@ -443,7 +443,9 @@ object Extensions {
     // LSH/shingle memos — the manifest adds joins, not mining passes
     "x212_corpus_manifest" -> ((s, d) =>
       graft.ops.QualityFilters.corpusManifest(docs(s, d), clustersShared(s, d),
-        Dedup.contaminationFrom(shinglesShared(s, d), docs(s, d)))))
+        Dedup.contaminationFrom(shinglesShared(s, d), docs(s, d)))),
+    "x213_champion_recall" -> ((s, d) =>
+      graft.ops.Search.championRecall(docs(s, d))))
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

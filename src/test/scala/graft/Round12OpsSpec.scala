@@ -243,6 +243,30 @@ class Round12OpsSpec extends SparkSpec {
     assert(got(c) === "contaminated")
   }
 
+  // ---- x213 champion-list recall audit -----------------------------
+
+  test("championRecall is 1.0 when no term's df exceeds the cap") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.ops.Search.championRecall(docs)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._4 === 1.0),
+      s"df <= cap at sf0.001 => truncation inactive: ${got.mkString(",")}")
+  }
+
+  test("champion truncation drops docs outside a term's top-C postings") {
+    import graft.ops.Search
+    // probe doc 0 queries with {a, b}; docs 1 and 2 both match 'a' but
+    // with cap=1 only doc 1 (higher tf) stays reachable
+    val docs = docsOf(0L -> "a b", 1L -> "a a c", 2L -> "a d")
+    val exact = Search.docProbeBm25(docs, championCap = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val champ = Search.docProbeBm25(docs, championCap = 1)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(exact === Set((0L, 1L), (0L, 2L)))
+    assert(champ === Set((0L, 1L)))
+  }
+
   // ---- x211 embedding outlier screen -------------------------------
 
   test("embeddingOutliers flags the far-from-centroid member, skips zero-variance labels") {
