@@ -174,6 +174,9 @@ object Extensions {
     // driver-side merge lists hold no blocks, but do hold session refs
     bpeMemo.keys.filter(_._1 eq session).foreach(bpeMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
+    // the parity pipeline's construction memos (r7): entries must go
+    // so the post-eviction rebuild re-registers its persists
+    SlValidation.clearMemos(session)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

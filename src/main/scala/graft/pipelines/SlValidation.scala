@@ -254,6 +254,31 @@ object SlValidation {
   // the same subplan — within one DAG or across Verify's separate
   // actions — reuses the one materialization. Storage is
   // MEMORY_AND_DISK and dimension-sized; eviction is LRU.
+  //
+  // CONSTRUCTION memoization (round 7): the composed frames are also
+  // memoized per (session, dir). Without this, every invocation of a
+  // parity query REBUILDS the full composed tree and re-calls
+  // persist() on each already-cached stage — and each such call
+  // re-canonicalizes a ~40-operator plan against every CacheManager
+  // entry. The r7 ledger put j7's warm wall at 3.4 s with only 1.25 s
+  // of tracked action time and 44 ms of tracked Catalyst phases: the
+  // missing ~2 s was exactly this repeated construction. Memoized,
+  // later calls return the SAME DataFrame object — no re-analysis, no
+  // cache-lookup walk. [[clearMemos]] drops the entries so the
+  // bounded-residency eviction protocol (Bench/QTime pass boundaries)
+  // can rebuild-and-re-persist cleanly.
+
+  private val qMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def memoized(key: String, spark: SparkSession, dir: String)
+                      (build: => DataFrame): DataFrame =
+    qMemo.getOrElseUpdate((spark, dir, key), build)
+
+  /** Drop this session's memoized composed frames (the map entries —
+    * the underlying cache entries are the caller's to clear, e.g. via
+    * `spark.catalog.clearCache()`). */
+  def clearMemos(session: SparkSession): Unit =
+    qMemo.keys.filter(_._1 eq session).foreach(qMemo.remove)
 
   def eordT(spark: SparkSession, dir: String): DataFrame = eord(spark, dir)
 
@@ -263,31 +288,44 @@ object SlValidation {
   def plantsOosQ(spark: SparkSession, dir: String): DataFrame =
     plantsOos(eord(spark, dir), garPlants(spark, dir))
 
-  def validSlQ(spark: SparkSession, dir: String): DataFrame = {
-    val e = eord(spark, dir)
-    validSl(e, invalidSl(e), plantsOos(e, garPlants(spark, dir))).persist()
-  }
+  def validSlQ(spark: SparkSession, dir: String): DataFrame =
+    memoized("validSl", spark, dir) {
+      val e = eord(spark, dir)
+      validSl(e, invalidSl(e), plantsOos(e, garPlants(spark, dir))).persist()
+    }
 
   def enrichedQ(spark: SparkSession, dir: String): DataFrame =
-    enrich(validSlQ(spark, dir), marc(spark, dir), spkXref(spark, dir),
-           garPlants(spark, dir))
+    memoized("enriched", spark, dir) {
+      enrich(validSlQ(spark, dir), marc(spark, dir), spkXref(spark, dir),
+             garPlants(spark, dir))
+    }
 
   def mainCheckedQ(spark: SparkSession, dir: String): DataFrame =
-    mainRulesI(enrichedQ(spark, dir)).persist()
+    memoized("mainChecked", spark, dir) {
+      mainRulesI(enrichedQ(spark, dir)).persist()
+    }
 
   def apexCheckedQ(spark: SparkSession, dir: String): DataFrame =
-    apexRules(buyViaApex(mainCheckedQ(spark, dir), marc(spark, dir),
-                         mvke(spark, dir), mg5Xref(spark, dir))).persist()
+    memoized("apexChecked", spark, dir) {
+      apexRules(buyViaApex(mainCheckedQ(spark, dir), marc(spark, dir),
+                           mvke(spark, dir), mg5Xref(spark, dir))).persist()
+    }
 
   def intraCheckedQ(spark: SparkSession, dir: String): DataFrame =
-    intraRules(intraCnJp(mainCheckedQ(spark, dir), garPlants(spark, dir),
-                         marc(spark, dir))).persist()
+    memoized("intraChecked", spark, dir) {
+      intraRules(intraCnJp(mainCheckedQ(spark, dir), garPlants(spark, dir),
+                           marc(spark, dir))).persist()
+    }
 
   def missingSlQ(spark: SparkSession, dir: String): DataFrame =
-    missingSl(marc(spark, dir), garPlants(spark, dir), mara(spark, dir),
-              validSlQ(spark, dir))
+    memoized("missingSl", spark, dir) {
+      missingSl(marc(spark, dir), garPlants(spark, dir), mara(spark, dir),
+                validSlQ(spark, dir))
+    }
 
   def mainFinalQ(spark: SparkSession, dir: String): DataFrame =
-    mainFinal(mainCheckedQ(spark, dir), intraCheckedQ(spark, dir),
-              apexCheckedQ(spark, dir))
+    memoized("mainFinal", spark, dir) {
+      mainFinal(mainCheckedQ(spark, dir), intraCheckedQ(spark, dir),
+                apexCheckedQ(spark, dir))
+    }
 }
