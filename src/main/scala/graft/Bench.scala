@@ -125,14 +125,7 @@ object Bench {
       var heapMbAfter: Double = 0.0,
       var loadAvg: Double = 0.0)
 
-  private def gcMsNow: Long =
-    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-  private def loadNow: Double =
-    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-  private def heapMbNow: Double = {
-    val rt = Runtime.getRuntime
-    (rt.totalMemory - rt.freeMemory) / 1e6
-  }
+  import Telemetry.{gcMsNow, heapMbNow, loadNow}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,11 +29,7 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def gcMs: Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
-    }
+    def gcMs: Long = Telemetry.gcMsNow
     for (pass <- 1 to 2) {
       for (n <- args.drop(1)) {
         val gc0 = gcMs

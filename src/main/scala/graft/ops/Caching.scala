@@ -23,6 +23,8 @@ import org.apache.spark.sql.DataFrame
   */
 object Caching {
   private val temps = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val tempCkpts =
+    new java.util.concurrent.ConcurrentLinkedQueue[(org.apache.spark.SparkContext, Int)]()
 
   /** Persist `df` and register it for the next [[reapTemps]]. */
   def temp(df: DataFrame): DataFrame = {
@@ -31,10 +33,32 @@ object Caching {
     c
   }
 
-  /** Unpersist (non-blocking) every registered temp cache. Call only
-    * after the consuming query's result is fully materialized. */
+  /** Eagerly localCheckpoint `df` and register the checkpoint RDD for
+    * the next [[reapTemps]] — the operator-local analogue of [[temp]]
+    * for frames that need LINEAGE TRUNCATION, not just caching (e.g.
+    * x207's candidate pool, referenced 3^rounds times by the greedy
+    * plan). Dataset.unpersist cannot free checkpoint blocks, so the
+    * reap goes through the RDD id ([[org.apache.spark.sql.graftbench
+    * .CheckpointId]] — the precise leaf id, never a registry diff).
+    * Same contract as [[temp]]: the returned frame is valid until the
+    * consuming query's sink completes. */
+  def tempCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    org.apache.spark.sql.graftbench.CheckpointId.of(ck)
+      .foreach(id => tempCkpts.add((df.sparkSession.sparkContext, id)))
+    ck
+  }
+
+  /** Unpersist (non-blocking) every registered temp cache and free
+    * every registered temp checkpoint's blocks. Call only after the
+    * consuming query's result is fully materialized. */
   def reapTemps(): Unit = {
     var d = temps.poll()
     while (d != null) { d.unpersist(blocking = false); d = temps.poll() }
+    var c = tempCkpts.poll()
+    while (c != null) {
+      c._1.getPersistentRDDs.get(c._2).foreach(_.unpersist(blocking = false))
+      c = tempCkpts.poll()
+    }
   }
 }

@@ -942,13 +942,18 @@ object Dedup {
     * suffix sort with a hash aggregation on the md5 of each suffix's
     * first L tokens ([[spanWindows]] — linear explode, fixed-width
     * keys): a class with ≥ 2 members is exactly an SA run with
-    * internal LCPs ≥ L. Consecutive duplicated suffix starts then
-    * merge into maximal spans (gaps-and-islands over pos, per doc) —
-    * correct because every L-window inside a repeated M-token passage
+    * internal LCPs ≥ L. Duplicated suffix starts then merge into
+    * maximal COVERED ranges: start q joins the running span iff its
+    * window [q, q+L−1] overlaps or touches it — i.e. the gap to the
+    * previous duplicated start is ≤ L (NOT only gap = 1: two distinct
+    * repeated passages can overlap mid-document, and consecutive-only
+    * merging would emit overlapping "maximal" rows and double-count
+    * coverage). Every L-window inside a repeated M-token passage
     * (M ≥ L) is itself repeated, so maximal repeats surface with
-    * their full extent, no window-size parameter to tune. The
-    * equivalence to a literal suffix-array + LCP reference is pinned
-    * by a randomized property ([[graft.RandomizedEquivalenceSpec]]).
+    * their full extent, no window-size parameter to tune; the output
+    * spans are DISJOINT per document by construction. The equivalence
+    * to a literal suffix-array + LCP reference is pinned by a
+    * randomized property ([[graft.RandomizedEquivalenceSpec]]).
     *
     * Scale: one linear window explode (md5 keys, never text), one
     * map-side-combinable fp aggregate, one fp semi-join back, and a
@@ -966,7 +971,13 @@ object Dedup {
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     starts
-      .withColumn("grp", col("pos") - row_number().over(w))
+      // coverage-union islands: a start opens a NEW span only when its
+      // window no longer overlaps/touches the previous start's window
+      // (gap > minTokens); running sum of the flags is the island id
+      .withColumn("newisl",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= minTokens, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum(col("newisl")).over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) + minTokens - 1).cast("long").as("span_end"),

@@ -262,19 +262,21 @@ object Graph {
     // Superseded-generation reaping (ADVICE r6): each eager
     // localCheckpoint is backed by persisted RDD blocks that
     // Dataset.unpersist can NOT release, so the previous generation's
-    // blocks are freed by id via the public getPersistentRDDs registry
-    // once the next generation has materialized (the [[pqCodebooks]]
-    // persist-chain protocol, at the RDD level). Only the FINAL
-    // generation's blocks survive the call — intermediates are never
-    // referenced again.
-    var prevIds: Set[Int] = Set.empty
+    // blocks are freed by id once the next generation has materialized
+    // (the [[pqCodebooks]] persist-chain protocol, at the RDD level).
+    // The id comes from the checkpointed leaf ITSELF
+    // ([[org.apache.spark.sql.graftbench.CheckpointId]]) — a registry
+    // set-difference here would sweep in the shared edge cache (and
+    // any first-materialized upstream memo) and poison it for the
+    // session (round-7 review finding). Only the FINAL generation's
+    // blocks survive the call — intermediates are never referenced
+    // again.
+    var prevId: Option[Int] = None
     def ckpt(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint() // eager: materializes + truncates lineage
-      val newIds = sc.getPersistentRDDs.keySet.toSet -- before
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id)
+      prevId.foreach(id => sc.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))
-      prevIds = newIds
+      prevId = org.apache.spark.sql.graftbench.CheckpointId.of(out)
       out
     }
     var labels = ckpt(e.select(col("u")).distinct()

@@ -448,20 +448,22 @@ object Similarity {
   def mmrSelectFrom(vs: DataFrame, cents: DataFrame,
                     k: Int = MmrK): DataFrame = {
     val cv = vs.select(col("vec_id"), col("v"), col("nrm"))
-    val pool = annIvfFrom(vs, cents)
+    // tempCheckpoint, not bare localCheckpoint: the blocks are
+    // operator-local and reaped with the query's other temps —
+    // untracked they would strand until a GC let ContextCleaner act
+    // (round-7 review finding)
+    val pool = Caching.tempCheckpoint(annIvfFrom(vs, cents)
       .join(cv, Seq("vec_id"))
       .select(col("q_id"), col("vec_id"),
         floor(col("cos_sim") * MmrScale + lit(0.5)).cast("long").as("rel_i"),
-        col("v"), col("nrm"))
-      .localCheckpoint()
-    val sims = pool.alias("a")
+        col("v"), col("nrm")))
+    val sims = Caching.tempCheckpoint(pool.alias("a")
       .join(pool.alias("b"),
         col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.q_id").as("q_id"), col("a.vec_id").as("cand"),
         col("b.vec_id").as("other"),
         floor(cosine(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm"))
-          * MmrScale + lit(0.5)).cast("long").as("sim_i"))
-      .localCheckpoint()
+          * MmrScale + lit(0.5)).cast("long").as("sim_i")))
     val cands = pool.select(col("q_id"), col("vec_id"), col("rel_i"))
     // per-query greedy argmax of the scored frame — a struct-min hash
     // aggregate (map-side combinable), never a window over the pool

@@ -2749,10 +2749,15 @@ object ExtSql {
          |dupfp AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
          |starts AS (
          |  SELECT doc_id, pos FROM w WHERE fp IN (SELECT fp FROM dupfp)),
+         |flags AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                   <= $L THEN 0 ELSE 1 END AS newisl
+         |  FROM starts),
          |isl AS (
          |  SELECT doc_id, pos,
-         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM starts)
+         |         sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM flags)
          |SELECT doc_id,
          |       CAST(min(pos) AS BIGINT) AS span_start,
          |       CAST(max(pos) + $L - 1 AS BIGINT) AS span_end,

@@ -80,10 +80,13 @@ object Extensions {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
   private def centsShared(s: SparkSession, d: String): DataFrame =
     centsMemo.getOrElseUpdate((s, d), {
-      val before = s.sparkContext.getPersistentRDDs.keySet
-      // eager by default: the checkpoint RDD is registered on return
+      // eager by default: the checkpoint RDD is registered on return;
+      // the id comes from the checkpointed leaf itself (a registry
+      // diff would sweep in caches first-materialized underneath —
+      // the round-7 CheckpointId discipline)
       val ck = Similarity.kmeansCentroids(vecsShared(s, d)).localCheckpoint()
-      centsRddIds((s, d)) = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      centsRddIds((s, d)) =
+        org.apache.spark.sql.graftbench.CheckpointId.of(ck).toSet
       ck
     })
 
@@ -112,10 +115,10 @@ object Extensions {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
   private def pqBooksShared(s: SparkSession, d: String): DataFrame =
     pqMemo.getOrElseUpdate((s, d), {
-      val before = s.sparkContext.getPersistentRDDs.keySet
       val ck = Similarity.pqCodebooks(
         Similarity.unitVectors(vecsShared(s, d))).localCheckpoint()
-      pqRddIds((s, d)) = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      pqRddIds((s, d)) =
+        org.apache.spark.sql.graftbench.CheckpointId.of(ck).toSet
       ck
     })
 
@@ -129,9 +132,11 @@ object Extensions {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
   private def lpaShared(s: SparkSession, d: String): DataFrame =
     lpaMemo.getOrElseUpdate((s, d), {
-      val before = s.sparkContext.getPersistentRDDs.keySet
+      // lpaLabels reaps its own intermediate generations; only the
+      // final checkpointed generation's blocks are this memo's to free
       val labels = graft.ops.Graph.lpaLabels(knnShared(s, d))
-      lpaRddIds((s, d)) = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      lpaRddIds((s, d)) =
+        org.apache.spark.sql.graftbench.CheckpointId.of(labels).toSet
       labels
     })
 

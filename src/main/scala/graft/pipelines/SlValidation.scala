@@ -274,11 +274,17 @@ object SlValidation {
                       (build: => DataFrame): DataFrame =
     qMemo.getOrElseUpdate((spark, dir, key), build)
 
-  /** Drop this session's memoized composed frames (the map entries —
-    * the underlying cache entries are the caller's to clear, e.g. via
-    * `spark.catalog.clearCache()`). */
+  /** Drop this session's memoized composed frames AND unpersist them
+    * — the memo holds the only handle to the persisted stages, so
+    * removal without unpersist would leak the cached parity frames
+    * for the session's lifetime (round-7 review finding; harness
+    * callers also clearCache(), but the clearMemos contract must
+    * stand alone for embedders). Unpersist on the never-persisted
+    * frames (enriched, missingSl, mainFinal) is a harmless no-op. */
   def clearMemos(session: SparkSession): Unit =
-    qMemo.keys.filter(_._1 eq session).foreach(qMemo.remove)
+    qMemo.keys.filter(_._1 eq session).foreach { k =>
+      qMemo.remove(k).foreach(_.unpersist(blocking = false))
+    }
 
   def eordT(spark: SparkSession, dir: String): DataFrame = eord(spark, dir)
 

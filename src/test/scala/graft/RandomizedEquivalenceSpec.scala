@@ -444,9 +444,10 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       }.map(sa).map(own).filter(_._1 >= 0)
       val expected = dupStarts.groupBy(_._1).flatMap { case (id, ps) =>
         val sorted = ps.map(_._2).sorted
-        // gaps-and-islands merge of consecutive duplicated starts
+        // coverage-union merge: start p joins the island iff its
+        // window overlaps/touches the previous start's (gap <= L)
         val islands = sorted.foldLeft(List.empty[List[Int]]) {
-          case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+          case (h :: t, p) if p <= h.head + L => (p :: h) :: t
           case (acc, p) => List(p) :: acc
         }.map(_.reverse)
         islands.map { isl =>

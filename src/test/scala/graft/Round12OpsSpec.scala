@@ -37,6 +37,23 @@ class Round12OpsSpec extends SparkSpec {
     assert(got === Set((1L, 0L, 2L, 3L, 1L), (1L, 4L, 6L, 3L, 1L)))
   }
 
+  test("overlapping repeats from different partners merge into ONE covered span") {
+    // doc 1's duplicated starts are {0, 2} (gap 2 < L from different
+    // partners) — consecutive-only merging would emit two OVERLAPPING
+    // rows and x209 would count 6 dup tokens in a 5-token doc
+    val docs = docsOf(
+      1L -> "a b c d e",
+      2L -> "a b c",
+      3L -> "c d e")
+    val got = Dedup.exactSubstrSpans(docs, minTokens = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L, 4L, 5L, 2L), (2L, 0L, 2L, 3L, 1L),
+      (3L, 0L, 2L, 3L, 1L)))
+    val rate = graft.ops.Dedup.dupRateBySource(docs, minTokens = 3)
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect().toSet
+    assert(rate === Set(("s", 3L, 11L, 11L, 4L, Some(1.0))))
+  }
+
   test("exactSubstrSpans reports nothing on a repeat-free corpus") {
     val docs = docsOf(1L -> "a b c d e", 2L -> "f g h i j")
     assert(Dedup.exactSubstrSpans(docs, minTokens = 3).count() === 0L)
