@@ -237,6 +237,21 @@ object Bench {
       for (name <- names if !rows(name).best.isNaN && rows(name).best < 1.0) runOne(name)
       passBoundary(passes + 1, passT0, passGc0)
     }
+    // LOAD GATE (VERDICT r7 task 2c): a min pass that executed under
+    // co-tenant 1-min load above the gate may charge host contention
+    // to the query (the r6/r7 driver runs recorded load 8–16 during
+    // the hottest queries on a 32-cpu host) — give each such query ONE
+    // more sample now; min-of-N keeps the best either way. Sub-second
+    // rows already got min-of-3 above, so the gate covers the ≥ 1 s
+    // rows where a contended pass actually moves the total.
+    locally {
+      val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "6.0").toDouble
+      val passT0 = System.nanoTime(); val passGc0 = gcMsNow
+      val gated = names.filter(n => !rows(n).best.isNaN &&
+        rows(n).best >= 1.0 && rows(n).loadAvg > loadGate)
+      for (name <- gated) runOne(name)
+      if (gated.nonEmpty) passBoundary(passes + 2, passT0, passGc0)
+    }
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -254,10 +269,15 @@ object Bench {
         s""""gc_ms":[${r.passGcMs.mkString(",")}],"phase_ms":$ph,""" +
         s""""shuffle_read_mb":${r3(t(0) / 1e6)},"shuffle_read_rows":${t(1)},""" +
         s""""shuffle_write_mb":${r3(t(2) / 1e6)},"shuffle_write_rows":${t(3)},""" +
-        s""""spill_mb":${r3(t(4) / 1e6)},"storage_mb_after":${r3(r.storageMbAfter)},""" +
-        s""""heap_mb_after":${r3(r.heapMbAfter)},"load_avg":${r3(r.loadAvg)}}"""
+        // _last suffix (ADVICE r7): these two are overwritten in the
+        // finally block on EVERY run of the query, so they carry the
+        // LAST pass's post-reap state — not the min pass's like
+        // phase_ms/load_avg/shuffle deltas; the name records that
+        s""""spill_mb":${r3(t(4) / 1e6)},"storage_mb_after_last":${r3(r.storageMbAfter)},""" +
+        s""""heap_mb_after_last":${r3(r.heapMbAfter)},"load_avg":${r3(r.loadAvg)}}"""
     }.mkString("{", ",", "}")
     val noise = "min over " + passes + " passes; +1 extra pass (min-of-3) for queries under 1s" +
+      "; +1 re-run for queries >=1s whose min pass ran at load_avg above the gate" +
       (if (evictBetweenPasses) "; memos+caches evicted at pass boundaries" else "")
     val ledger =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,""" +

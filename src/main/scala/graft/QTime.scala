@@ -12,13 +12,21 @@ import org.apache.spark.sql.SparkSession
   * 206.9 s in the r6 table) — each pass is now an independent
   * bounded-residency epoch, so pass-to-pass swings measure warm-up
   * and host noise, not accumulation. Disable with
-  * SPARK_GRAFT_EVICT_BETWEEN_PASSES=0 to reproduce the accumulation
-  * regime. */
+  * SPARK_GRAFT_QTIME_EVICT=0 to reproduce the accumulation regime.
+  *
+  * NOTE the deliberate default DIVERGENCE from [[Bench]] (ADVICE r7):
+  * Bench defaults to NO eviction between passes (its pass 2 measures
+  * the warm regime the driver grades), while QTime defaults to
+  * eviction (its job is attribution under bounded residency). The
+  * knobs therefore have DIFFERENT names — setting Bench's
+  * SPARK_GRAFT_EVICT_BETWEEN_PASSES does not change QTime and vice
+  * versa; pass-2 numbers from the two mains are only comparable when
+  * the regimes are explicitly matched. */
 object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val evict = sys.env.getOrElse("SPARK_GRAFT_EVICT_BETWEEN_PASSES", "1") == "1"
+    val evict = sys.env.getOrElse("SPARK_GRAFT_QTIME_EVICT", "1") == "1"
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // same AQE wide-start posture as Bench — measurements must match

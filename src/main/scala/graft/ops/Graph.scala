@@ -95,6 +95,10 @@ object Graph {
   /** Fixed peel rounds BOTH engines run (the x117/x59 unrolled-oracle
     * convention); the builder-side fixpoint probe needed ≤5 at sf0.1. */
   val KCoreRounds = 8
+  /** Alive-set size under which the peel semi-joins broadcast the
+    * alive frame (~32 MB of longs at the bound) — above it the
+    * shuffle join is the scale-correct shape. */
+  val KCoreBroadcastMax = 4000000L
 
   /** x172: K-CORE DECOMPOSITION (k = [[KCoreK]]) of the part
     * co-purchase graph — the maximal subgraph where every part keeps
@@ -138,9 +142,18 @@ object Graph {
         .union(pairs.select(col("pb"), col("pa"))))
     var alive = edges.select(col("u")).distinct().localCheckpoint()
     var prevN = alive.count()
-    def peel(a: DataFrame): DataFrame = edges
-      .join(a.select(col("u")), Seq("u"))
-      .join(a.select(col("u").as("v")), Seq("v"))
+    // The alive set only SHRINKS, and a checkpointed leaf carries no
+    // stats AQE could use — so while it fits the broadcast bound, hint
+    // it explicitly: both semi-joins become map-side and each peel
+    // round costs ONE tiny shuffle (the degree aggregate) instead of
+    // three. Above the bound (a billion-node graph early in the peel)
+    // the shuffle join is the scale-correct shape and the hint is
+    // withheld; the exact alive count is already on hand per round.
+    def gate(a: DataFrame, n: Long): DataFrame =
+      if (n <= KCoreBroadcastMax) broadcast(a) else a
+    def peel(a: DataFrame, n: Long): DataFrame = edges
+      .join(gate(a.select(col("u")), n), Seq("u"))
+      .join(gate(a.select(col("u").as("v")), n), Seq("v"))
       .groupBy(col("u")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= KCoreK)
       .select(col("u"))
@@ -150,16 +163,16 @@ object Graph {
     var converged = false
     var r = 0
     while (r < KCoreRounds && !converged) {
-      val next = peel(alive).localCheckpoint()
+      val next = peel(alive, prevN).localCheckpoint()
       val n = next.count()
       converged = n == prevN
       alive = next; prevN = n; r += 1
     }
-    if (!converged && peel(alive).count() != prevN)
+    if (!converged && peel(alive, prevN).count() != prevN)
       throw new IllegalStateException(
         s"kCoreParts: peel not at fixpoint after $KCoreRounds rounds — raise KCoreRounds")
-    edges.join(alive, Seq("u"))
-      .join(alive.select(col("u").as("v")), Seq("v"))
+    edges.join(gate(alive, prevN), Seq("u"))
+      .join(gate(alive.select(col("u").as("v")), prevN), Seq("v"))
       .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= KCoreK)
       .select(col("u").as("p_partkey"), col("core_deg"))

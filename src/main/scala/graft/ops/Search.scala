@@ -285,4 +285,89 @@ object Search {
         Portable.round4(coalesce(col("fused_hits"), lit(0L)).cast("double") /
           lit(k).cast("double")).as("fused_recall"))
   }
+
+  /** x217: CHUNK-LEVEL RETRIEVAL EVAL — the RAG read that decides
+    * chunk width/stride: retrieve with the x112 chunks as the BM25
+    * unit and score, per probe, whether the top-k CHUNKS recover
+    * their source DOCUMENT — the standard needle test (the probe's
+    * query is its own top-[[QTermCap]] doc terms, so the source doc's
+    * chunks are the ground truth; self-matches are deliberately NOT
+    * excluded, unlike [[docProbeBm25]]). Reported per probe:
+    * `n_hits` = source chunks in the top-k, `first_rank` = rank of
+    * the first (NULL when none), `mrr` = 1/first_rank (0.0 when
+    * none) — aggregate MRR@k / recall@k over probes is one mean away.
+    * A chunk grid too narrow for its stride dilutes each chunk's term
+    * mass and this number drops; that measurement is the operator.
+    *
+    * Scoring is [[bm25Search]] verbatim over the CHUNK index: chunk
+    * length as dl, chunk count as N, chunk-level df, the same fixed
+    * association order and 1e-7-grid integer contributions; chunk
+    * ranking ties break (total desc, src_doc asc, chunk_idx asc).
+    *
+    * Scale: the probe-term frame scales with corpus/stride, so it
+    * joins the chunk postings KEYED on the term with the x198
+    * champion-list bound ([[ChampionCap]] top chunks per term, true
+    * df kept) — the saturated-vocab quadratic died there, and the
+    * chunk index only multiplies posting rows, so the bound matters
+    * MORE here; the per-probe top-k is a WindowGroupLimit-pruned
+    * window and everything after it is top-k-bounded. */
+  def chunkRetrievalEval(documents: DataFrame, k: Int = TopK,
+                         termCap: Int = QTermCap,
+                         championCap: Int = ChampionCap): DataFrame = {
+    val slices = Caching.temp(TextAnalysis.chunkSlices(documents)
+      .select(col("doc_id").as("src_doc"), col("chunk_idx"), col("ctoks")))
+    val cdl = Caching.temp(slices
+      .select(col("src_doc"), col("chunk_idx"),
+        size(col("ctoks")).cast("long").as("cdl")))
+    val stats = broadcast(cdl.agg(
+      count(lit(1)).as("n_chunks"), sum(col("cdl")).as("total_ctoks")))
+    val ctf = Caching.temp(slices
+      .select(col("src_doc"), col("chunk_idx"), explode(col("ctoks")).as("tok"))
+      .groupBy(col("src_doc"), col("chunk_idx"), col("tok"))
+      .agg(count(lit(1)).as("tf")))
+    val tf = TextAnalysis.docTermFreq(documents)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("tok").asc)
+    val qterms = Caching.temp(tf.filter(col("doc_id") % Similarity.QueryStride === 0)
+      .withColumn("trn", row_number().over(wq))
+      .filter(col("trn") <= termCap)
+      .select(col("doc_id").as("q_id"), col("tok").as("term")))
+    val dfc = ctf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok"))
+      .orderBy(col("tf").desc, col("src_doc").asc, col("chunk_idx").asc)
+    val champ = ctf
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= championCap)
+      .drop("crn")
+    val idf = log(lit(1.0) +
+      (col("n_chunks") - col("df") + 0.5) / (col("df") + 0.5))
+    val den = col("tf") + lit(K1) * (lit(1.0 - B) +
+      lit(B) * (col("cdl").cast("double") * col("n_chunks") / col("total_ctoks")))
+    val contrib = qterms.join(champ, col("term") === col("tok"))
+      .join(dfc, Seq("tok"))
+      .join(cdl, Seq("src_doc", "chunk_idx"))
+      .crossJoin(stats)
+      .select(col("q_id"), col("src_doc"), col("chunk_idx"),
+        floor(idf * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
+          .cast("long").as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("total").desc, col("src_doc").asc, col("chunk_idx").asc)
+    val top = contrib.groupBy(col("q_id"), col("src_doc"), col("chunk_idx"))
+      .agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    val hits = top.filter(col("src_doc") === col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rnk")).as("first_rank"))
+    qterms.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_rank"),
+        Portable.round4(coalesce(lit(1.0) / col("first_rank"), lit(0.0)))
+          .as("mrr"))
+  }
 }

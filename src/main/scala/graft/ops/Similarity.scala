@@ -592,6 +592,101 @@ object Similarity {
           lit(k).cast("double")).as("recall"))
   }
 
+  /** x214: fixed beam-expansion rounds BOTH engines run (the x117/x59
+    * unrolled-oracle convention — the oracle unrolls exactly this
+    * many). Two hops over a mutual-kNN graph reach ~k² candidates per
+    * probe; the fixture graphs' components are shallower than that. */
+  val GraphAnnRounds = 2
+  /** x214: beam width — candidates retained per probe per round
+    * (2·[[TopK]]; the search's accuracy/cost dial). */
+  val GraphAnnBeam = 20
+
+  /** x214: GRAPH-BASED ANN — best-first beam search over the x114
+    * mutual-kNN graph, the third index family next to IVF (x11) and
+    * IVF-PQ (x200) and the batch analogue of HNSW's layer-0 search
+    * (Malkov & Yashunin '18): seed each probe with its IVF top-k,
+    * then for [[GraphAnnRounds]] fixed rounds expand the beam by one
+    * graph hop, score every candidate against the probe, and keep the
+    * top-[[GraphAnnBeam]]. Graph expansion recovers exactly the
+    * neighbors cell blocking loses — a near neighbor in a different
+    * k-means cell is usually a graph neighbor OF a same-cell neighbor
+    * — which is why graph indexes beat pure IVF at equal probe cost;
+    * x215 prices it against x10 the way x190 prices IVF.
+    *
+    * Determinism: scores snap to the shared 4dp cosine grid
+    * ([[cosine]]) and every per-round cut orders by (cos desc, vec_id
+    * asc) — total — with FIXED rounds, so the whole beam trajectory
+    * agrees across engines (the x207 fixed-round convention).
+    *
+    * Scale: the seed is the AUDITED x11 IVF probe (memo-shared, never
+    * brute); each round is one beam⋈adjacency hash join (beam·deg
+    * rows per probe, both k-bounded), one vector-table join keyed on
+    * vec_id to fetch candidate vectors, and one WindowGroupLimit-
+    * pruned per-probe top-beam — everything downstream of the seeds
+    * is beam-bounded, never corpus-sized. The probe side broadcasts
+    * (|corpus|/stride rows — the x11 posture); at a scale where that
+    * breaks, the probe join flips to a vec_id-keyed shuffle with no
+    * algorithmic change. */
+  def graphAnnFrom(vs: DataFrame, cents: DataFrame, knn: DataFrame,
+                   k: Int = TopK, rounds: Int = GraphAnnRounds,
+                   beam: Int = GraphAnnBeam): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = broadcast(vs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    // undirected adjacency: the mutual edge list is canonical (a < b)
+    val adj = Caching.temp(
+      knn.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .unionByName(knn.select(col("vec_b").as("src"), col("vec_a").as("dst"))))
+    val cv = vs.select(col("vec_id"), col("v"), col("nrm"))
+    def rescore(cand: DataFrame): DataFrame = cand
+      .join(cv, Seq("vec_id"))
+      .join(probes, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    var cand = annIvfFrom(vs, cents, k).select(col("q_id"), col("vec_id"))
+    for (_ <- 1 to rounds) {
+      val expanded = cand.join(adj, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+      val pool = cand.unionByName(expanded)
+        .filter(col("q_id") =!= col("vec_id"))
+        .distinct()
+      cand = rescore(pool)
+        .withColumn("brnk", row_number().over(w))
+        .filter(col("brnk") <= beam)
+        .select(col("q_id"), col("vec_id"))
+    }
+    rescore(cand)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** x215: GRAPH-ANN RECALL AUDIT — recall@k of the x214 beam search
+    * against the exact brute-force neighbors (x10), per strided
+    * probe: the x190/x200 evaluation applied to the graph index, so
+    * the three index families carry comparable price tags. The
+    * interesting read is x215 minus x190 per probe — the recall the
+    * graph hops buy back from the cell-blocking loss at beam·rounds
+    * extra bounded joins.
+    *
+    * Scale: both inputs are existing top-k outputs; the overlap is a
+    * (q_id, vec_id)-keyed equi join plus probe-keyed aggregates —
+    * the x190 shape exactly. */
+  def graphAnnRecall(vs: DataFrame, cents: DataFrame, knn: DataFrame,
+                     k: Int = TopK): DataFrame = {
+    val brute = annBruteFrom(vs, k).select(col("q_id"), col("vec_id"))
+    val g = graphAnnFrom(vs, cents, knn, k).select(col("q_id"), col("vec_id"))
+    val common = brute.join(g, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+      .join(common, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_brute"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        Portable.round4(coalesce(col("n_common"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("recall"))
+  }
+
   /** x211: z-score cut for [[embeddingOutliers]] — flag members more
     * than this many label-σ BELOW their label's mean centroid cosine. */
   val OutlierZ = 2.0

@@ -1071,8 +1071,12 @@ object TextAnalysis {
     * rows are ~n/S per doc, emitted streaming from the generate — at
     * 100 TB this is scan-speed row expansion, exactly how a cluster
     * chunker should behave. */
-  def chunkDocs(documents: DataFrame,
-                width: Int = ChunkTokens, stride: Int = ChunkStride): DataFrame = {
+  /** The slice stage [[chunkDocs]] and the x217 chunk-retrieval eval
+    * share: (doc_id, chunk_idx, tok_start, ctoks) — one row per
+    * chunk, token array intact (x112 re-serializes it; x217 builds
+    * the chunk inverted index from it). */
+  def chunkSlices(documents: DataFrame,
+                  width: Int = ChunkTokens, stride: Int = ChunkStride): DataFrame = {
     val n = size(col("toks"))
     withTokens(documents)
       .filter(n >= 1)
@@ -1082,11 +1086,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         (col("chunk_idx") * stride).cast("long").as("tok_start"),
         slice(col("toks"), col("chunk_idx") * stride + 1, lit(width)).as("ctoks"))
+  }
+
+  def chunkDocs(documents: DataFrame,
+                width: Int = ChunkTokens, stride: Int = ChunkStride): DataFrame =
+    chunkSlices(documents, width, stride)
       .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
         size(col("ctoks")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("ctoks")).as("chunk_text"))
       .withColumn("chunk_fp", md5(col("chunk_text")))
-  }
 
   /** x3: document fingerprints (canonical md5, min-shingle, rolling). */
   def fingerprints(documents: DataFrame): DataFrame =

@@ -3111,6 +3111,166 @@ object ExtSql {
          |LEFT JOIN hits h USING (q_id)""".stripMargin
   }
 
+  // ---- x214 graph-based ANN (beam search over the mutual-kNN graph)
+  // Mirrors Similarity.graphAnnFrom exactly: x11 IVF seeds, then
+  // GraphAnnRounds unrolled beam rounds — expand one hop over the
+  // x114 edge list (both directions), rescore the deduped pool on the
+  // shared 4dp cosine grid, keep the top-GraphAnnBeam by (cos desc,
+  // vec_id) — then the final top-k cut. The embedded x11/x114 CTEs
+  // re-derive the quantizer and graph; their inner `vn` shadows the
+  // outer one (the x190 composition pattern).
+
+  private lazy val x214 = {
+    val k = Similarity.TopK; val beam = Similarity.GraphAnnBeam
+    val qs = Similarity.QueryStride; val rounds = Similarity.GraphAnnRounds
+    def scoreCte(src: String, out: String): String =
+      raw"""$out AS (
+           |  SELECT pl.q_id, v2.vec_id,
+           |         ${cosExpr("p.qv", "p.qn", "v2.v", "v2.nrm")} AS cos_sim
+           |  FROM $src pl JOIN vn v2 ON v2.vec_id = pl.vec_id
+           |       JOIN probes p ON p.q_id = pl.q_id)""".stripMargin
+    def roundCtes(r: Int): String =
+      raw"""pool$r AS (
+           |  SELECT DISTINCT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id FROM cand${r - 1}
+           |    UNION ALL
+           |    SELECT c.q_id, a.dst AS vec_id
+           |    FROM cand${r - 1} c JOIN adj a ON c.vec_id = a.src)
+           |  WHERE q_id <> vec_id),
+           |${scoreCte(s"pool$r", s"sc$r")},
+           |cand$r AS MATERIALIZED (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |           row_number() OVER (PARTITION BY q_id
+           |             ORDER BY cos_sim DESC, vec_id) AS brnk
+           |    FROM sc$r)
+           |  WHERE brnk <= $beam)""".stripMargin
+    raw"""WITH $vecCte,
+         |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vn
+         |           WHERE vec_id % $qs = 0),
+         |knng AS MATERIALIZED ($x114),
+         |adj AS (SELECT vec_a AS src, vec_b AS dst FROM knng
+         |        UNION ALL SELECT vec_b AS src, vec_a AS dst FROM knng),
+         |cand0 AS MATERIALIZED (SELECT q_id, vec_id FROM ($x11)),
+         |${(1 to rounds).map(roundCtes).mkString(",\n")},
+         |${scoreCte(s"cand$rounds", "scf")}
+         |SELECT q_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT q_id, vec_id, cos_sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scf)
+         |WHERE rnk <= $k""".stripMargin
+  }
+
+  // ---- x215 graph-ANN recall audit ---------------------------------
+  // The x190 overlap shape with the x214 index as the audited leg.
+
+  private lazy val x215 = {
+    val k = Similarity.TopK
+    raw"""WITH brute AS MATERIALIZED ($x10),
+         |g AS MATERIALIZED ($x214),
+         |common AS (
+         |  SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM brute b JOIN g ON b.q_id = g.q_id AND b.vec_id = g.vec_id
+         |  GROUP BY 1)
+         |SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |       coalesce(any_value(common.n_common), 0) AS n_common,
+         |       ${round4(s"coalesce(any_value(common.n_common), 0)::DOUBLE / $k")} AS recall
+         |FROM brute b LEFT JOIN common ON b.q_id = common.q_id
+         |GROUP BY b.q_id""".stripMargin
+  }
+
+  // ---- x216 lakehouse snapshot read --------------------------------
+  // The engine REALLY runs the three-commit protocol (base load,
+  // bucket-1 upsert, a v1-based writer rebasing onto v2) and reads
+  // the v3 snapshot; the oracle derives the same final state
+  // arithmetically from the commit rules (the x131 convention). Any
+  // drift in bucket routing, rebase merging, or snapshot resolution
+  // breaks the hash.
+
+  private val x216 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""SELECT doc_id, lang,
+         |       CAST(CASE doc_id % $nb WHEN 1 THEN n_chars + 1000
+         |                              WHEN 2 THEN n_chars + 2000
+         |                              ELSE n_chars END AS BIGINT) AS n_chars,
+         |       CAST(CASE doc_id % $nb WHEN 1 THEN 2 WHEN 2 THEN 3
+         |                              ELSE 1 END AS BIGINT) AS commit_version
+         |FROM documents""".stripMargin
+  }
+
+  // ---- x217 chunk-level retrieval eval -----------------------------
+  // The x112 chunk grid as the BM25 unit (x198's scoring chain with
+  // chunk length/count/df), probes querying with their top doc terms;
+  // per probe: source-doc chunks in the top-k and the first rank.
+
+  private lazy val x217 = {
+    import graft.ops.Search.{ScoreScale, TopK, K1, B, QTermCap, ChampionCap}
+    val w = TextAnalysis.ChunkTokens; val st = TextAnalysis.ChunkStride
+    val stride = Similarity.QueryStride
+    raw"""WITH $toksCte,
+         |t AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 1),
+         |c AS (SELECT doc_id, unnest(range(0, ((n - 1) // $st) + 1)) AS chunk_idx,
+         |             toks
+         |      FROM t),
+         |sl AS (SELECT doc_id AS src_doc, chunk_idx,
+         |              toks[chunk_idx * $st + 1 : chunk_idx * $st + $w] AS ctoks
+         |       FROM c),
+         |cdl AS (SELECT src_doc, chunk_idx, CAST(len(ctoks) AS BIGINT) AS cdl FROM sl),
+         |nst AS (SELECT count(*) AS n_chunks, sum(cdl) AS total_ctoks FROM cdl),
+         |ctf AS MATERIALIZED (
+         |  SELECT src_doc, chunk_idx, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT src_doc, chunk_idx, unnest(ctoks) AS tok2 FROM sl)
+         |  GROUP BY 1, 2, 3),
+         |tfg AS (
+         |  SELECT doc_id, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
+         |qt AS (
+         |  SELECT q_id, term FROM (
+         |    SELECT doc_id AS q_id, tok AS term,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY tf DESC, tok) AS trn
+         |    FROM tfg WHERE doc_id % $stride = 0)
+         |  WHERE trn <= $QTermCap),
+         |dfc AS (
+         |  SELECT tok, count(*) AS df FROM ctf
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |champ AS MATERIALIZED (
+         |  SELECT src_doc, chunk_idx, tok, tf FROM (
+         |    SELECT src_doc, chunk_idx, tok, tf,
+         |           row_number() OVER (PARTITION BY tok
+         |             ORDER BY tf DESC, src_doc, chunk_idx) AS crn
+         |    FROM ctf)
+         |  WHERE crn <= $ChampionCap),
+         |contrib AS (
+         |  SELECT q.q_id, t2.src_doc, t2.chunk_idx,
+         |         CAST(floor(ln(1.0 + (n.n_chunks - f.df + 0.5) / (f.df + 0.5))
+         |                    * (t2.tf * ${K1 + 1}) / (t2.tf + $K1 * ((1.0 - $B)
+         |                       + $B * (cdl.cdl::DOUBLE * n.n_chunks / n.total_ctoks)))
+         |                    * $ScoreScale + 0.5) AS BIGINT) AS fp
+         |  FROM qt q JOIN champ t2 ON t2.tok = q.term
+         |       JOIN dfc f ON f.tok = t2.tok
+         |       JOIN cdl ON cdl.src_doc = t2.src_doc AND cdl.chunk_idx = t2.chunk_idx
+         |       CROSS JOIN nst n),
+         |chtop AS MATERIALIZED (
+         |  SELECT q_id, src_doc, chunk_idx, rnk FROM (
+         |    SELECT q_id, src_doc, chunk_idx,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY total DESC, src_doc, chunk_idx) AS rnk
+         |    FROM (SELECT q_id, src_doc, chunk_idx, CAST(sum(fp) AS BIGINT) AS total
+         |          FROM contrib GROUP BY 1, 2, 3))
+         |  WHERE rnk <= $TopK),
+         |hits AS (
+         |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |         CAST(min(rnk) AS BIGINT) AS first_rank
+         |  FROM chtop WHERE src_doc = q_id GROUP BY 1)
+         |SELECT p.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       h.first_rank,
+         |       ${round4("coalesce(1.0 / h.first_rank, 0.0)")} AS mrr
+         |FROM (SELECT DISTINCT q_id FROM qt) p
+         |LEFT JOIN hits h USING (q_id)""".stripMargin
+  }
+
   // ---- x212 corpus curation manifest -------------------------------
   // First-failing-stage cascade over the embedded x29/x4/x30+x86/
   // x101/x37 oracles — the composition IS the contract, so every
@@ -5033,6 +5193,10 @@ object ExtSql {
     "x211_embed_outliers" -> x211,
     "x212_corpus_manifest" -> x212,
     "x213_champion_recall" -> x213,
+    "x214_graph_ann"      -> x214,
+    "x215_graph_ann_recall" -> x215,
+    "x216_txn_snapshot"   -> x216,
+    "x217_chunk_retrieval" -> x217,
     "x191_top_triples"    -> x191,
     "x192_seasonal_anom"  -> x192,
     "x193_weekly_psi"     -> x193,

@@ -103,6 +103,45 @@ object Extensions {
     ivfMemo.getOrElseUpdate((s, d),
       Similarity.annIvfFrom(vecsShared(s, d), centsShared(s, d)).persist())
 
+  /** ONE brute-force exact top-k per (session, dir) — the ivfMemo
+    * rationale applied to the EXACT leg (VERDICT r7): x10 is the
+    * audit ground truth, but x190/x200/x204 each rebuilt the
+    * identical annBruteFrom plan over the same memoized vectors with
+    * nothing persisted for CacheManager to substitute, so the
+    * |queries|·|corpus| scan ran four times per pass. Persisting the
+    * x10 frame here lets plan-matching swap the materialized result
+    * into the recall audits with no call-site plumbing. */
+  private val bruteMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def bruteShared(s: SparkSession, d: String): DataFrame =
+    bruteMemo.getOrElseUpdate((s, d),
+      Similarity.annBruteFrom(vecsShared(s, d)).persist())
+
+  /** ONE lexical doc-probe BM25 run per (session, dir) — the same
+    * CacheManager-substitution trick one layer up the retrieval
+    * stack: x198's fused list, x204's eval (via hybridRrf) and
+    * x213's champion leg all construct the IDENTICAL
+    * `docProbeBm25(docs, k)` plan with the default caps; persisting
+    * it once lets plan matching swap in the |probes|·k-row result
+    * wherever the plan recurs (x213's EXACT leg deliberately differs
+    * — the uncapped audit reference stays live by definition). The
+    * first x198 touch materializes it. */
+  private val lexMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def lexShared(s: SparkSession, d: String): DataFrame =
+    lexMemo.getOrElseUpdate((s, d),
+      graft.ops.Search.docProbeBm25(docs(s, d)).persist())
+
+  /** ONE x214 beam-search run per (session, dir) — the x215 recall
+    * audit rebuilds the identical plan over the same memoized
+    * seeds/graph; the ivfMemo rationale verbatim. */
+  private val gannMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def gannShared(s: SparkSession, d: String): DataFrame =
+    gannMemo.getOrElseUpdate((s, d),
+      Similarity.graphAnnFrom(vecsShared(s, d), centsShared(s, d),
+        knnShared(s, d)).persist())
+
   /** ONE PQ codebook training per (session, dir) — the x200 index's
     * per-subspace Lloyd loop runs eagerly at query construction, so
     * only a memo can dedupe it across bench passes (the centsMemo
@@ -158,7 +197,7 @@ object Extensions {
     * session ends, or the cached corpus-sized shingle frames leak. */
   def clearMemos(session: SparkSession): Unit = {
     Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo,
-        ivfMemo,
+        ivfMemo, bruteMemo, lexMemo, gannMemo,
         lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
                  // session ref AND a memoized frame whose checkpoint
                  // blocks the loop below frees — an unrecoverable read
@@ -197,7 +236,7 @@ object Extensions {
     "x8_embed_dup_brute" -> ((s, d) => Similarity.embeddingNearDupBruteFrom(
       vecsShared(s, d).filter(col("vec_id") % 2 === 0))),
     "x9_embed_dup_lsh"   -> ((s, d) => Similarity.embeddingNearDupLshFrom(vecsShared(s, d))),
-    "x10_ann_brute"      -> ((s, d) => Similarity.annBruteFrom(vecsShared(s, d))),
+    "x10_ann_brute"      -> ((s, d) => bruteShared(s, d)),
     "x11_ann_ivf"        -> ((s, d) => ivfShared(s, d)),
     "x12_media_meta"     -> ((s, d) => Multimodal.mediaMeta(s, docs(s, d)).toDF()),
     "x13_frame_sample"   -> ((s, d) => Multimodal.frameSample(s, docs(s, d))),
@@ -418,8 +457,10 @@ object Extensions {
       graft.ops.Olap.returnRank(Tables.lineitem(s, d), Tables.part(s, d))),
     "x197_bpe_encode"    -> ((s, d) => TextAnalysis.bpeEncode(docs(s, d),
       bpeShared(s, d).map(m => (m._2, m._3)))),
-    "x198_hybrid_rrf"    -> ((s, d) => graft.ops.Search.hybridRrf(
-      docs(s, d), vecsShared(s, d), centsShared(s, d))),
+    "x198_hybrid_rrf"    -> ((s, d) => { lexShared(s, d) // register the
+      // shared lex-leg cache before the identical plan is built inside
+      graft.ops.Search.hybridRrf(
+        docs(s, d), vecsShared(s, d), centsShared(s, d)) }),
     // the historical band store rides the shared shingle memo (one
     // tokenize+shingle scan per session/dir, like x5/x25/x37)
     "x199_neardup_ingest" -> ((s, d) =>
@@ -453,7 +494,50 @@ object Extensions {
       graft.ops.QualityFilters.corpusManifest(docs(s, d), clustersShared(s, d),
         Dedup.contaminationFrom(shinglesShared(s, d), docs(s, d)))),
     "x213_champion_recall" -> ((s, d) =>
-      graft.ops.Search.championRecall(docs(s, d))))
+      graft.ops.Search.championRecall(docs(s, d))),
+    // the IVF seed frame and the exact leg ride the ivf/brute memos;
+    // the kNN adjacency rides knnShared — the beam search itself adds
+    // only beam-bounded joins
+    "x214_graph_ann"     -> ((s, d) => gannShared(s, d)),
+    "x215_graph_ann_recall" -> ((s, d) =>
+      Similarity.graphAnnRecall(vecsShared(s, d), centsShared(s, d), knnShared(s, d))),
+    "x216_txn_snapshot"  -> txnSnapshot _,
+    "x217_chunk_retrieval" -> ((s, d) =>
+      graft.ops.Search.chunkRetrievalEval(docs(s, d))))
+
+  /** x216: the LAKEHOUSE COMMIT PROTOCOL exercised end-to-end (see
+    * [[graft.sources.TxnLog]]): an empty table takes three commits —
+    * v1 the full base load (all [[graft.sources.TxnLog.NumBuckets]]
+    * buckets), v2 an upsert of bucket 1 (+1000 chars), then a writer
+    * STILL BASED AT v1 upserts bucket 2 (+2000 chars): its optimistic
+    * validation sees v2, finds the touched-bucket sets disjoint,
+    * rebases onto v2's live file list and commits v3. The query is
+    * the snapshot read of v3 — so the oracle (a three-way CASE on the
+    * original table) checks the whole protocol: base load, two
+    * upserts, the rebase path, and snapshot resolution. The CONFLICT
+    * path (overlapping buckets → abort) and snapshot ISOLATION (a v1
+    * read after v3 exists) are pinned in TxnLogSpec — aborting is not
+    * oracle-expressible as a result set. */
+  private def txnSnapshot(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/docs_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    def slice(b: Int) =
+      d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b ->
+        slice(b).withColumn("commit_version", lit(1L))).toMap)
+    TxnLog.commit(table, v1, Map(1 ->
+      slice(1).withColumn("n_chars", col("n_chars") + 1000)
+        .withColumn("commit_version", lit(2L))))
+    TxnLog.commit(table, v1, Map(2 -> // still based at v1: disjoint → rebase
+      slice(2).withColumn("n_chars", col("n_chars") + 2000)
+        .withColumn("commit_version", lit(3L))))
+    TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("commit_version"))
+  }
 
   /** x96: documents → xlsx workbook → back through the DataSourceV2
     * connector (`format("graft-xlsx")`) — pins the V2 read path AND

@@ -905,6 +905,35 @@ class PlanSpec extends SparkSpec {
     assert(!p212.contains("CartesianProduct"), s"x212 keyed joins only:\n$p212")
   }
 
+  test("round-8 ops: keyed joins only, bounded windows, no cartesians") {
+    // x214: seeds/adjacency/rescore are all (q_id/vec_id/src)-keyed
+    // equi joins; beam cuts are per-probe windows (q_id-partitioned)
+    // pruned to per-partition heaps
+    val p214 = plan("x214_graph_ann")
+    assert(!p214.contains("CartesianProduct"),
+      s"x214 beam rounds must stay keyed:\n$p214")
+    assert(p214.contains("windowspecdefinition(q_id"),
+      s"x214 beam windows must partition on q_id:\n$p214")
+    assert(p214.contains("WindowGroupLimit"),
+      s"x214 beam cut must become a per-partition heap:\n$p214")
+    // x216: a snapshot read is a PLAIN multi-path parquet scan — the
+    // transaction log must add zero plan nodes beyond the scan
+    val p216 = plan("x216_txn_snapshot")
+    assert(!p216.contains("Join"),
+      s"x216 snapshot read must be a bare scan:\n$p216")
+    assert(p216.contains("Scan parquet"),
+      s"x216 snapshot read must scan the committed parquet:\n$p216")
+    // x217: champion-capped chunk postings join on the term; the
+    // champion and top-k windows are partitioned and heap-pruned
+    val p217 = plan("x217_chunk_retrieval")
+    assert(!p217.contains("CartesianProduct"),
+      s"x217 postings joins must stay keyed:\n$p217")
+    assert(p217.contains("windowspecdefinition(tok"),
+      s"x217 champion window must partition on the term:\n$p217")
+    assert(p217.contains("WindowGroupLimit"),
+      s"x217 windows must become per-partition heaps:\n$p217")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan

@@ -51,7 +51,7 @@ class Round12OpsSpec extends SparkSpec {
       (3L, 0L, 2L, 3L, 1L)))
     val rate = graft.ops.Dedup.dupRateBySource(docs, minTokens = 3)
       .as[(String, Long, Long, Long, Long, Option[Double])].collect().toSet
-    assert(rate === Set(("s", 3L, 11L, 11L, 4L, Some(1.0))))
+    assert(rate === Set(("s", 3L, 11L, 11L, 3L, Some(1.0))))
   }
 
   test("exactSubstrSpans reports nothing on a repeat-free corpus") {

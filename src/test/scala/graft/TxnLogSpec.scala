@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.TxnLog
+
+/** Pins the x216 lakehouse commit protocol's non-oracle-expressible
+  * invariants: the optimistic-concurrency REBASE and CONFLICT paths
+  * and snapshot ISOLATION (the oracle row only checks the final
+  * snapshot's contents). */
+class TxnLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(name: String): String =
+    graft.sources.Bucketing.buildPath(s"graft-txn-spec/$name")
+
+  private def rows(ids: Long*) = ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+
+  test("base load commits as v1 and snapshot reads it back") {
+    val t = table("base"); TxnLog.reset(t)
+    val v = TxnLog.commit(t, 0L, Map(0 -> rows(0, 4), 1 -> rows(1)))
+    assert(v === 1L)
+    assert(TxnLog.latestVersion(t) === 1L)
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((0L, "t0"), (4L, "t4"), (1L, "t1")))
+  }
+
+  test("a disjoint writer based at an older version rebases and commits") {
+    val t = table("rebase"); TxnLog.reset(t)
+    val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0), 1 -> rows(1), 2 -> rows(2)))
+    val v2 = TxnLog.commit(t, v1, Map(1 -> rows(101)))
+    // still based at v1; bucket 2 is disjoint from v2's bucket 1, so
+    // validation passes and the bucket map rebases onto v2's
+    val v3 = TxnLog.commit(t, v1, Map(2 -> rows(202)))
+    assert((v1, v2, v3) === ((1L, 2L, 3L)))
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((0L, "t0"), (101L, "t101"), (202L, "t202")))
+  }
+
+  test("an overlapping writer based at an older version is rejected") {
+    val t = table("conflict"); TxnLog.reset(t)
+    val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0), 1 -> rows(1)))
+    TxnLog.commit(t, v1, Map(1 -> rows(101)))
+    val e = intercept[TxnLog.ConflictException] {
+      TxnLog.commit(t, v1, Map(1 -> rows(111)))
+    }
+    assert(e.getMessage.contains("buckets 1"))
+    // the loser's data dirs stay invisible: the snapshot is v2's
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((0L, "t0"), (101L, "t101")))
+  }
+
+  test("snapshot isolation: an old version stays readable after later commits") {
+    val t = table("isolation"); TxnLog.reset(t)
+    val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0)))
+    TxnLog.commit(t, v1, Map(0 -> rows(100)))
+    assert(TxnLog.snapshot(spark, t, v1).as[(Long, String)].collect().toSet ===
+      Set((0L, "t0")))
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((100L, "t100")))
+  }
+}
