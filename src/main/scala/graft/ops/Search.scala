@@ -186,11 +186,53 @@ object Search {
     * this audit is a small-SF instrument (the x8/x10 brute-baseline
     * convention), not a production path; the champion leg and the
     * overlap join are top-k-bounded. */
-  def championRecall(documents: DataFrame, k: Int = TopK): DataFrame = {
-    val exact = docProbeBm25(documents, k, championCap = Int.MaxValue)
+  def championRecall(documents: DataFrame, k: Int = TopK,
+                     championCap: Int = ChampionCap): DataFrame = {
+    // ONE postings scan for BOTH legs (VERDICT r7): the champion leg
+    // is by construction a row-SUBSET of the exact leg's contrib frame
+    // (the same (q_id, doc_id, fp) rows, restricted to champion-rank
+    // crn <= C before aggregation), so build the UNCAPPED contrib once
+    // with crn attached and cut twice — the heavy qterms⋈postings join
+    // runs once instead of twice, and each leg's totals are exactly
+    // what its own docProbeBm25 run would aggregate.
+    val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
+    val dl = Caching.temp(TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("tok").asc)
+    val qterms = tf.filter(col("doc_id") % Similarity.QueryStride === 0)
+      .withColumn("trn", row_number().over(wq))
+      .filter(col("trn") <= QTermCap)
+      .select(col("doc_id").as("q_id"), col("tok").as("term"))
+    val dfq = tf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("tf").desc, col("doc_id").asc)
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val den = col("tf") + lit(K1) * (lit(1.0 - B) +
+      lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks")))
+    val contrib = Caching.temp(qterms
+      .join(tf.withColumn("crn", row_number().over(wc)), col("term") === col("tok"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .join(dfq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("q_id"), col("doc_id"), col("crn"),
+        floor(idf * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
+          .cast("long").as("fp")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("total").desc, col("doc_id").asc)
+    def topk(rows: DataFrame): DataFrame = rows
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("doc_id"))
-    val champ = docProbeBm25(documents, k)
-      .select(col("q_id"), col("doc_id"))
+    val exact = topk(contrib)
+    val champ = topk(contrib.filter(col("crn") <= championCap))
     val hits = exact.join(champ, Seq("q_id", "doc_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
@@ -313,8 +355,18 @@ object Search {
     * window and everything after it is top-k-bounded. */
   def chunkRetrievalEval(documents: DataFrame, k: Int = TopK,
                          termCap: Int = QTermCap,
-                         championCap: Int = ChampionCap): DataFrame = {
-    val slices = Caching.temp(TextAnalysis.chunkSlices(documents)
+                         championCap: Int = ChampionCap): DataFrame =
+    chunkRetrievalEvalFrom(TextAnalysis.chunkSlices(documents), documents,
+      k, termCap, championCap)
+
+  /** [[chunkRetrievalEval]] over a pre-built (and ideally memo-shared
+    * with x112) chunk-slice frame — the tokenize+posexplode+slice
+    * corpus scan is the eval's single corpus-sized input, so sharing
+    * it is the ivfMemo rationale applied to the chunk grid. */
+  def chunkRetrievalEvalFrom(chunkSlices: DataFrame, documents: DataFrame,
+                             k: Int = TopK, termCap: Int = QTermCap,
+                             championCap: Int = ChampionCap): DataFrame = {
+    val slices = Caching.temp(chunkSlices
       .select(col("doc_id").as("src_doc"), col("chunk_idx"), col("ctoks")))
     val cdl = Caching.temp(slices
       .select(col("src_doc"), col("chunk_idx"),

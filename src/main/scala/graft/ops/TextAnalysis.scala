@@ -1090,7 +1090,13 @@ object TextAnalysis {
 
   def chunkDocs(documents: DataFrame,
                 width: Int = ChunkTokens, stride: Int = ChunkStride): DataFrame =
-    chunkSlices(documents, width, stride)
+    chunkDocsFrom(chunkSlices(documents, width, stride))
+
+  /** [[chunkDocs]] over a pre-built slice frame — so x112 and the x217
+    * retrieval eval share ONE tokenize+posexplode+slice corpus scan
+    * (the memo lives in graft.pipelines.Extensions). */
+  def chunkDocsFrom(slices: DataFrame): DataFrame =
+    slices
       .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
         size(col("ctoks")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("ctoks")).as("chunk_text"))

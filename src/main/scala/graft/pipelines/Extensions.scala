@@ -132,6 +132,32 @@ object Extensions {
     lexMemo.getOrElseUpdate((s, d),
       graft.ops.Search.docProbeBm25(docs(s, d)).persist())
 
+  /** ONE corpus tokenize → (doc_id, tok, tf) aggregate per (session,
+    * dir) — docTermFreq is the base frame of the whole lexical stack
+    * (x26 idf, x27 tf-idf, x39 repetition, x51 BM25, the x198 lex leg,
+    * x213's exact leg, x217's probe terms, x82 entropy), and each
+    * consumer re-tokenized the corpus from scratch. Persisting it once
+    * lets CacheManager plan-matching substitute the materialized
+    * frame into every consumer's identical subplan — the bruteMemo
+    * trick one layer down the stack. ~|corpus tokens distinct per doc|
+    * rows (3 narrow columns), bounded by total token count. */
+  private val tfMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def tfShared(s: SparkSession, d: String): DataFrame =
+    tfMemo.getOrElseUpdate((s, d),
+      TextAnalysis.docTermFreq(docs(s, d)).persist())
+
+  /** ONE tokenize+posexplode+slice chunk-grid scan per (session, dir)
+    * — x112 re-serializes these slices and the x217 retrieval eval
+    * builds its chunk inverted index from them; without the memo each
+    * consumer re-tokenized the corpus (the eval's only corpus-sized
+    * input). */
+  private val slicesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def slicesShared(s: SparkSession, d: String): DataFrame =
+    slicesMemo.getOrElseUpdate((s, d),
+      TextAnalysis.chunkSlices(docs(s, d)).persist())
+
   /** ONE x214 beam-search run per (session, dir) — the x215 recall
     * audit rebuilds the identical plan over the same memoized
     * seeds/graph; the ivfMemo rationale verbatim. */
@@ -197,7 +223,7 @@ object Extensions {
     * session ends, or the cached corpus-sized shingle frames leak. */
   def clearMemos(session: SparkSession): Unit = {
     Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo,
-        ivfMemo, bruteMemo, lexMemo, gannMemo,
+        ivfMemo, bruteMemo, lexMemo, gannMemo, slicesMemo, tfMemo,
         lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
                  // session ref AND a memoized frame whose checkpoint
                  // blocks the loop below frees — an unrecoverable read
@@ -355,7 +381,7 @@ object Extensions {
     // containment shares the per-(session, dir) shingle memo with
     // x25/x37/x76 — one tokenize+shingle scan pass for the family
     "x111_containment"   -> ((s, d) => Dedup.containmentPairsFrom(shinglesShared(s, d))),
-    "x112_chunks"        -> ((s, d) => TextAnalysis.chunkDocs(docs(s, d))),
+    "x112_chunks"        -> ((s, d) => TextAnalysis.chunkDocsFrom(slicesShared(s, d))),
     "x113_bucketed_join" -> ((s, d) => graft.sources.Bucketing.bucketedJoin(s, d)),
     "x114_knn_graph"     -> ((s, d) => knnShared(s, d)),
     "x115_dsir_weights"  -> ((s, d) => graft.ops.QualityFilters.dsirWeights(docs(s, d))),
@@ -457,8 +483,11 @@ object Extensions {
       graft.ops.Olap.returnRank(Tables.lineitem(s, d), Tables.part(s, d))),
     "x197_bpe_encode"    -> ((s, d) => TextAnalysis.bpeEncode(docs(s, d),
       bpeShared(s, d).map(m => (m._2, m._3)))),
-    "x198_hybrid_rrf"    -> ((s, d) => { lexShared(s, d) // register the
-      // shared lex-leg cache before the identical plan is built inside
+    "x198_hybrid_rrf"    -> ((s, d) => { tfShared(s, d); lexShared(s, d)
+      // register the shared tf + lex-leg caches before the identical
+      // plans are built inside (x198 is the FIRST docTermFreq consumer
+      // in the bench's sorted order — every later lexical query's
+      // tokenize subplan substitutes from here)
       graft.ops.Search.hybridRrf(
         docs(s, d), vecsShared(s, d), centsShared(s, d)) }),
     // the historical band store rides the shared shingle memo (one
@@ -493,8 +522,8 @@ object Extensions {
     "x212_corpus_manifest" -> ((s, d) =>
       graft.ops.QualityFilters.corpusManifest(docs(s, d), clustersShared(s, d),
         Dedup.contaminationFrom(shinglesShared(s, d), docs(s, d)))),
-    "x213_champion_recall" -> ((s, d) =>
-      graft.ops.Search.championRecall(docs(s, d))),
+    "x213_champion_recall" -> ((s, d) => { tfShared(s, d)
+      graft.ops.Search.championRecall(docs(s, d)) }),
     // the IVF seed frame and the exact leg ride the ivf/brute memos;
     // the kNN adjacency rides knnShared — the beam search itself adds
     // only beam-bounded joins
@@ -502,8 +531,8 @@ object Extensions {
     "x215_graph_ann_recall" -> ((s, d) =>
       Similarity.graphAnnRecall(vecsShared(s, d), centsShared(s, d), knnShared(s, d))),
     "x216_txn_snapshot"  -> txnSnapshot _,
-    "x217_chunk_retrieval" -> ((s, d) =>
-      graft.ops.Search.chunkRetrievalEval(docs(s, d))))
+    "x217_chunk_retrieval" -> ((s, d) => { tfShared(s, d)
+      graft.ops.Search.chunkRetrievalEvalFrom(slicesShared(s, d), docs(s, d)) }))
 
   /** x216: the LAKEHOUSE COMMIT PROTOCOL exercised end-to-end (see
     * [[graft.sources.TxnLog]]): an empty table takes three commits —
