@@ -270,6 +270,7 @@ object Extensions {
     // the parity pipeline's construction memos (r7): entries must go
     // so the post-eviction rebuild re-registers its persists
     SlValidation.clearMemos(session)
+    StatusCleansing.clearMemos(session)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

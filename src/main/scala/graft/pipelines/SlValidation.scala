@@ -279,31 +279,45 @@ object SlValidation {
     * removal without unpersist would leak the cached parity frames
     * for the session's lifetime (round-7 review finding; harness
     * callers also clearCache(), but the clearMemos contract must
-    * stand alone for embedders). Unpersist on the never-persisted
-    * frames (enriched, missingSl, mainFinal) is a harmless no-op. */
+    * stand alone for embedders). Every memoized frame is persisted
+    * as of round 8 (finals included), so each unpersist is live. */
   def clearMemos(session: SparkSession): Unit =
     qMemo.keys.filter(_._1 eq session).foreach { k =>
       qMemo.remove(k).foreach(_.unpersist(blocking = false))
     }
 
-  def eordT(spark: SparkSession, dir: String): DataFrame = eord(spark, dir)
+  // Round 8: the FINAL frames (and the leaf transforms below) are
+  // persisted too — they were the only parity stages left recomputing
+  // per repeated action (j7 1.3 s / r10 2.0 s / a1 1.3 s warm in the
+  // r8 ledger while every persisted stage replayed in ~0.1 s); all
+  // are sheet-sized (tens of k rows), so the residency cost is noise.
+  // eordT's persisted scan also serves validSl/invalidSl/plantsOos
+  // via CacheManager plan-matching (they build the identical eord
+  // subplan).
+
+  def eordT(spark: SparkSession, dir: String): DataFrame =
+    memoized("eordT", spark, dir) { eord(spark, dir).persist() }
 
   def invalidSlQ(spark: SparkSession, dir: String): DataFrame =
-    invalidSl(eord(spark, dir))
+    memoized("invalidSl", spark, dir) {
+      invalidSl(eordT(spark, dir)).persist()
+    }
 
   def plantsOosQ(spark: SparkSession, dir: String): DataFrame =
-    plantsOos(eord(spark, dir), garPlants(spark, dir))
+    memoized("plantsOos", spark, dir) {
+      plantsOos(eordT(spark, dir), garPlants(spark, dir)).persist()
+    }
 
   def validSlQ(spark: SparkSession, dir: String): DataFrame =
     memoized("validSl", spark, dir) {
-      val e = eord(spark, dir)
+      val e = eordT(spark, dir)
       validSl(e, invalidSl(e), plantsOos(e, garPlants(spark, dir))).persist()
     }
 
   def enrichedQ(spark: SparkSession, dir: String): DataFrame =
     memoized("enriched", spark, dir) {
       enrich(validSlQ(spark, dir), marc(spark, dir), spkXref(spark, dir),
-             garPlants(spark, dir))
+             garPlants(spark, dir)).persist()
     }
 
   def mainCheckedQ(spark: SparkSession, dir: String): DataFrame =
@@ -326,12 +340,12 @@ object SlValidation {
   def missingSlQ(spark: SparkSession, dir: String): DataFrame =
     memoized("missingSl", spark, dir) {
       missingSl(marc(spark, dir), garPlants(spark, dir), mara(spark, dir),
-                validSlQ(spark, dir))
+                validSlQ(spark, dir)).persist()
     }
 
   def mainFinalQ(spark: SparkSession, dir: String): DataFrame =
     memoized("mainFinal", spark, dir) {
       mainFinal(mainCheckedQ(spark, dir), intraCheckedQ(spark, dir),
-                apexCheckedQ(spark, dir))
+                apexCheckedQ(spark, dir)).persist()
     }
 }

@@ -85,14 +85,38 @@ object StatusCleansing {
   }
 
   // ---- composed endpoints ------------------------------------------
+  //
+  // Memoized + persisted per (session, dir) — the SlValidation
+  // doctrine (construction memo so repeated invocations return the
+  // SAME DataFrame, persist so repeated actions replay the cached
+  // frame): e5 feeds a1 feeds r10, and all three are sheet-sized.
+
+  private val qMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def memoized(key: String, spark: SparkSession, dir: String)
+                      (build: => DataFrame): DataFrame =
+    qMemo.getOrElseUpdate((spark, dir, key), build)
+
+  /** Drop this session's memoized frames and unpersist them (the
+    * SlValidation.clearMemos contract — see there). */
+  def clearMemos(session: SparkSession): Unit =
+    qMemo.keys.filter(_._1 eq session).foreach { k =>
+      qMemo.remove(k).foreach(_.unpersist(blocking = false))
+    }
 
   def mb52ValidQ(spark: SparkSession, dir: String): DataFrame =
-    mb52Valid(mb52(spark, dir), garPlants(spark, dir))
+    memoized("mb52Valid", spark, dir) {
+      mb52Valid(mb52(spark, dir), garPlants(spark, dir)).persist()
+    }
 
   def mb52GroupbyQ(spark: SparkSession, dir: String): DataFrame =
-    mb52Groupby(mb52ValidQ(spark, dir))
+    memoized("mb52Groupby", spark, dir) {
+      mb52Groupby(mb52ValidQ(spark, dir)).persist()
+    }
 
   def marcCheckedQ(spark: SparkSession, dir: String): DataFrame =
-    marcChecked(marc(spark, dir), mara(spark, dir),
-                mb52GroupbyQ(spark, dir), garPlants(spark, dir))
+    memoized("marcChecked", spark, dir) {
+      marcChecked(marc(spark, dir), mara(spark, dir),
+                  mb52GroupbyQ(spark, dir), garPlants(spark, dir)).persist()
+    }
 }
