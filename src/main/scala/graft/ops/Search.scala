@@ -422,4 +422,81 @@ object Search {
         Portable.round4(coalesce(lit(1.0) / col("first_rank"), lit(0.0)))
           .as("mrr"))
   }
+
+  /** x220 field split: the first this-many tokens are the TITLE
+    * pseudo-field, the rest the BODY (a deterministic split standing
+    * in for real document structure — web/docs corpora carry
+    * title/anchor/body fields and the fixture does not). */
+  val TitleTokens = 8
+  /** BM25F field weights: a title hit counts double (Robertson &
+    * Zaragoza '09 §6.2 — weighted field frequency, the standard
+    * "structure beats bag-of-words" ranking upgrade). */
+  val WTitle = 2.0
+  val WBody = 1.0
+
+  /** x220: BM25F FIELDED RETRIEVAL — the x51 workload ranked with
+    * field structure: per-term WEIGHTED FIELD FREQUENCY
+    * tf̃ = Σ_f w_f · tf_f / (1 − b + b · dl_f·N/Σdl_f) (each field
+    * length-normalized against ITS OWN average length, then weighted
+    * — the BM25F core), scored as idf · tf̃(k1+1)/(k1 + tf̃) with the
+    * x51 idf on document-level df. A title hit outranks the same hit
+    * buried in a long body, which is the whole point of fielded
+    * ranking; read against x51 the rank deltas are exactly the docs
+    * whose query terms sit in the first [[TitleTokens]] tokens.
+    *
+    * Determinism: tf̃ is ONE fixed expression (title leg + body leg,
+    * integer tf/dl inputs, left-to-right) and the per-term
+    * contribution snaps to the [[ScoreScale]] integer grid before the
+    * per-(query, doc) sum — the x51 convention; ranking
+    * (total desc, doc_id asc) is total.
+    *
+    * Scale: identical shape to x51 — the workload batch broadcasts,
+    * only postings matching a query term leave the scan (field tfs
+    * ride the same (doc, term) aggregate with two conditional sums),
+    * one per-query top-k window. */
+  def bm25fSearch(documents: DataFrame, k: Int = TopK): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val qterms = broadcast(
+      Queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query", "term"))
+    val toks = Caching.temp(TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), col("toks")))
+    val tff = Caching.temp(toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(sum(when(col("pos") < TitleTokens, 1L).otherwise(0L)).as("tft"),
+        sum(when(col("pos") >= TitleTokens, 1L).otherwise(0L)).as("tfb")))
+    val dlf = toks.select(col("doc_id"),
+      least(size(col("toks")), lit(TitleTokens)).cast("long").as("dlt"),
+      greatest(size(col("toks")) - TitleTokens, lit(0)).cast("long").as("dlb"))
+    val stats = broadcast(dlf.agg(count(lit(1)).as("n_docs"),
+      sum(col("dlt")).as("tot_t"), sum(col("dlb")).as("tot_b")))
+    val dfq = tff.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfw = col("tft").cast("double") * lit(WTitle) /
+        (lit(1.0 - B) + lit(B) *
+          (col("dlt").cast("double") * col("n_docs") / col("tot_t"))) +
+      col("tfb").cast("double") * lit(WBody) /
+        (lit(1.0 - B) + lit(B) *
+          (col("dlb").cast("double") * col("n_docs") / col("tot_b")))
+    val contrib = qterms.join(tff, col("term") === col("tok"))
+      .join(dfq, Seq("tok"))
+      .join(dlf, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("tfw", tfw)
+      .select(col("query"), col("doc_id"),
+        floor(idf * (col("tfw") * lit(K1 + 1)) / (lit(K1) + col("tfw")) *
+          ScoreScale + 0.5).cast("long").as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("total").desc, col("doc_id").asc)
+    contrib.groupBy(col("query"), col("doc_id"))
+      .agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query"), col("doc_id"),
+        Portable.round4(col("total").cast("double") / ScoreScale).as("score"),
+        col("rnk"))
+  }
 }

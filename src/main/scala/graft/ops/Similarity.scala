@@ -860,6 +860,26 @@ object Similarity {
   def ivfPqRecall(vs: DataFrame, cents0: DataFrame,
                   k: Int = TopK, nprobe: Int = NProbe,
                   books: Option[DataFrame] = None): DataFrame = {
+    val pq = pqAdcTop(vs, cents0, k, nprobe, books)
+    val brute = annBruteFrom(vs, k).select(col("q_id"), col("vec_id"))
+    val common = brute.join(pq, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+      .join(common, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_brute"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        Portable.round4(coalesce(col("n_common"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("recall"))
+  }
+
+  /** The ADC candidate stage of [[ivfPqRecall]], exposed so the x218
+    * re-rank can widen it: per probe, the top-`n` candidates of the
+    * IVF-probed cells ranked by the PQ asymmetric distance
+    * (ad asc, vec_id asc). Everything here reads CODES, never
+    * full-precision corpus vectors. */
+  def pqAdcTop(vs: DataFrame, cents0: DataFrame,
+               n: Int, nprobe: Int = NProbe,
+               books: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Caching.temp(unitVectors(vs))
     val bk = books.getOrElse(pqCodebooks(w))
@@ -886,15 +906,57 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"))
     val wk = Window.partitionBy(col("q_id")).orderBy(col("ad").asc, col("vec_id").asc)
-    val pq = cands.join(codes, Seq("vec_id"))
+    cands.join(codes, Seq("vec_id"))
       .join(broadcast(lut), Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("pd12")).as("ad"))
       .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= n)
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** x218: widen the ADC cut to k·this, then re-rank exactly. 4 is
+    * the classic refine ratio (Jégou et al. '11 §V: re-ranking a
+    * short-list a small constant times k recovers most of the
+    * quantization loss at negligible extra cost). */
+  val RerankFactor = 4
+
+  /** x218: PQ RE-RANK REFINEMENT — the standard two-stage shipping
+    * configuration for a compressed index (Jégou, Douze, Schmid '11
+    * "searching with quantization"): stage 1 ranks the IVF-probed
+    * cells by the PQ asymmetric distance and keeps a SHORT-LIST of
+    * k·[[RerankFactor]] candidates (codes only — the billion-vector
+    * memory shape); stage 2 fetches JUST the short-list's full
+    * vectors and re-ranks them exactly (cos desc, vec_id asc — the
+    * x10 total order). The row reports recall@k vs the exact x10
+    * baseline; read against x200 (same index, no re-rank) the delta
+    * is the recall the refine stage buys back from quantization loss,
+    * priced the way x190/x200/x215 price their stages.
+    *
+    * Scale: stage 2 touches k·factor full vectors per probe — a
+    * (q_id, vec_id)-keyed equi join, workload-bounded, never
+    * corpus-shaped; at a billion vectors this is the random-read
+    * budget a refine stage actually costs. */
+  def pqRerankRecall(vs: DataFrame, cents0: DataFrame,
+                     k: Int = TopK, nprobe: Int = NProbe,
+                     books: Option[DataFrame] = None,
+                     factor: Int = RerankFactor): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortList = pqAdcTop(vs, cents0, k * factor, nprobe, books)
+    val probes = broadcast(vs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val rer = shortList
+      .join(vs.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(probes, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"))
     val brute = annBruteFrom(vs, k).select(col("q_id"), col("vec_id"))
-    val common = brute.join(pq, Seq("q_id", "vec_id"))
+    val common = brute.join(rer, Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
     brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
       .join(common, Seq("q_id"), "left")

@@ -365,18 +365,18 @@ object ExtSql {
          |WHERE rnk <= ${Similarity.TopK}""".stripMargin
   }
 
-  // ---- x200 IVF-PQ recall ------------------------------------------
+  // ---- x200 IVF-PQ recall / x218 re-rank chain ---------------------
   // Mirrors Similarity.ivfPqRecall exactly: unit vectors → per-subspace
   // deterministic-seed Lloyd codebooks (fixed-point means — the x11
   // convention, with the subspace id as an extra grouping key) → PQ
   // codes → IVF-probed ADC ranking on 1e-12-grid integer LUT entries →
   // recall@k against the x10 brute baseline.
 
-  private val x200 = {
+  private def pqChain(shortK: Int): String = {
     val M = Similarity.PqM; val sub = Similarity.PqSubDim
     val ksub = Similarity.PqKsub; val iters = Similarity.PqIters
     val stride = Similarity.SeedStride; val scale = Similarity.CentroidScale
-    val np = Similarity.NProbe; val k = Similarity.TopK
+    val np = Similarity.NProbe
     val qs = Similarity.QueryStride; val ki = Similarity.KmeansIters
     def d2(a: String, b: String): String =
       s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, $sub + 1)])"
@@ -443,8 +443,14 @@ object ExtSql {
          |    SELECT q_id, vec_id,
          |           row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rnk
          |    FROM adc)
-         |  WHERE rnk <= $k),
-         |brute AS MATERIALIZED (
+         |  WHERE rnk <= $shortK)""".stripMargin
+  }
+
+  /** Shared recall tail: overlap of `leg` against the exact brute
+    * baseline (the x190 shape — every index audit ends here). */
+  private def bruteRecallTail(leg: String): String = {
+    val k = Similarity.TopK; val qs = Similarity.QueryStride
+    raw"""brute AS MATERIALIZED (
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
@@ -456,12 +462,36 @@ object ExtSql {
          |  WHERE rnk <= $k),
          |common AS (
          |  SELECT b.q_id, count(*) AS n_common
-         |  FROM brute b JOIN pqtop USING (q_id, vec_id) GROUP BY 1)
+         |  FROM brute b JOIN $leg USING (q_id, vec_id) GROUP BY 1)
          |SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_brute,
          |       CAST(coalesce(any_value(c.n_common), 0) AS BIGINT) AS n_common,
          |       ${round4(s"coalesce(any_value(c.n_common), 0)::DOUBLE / $k")} AS recall
          |FROM brute b LEFT JOIN common c USING (q_id)
          |GROUP BY 1""".stripMargin
+  }
+
+  private lazy val x200 =
+    raw"""${pqChain(Similarity.TopK)},
+         |${bruteRecallTail("pqtop")}""".stripMargin
+
+  // ---- x218 PQ re-rank refinement ----------------------------------
+  // Mirrors Similarity.pqRerankRecall: the x200 chain with the ADC cut
+  // widened to k*RerankFactor, then the short-list re-ranked by exact
+  // cosine (cos desc, vec_id) and cut to k before the recall tail.
+
+  private lazy val x218 = {
+    val k = Similarity.TopK
+    raw"""${pqChain(k * Similarity.RerankFactor)},
+         |rer AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT t.q_id, t.vec_id,
+         |           row_number() OVER (PARTITION BY t.q_id
+         |             ORDER BY ${cosExpr("q.v", "q.nrm", "v2.v", "v2.nrm")} DESC,
+         |                      t.vec_id) AS rnk
+         |    FROM pqtop t JOIN vn v2 ON v2.vec_id = t.vec_id
+         |         JOIN vn q ON q.vec_id = t.q_id)
+         |  WHERE rnk <= $k),
+         |${bruteRecallTail("rer")}""".stripMargin
   }
 
   // ---- x12/x13 multimodal ------------------------------------------
@@ -1476,6 +1506,64 @@ object ExtSql {
          |       JOIN dfq f ON f.tok = t.tok
          |       JOIN dl ON dl.doc_id = t.doc_id
          |       CROSS JOIN n),
+         |scored AS (
+         |  SELECT query, doc_id, CAST(sum(fp) AS BIGINT) AS total
+         |  FROM contrib GROUP BY 1, 2)
+         |SELECT query, doc_id, ${round4(s"total::DOUBLE / $ScoreScale")} AS score,
+         |       CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query
+         |        ORDER BY total DESC, doc_id) AS rnk FROM scored)
+         |WHERE rnk <= $TopK""".stripMargin
+  }
+
+  // ---- x220 BM25F fielded retrieval --------------------------------
+  // Mirrors Search.bm25fSearch exactly: title = first TitleTokens
+  // tokens / body = rest, per-field tf via positional conditional
+  // sums, weighted field frequency normalized per field against its
+  // own average length, x51 idf on document df, contributions on the
+  // ScoreScale integer grid.
+
+  private val x220 = {
+    import graft.ops.Search._
+    val qvals = Queries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    val tt = TitleTokens
+    raw"""WITH $toksCte,
+         |qt(query, term) AS (VALUES $qvals),
+         |posed AS (
+         |  SELECT doc_id, u.p AS pos, u.tk AS tok
+         |  FROM tok, unnest([{'p': i - 1, 'tk': toks[i]}
+         |                    for i in range(1, len(toks) + 1)]) AS t(u)),
+         |tff AS (
+         |  SELECT doc_id, tok,
+         |         CAST(sum(CASE WHEN pos < $tt THEN 1 ELSE 0 END) AS BIGINT) AS tft,
+         |         CAST(sum(CASE WHEN pos >= $tt THEN 1 ELSE 0 END) AS BIGINT) AS tfb
+         |  FROM posed GROUP BY 1, 2),
+         |dlf AS (
+         |  SELECT doc_id, CAST(least(len(toks), $tt) AS BIGINT) AS dlt,
+         |         CAST(greatest(len(toks) - $tt, 0) AS BIGINT) AS dlb
+         |  FROM tok),
+         |n AS (SELECT count(*) AS n_docs, sum(dlt) AS tot_t, sum(dlb) AS tot_b
+         |      FROM dlf),
+         |dfq AS (
+         |  SELECT tok, count(*) AS df FROM tff
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |wtf AS (
+         |  SELECT q.query, t.doc_id, f.df, n.n_docs,
+         |         (t.tft::DOUBLE * $WTitle / (${1.0 - B} + $B
+         |            * (d.dlt::DOUBLE * n.n_docs / n.tot_t))
+         |        + t.tfb::DOUBLE * $WBody / (${1.0 - B} + $B
+         |            * (d.dlb::DOUBLE * n.n_docs / n.tot_b))) AS tfw
+         |  FROM qt q JOIN tff t ON t.tok = q.term
+         |       JOIN dfq f ON f.tok = t.tok
+         |       JOIN dlf d ON d.doc_id = t.doc_id
+         |       CROSS JOIN n),
+         |contrib AS (
+         |  SELECT query, doc_id,
+         |         CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |                    * (tfw * ${K1 + 1}) / ($K1 + tfw)
+         |                    * $ScoreScale + 0.5) AS BIGINT) AS fp
+         |  FROM wtf),
          |scored AS (
          |  SELECT query, doc_id, CAST(sum(fp) AS BIGINT) AS total
          |  FROM contrib GROUP BY 1, 2)
@@ -3198,6 +3286,19 @@ object ExtSql {
          |                              ELSE 1 END AS BIGINT) AS commit_version
          |FROM documents""".stripMargin
   }
+
+  // ---- x219 streaming commits into the transaction log -------------
+  // The engine REALLY runs three AvailableNow micro-batch ingests whose
+  // foreachBatch sink merge-commits into the TxnLog table with
+  // idempotence markers; the oracle derives the final snapshot
+  // arithmetically (every doc exactly once, slice = doc_id % 3) — any
+  // lost batch, double-applied replay, routing or merge drift breaks
+  // the row count or the hash.
+
+  private val x219 =
+    raw"""SELECT doc_id, lang, n_chars,
+         |       CAST(doc_id % 3 AS BIGINT) AS ingest_slice
+         |FROM documents""".stripMargin
 
   // ---- x217 chunk-level retrieval eval -----------------------------
   // The x112 chunk grid as the BM25 unit (x198's scoring chain with
@@ -5180,6 +5281,9 @@ object ExtSql {
     "x198_hybrid_rrf"     -> x198,
     "x199_neardup_ingest" -> x199,
     "x200_ivfpq_recall"   -> x200,
+    "x218_pq_rerank"      -> x218,
+    "x219_stream_commit"  -> x219,
+    "x220_bm25f"          -> x220,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

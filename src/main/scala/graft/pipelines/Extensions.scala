@@ -556,7 +556,15 @@ object Extensions {
       Similarity.graphAnnRecall(vecsShared(s, d), centsShared(s, d), knnShared(s, d))),
     "x216_txn_snapshot"  -> txnSnapshot _,
     "x217_chunk_retrieval" -> ((s, d) => { tfShared(s, d)
-      graft.ops.Search.chunkRetrievalEvalFrom(slicesShared(s, d), docs(s, d)) }))
+      graft.ops.Search.chunkRetrievalEvalFrom(slicesShared(s, d), docs(s, d)) }),
+    // stage-1 codes ride the shared PQ codebooks; the short-list
+    // re-rank touches k·RerankFactor full vectors per probe only
+    "x218_pq_rerank"     -> ((s, d) =>
+      Similarity.pqRerankRecall(vecsShared(s, d), centsShared(s, d),
+        books = Some(pqBooksShared(s, d)))),
+    "x219_stream_commit" -> ((s, d) =>
+      graft.streaming.EventStream.txnStreamCommit(s, d)),
+    "x220_bm25f"         -> ((s, d) => graft.ops.Search.bm25fSearch(docs(s, d))))
 
   /** x216: the LAKEHOUSE COMMIT PROTOCOL exercised end-to-end (see
     * [[graft.sources.TxnLog]]): an empty table takes three commits —

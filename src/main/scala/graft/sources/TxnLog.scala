@@ -79,7 +79,8 @@ object TxnLog {
   }
 
   private final case class Manifest(version: Long, touched: Set[Int],
-                                    buckets: Map[Int, String])
+                                    buckets: Map[Int, String],
+                                    txn: Option[(String, Long)])
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v)).asScala
@@ -90,8 +91,21 @@ object TxnLog {
       val Array(_, b, dir) = s.split(" ", 3)
       b.toInt -> dir
     }.toMap
-    Manifest(v, touched, buckets)
+    val txn = lines.collectFirst { case s if s.startsWith("txn ") =>
+      val Array(_, app, tv) = s.split(" ", 3)
+      (app, tv.toLong)
+    }
+    Manifest(v, touched, buckets, txn)
   }
+
+  /** The version that committed idempotence marker (app, txnV), if
+    * any — the Delta `txnAppId`/`txnVersion` writer-dedup primitive:
+    * an exactly-once producer (e.g. a Structured Streaming
+    * foreachBatch sink replaying a micro-batch after a crash) tags
+    * each commit and skips any (app, txnV) already in the log. */
+  def txnCommitted(table: String, app: String, txnV: Long): Option[Long] =
+    (1L to latestVersion(table)).find(v =>
+      readManifest(table, v).txn.contains((app, txnV)))
 
   /** Optimistically commit `writes` (bucket → rows for that bucket)
     * against `baseVersion`: data is written FIRST (invisible until a
@@ -99,8 +113,16 @@ object TxnLog {
     * committed version; throws [[ConflictException]] if a commit
     * after `baseVersion` touched one of these buckets. */
   def commit(table: String, baseVersion: Long,
-             writes: Map[Int, DataFrame]): Long = {
+             writes: Map[Int, DataFrame],
+             txn: Option[(String, Long)] = None): Long = {
     require(writes.nonEmpty, "empty commit")
+    // idempotent replay (cheap pre-check; re-checked inside the claim
+    // loop for the crash-between-write-and-claim race): a marker
+    // already in the log means THIS logical write committed — return
+    // its version without writing data
+    txn.foreach { case (app, tv) =>
+      txnCommitted(table, app, tv).foreach(v => return v)
+    }
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val written: Map[Int, String] = writes.map { case (b, df) =>
       val rel = s"data/g${baseVersion + 1}-b$b-$nonce"
@@ -111,6 +133,11 @@ object TxnLog {
     var committed = -1L
     while (committed < 0) {
       val latest = latestVersion(table)
+      // idempotent replay re-check (a racing writer with the same
+      // marker may have claimed a version since the pre-check)
+      txn.foreach { case (app, tv) =>
+        txnCommitted(table, app, tv).foreach(v => return v)
+      }
       // conflict validation against everything that landed since base
       ((baseVersion + 1) to latest).foreach { v =>
         val overlap = readManifest(table, v).touched.intersect(writes.keySet)
@@ -124,7 +151,8 @@ object TxnLog {
       val merged = base ++ written
       val body = (s"version=${latest + 1}" +:
         s"touched=${writes.keySet.toSeq.sorted.mkString(",")}" +:
-        merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" })
+        (txn.map { case (app, tv) => s"txn $app $tv" }.toSeq ++
+          merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" }))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -136,6 +164,42 @@ object TxnLog {
       }
     }
     committed
+  }
+
+  /** APPEND a batch as a merged copy-on-write commit — the micro-batch
+    * sink primitive (x219): route `batch` rows to buckets on
+    * `keyCol % NumBuckets`, rewrite each TOUCHED bucket as (existing
+    * rows ∪ new rows), and commit the touched set with the (app,
+    * txnV) idempotence marker — a replayed micro-batch (crash after
+    * commit, before the stream checkpoint advanced) is a no-op
+    * returning the original version. One driver-side aggregate finds
+    * the touched buckets; untouched buckets are carried by manifest
+    * reference, never rewritten (the copy-on-write contract).
+    *
+    * Scale: the rewrite cost is the touched buckets' data, not the
+    * table — the bucket count is the append-amplification dial (more
+    * buckets → smaller rewrites, more manifest rows), and at real
+    * scale the same protocol appends FILES per bucket instead of
+    * rewriting (a manifest then lists many files per bucket);
+    * full-state manifests keep snapshot resolution O(1) either way. */
+  def commitMerged(spark: SparkSession, table: String, batch: DataFrame,
+                   keyCol: String, app: String, txnV: Long): Long = {
+    txnCommitted(table, app, txnV).foreach(v => return v)
+    import org.apache.spark.sql.functions.col
+    val tagged = batch.withColumn("__b",
+      (col(keyCol) % NumBuckets).cast("int"))
+    val touched = tagged.select("__b").distinct()
+      .collect().map(_.getInt(0)).sorted // bucket-count-bounded
+    val base = latestVersion(table)
+    val existing = if (base == 0) Map.empty[Int, String]
+                   else readManifest(table, base).buckets
+    val writes = touched.map { b =>
+      val fresh = tagged.filter(col("__b") === b).drop("__b")
+      b -> existing.get(b).map(rel =>
+        spark.read.parquet(s"$table/$rel").unionByName(fresh))
+        .getOrElse(fresh)
+    }.toMap
+    commit(table, base, writes, Some((app, txnV)))
   }
 
   /** Remove the table directory entirely — fixture reset so each

@@ -451,6 +451,54 @@ object EventStream {
       StructField("band_hash", StringType)))).parquet(s"$base/data")
   }
 
+  /** x219: STREAMING COMMITS INTO THE TRANSACTION LOG — the upgrade
+    * the [[latestPerUser]] scaladoc promises ("a real deployment
+    * would MERGE INTO a transactional table"): three AvailableNow
+    * runs over disjoint corpus slices (doc_id % 3 — the x32/x104
+    * arrival simulation, each run one ingest day) whose foreachBatch
+    * sink MERGE-COMMITS each micro-batch into a
+    * [[graft.sources.TxnLog]] table with the (app, txnVersion)
+    * idempotence marker — a re-delivered micro-batch (crash after the
+    * commit landed, before the stream checkpoint advanced) replays as
+    * a no-op returning the original version, which is the
+    * exactly-once contract foreachBatch requires of its sink
+    * (Delta's txnAppId/txnVersion pattern). The query returns the
+    * final snapshot: every doc exactly once with its ingest slice —
+    * so the oracle checks routing, merge, idempotence markers and
+    * snapshot resolution end to end; the replay no-op itself is
+    * pinned in TxnLogSpec (not oracle-expressible).
+    *
+    * Scale: each commit rewrites only the TOUCHED buckets
+    * (copy-on-write; the bucket count is the append-amplification
+    * dial — see [[graft.sources.TxnLog.commitMerged]]); the log is
+    * driver-side metadata, the data plane is ordinary distributed
+    * parquet. */
+  def txnStreamCommit(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/stream_${Integer.toHexString(dir.hashCode)}")
+    TxnLog.reset(table)
+    val base = sinkDir("txncommit")
+    for (slice <- 0 until 3) {
+      val src = readDocuments(s, dir)
+        .filter(col("doc_id") % 3 === slice)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("doc_id") % 3).cast("long").as("ingest_slice"))
+      val q = src.writeStream
+        .option("checkpointLocation", s"$base/ck$slice")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          TxnLog.commitMerged(batch.sparkSession, table, batch,
+            keyCol = "doc_id", app = "x219_ingest",
+            txnV = slice.toLong * 1000000 + batchId): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("ingest_slice"))
+  }
+
   /** x56: [[enrichedPurchases]] run to completion with AvailableNow —
     * a stream-static inner join emits exactly the batch join (the
     * static side is fully visible to every micro-batch). */

@@ -932,6 +932,21 @@ class PlanSpec extends SparkSpec {
       s"x217 champion window must partition on the term:\n$p217")
     assert(p217.contains("WindowGroupLimit"),
       s"x217 windows must become per-partition heaps:\n$p217")
+    // x218: the ADC stage and the re-rank short-list fetch are
+    // (q_id/vec_id/code)-keyed equi joins; the codebook/LUT sides
+    // broadcast (M·Ksub and |probes|·M·Ksub rows)
+    val p218 = plan("x218_pq_rerank")
+    assert(!p218.contains("CartesianProduct"),
+      s"x218 refine must stay keyed:\n$p218")
+    assert(p218.contains("WindowGroupLimit"),
+      s"x218 short-list/top-k cuts must be per-partition heaps:\n$p218")
+    // x220: the x51 shape with field structure — workload batch
+    // broadcast, postings join keyed on the term
+    val p220 = plan("x220_bm25f")
+    assert(!p220.contains("CartesianProduct"),
+      s"x220 postings join must stay keyed:\n$p220")
+    assert(p220.contains("windowspecdefinition(query"),
+      s"x220 top-k must partition on the query:\n$p220")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {

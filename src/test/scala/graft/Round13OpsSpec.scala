@@ -63,6 +63,62 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- x218 PQ re-rank refinement ------------------------------------
+
+  test("exact re-rank of the widened short-list never loses recall vs plain ADC") {
+    // every brute-top-k doc present in the k·factor short-list has a
+    // higher exact cosine than any non-top-k short-list member, so it
+    // must survive the re-rank cut — rerank_common = |brute ∩ short|
+    // ⊇ |brute ∩ adc_topk| per probe, provably
+    val pq = Similarity.ivfPqRecall(vs, cents)
+      .select(col("q_id"), col("n_common").as("pq_common"))
+    val rr = Similarity.pqRerankRecall(vs, cents)
+      .select(col("q_id"), col("n_common").as("rr_common"))
+    val joined = pq.join(rr, Seq("q_id")).as[(Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (q, p, r) =>
+      assert(r >= p, s"q=$q rerank recall $r < adc recall $p")
+    }
+  }
+
+  test("pqRerankRecall rows are k-bounded with a 4dp ratio") {
+    val got = Similarity.pqRerankRecall(vs, cents)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nb, nc, r) =>
+      assert(nb <= Search.TopK && nc <= nb)
+      assert(math.abs(r - nc.toDouble / Search.TopK) < 1e-9)
+    }
+  }
+
+  // ---- x220 BM25F ----------------------------------------------------
+
+  test("a title hit outranks the same-tf body hit in an equal-length doc") {
+    // both docs are 12 tokens with exactly one 'spark'; doc 1 carries
+    // it in the first TitleTokens positions, doc 2 in the body —
+    // BM25F's doubled title weight must rank doc 1 first
+    val pad = (1 to 9).map(i => s"p$i")
+    val docs = docsOf(
+      1L -> (Seq("spark", "x", "y") ++ pad).mkString(" "),
+      2L -> ((Seq("x", "y") ++ pad ++ Seq("spark")).mkString(" ")))
+    val got = Search.bm25fSearch(docs)
+      .filter(col("query") === "q_spark_join")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSeq === Seq(1L, 2L))
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("a doc shorter than the title width scores on the title leg alone") {
+    val docs = docsOf(
+      3L -> "spark join",
+      4L -> ("nope " * 20).trim)
+    val got = Search.bm25fSearch(docs)
+      .filter(col("query") === "q_spark_join")
+      .as[(String, Long, Double, Long)].collect()
+    assert(got.map(_._2).toSet === Set(3L))
+    assert(got.forall(_._3 > 0.0))
+  }
+
   // ---- x217 chunk retrieval eval -----------------------------------
 
   private def docsOf(rows: (Long, String)*) =

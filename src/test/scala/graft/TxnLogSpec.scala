@@ -48,6 +48,35 @@ class TxnLogSpec extends SparkSpec {
       Set((0L, "t0"), (101L, "t101")))
   }
 
+  test("a replayed (app, txnVersion) commit is a no-op returning the original version") {
+    val t = table("idem"); TxnLog.reset(t)
+    val v1 = TxnLog.commitMerged(spark, t, rows(0, 1, 2, 3), "doc_id", "app", 7L)
+    val again = TxnLog.commitMerged(spark, t, rows(0, 1, 2, 3), "doc_id", "app", 7L)
+    assert((v1, again) === ((1L, 1L)))
+    assert(TxnLog.latestVersion(t) === 1L)
+    // a DIFFERENT txnVersion from the same app merge-commits normally
+    val v2 = TxnLog.commitMerged(spark, t, rows(4), "doc_id", "app", 8L)
+    assert(v2 === 2L)
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((0L, "t0"), (1L, "t1"), (2L, "t2"), (3L, "t3"), (4L, "t4")))
+    // the replayed version is discoverable for exactly-once audits
+    assert(TxnLog.txnCommitted(t, "app", 7L) === Some(1L))
+    assert(TxnLog.txnCommitted(t, "app", 9L) === None)
+  }
+
+  test("commitMerged rewrites only the touched buckets (copy-on-write)") {
+    val t = table("cow"); TxnLog.reset(t)
+    TxnLog.commitMerged(spark, t, rows(0, 1, 2, 3), "doc_id", "app", 1L)
+    // bucket 1 only (doc_id 5 % 4 = 1): buckets 0/2/3 carry over by
+    // manifest reference; bucket 1 is existing ∪ fresh
+    TxnLog.commitMerged(spark, t, rows(5), "doc_id", "app", 2L)
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((0L, "t0"), (1L, "t1"), (2L, "t2"), (3L, "t3"), (5L, "t5")))
+    // old snapshot untouched by the merge
+    assert(TxnLog.snapshot(spark, t, 1L).as[(Long, String)]
+      .collect().toSet === Set((0L, "t0"), (1L, "t1"), (2L, "t2"), (3L, "t3")))
+  }
+
   test("snapshot isolation: an old version stays readable after later commits") {
     val t = table("isolation"); TxnLog.reset(t)
     val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0)))
