@@ -37,6 +37,44 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("graphAnnFrom equals an in-memory beam-search reference") {
+    // the beam LOGIC (round count, hop expansion, self-exclusion,
+    // dedup, (cos desc, vec_id) cuts) replayed in plain Scala from the
+    // engine's own collected inputs — any drift in the distributed
+    // round structure diverges from this trajectory
+    val vecs = vs.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map { case (id, v, n) => id -> ((v.toArray, n)) }.toMap
+    val adj0 = knn.select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect()
+    val adj = (adj0 ++ adj0.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+    val seeds = Similarity.annIvfFrom(vs, cents)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    def cos4(q: Long, c: Long): Double = {
+      val (qv, qn) = vecs(q); val (cv, cn) = vecs(c)
+      var d = 0.0; var i = 0
+      while (i < qv.length) { d += qv(i) * cv(i); i += 1 }
+      math.floor(d / (qn * cn) * 10000 + 0.5) / 10000
+    }
+    val expected = seeds.flatMap { case (q, s0) =>
+      var cand: Set[Long] = s0 - q
+      for (_ <- 1 to Similarity.GraphAnnRounds) {
+        val pool = (cand ++ cand.flatMap(c => adj.getOrElse(c, Set.empty))) - q
+        cand = pool.toSeq.map(c => (c, cos4(q, c)))
+          .sortBy { case (c, s) => (-s, c) }
+          .take(Similarity.GraphAnnBeam).map(_._1).toSet
+      }
+      cand.toSeq.map(c => (c, cos4(q, c)))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.TopK)
+        .zipWithIndex.map { case ((c, s), i) => (q, c, s, (i + 1).toLong) }
+    }.toSet
+    val got = Similarity.graphAnnFrom(vs, cents, knn)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("graph expansion never loses recall vs the IVF seeds, per probe") {
     // the final top-k is the best-of-pool under the SAME total order
     // brute uses, and the pool contains every IVF seed — so per-probe
