@@ -3300,6 +3300,14 @@ object ExtSql {
          |       CAST(doc_id % 3 AS BIGINT) AS ingest_slice
          |FROM documents""".stripMargin
 
+  // ---- x221 merge-on-read deletion vectors -------------------------
+  // The engine runs load -> tombstone delete -> bucket-0 compaction
+  // and reads the v3 snapshot; the oracle is the surviving set.
+
+  private val x221 =
+    raw"""SELECT doc_id, lang, n_chars
+         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin
+
   // ---- x217 chunk-level retrieval eval -----------------------------
   // The x112 chunk grid as the BM25 unit (x198's scoring chain with
   // chunk length/count/df), probes querying with their top doc terms;
@@ -5284,6 +5292,7 @@ object ExtSql {
     "x218_pq_rerank"      -> x218,
     "x219_stream_commit"  -> x219,
     "x220_bm25f"          -> x220,
+    "x221_delete_vectors" -> x221,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -564,7 +564,35 @@ object Extensions {
         books = Some(pqBooksShared(s, d)))),
     "x219_stream_commit" -> ((s, d) =>
       graft.streaming.EventStream.txnStreamCommit(s, d)),
-    "x220_bm25f"         -> ((s, d) => graft.ops.Search.bm25fSearch(docs(s, d))))
+    "x220_bm25f"         -> ((s, d) => graft.ops.Search.bm25fSearch(docs(s, d))),
+    "x221_delete_vectors" -> deleteVectors _)
+
+  /** x221: MERGE-ON-READ DELETION VECTORS end to end (see
+    * [[graft.sources.TxnLog.commitDeletes]]): v1 loads the full table,
+    * v2 deletes every doc_id ≡ 0 (mod 7) by writing per-bucket
+    * TOMBSTONES only (no data rewritten — the spec pins that the v1
+    * data generations survive v2 verbatim), v3 compacts bucket 0
+    * (rewrite = visible rows, tombstones cleared). The query reads the
+    * v3 snapshot: every surviving doc exactly once, served partly from
+    * the compacted generation and partly through the
+    * tombstone anti join — so the oracle checks delete routing,
+    * subtraction, compaction equivalence and snapshot resolution in
+    * one hash. */
+  private def deleteVectors(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/mor_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b ->
+        d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap)
+    val v2 = TxnLog.commitDeletes(table,
+      d0.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id", v1)
+    TxnLog.compactBucket(s, table, 0, v2)
+    TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
 
   /** x216: the LAKEHOUSE COMMIT PROTOCOL exercised end-to-end (see
     * [[graft.sources.TxnLog]]): an empty table takes three commits —

@@ -80,7 +80,9 @@ object TxnLog {
 
   private final case class Manifest(version: Long, touched: Set[Int],
                                     buckets: Map[Int, String],
-                                    txn: Option[(String, Long)])
+                                    txn: Option[(String, Long)],
+                                    tombs: Map[Int, Seq[String]],
+                                    keyCol: Option[String])
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v)).asScala
@@ -95,7 +97,14 @@ object TxnLog {
       val Array(_, app, tv) = s.split(" ", 3)
       (app, tv.toLong)
     }
-    Manifest(v, touched, buckets, txn)
+    val tombs = lines.collect { case s if s.startsWith("tomb ") =>
+      val Array(_, b, dir) = s.split(" ", 3)
+      b.toInt -> dir
+    }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2).toSeq }
+    val keyCol = lines.collectFirst { case s if s.startsWith("keycol=") =>
+      s.stripPrefix("keycol=")
+    }
+    Manifest(v, touched, buckets, txn, tombs, keyCol)
   }
 
   /** The version that committed idempotence marker (app, txnV), if
@@ -146,13 +155,21 @@ object TxnLog {
             s"version $v touched buckets ${overlap.toSeq.sorted.mkString(",")} " +
               s"already written by this transaction (base $baseVersion)")
       }
-      val base = if (latest == 0) Map.empty[Int, String]
-                 else readManifest(table, latest).buckets
-      val merged = base ++ written
+      val baseM = if (latest == 0) None else Some(readManifest(table, latest))
+      val merged = baseM.map(_.buckets).getOrElse(Map.empty) ++ written
+      // a full-bucket rewrite REPLACES the bucket, so its carried
+      // tombstones are cleared (they referred to the replaced data);
+      // untouched buckets keep theirs — full-state manifests carry
+      // the complete live tombstone list forward
+      val tombs = baseM.map(_.tombs).getOrElse(Map.empty) -- writes.keySet
+      val keyLine = baseM.flatMap(_.keyCol)
+        .filter(_ => tombs.nonEmpty).map(k => s"keycol=$k").toSeq
       val body = (s"version=${latest + 1}" +:
         s"touched=${writes.keySet.toSeq.sorted.mkString(",")}" +:
-        (txn.map { case (app, tv) => s"txn $app $tv" }.toSeq ++
-          merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" }))
+        (txn.map { case (app, tv) => s"txn $app $tv" }.toSeq ++ keyLine ++
+          merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
+          tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
+            ds.map(d => s"tomb $b $d") }))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -191,15 +208,102 @@ object TxnLog {
     val touched = tagged.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted // bucket-count-bounded
     val base = latestVersion(table)
-    val existing = if (base == 0) Map.empty[Int, String]
-                   else readManifest(table, base).buckets
     val writes = touched.map { b =>
       val fresh = tagged.filter(col("__b") === b).drop("__b")
-      b -> existing.get(b).map(rel =>
-        spark.read.parquet(s"$table/$rel").unionByName(fresh))
-        .getOrElse(fresh)
+      // merge against the bucket's VISIBLE rows (data minus any live
+      // tombstones) — the rewrite clears the bucket's tombstones, so
+      // folding them in here keeps deletes deleted
+      b -> (if (base == 0) fresh
+            else visibleBucket(spark, table, b, base)
+              .map(_.unionByName(fresh)).getOrElse(fresh))
     }.toMap
     commit(table, base, writes, Some((app, txnV)))
+  }
+
+  /** MERGE-ON-READ DELETE (x221 — the deletion-vector path): route
+    * `keys` (a one-column frame of `keyCol` values) to buckets and
+    * write a TOMBSTONE parquet per touched bucket instead of
+    * rewriting any data — the delete commits in O(deleted keys), and
+    * readers subtract tombstones at snapshot time (the Delta
+    * deletion-vector / Iceberg delete-file trade: cheap deletes, an
+    * anti join per read, until compaction folds them in). Touched
+    * buckets use the same conflict granularity as writes: a
+    * concurrent full-bucket writer of the same bucket conflicts. */
+  def commitDeletes(table: String, keys: DataFrame, keyCol: String,
+                    baseVersion: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val tagged = keys.select(col(keyCol),
+      (col(keyCol) % NumBuckets).cast("int").as("__b"))
+    val touched = tagged.select("__b").distinct()
+      .collect().map(_.getInt(0)).sorted // bucket-count-bounded
+    val written: Map[Int, String] = touched.map { b =>
+      val rel = s"data/t${baseVersion + 1}-b$b-$nonce"
+      tagged.filter(col("__b") === b).select(col(keyCol))
+        .write.mode("overwrite").parquet(s"$table/$rel")
+      b -> rel
+    }.toMap
+    Files.createDirectories(logDir(table))
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(table)
+      ((baseVersion + 1) to latest).foreach { v =>
+        val overlap = readManifest(table, v).touched.intersect(written.keySet)
+        if (overlap.nonEmpty)
+          throw new ConflictException(
+            s"version $v touched buckets ${overlap.toSeq.sorted.mkString(",")} " +
+              s"already deleted-from by this transaction (base $baseVersion)")
+      }
+      val baseM = readManifest(table, latest) // deletes need a base table
+      val tombs = written.foldLeft(baseM.tombs) { case (m, (b, rel)) =>
+        m.updated(b, m.getOrElse(b, Seq.empty) :+ rel)
+      }
+      val body = (s"version=${latest + 1}" +:
+        s"touched=${written.keySet.toSeq.sorted.mkString(",")}" +:
+        s"keycol=$keyCol" +:
+        (baseM.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"bucket $b $d" } ++
+          tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
+            ds.map(d => s"tomb $b $d") }))
+        .mkString("", "\n", "\n")
+      try {
+        Files.write(manifestPath(table, latest + 1),
+          body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+        committed = latest + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    committed
+  }
+
+  /** Fold one bucket's tombstones into a rewrite: new data generation
+    * = visible rows of `bucket`, committed through the ordinary write
+    * path (which clears the bucket's tombstones) — merge-on-read's
+    * compaction half; reads of this bucket are tombstone-free again. */
+  def compactBucket(spark: SparkSession, table: String, bucket: Int,
+                    baseVersion: Long): Long =
+    commit(table, baseVersion,
+      Map(bucket -> visibleBucket(spark, table, bucket, baseVersion)
+        .getOrElse(throw new IllegalArgumentException(
+          s"compactBucket: bucket $bucket not present in v$baseVersion"))))
+
+  /** One bucket's VISIBLE rows at `version`: its data generation minus
+    * its tombstoned keys (None if the bucket has no data). */
+  private def visibleBucket(spark: SparkSession, table: String, bucket: Int,
+                            version: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val m = readManifest(table, version)
+    m.buckets.get(bucket).map { rel =>
+      val data = spark.read.parquet(s"$table/$rel")
+      val ts = m.tombs.getOrElse(bucket, Seq.empty)
+      if (ts.isEmpty) data
+      else {
+        val key = m.keyCol.getOrElse(throw new IllegalStateException(
+          s"$table v$version has tombstones but no keycol"))
+        data.join(spark.read.parquet(ts.map(t => s"$table/$t"): _*)
+          .select(col(key)), Seq(key), "left_anti")
+      }
+    }
   }
 
   /** Remove the table directory entirely — fixture reset so each
@@ -212,13 +316,30 @@ object TxnLog {
   }
 
   /** Snapshot-isolated read: the file list of `version` (default the
-    * latest), regardless of later commits. */
+    * latest), regardless of later commits. A tombstone-free snapshot
+    * is a bare multi-path parquet scan (the common case — PlanSpec
+    * pins it); with live deletion vectors it is the scan plus ONE
+    * key-keyed anti join against the (tiny, broadcastable) tombstone
+    * union — sound globally because keys route to buckets by
+    * `key % NumBuckets`, so a tombstoned key can only ever match rows
+    * of its own bucket. */
   def snapshot(spark: SparkSession, table: String,
                version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val v = if (version > 0) version else latestVersion(table)
     require(v > 0, s"no committed version in $table")
-    val dirs = readManifest(table, v).buckets.toSeq.sortBy(_._1)
-      .map { case (_, rel) => s"$table/$rel" }
-    spark.read.parquet(dirs: _*)
+    val m = readManifest(table, v)
+    val data = spark.read.parquet(
+      m.buckets.toSeq.sortBy(_._1).map { case (_, rel) => s"$table/$rel" }: _*)
+    val ts = m.tombs.values.flatten.toSeq.sorted
+    if (ts.isEmpty) data
+    else {
+      val key = m.keyCol.getOrElse(throw new IllegalStateException(
+        s"$table v$v has tombstones but no keycol"))
+      data.join(
+        org.apache.spark.sql.functions.broadcast(
+          spark.read.parquet(ts.map(t => s"$table/$t"): _*).select(col(key))),
+        Seq(key), "left_anti")
+    }
   }
 }

@@ -947,6 +947,14 @@ class PlanSpec extends SparkSpec {
       s"x220 postings join must stay keyed:\n$p220")
     assert(p220.contains("windowspecdefinition(query"),
       s"x220 top-k must partition on the query:\n$p220")
+    // x221: a merge-on-read snapshot is the bare scan plus exactly the
+    // tombstone anti join, broadcast (the tombstone union is tiny)
+    val p221 = plan("x221_delete_vectors")
+    assert(p221.contains("LeftAnti"),
+      s"x221 must subtract tombstones with an anti join:\n$p221")
+    assert(p221.contains("BroadcastHashJoin"),
+      s"x221 tombstone side must broadcast:\n$p221")
+    assert(!p221.contains("CartesianProduct"), s"x221 keyed only:\n$p221")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {

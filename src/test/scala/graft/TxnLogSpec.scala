@@ -77,6 +77,36 @@ class TxnLogSpec extends SparkSpec {
       .collect().toSet === Set((0L, "t0"), (1L, "t1"), (2L, "t2"), (3L, "t3")))
   }
 
+  test("merge-on-read delete tombstones without rewriting data, compaction folds them") {
+    val t = table("mor"); TxnLog.reset(t)
+    val v1 = TxnLog.commit(t, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b -> rows(b.toLong, b + 4L)).toMap)
+    def dataDirs(): Set[String] =
+      Option(new java.io.File(s"$t/data").listFiles()).get
+        .map(_.getName).filter(_.startsWith("g")).toSet
+    val before = dataDirs()
+    val v2 = TxnLog.commitDeletes(t, Seq(0L, 5L).toDF("doc_id"), "doc_id", v1)
+    // the delete wrote NO data generation — tombstones only
+    assert(dataDirs() === before, "delete must not rewrite data files")
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "t1"), (2L, "t2"), (3L, "t3"), (4L, "t4"), (6L, "t6"), (7L, "t7")))
+    // v1 still sees the deleted rows (snapshot isolation over tombstones)
+    assert(TxnLog.snapshot(spark, t, v1).as[(Long, String)]
+      .collect().map(_._1).toSet === (0L to 7L).toSet)
+    // compaction of bucket 1 (5 % 4 = 1) rewrites it minus tombstones
+    // and preserves the visible set exactly
+    val v3 = TxnLog.compactBucket(spark, t, 1, v2)
+    assert(v3 === 3L)
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "t1"), (2L, "t2"), (3L, "t3"), (4L, "t4"), (6L, "t6"), (7L, "t7")))
+    // a merged append into a tombstoned bucket folds the tombstones in
+    // rather than resurrecting deleted rows (bucket 0: doc 0 deleted)
+    TxnLog.commitMerged(spark, t, rows(8), "doc_id", "app", 1L)
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "t1"), (2L, "t2"), (3L, "t3"), (4L, "t4"), (6L, "t6"),
+        (7L, "t7"), (8L, "t8")))
+  }
+
   test("snapshot isolation: an old version stays readable after later commits") {
     val t = table("isolation"); TxnLog.reset(t)
     val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0)))
