@@ -274,7 +274,12 @@ object Bench {
         // LAST pass's post-reap state — not the min pass's like
         // phase_ms/load_avg/shuffle deltas; the name records that
         s""""spill_mb":${r3(t(4) / 1e6)},"storage_mb_after_last":${r3(r.storageMbAfter)},""" +
-        s""""heap_mb_after_last":${r3(r.heapMbAfter)},"load_avg":${r3(r.loadAvg)}}"""
+        s""""heap_mb_after_last":${r3(r.heapMbAfter)},""" +
+        // migration shims (ADVICE r8): the pre-rename key names are
+        // emitted alongside for one round so historical bench.json
+        // consumers keep parsing; drop after round 9
+        s""""storage_mb_after":${r3(r.storageMbAfter)},""" +
+        s""""heap_mb_after":${r3(r.heapMbAfter)},"load_avg":${r3(r.loadAvg)}}"""
     }.mkString("{", ",", "}")
     val noise = "min over " + passes + " passes; +1 extra pass (min-of-3) for queries under 1s" +
       "; +1 re-run for queries >=1s whose min pass ran at load_avg above the gate" +

@@ -26,7 +26,17 @@ object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val evict = sys.env.getOrElse("SPARK_GRAFT_QTIME_EVICT", "1") == "1"
+    // ADVICE r8 compatibility: QTime's knob was once the same name as
+    // Bench's — a harness script still setting only the old name gets
+    // it honored (with a note), instead of silently reverting QTime to
+    // its eviction default; the new name wins when both are set
+    val evict = sys.env.get("SPARK_GRAFT_QTIME_EVICT")
+      .orElse(sys.env.get("SPARK_GRAFT_EVICT_BETWEEN_PASSES").map { v =>
+        System.err.println("[qtime] note: honoring legacy " +
+          s"SPARK_GRAFT_EVICT_BETWEEN_PASSES=$v for the QTime eviction " +
+          "knob; set SPARK_GRAFT_QTIME_EVICT to silence this")
+        v
+      }).getOrElse("1") == "1"
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // same AQE wide-start posture as Bench — measurements must match

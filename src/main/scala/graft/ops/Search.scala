@@ -187,14 +187,21 @@ object Search {
     * convention), not a production path; the champion leg and the
     * overlap join are top-k-bounded. */
   def championRecall(documents: DataFrame, k: Int = TopK,
-                     championCap: Int = ChampionCap): DataFrame = {
-    // ONE postings scan for BOTH legs (VERDICT r7): the champion leg
-    // is by construction a row-SUBSET of the exact leg's contrib frame
-    // (the same (q_id, doc_id, fp) rows, restricted to champion-rank
-    // crn <= C before aggregation), so build the UNCAPPED contrib once
-    // with crn attached and cut twice — the heavy qterms⋈postings join
-    // runs once instead of twice, and each leg's totals are exactly
-    // what its own docProbeBm25 run would aggregate.
+                     championCap: Int = ChampionCap): DataFrame =
+    championRecallFrom(Caching.temp(championContrib(documents)),
+      k, championCap)
+
+  /** The ONE postings scan both x213 legs cut from (VERDICT r7): the
+    * champion leg is by construction a row-SUBSET of the exact leg's
+    * contrib frame (the same (q_id, doc_id, fp) rows, restricted to
+    * champion-rank crn <= C before aggregation), so the UNCAPPED
+    * contrib is built once with crn attached and cut twice — the heavy
+    * qterms⋈postings join runs once instead of twice, and each leg's
+    * totals are exactly what its own docProbeBm25 run would aggregate.
+    * Exposed so the audit's only corpus-heavy frame can be memoized
+    * per (session, dir) the way tfMemo shares the tokenize
+    * (VERDICT r8); rows are bounded by |probes|·QTermCap·df. */
+  def championContrib(documents: DataFrame): DataFrame = {
     val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
     val dl = Caching.temp(TextAnalysis.withTokens(documents)
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
@@ -214,7 +221,7 @@ object Search {
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val den = col("tf") + lit(K1) * (lit(1.0 - B) +
       lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks")))
-    val contrib = Caching.temp(qterms
+    qterms
       .join(tf.withColumn("crn", row_number().over(wc)), col("term") === col("tok"))
       .filter(col("q_id") =!= col("doc_id"))
       .join(dfq, Seq("tok"))
@@ -222,7 +229,14 @@ object Search {
       .crossJoin(stats)
       .select(col("q_id"), col("doc_id"), col("crn"),
         floor(idf * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
-          .cast("long").as("fp")))
+          .cast("long").as("fp"))
+  }
+
+  /** The x213 recall computation over a pre-built (and ideally
+    * memoized) [[championContrib]] frame — two top-k cuts plus
+    * top-k-bounded overlap joins, nothing corpus-sized. */
+  def championRecallFrom(contrib: DataFrame, k: Int = TopK,
+                         championCap: Int = ChampionCap): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("total").desc, col("doc_id").asc)
     def topk(rows: DataFrame): DataFrame = rows
@@ -365,7 +379,19 @@ object Search {
     * it is the ivfMemo rationale applied to the chunk grid. */
   def chunkRetrievalEvalFrom(chunkSlices: DataFrame, documents: DataFrame,
                              k: Int = TopK, termCap: Int = QTermCap,
-                             championCap: Int = ChampionCap): DataFrame = {
+                             championCap: Int = ChampionCap): DataFrame =
+    chunkRetrievalEvalFromContrib(
+      Caching.temp(chunkContrib(chunkSlices, documents, termCap, championCap)),
+      documents, k, termCap)
+
+  /** The x217 per-(probe, chunk) scored contrib frame — the chunk
+    * inverted index built, champion-capped and joined to the probe
+    * terms in one pass. This is the eval's only chunk-grid-sized
+    * work, exposed so it can be memoized per (session, dir)
+    * (VERDICT r8); rows are bounded by |probes|·termCap·C. */
+  def chunkContrib(chunkSlices: DataFrame, documents: DataFrame,
+                   termCap: Int = QTermCap,
+                   championCap: Int = ChampionCap): DataFrame = {
     val slices = Caching.temp(chunkSlices
       .select(col("doc_id").as("src_doc"), col("chunk_idx"), col("ctoks")))
     val cdl = Caching.temp(slices
@@ -397,13 +423,23 @@ object Search {
       (col("n_chunks") - col("df") + 0.5) / (col("df") + 0.5))
     val den = col("tf") + lit(K1) * (lit(1.0 - B) +
       lit(B) * (col("cdl").cast("double") * col("n_chunks") / col("total_ctoks")))
-    val contrib = qterms.join(champ, col("term") === col("tok"))
+    qterms.join(champ, col("term") === col("tok"))
       .join(dfc, Seq("tok"))
       .join(cdl, Seq("src_doc", "chunk_idx"))
       .crossJoin(stats)
       .select(col("q_id"), col("src_doc"), col("chunk_idx"),
         floor(idf * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
           .cast("long").as("fp"))
+  }
+
+  /** The x217 scoring over a pre-built (and ideally memoized)
+    * [[chunkContrib]] frame: per-probe top-k cut + needle stats. The
+    * probe universe is re-derived from the (memo-shared) doc term
+    * frequencies, NOT from the contrib rows — a probe whose every
+    * term got champion-truncated away must still report n_hits = 0. */
+  def chunkRetrievalEvalFromContrib(contrib: DataFrame, documents: DataFrame,
+                                    k: Int = TopK,
+                                    termCap: Int = QTermCap): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("total").desc, col("src_doc").asc, col("chunk_idx").asc)
@@ -414,7 +450,10 @@ object Search {
     val hits = top.filter(col("src_doc") === col("q_id"))
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("rnk")).as("first_rank"))
-    qterms.select(col("q_id")).distinct()
+    val probes = TextAnalysis.docTermFreq(documents)
+      .filter(col("doc_id") % Similarity.QueryStride === 0)
+      .select(col("doc_id").as("q_id")).distinct()
+    probes
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -475,12 +514,19 @@ object Search {
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val tfw = col("tft").cast("double") * lit(WTitle) /
-        (lit(1.0 - B) + lit(B) *
-          (col("dlt").cast("double") * col("n_docs") / col("tot_t"))) +
-      col("tfb").cast("double") * lit(WBody) /
-        (lit(1.0 - B) + lit(B) *
-          (col("dlb").cast("double") * col("n_docs") / col("tot_b")))
+    // an EMPTY field corpus-wide (tot_f = 0) contributes zero, not
+    // 0/0 = NaN poisoning every score (ADVICE r8); with any tokens in
+    // the field the guard is inert, so fixture hashes are unchanged
+    val tfw = when(col("tot_t") > 0,
+        col("tft").cast("double") * lit(WTitle) /
+          (lit(1.0 - B) + lit(B) *
+            (col("dlt").cast("double") * col("n_docs") / col("tot_t"))))
+        .otherwise(lit(0.0)) +
+      when(col("tot_b") > 0,
+        col("tfb").cast("double") * lit(WBody) /
+          (lit(1.0 - B) + lit(B) *
+            (col("dlb").cast("double") * col("n_docs") / col("tot_b"))))
+        .otherwise(lit(0.0))
     val contrib = qterms.join(tff, col("term") === col("tok"))
       .join(dfq, Seq("tok"))
       .join(dlf, Seq("doc_id"))

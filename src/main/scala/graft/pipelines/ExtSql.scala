@@ -1550,10 +1550,14 @@ object ExtSql {
          |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
          |wtf AS (
          |  SELECT q.query, t.doc_id, f.df, n.n_docs,
-         |         (t.tft::DOUBLE * $WTitle / (${1.0 - B} + $B
-         |            * (d.dlt::DOUBLE * n.n_docs / n.tot_t))
-         |        + t.tfb::DOUBLE * $WBody / (${1.0 - B} + $B
-         |            * (d.dlb::DOUBLE * n.n_docs / n.tot_b))) AS tfw
+         |         (CASE WHEN n.tot_t > 0 THEN
+         |            t.tft::DOUBLE * $WTitle / (${1.0 - B} + $B
+         |              * (d.dlt::DOUBLE * n.n_docs / n.tot_t))
+         |          ELSE 0.0 END
+         |        + CASE WHEN n.tot_b > 0 THEN
+         |            t.tfb::DOUBLE * $WBody / (${1.0 - B} + $B
+         |              * (d.dlb::DOUBLE * n.n_docs / n.tot_b))
+         |          ELSE 0.0 END) AS tfw
          |  FROM qt q JOIN tff t ON t.tok = q.term
          |       JOIN dfq f ON f.tok = t.tok
          |       JOIN dlf d ON d.doc_id = t.doc_id

@@ -68,14 +68,25 @@ object TxnLog {
   private def manifestPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%06d.txt")
 
-  /** Highest committed version; 0 = empty table. */
+  private val ManifestName = "v(\\d{6,})\\.txt".r
+
+  /** Highest committed version; 0 = empty table. The directory stream
+    * is closed eagerly (ADVICE r8: `Files.list` leaks its handle until
+    * GC otherwise, and this runs O(versions) times under
+    * [[txnCommitted]]), and the name pattern accepts ≥6 digits — the
+    * `%06d` format grows past six at version 1,000,000 and a
+    * fixed-width match would stall resolution there. */
   def latestVersion(table: String): Long = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) 0L
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{6}\\.txt") => s.substring(1, 7).toLong }
-      .foldLeft(0L)(math.max)
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case ManifestName(digits) => digits.toLong }
+        .foldLeft(0L)(math.max)
+      finally stream.close()
+    }
   }
 
   private final case class Manifest(version: Long, touched: Set[Int],
@@ -318,28 +329,42 @@ object TxnLog {
   /** Snapshot-isolated read: the file list of `version` (default the
     * latest), regardless of later commits. A tombstone-free snapshot
     * is a bare multi-path parquet scan (the common case — PlanSpec
-    * pins it); with live deletion vectors it is the scan plus ONE
-    * key-keyed anti join against the (tiny, broadcastable) tombstone
-    * union — sound globally because keys route to buckets by
-    * `key % NumBuckets`, so a tombstoned key can only ever match rows
-    * of its own bucket. */
+    * pins it); with live deletion vectors, each tombstoned bucket
+    * subtracts ITS OWN tombstones by a key-keyed anti join and the
+    * tombstone-free buckets stay one bare multi-path scan (the
+    * [[visibleBucket]] formulation). Per-bucket subtraction fixes two
+    * r8 findings at once: (a) no forced `broadcast()` on a delete set
+    * that is unbounded in principle — the joins are unhinted, so AQE
+    * broadcasts the (usually tiny) tombstones when they are small and
+    * falls back to a shuffled anti join when they are not, instead of
+    * OOMing the driver (VERDICT r8); (b) soundness no longer leans on
+    * every commit() caller having routed keys by `key % NumBuckets` —
+    * a mis-routed tombstone key can no longer reach across buckets
+    * and silently delete same-keyed rows elsewhere (ADVICE r8). */
   def snapshot(spark: SparkSession, table: String,
                version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.col
     val v = if (version > 0) version else latestVersion(table)
     require(v > 0, s"no committed version in $table")
     val m = readManifest(table, v)
-    val data = spark.read.parquet(
-      m.buckets.toSeq.sortBy(_._1).map { case (_, rel) => s"$table/$rel" }: _*)
-    val ts = m.tombs.values.flatten.toSeq.sorted
-    if (ts.isEmpty) data
+    val tombed = m.buckets.keySet.filter(b =>
+      m.tombs.get(b).exists(_.nonEmpty))
+    val clearRels = m.buckets.toSeq.sortBy(_._1)
+      .collect { case (b, rel) if !tombed.contains(b) => s"$table/$rel" }
+    val clear =
+      if (clearRels.isEmpty) None
+      else Some(spark.read.parquet(clearRels: _*))
+    if (tombed.isEmpty) clear.get
     else {
       val key = m.keyCol.getOrElse(throw new IllegalStateException(
         s"$table v$v has tombstones but no keycol"))
-      data.join(
-        org.apache.spark.sql.functions.broadcast(
-          spark.read.parquet(ts.map(t => s"$table/$t"): _*).select(col(key))),
-        Seq(key), "left_anti")
+      val subtracted = tombed.toSeq.sorted.map { b =>
+        spark.read.parquet(s"$table/${m.buckets(b)}")
+          .join(spark.read.parquet(
+            m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
+            Seq(key), "left_anti")
+      }
+      (clear.toSeq ++ subtracted).reduce(_.unionByName(_))
     }
   }
 }

@@ -107,6 +107,46 @@ class TxnLogSpec extends SparkSpec {
         (7L, "t7"), (8L, "t8")))
   }
 
+  test("a delete set too large to broadcast falls back to a shuffled anti join") {
+    // VERDICT r8: snapshot() must not FORCE a broadcast of the
+    // tombstone union — the delete set is unbounded in principle.
+    // Simulate "too large" by disabling auto-broadcast in a child
+    // session: the initial plan must pick a non-broadcast anti join,
+    // which is only possible when no hint wraps the tombstone side.
+    val t = table("bigdelete"); TxnLog.reset(t)
+    val v1 = TxnLog.commit(t, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b -> rows(b.toLong, b + 4L)).toMap)
+    TxnLog.commitDeletes(t, Seq(0L, 5L).toDF("doc_id"), "doc_id", v1)
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = TxnLog.snapshot(sub, t)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"expected tombstone anti join in:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"with auto-broadcast off the anti join must not broadcast " +
+        s"(a forced hint would override the threshold):\n$p")
+    // and the rows are still exactly the visible set
+    assert(df.as[(Long, String)].collect().toSet ===
+      Set((1L, "t1"), (2L, "t2"), (3L, "t3"), (4L, "t4"), (6L, "t6"), (7L, "t7")))
+  }
+
+  test("tombstones subtract per bucket: a key duplicated across buckets only dies in its own") {
+    // ADVICE r8: commit() accepts arbitrary bucket→DataFrame maps and
+    // never validates key routing, so the same key CAN legitimately
+    // exist in two buckets (a mis-routed writer). A delete routes its
+    // tombstone to key % NumBuckets; per-bucket subtraction must kill
+    // only that bucket's copy — a global tombstone union would
+    // silently delete the other bucket's rows too.
+    val t = table("perbucket"); TxnLog.reset(t)
+    val misrouted = Seq((1L, "misrouted")).toDF("doc_id", "text")
+    val routed = Seq((1L, "routed")).toDF("doc_id", "text")
+    val v1 = TxnLog.commit(t, 0L, Map(0 -> misrouted, 1 -> routed))
+    TxnLog.commitDeletes(t, Seq(1L).toDF("doc_id"), "doc_id", v1)
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "misrouted")),
+      "the tombstone for key 1 (bucket 1) must not reach bucket 0's copy")
+  }
+
   test("snapshot isolation: an old version stays readable after later commits") {
     val t = table("isolation"); TxnLog.reset(t)
     val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0)))
