@@ -317,12 +317,17 @@ object Dedup {
     * not the corpus — and the output is ≤ |sources|² rows. The same
     * shape as the LSH band join, with the domain bound in place of
     * the bucket cap. */
-  def sourceOverlap(documents: DataFrame, k: Int = SpanTokens): DataFrame = {
-    val fps = graft.ops.TextAnalysis.withTokens(documents)
-      .filter(size(col("toks")) >= k)
-      .select(col("source"), explode(expr(
-        s"transform(sequence(1, size(toks)-$k+1), i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
-        .as("fp"))
+  def sourceOverlap(documents: DataFrame, k: Int = SpanTokens): DataFrame =
+    sourceOverlapFrom(spanWindows(documents, k), documents)
+
+  /** [[sourceOverlap]] over a pre-built (and ideally memo-shared with
+    * x90/x100) [[spanWindows]] frame: the window explode was the
+    * query's only corpus-sized scan, so sharing it leaves one doc_id-
+    * keyed source attach + the domain-bounded fp self-join. */
+  def sourceOverlapFrom(spans: DataFrame, documents: DataFrame): DataFrame = {
+    val fps = spans
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("fp"))
       .distinct()
     fps.alias("a").join(fps.alias("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
@@ -898,8 +903,13 @@ object Dedup {
     * shuffle on (doc_id, pos) — fixed-width keys, never text. The
     * reconstruction is one hash aggregate per doc_id. Nothing is
     * quadratic in documents or occurrences. */
-  def spanCleanText(documents: DataFrame, k: Int = SpanTokens): DataFrame = {
-    val spans = Caching.temp(spanWindows(documents, k))
+  def spanCleanText(documents: DataFrame, k: Int = SpanTokens): DataFrame =
+    spanCleanTextFrom(Caching.temp(spanWindows(documents, k)), documents, k)
+
+  /** [[spanCleanText]] over a pre-built (and ideally memo-shared with
+    * x90/x136) [[spanWindows]] frame. */
+  def spanCleanTextFrom(spans: DataFrame, documents: DataFrame,
+                        k: Int = SpanTokens): DataFrame = {
     val dups = spanDedupFrom(spans)
       .select(col("fp"), col("keep_doc_id"), col("keep_pos"))
     // non-keeper occurrences of repeated spans → covered token ranges
@@ -1000,8 +1010,15 @@ object Dedup {
     * everything after the span pass is linear and map-side
     * combinable. */
   def dupRateBySource(documents: DataFrame,
-                      minTokens: Int = ExactSubstrTokens): DataFrame = {
-    val perDoc = exactSubstrSpans(documents, minTokens)
+                      minTokens: Int = ExactSubstrTokens): DataFrame =
+    dupRateBySourceFrom(exactSubstrSpans(documents, minTokens), documents)
+
+  /** [[dupRateBySource]] over a pre-built (and ideally memo-shared
+    * with x206) maximal-span frame — the x206 pass is the whole cost;
+    * everything here is linear aggregates over its disjoint spans. */
+  def dupRateBySourceFrom(substrSpans: DataFrame,
+                          documents: DataFrame): DataFrame = {
+    val perDoc = substrSpans
       .groupBy(col("doc_id"))
       .agg(sum(col("span_len")).as("dup_toks"), count(lit(1)).as("n_spans"))
     TextAnalysis.withTokens(documents)

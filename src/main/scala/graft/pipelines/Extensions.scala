@@ -289,6 +289,38 @@ object Extensions {
     rfmMemo.getOrElseUpdate((s, d),
       graft.ops.Olap.rfm(Tables.orders(s, d)).persist())
 
+  /** ONE k=8 span-window explode per (session, dir) — the (doc_id,
+    * pos, fp) frame is the single corpus-sized scan of x90 (span
+    * report), x100 (span removal) and x136 (cross-source overlap),
+    * and each consumer re-exploded it per pass (VERDICT r9 mid-tail).
+    * Corpus-token-sized but fixed-width md5 rows — the shMemo class. */
+  private val span8Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def span8Shared(s: SparkSession, d: String): DataFrame =
+    span8Memo.getOrElseUpdate((s, d),
+      Dedup.spanWindows(docs(s, d)).persist())
+
+  /** ONE x206 maximal-span pass per (session, dir) — x209's dup-rate
+    * aggregate consumed the identical exactSubstrSpans plan and re-ran
+    * the whole k=50 window explode + islands pass; the persisted span
+    * frame is disjoint-spans-per-doc sized (far below corpus). */
+  private val substrMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def substrShared(s: SparkSession, d: String): DataFrame =
+    substrMemo.getOrElseUpdate((s, d),
+      Dedup.exactSubstrSpans(docs(s, d)).persist())
+
+  /** ONE per-order brand-basket shuffle per (session, dir) — the
+    * declared "shared one-shuffle input of x168 and x175" was shared
+    * per QUERY CALL only (each consumer rebuilt it per pass); the
+    * basket frame is |orders| rows of ≤25-element arrays. */
+  private val basketsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def basketsShared(s: SparkSession, d: String): DataFrame =
+    basketsMemo.getOrElseUpdate((s, d),
+      graft.ops.Olap.brandBaskets(Tables.lineitem(s, d), Tables.part(s, d))
+        .persist())
+
   /** ONE x117 BPE training run per (session, dir) — the learned merge
     * table is a driver-side 8-row list (the loop's per-iteration
     * argmax collects run at query CONSTRUCTION, so plan-level cache
@@ -308,7 +340,8 @@ object Extensions {
   def clearMemos(session: SparkSession): Unit = {
     Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo,
         ivfMemo, bruteMemo, lexMemo, gannMemo, slicesMemo, tfMemo, kcoreMemo, prMemo,
-        champMemo, chunkMemo, rfmMemo, mmrMemo,
+        champMemo, chunkMemo, rfmMemo, mmrMemo, span8Memo, substrMemo,
+        basketsMemo,
         lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
                  // session ref AND a memoized frame whose checkpoint
                  // blocks the loop below frees — an unrecoverable read
@@ -439,7 +472,7 @@ object Extensions {
     "x87_top_spend"      -> ((s, d) => Events.topSpendEvents(evs(s, d))),
     "x88_topk_rewrite"   -> topDocsDeclarative _,
     "x89_normalized"     -> ((s, d) => TextAnalysis.normalized(docs(s, d))),
-    "x90_span_dedup"     -> ((s, d) => Dedup.spanDedup(docs(s, d))),
+    "x90_span_dedup"     -> ((s, d) => Dedup.spanDedupFrom(span8Shared(s, d))),
     "x91_zone_map"       -> ((s, d) => graft.ops.DataProfile.zoneMapAudit(Tables.lineitem(s, d))),
     "x92_mv_refresh"     -> ((s, d) => Events.mvRefresh(evs(s, d))),
     "x93_join_card"      -> ((s, d) => graft.ops.DataProfile.joinCardEst(
@@ -453,7 +486,8 @@ object Extensions {
     "x97_dup_clusters_star" -> ((s, d) => Dedup.dupClustersStarFrom(pairsShared(s, d))),
     "x98_orc_source"     -> orcRoundTrip _,
     "x99_pii_scrub"      -> ((s, d) => graft.ops.Pii.piiScrub(docs(s, d))),
-    "x100_span_clean"    -> ((s, d) => Dedup.spanCleanText(docs(s, d))),
+    "x100_span_clean"    -> ((s, d) =>
+      Dedup.spanCleanTextFrom(span8Shared(s, d), docs(s, d))),
     "x101_gopher_rules"  -> ((s, d) => graft.ops.QualityFilters.gopherRules(docs(s, d))),
     "x102_c4_lines"      -> ((s, d) => graft.ops.QualityFilters.c4LineFilters(docs(s, d))),
     "x103_mix_weights"   -> ((s, d) => graft.ops.QualityFilters.mixtureWeights(docs(s, d))),
@@ -493,7 +527,8 @@ object Extensions {
     "x134_bloom_join"    -> ((s, d) =>
       graft.ops.Olap.bloomPrunedJoin(Tables.orders(s, d), Tables.customer(s, d))),
     "x135_dp_counts"     -> ((s, d) => graft.ops.DataProfile.dpCounts(docs(s, d))),
-    "x136_src_overlap"   -> ((s, d) => Dedup.sourceOverlap(docs(s, d))),
+    "x136_src_overlap"   -> ((s, d) =>
+      Dedup.sourceOverlapFrom(span8Shared(s, d), docs(s, d))),
     "x137_quality_ci"    -> ((s, d) => TextAnalysis.qualityCi(docs(s, d))),
     "x138_psi_drift"     -> ((s, d) => TextAnalysis.psiDrift(docs(s, d))),
     "x139_ewma_daily"    -> ((s, d) => Events.ewmaDaily(evs(s, d))),
@@ -527,7 +562,7 @@ object Extensions {
     "x166_jw_match"      -> ((s, d) => graft.ops.Fuzzy.jwNameMatch(Tables.part(s, d))),
     "x167_rfm"           -> ((s, d) => rfmShared(s, d)),
     "x168_basket_lift"   -> ((s, d) =>
-      graft.ops.Olap.basketLift(Tables.lineitem(s, d), Tables.part(s, d))),
+      graft.ops.Olap.basketLiftFrom(basketsShared(s, d))),
     "x169_pareto_front"  -> ((s, d) => graft.ops.Olap.paretoFront(Tables.part(s, d))),
     "x170_acf"           -> ((s, d) => Events.acfDailyVolume(evs(s, d))),
     "x171_transitions"   -> ((s, d) => Events.typeTransitions(evs(s, d))),
@@ -536,7 +571,7 @@ object Extensions {
     "x174_label_confusion" -> ((s, d) =>
       graft.ops.Similarity.labelConfusion(Tables.embeddings(s, d))),
     "x175_item_neighbors" -> ((s, d) =>
-      graft.ops.Olap.itemNeighbors(Tables.lineitem(s, d), Tables.part(s, d))),
+      graft.ops.Olap.itemNeighborsFrom(basketsShared(s, d))),
     "x176_attribution"   -> ((s, d) => Events.linearAttribution(evs(s, d))),
     "x177_quantile_norm" -> ((s, d) => graft.ops.QualityFilters.quantileNormalize(docs(s, d))),
     "x178_link_pred"     -> ((s, d) => graft.ops.Graph.adamicAdarFrom(knnShared(s, d))),
@@ -594,11 +629,12 @@ object Extensions {
       docs(s, d), vecsShared(s, d), centsShared(s, d))),
     "x205_ingest_confirm" -> ((s, d) =>
       Dedup.ingestConfirmFrom(shinglesShared(s, d))),
-    "x206_exact_substr"  -> ((s, d) => Dedup.exactSubstrSpans(docs(s, d))),
+    "x206_exact_substr"  -> ((s, d) => substrShared(s, d)),
     "x207_mmr_select"    -> ((s, d) => mmrShared(s, d)),
     "x208_fertility"     -> ((s, d) => TextAnalysis.tokenizerFertility(
       docs(s, d), bpeShared(s, d).map(m => (m._2, m._3)))),
-    "x209_dup_rate"      -> ((s, d) => Dedup.dupRateBySource(docs(s, d))),
+    "x209_dup_rate"      -> ((s, d) =>
+      Dedup.dupRateBySourceFrom(substrShared(s, d), docs(s, d))),
     "x210_curriculum_mix" -> ((s, d) =>
       graft.ops.QualityFilters.curriculumMix(lpaShared(s, d), docs(s, d))),
     "x211_embed_outliers" -> ((s, d) => Similarity.embeddingOutliers(embs(s, d))),
