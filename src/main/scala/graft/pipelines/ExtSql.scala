@@ -3312,6 +3312,17 @@ object ExtSql {
     raw"""SELECT doc_id, lang, n_chars
          |FROM documents WHERE doc_id % 7 <> 0""".stripMargin
 
+  // ---- x222 checkpoint + vacuum ------------------------------------
+  // Post-vacuum latest snapshot: v2's bucket-1 rewrite (+1000 chars)
+  // over v1's base, minus v3's % 5 deletion vectors; vacuum must not
+  // have touched anything this snapshot references.
+
+  private val x222 =
+    raw"""SELECT doc_id, lang,
+         |       CAST(n_chars + CASE WHEN doc_id % 4 = 1 THEN 1000 ELSE 0 END
+         |            AS BIGINT) AS n_chars
+         |FROM documents WHERE doc_id % 5 <> 0""".stripMargin
+
   // ---- x217 chunk-level retrieval eval -----------------------------
   // The x112 chunk grid as the BM25 unit (x198's scoring chain with
   // chunk length/count/df), probes querying with their top doc terms;
@@ -5297,6 +5308,7 @@ object ExtSql {
     "x219_stream_commit"  -> x219,
     "x220_bm25f"          -> x220,
     "x221_delete_vectors" -> x221,
+    "x222_post_vacuum"    -> x222,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -663,7 +663,44 @@ object Extensions {
     "x219_stream_commit" -> ((s, d) =>
       graft.streaming.EventStream.txnStreamCommit(s, d)),
     "x220_bm25f"         -> ((s, d) => graft.ops.Search.bm25fSearch(docs(s, d))),
-    "x221_delete_vectors" -> deleteVectors _)
+    "x221_delete_vectors" -> deleteVectors _,
+    "x222_post_vacuum"   -> postVacuum _)
+
+  /** x222: CHECKPOINT + VACUUM end to end (see
+    * [[graft.sources.TxnLog.vacuum]]): v1 loads the full table, v2
+    * rewrites bucket 1 (+1000 chars — v1's bucket-1 generation is now
+    * dead weight no retained version references), v3 deletes every
+    * doc_id ≡ 0 (mod 5) by tombstones. vacuum(retain=2) checkpoints
+    * at v3 (aggregating the log's idempotence markers), expires v1's
+    * manifest and reclaims EXACTLY the dead bucket-1 generation — the
+    * require pins that receipt, and reading v1 afterwards must fail
+    * (retention contract). The query reads the post-vacuum latest
+    * snapshot — the oracle (a CASE over the original table) checks
+    * that reclamation deleted nothing any retained version needs,
+    * with live deletion vectors still subtracting. TxnLogSpec pins
+    * the racing-reader half (a retained old snapshot collects
+    * correctly after vacuum) and the in-flight-writer safety. */
+  private def postVacuum(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/vac_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+    val v2 = TxnLog.commit(table, v1, Map(1 ->
+      slice(1).withColumn("n_chars", col("n_chars") + 1000)))
+    TxnLog.commitDeletes(table,
+      d0.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id", v2)
+    val reclaimed = TxnLog.vacuum(table, retainLast = 2)
+    require(reclaimed.size == 1 && reclaimed.head.contains("-b1-"),
+      s"vacuum must reclaim exactly v1's dead bucket-1 generation, got $reclaimed")
+    require(scala.util.Try(TxnLog.snapshot(s, table, v1)).isFailure,
+      "v1 must be expired after vacuum(retain=2)")
+    TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
 
   /** x221: MERGE-ON-READ DELETION VECTORS end to end (see
     * [[graft.sources.TxnLog.commitDeletes]]): v1 loads the full table,

@@ -122,10 +122,157 @@ object TxnLog {
     * any — the Delta `txnAppId`/`txnVersion` writer-dedup primitive:
     * an exactly-once producer (e.g. a Structured Streaming
     * foreachBatch sink replaying a micro-batch after a crash) tags
-    * each commit and skips any (app, txnV) already in the log. */
-  def txnCommitted(table: String, app: String, txnV: Long): Option[Long] =
-    (1L to latestVersion(table)).find(v =>
-      readManifest(table, v).txn.contains((app, txnV)))
+    * each commit and skips any (app, txnV) already in the log.
+    * Resolution consults the latest CHECKPOINT for markers at or
+    * below it (one file instead of O(versions), and the only source
+    * once [[vacuum]] expired those manifests) and scans only the
+    * manifests after it. */
+  def txnCommitted(table: String, app: String, txnV: Long): Option[Long] = {
+    val ck = latestCheckpoint(table)
+    ck.flatMap(cv => readCheckpointTxns(table, cv).get((app, txnV)))
+      .orElse {
+        val lo = ck.getOrElse(0L) + 1L
+        (lo to latestVersion(table)).find(v =>
+          readManifest(table, v).txn.contains((app, txnV)))
+      }
+  }
+
+  // ---- checkpoint + vacuum (log/data retention) ----------------------
+
+  private def checkpointPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"ckpt-v$v%06d.txt")
+  private def lastCheckpointHint(table: String): Path =
+    logDir(table).resolve("_last_checkpoint")
+  private val CheckpointName = "ckpt-v(\\d{6,})\\.txt".r
+
+  /** Highest checkpoint version, if any. The `_last_checkpoint` hint
+    * is read first (the Delta convention — O(1) instead of a listing)
+    * and trusted only if the file it names exists; fallback is a
+    * directory scan, so a stale or missing hint is never wrong. */
+  def latestCheckpoint(table: String): Option[Long] = {
+    val hint = lastCheckpointHint(table)
+    val hinted =
+      if (!Files.exists(hint)) None
+      else scala.util.Try(
+        new String(Files.readAllBytes(hint), StandardCharsets.UTF_8)
+          .trim.toLong).toOption
+        .filter(v => Files.exists(checkpointPath(table, v)))
+    hinted.orElse {
+      val dir = logDir(table)
+      if (!Files.isDirectory(dir)) None
+      else {
+        val stream = Files.list(dir)
+        try {
+          val vs = stream.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case CheckpointName(digits) => digits.toLong }.toSeq
+          if (vs.isEmpty) None else Some(vs.max)
+        } finally stream.close()
+      }
+    }
+  }
+
+  /** All (app, txnV) → version markers recorded by checkpoint `v`. */
+  private def readCheckpointTxns(table: String,
+                                 v: Long): Map[(String, Long), Long] =
+    Files.readAllLines(checkpointPath(table, v)).asScala
+      .collect { case s if s.startsWith("ctxn ") =>
+        val Array(_, app, tv, ver) = s.split(" ", 4)
+        (app, tv.toLong) -> ver.toLong
+      }.toMap
+
+  /** Write a CHECKPOINT at the current latest version: the full table
+    * state (the manifests are already full-state, so this is one file
+    * copy) plus EVERY (app, txnV) idempotence marker in the log so
+    * far — the aggregate [[vacuum]] needs before it may expire old
+    * manifests, and the file [[txnCommitted]] reads instead of
+    * walking O(versions). The `_last_checkpoint` hint is updated
+    * last; it is advisory only (see [[latestCheckpoint]]). Returns
+    * the checkpointed version. */
+  def checkpoint(table: String): Long = {
+    val v = latestVersion(table)
+    require(v > 0, s"nothing to checkpoint in $table")
+    val prev = latestCheckpoint(table)
+    // carry markers forward from the previous checkpoint, then scan
+    // only the manifests after it (they are guaranteed un-expired:
+    // vacuum never removes manifests past the newest checkpoint)
+    val carried = prev.map(readCheckpointTxns(table, _)).getOrElse(Map.empty)
+    val fresh = ((prev.getOrElse(0L) + 1L) to v).flatMap { mv =>
+      readManifest(table, mv).txn.map(t => t -> mv)
+    }.toMap
+    val m = readManifest(table, v)
+    val keyLine = m.keyCol.map(k => s"keycol=$k").toSeq
+    val body = (s"checkpoint=$v" +: (keyLine ++
+      (carried ++ fresh).toSeq.sortBy { case ((a, t), _) => (a, t) }
+        .map { case ((app, tv), ver) => s"ctxn $app $tv $ver" } ++
+      m.buckets.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
+      m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
+        ds.map(d => s"tomb $b $d") }))
+      .mkString("", "\n", "\n")
+    // CREATE_NEW like a commit: at most one checkpoint per version;
+    // losing the race to an identical checkpoint is success
+    try Files.write(checkpointPath(table, v),
+      body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    Files.write(lastCheckpointHint(table),
+      v.toString.getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  /** Retention-safe VACUUM (the Delta VACUUM / Iceberg
+    * expire_snapshots pairing): keep the newest `retainLast` versions
+    * fully readable, expire everything older, and reclaim exactly the
+    * data directories that are PROVABLY dead. Returns the deleted
+    * relative paths (the spec's receipt).
+    *
+    * The safety rule: a data dir is deleted only when it is
+    * referenced by SOME expired manifest and by NO retained one.
+    *  - a concurrent reader holding any RETAINED snapshot never loses
+    *    a file — everything its manifest references is excluded;
+    *  - a concurrent writer's not-yet-committed dirs are referenced
+    *    by NO manifest, so the rule never touches them (unlike a
+    *    "delete anything unreferenced" sweep, which would race the
+    *    write-then-commit ordering);
+    *  - a reader on an EXPIRED version is outside retention — the
+    *    documented trade every retention-based lakehouse makes.
+    * Expired MANIFESTS are removed too (bounding latestVersion's
+    * listing), which requires the idempotence markers they carry to
+    * out-live them: a [[checkpoint]] at the current latest is taken
+    * first, and [[txnCommitted]] reads markers from it. */
+  def vacuum(table: String, retainLast: Int = 2): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val latest = checkpoint(table) // markers + state survive expiration
+    val windowStart = math.max(1L, latest - retainLast + 1)
+    def refs(m: Manifest): Set[String] =
+      m.buckets.values.toSet ++ m.tombs.values.flatten
+    val retained = (windowStart to latest)
+      .map(v => refs(readManifest(table, v))).fold(Set.empty)(_ ++ _)
+    val expiredVs = (1L until windowStart)
+      .filter(v => Files.exists(manifestPath(table, v)))
+    val dead = expiredVs
+      .map(v => refs(readManifest(table, v))).fold(Set.empty)(_ ++ _)
+      .diff(retained)
+    dead.toSeq.sorted.foreach { rel =>
+      val root = Paths.get(table).resolve(rel)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.delete(p))
+    }
+    expiredVs.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
+    // expired checkpoints (strictly below the newest one) go the same
+    // way — the newest carries everything they did
+    val dir = logDir(table)
+    if (Files.isDirectory(dir)) {
+      val stream = Files.list(dir)
+      val old = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case CheckpointName(d) if d.toLong < latest => d.toLong }
+        .toSeq
+      finally stream.close()
+      old.foreach(v => Files.deleteIfExists(checkpointPath(table, v)))
+    }
+    dead.toSeq.sorted
+  }
 
   /** Optimistically commit `writes` (bucket → rows for that bucket)
     * against `baseVersion`: data is written FIRST (invisible until a
@@ -160,6 +307,10 @@ object TxnLog {
       }
       // conflict validation against everything that landed since base
       ((baseVersion + 1) to latest).foreach { v =>
+        if (!Files.exists(manifestPath(table, v)))
+          throw new ConflictException(
+            s"base $baseVersion predates the retention window (manifest " +
+              s"v$v expired by vacuum) — re-read the table and re-derive")
         val overlap = readManifest(table, v).touched.intersect(writes.keySet)
         if (overlap.nonEmpty)
           throw new ConflictException(
@@ -259,6 +410,10 @@ object TxnLog {
     while (committed < 0) {
       val latest = latestVersion(table)
       ((baseVersion + 1) to latest).foreach { v =>
+        if (!Files.exists(manifestPath(table, v)))
+          throw new ConflictException(
+            s"base $baseVersion predates the retention window (manifest " +
+              s"v$v expired by vacuum) — re-read the table and re-derive")
         val overlap = readManifest(table, v).touched.intersect(written.keySet)
         if (overlap.nonEmpty)
           throw new ConflictException(
@@ -346,6 +501,9 @@ object TxnLog {
     import org.apache.spark.sql.functions.col
     val v = if (version > 0) version else latestVersion(table)
     require(v > 0, s"no committed version in $table")
+    require(Files.exists(manifestPath(table, v)),
+      s"version $v of $table is expired (removed by vacuum); oldest " +
+        s"readable version is the retention window's start")
     val m = readManifest(table, v)
     val tombed = m.buckets.keySet.filter(b =>
       m.tombs.get(b).exists(_.nonEmpty))

@@ -147,6 +147,74 @@ class TxnLogSpec extends SparkSpec {
       "the tombstone for key 1 (bucket 1) must not reach bucket 0's copy")
   }
 
+  test("vacuum keeps every retained version readable for a racing reader and expires the rest") {
+    val t = table("vacuum"); TxnLog.reset(t)
+    val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0), 1 -> rows(1)))
+    val v2 = TxnLog.commit(t, v1, Map(1 -> rows(101)))
+    val v3 = TxnLog.commit(t, v2, Map(0 -> rows(100)))
+    // the racing reader resolves a RETAINED old version BEFORE vacuum
+    val racer = TxnLog.snapshot(spark, t, v2)
+    val reclaimed = TxnLog.vacuum(t, retainLast = 2)
+    // v1's bucket-1 generation was replaced in v2 and is dead; v1's
+    // bucket-0 generation is still referenced by v2 (carried) — only
+    // the dead dir may go
+    assert(reclaimed.size === 1 && reclaimed.head.contains("-b1-"),
+      s"expected exactly v1's replaced bucket-1 generation, got $reclaimed")
+    // the retained reader still collects the right rows AFTER vacuum
+    assert(racer.as[(Long, String)].collect().toSet ===
+      Set((0L, "t0"), (101L, "t101")))
+    assert(TxnLog.snapshot(spark, t, v3).as[(Long, String)].collect().toSet ===
+      Set((100L, "t100"), (101L, "t101")))
+    // the expired version throws the retention error, not a raw IO one
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.snapshot(spark, t, v1)
+    }
+    assert(e.getMessage.contains("expired"))
+    // a writer whose validation range crosses an expired manifest is
+    // told to re-read (conservative: the expired commit's touched set
+    // is unknowable) — a base INSIDE the window still validates
+    val c = intercept[TxnLog.ConflictException] {
+      TxnLog.commit(t, 0L, Map(3 -> rows(3)))
+    }
+    assert(c.getMessage.contains("retention"))
+    val v4 = TxnLog.commit(t, v2, Map(3 -> rows(3))) // in-window base
+    assert(v4 === 4L)
+  }
+
+  test("vacuum never touches an in-flight writer's uncommitted data dirs") {
+    val t = table("inflight"); TxnLog.reset(t)
+    val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0)))
+    TxnLog.commit(t, v1, Map(0 -> rows(100)))
+    // simulate write-then-commit in flight: data written, no manifest
+    val inflight = new java.io.File(s"$t/data/g9-b0-ffff")
+    assert(inflight.mkdirs())
+    TxnLog.vacuum(t, retainLast = 1)
+    assert(inflight.isDirectory,
+      "a dir referenced by NO manifest must survive vacuum (it may be " +
+        "an uncommitted writer's write-then-commit window)")
+  }
+
+  test("txnCommitted resolves markers from the checkpoint after their manifests expire") {
+    val t = table("ckpt"); TxnLog.reset(t)
+    TxnLog.commitMerged(spark, t, rows(0), "doc_id", "app", 1L)
+    TxnLog.commitMerged(spark, t, rows(1), "doc_id", "app", 2L)
+    TxnLog.commitMerged(spark, t, rows(2), "doc_id", "app", 3L)
+    TxnLog.vacuum(t, retainLast = 1) // expires v1/v2 manifests
+    assert(TxnLog.latestCheckpoint(t) === Some(3L))
+    // markers from the EXPIRED manifests still resolve (via ckpt)...
+    assert(TxnLog.txnCommitted(t, "app", 1L) === Some(1L))
+    assert(TxnLog.txnCommitted(t, "app", 2L) === Some(2L))
+    assert(TxnLog.txnCommitted(t, "app", 3L) === Some(3L))
+    assert(TxnLog.txnCommitted(t, "app", 9L) === None)
+    // ...so an exactly-once producer replaying an old batch is still a
+    // no-op, and a NEW batch still commits
+    assert(TxnLog.commitMerged(spark, t, rows(0), "doc_id", "app", 1L) === 1L)
+    val v4 = TxnLog.commitMerged(spark, t, rows(3), "doc_id", "app", 4L)
+    assert(v4 === 4L)
+    assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
+      Set((0L, "t0"), (1L, "t1"), (2L, "t2"), (3L, "t3")))
+  }
+
   test("snapshot isolation: an old version stays readable after later commits") {
     val t = table("isolation"); TxnLog.reset(t)
     val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0)))
