@@ -811,6 +811,208 @@ object TextAnalysis {
           .as("chars_per_subword"))
   }
 
+  // ---- unigram-LM tokenizer (SentencePiece-style, Kudo '18) --------
+
+  /** Longest candidate piece (chars) for the x223 unigram trainer. */
+  val UniMaxPiece = 4
+  /** Fixed EM(prune) iterations — the x117 fixed-trajectory
+    * convention: both engines run exactly this many, so the whole
+    * trajectory (not just the final table) must agree. */
+  val UniIters = 2
+  /** Seed candidates kept (top by weighted substring count) beside
+    * the always-kept single characters. */
+  val UniSeedCap = 256
+  /** Pieces kept per prune beside the single characters. */
+  val UniTargetVocab = 40
+  /** Integer grid for piece costs (−ln p scaled). */
+  val UniCostScale = 1000000L
+  /** Cost of a pruned piece: any path through one is dominated by the
+    * all-kept-pieces path (max finite path cost ≪ this). */
+  val UniInfCost = 1000000000000000L
+
+  /** Viterbi forward pass: best-segmentation DP table for word `w`
+    * under piece-cost map `costs` — `dp[i] = (cost, j)` = cheapest
+    * cost of segmenting the first `i` chars and the start of the last
+    * piece, ties broken toward the smallest `j` (longest last piece).
+    * One `aggregate` fold over the positions — linear in word length,
+    * pure Column land (the x117 no-UDF discipline applied to dynamic
+    * programming: the fold IS the DP). */
+  def uniViterbiDp(w: Column, costs: Column,
+                   maxPiece: Int = UniMaxPiece): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(struct(lit(0L).as("c"), lit(-1).as("j"))),
+      (acc, i) => concat(acc, array(array_min(
+        transform(sequence(greatest(i - maxPiece, lit(0)), i - 1),
+          j => struct(
+            (element_at(acc, j + 1).getField("c") +
+              coalesce(element_at(costs, w.substr(j + 1, i - j)),
+                lit(UniInfCost))).as("c"),
+            j.as("j")))))))
+
+  /** Backtrace of [[uniViterbiDp]]: the selected piece list, in word
+    * order. The induced tie-break — lexicographically smallest
+    * (last-piece start, second-to-last, …) among min-cost paths — is
+    * what the DuckDB oracle reproduces by enumerating segmentations
+    * and ordering on (cost, reversed boundary list): subpath
+    * optimality makes the two selections provably identical. */
+  def uniViterbiPieces(w: Column, dp: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(length(w).as("i"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val i = st.getField("i")
+        val j = element_at(dp, i + 1).getField("j")
+        when(i > 0,
+          struct(j.as("i"),
+            concat(array(w.substr(j + 1, i - j)), st.getField("ps")).as("ps")))
+          .otherwise(st)
+      },
+      st => st.getField("ps"))
+
+  private def uniCostMap(costs: Seq[(String, Long)]): Column =
+    map_from_arrays(typedlit(costs.map(_._1)), typedlit(costs.map(_._2)))
+
+  /** Smoothed piece costs on the [[UniCostScale]] grid:
+    * `⌊−S·ln((cnt+1)/(tot+|P|)) + 0.5⌋` — add-one smoothing keeps the
+    * never-used single characters finite; exact-integer arguments make
+    * the double identical in both engines (the x51 idf convention). */
+  private def uniCosts(kept: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val tot = kept.map(_._2).sum
+    val p = kept.size
+    kept.map { case (piece, cnt) =>
+      piece -> math.floor(-UniCostScale *
+        math.log((cnt + 1).toDouble / (tot + p)) + 0.5).toLong
+    }
+  }
+
+  /** The distinct word vocabulary with corpus frequencies — the
+    * trainer's working set (|vocab| ≪ corpus: a 100 TB corpus
+    * collapses to its vocabulary in this first aggregate, the x117
+    * scale argument verbatim). */
+  private def uniWordCounts(documents: DataFrame): DataFrame =
+    withTokens(documents)
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  /** x223: UNIGRAM-LM TOKENIZER TRAINING (Kudo '18,
+    * arXiv:1804.10959 — the SentencePiece unigram model), the second
+    * tokenizer family beside BPE (x117): seed a candidate vocabulary
+    * from weighted substring counts (top [[UniSeedCap]] + every
+    * single character), then run [[UniIters]] hard-EM iterations —
+    * E-step: Viterbi-segment every vocabulary word under the current
+    * smoothed piece costs ([[uniViterbiDp]]); prune to the top
+    * [[UniTargetVocab]] pieces by expected count (single characters
+    * are never pruned — the model must stay total); M-step:
+    * re-estimate costs from the usage counts. Returns the final piece
+    * table (piece, n_uses, nll).
+    *
+    * Determinism: counts are exact integers, costs live on the
+    * [[UniCostScale]] grid, the E-step's argmin is the
+    * [[uniViterbiPieces]] total order, and prune/argmax orders are
+    * (cnt desc, piece asc) — the whole trajectory agrees across
+    * engines (the x117 property; the oracle re-derives every
+    * iteration with enumerated segmentations, a genuinely different
+    * algorithm meeting the same fixed points).
+    *
+    * Scale: everything runs over the DISTINCT vocabulary; the only
+    * driver-side state is the piece table itself (bounded by
+    * [[UniSeedCap]]/[[UniTargetVocab]] + |alphabet| — model-sized,
+    * like every shipped tokenizer), collected once per iteration
+    * exactly as a SentencePiece trainer holds its vocab in memory.
+    * Each E-step is one map-only projection (the DP fold) + one hash
+    * aggregate. */
+  def unigramPiecesList(documents: DataFrame): Seq[(String, Long, Long)] = {
+    val wc = Caching.temp(uniWordCounts(documents))
+    val seedAll = wc
+      .select(col("wc"), explode(expr(
+        s"flatten(transform(sequence(1, length(w)), i -> " +
+          s"transform(sequence(1, least($UniMaxPiece, length(w)-i+1)), " +
+          s"l -> substring(w, i, l))))")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val chars = seedAll.filter(_._1.length == 1).map(_._1).toSet
+    def prune(counts: Seq[(String, Long)], cap: Int): Seq[(String, Long)] = {
+      val byCount = counts.sortBy { case (p, c) => (-c, p) }.take(cap)
+      val cntOf = counts.toMap
+      (byCount.map(_._1).toSet ++ chars).toSeq.sorted
+        .map(p => p -> cntOf.getOrElse(p, 0L))
+    }
+    var kept = prune(seedAll, UniSeedCap)
+    for (_ <- 1 to UniIters) {
+      val costs = uniCostMap(uniCosts(kept))
+      val segCounts = wc
+        .withColumn("dp", uniViterbiDp(col("w"), costs))
+        .select(col("wc"),
+          explode(uniViterbiPieces(col("w"), col("dp"))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      kept = prune(segCounts, UniTargetVocab)
+    }
+    val finalCosts = uniCosts(kept).toMap
+    kept.map { case (p, c) => (p, c, finalCosts(p)) }
+  }
+
+  /** The x223 piece table as a frame: (piece, n_uses, nll) with nll =
+    * cost/[[UniCostScale]] on the 4dp grid. */
+  def unigramToDF(s: SparkSession,
+                  pieces: Seq[(String, Long, Long)]): DataFrame = {
+    import s.implicits._
+    pieces.toDF("piece", "n_uses", "cost")
+      .select(col("piece"), col("n_uses"),
+        Portable.round4(col("cost").cast("double") / UniCostScale).as("nll"))
+  }
+
+  /** x224: TOKENIZER COMPARISON — BPE (x117's merges) vs unigram-LM
+    * (x223's pieces) on the same corpus, per source: the x203
+    * compression read run for both families side by side, which is
+    * the table a tokenizer bake-off actually decides on
+    * (chars/subword = context-window economics; the family with the
+    * higher value packs more text per token budget).
+    *
+    * Scale: both encoders run over the DISTINCT vocabulary (BPE as
+    * nested literal replaces, unigram as the Viterbi fold — map-only
+    * either way); one postings shuffle attaches the per-token subword
+    * counts, one ≤|sources|-key aggregate finishes. */
+  def unigramCompareStats(documents: DataFrame,
+                          merges: Seq[(String, String)],
+                          pieces: Seq[(String, Long, Long)]): DataFrame = {
+    val bpeEnc = encodedVocab(documents, merges)
+      .select(col("tok"), size(col("subs")).cast("long").as("ns_bpe"))
+    val costs = uniCostMap(pieces.map(p => (p._1, p._3)))
+    val uniEnc = withTokens(documents)
+      .select(explode(col("toks")).as("tok")).distinct()
+      .withColumn("dp", uniViterbiDp(col("tok"), costs))
+      .select(col("tok"),
+        size(uniViterbiPieces(col("tok"), col("dp"))).cast("long").as("ns_uni"))
+    val perDoc = withTokens(documents)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(bpeEnc, Seq("tok"))
+      .join(uniEnc, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("ns_bpe")).as("n_bpe"), sum(col("ns_uni")).as("n_uni"))
+    documents
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nc"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_bpe")), lit(0L)).as("n_bpe_subwords"),
+        coalesce(sum(col("n_uni")), lit(0L)).as("n_uni_subwords"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_bpe_subwords"), col("n_uni_subwords"),
+        when(col("n_bpe_subwords") > 0, Portable.round4(
+          col("n_chars").cast("double") / col("n_bpe_subwords").cast("double")))
+          .as("bpe_chars_per_subword"),
+        when(col("n_uni_subwords") > 0, Portable.round4(
+          col("n_chars").cast("double") / col("n_uni_subwords").cast("double")))
+          .as("uni_chars_per_subword"))
+  }
+
   /** x38: statistical LM quality score (CCNet-style filter): train an
     * add-one-smoothed BIGRAM language model on the corpus itself, then
     * score every document by its average negative log-likelihood

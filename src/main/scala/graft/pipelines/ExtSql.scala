@@ -2644,6 +2644,160 @@ object ExtSql {
          |$finalSel""".stripMargin
   }
 
+  // ---- x223 unigram-LM tokenizer training --------------------------
+  // Mirrors TextAnalysis.unigramPiecesList iteration for iteration:
+  // seed substring counts (top UniSeedCap + every single char), then
+  // UniIters hard-EM rounds of segment → count → prune → re-cost.
+  // The ENGINE segments each word by a linear Viterbi fold; the
+  // oracle ENUMERATES every segmentation over the kept pieces (the
+  // saturated fixture vocabulary keeps that tiny) and picks, per
+  // word, the min by (total cost, reversed boundary list) — which is
+  // provably the Viterbi (cost, smallest-last-start) tie-break by
+  // subpath optimality. Genuinely different algorithms meeting the
+  // same fixed points, each EM round a fresh recursive CTE.
+
+  /** Unigram chain ending at `ucost<UniIters>` (+ `useg/ucnt/ukept`
+    * per round). Callers must be under WITH RECURSIVE and provide
+    * `tok`; `defineWcnt=false` when the BPE chain (which also builds
+    * `wcnt`) is already present (x224). */
+  private def uniChainCtes(defineWcnt: Boolean): String = {
+    import graft.ops.TextAnalysis.{UniMaxPiece, UniSeedCap, UniTargetVocab,
+      UniCostScale, UniIters}
+    val (mp, sS) = (UniMaxPiece, UniCostScale)
+    def costCte(name: String, src: String) =
+      raw"""$name AS MATERIALIZED (
+           |  SELECT piece,
+           |         CAST(floor(-$sS * ln((cnt + 1)::DOUBLE / (tot + p)) + 0.5)
+           |              AS BIGINT) AS cost
+           |  FROM $src CROSS JOIN
+           |       (SELECT sum(cnt) AS tot, count(*) AS p FROM $src) n)""".stripMargin
+    def segCte(k: Int, cost: String) =
+      raw"""upaths$k(w, pos, c, revb, ps) AS (
+           |  SELECT w, len(w), CAST(0 AS BIGINT), [len(w)], []::VARCHAR[]
+           |  FROM wcnt
+           |  UNION ALL
+           |  SELECT p.w, j, p.c + k.cost, list_append(p.revb, j),
+           |         list_prepend(substr(p.w, j + 1, p.pos - j), p.ps)
+           |  FROM upaths$k p,
+           |       unnest(range(greatest(p.pos - $mp, 0), p.pos)) AS tj(j),
+           |       $cost k
+           |  WHERE p.pos > 0 AND k.piece = substr(p.w, j + 1, p.pos - j)),
+           |useg$k AS MATERIALIZED (
+           |  SELECT w, ps FROM (
+           |    SELECT w, ps,
+           |           row_number() OVER (PARTITION BY w ORDER BY c, revb) AS rn
+           |    FROM upaths$k WHERE pos = 0) WHERE rn = 1)""".stripMargin
+    // no top-level UNION in any CTE: under WITH RECURSIVE DuckDB
+    // gives a non-self-referencing `a UNION b` recursive-union
+    // semantics and keeps duplicate rows — the kept set is a FULL
+    // OUTER of (top-cap, always-kept chars) instead
+    def cntKeptCtes(k: Int) =
+      raw"""ucnt$k AS (
+           |  SELECT piece, sum(wc) AS cnt
+           |  FROM (SELECT w, unnest(ps) AS piece FROM useg$k) JOIN wcnt USING (w)
+           |  GROUP BY 1),
+           |ukept$k AS MATERIALIZED (
+           |  SELECT coalesce(t.piece, cc.piece) AS piece,
+           |         coalesce(t.cnt, cc.cnt, 0) AS cnt
+           |  FROM (SELECT piece, cnt FROM (
+           |          SELECT piece, cnt,
+           |                 row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+           |          FROM ucnt$k) WHERE rn <= $UniTargetVocab) t
+           |  FULL OUTER JOIN (SELECT c.piece, n.cnt
+           |                   FROM uchars c LEFT JOIN ucnt$k n USING (piece)) cc
+           |    ON cc.piece = t.piece)""".stripMargin
+    val wcntCte =
+      raw"""wcnt AS MATERIALIZED (
+           |  SELECT t AS w, count(*) AS wc
+           |  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),""".stripMargin
+    val rounds = (1 to UniIters).map { k =>
+      Seq(segCte(k, s"ucost${k - 1}"), cntKeptCtes(k),
+        costCte(s"ucost$k", s"ukept$k")).mkString(",\n")
+    }.mkString(",\n")
+    raw"""${if (defineWcnt) wcntCte else ""}
+         |useedall AS (
+         |  SELECT substr(w, i, l) AS piece, sum(wc) AS cnt
+         |  FROM wcnt,
+         |       unnest(range(1, len(w) + 1)) AS ti(i),
+         |       unnest(range(1, least($mp, len(w) - i + 1) + 1)) AS tl(l)
+         |  GROUP BY 1),
+         |uchars AS MATERIALIZED (
+         |  SELECT DISTINCT piece FROM useedall WHERE len(piece) = 1),
+         |useed AS (
+         |  SELECT coalesce(t.piece, cc.piece) AS piece,
+         |         coalesce(t.cnt, cc.cnt, 0) AS cnt
+         |  FROM (SELECT piece, cnt FROM (
+         |          SELECT piece, cnt,
+         |                 row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |          FROM useedall) WHERE rn <= $UniSeedCap) t
+         |  FULL OUTER JOIN (SELECT c.piece, s.cnt
+         |                   FROM uchars c LEFT JOIN useedall s USING (piece)) cc
+         |    ON cc.piece = t.piece),
+         |${costCte("ucost0", "useed")},
+         |$rounds""".stripMargin
+  }
+
+  private lazy val x223 = {
+    import graft.ops.TextAnalysis.{UniCostScale, UniIters}
+    raw"""WITH RECURSIVE $toksCte,
+         |${uniChainCtes(defineWcnt = true)}
+         |SELECT k.piece, CAST(k.cnt AS BIGINT) AS n_uses,
+         |       ${round4(s"c.cost::DOUBLE / $UniCostScale")} AS nll
+         |FROM ukept$UniIters k JOIN ucost$UniIters c USING (piece)""".stripMargin
+  }
+
+  // ---- x224 BPE vs unigram comparison ------------------------------
+  // Both tokenizer families re-derived in full (the x117 8-merge
+  // chain + the x223 2-round EM chain), the corpus segmented under
+  // each final model, one per-source compression table.
+
+  private lazy val x224 = {
+    import graft.ops.TextAnalysis.{UniMaxPiece, UniIters}
+    val mp = UniMaxPiece
+    // one more enumeration pass under the FINAL piece costs — the
+    // corpus-encode the comparison scores
+    val fin = UniIters + 1
+    raw"""WITH RECURSIVE $toksCte,
+         |$bpeEncCtes,
+         |${uniChainCtes(defineWcnt = false)},
+         |upaths$fin(w, pos, c, revb, ps) AS (
+         |  SELECT w, len(w), CAST(0 AS BIGINT), [len(w)], []::VARCHAR[]
+         |  FROM wcnt
+         |  UNION ALL
+         |  SELECT p.w, j, p.c + k.cost, list_append(p.revb, j),
+         |         list_prepend(substr(p.w, j + 1, p.pos - j), p.ps)
+         |  FROM upaths$fin p,
+         |       unnest(range(greatest(p.pos - $mp, 0), p.pos)) AS tj(j),
+         |       ucost$UniIters k
+         |  WHERE p.pos > 0 AND k.piece = substr(p.w, j + 1, p.pos - j)),
+         |useg$fin AS MATERIALIZED (
+         |  SELECT w, ps FROM (
+         |    SELECT w, ps,
+         |           row_number() OVER (PARTITION BY w ORDER BY c, revb) AS rn
+         |    FROM upaths$fin WHERE pos = 0) WHERE rn = 1),
+         |bsub AS (SELECT w, len(subs) AS ns_bpe FROM enc),
+         |usub AS (SELECT w, len(ps) AS ns_uni FROM useg$fin),
+         |posts AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_toks,
+         |         sum(ns_bpe) AS n_bpe, sum(ns_uni) AS n_uni
+         |  FROM posts JOIN bsub USING (w) JOIN usub USING (w)
+         |  GROUP BY 1)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+         |       CAST(coalesce(sum(p.n_toks), 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(sum(p.n_bpe), 0) AS BIGINT) AS n_bpe_subwords,
+         |       CAST(coalesce(sum(p.n_uni), 0) AS BIGINT) AS n_uni_subwords,
+         |       CASE WHEN coalesce(sum(p.n_bpe), 0) > 0 THEN
+         |         ${round4("sum(length(d.text))::DOUBLE / sum(p.n_bpe)")}
+         |       END AS bpe_chars_per_subword,
+         |       CASE WHEN coalesce(sum(p.n_uni), 0) > 0 THEN
+         |         ${round4("sum(length(d.text))::DOUBLE / sum(p.n_uni)")}
+         |       END AS uni_chars_per_subword
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |GROUP BY 1""".stripMargin
+  }
+
   // ---- x197 BPE corpus encode --------------------------------------
   // Re-derives the full training chain (shared text with x117, with
   // MATERIALIZED m/w CTEs), then encodes the DISTINCT vocabulary with
@@ -5309,6 +5463,8 @@ object ExtSql {
     "x220_bm25f"          -> x220,
     "x221_delete_vectors" -> x221,
     "x222_post_vacuum"    -> x222,
+    "x223_unigram_train"  -> x223,
+    "x224_unigram_compare" -> x224,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

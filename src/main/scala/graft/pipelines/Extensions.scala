@@ -331,6 +331,16 @@ object Extensions {
   private def bpeShared(s: SparkSession, d: String): Seq[(Long, String, String, Long)] =
     bpeMemo.getOrElseUpdate((s, d), TextAnalysis.bpeMergesList(docs(s, d)))
 
+  /** ONE x223 unigram-LM training run per (session, dir) — the bpeMemo
+    * rationale for the second tokenizer family: the EM loop's
+    * per-iteration piece-table collects run at query CONSTRUCTION, and
+    * the learned model (a model-sized driver list) is shared by the
+    * trainer output (x223) and the comparison report (x224). */
+  private val uniMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(String, Long, Long)]]
+  private def uniShared(s: SparkSession, d: String): Seq[(String, Long, Long)] =
+    uniMemo.getOrElseUpdate((s, d), TextAnalysis.unigramPiecesList(docs(s, d)))
+
   /** The memos above hold persisted frames (and strong session
     * references) for the JVM lifetime BY DESIGN: the product surface
     * is the one-session Bench/Verify harness, where "session close"
@@ -359,8 +369,10 @@ object Extensions {
           session.sparkContext.getPersistentRDDs.get(id)
             .foreach(_.unpersist(blocking = false))))
       })
-    // driver-side merge lists hold no blocks, but do hold session refs
+    // driver-side merge/piece lists hold no blocks, but do hold
+    // session refs
     bpeMemo.keys.filter(_._1 eq session).foreach(bpeMemo.remove)
+    uniMemo.keys.filter(_._1 eq session).foreach(uniMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
     // the parity pipeline's construction memos (r7): entries must go
     // so the post-eviction rebuild re-registers its persists
@@ -664,7 +676,10 @@ object Extensions {
       graft.streaming.EventStream.txnStreamCommit(s, d)),
     "x220_bm25f"         -> ((s, d) => graft.ops.Search.bm25fSearch(docs(s, d))),
     "x221_delete_vectors" -> deleteVectors _,
-    "x222_post_vacuum"   -> postVacuum _)
+    "x222_post_vacuum"   -> postVacuum _,
+    "x223_unigram_train" -> ((s, d) => TextAnalysis.unigramToDF(s, uniShared(s, d))),
+    "x224_unigram_compare" -> ((s, d) => TextAnalysis.unigramCompareStats(
+      docs(s, d), bpeShared(s, d).map(m => (m._2, m._3)), uniShared(s, d))))
 
   /** x222: CHECKPOINT + VACUUM end to end (see
     * [[graft.sources.TxnLog.vacuum]]): v1 loads the full table, v2

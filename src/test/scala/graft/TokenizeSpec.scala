@@ -40,6 +40,78 @@ class TokenizeSpec extends SparkSpec {
     assert(m === Array((1L, "a", "b", 3L), (2L, "a", "a", 2L)))
   }
 
+  test("x223 Viterbi fold equals brute-force min-cost enumeration with the boundary tie-break") {
+    // The DP==enumeration equivalence the DuckDB oracle leans on:
+    // enumerate every segmentation of random words over a random
+    // piece-cost table (single chars always present), select min by
+    // (total cost, reversed boundary list), and require the
+    // uniViterbiPieces trajectory to agree exactly — costs are drawn
+    // from a tiny set so ties are COMMON, which is the point.
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    val words = (1 to 40).map(_ =>
+      (1 to (1 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+      .distinct
+    val pieces = scala.collection.mutable.Map[String, Long]()
+    for (c <- alphabet) pieces(c.toString) = 1L + rnd.nextInt(3)
+    for (w <- words; i <- 0 until w.length;
+         l <- 2 to math.min(TextAnalysis.UniMaxPiece, w.length - i))
+      if (rnd.nextBoolean())
+        pieces(w.substring(i, i + l)) = 1L + rnd.nextInt(3)
+    def enumerate(w: String): Seq[(Long, List[Int], List[String])] = {
+      def go(pos: Int): Seq[(Long, List[Int], List[String])] =
+        if (pos == 0) Seq((0L, List(0), Nil))
+        else for {
+          j <- (math.max(0, pos - TextAnalysis.UniMaxPiece) until pos).toSeq
+          piece = w.substring(j, pos)
+          if pieces.contains(piece)
+          (c, revb, ps) <- go(j)
+        } yield (c + pieces(piece), pos :: revb, ps :+ piece)
+      // revb built naturally descending — [n, j_k, ..., 0], exactly
+      // the list the oracle's ORDER BY compares
+      go(w.length)
+    }
+    def lexLess(a: List[Int], b: List[Int]): Boolean = (a, b) match {
+      case (x :: xs, y :: ys) => if (x != y) x < y else lexLess(xs, ys)
+      case (Nil, _ :: _) => true
+      case _ => false
+    }
+    val expected = words.map { w =>
+      w -> enumerate(w).minBy(identity)(Ordering.fromLessThan[(Long, List[Int], List[String])] {
+        case ((c1, b1, _), (c2, b2, _)) => c1 < c2 || (c1 == c2 && lexLess(b1, b2))
+      })._3
+    }.toMap
+    val sorted = pieces.toSeq.sortBy(_._1)
+    val costCol = map_from_arrays(typedlit(sorted.map(_._1)), typedlit(sorted.map(_._2)))
+    val got = words.toDF("w")
+      .withColumn("dp", TextAnalysis.uniViterbiDp(col("w"), costCol))
+      .select(col("w"), TextAnalysis.uniViterbiPieces(col("w"), col("dp")).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    for (w <- words)
+      assert(got(w) === expected(w), s"word $w: dp ${got(w)} vs enum ${expected(w)}")
+    // and every selection concatenates back to its word
+    for (w <- words) assert(got(w).mkString === w)
+  }
+
+  test("x223 unigram training: totality, char floor and prune bound") {
+    val docs = Seq(
+      (1L, "low low lower newest newest widest wide", "en"),
+      (2L, "newest low wide widest lower", "en")
+    ).toDF("doc_id", "text", "lang")
+    val ps = TextAnalysis.unigramPiecesList(docs)
+    val byPiece = ps.map(p => p._1 -> p).toMap
+    // every single character of the vocabulary survives every prune
+    val chars = "lowernstid wide".replace(" ", "").toSet
+    for (c <- chars) assert(byPiece.contains(c.toString), s"char $c pruned")
+    // the kept set is bounded by target + alphabet
+    assert(ps.size <= TextAnalysis.UniTargetVocab + chars.size)
+    // n_uses is a real usage count: total piece uses cover every word
+    // occurrence (7 + 5 words, each ≥ 1 piece)
+    assert(ps.map(_._2).sum >= 12L)
+    // costs are positive (−ln p of a proper distribution) and finite
+    assert(ps.forall(p => p._3 > 0 && p._3 < TextAnalysis.UniInfCost))
+  }
+
   test("tokenIds: dense sorted vocab ids, per-doc order preserved") {
     val docs = Seq(
       (1L, "b a c a", "en"),
