@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the corpus — beyond-reference track: BM25
@@ -427,7 +427,10 @@ object Search {
       .join(dfc, Seq("tok"))
       .join(cdl, Seq("src_doc", "chunk_idx"))
       .crossJoin(stats)
-      .select(col("q_id"), col("src_doc"), col("chunk_idx"),
+      // the matched term rides along for the x225 graded-relevance
+      // read (count of distinct matched query terms per chunk); the
+      // x217 aggregation ignores it
+      .select(col("q_id"), col("src_doc"), col("chunk_idx"), col("tok"),
         floor(idf * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
           .cast("long").as("fp"))
   }
@@ -460,6 +463,69 @@ object Search {
         col("first_rank"),
         Portable.round4(coalesce(lit(1.0) / col("first_rank"), lit(0.0)))
           .as("mrr"))
+  }
+
+  /** Fixed-point grid for per-position nDCG gain terms (x225). */
+  val NdcgScale = 10000000L
+
+  /** x225: nDCG@k GRADED-RELEVANCE EVAL on the x217 chunk grid — the
+    * IR-eval read binary hit/MRR (x217) can't give: chunk relevance
+    * is GRADED as the number of the probe's query terms the chunk
+    * matched (an exact integer on the champion-capped postings
+    * universe — the same universe the ranking scored, so grade and
+    * rank are audited against the same index), and the report is the
+    * standard DCG@k with the log2 discount (Järvelin & Kekäläinen
+    * '02): gain(r) = (2^rel − 1)/log2(r+1), normalized by the ideal
+    * ordering (rel desc) of the SAME candidate set. A ranking that
+    * puts high-grade chunks late shows ndcg < 1 even when recall@k is
+    * perfect — the measurement MRR's first-hit collapse hides.
+    *
+    * Determinism: rel and rank are exact integers; each position's
+    * gain snaps to the [[NdcgScale]] grid BEFORE the per-probe sum
+    * (the x51 integer-sum convention — 2^rel − 1 is integer-exact in
+    * a double for rel ≤ QTermCap), ideal ties break (rel desc,
+    * src_doc, chunk_idx); ndcg is one final 4dp division of the two
+    * integer sums.
+    *
+    * Scale: consumes the memoized x217 contrib frame — everything
+    * here is per-(probe, candidate) aggregates and two
+    * WindowGroupLimit-prunable per-probe top-k windows; nothing
+    * corpus-sized. */
+  def chunkNdcgFromContrib(contrib: DataFrame, documents: DataFrame,
+                           k: Int = TopK): DataFrame = {
+    val rel = contrib
+      .groupBy(col("q_id"), col("src_doc"), col("chunk_idx"))
+      .agg(countDistinct(col("tok")).as("rel"), sum(col("fp")).as("total"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("total").desc, col("src_doc").asc, col("chunk_idx").asc)
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("src_doc").asc, col("chunk_idx").asc)
+    val ranked = rel
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .withColumn("irn", row_number().over(wi).cast("long"))
+    def gain(rank: Column): Column =
+      floor((pow(lit(2.0), col("rel")) - 1) / log2(rank + 1)
+        * NdcgScale + 0.5).cast("long")
+    val dcg = ranked.filter(col("rnk") <= k)
+      .groupBy(col("q_id")).agg(sum(gain(col("rnk"))).as("dcg_i"))
+    val idcg = ranked.filter(col("irn") <= k)
+      .groupBy(col("q_id")).agg(sum(gain(col("irn"))).as("idcg_i"))
+    val probes = TextAnalysis.docTermFreq(documents)
+      .filter(col("doc_id") % Similarity.QueryStride === 0)
+      .select(col("doc_id").as("q_id")).distinct()
+    probes
+      .join(dcg, Seq("q_id"), "left")
+      .join(idcg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        Portable.round4(coalesce(col("dcg_i"), lit(0L)).cast("double") /
+          NdcgScale).as("dcg"),
+        Portable.round4(coalesce(col("idcg_i"), lit(0L)).cast("double") /
+          NdcgScale).as("idcg"),
+        when(coalesce(col("idcg_i"), lit(0L)) > 0,
+          Portable.round4(col("dcg_i").cast("double") / col("idcg_i")))
+          .otherwise(lit(0.0)).as("ndcg"))
   }
 
   /** x220 field split: the first this-many tokens are the TITLE

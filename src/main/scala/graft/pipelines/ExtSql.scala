@@ -3482,12 +3482,14 @@ object ExtSql {
   // chunk length/count/df), probes querying with their top doc terms;
   // per probe: source-doc chunks in the top-k and the first rank.
 
-  private lazy val x217 = {
-    import graft.ops.Search.{ScoreScale, TopK, K1, B, QTermCap, ChampionCap}
+  /** The x217 chain from the chunk grid through the champion-capped
+    * per-(probe, chunk, term) contrib — shared with the x225 nDCG
+    * eval, which grades on the same capped universe. */
+  private lazy val chunkContribCtes: String = {
+    import graft.ops.Search.{ScoreScale, K1, B, QTermCap, ChampionCap}
     val w = TextAnalysis.ChunkTokens; val st = TextAnalysis.ChunkStride
     val stride = Similarity.QueryStride
-    raw"""WITH $toksCte,
-         |t AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 1),
+    raw"""t AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 1),
          |c AS (SELECT doc_id, unnest(range(0, ((n - 1) // $st) + 1)) AS chunk_idx,
          |             toks
          |      FROM t),
@@ -3521,7 +3523,7 @@ object ExtSql {
          |    FROM ctf)
          |  WHERE crn <= $ChampionCap),
          |contrib AS (
-         |  SELECT q.q_id, t2.src_doc, t2.chunk_idx,
+         |  SELECT q.q_id, t2.src_doc, t2.chunk_idx, t2.tok,
          |         CAST(floor(ln(1.0 + (n.n_chunks - f.df + 0.5) / (f.df + 0.5))
          |                    * (t2.tf * ${K1 + 1}) / (t2.tf + $K1 * ((1.0 - $B)
          |                       + $B * (cdl.cdl::DOUBLE * n.n_chunks / n.total_ctoks)))
@@ -3529,7 +3531,13 @@ object ExtSql {
          |  FROM qt q JOIN champ t2 ON t2.tok = q.term
          |       JOIN dfc f ON f.tok = t2.tok
          |       JOIN cdl ON cdl.src_doc = t2.src_doc AND cdl.chunk_idx = t2.chunk_idx
-         |       CROSS JOIN nst n),
+         |       CROSS JOIN nst n)""".stripMargin
+  }
+
+  private lazy val x217 = {
+    import graft.ops.Search.TopK
+    raw"""WITH $toksCte,
+         |$chunkContribCtes,
          |chtop AS MATERIALIZED (
          |  SELECT q_id, src_doc, chunk_idx, rnk FROM (
          |    SELECT q_id, src_doc, chunk_idx,
@@ -3547,6 +3555,50 @@ object ExtSql {
          |       ${round4("coalesce(1.0 / h.first_rank, 0.0)")} AS mrr
          |FROM (SELECT DISTINCT q_id FROM qt) p
          |LEFT JOIN hits h USING (q_id)""".stripMargin
+  }
+
+  // ---- x225 nDCG@k graded-relevance eval on the chunk grid ---------
+  // Shares the x217 contrib chain; rel = distinct matched query terms
+  // per chunk, gain = (2^rel - 1)/log2(rank+1) on the NdcgScale grid,
+  // normalized by the ideal (rel desc) ordering of the same set.
+
+  private lazy val x225 = {
+    import graft.ops.Search.{TopK, NdcgScale}
+    raw"""WITH $toksCte,
+         |$chunkContribCtes,
+         |rel AS MATERIALIZED (
+         |  SELECT q_id, src_doc, chunk_idx,
+         |         CAST(count(DISTINCT tok) AS BIGINT) AS rel,
+         |         CAST(sum(fp) AS BIGINT) AS total
+         |  FROM contrib GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT q_id, rel,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY total DESC, src_doc, chunk_idx) AS rnk,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY rel DESC, src_doc, chunk_idx) AS irn
+         |  FROM rel),
+         |dcg AS (
+         |  SELECT q_id,
+         |         CAST(sum(CAST(floor((pow(2, rel) - 1) / log2(rnk + 1)
+         |                             * $NdcgScale + 0.5) AS BIGINT)) AS BIGINT)
+         |           AS dcg_i
+         |  FROM ranked WHERE rnk <= $TopK GROUP BY 1),
+         |idcg AS (
+         |  SELECT q_id,
+         |         CAST(sum(CAST(floor((pow(2, rel) - 1) / log2(irn + 1)
+         |                             * $NdcgScale + 0.5) AS BIGINT)) AS BIGINT)
+         |           AS idcg_i
+         |  FROM ranked WHERE irn <= $TopK GROUP BY 1)
+         |SELECT p.q_id,
+         |       ${round4(s"coalesce(d.dcg_i, 0)::DOUBLE / $NdcgScale")} AS dcg,
+         |       ${round4(s"coalesce(i.idcg_i, 0)::DOUBLE / $NdcgScale")} AS idcg,
+         |       CASE WHEN coalesce(i.idcg_i, 0) > 0
+         |            THEN ${round4("d.dcg_i::DOUBLE / i.idcg_i")}
+         |            ELSE 0.0 END AS ndcg
+         |FROM (SELECT DISTINCT q_id FROM qt) p
+         |LEFT JOIN dcg d USING (q_id)
+         |LEFT JOIN idcg i USING (q_id)""".stripMargin
   }
 
   // ---- x212 corpus curation manifest -------------------------------
@@ -5465,6 +5517,7 @@ object ExtSql {
     "x222_post_vacuum"    -> x222,
     "x223_unigram_train"  -> x223,
     "x224_unigram_compare" -> x224,
+    "x225_chunk_ndcg"     -> x225,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -679,7 +679,12 @@ object Extensions {
     "x222_post_vacuum"   -> postVacuum _,
     "x223_unigram_train" -> ((s, d) => TextAnalysis.unigramToDF(s, uniShared(s, d))),
     "x224_unigram_compare" -> ((s, d) => TextAnalysis.unigramCompareStats(
-      docs(s, d), bpeShared(s, d).map(m => (m._2, m._3)), uniShared(s, d))))
+      docs(s, d), bpeShared(s, d).map(m => (m._2, m._3)), uniShared(s, d))),
+    // rides the memoized x217 contrib: grade + rank audited against
+    // the same champion-capped chunk index, no new corpus scan
+    "x225_chunk_ndcg"    -> ((s, d) => { tfShared(s, d)
+      graft.ops.Search.chunkNdcgFromContrib(
+        chunkContribShared(s, d), docs(s, d)) }))
 
   /** x222: CHECKPOINT + VACUUM end to end (see
     * [[graft.sources.TxnLog.vacuum]]): v1 loads the full table, v2
