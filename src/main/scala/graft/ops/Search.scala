@@ -528,6 +528,245 @@ object Search {
           .otherwise(lit(0.0)).as("ndcg"))
   }
 
+  /** Threshold-bootstrap posting prefix for [[maxScoreAudit]]: pass 1
+    * scores only each term's top-this-many postings (by tf desc,
+    * doc_id asc — the champion order) to obtain a cheap, provably
+    * achievable lower bound θ on the final k-th score. Deliberately
+    * far below [[ChampionCap]]: the boot pass must stay index-stat
+    * cheap for the split to pay off. */
+  val MaxScoreBootCap = 64
+
+  /** x226: MAXSCORE DYNAMIC PRUNING with a losslessness audit (Turtle
+    * & Flood '95; the essential/non-essential list split every
+    * DAAT engine ships). Batch formulation over the x51 workload:
+    *
+    *  1. bootstrap θ = the k-th best score over each query term's
+    *     top-[[MaxScoreBootCap]] postings only — every boot total is a
+    *     sum of REAL contributions of a posting subset, so
+    *     θ ≤ true k-th score;
+    *  2. per-(query, term) upper bound ub = max posting contribution
+    *     (the score ceiling a real index stores per posting list);
+    *  3. sort terms by ub ascending; the maximal prefix whose
+    *     cumulative Σub < θ is NON-ESSENTIAL: a document matching only
+    *     those terms scores ≤ Σub < θ ≤ true k-th total, so it cannot
+    *     enter the top-k under any (total desc, doc_id) tiebreak —
+    *     the pruning is EXACT, not approximate;
+    *  4. candidates = documents with ≥1 essential-term posting; the
+    *     full scoring join runs on candidates only.
+    *
+    * The audit output reports, per query, the matched-doc count, the
+    * candidate count after the split, the pruned fraction, and the
+    * top-k overlap of the pruned leg against the unpruned leg — which
+    * the algebra above forces to n_exact, so the row is a
+    * machine-checked losslessness proof at every SF (the x213/x215
+    * audit convention).
+    *
+    * Determinism: ub/θ/cum are exact BIGINTs on the [[ScoreScale]]
+    * grid; the term order (ub asc, term asc) and both top-k orders
+    * (total desc, doc_id asc) are total.
+    *
+    * Scale: this is the operator that makes workload-serving reads
+    * SUBLINEAR in matched postings — at 100 TB the boot pass reads
+    * O(terms·C) index rows, and the full join is cut to the candidate
+    * set (here measured by pruned_frac); the ub/θ frames are
+    * per-query-term tiny and broadcast. */
+  def maxScoreAudit(documents: DataFrame, k: Int = TopK,
+                    bootCap: Int = MaxScoreBootCap): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val qterms = broadcast(
+      Queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query", "term"))
+    val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
+    val dl = TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks")))
+    val dfq = tf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val den = col("tf") + lit(K1) * (lit(1.0 - B) +
+      lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("tf").desc, col("doc_id").asc)
+    // one postings scan with the champion rank attached (the x213
+    // shared-contrib pattern): the boot leg is the crn ≤ bootCap cut
+    val contrib = Caching.temp(qterms
+      .join(tf.withColumn("crn", row_number().over(wc)), col("term") === col("tok"))
+      .join(dfq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query"), col("term"), col("doc_id"), col("crn"),
+        floor(idf * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
+          .cast("long").as("fp")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("total").desc, col("doc_id").asc)
+    val theta = contrib.filter(col("crn") <= bootCap)
+      .groupBy(col("query"), col("doc_id")).agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") === k)
+      .select(col("query"), col("total").as("theta"))
+    // ub-ascending cumulative sums decide the essential split; a
+    // query with < k boot docs gets θ = 0 → everything essential
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("ub").asc, col("term").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val terms = contrib.groupBy(col("query"), col("term"))
+      .agg(max(col("fp")).as("ub"))
+      .withColumn("cum", sum(col("ub")).over(wcum))
+      .join(broadcast(theta), Seq("query"), "left")
+      .withColumn("essential",
+        col("cum") >= coalesce(col("theta"), lit(0L)))
+    val ess = Caching.temp(terms)
+    val cand = Caching.temp(contrib.join(
+        ess.filter(col("essential")).select(col("query"), col("term")),
+        Seq("query", "term"), "left_semi")
+      .select(col("query"), col("doc_id")).distinct())
+    def topk(rows: DataFrame): DataFrame = rows
+      .groupBy(col("query"), col("doc_id")).agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= k)
+      .select(col("query"), col("doc_id"))
+    val exact = Caching.temp(topk(contrib))
+    val pruned = topk(contrib.join(cand, Seq("query", "doc_id"), "left_semi"))
+    val hits = exact.join(pruned, Seq("query", "doc_id"))
+      .groupBy(col("query")).agg(count(lit(1)).as("hits"))
+    val nTerms = ess.groupBy(col("query")).agg(
+      count(lit(1)).as("n_terms"),
+      sum(when(col("essential"), 1L).otherwise(0L)).as("n_essential"))
+    val nMatch = contrib.select(col("query"), col("doc_id")).distinct()
+      .groupBy(col("query")).agg(count(lit(1)).as("n_matching"))
+    val nCand = cand.groupBy(col("query")).agg(count(lit(1)).as("n_candidates"))
+    val nExact = exact.groupBy(col("query")).agg(count(lit(1)).as("n_exact"))
+    nTerms.join(nMatch, Seq("query")).join(nCand, Seq("query"))
+      .join(nExact, Seq("query")).join(hits, Seq("query"), "left")
+      .select(col("query"), col("n_terms"), col("n_essential"),
+        col("n_matching"), col("n_candidates"),
+        Portable.round4(lit(1.0) - col("n_candidates").cast("double") /
+          col("n_matching").cast("double")).as("pruned_frac"),
+        col("n_exact"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** RM3 feedback set size: round-1 top-k docs feed the relevance
+    * model. */
+  val Rm3FbDocs = 10
+  /** RM3 expansion vocabulary: top-this-many feedback terms. */
+  val Rm3FbTerms = 8
+  /** Fixed-point grid for the relevance model and query weights. */
+  val Rm3Scale = 10000L
+
+  /** x227: RM3 PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Lavrenko &
+    * Croft '01 relevance models; the RM3 interpolation of Abdul-Jaleel
+    * et al. '04 — the standard recall-boosting second pass every
+    * research IR stack ships):
+    *
+    *  1. round 1 — plain x51 BM25, keep the top-[[Rm3FbDocs]] docs per
+    *     query as the pseudo-relevant set R;
+    *  2. relevance model — P(t|R) ∝ Σ_{d∈R} tf(t,d)/dl(d), each
+    *     per-doc MLE snapped to the [[Rm3Scale]] grid BEFORE the
+    *     integer sum (aggregation-order-free); keep the
+    *     top-[[Rm3FbTerms]] terms by (mass desc, term asc) and
+    *     normalize over exactly that set;
+    *  3. RM3 interpolation at λ = 1/2 — w(t) = (worig(t) + pfb(t))/2
+    *     on the grid, worig = uniform 1/|q| over the ORIGINAL terms,
+    *     via a full outer join of the two term sets (original terms
+    *     keep half their weight even when absent from the model;
+    *     expansion terms enter at half their model mass);
+    *  4. round 2 — BM25 postings re-scored with per-term weights:
+    *     total = Σ w4(t) · fp(t,d) (BIGINT × BIGINT), top-k by
+    *     (total desc, doc_id asc).
+    *
+    * The output carries `in_r1` (was the doc already in round 1's
+    * top-k) so one hash pins both rounds AND the expansion's churn.
+    *
+    * Scale: R is |queries|·k rows (broadcast); the relevance model
+    * reads only R's postings (doc_id-keyed join); round 2 is the x51
+    * join shape with the expanded (still ≤ |q|+m per query, broadcast)
+    * term batch — nothing new scales with the corpus. */
+  def rm3Expand(documents: DataFrame, k: Int = TopK): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val qterms = broadcast(
+      Queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query", "term"))
+    val qlen = broadcast(
+      Queries.map { case (q, ts) => (q, ts.size.toLong) }.toDF("query", "nq"))
+    val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
+    val dl = Caching.temp(TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks")))
+    val den = col("tf") + lit(K1) * (lit(1.0 - B) +
+      lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks")))
+    def idfOf(dfc: Column) = log(lit(1.0) +
+      (col("n_docs") - dfc + 0.5) / (dfc + 0.5))
+    // round 1: the x51 scoring verbatim
+    val dfq1 = tf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("total").desc, col("doc_id").asc)
+    val r1 = Caching.temp(qterms.join(tf, col("term") === col("tok"))
+      .join(dfq1, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query"), col("doc_id"),
+        floor(idfOf(col("df")) * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
+          .cast("long").as("fp"))
+      .groupBy(col("query"), col("doc_id"))
+      .agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= Rm3FbDocs)
+      .select(col("query"), col("doc_id")))
+    // relevance model over R's postings: per-doc grid MLE, integer sum
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("mass").desc, col("term").asc)
+    val fbRaw = broadcast(r1).join(tf, Seq("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query"), col("tok").as("term"),
+        floor(col("tf").cast("double") * Rm3Scale /
+          col("dl").cast("double") + 0.5).cast("long").as("mle4"))
+      .groupBy(col("query"), col("term"))
+      .agg(sum(col("mle4")).as("mass"))
+      .withColumn("mrn", row_number().over(wm))
+      .filter(col("mrn") <= Rm3FbTerms)
+    val fb = fbRaw
+      .withColumn("tot", sum(col("mass")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query"))))
+      .select(col("query"), col("term"),
+        floor(col("mass").cast("double") * Rm3Scale /
+          col("tot").cast("double") + 0.5).cast("long").as("pfb4"))
+    // RM3 interpolation on the grid: full outer of original + feedback
+    val orig = qterms.join(qlen, Seq("query"))
+      .select(col("query"), col("term"),
+        floor(lit(Rm3Scale).cast("double") / col("nq").cast("double") + 0.5)
+          .cast("long").as("worig4"))
+    val weights = broadcast(orig.join(fb, Seq("query", "term"), "full_outer")
+      .select(col("query"), col("term"),
+        floor((coalesce(col("worig4"), lit(0L)) +
+          coalesce(col("pfb4"), lit(0L))).cast("double") / 2.0 + 0.5)
+          .cast("long").as("w4")))
+    // round 2: weighted BM25 over the expanded batch
+    val dfq2 = tf.join(weights.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    weights.join(tf, col("term") === col("tok"))
+      .join(dfq2, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query"), col("doc_id"),
+        (col("w4") *
+          floor(idfOf(col("df")) * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
+            .cast("long")).as("wfp"))
+      .groupBy(col("query"), col("doc_id"))
+      .agg(sum(col("wfp")).as("total"))
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .filter(col("rnk") <= k)
+      .join(r1.withColumn("in_r1", lit(true)), Seq("query", "doc_id"), "left")
+      .select(col("query"), col("doc_id"), col("rnk"),
+        Portable.round4(col("total").cast("double") / (ScoreScale * Rm3Scale))
+          .as("score"),
+        coalesce(col("in_r1"), lit(false)).as("in_r1"))
+  }
+
   /** x220 field split: the first this-many tokens are the TITLE
     * pseudo-field, the rest the BODY (a deterministic split standing
     * in for real document structure — web/docs corpora carry

@@ -964,6 +964,50 @@ object TextAnalysis {
         Portable.round4(col("cost").cast("double") / UniCostScale).as("nll"))
   }
 
+  /** Per-piece NLL keep threshold for [[unigramPplFilter]] — on the
+    * model's natural scale (−ln p per emitted piece; e^3.5 ≈ a
+    * 33-way-uniform surprise per piece). */
+  val UniPplCut = 3.5
+
+  /** x229: UNIGRAM-LM PERPLEXITY QUALITY FILTER — every document
+    * scored by its average per-piece negative log-likelihood under
+    * the x223-trained unigram tokenizer, the model-based quality
+    * filter of the CCNet/Gopher recipe but with the IN-REPO trained
+    * model rather than an external one (composes x223's training with
+    * the x38/x132 filter read): a doc whose text segments into
+    * low-probability pieces (rare character runs, gibberish) scores
+    * high and is flagged `kept = false` at [[UniPplCut]].
+    *
+    * Determinism: a word's total cost is the Viterbi DP's own exact
+    * BIGINT on the [[UniCostScale]] grid (min over paths — no float
+    * summation anywhere); per-doc sums are integer sums; the flag
+    * compares the 4dp-rounded value, so both engines decide from the
+    * same grid point.
+    *
+    * Scale: the encoder runs once over the DISTINCT vocabulary
+    * (map-only DP fold); docs attach by one tok-keyed postings join +
+    * hash aggregate — the x224 shape, nothing new scales with the
+    * corpus. */
+  def unigramPplFilter(documents: DataFrame,
+                       pieces: Seq[(String, Long, Long)]): DataFrame = {
+    val costs = uniCostMap(pieces.map(p => (p._1, p._3)))
+    val enc = withTokens(documents)
+      .select(explode(col("toks")).as("tok")).distinct()
+      .withColumn("dp", uniViterbiDp(col("tok"), costs))
+      .select(col("tok"),
+        element_at(col("dp"), length(col("tok")) + 1).getField("c").as("wcost"),
+        size(uniViterbiPieces(col("tok"), col("dp"))).cast("long").as("np"))
+    withTokens(documents)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(enc, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wcost")).as("scost"), sum(col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_pieces"),
+        Portable.round4(col("scost").cast("double") /
+          (col("n_pieces").cast("double") * UniCostScale)).as("nll"))
+      .withColumn("kept", col("nll") <= UniPplCut)
+  }
+
   /** x224: TOKENIZER COMPARISON — BPE (x117's merges) vs unigram-LM
     * (x223's pieces) on the same corpus, per source: the x203
     * compression read run for both families side by side, which is

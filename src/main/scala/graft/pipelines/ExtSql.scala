@@ -1516,6 +1516,219 @@ object ExtSql {
          |WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ---- x226 MaxScore dynamic pruning + losslessness audit ----------
+  // Mirrors Search.maxScoreAudit exactly: boot θ from each term's
+  // top-MaxScoreBootCap postings, per-term ub = max contribution,
+  // ub-ascending cumulative split (cum >= θ ⇒ essential), candidates
+  // from essential postings, pruned-vs-exact top-k overlap.
+
+  private val x226 = {
+    import graft.ops.Search._
+    val qvals = Queries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    raw"""WITH $toksCte,
+         |qt(query, term) AS (VALUES $qvals),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |n AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl),
+         |tfg AS (
+         |  SELECT doc_id, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
+         |tfc AS (
+         |  SELECT doc_id, tok, tf,
+         |         row_number() OVER (PARTITION BY tok
+         |           ORDER BY tf DESC, doc_id) AS crn
+         |  FROM tfg),
+         |dfq AS (
+         |  SELECT tok, count(*) AS df FROM tfg
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |contrib AS MATERIALIZED (
+         |  SELECT q.query, q.term, t.doc_id, t.crn,
+         |         CAST(floor(ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+         |                    * (t.tf * ${K1 + 1}) / (t.tf + $K1 * ((1.0 - $B)
+         |                       + $B * (dl.dl::DOUBLE * n.n_docs / n.total_toks)))
+         |                    * $ScoreScale + 0.5) AS BIGINT) AS fp
+         |  FROM qt q JOIN tfc t ON t.tok = q.term
+         |       JOIN dfq f ON f.tok = t.tok
+         |       JOIN dl ON dl.doc_id = t.doc_id
+         |       CROSS JOIN n),
+         |theta AS (
+         |  SELECT query, total AS theta FROM (
+         |    SELECT query, doc_id, total,
+         |           row_number() OVER (PARTITION BY query
+         |             ORDER BY total DESC, doc_id) AS rnk
+         |    FROM (SELECT query, doc_id, CAST(sum(fp) AS BIGINT) AS total
+         |          FROM contrib WHERE crn <= $MaxScoreBootCap GROUP BY 1, 2))
+         |  WHERE rnk = $TopK),
+         |terms AS MATERIALIZED (
+         |  SELECT u.query, u.term, u.ub, u.cum,
+         |         u.cum >= coalesce(th.theta, 0) AS essential
+         |  FROM (SELECT query, term, max(fp) AS ub,
+         |               sum(max(fp)) OVER (PARTITION BY query
+         |                 ORDER BY max(fp) ASC, term ASC
+         |                 ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM contrib GROUP BY 1, 2) u
+         |  LEFT JOIN theta th USING (query)),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT c.query, c.doc_id
+         |  FROM contrib c JOIN terms t ON t.query = c.query AND t.term = c.term
+         |  WHERE t.essential),
+         |etop AS MATERIALIZED (
+         |  SELECT query, doc_id FROM (
+         |    SELECT query, doc_id,
+         |           row_number() OVER (PARTITION BY query
+         |             ORDER BY total DESC, doc_id) AS rnk
+         |    FROM (SELECT query, doc_id, CAST(sum(fp) AS BIGINT) AS total
+         |          FROM contrib GROUP BY 1, 2))
+         |  WHERE rnk <= $TopK),
+         |ptop AS (
+         |  SELECT query, doc_id FROM (
+         |    SELECT query, doc_id,
+         |           row_number() OVER (PARTITION BY query
+         |             ORDER BY total DESC, doc_id) AS rnk
+         |    FROM (SELECT c.query, c.doc_id, CAST(sum(fp) AS BIGINT) AS total
+         |          FROM contrib c
+         |          JOIN cand d ON d.query = c.query AND d.doc_id = c.doc_id
+         |          GROUP BY 1, 2))
+         |  WHERE rnk <= $TopK),
+         |hits AS (
+         |  SELECT e.query, count(*) AS hits
+         |  FROM etop e JOIN ptop p ON p.query = e.query AND p.doc_id = e.doc_id
+         |  GROUP BY 1),
+         |tstat AS (
+         |  SELECT query, CAST(count(*) AS BIGINT) AS n_terms,
+         |         CAST(sum(CASE WHEN essential THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_essential
+         |  FROM terms GROUP BY 1),
+         |mstat AS (
+         |  SELECT query, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_matching
+         |  FROM contrib GROUP BY 1),
+         |cstat AS (
+         |  SELECT query, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cand GROUP BY 1),
+         |estat AS (
+         |  SELECT query, CAST(count(*) AS BIGINT) AS n_exact FROM etop GROUP BY 1)
+         |SELECT t.query, t.n_terms, t.n_essential, m.n_matching, c.n_candidates,
+         |       ${round4("1.0 - c.n_candidates::DOUBLE / m.n_matching::DOUBLE")}
+         |         AS pruned_frac,
+         |       e.n_exact, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+         |FROM tstat t JOIN mstat m USING (query) JOIN cstat c USING (query)
+         |     JOIN estat e USING (query) LEFT JOIN hits h USING (query)""".stripMargin
+  }
+
+  // ---- x227 RM3 pseudo-relevance-feedback expansion ----------------
+  // Mirrors Search.rm3Expand exactly: x51 round 1, top-Rm3FbDocs R
+  // set, grid MLE relevance model (top-Rm3FbTerms, normalized over
+  // that set), λ=1/2 midpoint interpolation via full outer join,
+  // weighted round-2 rescoring with in_r1 membership.
+
+  private val x227 = {
+    import graft.ops.Search._
+    val qvals = Queries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    val qlens = Queries.map { case (q, ts) => s"('$q', ${ts.size})" }
+      .mkString(", ")
+    raw"""WITH $toksCte,
+         |qt(query, term) AS (VALUES $qvals),
+         |ql(query, nq) AS (VALUES $qlens),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |n AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl),
+         |tfg AS MATERIALIZED (
+         |  SELECT doc_id, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
+         |dfq1 AS (
+         |  SELECT tok, count(*) AS df FROM tfg
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |r1 AS MATERIALIZED (
+         |  SELECT query, doc_id FROM (
+         |    SELECT query, doc_id,
+         |           row_number() OVER (PARTITION BY query
+         |             ORDER BY total DESC, doc_id) AS rnk
+         |    FROM (SELECT q.query, t.doc_id,
+         |                 CAST(sum(CAST(floor(
+         |                   ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+         |                   * (t.tf * ${K1 + 1}) / (t.tf + $K1 * ((1.0 - $B)
+         |                      + $B * (dl.dl::DOUBLE * n.n_docs / n.total_toks)))
+         |                   * $ScoreScale + 0.5) AS BIGINT)) AS BIGINT) AS total
+         |          FROM qt q JOIN tfg t ON t.tok = q.term
+         |               JOIN dfq1 f ON f.tok = t.tok
+         |               JOIN dl ON dl.doc_id = t.doc_id
+         |               CROSS JOIN n
+         |          GROUP BY 1, 2))
+         |  WHERE rnk <= $Rm3FbDocs),
+         |fbraw AS (
+         |  SELECT query, term, mass,
+         |         row_number() OVER (PARTITION BY query
+         |           ORDER BY mass DESC, term) AS mrn
+         |  FROM (SELECT r.query, t.tok AS term,
+         |               CAST(sum(CAST(floor(t.tf * ${Rm3Scale}.0 / d.dl + 0.5)
+         |                 AS BIGINT)) AS BIGINT) AS mass
+         |        FROM r1 r JOIN tfg t ON t.doc_id = r.doc_id
+         |             JOIN dl d ON d.doc_id = r.doc_id
+         |        GROUP BY 1, 2)),
+         |fb AS (
+         |  SELECT query, term,
+         |         CAST(floor(mass * ${Rm3Scale}.0 /
+         |           sum(mass) OVER (PARTITION BY query) + 0.5) AS BIGINT) AS pfb4
+         |  FROM fbraw WHERE mrn <= $Rm3FbTerms),
+         |orig AS (
+         |  SELECT q.query, q.term,
+         |         CAST(floor(${Rm3Scale}.0 / l.nq + 0.5) AS BIGINT) AS worig4
+         |  FROM qt q JOIN ql l ON l.query = q.query),
+         |wts AS MATERIALIZED (
+         |  SELECT coalesce(o.query, f.query) AS query,
+         |         coalesce(o.term, f.term) AS term,
+         |         CAST(floor((coalesce(o.worig4, 0) + coalesce(f.pfb4, 0)) / 2.0
+         |           + 0.5) AS BIGINT) AS w4
+         |  FROM orig o FULL OUTER JOIN fb f
+         |    ON f.query = o.query AND f.term = o.term),
+         |dfq2 AS (
+         |  SELECT tok, count(*) AS df FROM tfg
+         |  WHERE tok IN (SELECT DISTINCT term FROM wts) GROUP BY 1),
+         |r2 AS (
+         |  SELECT query, doc_id, total,
+         |         row_number() OVER (PARTITION BY query
+         |           ORDER BY total DESC, doc_id) AS rnk
+         |  FROM (SELECT w.query, t.doc_id,
+         |               CAST(sum(w.w4 * CAST(floor(
+         |                 ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+         |                 * (t.tf * ${K1 + 1}) / (t.tf + $K1 * ((1.0 - $B)
+         |                    + $B * (dl.dl::DOUBLE * n.n_docs / n.total_toks)))
+         |                 * $ScoreScale + 0.5) AS BIGINT)) AS BIGINT) AS total
+         |        FROM wts w JOIN tfg t ON t.tok = w.term
+         |             JOIN dfq2 f ON f.tok = t.tok
+         |             JOIN dl ON dl.doc_id = t.doc_id
+         |             CROSS JOIN n
+         |        GROUP BY 1, 2))
+         |SELECT r.query, r.doc_id, CAST(r.rnk AS BIGINT) AS rnk,
+         |       ${round4(s"r.total::DOUBLE / ${ScoreScale * Rm3Scale}")} AS score,
+         |       (o.doc_id IS NOT NULL) AS in_r1
+         |FROM r2 r LEFT JOIN r1 o ON o.query = r.query AND o.doc_id = r.doc_id
+         |WHERE r.rnk <= $TopK""".stripMargin
+  }
+
+  // ---- x228 CDC change feed -----------------------------------------
+  // The engine replays load -> bucket-1 rewrite (+1000 chars, plus one
+  // offset-keyed insert per seed) -> mod-7 tombstone delete and diffs
+  // v1 -> v3; the oracle derives the same feed from the original table.
+
+  private val x228 = {
+    val off = 10000000L
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""SELECT doc_id + $off AS doc_id, lang, n_chars + 1000 AS n_chars,
+         |       'insert' AS change_type
+         |FROM documents WHERE doc_id % $nb = 1
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars, 'delete' AS change_type
+         |FROM documents WHERE doc_id % 7 = 0
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars, 'update_preimage' AS change_type
+         |FROM documents WHERE doc_id % $nb = 1 AND doc_id % 7 <> 0
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars + 1000 AS n_chars,
+         |       'update_postimage' AS change_type
+         |FROM documents WHERE doc_id % $nb = 1 AND doc_id % 7 <> 0""".stripMargin
+  }
+
   // ---- x220 BM25F fielded retrieval --------------------------------
   // Mirrors Search.bm25fSearch exactly: title = first TitleTokens
   // tokens / body = rest, per-field tf via positional conditional
@@ -2796,6 +3009,45 @@ object ExtSql {
          |       END AS uni_chars_per_subword
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)
          |GROUP BY 1""".stripMargin
+  }
+
+  // ---- x229 unigram-LM perplexity quality filter --------------------
+  // The x223 training chain, a final enumerated-segmentation pass
+  // under the final costs carrying the per-word min TOTAL cost, then
+  // the per-doc postings aggregate and the 4dp-grid keep flag.
+
+  private lazy val x229 = {
+    import graft.ops.TextAnalysis.{UniMaxPiece, UniIters, UniCostScale,
+      UniPplCut}
+    val mp = UniMaxPiece
+    val fin = UniIters + 1
+    raw"""WITH RECURSIVE $toksCte,
+         |${uniChainCtes(defineWcnt = true)},
+         |upaths$fin(w, pos, c, revb, ps) AS (
+         |  SELECT w, len(w), CAST(0 AS BIGINT), [len(w)], []::VARCHAR[]
+         |  FROM wcnt
+         |  UNION ALL
+         |  SELECT p.w, j, p.c + k.cost, list_append(p.revb, j),
+         |         list_prepend(substr(p.w, j + 1, p.pos - j), p.ps)
+         |  FROM upaths$fin p,
+         |       unnest(range(greatest(p.pos - $mp, 0), p.pos)) AS tj(j),
+         |       ucost$UniIters k
+         |  WHERE p.pos > 0 AND k.piece = substr(p.w, j + 1, p.pos - j)),
+         |wenc AS MATERIALIZED (
+         |  SELECT w, c AS wcost, len(ps) AS np FROM (
+         |    SELECT w, c, ps,
+         |           row_number() OVER (PARTITION BY w ORDER BY c, revb) AS rn
+         |    FROM upaths$fin WHERE pos = 0) WHERE rn = 1),
+         |posts AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(sum(wcost) AS BIGINT) AS scost,
+         |         CAST(sum(np) AS BIGINT) AS n_pieces
+         |  FROM posts JOIN wenc USING (w) GROUP BY 1)
+         |SELECT doc_id, n_pieces, nll, nll <= $UniPplCut AS kept FROM (
+         |  SELECT doc_id, n_pieces,
+         |         ${round4(s"scost::DOUBLE / (n_pieces::DOUBLE * $UniCostScale)")}
+         |           AS nll
+         |  FROM perdoc)""".stripMargin
   }
 
   // ---- x197 BPE corpus encode --------------------------------------
@@ -5518,6 +5770,10 @@ object ExtSql {
     "x223_unigram_train"  -> x223,
     "x224_unigram_compare" -> x224,
     "x225_chunk_ndcg"     -> x225,
+    "x226_maxscore_audit" -> x226,
+    "x227_rm3_expand"     -> x227,
+    "x228_change_feed"    -> x228,
+    "x229_unigram_ppl"    -> x229,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -472,6 +472,65 @@ object TxnLog {
     }
   }
 
+  /** x228: CDC CHANGE FEED between two committed versions (Delta
+    * "change data feed" / Iceberg changelog-scan semantics) — DERIVED
+    * from the full-state manifests rather than stored per commit:
+    * because bucket data generations are immutable files, a bucket
+    * whose (generation, tombstone set) pair is IDENTICAL in both
+    * manifests cannot contribute a change and is never read — the
+    * diff costs O(changed buckets), not O(table), which is the point
+    * at 100 TB (a trickle upsert touches one bucket; its feed reads
+    * one bucket). Within each changed bucket the pre/post VISIBLE
+    * rows ([[visibleBucket]] — tombstones already subtracted)
+    * full-outer join on `keyCol`: post-only → `insert`, pre-only →
+    * `delete`, both-with-any-value-diff → an `update_preimage` /
+    * `update_postimage` row pair (the Delta CDF row shape; null-safe
+    * comparison so null↔value transitions count as changes).
+    *
+    * Bucket-level pruning is exact under the commit convention that a
+    * key stays in its bucket (`key % NumBuckets` routing — the same
+    * invariant [[commitDeletes]] relies on to route tombstones);
+    * per-bucket diffing also means a key never joins across buckets,
+    * the ADVICE-r8 mis-routing guard applied here too. */
+  def changeFeed(spark: SparkSession, table: String, fromV: Long, toV: Long,
+                 keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromV > 0 && toV >= fromV, s"changeFeed: bad range $fromV..$toV")
+    val mf = readManifest(table, fromV)
+    val mt = readManifest(table, toV)
+    val changed = (mf.buckets.keySet ++ mt.buckets.keySet).toSeq.sorted
+      .filter { b =>
+        mf.buckets.get(b) != mt.buckets.get(b) ||
+          mf.tombs.getOrElse(b, Seq.empty) != mt.tombs.getOrElse(b, Seq.empty)
+      }
+    val sample = snapshot(spark, table, toV)
+    val cs = sample.columns.toSeq
+    require(cs.contains(keyCol), s"changeFeed: no column $keyCol in $table")
+    def emptySide = sample.limit(0)
+    val frames = changed.map { b =>
+      val pre = visibleBucket(spark, table, b, fromV).getOrElse(emptySide)
+      val post = visibleBucket(spark, table, b, toV).getOrElse(emptySide)
+      val p = pre.select(cs.map(c => col(c).as(s"pre_$c")): _*)
+      val q = post.select(cs.map(c => col(c).as(s"post_$c")): _*)
+      val j = p.join(q, col(s"pre_$keyCol") === col(s"post_$keyCol"),
+        "full_outer")
+      val diff = cs.filterNot(_ == keyCol)
+        .map(c => !(col(s"pre_$c") <=> col(s"post_$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      def side(prefix: String, tag: String)(rows: DataFrame): DataFrame =
+        rows.select(cs.map(c => col(s"${prefix}_$c").as(c)) :+
+          lit(tag).as("change_type"): _*)
+      val upd = j.filter(col(s"pre_$keyCol").isNotNull &&
+        col(s"post_$keyCol").isNotNull && diff)
+      side("post", "insert")(j.filter(col(s"pre_$keyCol").isNull))
+        .unionByName(side("pre", "delete")(j.filter(col(s"post_$keyCol").isNull)))
+        .unionByName(side("pre", "update_preimage")(upd))
+        .unionByName(side("post", "update_postimage")(upd))
+    }
+    frames.reduceOption(_.unionByName(_))
+      .getOrElse(emptySide.withColumn("change_type", lit("")))
+  }
+
   /** Remove the table directory entirely — fixture reset so each
     * x216 run replays the whole protocol from an empty log. */
   def reset(table: String): Unit = {

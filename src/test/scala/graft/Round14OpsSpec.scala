@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Search, TextAnalysis}
+import graft.sources.TxnLog
+
+/** Pins the round-9 additions: MaxScore dynamic pruning (x226 —
+  * losslessness AND activity), RM3 query expansion (x227 — an
+  * expansion-only doc must enter round 2), the txn-log CDC change
+  * feed (x228 — all three change kinds on a hand-built log), and the
+  * unigram-LM perplexity filter (x229 — gibberish scores above
+  * in-distribution text). */
+class Round14OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ---- x226 MaxScore pruning ----------------------------------------
+
+  /** Corpus shaped so q_hash_merge's two terms split: "hash" docs carry
+    * tf 5 in short docs (high contribution), "merge" appears once in
+    * long filler docs (low ub) — with 15 of each, θ comes from the
+    * hash docs and the merge-only docs must be prunable. */
+  private lazy val splitCorpus = docsOf(
+    ((1L to 15L).map(i => i ->
+      "hash hash hash hash hash") ++
+      (21L to 35L).map(i => i ->
+        ("merge " + Seq.fill(40)(s"filler${i}w").mkString(" ")))): _*)
+
+  test("maxScoreAudit is lossless on every query (hits == n_exact)") {
+    val rows = Search.maxScoreAudit(splitCorpus)
+      .select(col("n_exact"), col("hits")).as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ne, h) => assert(h === ne) }
+  }
+
+  test("maxScoreAudit actually prunes the weak-term-only postings") {
+    val r = Search.maxScoreAudit(splitCorpus)
+      .filter(col("query") === "q_hash_merge")
+      .select(col("n_terms"), col("n_essential"), col("n_matching"),
+        col("n_candidates"))
+      .as[(Long, Long, Long, Long)].collect().head
+    val (nt, ness, nm, nc) = r
+    assert(nt === 2L)
+    assert(ness === 1L, "the low-ub term must be non-essential")
+    assert(nm === 30L)
+    assert(nc === 15L, "merge-only docs must be pruned from scoring")
+  }
+
+  test("maxScoreAudit scores candidates over ALL terms, not just essential") {
+    // a doc with BOTH terms must keep its merge contribution: it ranks
+    // strictly above a hash-only doc of the same shape
+    val corpus = docsOf(
+      ((1L to 12L).map(i => i -> "hash hash hash") ++
+        Seq(13L -> "hash hash hash merge") ++
+        (21L to 32L).map(i => i ->
+          ("merge " + Seq.fill(40)(s"f${i}w").mkString(" ")))): _*)
+    val audit = Search.maxScoreAudit(corpus)
+      .filter(col("query") === "q_hash_merge")
+      .select(col("n_exact"), col("hits")).as[(Long, Long)].collect().head
+    assert(audit._1 === audit._2)
+  }
+
+  // ---- x227 RM3 expansion -------------------------------------------
+
+  test("rm3Expand retrieves an expansion-only doc round 1 missed") {
+    // "spark"-matching docs all carry "alphaterm"; doc 99 has
+    // alphaterm but NO round-1 term → reachable only through the
+    // relevance model's expansion (8 originals < k=10, so the
+    // expansion doc has a seat to win rather than displace)
+    val corpus = docsOf(
+      ((1L to 8L).map(i => i ->
+        "spark join fast alphaterm alphaterm alphaterm") ++
+        Seq(99L -> "alphaterm alphaterm alphaterm alphaterm") ++
+        (50L to 60L).map(i => i ->
+          Seq.fill(20)(s"noise${i}w").mkString(" "))): _*)
+    val got = Search.rm3Expand(corpus)
+      .filter(col("query") === "q_spark_join" && col("doc_id") === 99L)
+      .select(col("in_r1")).as[Boolean].collect()
+    assert(got.toSeq === Seq(false),
+      "doc 99 must enter the top-k via expansion, flagged in_r1=false")
+  }
+
+  test("rm3Expand keeps original-term docs ranked (round 1 survivors)") {
+    val corpus = docsOf(
+      ((1L to 12L).map(i => i ->
+        "spark join fast alphaterm alphaterm alphaterm") ++
+        (50L to 60L).map(i => i ->
+          Seq.fill(20)(s"noise${i}w").mkString(" "))): _*)
+    val rows = Search.rm3Expand(corpus)
+      .filter(col("query") === "q_spark_join")
+      .select(col("doc_id"), col("in_r1")).as[(Long, Boolean)].collect()
+    assert(rows.length === 10)
+    assert(rows.filter(_._2).map(_._1).toSet.subsetOf((1L to 12L).toSet))
+  }
+
+  // ---- x228 change feed ----------------------------------------------
+
+  private def tmpTable(tag: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-cdc-$tag").toString
+    s"$dir/t"
+  }
+
+  test("changeFeed emits insert, delete and update pairs between versions") {
+    val table = tmpTable("kinds")
+    def route(df: org.apache.spark.sql.DataFrame) =
+      (0 until TxnLog.NumBuckets).map(b => b ->
+        df.filter(col("k") % TxnLog.NumBuckets === b)).toMap
+    val v1 = TxnLog.commit(table, 0L,
+      route(Seq((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L)).toDF("k", "v")))
+    // v2: bucket 1 rewritten — k=1 updated, k=5 (≡1 mod 4) dropped
+    // from the generation (an upsert-delete), k=9 inserted
+    val v2 = TxnLog.commit(table, v1, Map(1 ->
+      Seq((1L, 11L), (9L, 90L)).toDF("k", "v")))
+    // v3: tombstone-delete k=2 (bucket 2)
+    val v3 = TxnLog.commitDeletes(table, Seq(2L).toDF("k"), "k", v2)
+    val got = TxnLog.changeFeed(spark, table, v1, v3, "k")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (9L, 90L, "insert"),
+      (5L, 50L, "delete"),
+      (2L, 20L, "delete"),
+      (1L, 10L, "update_preimage"),
+      (1L, 11L, "update_postimage")))
+    TxnLog.reset(table)
+  }
+
+  test("changeFeed of identical versions is empty") {
+    val table = tmpTable("same")
+    val v1 = TxnLog.commit(table, 0L, Map(0 -> Seq((4L, 40L)).toDF("k", "v")))
+    assert(TxnLog.changeFeed(spark, table, v1, v1, "k").count() === 0L)
+    TxnLog.reset(table)
+  }
+
+  test("changeFeed skips unchanged buckets (no rows from untouched keys)") {
+    val table = tmpTable("prune")
+    val v1 = TxnLog.commit(table, 0L, Map(
+      0 -> Seq((4L, 40L), (8L, 80L)).toDF("k", "v"),
+      1 -> Seq((1L, 10L)).toDF("k", "v")))
+    val v2 = TxnLog.commit(table, v1, Map(1 -> Seq((1L, 11L)).toDF("k", "v")))
+    val got = TxnLog.changeFeed(spark, table, v1, v2, "k")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 10L, "update_preimage"), (1L, 11L, "update_postimage")))
+    TxnLog.reset(table)
+  }
+
+  // ---- x229 unigram perplexity filter --------------------------------
+
+  test("unigramPplFilter scores gibberish above in-distribution text") {
+    val corpus = docsOf(
+      ((1L to 20L).map(i => i ->
+        Seq.fill(10)("the cat sat on the mat").mkString(" ")) ++
+        Seq(99L -> "zq xv qj vx zx qq jzq vqz xqj zzv")): _*)
+    val pieces = TextAnalysis.unigramPiecesList(corpus)
+    val got = TextAnalysis.unigramPplFilter(corpus, pieces)
+      .select(col("doc_id"), col("nll")).as[(Long, Double)].collect()
+      .toMap
+    assert(got(99L) > got(1L),
+      s"gibberish nll ${got(99L)} must exceed common-text nll ${got(1L)}")
+    got.values.foreach(nll => assert(nll > 0.0))
+  }
+
+  test("unigramPplFilter's kept flag matches the 4dp threshold") {
+    val corpus = docsOf(
+      ((1L to 8L).map(i => i -> "aa bb aa bb aa bb")): _*)
+    val pieces = TextAnalysis.unigramPiecesList(corpus)
+    val rows = TextAnalysis.unigramPplFilter(corpus, pieces)
+      .select(col("nll"), col("kept")).as[(Double, Boolean)].collect()
+    rows.foreach { case (nll, kept) =>
+      assert(kept === (nll <= TextAnalysis.UniPplCut))
+    }
+  }
+}
