@@ -562,4 +562,85 @@ object DataProfile {
           count(lit(1)).cast("double")).as("mean_chars"))
       .join(broadcast(ci), Seq("source"))
   }
+
+  // ---- HyperLogLog distinct sketch (x230/x231) -----------------------
+
+  /** HLL register count m = 2^8 — the 8 low hash bits pick the
+    * register, the remaining 52 feed the rank. */
+  val HllRegisters = 256
+  /** 2^53 — the rank-sum fixed-point unit: Σ 2^(−M_j) is computed as
+    * the exact BIGINT Σ 2^(53−M_j) (a float sum of 256 powers of two
+    * spans > 53 bits and would round ORDER-DEPENDENTLY; the integer
+    * sum commutes — the x51 grid convention applied to a sketch). */
+  val HllUnit = 9007199254740992L
+  /** Linear-counting switchover: 2.5 · m (Flajolet et al. '07). */
+  val HllLinearCut = 640.0
+
+  /** 60-bit md5 hash of the key's string form (the Dedup shingle
+    * convention: `conv(hex,16,10)` ≡ `('0x'||hex)::BIGINT`). */
+  private def hll60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Register index: the 8 low bits. */
+  def hllReg(key: Column): Column = pmod(hll60(key), lit(HllRegisters.toLong))
+
+  /** Rank ρ = leading zeros of the remaining 52-bit window + 1,
+    * computed INTEGER-ONLY as 53 − bitlen(w) via `length(bin(w))`
+    * (floor(log2) on doubles flips at powers of two). */
+  def hllRank(key: Column): Column = {
+    val w = shiftright(hll60(key), 8)
+    when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w)))
+  }
+
+  /** Finalize per-`keys` register rows (j, m) into the HLL estimate:
+    * raw = α·m² / Σ 2^(−M_j) over ALL m registers (absent ⇒ M = 0),
+    * linear counting below [[HllLinearCut]] when zero registers
+    * remain. Every float is a single fixed expression over exact
+    * integers — identical in both engines. */
+  def hllFinalize(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
+          .as("s_present"))
+      .withColumn("v_zero", lit(HllRegisters.toLong) - col("n_present"))
+      .withColumn("stot", col("s_present") + col("v_zero") * lit(HllUnit))
+      .withColumn("raw",
+        alpha * lit(65536.0) * lit(9007199254740992.0) /
+          col("stot").cast("double"))
+      .withColumn("hll_est", Portable.round4(
+        when(col("raw") <= HllLinearCut && col("v_zero") > 0,
+          lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
+          .otherwise(col("raw"))))
+      .select((keys.map(col) :+ col("v_zero") :+ col("hll_est")): _*)
+  }
+
+  /** x230: HYPERLOGLOG DISTINCT-USER SKETCH with an exactness audit —
+    * per event type, the m = [[HllRegisters]] register sketch beside
+    * the exact distinct count and the relative error. The register
+    * aggregate is the whole distributed story: at 100 TB a distinct
+    * count is a full shuffle of every key, while the sketch is a
+    * 256-row MERGEABLE max-aggregate (map-side combine collapses each
+    * partition to ≤ m rows; unions/windows/streams merge by register
+    * max — see x231 for the streaming face). Exact leg kept for the
+    * audit, the x8/x10 brute-baseline convention.
+    *
+    * Determinism: md5-derived registers, integer ranks, the fixed-
+    * point rank sum ([[HllUnit]]), and 4dp-rounded estimates — both
+    * engines land on the same grid point, so even the ESTIMATE is
+    * hash-checkable, not just bounded. */
+  def hllDistinctUsers(events: DataFrame): DataFrame = {
+    val ev = Caching.temp(events.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")))
+    val regs = ev
+      .select(col("event_type"), hllReg(col("user_id")).as("j"),
+        hllRank(col("user_id")).as("rho"))
+      .groupBy(col("event_type"), col("j")).agg(max(col("rho")).as("m"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(hllFinalize(regs, Seq("event_type")), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("v_zero"), col("hll_est"),
+        Portable.round4((col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+  }
 }

@@ -1729,6 +1729,76 @@ object ExtSql {
          |FROM documents WHERE doc_id % $nb = 1 AND doc_id % 7 <> 0""".stripMargin
   }
 
+  // ---- x230/x231 HyperLogLog distinct sketch ------------------------
+  // Mirrors DataProfile.hllReg/hllRank/hllFinalize exactly: 60-bit md5
+  // hash, 8-bit register, integer rank 53 - bitlen(h >> 8), exact
+  // BIGINT rank sum on the 2^53 grid, alpha*m^2 estimate with the
+  // 2.5m linear-counting switchover — then 4dp rounding, so the
+  // ESTIMATE itself hash-checks.
+
+  /** Shared estimate finalizer: input CTE must expose
+    * (`keyList` cols, n_present BIGINT, s_present BIGINT). */
+  private def hllSelect(src: String, keyList: String): String =
+    raw"""SELECT $keyList, v_zero,
+         |       ${round4("CASE WHEN raw <= 640.0 AND v_zero > 0 " +
+            "THEN 256.0 * ln(256.0 / v_zero::DOUBLE) ELSE raw END")} AS hll_est
+         |FROM (
+         |  SELECT $keyList, CAST(256 - n_present AS BIGINT) AS v_zero,
+         |         0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+         |           * 9007199254740992.0
+         |           / ((s_present + (256 - n_present) * 9007199254740992)::DOUBLE)
+         |           AS raw
+         |  FROM $src)""".stripMargin
+
+  private val hllRankSql =
+    "CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END"
+
+  private val x230 =
+    raw"""WITH h AS (
+         |  SELECT event_type,
+         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |           AS h,
+         |         user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, h % 256 AS j, max($hllRankSql) AS m
+         |  FROM h GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+         |         CAST(sum(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT)
+         |           AS s_present
+         |  FROM r GROUP BY 1),
+         |x AS (
+         |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM h GROUP BY 1),
+         |est AS (${hllSelect("s", "event_type")})
+         |SELECT x.event_type, x.n_exact, e.v_zero, e.hll_est,
+         |       ${round4("(e.hll_est - x.n_exact::DOUBLE) / x.n_exact::DOUBLE")}
+         |         AS rel_err
+         |FROM x JOIN est e USING (event_type)""".stripMargin
+
+  private val x231 =
+    raw"""WITH $wmCte,
+         |h AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
+         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |           AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |sealed AS (
+         |  -- TIMESTAMP cast so the day string matches Spark's
+         |  -- window.start ('yyyy-MM-dd HH:mm:ss', not a bare DATE)
+         |  SELECT CAST(d AS VARCHAR) AS day, event_type, h
+         |  FROM h, wm WHERE epoch_ms(d) + 86400000 <= wm),
+         |r AS (
+         |  SELECT day, event_type, h % 256 AS j, max($hllRankSql) AS m
+         |  FROM sealed GROUP BY 1, 2, 3),
+         |s AS (
+         |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_present,
+         |         CAST(sum(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT)
+         |           AS s_present
+         |  FROM r GROUP BY 1, 2)
+         |${hllSelect("s", "day, event_type")}""".stripMargin
+
   // ---- x220 BM25F fielded retrieval --------------------------------
   // Mirrors Search.bm25fSearch exactly: title = first TitleTokens
   // tokens / body = rest, per-field tf via positional conditional
@@ -5774,6 +5844,8 @@ object ExtSql {
     "x227_rm3_expand"     -> x227,
     "x228_change_feed"    -> x228,
     "x229_unigram_ppl"    -> x229,
+    "x230_hll_distinct"   -> x230,
+    "x231_stream_hll"     -> x231,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

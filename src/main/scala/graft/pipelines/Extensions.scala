@@ -720,7 +720,11 @@ object Extensions {
     // rides the memoized x223 training: scoring is one vocab encode +
     // one postings join, the model is never retrained per query
     "x229_unigram_ppl"   -> ((s, d) => finalShared("x229", s, d)(
-      TextAnalysis.unigramPplFilter(docs(s, d), uniShared(s, d)))))
+      TextAnalysis.unigramPplFilter(docs(s, d), uniShared(s, d)))),
+    "x230_hll_distinct"  -> ((s, d) =>
+      graft.ops.DataProfile.hllDistinctUsers(evs(s, d))),
+    "x231_stream_hll"    -> ((s, d) =>
+      graft.streaming.EventStream.hllDailyAvailableNow(s, d)))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

@@ -300,6 +300,39 @@ object EventStream {
       StructField("value_cents", LongType)))).parquet(s"$base/data")
   }
 
+  /** x231: STREAMING HYPERLOGLOG — the x230 sketch with its registers
+    * maintained IN-STREAM: watermarked 1-day tumbling windows keyed on
+    * (window, event_type, register), a max-rank aggregate whose state
+    * is ≤ 256 small ints per open group — this mergeability is WHY a
+    * sketch is the only sane streaming distinct-count at 100 TB/day
+    * (exact streaming distinct keeps every key in state; the register
+    * frame is constant-size and merges across micro-batches, windows
+    * and restarts by max). Sealed windows land in the sink; the
+    * estimate finalizes in one batch projection
+    * ([[graft.ops.DataProfile.hllFinalize]] — same math as x230, so
+    * the streaming and batch faces are mutually checkable). */
+  def hllDailyAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataProfile
+    val base = sinkDir("hlld")
+    val ev = readEvents(s, dir).filter(col("user_id").isNotNull)
+      .select(col("ts"), col("event_type"),
+        DataProfile.hllReg(col("user_id")).as("j"),
+        DataProfile.hllRank(col("user_id")).as("rho"))
+    val regs = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"), col("j"))
+      .agg(max(col("rho")).as("m"))
+      .select(col("window.start").cast("string").as("day"),
+        col("event_type"), col("j"), col("m"))
+    runToParquet(regs, base)
+    val back = s.read.schema(StructType(Seq(
+      StructField("day", StringType),
+      StructField("event_type", StringType),
+      StructField("j", LongType),
+      StructField("m", IntegerType)))).parquet(s"$base/data")
+    DataProfile.hllFinalize(back, Seq("day", "event_type"))
+  }
+
   /** x34: [[attributedBuys]] run to completion with AvailableNow —
     * an inner stream-stream join emits every match in the batch where
     * it occurs, so the single-batch run over the static dir yields the

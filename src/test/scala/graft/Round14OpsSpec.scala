@@ -148,6 +148,42 @@ class Round14OpsSpec extends SparkSpec {
     TxnLog.reset(table)
   }
 
+  // ---- x230/x231 HyperLogLog ------------------------------------------
+
+  test("hllDistinctUsers estimates within 15% on 2k distinct users") {
+    val ev = (1L to 2000L).map(u => (u, "buy")).toDF("user_id", "event_type")
+    val r = graft.ops.DataProfile.hllDistinctUsers(ev)
+      .select(col("n_exact"), col("hll_est")).as[(Long, Double)]
+      .collect().head
+    assert(r._1 === 2000L)
+    assert(math.abs(r._2 - 2000.0) / 2000.0 < 0.15, s"est ${r._2}")
+  }
+
+  test("HLL registers merge by max: sketch(A union B) == max-merge of sketches") {
+    import graft.ops.DataProfile
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), DataProfile.hllReg(col("user_id")).as("j"),
+        DataProfile.hllRank(col("user_id")).as("rho"))
+      .groupBy(col("event_type"), col("j")).agg(max(col("rho")).as("m"))
+    val a = (1L to 700L).map(u => (u, "t")).toDF("user_id", "event_type")
+    val b = (400L to 1200L).map(u => (u, "t")).toDF("user_id", "event_type")
+    val merged = DataProfile.hllFinalize(
+      regs(a).unionByName(regs(b))
+        .groupBy(col("event_type"), col("j")).agg(max(col("m")).as("m")),
+      Seq("event_type")).select(col("hll_est")).as[Double].collect().head
+    val direct = DataProfile.hllFinalize(regs(a.unionByName(b)),
+      Seq("event_type")).select(col("hll_est")).as[Double].collect().head
+    assert(merged === direct)
+  }
+
+  test("hllFinalize switches to linear counting in the small range") {
+    val regs = Seq(("t", 0L, 1)).toDF("event_type", "j", "m")
+    val est = graft.ops.DataProfile.hllFinalize(regs, Seq("event_type"))
+      .select(col("hll_est")).as[Double].collect().head
+    val want = math.floor(256.0 * math.log(256.0 / 255.0) * 10000 + 0.5) / 10000
+    assert(est === want)
+  }
+
   // ---- x229 unigram perplexity filter --------------------------------
 
   test("unigramPplFilter scores gibberish above in-distribution text") {
