@@ -615,6 +615,100 @@ object DataProfile {
       .select((keys.map(col) :+ col("v_zero") :+ col("hll_est")): _*)
   }
 
+  /** KMV sketch size (k minimum hash values kept per set). */
+  val KmvK = 64
+  /** The hash-space size as a double: 16^15 (the 60-bit md5 view). */
+  val KmvSpace = 1152921504606846976.0
+
+  /** x234: KMV (K-MINIMUM-VALUES) SET-OPERATION SKETCH — the sketch
+    * family HLL (x230) cannot provide: per event-type PAIR, estimated
+    * union size from the k-th smallest hash of the merged sketch
+    * ((k−1)·|space|/h₍k₎, Bar-Yossef et al. '02), Jaccard from the
+    * merged sketch's member overlap, and the intersection estimate
+    * jaccard·union — each beside its exact audit value (the x8/x10
+    * brute-baseline convention). Distinct-set algebra on sketches is
+    * what powers audience-overlap / segment-intersection queries at
+    * 100 TB: each set collapses to k BIGINTs (mergeable by min-k
+    * union), the pair join is |pairs|·k rows — the exact legs here
+    * are the audit, not the production path.
+    *
+    * Determinism: hashes are the 60-bit md5 view (exact BIGINT); the
+    * k-th smallest and member overlaps are total-order selections;
+    * the only floats are the two fixed-form estimates, 4dp-rounded. */
+  def kmvSetOps(events: DataFrame): DataFrame = {
+    val perType = Caching.temp(events.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), hll60(col("user_id")).as("h")))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h").asc)
+    val sk = Caching.temp(perType
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= KmvK)
+      .select(col("event_type"), col("h")))
+    val types = sk.select(col("event_type")).distinct()
+    val tpairs = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    // merged min-k sketch per pair: union of the two k-sets, keep the
+    // k smallest DISTINCT hashes; overlap = merged members in both
+    val merged = tpairs
+      .join(sk.select(col("event_type").as("type_a"), col("h")), Seq("type_a"))
+      .unionByName(tpairs
+        .join(sk.select(col("event_type").as("type_b"), col("h")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("h")))
+      .select(col("type_a"), col("type_b"), col("h")).distinct()
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("type_a"), col("type_b")).orderBy(col("h").asc)
+    val mk = Caching.temp(merged
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= KmvK))
+    val kth = mk.groupBy(col("type_a"), col("type_b"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("nk"))
+    val inA = sk.select(col("event_type").as("type_a"), col("h"),
+      lit(1L).as("in_a"))
+    val inB = sk.select(col("event_type").as("type_b"), col("h"),
+      lit(1L).as("in_b"))
+    val overlap = mk
+      .join(inA, Seq("type_a", "h"), "left")
+      .join(inB, Seq("type_b", "h"), "left")
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("n_both"))
+    // exact audit legs (distinct user sets, row formulation)
+    val du = Caching.temp(events.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct())
+    val sizes = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val exInter = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    // a sketch smaller than k (tiny set) is EXACT: hk is then the
+    // largest member, and the estimator would bias — use nk itself
+    val estU = when(col("nk") < KmvK, col("nk").cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * KmvSpace /
+        col("hk").cast("double"))
+    tpairs
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")),
+        Seq("type_a"))
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")),
+        Seq("type_b"))
+      .join(kth, Seq("type_a", "type_b"))
+      .join(overlap, Seq("type_a", "type_b"))
+      .join(exInter, Seq("type_a", "type_b"), "left")
+      .withColumn("kmv_union", Portable.round4(estU))
+      .withColumn("jaccard_est", Portable.round4(
+        col("n_both").cast("double") / col("nk").cast("double")))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b") -
+          coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        col("kmv_union"), col("jaccard_est"),
+        Portable.round4(col("jaccard_est") * col("kmv_union"))
+          .as("kmv_inter"))
+  }
+
   /** x230: HYPERLOGLOG DISTINCT-USER SKETCH with an exactness audit —
     * per event type, the m = [[HllRegisters]] register sketch beside
     * the exact distinct count and the relative error. The register

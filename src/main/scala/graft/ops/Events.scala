@@ -1257,4 +1257,40 @@ object Events {
           .otherwise(Portable.round4(exp(coalesce(col("lnS"), lit(0.0)))))
           .as("survival"))
   }
+
+  /** x232: BITMAP-INDEX DAU RETENTION — per day, the active-user set
+    * packed into 64-bit WORDS (word w = users 64w..64w+63, one
+    * `bit_or` aggregate), then next-day retention computed ENTIRELY in
+    * word algebra: |A ∩ B| = Σ_w bit_count(word_A & word_B). This is
+    * the roaring/bitmap-index technique every OLAP engine ships for
+    * set rollups: at 100 TB the per-day set is |users|/64 words
+    * instead of |users| rows, the day-pair join is keyed on the word
+    * index (co-partitioned, no row-level shuffle of users), and
+    * arbitrary set expressions (AND/OR/ANDNOT across day ranges)
+    * stay one popcount away — where the row formulation re-shuffles
+    * the full membership per pair. The DuckDB oracle deliberately
+    * computes the SAME numbers from the naive row self-join: two
+    * genuinely different algorithms meeting on exact integers. */
+  def bitmapRetention(events: DataFrame): DataFrame = {
+    val active = Caching.temp(events.filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        shiftright(col("user_id"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))")
+          .as("bit"))
+      .groupBy(col("day"), col("w"))
+      .agg(expr("bit_or(bit)").as("word")))
+    val dau = active.groupBy(col("day"))
+      .agg(sum(bit_count(col("word")).cast("long")).as("dau"))
+    val nxt = active.select(date_sub(col("day"), 1).as("day"),
+      col("w"), col("word").as("word_next"))
+    val retained = active.join(nxt, Seq("day", "w"))
+      .groupBy(col("day"))
+      .agg(sum(bit_count(col("word").bitwiseAND(col("word_next")))
+        .cast("long")).as("retained"))
+    dau.join(retained, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"), col("dau"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        Portable.round4(coalesce(col("retained"), lit(0L)).cast("double") /
+          col("dau").cast("double")).as("retention"))
+  }
 }

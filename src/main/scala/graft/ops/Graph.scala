@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the near-duplicate pair graph —
@@ -52,6 +52,46 @@ object Graph {
         .groupBy(col("v")).agg(sum(col("contrib")).as("s"))
         .select(col("v").as("doc_id"),
           (lit(Teleport) + expr("(s * 17) div 20")).as("rank"))
+    }
+  }
+
+  /** Seed-set rule for [[personalizedPagerankFrom]]: doc_id ≡ 0
+    * (mod this) — a deterministic stand-in for "the documents an
+    * auditor marked interesting". */
+  val PprSeedMod = 10
+
+  /** x233: PERSONALIZED PAGERANK over the near-dup pair graph —
+    * the x59 power iteration with the teleport mass restricted to a
+    * SEED SET (Jeh & Widom '03): rank flows out from the seeds through
+    * duplicate-cluster edges, so high-ranked non-seeds are "documents
+    * entangled with the flagged set" — the standard graph-proximity
+    * read for contamination/provenance triage, where global PageRank
+    * only measures centrality. rank₀ = [[RankScale]] on seeds / 0
+    * elsewhere; step: rank(v) = seed(v)·[[Teleport]] +
+    * 0.85·Σ_{u→v} rank(u) div deg(u) — the whole trajectory on exact
+    * BIGINTs ([[pagerankFrom]]'s integral-division convention), fixed
+    * [[PrIters]] steps, so both engines agree bit-for-bit.
+    *
+    * Scale: identical shape to x59 — per-step one keyed join + one
+    * aggregate; the seed restriction adds a map-side CASE, nothing
+    * else. Zero-rank nodes stay as rows (they cost one BIGINT each and
+    * keep the join uniform). */
+  def personalizedPagerankFrom(minedPairs: DataFrame): DataFrame = {
+    val pairs = minedPairs.select(col("doc_a"), col("doc_b"))
+    val edges = Caching.temp(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("u", "v"))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val withDeg = Caching.temp(edges.join(deg, Seq("u")))
+    def seedMass(node: Column, mass: Long): Column =
+      when(pmod(node, lit(PprSeedMod.toLong)) === 0, lit(mass)).otherwise(lit(0L))
+    val r0 = deg.select(col("u").as("doc_id"),
+      seedMass(col("u"), RankScale).as("rank"))
+    (1 to PrIters).foldLeft(r0) { (r, _) =>
+      withDeg.join(r, withDeg("u") === r("doc_id"))
+        .select(col("v"), expr("rank div deg").as("contrib"))
+        .groupBy(col("v")).agg(sum(col("contrib")).as("s"))
+        .select(col("v").as("doc_id"),
+          (seedMass(col("v"), Teleport) + expr("(s * 17) div 20")).as("rank"))
     }
   }
 

@@ -1799,6 +1799,133 @@ object ExtSql {
          |  FROM r GROUP BY 1, 2)
          |${hllSelect("s", "day, event_type")}""".stripMargin
 
+  // ---- x233 personalized PageRank ------------------------------------
+  // The x59 unrolled integer power iteration with teleport mass
+  // restricted to the doc_id % PprSeedMod = 0 seed set.
+
+  private val x233 = {
+    import graft.ops.Graph._
+    def seed(node: String, mass: Long): String =
+      s"CASE WHEN $node % $PprSeedMod = 0 THEN $mass ELSE 0 END"
+    def step(i: Int): String =
+      raw"""p$i AS (
+           |  SELECT wd.v AS doc_id,
+           |         CAST(${seed("wd.v", Teleport)}
+           |              + ((sum(p${i - 1}.rank // wd.deg) * 17) // 20)
+           |              AS BIGINT) AS rank
+           |  FROM wd JOIN p${i - 1} ON wd.u = p${i - 1}.doc_id
+           |  GROUP BY wd.v)""".stripMargin
+    raw"""WITH $x5Ctes,
+         |prpairs AS (
+         |$x5Select),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM prpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM prpairs),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |wd AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d USING (u)),
+         |p0 AS (SELECT u AS doc_id,
+         |              CAST(${seed("u", RankScale)} AS BIGINT) AS rank FROM deg),
+         |${(1 to PrIters).map(step).mkString(",\n")}
+         |SELECT doc_id, rank FROM p$PrIters""".stripMargin
+  }
+
+  // ---- x234 KMV set-operation sketch ---------------------------------
+  // Mirrors DataProfile.kmvSetOps exactly: per-type k=64 min-hash
+  // sketches, merged min-k per pair, (k-1)*space/h_k union estimate
+  // (exact nk below k), member-overlap Jaccard, intersection =
+  // jaccard * union on the rounded grid; exact audit legs row-joined.
+
+  private val x234 = {
+    import graft.ops.DataProfile.{KmvK, KmvSpace}
+    raw"""WITH du AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |ph AS (
+         |  SELECT event_type,
+         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |           AS h
+         |  FROM du),
+         |sk AS MATERIALIZED (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM ph) WHERE rn <= $KmvK),
+         |ty AS (SELECT DISTINCT event_type FROM sk),
+         |tp AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |mg AS (
+         |  SELECT DISTINCT type_a, type_b, h FROM (
+         |    SELECT t.type_a, t.type_b, s.h
+         |    FROM tp t JOIN sk s ON s.event_type = t.type_a
+         |    UNION ALL
+         |    SELECT t.type_a, t.type_b, s.h
+         |    FROM tp t JOIN sk s ON s.event_type = t.type_b)),
+         |mk AS MATERIALIZED (
+         |  SELECT type_a, type_b, h FROM (
+         |    SELECT type_a, type_b, h,
+         |           row_number() OVER (PARTITION BY type_a, type_b
+         |             ORDER BY h) AS rn
+         |    FROM mg) WHERE rn <= $KmvK),
+         |kth AS (
+         |  SELECT type_a, type_b, CAST(max(h) AS BIGINT) AS hk,
+         |         CAST(count(*) AS BIGINT) AS nk
+         |  FROM mk GROUP BY 1, 2),
+         |ovl AS (
+         |  SELECT m.type_a, m.type_b,
+         |         CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |  FROM mk m
+         |  LEFT JOIN sk a ON a.event_type = m.type_a AND a.h = m.h
+         |  LEFT JOIN sk b ON b.event_type = m.type_b AND b.h = m.h
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |       FROM du GROUP BY 1),
+         |xi AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         CAST(count(*) AS BIGINT) AS exact_inter
+         |  FROM du a JOIN du b
+         |    ON b.user_id = a.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT type_a, type_b, n_a, n_b, exact_union, exact_inter,
+         |       kmv_union, jaccard_est,
+         |       ${round4("jaccard_est * kmv_union")} AS kmv_inter
+         |FROM (
+         |  SELECT t.type_a, t.type_b, sa.n AS n_a, sb.n AS n_b,
+         |         CAST(sa.n + sb.n - coalesce(x.exact_inter, 0) AS BIGINT)
+         |           AS exact_union,
+         |         CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+         |         ${round4(s"CASE WHEN k.nk < $KmvK THEN k.nk::DOUBLE " +
+            s"ELSE ${(KmvK - 1).toDouble} * $KmvSpace / k.hk::DOUBLE END")}
+         |           AS kmv_union,
+         |         ${round4("o.n_both::DOUBLE / k.nk::DOUBLE")} AS jaccard_est
+         |  FROM tp t
+         |  JOIN sz sa ON sa.event_type = t.type_a
+         |  JOIN sz sb ON sb.event_type = t.type_b
+         |  JOIN kth k USING (type_a, type_b)
+         |  JOIN ovl o USING (type_a, type_b)
+         |  LEFT JOIN xi x USING (type_a, type_b))""".stripMargin
+  }
+
+  // ---- x232 bitmap-index DAU retention -------------------------------
+  // The engine packs per-day user sets into 64-bit words and computes
+  // retention by word-AND popcounts; the oracle is the NAIVE row
+  // self-join — different algorithms, same exact integers.
+
+  private val x232 =
+    raw"""WITH a AS (
+         |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY 1),
+         |r AS (
+         |  SELECT x.day, CAST(count(*) AS BIGINT) AS retained
+         |  FROM a x JOIN a b ON b.user_id = x.user_id AND b.day = x.day + 1
+         |  GROUP BY 1)
+         |SELECT CAST(d.day AS VARCHAR) AS day, d.dau,
+         |       CAST(coalesce(r.retained, 0) AS BIGINT) AS retained,
+         |       ${round4("coalesce(r.retained, 0)::DOUBLE / d.dau::DOUBLE")}
+         |         AS retention
+         |FROM d LEFT JOIN r USING (day)""".stripMargin
+
   // ---- x220 BM25F fielded retrieval --------------------------------
   // Mirrors Search.bm25fSearch exactly: title = first TitleTokens
   // tokens / body = rest, per-field tf via positional conditional
@@ -5846,6 +5973,9 @@ object ExtSql {
     "x229_unigram_ppl"    -> x229,
     "x230_hll_distinct"   -> x230,
     "x231_stream_hll"     -> x231,
+    "x232_bitmap_retention" -> x232,
+    "x233_ppr"            -> x233,
+    "x234_kmv_setops"     -> x234,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

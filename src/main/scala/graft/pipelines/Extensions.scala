@@ -716,7 +716,11 @@ object Extensions {
       graft.ops.Search.maxScoreAudit(docs(s, d)))),
     "x227_rm3_expand"    -> ((s, d) => finalShared("x227", s, d)(
       graft.ops.Search.rm3Expand(docs(s, d)))),
-    "x228_change_feed"   -> changeFeedQ _,
+    // the three-commit fixture is construction-side (the mmrShared
+    // doctrine): the diff READ memoizes; protocol paths stay pinned
+    // by the unmemoized x216/x219/x221/x222 and TxnLogSpec
+    "x228_change_feed"   -> ((s, d) => finalShared("x228", s, d)(
+      changeFeedQ(s, d))),
     // rides the memoized x223 training: scoring is one vocab encode +
     // one postings join, the model is never retrained per query
     "x229_unigram_ppl"   -> ((s, d) => finalShared("x229", s, d)(
@@ -724,7 +728,13 @@ object Extensions {
     "x230_hll_distinct"  -> ((s, d) =>
       graft.ops.DataProfile.hllDistinctUsers(evs(s, d))),
     "x231_stream_hll"    -> ((s, d) =>
-      graft.streaming.EventStream.hllDailyAvailableNow(s, d)))
+      graft.streaming.EventStream.hllDailyAvailableNow(s, d)),
+    "x232_bitmap_retention" -> ((s, d) => Events.bitmapRetention(evs(s, d))),
+    // same pair graph as x30/x59/x97 via the shared LSH memo
+    "x233_ppr"           -> ((s, d) => finalShared("x233", s, d)(
+      graft.ops.Graph.personalizedPagerankFrom(pairsShared(s, d)))),
+    "x234_kmv_setops"    -> ((s, d) =>
+      graft.ops.DataProfile.kmvSetOps(evs(s, d))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

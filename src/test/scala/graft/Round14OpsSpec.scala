@@ -184,6 +184,65 @@ class Round14OpsSpec extends SparkSpec {
     assert(est === want)
   }
 
+  // ---- x232 bitmap retention ------------------------------------------
+
+  test("bitmapRetention counts next-day survivors across word boundaries") {
+    // users 63/64 straddle a 64-bit word boundary; day1 {1,63,64,200},
+    // day2 {63,64,300} → retained(day1) = 2
+    val ts1 = "2024-01-01 10:00:00"
+    val ts2 = "2024-01-02 10:00:00"
+    val ev = Seq(
+      (1L, ts1), (63L, ts1), (64L, ts1), (200L, ts1),
+      (63L, ts2), (64L, ts2), (300L, ts2))
+      .toDF("user_id", "s").select(col("user_id"),
+        col("s").cast("timestamp").as("ts"))
+    val got = graft.ops.Events.bitmapRetention(ev)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 4L, 2L, 0.5),
+      ("2024-01-02", 3L, 0L, 0.0)))
+  }
+
+  // ---- x233 personalized PageRank --------------------------------------
+
+  test("personalizedPagerank confines rank to components reachable from seeds") {
+    // component {10, 11} holds seed 10 (10 % 10 == 0); component
+    // {3, 7} holds none → its nodes must sit at exactly 0
+    val pairs = Seq((10L, 11L), (3L, 7L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Graph.personalizedPagerankFrom(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(3L) === 0L && got(7L) === 0L)
+    // the 2-cycle's exact 5-step integer trajectory (hand-traced:
+    // mass oscillates across the cycle, teleport re-arms the seed)
+    assert(got(10L) === 336675937L)
+    assert(got(11L) === 663324062L)
+  }
+
+  // ---- x234 KMV set operations -----------------------------------------
+
+  test("kmvSetOps is exact below the sketch size k") {
+    val ev = ((1L to 10L).map(u => (u, "a")) ++ (6L to 15L).map(u => (u, "b")))
+      .toDF("user_id", "event_type")
+    val r = graft.ops.DataProfile.kmvSetOps(ev)
+      .select(col("exact_union"), col("exact_inter"), col("kmv_union"),
+        col("jaccard_est"), col("kmv_inter"))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(r._1 === 15L && r._2 === 5L)
+    assert(r._3 === 15.0, "merged sketch below k is the exact union")
+    assert(r._4 === 0.3333 && r._5 === 4.9995)
+  }
+
+  test("kmvSetOps estimates a 150-union / 50-inter pair within sketch error") {
+    val ev = ((1L to 100L).map(u => (u, "a")) ++
+      (51L to 150L).map(u => (u, "b"))).toDF("user_id", "event_type")
+    val r = graft.ops.DataProfile.kmvSetOps(ev)
+      .select(col("exact_union"), col("exact_inter"), col("kmv_union"),
+        col("kmv_inter")).as[(Long, Long, Double, Double)].collect().head
+    assert(r._1 === 150L && r._2 === 50L)
+    assert(math.abs(r._3 - 150.0) / 150.0 < 0.35, s"union est ${r._3}")
+    assert(math.abs(r._4 - 50.0) / 50.0 < 0.5, s"inter est ${r._4}")
+  }
+
   // ---- x229 unigram perplexity filter --------------------------------
 
   test("unigramPplFilter scores gibberish above in-distribution text") {
