@@ -969,6 +969,54 @@ class PlanSpec extends SparkSpec {
     assert(!p221.contains("CartesianProduct"), s"x221 keyed only:\n$p221")
   }
 
+  test("round-9 ops: keyed joins only, heap-pruned windows, no cartesians") {
+    // x226: one postings scan with champion rank attached; every
+    // top-k/essential window partitions (query- or tok-keyed); the
+    // candidate restriction is a semi join on (query, doc_id)
+    val p226 = plan("x226_maxscore_audit")
+    assert(!p226.contains("CartesianProduct"),
+      s"x226 must stay keyed:\n$p226")
+    assert(p226.contains("windowspecdefinition(query"),
+      s"x226 per-query windows must partition on the query:\n$p226")
+    assert(p226.contains("WindowGroupLimit"),
+      s"x226 top-k cuts must be per-partition heaps:\n$p226")
+    assert(p226.contains("LeftSemi"),
+      s"x226 candidate cut must be a semi join:\n$p226")
+    // x227: two x51-shaped passes; the relevance model reads ONLY the
+    // R set's postings through a doc_id-keyed join
+    val p227 = plan("x227_rm3_expand")
+    assert(!p227.contains("CartesianProduct"),
+      s"x227 must stay keyed:\n$p227")
+    assert(p227.contains("windowspecdefinition(query"),
+      s"x227 top-k must partition on the query:\n$p227")
+    // x228: the feed is per-bucket full-outer joins on the key —
+    // never a cartesian, and sortedness comes from the join, not a
+    // global window
+    val p228 = plan("x228_change_feed")
+    assert(!p228.contains("CartesianProduct"),
+      s"x228 diff must join on the key:\n$p228")
+    assert(p228.contains("FullOuter"),
+      s"x228 diff must be a full-outer key join:\n$p228")
+    // x230: the sketch is two hash aggregates (register max, then the
+    // per-type fold) — map-side partial aggregation must survive
+    val p230 = plan("x230_hll_distinct")
+    assert(!p230.contains("CartesianProduct"), s"x230 keyed only:\n$p230")
+    assert(p230.contains("partial_max") || p230.contains("partial_"),
+      s"x230 register max must combine map-side:\n$p230")
+    // x232: word packing is one aggregate; the day-pair join is keyed
+    // on (day, word index) — no row-level user shuffle
+    val p232 = plan("x232_bitmap_retention")
+    assert(!p232.contains("CartesianProduct"), s"x232 keyed only:\n$p232")
+    assert(p232.contains("bit_or") || p232.contains("bitor"),
+      s"x232 must pack via a bit_or aggregate:\n$p232")
+    // x234: sketches are k-bounded (WindowGroupLimit heaps); the pair
+    // expansion joins on the type key
+    val p234 = plan("x234_kmv_setops")
+    assert(!p234.contains("CartesianProduct"), s"x234 keyed only:\n$p234")
+    assert(p234.contains("WindowGroupLimit"),
+      s"x234 min-k cuts must be per-partition heaps:\n$p234")
+  }
+
   test("native graft_dot reaches the executed plan inside a codegen stage") {
     val df = SparkEntry.queries("x8_embed_dup_brute")(spark, dir)
     df.collect() // finalize THIS QueryExecution's adaptive plan
