@@ -767,6 +767,74 @@ object Search {
         coalesce(col("in_r1"), lit(false)).as("in_r1"))
   }
 
+  /** x236: PROXIMITY-AUGMENTED BM25 — the x51 unigram ranking plus a
+    * half-weight BM25 leg over the query's ADJACENT TERM PAIRS matched
+    * against the document bigram stream (Metzler & Croft's sequential-
+    * dependence reading, reduced to the ordered-window-1 feature): a
+    * document where "spark join" appears as a phrase outranks one
+    * where the words are scattered, which bag-of-words x51 cannot see.
+    * combined = 2·Σ fp_uni + Σ fp_bi on the [[ScoreScale]] grid —
+    * integer algebra for λ = ½ without leaving BIGINTs; bigram idf/tf
+    * use the same formulas with the bigram df and the same dl
+    * normalization.
+    *
+    * Scale: the bigram postings are one more explode + hash aggregate
+    * over the same tokenize (the x38 bigram stream); the query-pair
+    * batch broadcasts like the term batch; everything else is the x51
+    * shape twice. */
+  def proximityBm25(documents: DataFrame, k: Int = TopK): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val qterms = broadcast(
+      Queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query", "term"))
+    val qpairs = broadcast(
+      Queries.flatMap { case (q, ts) =>
+        ts.zip(ts.drop(1)).map { case (a, b) => (q, a, b) }
+      }.toDF("query", "qw1", "qw2"))
+    val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
+    val dl = Caching.temp(TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks")))
+    def idfOf(dfc: Column) = log(lit(1.0) +
+      (col("n_docs") - dfc + 0.5) / (dfc + 0.5))
+    val den = col("tf") + lit(K1) * (lit(1.0 - B) +
+      lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks")))
+    val dfq = tf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val uni = qterms.join(tf, col("term") === col("tok"))
+      .join(dfq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query"), col("doc_id"),
+        (floor(idfOf(col("df")) * (col("tf") * lit(K1 + 1)) / den * ScoreScale
+          + 0.5).cast("long") * 2L).as("wfp"))
+    val btf = Caching.temp(TextAnalysis.docBigrams(documents)
+      .join(qpairs.select(col("qw1").as("w1"), col("qw2").as("w2")).distinct(),
+        Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf")))
+    val dfb = btf.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("df"))
+    val bi = qpairs
+      .join(btf, col("qw1") === col("w1") && col("qw2") === col("w2"))
+      .join(dfb, Seq("w1", "w2"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query"), col("doc_id"),
+        floor(idfOf(col("df")) * (col("tf") * lit(K1 + 1)) / den * ScoreScale
+          + 0.5).cast("long").as("wfp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("total").desc, col("doc_id").asc)
+    uni.unionByName(bi)
+      .groupBy(col("query"), col("doc_id"))
+      .agg(sum(col("wfp")).as("total"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query"), col("doc_id"), col("rnk"),
+        Portable.round4(col("total").cast("double") / (2L * ScoreScale))
+          .as("score"))
+  }
+
   /** x220 field split: the first this-many tokens are the TITLE
     * pseudo-field, the rest the BODY (a deterministic split standing
     * in for real document structure — web/docs corpora carry

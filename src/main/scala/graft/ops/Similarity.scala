@@ -411,6 +411,107 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** x235 post-filter oversampling: the unfiltered list is cut at
+    * k·this before the predicate is applied — the naive strategy's
+    * standard knob. */
+  val FilterOversample = 4
+
+  /** x235: FILTERED (attribute-constrained) ANN — the vector-DB
+    * feature every metadata-scoped search needs: top-k cosine
+    * restricted to candidates satisfying a predicate (here: same
+    * label parity as the probe — a deterministic stand-in for
+    * "same tenant/language/split"). Two strategies, both audited
+    * against the exact filtered brute baseline per probe:
+    *
+    *  - PRE-FILTER: the predicate is applied INSIDE the IVF candidate
+    *    scan, so the per-cell top-k heap ranks only allowed rows —
+    *    recall loss comes solely from cell blocking (the x190 bound);
+    *  - POST-FILTER: the unfiltered top-(k·[[FilterOversample]]) is
+    *    cut first, the predicate applied after — the naive strategy,
+    *    which starves whenever fewer than k allowed rows survive the
+    *    oversampled cut (a ~50%-selective predicate needs luck at 4×).
+    *
+    * The audit row (pre_hits / post_hits / recalls vs the exact
+    * filtered top-k) prices the difference — the x190/x215 index-audit
+    * convention applied to predicate push-down, which is exactly the
+    * pre-vs-post-filter trade Milvus/Vespa/pgvector document.
+    *
+    * Scale: both production legs are cell-keyed joins with
+    * WindowGroupLimit heaps; labels attach by one vec_id-keyed join;
+    * the exact filtered brute is the labeled small-SF instrument (the
+    * x8/x10 convention). */
+  def filteredAnnRecall(embeddings: DataFrame, k: Int = TopK,
+                        nprobe: Int = NProbe): DataFrame = {
+    val vs = Caching.temp(vectors(embeddings))
+    filteredAnnRecallFrom(vs, kmeansCentroids(vs),
+      embeddings.select(col("vec_id"),
+        col("label").cast("long").as("label")), k, nprobe)
+  }
+
+  /** [[filteredAnnRecall]] over shared vectors/quantizer frames. */
+  def filteredAnnRecallFrom(vs: DataFrame, cents0: DataFrame,
+                            labels: DataFrame, k: Int = TopK,
+                            nprobe: Int = NProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = cents0.withColumn("cn", norm(col("cv")))
+    val cands = vs.join(assignCells(vs, cents), Seq("vec_id"))
+      .join(labels, Seq("vec_id"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val probes0 = vs.filter(col("vec_id") % QueryStride === 0)
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("plab"))
+    val probes = probes0.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("plab"), col("cid"),
+        cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cos_c"))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("plab"),
+        col("cid").as("cell"))
+    def allowed = pmod(col("label"), lit(2L)) === pmod(col("plab"), lit(2L))
+    val scored = Caching.temp(broadcast(probes).join(cands, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("plab"), col("vec_id"), col("label"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val pre = scored.filter(allowed)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val wrr = Window.partitionBy(col("q_id")).orderBy(col("rnk").asc)
+    val post = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k * FilterOversample)
+      .filter(allowed)
+      .withColumn("rr", row_number().over(wrr))
+      .filter(col("rr") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val exact = Caching.temp(broadcast(probes0)
+      .crossJoin(vs.join(labels, Seq("vec_id")))
+      .filter(col("q_id") =!= col("vec_id"))
+      .filter(allowed)
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id")))
+    val nEx = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    val preH = exact.join(pre, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("pre_hits"))
+    val postH = exact.join(post, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("post_hits"))
+    nEx.join(preH, Seq("q_id"), "left").join(postH, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("pre_hits"), lit(0L)).as("pre_hits"),
+        coalesce(col("post_hits"), lit(0L)).as("post_hits"),
+        Portable.round4(coalesce(col("pre_hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall_pre"),
+        Portable.round4(coalesce(col("post_hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall_post"))
+  }
+
   /** x207: rounds of greedy MMR selection per query (fixed — both
     * engines run exactly this many; ≤ [[TopK]] by construction). */
   val MmrK = 5

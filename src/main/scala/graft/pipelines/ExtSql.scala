@@ -365,6 +365,83 @@ object ExtSql {
          |WHERE rnk <= ${Similarity.TopK}""".stripMargin
   }
 
+  // ---- x235 filtered ANN (pre- vs post-filter recall audit) --------
+  // Mirrors Similarity.filteredAnnRecallFrom exactly: the x11 chain
+  // with a label-parity predicate applied inside the candidate scan
+  // (pre), after an oversampled unfiltered cut (post), and on the
+  // exact brute baseline; overlap@k per probe for both legs.
+
+  private lazy val x235 = {
+    import graft.ops.Similarity.{KmeansIters, NProbe, QueryStride, TopK,
+      FilterOversample}
+    raw"""WITH $kmeansCandCtes,
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |probes AS MATERIALIZED (
+         |  SELECT q_id, qv, qn, plab, cell FROM (
+         |    SELECT vn.vec_id AS q_id, vn.v AS qv, vn.nrm AS qn,
+         |           l.label AS plab, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${cosExpr("vn.v", "vn.nrm", "c.cv", "c.cn")}
+         |               DESC, c.cid) AS crnk
+         |    FROM vn JOIN lb l USING (vec_id) CROSS JOIN
+         |      (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn
+         |       FROM cent$KmeansIters) c
+         |    WHERE vn.vec_id % $QueryStride = 0)
+         |  WHERE crnk <= $NProbe),
+         |scored AS MATERIALIZED (
+         |  SELECT p.q_id, p.plab, cand.vec_id, l.label,
+         |         ${cosExpr("p.qv", "p.qn", "cand.v", "cand.nrm")} AS cos_sim
+         |  FROM probes p JOIN cand USING (cell)
+         |       JOIN lb l ON l.vec_id = cand.vec_id
+         |  WHERE p.q_id <> cand.vec_id),
+         |pre AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos_sim DESC, vec_id) AS rnk
+         |    FROM scored WHERE label % 2 = plab % 2)
+         |  WHERE rnk <= $TopK),
+         |post AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY rnk) AS rr
+         |    FROM (SELECT q_id, vec_id, label, plab,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                   ORDER BY cos_sim DESC, vec_id) AS rnk
+         |          FROM scored)
+         |    WHERE rnk <= ${TopK * FilterOversample} AND label % 2 = plab % 2)
+         |  WHERE rr <= $TopK),
+         |pq AS (
+         |  SELECT vn.vec_id AS q_id, vn.v AS qv, vn.nrm AS qn, l.label AS plab
+         |  FROM vn JOIN lb l USING (vec_id) WHERE vn.vec_id % $QueryStride = 0),
+         |ex AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY p.q_id
+         |             ORDER BY ${cosExpr("p.qv", "p.qn", "c.v", "c.nrm")}
+         |               DESC, c.vec_id) AS rnk
+         |    FROM pq p, (SELECT vn.vec_id, vn.v, vn.nrm, l.label
+         |                FROM vn JOIN lb l USING (vec_id)) c
+         |    WHERE p.q_id <> c.vec_id AND c.label % 2 = p.plab % 2)
+         |  WHERE rnk <= $TopK),
+         |nx AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM ex GROUP BY 1),
+         |ph AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS pre_hits
+         |       FROM ex e JOIN pre p ON p.q_id = e.q_id AND p.vec_id = e.vec_id
+         |       GROUP BY 1),
+         |oh AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS post_hits
+         |       FROM ex e JOIN post p ON p.q_id = e.q_id AND p.vec_id = e.vec_id
+         |       GROUP BY 1)
+         |SELECT n.q_id, n.n_exact,
+         |       CAST(coalesce(ph.pre_hits, 0) AS BIGINT) AS pre_hits,
+         |       CAST(coalesce(oh.post_hits, 0) AS BIGINT) AS post_hits,
+         |       ${round4("coalesce(ph.pre_hits, 0)::DOUBLE / n.n_exact::DOUBLE")}
+         |         AS recall_pre,
+         |       ${round4("coalesce(oh.post_hits, 0)::DOUBLE / n.n_exact::DOUBLE")}
+         |         AS recall_post
+         |FROM nx n LEFT JOIN ph USING (q_id) LEFT JOIN oh USING (q_id)""".stripMargin
+  }
+
   // ---- x200 IVF-PQ recall / x218 re-rank chain ---------------------
   // Mirrors Similarity.ivfPqRecall exactly: unit vectors → per-subspace
   // deterministic-seed Lloyd codebooks (fixed-point means — the x11
@@ -1925,6 +2002,67 @@ object ExtSql {
          |       ${round4("coalesce(r.retained, 0)::DOUBLE / d.dau::DOUBLE")}
          |         AS retention
          |FROM d LEFT JOIN r USING (day)""".stripMargin
+
+  // ---- x236 proximity-augmented BM25 ---------------------------------
+  // Mirrors Search.proximityBm25 exactly: the x51 unigram leg doubled,
+  // plus a bigram leg over the query's adjacent term pairs (bigram df,
+  // same dl normalization), summed on the ScoreScale grid.
+
+  private val x236 = {
+    import graft.ops.Search._
+    val qvals = Queries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    val pvals = Queries.flatMap { case (q, ts) =>
+      ts.zip(ts.drop(1)).map { case (a, b) => s"('$q', '$a', '$b')" }
+    }.mkString(", ")
+    def fpExpr(tfc: String, dfc: String): String =
+      raw"""CAST(floor(ln(1.0 + (n.n_docs - $dfc + 0.5) / ($dfc + 0.5))
+           |           * ($tfc * ${K1 + 1}) / ($tfc + $K1 * ((1.0 - $B)
+           |              + $B * (dl.dl::DOUBLE * n.n_docs / n.total_toks)))
+           |           * $ScoreScale + 0.5) AS BIGINT)""".stripMargin
+    raw"""WITH $toksCte,
+         |qt(query, term) AS (VALUES $qvals),
+         |qp(query, qw1, qw2) AS (VALUES $pvals),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |n AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl),
+         |tfg AS (
+         |  SELECT doc_id, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
+         |dfq AS (
+         |  SELECT tok, count(*) AS df FROM tfg
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |uni AS (
+         |  SELECT q.query, t.doc_id, ${fpExpr("t.tf", "f.df")} * 2 AS wfp
+         |  FROM qt q JOIN tfg t ON t.tok = q.term
+         |       JOIN dfq f ON f.tok = t.tok
+         |       JOIN dl ON dl.doc_id = t.doc_id
+         |       CROSS JOIN n),
+         |btf AS (
+         |  SELECT b.doc_id, b.w1, b.w2, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |        FROM tok, unnest(range(1, len(toks))) AS ti(i)
+         |        WHERE len(toks) >= 2) b
+         |  JOIN (SELECT DISTINCT qw1, qw2 FROM qp) z
+         |    ON z.qw1 = b.w1 AND z.qw2 = b.w2
+         |  GROUP BY 1, 2, 3),
+         |dfb AS (SELECT w1, w2, count(*) AS df FROM btf GROUP BY 1, 2),
+         |bi AS (
+         |  SELECT p.query, t.doc_id, ${fpExpr("t.tf", "f.df")} AS wfp
+         |  FROM qp p JOIN btf t ON t.w1 = p.qw1 AND t.w2 = p.qw2
+         |       JOIN dfb f ON f.w1 = t.w1 AND f.w2 = t.w2
+         |       JOIN dl ON dl.doc_id = t.doc_id
+         |       CROSS JOIN n)
+         |SELECT query, doc_id, CAST(rnk AS BIGINT) AS rnk,
+         |       ${round4(s"total::DOUBLE / ${2L * ScoreScale}")} AS score
+         |FROM (
+         |  SELECT query, doc_id, total,
+         |         row_number() OVER (PARTITION BY query
+         |           ORDER BY total DESC, doc_id) AS rnk
+         |  FROM (SELECT query, doc_id, CAST(sum(wfp) AS BIGINT) AS total
+         |        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+         |        GROUP BY 1, 2))
+         |WHERE rnk <= $TopK""".stripMargin
+  }
 
   // ---- x220 BM25F fielded retrieval --------------------------------
   // Mirrors Search.bm25fSearch exactly: title = first TitleTokens
@@ -5976,6 +6114,8 @@ object ExtSql {
     "x232_bitmap_retention" -> x232,
     "x233_ppr"            -> x233,
     "x234_kmv_setops"     -> x234,
+    "x235_filtered_ann"   -> x235,
+    "x236_proximity_bm25" -> x236,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -734,7 +734,14 @@ object Extensions {
     "x233_ppr"           -> ((s, d) => finalShared("x233", s, d)(
       graft.ops.Graph.personalizedPagerankFrom(pairsShared(s, d)))),
     "x234_kmv_setops"    -> ((s, d) =>
-      graft.ops.DataProfile.kmvSetOps(evs(s, d))))
+      graft.ops.DataProfile.kmvSetOps(evs(s, d))),
+    // rides the shared vectors/quantizer; the exact filtered brute is
+    // the audit leg (x10 convention), memoized like every audit final
+    "x235_filtered_ann"  -> ((s, d) => finalShared("x235", s, d)(
+      Similarity.filteredAnnRecallFrom(vecsShared(s, d), centsShared(s, d),
+        embs(s, d).select(col("vec_id"), col("label").cast("long").as("label"))))),
+    "x236_proximity_bm25" -> ((s, d) => finalShared("x236", s, d)(
+      graft.ops.Search.proximityBm25(docs(s, d)))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

@@ -1015,6 +1015,21 @@ class PlanSpec extends SparkSpec {
     assert(!p234.contains("CartesianProduct"), s"x234 keyed only:\n$p234")
     assert(p234.contains("WindowGroupLimit"),
       s"x234 min-k cuts must be per-partition heaps:\n$p234")
+    // x235: both production legs are cell-keyed joins with heap-pruned
+    // per-probe windows; labels attach by vec_id-keyed joins (the
+    // brute leg is the labeled audit instrument)
+    val p235 = plan("x235_filtered_ann")
+    assert(!p235.contains("CartesianProduct"),
+      s"x235 production legs must stay cell-keyed:\n$p235")
+    assert(p235.contains("WindowGroupLimit"),
+      s"x235 top-k cuts must be per-partition heaps:\n$p235")
+    // x236: two x51-shaped postings joins (term and bigram keys), one
+    // per-query top-k heap
+    val p236 = plan("x236_proximity_bm25")
+    assert(!p236.contains("CartesianProduct"),
+      s"x236 postings joins must stay keyed:\n$p236")
+    assert(p236.contains("windowspecdefinition(query"),
+      s"x236 top-k must partition on the query:\n$p236")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {

@@ -243,6 +243,55 @@ class Round14OpsSpec extends SparkSpec {
     assert(math.abs(r._4 - 50.0) / 50.0 < 0.5, s"inter est ${r._4}")
   }
 
+  // ---- x235 filtered ANN ------------------------------------------------
+
+  private def embOf(rows: (Long, Long, Array[Float])*) =
+    rows.toSeq.toDF("vec_id", "label", "embedding")
+
+  test("filtered ANN: pre-filter dominates post-filter per probe") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = graft.ops.Similarity.filteredAnnRecall(embs)
+      .select(col("recall_pre"), col("recall_post"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (pre, post) =>
+      assert(pre >= post,
+        s"post-filter is a restriction of the pre-filter list: $pre vs $post")
+    }
+  }
+
+  test("filtered ANN: post-filter starves when the near field is disallowed") {
+    // probe 0 (label 0); 50 near-identical DISALLOWED vectors crowd the
+    // unfiltered top-40, so the post-filter leg retains nothing while
+    // the pre-filter leg recovers the 12 farther allowed vectors
+    val near = (1L to 50L).map(i =>
+      (i, 1L, Array(1.0f, 0.001f * i)))
+    val far = (51L to 62L).map(i =>
+      (i, 2L, Array(0.3f, 1.0f + 0.001f * i)))
+    val embs = embOf(((0L, 0L, Array(1.0f, 0.0f)) +: (near ++ far)): _*)
+    val r = graft.ops.Similarity.filteredAnnRecall(embs)
+      .select(col("q_id"), col("n_exact"), col("pre_hits"), col("post_hits"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.length === 1 && r.head._1 === 0L)
+    assert(r.head._2 === 10L)
+    assert(r.head._3 === 10L, "pre-filter must recover the allowed field")
+    assert(r.head._4 === 0L, "post-filter must starve at 4x oversampling")
+  }
+
+  // ---- x236 proximity BM25 ----------------------------------------------
+
+  test("proximityBm25 ranks the phrase match above the scattered match") {
+    // same unigram profile (tf 1 each, dl 5) — only adjacency differs
+    val docs = docsOf(
+      1L -> "spark join fast pad1 pad2",
+      2L -> "spark pad3 join pad4 fast")
+    val got = graft.ops.Search.proximityBm25(docs)
+      .filter(col("query") === "q_spark_join")
+      .select(col("doc_id"), col("rnk")).as[(Long, Long)].collect().toMap
+    assert(got(1L) < got(2L),
+      s"adjacent-phrase doc must outrank the scattered doc: $got")
+  }
+
   // ---- x229 unigram perplexity filter --------------------------------
 
   test("unigramPplFilter scores gibberish above in-distribution text") {
