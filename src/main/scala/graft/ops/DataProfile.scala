@@ -709,6 +709,69 @@ object DataProfile {
           .as("kmv_inter"))
   }
 
+  /** x238 histogram bins; the audited percentiles are 50/90/99. */
+  val HistBins = 128
+
+  /** x238: MERGEABLE HISTOGRAM QUANTILE SKETCH with an exactness
+    * audit — the fourth sketch family (counts → CMS x20, distinct →
+    * HLL x230, set ops → KMV x234, ranks → this): per event type,
+    * values binned into [[HistBins]] fixed global-range buckets (one
+    * hash aggregate — the sketch merges across partitions/days by
+    * bin-sum, which is why engines ship t-digest/KLL instead of exact
+    * percentile at scale), percentile estimated as the right edge of
+    * the first bin whose cumulative count reaches ⌈p·n⌉, beside the
+    * EXACT rank-selected value. The audit row is the bin-resolution
+    * error made visible — the x190 convention for every approximate
+    * structure in this repo.
+    *
+    * Determinism: global min/max are exact column extrema; the bin
+    * index, cumulative ranks and selections are integer; estimates
+    * are one fixed float expression, 4dp-rounded. */
+  def histQuantiles(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Caching.temp(events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("double").as("v")))
+    val ext = broadcast(vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi")))
+    val binned = vals.crossJoin(ext)
+      .select(col("event_type"),
+        least(lit(HistBins - 1), floor((col("v") - col("lo")) /
+          (col("hi") - col("lo")) * HistBins).cast("int")).as("bin"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("event_type"))
+    val cum = binned
+      .withColumn("cum", sum(col("c")).over(wb))
+      .withColumn("n", sum(col("c")).over(wn))
+    def rank(p: Double): Column =
+      greatest(lit(1L), ceil(lit(p) * col("n")).cast("long"))
+    val estBins = cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= rank(0.5), col("bin"))).as("b50"),
+        min(when(col("cum") >= rank(0.9), col("bin"))).as("b90"),
+        min(when(col("cum") >= rank(0.99), col("bin"))).as("b99"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("v").asc)
+    val exact = vals
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === rank(0.5), col("v"))).as("p50_exact"),
+        max(when(col("rn") === rank(0.9), col("v"))).as("p90_exact"),
+        max(when(col("rn") === rank(0.99), col("v"))).as("p99_exact"))
+    def edge(bin: Column): Column = Portable.round4(
+      col("lo") + (bin + 1).cast("double") * (col("hi") - col("lo")) / HistBins)
+    exact.join(estBins, Seq("event_type")).crossJoin(ext)
+      .select(col("event_type"), col("n"),
+        Portable.round4(col("p50_exact")).as("p50_exact"),
+        edge(col("b50")).as("p50_est"),
+        Portable.round4(col("p90_exact")).as("p90_exact"),
+        edge(col("b90")).as("p90_est"),
+        Portable.round4(col("p99_exact")).as("p99_exact"),
+        edge(col("b99")).as("p99_est"))
+  }
+
   /** x230: HYPERLOGLOG DISTINCT-USER SKETCH with an exactness audit —
     * per event type, the m = [[HllRegisters]] register sketch beside
     * the exact distinct count and the relative error. The register

@@ -1983,6 +1983,77 @@ object ExtSql {
          |  LEFT JOIN xi x USING (type_a, type_b))""".stripMargin
   }
 
+  // ---- x237 incremental view maintenance from the change feed --------
+  // The engine advances the v1 aggregate by the x228 feed's deltas
+  // only; the oracle recomputes the v3 per-lang aggregate from scratch
+  // on the original table (v3 = survivors with bucket-1 +1000, plus
+  // the offset-keyed inserts).
+
+  private val x237 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""WITH v3 AS (
+         |  SELECT lang,
+         |         n_chars + CASE WHEN doc_id % $nb = 1 THEN 1000 ELSE 0 END AS nc
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT lang, n_chars + 1000 AS nc
+         |  FROM documents WHERE doc_id % $nb = 1)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS sum_chars
+         |FROM v3 GROUP BY 1""".stripMargin
+  }
+
+  // ---- x238 histogram quantile sketch ---------------------------------
+  // Mirrors DataProfile.histQuantiles exactly: global-extrema 128-bin
+  // histogram, percentile = right edge of the first bin whose
+  // cumulative count reaches ceil(p*n), beside the exact rank-selected
+  // value.
+
+  private val x238 = {
+    val bins = graft.ops.DataProfile.HistBins
+    def rk(p: String): String = s"greatest(1, CAST(ceil($p * n) AS BIGINT))"
+    def edge(b: String): String =
+      round4(s"lo + ($b + 1)::DOUBLE * (hi - lo) / $bins")
+    raw"""WITH vals AS (
+         |  SELECT event_type, value::DOUBLE AS v FROM events
+         |  WHERE value IS NOT NULL),
+         |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+         |binned AS (
+         |  SELECT event_type,
+         |         least(${bins - 1},
+         |               CAST(floor((v - lo) / (hi - lo) * $bins) AS INT)) AS bin,
+         |         count(*) AS c
+         |  FROM vals CROSS JOIN ext GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, bin, c,
+         |         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+         |                      ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(c) OVER (PARTITION BY event_type) AS n
+         |  FROM binned),
+         |eb AS (
+         |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |         min(CASE WHEN cum >= ${rk("0.5")} THEN bin END) AS b50,
+         |         min(CASE WHEN cum >= ${rk("0.9")} THEN bin END) AS b90,
+         |         min(CASE WHEN cum >= ${rk("0.99")} THEN bin END) AS b99
+         |  FROM cum GROUP BY 1),
+         |rks AS (
+         |  SELECT event_type, v,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM vals),
+         |ex AS (
+         |  SELECT event_type,
+         |         max(CASE WHEN rn = ${rk("0.5")} THEN v END) AS p50_exact,
+         |         max(CASE WHEN rn = ${rk("0.9")} THEN v END) AS p90_exact,
+         |         max(CASE WHEN rn = ${rk("0.99")} THEN v END) AS p99_exact
+         |  FROM rks GROUP BY 1)
+         |SELECT e.event_type, b.n,
+         |       ${round4("e.p50_exact")} AS p50_exact, ${edge("b.b50")} AS p50_est,
+         |       ${round4("e.p90_exact")} AS p90_exact, ${edge("b.b90")} AS p90_est,
+         |       ${round4("e.p99_exact")} AS p99_exact, ${edge("b.b99")} AS p99_est
+         |FROM ex e JOIN eb b USING (event_type) CROSS JOIN ext""".stripMargin
+  }
+
   // ---- x232 bitmap-index DAU retention -------------------------------
   // The engine packs per-day user sets into 64-bit words and computes
   // retention by word-AND popcounts; the oracle is the NAIVE row
@@ -6116,6 +6187,8 @@ object ExtSql {
     "x234_kmv_setops"     -> x234,
     "x235_filtered_ann"   -> x235,
     "x236_proximity_bm25" -> x236,
+    "x237_incremental_mv" -> x237,
+    "x238_hist_quantiles" -> x238,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

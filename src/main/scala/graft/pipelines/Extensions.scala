@@ -741,7 +741,10 @@ object Extensions {
       Similarity.filteredAnnRecallFrom(vecsShared(s, d), centsShared(s, d),
         embs(s, d).select(col("vec_id"), col("label").cast("long").as("label"))))),
     "x236_proximity_bm25" -> ((s, d) => finalShared("x236", s, d)(
-      graft.ops.Search.proximityBm25(docs(s, d)))))
+      graft.ops.Search.proximityBm25(docs(s, d)))),
+    "x237_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
+    "x238_hist_quantiles" -> ((s, d) =>
+      graft.ops.DataProfile.histQuantiles(evs(s, d))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -777,6 +780,46 @@ object Extensions {
     val v3 = TxnLog.commitDeletes(table,
       d0.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id", v2)
     TxnLog.changeFeed(s, table, v1, v3, "doc_id")
+  }
+
+  /** x237: INCREMENTAL VIEW MAINTENANCE FROM THE CHANGE FEED — the
+    * x92 MV-refresh idea upgraded to the lakehouse: a per-lang
+    * aggregate (n_docs, sum_chars) materialized at v1 is advanced to
+    * v3 by applying ONLY the x228 feed's deltas (insert → +1/+chars,
+    * delete → −1/−chars, update → post − pre), never rescanning the
+    * base table — the Delta/Materialize incremental-maintenance
+    * contract, and the whole point of emitting pre/post image pairs.
+    * The oracle computes the v3 aggregate FROM SCRATCH on the
+    * original table: if the incremental path drops, double-applies or
+    * mis-signs any delta, the hash breaks. Groups whose counts go to
+    * zero are dropped (views don't keep empty groups).
+    *
+    * Scale: the refresh reads O(feed) rows instead of O(table) — at
+    * 100 TB a trickle of updates maintains the view for the cost of
+    * the trickle; both legs here are lang-keyed hash aggregates. */
+  private def incrementalMv(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/cdc_${Integer.toHexString(d.hashCode)}")
+    // reuse the x228 fixture: build it (idempotently) if the memoized
+    // feed has not materialized it in this session yet
+    val feed = changeFeedQ(s, d)
+    val base = TxnLog.snapshot(s, table, 1L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val sign = when(col("change_type") === "insert", 1L)
+      .when(col("change_type") === "update_postimage", 1L)
+      .otherwise(-1L) // delete and update_preimage subtract
+    val delta = feed.groupBy(col("lang"))
+      .agg(sum(sign).as("d_docs"),
+        sum(sign * col("n_chars")).as("d_chars"))
+    base.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) +
+          coalesce(col("d_chars"), lit(0L))).as("sum_chars"))
+      .filter(col("n_docs") > 0)
   }
 
   /** x222: CHECKPOINT + VACUUM end to end (see

@@ -1030,6 +1030,21 @@ class PlanSpec extends SparkSpec {
       s"x236 postings joins must stay keyed:\n$p236")
     assert(p236.contains("windowspecdefinition(query"),
       s"x236 top-k must partition on the query:\n$p236")
+    // x237: the refresh is lang-keyed hash aggregates + one full-outer
+    // merge — O(feed), no base-table rescan shape (no second
+    // corpus-side join beyond the snapshot aggregate)
+    val p237 = plan("x237_incremental_mv")
+    assert(!p237.contains("CartesianProduct"), s"x237 keyed only:\n$p237")
+    assert(p237.contains("FullOuter"),
+      s"x237 must merge base and deltas by a full-outer key join:\n$p237")
+    // x238: the sketch is one binned hash aggregate (map-side partial
+    // must survive); percentile windows run over ≤ bins rows per type
+    val p238 = plan("x238_hist_quantiles")
+    assert(!p238.contains("CartesianProduct") ||
+      p238.contains("BroadcastNestedLoopJoin"),
+      s"x238: only the 1-row extrema frame may cross:\n$p238")
+    assert(p238.contains("partial_"),
+      s"x238 bin counts must combine map-side:\n$p238")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {

@@ -292,6 +292,52 @@ class Round14OpsSpec extends SparkSpec {
       s"adjacent-phrase doc must outrank the scattered doc: $got")
   }
 
+  // ---- x237 incremental view maintenance --------------------------------
+
+  test("change-feed deltas advance a v1 aggregate exactly to the v3 state") {
+    val table = tmpTable("ivm")
+    def route(df: org.apache.spark.sql.DataFrame) =
+      (0 until TxnLog.NumBuckets).map(b => b ->
+        df.filter(col("k") % TxnLog.NumBuckets === b)).toMap
+    val v1 = TxnLog.commit(table, 0L,
+      route(Seq((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L)).toDF("k", "v")))
+    val v2 = TxnLog.commit(table, v1, Map(1 ->
+      Seq((1L, 11L), (9L, 90L)).toDF("k", "v")))
+    val v3 = TxnLog.commitDeletes(table, Seq(2L).toDF("k"), "k", v2)
+    val base = TxnLog.snapshot(spark, table, v1)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .as[(Long, Long)].collect().head
+    val sign = when(col("change_type") === "insert", 1L)
+      .when(col("change_type") === "update_postimage", 1L).otherwise(-1L)
+    val d = TxnLog.changeFeed(spark, table, v1, v3, "k")
+      .agg(sum(sign).as("dn"), sum(sign * col("v")).as("ds"))
+      .as[(Long, Long)].collect().head
+    val want = TxnLog.snapshot(spark, table, v3)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .as[(Long, Long)].collect().head
+    assert((base._1 + d._1, base._2 + d._2) === want)
+    TxnLog.reset(table)
+  }
+
+  // ---- x238 histogram quantiles ------------------------------------------
+
+  test("histQuantiles: estimates land within one bin of the exact values") {
+    val ev = (1L to 100L).map(i => ("t", i.toDouble))
+      .toDF("event_type", "value")
+    val r = graft.ops.DataProfile.histQuantiles(ev)
+      .select(col("n"), col("p50_exact"), col("p50_est"),
+        col("p90_exact"), col("p90_est"), col("p99_exact"), col("p99_est"))
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(r._1 === 100L)
+    assert(r._2 === 50.0 && r._4 === 90.0 && r._6 === 99.0)
+    val binW = 99.0 / graft.ops.DataProfile.HistBins
+    Seq((r._2, r._3), (r._4, r._5), (r._6, r._7)).foreach { case (ex, est) =>
+      assert(est >= ex - 1e-9 && est <= ex + binW + 1e-9,
+        s"estimate $est must sit within one right-edge bin of $ex")
+    }
+  }
+
   // ---- x229 unigram perplexity filter --------------------------------
 
   test("unigramPplFilter scores gibberish above in-distribution text") {
