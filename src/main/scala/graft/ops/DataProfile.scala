@@ -709,6 +709,47 @@ object DataProfile {
           .as("kmv_inter"))
   }
 
+  /** x239: SKETCH ROLLUP — the HLL register frame computed ONCE per
+    * day and MERGED upward to the grand total by a register-max
+    * aggregate, with exact audit legs at both levels. This is the
+    * property that justifies sketches operationally: the total-level
+    * distinct count comes from |days|·m tiny rows, NOT a rescan of
+    * the raw data — at 100 TB that is the difference between a
+    * metadata query and a full shuffle (and the same merge serves
+    * cube/grouping-set rollups and cross-cluster unions). max is
+    * associative/commutative, so the merged registers are exactly the
+    * registers a direct global pass would build — the estimate is
+    * identical by construction, and the oracle proves it by deriving
+    * the total from ITS day registers too. */
+  def hllRollup(events: DataFrame): DataFrame = {
+    val ev = Caching.temp(events.filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id")))
+    val regs = Caching.temp(ev
+      .select(col("day"), hllReg(col("user_id")).as("j"),
+        hllRank(col("user_id")).as("rho"))
+      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("m")))
+    val dayEst = hllFinalize(regs, Seq("day"))
+      .select(lit("day").as("level"), col("day").as("key"),
+        col("v_zero"), col("hll_est"))
+    val totEst = hllFinalize(
+      regs.groupBy(col("j")).agg(max(col("m")).as("m"))
+        .withColumn("lvl", lit("total")),
+      Seq("lvl"))
+      .select(lit("total").as("level"), lit("").as("key"),
+        col("v_zero"), col("hll_est"))
+    val dayExact = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(lit("day").as("level"), col("day").as("key"), col("n_exact"))
+    val totExact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(lit("total").as("level"), lit("").as("key"), col("n_exact"))
+    dayExact.unionByName(totExact)
+      .join(dayEst.unionByName(totEst), Seq("level", "key"))
+      .select(col("level"), col("key"), col("n_exact"), col("v_zero"),
+        col("hll_est"),
+        Portable.round4((col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+  }
+
   /** x238 histogram bins; the audited percentiles are 50/90/99. */
   val HistBins = 128
 

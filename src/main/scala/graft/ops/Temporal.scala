@@ -98,6 +98,34 @@ object Temporal {
         col("value_cents"), col("signup_id"))
   }
 
+  /** x240 match-staleness bound: 7 days in ms. */
+  val AsofTolMs: Long = 7L * 24 * 3600 * 1000
+
+  /** x240: AS-OF JOIN WITH TOLERANCE (pandas `merge_asof(tolerance=)`
+    * / kdb `wj` semantics): the x45 attribution, but a most-recent
+    * signup OLDER than [[AsofTolMs]] is rejected — in feature
+    * engineering a stale context row is worse than none, and the
+    * tolerance is what turns "most recent ever" into "most recent
+    * that still describes the user". Same [[asofJoin]] engine (the
+    * union-sort-carry pass), the bound applied as one projection on
+    * the carried partner timestamp; `matched` rides in the hash so
+    * the oracle pins accept AND reject paths. */
+  def purchaseAsofTolerance(events: DataFrame): DataFrame = {
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"))
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id").as("signup_id"))
+      .withColumn("signup_ms", col("ms"))
+    val fresh = col("ms") - col("signup_ms") <= AsofTolMs
+    asofJoin(buys, signups, "user_id", "ms", Seq("signup_id", "signup_ms"))
+      .select(col("buy_id"), col("user_id"), col("ms").as("buy_ms"),
+        when(fresh, col("signup_id")).as("signup_id"),
+        when(fresh, col("ms") - col("signup_ms")).as("lag_ms"),
+        coalesce(fresh, lit(false)).as("matched"))
+  }
+
   /** Point-in-interval join: `points` (one epoch-ms column `ptMs`) ×
     * `intervals` (`wsCol` inclusive, `weCol` exclusive) via the
     * [[BucketMs]] equi-join described in the class doc. Caller

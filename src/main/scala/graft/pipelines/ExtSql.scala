@@ -2135,6 +2135,74 @@ object ExtSql {
          |WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ---- x239 HLL sketch rollup ----------------------------------------
+  // Mirrors DataProfile.hllRollup exactly: day-level registers, then
+  // the TOTAL derived by merging the day registers (max per j) — the
+  // mergeability contract — with exact audits at both levels.
+
+  private val x239 =
+    raw"""WITH ev AS (
+         |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         |         user_id,
+         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |           AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         |  SELECT day, h % 256 AS j, max($hllRankSql) AS m
+         |  FROM ev GROUP BY 1, 2),
+         |rt AS (SELECT j, max(m) AS m FROM r GROUP BY 1),
+         |sd AS (
+         |  SELECT day AS key, CAST(count(*) AS BIGINT) AS n_present,
+         |         CAST(sum(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT)
+         |           AS s_present
+         |  FROM r GROUP BY 1),
+         |st AS (
+         |  SELECT '' AS key, CAST(count(*) AS BIGINT) AS n_present,
+         |         CAST(sum(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT)
+         |           AS s_present
+         |  FROM rt),
+         |fin AS (
+         |  SELECT 'day' AS level, key, v_zero, hll_est
+         |  FROM (${hllSelect("sd", "key")})
+         |  UNION ALL
+         |  SELECT 'total' AS level, key, v_zero, hll_est
+         |  FROM (${hllSelect("st", "key")})),
+         |xd AS (
+         |  SELECT 'day' AS level, day AS key,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM ev GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'total' AS level, '' AS key,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM ev)
+         |SELECT x.level, x.key, x.n_exact, f.v_zero, f.hll_est,
+         |       ${round4("(f.hll_est - x.n_exact::DOUBLE) / x.n_exact::DOUBLE")}
+         |         AS rel_err
+         |FROM xd x JOIN fin f ON f.level = x.level AND f.key = x.key""".stripMargin
+
+  // ---- x240 as-of join with tolerance ---------------------------------
+  // Mirrors Temporal.purchaseAsofTolerance: the x45 ASOF attribution
+  // with matches older than AsofTolMs rejected (null id/lag, matched
+  // false) — accept and reject paths in one hash.
+
+  private val x240 = {
+    val tol = graft.ops.Temporal.AsofTolMs
+    raw"""WITH buys AS (
+         |  SELECT event_id AS buy_id, user_id, epoch_ms(ts) AS buy_ms
+         |  FROM events WHERE event_type = 'purchase'),
+         |signups AS (
+         |  SELECT user_id, epoch_ms(ts) AS ms, max(event_id) AS signup_id
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+         |SELECT b.buy_id, b.user_id, b.buy_ms,
+         |       CASE WHEN b.buy_ms - s.ms <= $tol THEN s.signup_id END
+         |         AS signup_id,
+         |       CASE WHEN b.buy_ms - s.ms <= $tol THEN b.buy_ms - s.ms END
+         |         AS lag_ms,
+         |       coalesce(b.buy_ms - s.ms <= $tol, FALSE) AS matched
+         |FROM buys b ASOF LEFT JOIN signups s
+         |  ON b.user_id = s.user_id AND b.buy_ms >= s.ms""".stripMargin
+  }
+
   // ---- x220 BM25F fielded retrieval --------------------------------
   // Mirrors Search.bm25fSearch exactly: title = first TitleTokens
   // tokens / body = rest, per-field tf via positional conditional
@@ -6189,6 +6257,8 @@ object ExtSql {
     "x236_proximity_bm25" -> x236,
     "x237_incremental_mv" -> x237,
     "x238_hist_quantiles" -> x238,
+    "x239_hll_rollup"     -> x239,
+    "x240_asof_tolerance" -> x240,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

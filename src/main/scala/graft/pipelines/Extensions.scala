@@ -394,6 +394,7 @@ object Extensions {
     // session refs
     bpeMemo.keys.filter(_._1 eq session).foreach(bpeMemo.remove)
     uniMemo.keys.filter(_._1 eq session).foreach(uniMemo.remove)
+    cdcMemo.keys.filter(_._1 eq session).foreach(cdcMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
     // the parity pipeline's construction memos (r7): entries must go
     // so the post-eviction rebuild re-registers its persists
@@ -733,8 +734,8 @@ object Extensions {
     // same pair graph as x30/x59/x97 via the shared LSH memo
     "x233_ppr"           -> ((s, d) => finalShared("x233", s, d)(
       graft.ops.Graph.personalizedPagerankFrom(pairsShared(s, d)))),
-    "x234_kmv_setops"    -> ((s, d) =>
-      graft.ops.DataProfile.kmvSetOps(evs(s, d))),
+    "x234_kmv_setops"    -> ((s, d) => finalShared("x234", s, d)(
+      graft.ops.DataProfile.kmvSetOps(evs(s, d)))),
     // rides the shared vectors/quantizer; the exact filtered brute is
     // the audit leg (x10 convention), memoized like every audit final
     "x235_filtered_ann"  -> ((s, d) => finalShared("x235", s, d)(
@@ -742,44 +743,61 @@ object Extensions {
         embs(s, d).select(col("vec_id"), col("label").cast("long").as("label"))))),
     "x236_proximity_bm25" -> ((s, d) => finalShared("x236", s, d)(
       graft.ops.Search.proximityBm25(docs(s, d)))),
-    "x237_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
+    "x237_incremental_mv" -> ((s, d) => finalShared("x237", s, d)(
+      incrementalMv(s, d))),
     "x238_hist_quantiles" -> ((s, d) =>
-      graft.ops.DataProfile.histQuantiles(evs(s, d))))
+      graft.ops.DataProfile.histQuantiles(evs(s, d))),
+    "x239_hll_rollup"    -> ((s, d) =>
+      graft.ops.DataProfile.hllRollup(evs(s, d))),
+    "x240_asof_tolerance" -> ((s, d) =>
+      Temporal.purchaseAsofTolerance(evs(s, d))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
     * same bucket as their seed row. */
   private val CdcInsertOffset = 10000000L
 
+  /** The x228/x237 CDC fixture table, built ONCE per (session, dir):
+    * v1 loads the full table, v2 rewrites bucket 1 with +1000 chars
+    * AND one inserted row per seed (doc_id + [[CdcInsertOffset]]), v3
+    * tombstone-deletes every ORIGINAL doc_id ≡ 0 (mod 7). Memoized so
+    * the two consumers (and bench re-passes) read one on-disk log
+    * rather than resetting/rewriting it under each other's cached
+    * plans. Returns (table path, v1, v3). */
+  private val cdcMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Long, Long)]
+  private def cdcFixture(s: SparkSession, d: String): (String, Long, Long) =
+    cdcMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val table = graft.sources.Bucketing.buildPath(
+        s"graft-txn/cdc_${Integer.toHexString(d.hashCode)}")
+      TxnLog.reset(table)
+      val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(table, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+      val b1 = slice(1).withColumn("n_chars", col("n_chars") + 1000)
+      val v2 = TxnLog.commit(table, v1, Map(1 ->
+        b1.unionByName(b1.select((col("doc_id") + CdcInsertOffset).as("doc_id"),
+          col("lang"), col("n_chars")))))
+      val v3 = TxnLog.commitDeletes(table,
+        d0.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id", v2)
+      (table, v1, v3)
+    })
+
   /** x228: the CDC CHANGE FEED read end to end (see
-    * [[graft.sources.TxnLog.changeFeed]]): v1 loads the full table,
-    * v2 rewrites bucket 1 with +1000 chars AND one inserted row per
-    * seed (doc_id + [[CdcInsertOffset]]), v3 tombstone-deletes every
-    * ORIGINAL doc_id ≡ 0 (mod 7). The feed v1→v3 must therefore carry
-    * all three change kinds at once: `insert` for the offset keys,
-    * `delete` with v1 PRE-values for the mod-7 set (including bucket
-    * 1's, whose post-state died before the diff), and an
-    * `update_preimage`/`update_postimage` pair for surviving bucket-1
-    * seeds — one hash pins the full-outer diff, the pre/post side
-    * selection, tombstone subtraction inside the diff, and the
-    * changed-bucket pruning (inert here: the delete touches every
-    * bucket). */
+    * [[graft.sources.TxnLog.changeFeed]]) over the [[cdcFixture]]
+    * protocol replay. The feed v1→v3 must carry all three change
+    * kinds at once: `insert` for the offset keys, `delete` with v1
+    * PRE-values for the mod-7 set (including bucket 1's, whose
+    * post-state died before the diff), and an `update_preimage` /
+    * `update_postimage` pair for surviving bucket-1 seeds — one hash
+    * pins the full-outer diff, the pre/post side selection, tombstone
+    * subtraction inside the diff, and the changed-bucket pruning
+    * (inert here: the delete touches every bucket). */
   private def changeFeedQ(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.TxnLog
-    val table = graft.sources.Bucketing.buildPath(
-      s"graft-txn/cdc_${Integer.toHexString(d.hashCode)}")
-    TxnLog.reset(table)
-    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
-    def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
-    val v1 = TxnLog.commit(table, 0L,
-      (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
-    val b1 = slice(1).withColumn("n_chars", col("n_chars") + 1000)
-    val v2 = TxnLog.commit(table, v1, Map(1 ->
-      b1.unionByName(b1.select((col("doc_id") + CdcInsertOffset).as("doc_id"),
-        col("lang"), col("n_chars")))))
-    val v3 = TxnLog.commitDeletes(table,
-      d0.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id", v2)
-    TxnLog.changeFeed(s, table, v1, v3, "doc_id")
+    val (table, v1, v3) = cdcFixture(s, d)
+    graft.sources.TxnLog.changeFeed(s, table, v1, v3, "doc_id")
   }
 
   /** x237: INCREMENTAL VIEW MAINTENANCE FROM THE CHANGE FEED — the
@@ -799,12 +817,11 @@ object Extensions {
     * the trickle; both legs here are lang-keyed hash aggregates. */
   private def incrementalMv(s: SparkSession, d: String): DataFrame = {
     import graft.sources.TxnLog
-    val table = graft.sources.Bucketing.buildPath(
-      s"graft-txn/cdc_${Integer.toHexString(d.hashCode)}")
-    // reuse the x228 fixture: build it (idempotently) if the memoized
-    // feed has not materialized it in this session yet
-    val feed = changeFeedQ(s, d)
-    val base = TxnLog.snapshot(s, table, 1L)
+    val (table, v1, _) = cdcFixture(s, d)
+    // the feed comes from the x228 final memo — the view maintenance
+    // reads O(feed) CACHED rows, exactly the contract being pinned
+    val feed = finalShared("x228", s, d)(changeFeedQ(s, d))
+    val base = TxnLog.snapshot(s, table, v1)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     val sign = when(col("change_type") === "insert", 1L)

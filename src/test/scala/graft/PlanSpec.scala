@@ -1045,6 +1045,19 @@ class PlanSpec extends SparkSpec {
       s"x238: only the 1-row extrema frame may cross:\n$p238")
     assert(p238.contains("partial_"),
       s"x238 bin counts must combine map-side:\n$p238")
+    // x239: the total level derives from the day registers by one
+    // more max aggregate — no second raw scan shape appears beyond
+    // the shared register build (both levels keyed, no cartesian)
+    val p239 = plan("x239_hll_rollup")
+    assert(!p239.contains("CartesianProduct"), s"x239 keyed only:\n$p239")
+    assert(p239.contains("partial_max"),
+      s"x239 register maxes must combine map-side:\n$p239")
+    // x240: the as-of pass is ONE key shuffle + one ascending window
+    // (the union-sort-carry plan), never a range or cross join
+    val p240 = plan("x240_asof_tolerance")
+    assert(!p240.contains("CartesianProduct"), s"x240 keyed only:\n$p240")
+    assert(p240.contains("windowspecdefinition(user_id"),
+      s"x240 carry window must partition on the key:\n$p240")
   }
 
   test("native graft_dot reaches the executed plan inside a codegen stage") {

@@ -338,6 +338,48 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- x239 HLL rollup ----------------------------------------------------
+
+  test("hllRollup: the merged total equals the direct single-pass sketch") {
+    import graft.ops.DataProfile
+    val ev = ((1L to 400L).map(u => (u, "2024-01-01 10:00:00")) ++
+      (201L to 600L).map(u => (u, "2024-01-02 10:00:00")))
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val rolled = DataProfile.hllRollup(ev)
+      .filter(col("level") === "total")
+      .select(col("n_exact"), col("hll_est")).as[(Long, Double)]
+      .collect().head
+    assert(rolled._1 === 600L)
+    val direct = DataProfile.hllFinalize(
+      ev.select(lit("all").as("g"), DataProfile.hllReg(col("user_id")).as("j"),
+        DataProfile.hllRank(col("user_id")).as("rho"))
+        .groupBy(col("g"), col("j")).agg(max(col("rho")).as("m")),
+      Seq("g")).select(col("hll_est")).as[Double].collect().head
+    assert(rolled._2 === direct,
+      "register merge must reproduce the single-pass registers exactly")
+  }
+
+  // ---- x240 as-of tolerance -------------------------------------------------
+
+  test("asof tolerance: fresh match carries, stale and absent reject") {
+    val rows = Seq(
+      (1L, "signup", 7L, "2024-01-01 00:00:00"),
+      (2L, "purchase", 7L, "2024-01-02 00:00:00"),  // 1 day  -> fresh
+      (3L, "purchase", 7L, "2024-01-11 00:00:00"),  // 10 days -> stale
+      (4L, "purchase", 8L, "2024-01-02 00:00:00"))  // no signup
+      .toDF("event_id", "event_type", "user_id", "s")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("s").cast("timestamp").as("ts"))
+    val got = graft.ops.Temporal.purchaseAsofTolerance(rows)
+      .select(col("buy_id"), col("signup_id"), col("lag_ms"), col("matched"))
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(2L) === ((2L, Some(1L), Some(86400000L), true)))
+    assert(got(3L) === ((3L, None, None, false)))
+    assert(got(4L) === ((4L, None, None, false)))
+  }
+
   // ---- x229 unigram perplexity filter --------------------------------
 
   test("unigramPplFilter scores gibberish above in-distribution text") {
