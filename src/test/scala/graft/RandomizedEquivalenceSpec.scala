@@ -461,4 +461,67 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       assert(got === expected, s"seed $seed")
     }
   }
+
+  test("MaxScore pruning is lossless on random workload-vocabulary corpora") {
+    // the x226 algebra (boot θ ≤ true k-th score; Σ non-essential ub
+    // < θ) must force pruned-top-k ≡ exact-top-k on ANY corpus; random
+    // tf/dl profiles over the workload vocabulary probe boundary cases
+    // the fixture can't (near-tie totals, single-doc terms, θ absent)
+    val vocab = graft.ops.Search.Queries.flatMap(_._2).distinct.toVector ++
+      Vector("pad1", "pad2", "pad3", "pad4")
+    val params = Gen.Parameters.default
+    for (seed <- Seq(7L, 21L, 77L)) {
+      val gen = for {
+        n <- Gen.choose(2, 18)
+        toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+      } yield toks.mkString(" ")
+      val rows = (0 until 60).map { i =>
+        val text = gen.pureApply(params, rng.Seed(seed + i), 100)
+        (i.toLong, text, "en", "s", text.length.toLong)
+      }
+      val got = graft.ops.Search.maxScoreAudit(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("n_exact"), col("hits"), col("n_matching"),
+          col("n_candidates"))
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got.nonEmpty, s"seed $seed")
+      got.foreach { case (ne, h, nm, nc) =>
+        assert(h === ne, s"seed $seed: pruning lost a top-k doc")
+        assert(nc <= nm, s"seed $seed")
+      }
+    }
+  }
+
+  test("as-of tolerance join equals an in-memory reference on random events") {
+    val params = Gen.Parameters.default
+    for (seed <- Seq(5L, 55L)) {
+      val gen = for {
+        user <- Gen.choose(1L, 8L)
+        tpe <- Gen.oneOf("purchase", "signup", "click")
+        // day-scale gaps so the 7-day tolerance actually splits cases
+        ms <- Gen.choose(0L, 30L * 24 * 3600 * 1000)
+      } yield (user, tpe, ms)
+      val evs = (0 until 120).map { i =>
+        val (u, t, ms) = gen.pureApply(params, rng.Seed(seed + i), 100)
+        (i.toLong, t, u, new java.sql.Timestamp(ms))
+      }
+      val df = evs.toDF("event_id", "event_type", "user_id", "ts")
+      val got = graft.ops.Temporal.purchaseAsofTolerance(df)
+        .select(col("buy_id"), col("signup_id"), col("lag_ms"), col("matched"))
+        .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val signups = evs.filter(_._2 == "signup")
+      val expected = evs.filter(_._2 == "purchase").map { case (id, _, u, ts) =>
+        val buyMs = ts.getTime
+        val prior = signups.filter(s => s._3 == u && s._4.getTime <= buyMs)
+        // engine tie-break: latest ms wins; at equal ms the max id
+        val best = prior.sortBy(s => (s._4.getTime, s._1)).lastOption
+        val fresh = best.filter(s =>
+          buyMs - s._4.getTime <= graft.ops.Temporal.AsofTolMs)
+        id -> ((fresh.map(_._1), fresh.map(s => buyMs - s._4.getTime),
+          fresh.nonEmpty))
+      }.toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
 }
