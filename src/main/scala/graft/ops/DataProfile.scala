@@ -598,7 +598,12 @@ object DataProfile {
     * remain. Every float is a single fixed expression over exact
     * integers — identical in both engines. */
   def hllFinalize(regs: DataFrame, keys: Seq[String]): DataFrame = {
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    // every constant below derives from HllRegisters/HllUnit so the
+    // register count has a single source of truth (ADVICE r9): the
+    // doubles are bit-identical to the former literals (256² = 65536,
+    // 2^53 exact in double), so estimates and hashes are unchanged
+    val m = lit(HllRegisters.toDouble)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
     regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_present"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
@@ -606,11 +611,11 @@ object DataProfile {
       .withColumn("v_zero", lit(HllRegisters.toLong) - col("n_present"))
       .withColumn("stot", col("s_present") + col("v_zero") * lit(HllUnit))
       .withColumn("raw",
-        alpha * lit(65536.0) * lit(9007199254740992.0) /
-          col("stot").cast("double"))
+        alpha * lit(HllRegisters.toDouble * HllRegisters.toDouble) *
+          lit(HllUnit.toDouble) / col("stot").cast("double"))
       .withColumn("hll_est", Portable.round4(
         when(col("raw") <= HllLinearCut && col("v_zero") > 0,
-          lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
+          m * log(m / col("v_zero").cast("double")))
           .otherwise(col("raw"))))
       .select((keys.map(col) :+ col("v_zero") :+ col("hll_est")): _*)
   }
@@ -776,8 +781,14 @@ object DataProfile {
     val ext = broadcast(vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi")))
     val binned = vals.crossJoin(ext)
       .select(col("event_type"),
-        least(lit(HistBins - 1), floor((col("v") - col("lo")) /
-          (col("hi") - col("lo")) * HistBins).cast("int")).as("bin"))
+        // hi = lo guard (ADVICE r9): on a constant-valued column the
+        // bin expression is 0/0 (NaN), and Spark's NaN→int cast (0)
+        // would diverge from DuckDB's NULL-propagating least(); pin
+        // both engines to bin 0 explicitly (the oracle carries the
+        // same CASE)
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(HistBins - 1), floor((col("v") - col("lo")) /
+            (col("hi") - col("lo")) * HistBins).cast("int"))).as("bin"))
       .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
     val wb = Window.partitionBy(col("event_type")).orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

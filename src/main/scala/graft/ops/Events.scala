@@ -1272,7 +1272,12 @@ object Events {
     * computes the SAME numbers from the naive row self-join: two
     * genuinely different algorithms meeting on exact integers. */
   def bitmapRetention(events: DataFrame): DataFrame = {
-    val active = Caching.temp(events.filter(col("user_id").isNotNull)
+    // user_id ≥ 0 is a hard precondition of the word/bit packing
+    // (arithmetic shiftright keeps the sign, so a negative id would
+    // silently corrupt its word index); enforce it in the scan filter
+    // — the oracle carries the same predicate (ADVICE r9)
+    val active = Caching.temp(events
+      .filter(col("user_id").isNotNull && col("user_id") >= 0)
       .select(to_date(col("ts")).as("day"),
         shiftright(col("user_id"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))")

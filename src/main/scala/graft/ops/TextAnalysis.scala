@@ -923,23 +923,44 @@ object TextAnalysis {
     * exactly as a SentencePiece trainer holds its vocab in memory.
     * Each E-step is one map-only projection (the DP fold) + one hash
     * aggregate. */
-  def unigramPiecesList(documents: DataFrame): Seq[(String, Long, Long)] = {
-    val wc = Caching.temp(uniWordCounts(documents))
-    val seedAll = wc
+  /** x223's seed candidate frame, LIMIT-BOUNDED BEFORE ANY COLLECT
+    * (round-10 fix of the r9 verdict's driver-scale hazard): the
+    * weighted ≤[[UniMaxPiece]]-gram substring counts over the distinct
+    * vocabulary, pruned ENGINE-SIDE to the top [[UniSeedCap]] by
+    * (cnt desc, piece asc) — the same total order the old driver-side
+    * sort used, so the kept set and every downstream hash are
+    * unchanged — then unioned with every single-character row (the
+    * char floor; totality requires the full alphabet). The distinct
+    * ≤4-gram space of a multilingual 100 TB corpus is tens of millions
+    * of rows; after this prune the driver only ever holds a
+    * model-sized list (≤ [[UniSeedCap]] + |alphabet| rows). */
+  def uniSeedCandidates(wc: DataFrame): DataFrame = {
+    val seedAll = Caching.temp(wc
       .select(col("wc"), explode(expr(
         s"flatten(transform(sequence(1, length(w)), i -> " +
           s"transform(sequence(1, least($UniMaxPiece, length(w)-i+1)), " +
           s"l -> substring(w, i, l))))")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("cnt")))
+    val top = seedAll.orderBy(col("cnt").desc, col("piece")).limit(UniSeedCap)
+    val singles = seedAll.where(length(col("piece")) === 1)
+    // a piece in both legs carries the same aggregate count — dedup is
+    // value-identical whichever row survives
+    top.unionByName(singles).dropDuplicates("piece")
+  }
+
+  def unigramPiecesList(documents: DataFrame): Seq[(String, Long, Long)] = {
+    val wc = Caching.temp(uniWordCounts(documents))
+    val seed = uniSeedCandidates(wc)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val chars = seedAll.filter(_._1.length == 1).map(_._1).toSet
+      .sortBy(_._1)
+    val chars = seed.filter(_._1.length == 1).map(_._1).toSet
     def prune(counts: Seq[(String, Long)], cap: Int): Seq[(String, Long)] = {
       val byCount = counts.sortBy { case (p, c) => (-c, p) }.take(cap)
       val cntOf = counts.toMap
       (byCount.map(_._1).toSet ++ chars).toSeq.sorted
         .map(p => p -> cntOf.getOrElse(p, 0L))
     }
-    var kept = prune(seedAll, UniSeedCap)
+    var kept = seed
     for (_ <- 1 to UniIters) {
       val costs = uniCostMap(uniCosts(kept))
       val segCounts = wc

@@ -2020,8 +2020,10 @@ object ExtSql {
          |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
          |binned AS (
          |  SELECT event_type,
-         |         least(${bins - 1},
-         |               CAST(floor((v - lo) / (hi - lo) * $bins) AS INT)) AS bin,
+         |         CASE WHEN hi = lo THEN 0 ELSE
+         |           least(${bins - 1},
+         |                 CAST(floor((v - lo) / (hi - lo) * $bins) AS INT))
+         |         END AS bin,
          |         count(*) AS c
          |  FROM vals CROSS JOIN ext GROUP BY 1, 2),
          |cum AS (
@@ -2062,7 +2064,7 @@ object ExtSql {
   private val x232 =
     raw"""WITH a AS (
          |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
-         |  FROM events WHERE user_id IS NOT NULL),
+         |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
          |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY 1),
          |r AS (
          |  SELECT x.day, CAST(count(*) AS BIGINT) AS retained

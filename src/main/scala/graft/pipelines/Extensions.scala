@@ -336,8 +336,22 @@ object Extensions {
     scala.collection.concurrent.TrieMap
       .empty[(String, SparkSession, String), DataFrame]
   private def finalShared(name: String, s: SparkSession, d: String)
-                         (build: => DataFrame): DataFrame =
-    finalsMemo.getOrElseUpdate((name, s, d), build.persist())
+                         (build: => DataFrame): DataFrame = {
+    // race-safe registration (ADVICE r9): getOrElseUpdate's by-name
+    // arg may run more than once under a concurrent first call, and a
+    // losing .persist() would leak cached blocks clearMemos never
+    // sees. Build WITHOUT persisting, register via putIfAbsent, and
+    // only the single frame that won the registration gets persisted
+    // — a losing build is an unpersisted plan, garbage for free.
+    val k = (name, s, d)
+    finalsMemo.get(k).getOrElse {
+      val candidate = build
+      finalsMemo.putIfAbsent(k, candidate) match {
+        case Some(winner) => winner
+        case None         => candidate.persist(); candidate
+      }
+    }
+  }
 
   /** ONE x117 BPE training run per (session, dir) — the learned merge
     * table is a driver-side 8-row list (the loop's per-iteration

@@ -112,6 +112,28 @@ class TokenizeSpec extends SparkSpec {
     assert(ps.forall(p => p._3 > 0 && p._3 < TextAnalysis.UniInfCost))
   }
 
+  test("x223 seed candidates are limit-bounded ENGINE-SIDE before collect") {
+    val docs = Seq(
+      (1L, "low low lower newest newest widest wide", "en"),
+      (2L, "newest low wide widest lower", "en")
+    ).toDF("doc_id", "text", "lang")
+    val wc = TextAnalysis.withTokens(docs)
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val seed = TextAnalysis.uniSeedCandidates(wc)
+    // the prune runs in the engine: the plan carries a Limit node, so
+    // the driver-side collect only ever holds a model-sized frame
+    val plan = seed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Limit") || plan.contains("TakeOrdered"),
+      s"no engine-side limit in seed plan:\n$plan")
+    val chars = "lowernstid wide".replace(" ", "").toSet
+    assert(seed.count() <= TextAnalysis.UniSeedCap + chars.size)
+    // single-character floor survives the prune with real counts
+    val rows = seed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (c <- chars) assert(rows.contains(c.toString), s"char $c missing")
+    assert(rows.keySet.count(_.length > 1) <= TextAnalysis.UniSeedCap)
+  }
+
   test("tokenIds: dense sorted vocab ids, per-doc order preserved") {
     val docs = Seq(
       (1L, "b a c a", "en"),
