@@ -4173,6 +4173,29 @@ object ExtSql {
          |FROM documents""".stripMargin
   }
 
+  // ---- x241 zone-map data skipping ----------------------------------
+  // The engine range-clusters the table into quartile buckets, rewrites
+  // bucket 1 (+1000 chars), then reads doc_id <= span/2 - 1 through
+  // snapshotRange — buckets 2/3 are PRUNED by their committed min/max
+  // and never reach the scan (require + PlanSpec pin the receipt). The
+  // oracle recomputes the same range + rewrite CASE from the original
+  // table: a pruning bug that loses rows, or a stale zone map on the
+  // rewritten bucket, breaks the hash.
+
+  private val x241 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""WITH mx AS (
+         |  SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS span,
+         |         CAST(max(doc_id) + 1 AS BIGINT) AS ispan
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |       CAST(CASE WHEN floor(doc_id * $nb / span) = 1
+         |                 THEN n_chars + 1000 ELSE n_chars
+         |            END AS BIGINT) AS n_chars
+         |FROM documents CROSS JOIN mx
+         |WHERE doc_id <= ispan // 2 - 1""".stripMargin
+  }
+
   // ---- x219 streaming commits into the transaction log -------------
   // The engine REALLY runs three AvailableNow micro-batch ingests whose
   // foreachBatch sink merge-commits into the TxnLog table with
@@ -6261,6 +6284,7 @@ object ExtSql {
     "x238_hist_quantiles" -> x238,
     "x239_hll_rollup"     -> x239,
     "x240_asof_tolerance" -> x240,
+    "x241_zonemap_skip"   -> x241,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -89,11 +89,36 @@ object TxnLog {
     }
   }
 
+  /** One zone-map entry: per-(bucket, column) min/max over the
+    * bucket's NON-NULL values (None/None = the bucket has no non-null
+    * value in this column). Values are kept in their manifest string
+    * rendering; [[zCompare]] interprets them per `dtype`. */
+  final case class ZoneStat(col: String, dtype: String,
+                            min: Option[String], max: Option[String])
+
   private final case class Manifest(version: Long, touched: Set[Int],
                                     buckets: Map[Int, String],
                                     txn: Option[(String, Long)],
                                     tombs: Map[Int, Seq[String]],
-                                    keyCol: Option[String])
+                                    keyCol: Option[String],
+                                    zmaps: Map[Int, Seq[ZoneStat]])
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+  // values are prefix-tagged so the null sentinel `-` can never
+  // collide with a real value (every real value is written `v<enc>`)
+  private def encV(v: Option[String]): String =
+    v.map(x => "v" + enc(x)).getOrElse("-")
+  private def decV(s: String): Option[String] =
+    if (s == "-") None else Some(dec(s.stripPrefix("v")))
+
+  private def zmapLines(zmaps: Map[Int, Seq[ZoneStat]]): Seq[String] =
+    zmaps.toSeq.sortBy(_._1).flatMap { case (b, zs) =>
+      zs.sortBy(_.col).map(z =>
+        s"zmap $b ${enc(z.col)} ${z.dtype} ${encV(z.min)} ${encV(z.max)}")
+    }
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v)).asScala
@@ -115,7 +140,11 @@ object TxnLog {
     val keyCol = lines.collectFirst { case s if s.startsWith("keycol=") =>
       s.stripPrefix("keycol=")
     }
-    Manifest(v, touched, buckets, txn, tombs, keyCol)
+    val zmaps = lines.collect { case s if s.startsWith("zmap ") =>
+      val Array(_, b, c, dt, mn, mx) = s.split(" ", 6)
+      b.toInt -> ZoneStat(dec(c), dt, decV(mn), decV(mx))
+    }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2).toSeq }
+    Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps)
   }
 
   /** The version that committed idempotence marker (app, txnV), if
@@ -207,7 +236,8 @@ object TxnLog {
         .map { case ((app, tv), ver) => s"ctxn $app $tv $ver" } ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
       m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
-        ds.map(d => s"tomb $b $d") }))
+        ds.map(d => s"tomb $b $d") } ++
+      zmapLines(m.zmaps)))
       .mkString("", "\n", "\n")
     // CREATE_NEW like a commit: at most one checkpoint per version;
     // losing the race to an identical checkpoint is success
@@ -274,6 +304,48 @@ object TxnLog {
     dead.toSeq.sorted
   }
 
+  /** Zone-map-eligible dtypes: totally ordered with a stable string
+    * rendering in BOTH the write (JVM value toString) and compare
+    * (BigDecimal for numerics, lexicographic for strings and ISO
+    * dates) directions. Timestamps are deliberately out of scope —
+    * their rendering varies with session zone settings. */
+  private def zEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Write one bucket generation and collect its zone-map stats IN
+    * THE WRITE JOB ITSELF via the Observation API (the Delta
+    * stats-at-write contract with zero extra passes over the data —
+    * at 100 TB a read-back aggregate per committed bucket would be a
+    * second full scan of every write). */
+  private def writeWithStats(df: DataFrame, path: String): Seq[ZoneStat] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val statFields = df.schema.fields.filter(f => zEligible(f.dataType)).toSeq
+    if (statFields.isEmpty) {
+      df.write.mode("overwrite").parquet(path)
+      Seq.empty
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = statFields.zipWithIndex.flatMap { case (f, i) =>
+        Seq(min(col(f.name)).as(s"mn_$i"), max(col(f.name)).as(s"mx_$i"))
+      }
+      df.observe(obs, aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(path)
+      val m = obs.get
+      statFields.zipWithIndex.map { case (f, i) =>
+        ZoneStat(f.name, f.dataType.catalogString,
+          Option(m(s"mn_$i")).map(_.toString),
+          Option(m(s"mx_$i")).map(_.toString))
+      }
+    }
+  }
+
   /** Optimistically commit `writes` (bucket → rows for that bucket)
     * against `baseVersion`: data is written FIRST (invisible until a
     * manifest lands), then the claim loop above runs. Returns the
@@ -291,9 +363,10 @@ object TxnLog {
       txnCommitted(table, app, tv).foreach(v => return v)
     }
     val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val newStats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
     val written: Map[Int, String] = writes.map { case (b, df) =>
       val rel = s"data/g${baseVersion + 1}-b$b-$nonce"
-      df.write.mode("overwrite").parquet(s"$table/$rel")
+      newStats(b) = writeWithStats(df, s"$table/$rel")
       b -> rel
     }
     Files.createDirectories(logDir(table))
@@ -324,6 +397,11 @@ object TxnLog {
       // untouched buckets keep theirs — full-state manifests carry
       // the complete live tombstone list forward
       val tombs = baseM.map(_.tombs).getOrElse(Map.empty) -- writes.keySet
+      // zone maps follow the same full-state rule: rewritten buckets
+      // take the stats observed in THEIR write job, untouched buckets
+      // carry their lines forward verbatim
+      val zmaps = (baseM.map(_.zmaps).getOrElse(Map.empty) -- writes.keySet) ++
+        newStats.toMap.filter(_._2.nonEmpty)
       val keyLine = baseM.flatMap(_.keyCol)
         .filter(_ => tombs.nonEmpty).map(k => s"keycol=$k").toSeq
       val body = (s"version=${latest + 1}" +:
@@ -331,7 +409,8 @@ object TxnLog {
         (txn.map { case (app, tv) => s"txn $app $tv" }.toSeq ++ keyLine ++
           merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
-            ds.map(d => s"tomb $b $d") }))
+            ds.map(d => s"tomb $b $d") } ++
+          zmapLines(zmaps)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -429,7 +508,10 @@ object TxnLog {
         s"keycol=$keyCol" +:
         (baseM.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"bucket $b $d" } ++
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
-            ds.map(d => s"tomb $b $d") }))
+            ds.map(d => s"tomb $b $d") } ++
+          // tombstones only REMOVE rows from unchanged generations, so
+          // the carried min/max stay valid (possibly loose) bounds
+          zmapLines(baseM.zmaps)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -583,5 +665,112 @@ object TxnLog {
       }
       (clear.toSeq ++ subtracted).reduce(_.unionByName(_))
     }
+  }
+
+  // ---- zone-map data skipping (the file-skipping read path) ----------
+
+  /** Numeric stats compare on BigDecimal (exact for every integral and
+    * the float/double renderings); strings and ISO dates compare
+    * lexicographically. */
+  private def zNumeric(dtype: String): Boolean = dtype match {
+    case "tinyint" | "smallint" | "int" | "bigint" | "float" | "double" => true
+    case d => d.startsWith("decimal")
+  }
+  private def zCompare(dtype: String, a: String, b: String): Int =
+    if (zNumeric(dtype)) new java.math.BigDecimal(a)
+      .compareTo(new java.math.BigDecimal(b))
+    else a.compareTo(b)
+
+  /** The committed zone maps of `version` (bucket → per-column
+    * min/max) — the manifest metadata [[snapshotRange]] prunes with,
+    * exposed for audits and specs. */
+  def zoneStats(table: String,
+                version: Long = -1L): Map[Int, Seq[ZoneStat]] = {
+    val v = if (version > 0) version else latestVersion(table)
+    readManifest(table, v).zmaps
+  }
+
+  /** Split `version`'s buckets into (kept, pruned) for the range
+    * predicate `colName ∈ [lo, hi]` (either bound optional, bounds in
+    * the stats' string rendering). A bucket is PRUNED only when its
+    * committed stats PROVE no row can match: max < lo, min > hi, or
+    * the column has no non-null value in the bucket (a null never
+    * satisfies a range predicate). Buckets with no recorded stats for
+    * `colName` — pre-zone-map manifests, unsupported dtypes — are
+    * always kept: skipping is an optimization, never a filter. */
+  def prunedBuckets(table: String, colName: String,
+                    lo: Option[String], hi: Option[String],
+                    version: Long = -1L): (Seq[Int], Seq[Int]) = {
+    val v = if (version > 0) version else latestVersion(table)
+    val m = readManifest(table, v)
+    val (kept, pruned) = m.buckets.keySet.toSeq.sorted.partition { b =>
+      m.zmaps.getOrElse(b, Seq.empty).find(_.col == colName) match {
+        case None => true // no stats — must read
+        case Some(z) => (z.min, z.max) match {
+          case (Some(mn), Some(mx)) =>
+            lo.forall(l => zCompare(z.dtype, mx, l) >= 0) &&
+              hi.forall(h => zCompare(z.dtype, mn, h) <= 0)
+          case _ => false // no non-null value — range can never match
+        }
+      }
+    }
+    (kept, pruned)
+  }
+
+  /** FILTERED SNAPSHOT READ WITH ZONE-MAP DATA SKIPPING (the
+    * Delta/Iceberg file-skipping path, x241): resolve `version`'s
+    * manifest, drop every bucket whose committed min/max PROVE the
+    * range predicate `colName ∈ [lo, hi]` cannot match
+    * ([[prunedBuckets]]), scan ONLY the survivors (tombstoned
+    * survivors still subtract their own deletion vectors), and apply
+    * the residual predicate to the scan — pruning is an optimization
+    * over an always-applied filter, so a loose bound is never wrong.
+    *
+    * Scale: this is the biggest real-user read win at 100 TB — a
+    * time- or id-range query over a range-clustered table reads the
+    * metadata plane (O(buckets) manifest lines, driver-side) plus
+    * only the matching generations; everything else never reaches
+    * the scan, before parquet's own row-group pruning even starts.
+    * The residual filter still pushes to the parquet reader for
+    * row-group/page skipping WITHIN kept buckets. */
+  def snapshotRange(spark: SparkSession, table: String, colName: String,
+                    lo: Option[String], hi: Option[String],
+                    version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version > 0) version else latestVersion(table)
+    require(v > 0, s"no committed version in $table")
+    val m = readManifest(table, v)
+    val (kept, _) = prunedBuckets(table, colName, lo, hi, v)
+    val base =
+      if (kept.isEmpty)
+        // nothing can match: an empty frame with the snapshot schema
+        // (limit 0 never launches a scan task)
+        snapshot(spark, table, v).limit(0)
+      else {
+        // same read shape as snapshot(): kept tombstone-free buckets
+        // stay ONE multi-path scan; tombstoned survivors subtract
+        // their own deletion vectors per bucket
+        val tombed = kept.filter(b => m.tombs.get(b).exists(_.nonEmpty))
+        val clearRels = kept.filterNot(tombed.contains)
+          .map(b => s"$table/${m.buckets(b)}")
+        val clear =
+          if (clearRels.isEmpty) None
+          else Some(spark.read.parquet(clearRels: _*))
+        val subtracted = tombed.map { b =>
+          val key = m.keyCol.getOrElse(throw new IllegalStateException(
+            s"$table v$v has tombstones but no keycol"))
+          spark.read.parquet(s"$table/${m.buckets(b)}")
+            .join(spark.read.parquet(
+              m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
+              Seq(key), "left_anti")
+        }
+        (clear.toSeq ++ subtracted).reduce(_.unionByName(_))
+      }
+    val c = col(colName)
+    val dt = base.schema(colName).dataType
+    val residual = (lo.map(l => c >= lit(l).cast(dt)) ++
+      hi.map(h => c <= lit(h).cast(dt)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    base.filter(residual)
   }
 }

@@ -507,6 +507,28 @@ class PlanSpec extends SparkSpec {
       s"the data predicate must reach the parquet row groups:\n$p")
   }
 
+  test("x241 zone-map skip: pruned buckets never reach the scan") {
+    val df = SparkEntry.queries("x241_zonemap_skip")(spark, dir)
+    // file-level receipt: the scan's input set contains the kept
+    // quartiles' generations (b0, the rewritten b1) and NOT ONE file
+    // from the pruned quartiles (b2, b3) — metadata pruning, not a
+    // row filter
+    val files = df.inputFiles
+    assert(files.exists(_.contains("-b0-")) && files.exists(_.contains("-b1-")),
+      s"kept buckets 0/1 must be scanned:\n${files.mkString("\n")}")
+    assert(!files.exists(f => f.contains("-b2-") || f.contains("-b3-")),
+      s"pruned buckets 2/3 must never reach the scan:\n${files.mkString("\n")}")
+    // and bucket 1's zone map came from the REWRITE's own write job
+    // (g2 generation), not a stale carry of v1's
+    assert(files.filter(_.contains("-b1-")).forall(_.contains("/g2-")),
+      s"bucket 1 must be served by its v2 generation:\n${files.mkString("\n")}")
+    // the residual predicate still reaches parquet for row-group
+    // skipping WITHIN kept buckets
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("LessThanOrEqual(doc_id"),
+      s"the residual range must push to the parquet reader:\n$p")
+  }
+
   test("x159 variant shredding is map-only: one parse, no shuffle, no UDF") {
     val p = plan("x159_variant_shred")
     assert(!p.contains("Exchange"), s"shredding must not shuffle:\n$p")

@@ -224,4 +224,74 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, t).as[(Long, String)].collect().toSet ===
       Set((100L, "t100")))
   }
+
+  // ---- zone maps (x241 — the non-oracle-expressible halves) ----------
+
+  test("zone maps: commits record per-bucket min/max, rewrites refresh them") {
+    val t = table("zmap"); TxnLog.reset(t)
+    val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0, 4), 1 -> rows(10, 19)))
+    val z1 = TxnLog.zoneStats(t, v1)
+    def stat(v: Map[Int, Seq[TxnLog.ZoneStat]], b: Int, c: String) =
+      v(b).find(_.col == c).get
+    assert(stat(z1, 0, "doc_id") ===
+      TxnLog.ZoneStat("doc_id", "bigint", Some("0"), Some("4")))
+    assert(stat(z1, 1, "doc_id").min === Some("10"))
+    assert(stat(z1, 1, "text") ===
+      TxnLog.ZoneStat("text", "string", Some("t10"), Some("t19")))
+    // rewrite bucket 1: its stats refresh, bucket 0's carry verbatim
+    val v2 = TxnLog.commit(t, v1, Map(1 -> rows(11)))
+    val z2 = TxnLog.zoneStats(t, v2)
+    assert(stat(z2, 1, "doc_id") ===
+      TxnLog.ZoneStat("doc_id", "bigint", Some("11"), Some("11")))
+    assert(stat(z2, 0, "doc_id") === stat(z1, 0, "doc_id"))
+  }
+
+  test("zone maps survive tombstone commits as valid loose bounds") {
+    val t = table("zmap-mor"); TxnLog.reset(t)
+    val v1 = TxnLog.commit(t, 0L, Map(0 -> rows(0, 4, 8), 1 -> rows(1, 5)))
+    val v2 = TxnLog.commitDeletes(t, Seq(8L).toDF("doc_id"), "doc_id", v1)
+    // the delete rewrote nothing, so stats carry (8 is a loose max now)
+    assert(TxnLog.zoneStats(t, v2)(0).find(_.col == "doc_id").get.max ===
+      Some("8"))
+    // pruning through tombstones still reads the surviving rows only
+    val got = TxnLog.snapshotRange(spark, t, "doc_id", Some("4"), Some("9"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((4L, "t4"), (5L, "t5")))
+  }
+
+  test("snapshotRange prunes exactly the provably-dead buckets") {
+    val t = table("zmap-prune"); TxnLog.reset(t)
+    TxnLog.commit(t, 0L,
+      Map(0 -> rows(0, 9), 1 -> rows(10, 19), 2 -> rows(20, 29)))
+    val (kept, pruned) =
+      TxnLog.prunedBuckets(t, "doc_id", Some("12"), Some("15"))
+    assert(kept === Seq(1) && pruned === Seq(0, 2))
+    val df = TxnLog.snapshotRange(spark, t, "doc_id", Some("12"), Some("15"))
+    assert(df.inputFiles.forall(_.contains("-b1-")),
+      s"only bucket 1 may reach the scan: ${df.inputFiles.mkString(",")}")
+    assert(df.count() === 0L) // 12..15 matches no committed row — but
+    // only bucket 1 was read to prove it
+    val all = TxnLog.snapshotRange(spark, t, "doc_id", Some("9"), Some("10"))
+      .as[(Long, String)].collect().toSet
+    assert(all === Set((9L, "t9"), (10L, "t10")))
+  }
+
+  test("zone maps: an all-null or absent-stats column never over-prunes") {
+    val t = table("zmap-null"); TxnLog.reset(t)
+    import org.apache.spark.sql.functions.{col, lit}
+    val withNull = rows(0, 4).withColumn("score",
+      lit(null).cast("bigint"))
+    val scored = rows(10).withColumn("score", lit(7L))
+    TxnLog.commit(t, 0L, Map(0 -> withNull, 1 -> scored))
+    // bucket 0 has NO non-null score: provably dead for any range;
+    // bucket 1 matches
+    val (kept, pruned) = TxnLog.prunedBuckets(t, "score", Some("1"), None)
+    assert(kept === Seq(1) && pruned === Seq(0))
+    val got = TxnLog.snapshotRange(spark, t, "score", Some("1"), None)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got === Set(10L))
+    // a column with no recorded stats anywhere keeps every bucket
+    val (k2, p2) = TxnLog.prunedBuckets(t, "no_such_col", Some("1"), None)
+    assert(p2.isEmpty && k2 === Seq(0, 1))
+  }
 }
