@@ -429,4 +429,109 @@ object Multimodal {
       .select(col("doc_id"), col("fmt"), col("frame_idx"),
         md5(concat(col("doc_id").cast("string"), lit(":"),
           col("frame_idx").cast("string"))).as("frame_fp"))
+
+  // ---- perceptual image hash + near-dup pairs (x242/x243) ------------
+
+  /** aHash grid: 64 cells → 64 signature bits. */
+  val AHashBits = 64
+  /** 16-bit signature bands for the pigeonhole candidate join. */
+  val AHashBands = 4
+  /** Near-dup ceiling on the 64-bit Hamming distance. */
+  val AHashHammingMax = 10
+
+  /** x242: PERCEPTUAL IMAGE HASH (average hash — the mean-threshold
+    * member of the pHash family): detect the container format from its
+    * MAGIC BYTES (the real multimodal path: PNG signature / RIFF /
+    * JPEG fallthrough — same detection order as [[decode]]), strip the
+    * format's header, and treat the remaining payload as the decoded
+    * grayscale pixel buffer (the fixture's deterministic stand-in for
+    * an inflate+resize — the documented decode stub; the Spark-side
+    * plumbing is the real thing). The buffer is downsampled to
+    * [[AHashBits]] equal byte ranges (the 8×8 grid): bit i is set when
+    * cell i's mean EXCEEDS the global mean — compared in exact integer
+    * cross-multiplication (`sum_i·n > total·cnt_i`), so both engines
+    * decide every bit from the same integers, no float thresholds.
+    * Emits the signature as four 16-bit words (the LSH bands) plus
+    * their hex rendering.
+    *
+    * Scale: map-only — one projection per image, higher-order
+    * functions over the byte sequence, no shuffle, no UDF; images
+    * smaller than the grid (payload < 64 B) carry no meaningful hash
+    * and are dropped in BOTH engines. */
+  def ahashFrames(media: DataFrame): DataFrame = {
+    val magic8 = hex(substring(col("content"), 1, 4)) // first 4 bytes
+    val fmt = when(magic8.startsWith("89504E47"), "png")
+      .when(magic8.startsWith("52494646"), "webp")
+      .otherwise("jpeg")
+    val hdr = when(col("fmt") === "png", lit(PngHeaderLen))
+      .when(col("fmt") === "webp", lit(WebpHeaderLen))
+      .otherwise(lit(JpegHeaderLen))
+    media
+      .select(col("doc_id"), col("content"), fmt.as("fmt"))
+      .withColumn("hdr", hdr.cast("long"))
+      .withColumn("n", octet_length(col("content")).cast("long") - col("hdr"))
+      .filter(col("n") >= AHashBits)
+      .withColumn("hexs", lower(hex(col("content"))))
+      // cell i: byte range [i·n DIV 64, (i+1)·n DIV 64) of the payload
+      .withColumn("cells", expr(
+        s"""transform(sequence(0, ${AHashBits - 1}), i -> named_struct(
+           |  'cnt', (CAST(i AS BIGINT)+1)*n DIV $AHashBits - CAST(i AS BIGINT)*n DIV $AHashBits,
+           |  's', aggregate(
+           |         sequence(CAST(i AS BIGINT)*n DIV $AHashBits,
+           |                  (CAST(i AS BIGINT)+1)*n DIV $AHashBits - 1),
+           |         0L,
+           |         (acc, j) -> acc + CAST(conv(substring(hexs,
+           |           CAST(2*hdr + 2*j + 1 AS INT), 2), 16, 10) AS BIGINT))))""".stripMargin))
+      .withColumn("total", expr("aggregate(cells, 0L, (a, c) -> a + c.s)"))
+      .withColumn("words", expr(
+        s"""transform(sequence(0, ${AHashBands - 1}), k ->
+           |  aggregate(sequence(0, 15), 0L, (acc, r) ->
+           |    acc + IF(element_at(cells, k*16 + r + 1).s * n
+           |               > total * element_at(cells, k*16 + r + 1).cnt,
+           |             shiftleft(1L, r), 0L)))""".stripMargin))
+      .withColumn("ahash", expr(
+        """concat(lpad(lower(hex(element_at(words, 4))), 4, '0'),
+          |       lpad(lower(hex(element_at(words, 3))), 4, '0'),
+          |       lpad(lower(hex(element_at(words, 2))), 4, '0'),
+          |       lpad(lower(hex(element_at(words, 1))), 4, '0'))""".stripMargin))
+      .select(col("doc_id"), col("fmt"), col("n").as("n_bytes"),
+        col("words"), col("ahash"))
+  }
+
+  /** The x242 result view: doc_id, detected format, payload size, hex
+    * signature. */
+  def ahashSignatures(media: DataFrame): DataFrame =
+    ahashFrames(media)
+      .select(col("doc_id"), col("fmt"), col("n_bytes"), col("ahash"))
+
+  /** x243: IMAGE NEAR-DUP PAIRS at Hamming ≤ [[AHashHammingMax]] via
+    * the pigeonhole band join — the x6/x7 SimHash machinery re-keyed
+    * on the image signature: two 64-bit hashes within Hamming 10 must
+    * agree EXACTLY on at least one of the four 16-bit words (10 < 4·3
+    * — pigeonhole at band granularity holds for distance < 4, and the
+    * standard LSH trade applies above it: band agreement is the
+    * recall-bearing candidate generator, the exact popcount filter
+    * keeps precision at 1 — identical convention and caveat to x7).
+    * Pairs meet in a (band_idx, band_val)-keyed shuffle — the
+    * candidate volume is Σ buckets², never corpus², and each carried
+    * row is doc_id + 4 ints.
+    *
+    * The oracle recomputes signatures, banding, XOR popcounts and the
+    * threshold from the raw table in SQL — two independent
+    * formulations meeting on exact integers. */
+  def ahashNearDupPairs(media: DataFrame): DataFrame = {
+    val sigs = Caching.temp(ahashFrames(media).select(col("doc_id"), col("words")))
+    val bands = sigs.select(col("doc_id"), col("words"),
+      posexplode(col("words")).as(Seq("band_idx", "band_val")))
+    bands.alias("l").join(bands.alias("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_val") === col("r.band_val") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        expr("""CAST(aggregate(zip_with(l.words, r.words,
+               |  (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b) AS BIGINT)"""
+          .stripMargin).as("hamming"))
+      .filter(col("hamming") <= AHashHammingMax)
+      .distinct()
+  }
 }

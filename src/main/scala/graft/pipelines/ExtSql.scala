@@ -617,6 +617,63 @@ object ExtSql {
          |         unnest(range(0, 1 + n_bytes // 256, ${Multimodal.SampleEvery})) AS frame_idx
          |  FROM media)""".stripMargin
 
+  // ---- x242/x243 perceptual image hash + near-dup pairs -------------
+  // Mirrors Multimodal.ahashFrames/ahashNearDupPairs from the raw
+  // table: the engine detects the container format from MAGIC BYTES
+  // and strips its header off the binary column; the oracle exploits
+  // the fixture identity payload = utf8(text) and re-derives the same
+  // 64-cell mean-threshold signature, 16-bit banding, XOR popcounts
+  // and threshold — integer cross-multiplied bits, so both engines
+  // decide every bit from the same exact integers.
+
+  private val ahashCte = {
+    val bits = Multimodal.AHashBits
+    raw"""sig AS (
+         |  SELECT doc_id,
+         |         CASE fclass WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+         |              ELSE 'webp' END AS fmt,
+         |         CAST(n AS BIGINT) AS n_bytes,
+         |         [CAST(list_sum([CASE WHEN cells[k*16 + r + 1].s * n
+         |                                   > total * cells[k*16 + r + 1].cnt
+         |                              THEN (1::BIGINT << r) ELSE 0::BIGINT END
+         |                         for r in range(0, 16)]) AS BIGINT)
+         |          for k in range(0, ${Multimodal.AHashBands})] AS words
+         |  FROM (
+         |    SELECT doc_id, fclass, n, cells,
+         |           list_sum([x.s for x in cells]) AS total
+         |    FROM (
+         |      SELECT doc_id, fclass, n,
+         |             [{'cnt': ((i+1)*n)//$bits - (i*n)//$bits,
+         |               's': coalesce(list_sum([ord(substr(text, j+1, 1))
+         |                     for j in range((i*n)//$bits, ((i+1)*n)//$bits)]), 0)}
+         |              for i in range(0, $bits)] AS cells
+         |      FROM (SELECT doc_id, text, octet_length(encode(text)) AS n,
+         |                   (('0x' || substr(md5(text), 1, 1))::INT % 3) AS fclass
+         |            FROM documents)
+         |      WHERE n >= $bits)))""".stripMargin
+  }
+
+  private val x242 =
+    raw"""WITH $ahashCte
+         |SELECT doc_id, fmt, n_bytes,
+         |       printf('%04x%04x%04x%04x',
+         |              words[4], words[3], words[2], words[1]) AS ahash
+         |FROM sig""".stripMargin
+
+  private val x243 =
+    raw"""WITH $ahashCte,
+         |b AS (SELECT doc_id, words, k AS band_idx, words[k+1] AS band_val
+         |      FROM sig, range(0, ${Multimodal.AHashBands}) t(k))
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |         CAST(list_sum([bit_count(xor(l.words[k+1], r.words[k+1]))
+         |                        for k in range(0, ${Multimodal.AHashBands})])
+         |              AS BIGINT) AS hamming
+         |  FROM b l JOIN b r ON l.band_idx = r.band_idx
+         |                   AND l.band_val = r.band_val
+         |                   AND l.doc_id < r.doc_id)
+         |WHERE hamming <= ${Multimodal.AHashHammingMax}""".stripMargin
+
   // ---- x14-x16 events ----------------------------------------------
 
   private val centsExpr = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
@@ -6285,6 +6342,8 @@ object ExtSql {
     "x239_hll_rollup"     -> x239,
     "x240_asof_tolerance" -> x240,
     "x241_zonemap_skip"   -> x241,
+    "x242_image_ahash"    -> x242,
+    "x243_image_neardup"  -> x243,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -765,7 +765,13 @@ object Extensions {
       graft.ops.DataProfile.hllRollup(evs(s, d))),
     "x240_asof_tolerance" -> ((s, d) =>
       Temporal.purchaseAsofTolerance(evs(s, d))),
-    "x241_zonemap_skip"  -> zonemapSkip _)
+    "x241_zonemap_skip"  -> zonemapSkip _,
+    // the multimodal near-dup track: signatures are map-only over the
+    // binary media column; pairs ride the x7 pigeonhole band join
+    "x242_image_ahash"   -> ((s, d) =>
+      Multimodal.ahashSignatures(Multimodal.mediaTable(docs(s, d)))),
+    "x243_image_neardup" -> ((s, d) => finalShared("x243", s, d)(
+      Multimodal.ahashNearDupPairs(Multimodal.mediaTable(docs(s, d))))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

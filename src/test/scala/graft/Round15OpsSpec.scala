@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+
+/** Pins the round-10 additions that aren't oracle-expressible by
+  * construction: the perceptual image hash's bit semantics (x242) and
+  * the banded near-dup join's candidate algebra (x243). */
+class Round15OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media(texts: (Long, String)*) =
+    Multimodal.mediaTable(texts.toDF("doc_id", "text"))
+
+  test("x242 aHash: constant payload hashes to all-zero bits") {
+    // 64 identical bytes: every cell mean EQUALS the global mean, and
+    // the bit rule is strictly-greater — no bit set
+    val sig = Multimodal.ahashSignatures(media(1L -> ("a" * 64)))
+      .select("ahash").as[String].head()
+    assert(sig === "0000000000000000")
+  }
+
+  test("x242 aHash: a bright half sets exactly the low 32 bits") {
+    // cells 0..31 average 'z' (122), cells 32..63 average 'a' (97);
+    // the global mean sits between, so bits 0..31 set → words 0 and 1
+    // are 0xffff, words 2 and 3 zero; hex prints words 3..0
+    val sig = Multimodal.ahashSignatures(media(1L -> ("z" * 32 + "a" * 32)))
+      .select("ahash").as[String].head()
+    assert(sig === "00000000ffffffff")
+  }
+
+  test("x242 aHash: sub-grid payloads are dropped, format detected from magic") {
+    val rows = Multimodal.ahashSignatures(media(
+      1L -> ("q" * 63), // payload < 64 B: no meaningful hash
+      2L -> ("The quick brown fox jumps over the lazy dog, twice over. " * 3)))
+      .select("doc_id", "fmt", "n_bytes").as[(Long, String, Long)].collect()
+    assert(rows.map(_._1).toSet === Set(2L))
+    assert(Set("png", "webp", "jpeg").contains(rows.head._2))
+    assert(rows.head._3 === ("The quick brown fox jumps over the lazy dog, twice over. " * 3).length.toLong)
+  }
+
+  test("x243 near-dup pairs: identical payloads pair at Hamming 0, distant ones don't") {
+    val a = "The quick brown fox jumps over the lazy dog and keeps running. " * 2
+    // same byte grid → same signature regardless of the md5 format class
+    val got = Multimodal.ahashNearDupPairs(media(1L -> a, 2L -> a,
+      3L -> ("zzzzzzzzaaaaaaaa" * 8)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 0L)))
+  }
+
+  test("x243 pigeonhole: a one-band corruption still pairs, all-band corruption doesn't") {
+    val base = "z" * 32 + "a" * 32 // bits 0..31 set
+    // flip bits only in word 0's cells: vary the first 8 bytes so some
+    // low bits differ while words 1..3 stay identical → band agreement
+    // on 3 of 4 bands keeps the pair as a candidate
+    val oneBand = "z" * 4 + "a" * 4 + "z" * 24 + "a" * 32
+    val pairs = Multimodal.ahashNearDupPairs(media(1L -> base, 2L -> oneBand))
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.length === 1 && pairs.head._3 > 0L &&
+      pairs.head._3 <= Multimodal.AHashHammingMax)
+  }
+}
