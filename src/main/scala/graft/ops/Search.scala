@@ -648,6 +648,127 @@ object Search {
         col("n_exact"), coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
+  /** Postings block length for block-max upper bounds (x244): real
+    * indexes store a per-block maximum every 64–128 docs; 64 keeps
+    * multiple blocks per list even at the small fixture SFs. */
+  val BlockMaxLen = 64
+
+  /** x244: BLOCK-MAX MAXSCORE (the per-block refinement of x226 —
+    * Ding & Suel '11 brought block-local maxima to WAND; the same
+    * bound tightens MaxScore's): x226 prices every term by ONE global
+    * ceiling, so a single hot posting inflates the bound of every
+    * other block in its list. Here each term's postings list is cut
+    * into [[BlockMaxLen]]-doc blocks on the champion-rank grid and a
+    * per-(query, term, block) maximum `bub` is stored — the
+    * block-max table a real index serializes next to its skip
+    * pointers. On top of x226's essential-split candidates, each
+    * candidate is bounded by Σ over ITS postings of the block's bub
+    * (total ≤ bound by construction); a candidate with bound < θ ≤
+    * true k-th score cannot enter the top-k under the (total desc,
+    * doc_id) tiebreak, so dropping it is EXACT — the audit row forces
+    * pruned ≡ exact the same way x226 does, and reports the
+    * block-level candidate cut beside the global one
+    * (`pruned_frac_bm ≥ pruned_frac` by construction: the block pass
+    * only removes candidates).
+    *
+    * Determinism: bub/bound/θ are exact BIGINTs on the
+    * [[ScoreScale]] grid; block ids are integer grid cuts of the
+    * (tf desc, doc_id asc) champion order.
+    *
+    * Scale: the block-max table is O(postings / blockLen) rows,
+    * keyed and broadcast-joinable per query; the bound pass touches
+    * candidates' postings only (already cut by the essential split),
+    * and the full scoring join runs on the block-surviving set — at
+    * serving scale this is the difference between decoding a block
+    * and skipping it, priced here as n_candidates_bm. */
+  def blockMaxAudit(documents: DataFrame, k: Int = TopK,
+                    bootCap: Int = MaxScoreBootCap,
+                    blockLen: Int = BlockMaxLen): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val qterms = broadcast(
+      Queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query", "term"))
+    val tf = Caching.temp(TextAnalysis.docTermFreq(documents))
+    val dl = TextAnalysis.withTokens(documents)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks")))
+    val dfq = tf.join(qterms.select(col("term").as("tok")).distinct(), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val den = col("tf") + lit(K1) * (lit(1.0 - B) +
+      lit(B) * (col("dl").cast("double") * col("n_docs") / col("total_toks")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("tf").desc, col("doc_id").asc)
+    val contrib = Caching.temp(qterms
+      .join(tf.withColumn("crn", row_number().over(wc)), col("term") === col("tok"))
+      .join(dfq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query"), col("term"), col("doc_id"), col("crn"),
+        expr(s"CAST((crn - 1) DIV $blockLen AS BIGINT)").as("blk"),
+        floor(idf * (col("tf") * lit(K1 + 1)) / den * ScoreScale + 0.5)
+          .cast("long").as("fp")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("total").desc, col("doc_id").asc)
+    val theta = Caching.temp(contrib.filter(col("crn") <= bootCap)
+      .groupBy(col("query"), col("doc_id")).agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") === k)
+      .select(col("query"), col("total").as("theta")))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("ub").asc, col("term").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val terms = contrib.groupBy(col("query"), col("term"))
+      .agg(max(col("fp")).as("ub"))
+      .withColumn("cum", sum(col("ub")).over(wcum))
+      .join(broadcast(theta), Seq("query"), "left")
+      .withColumn("essential", col("cum") >= coalesce(col("theta"), lit(0L)))
+    val cand = Caching.temp(contrib.join(
+        terms.filter(col("essential")).select(col("query"), col("term")),
+        Seq("query", "term"), "left_semi")
+      .select(col("query"), col("doc_id")).distinct())
+    // the block-max table + per-candidate bound: Σ over the doc's
+    // postings of their block's maximum — total ≤ bound, so
+    // bound < θ is an exact skip
+    val bub = contrib.groupBy(col("query"), col("term"), col("blk"))
+      .agg(max(col("fp")).as("bub"))
+    val bound = contrib.join(cand, Seq("query", "doc_id"), "left_semi")
+      .join(bub, Seq("query", "term", "blk"))
+      .groupBy(col("query"), col("doc_id")).agg(sum(col("bub")).as("bound"))
+    val candBm = Caching.temp(bound
+      .join(broadcast(theta), Seq("query"), "left")
+      .filter(col("bound") >= coalesce(col("theta"), lit(0L)))
+      .select(col("query"), col("doc_id")))
+    def topk(rows: DataFrame): DataFrame = rows
+      .groupBy(col("query"), col("doc_id")).agg(sum(col("fp")).as("total"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= k)
+      .select(col("query"), col("doc_id"))
+    val exact = Caching.temp(topk(contrib))
+    val pruned = topk(contrib.join(candBm, Seq("query", "doc_id"), "left_semi"))
+    val hits = exact.join(pruned, Seq("query", "doc_id"))
+      .groupBy(col("query")).agg(count(lit(1)).as("hits"))
+    val nMatch = contrib.select(col("query"), col("doc_id")).distinct()
+      .groupBy(col("query")).agg(count(lit(1)).as("n_matching"))
+    val nCand = cand.groupBy(col("query")).agg(count(lit(1)).as("n_candidates"))
+    val nCandBm = candBm.groupBy(col("query"))
+      .agg(count(lit(1)).as("n_candidates_bm"))
+    val nExact = exact.groupBy(col("query")).agg(count(lit(1)).as("n_exact"))
+    nMatch.join(nCand, Seq("query")).join(nCandBm, Seq("query"), "left")
+      .join(nExact, Seq("query")).join(hits, Seq("query"), "left")
+      .select(col("query"), col("n_matching"), col("n_candidates"),
+        coalesce(col("n_candidates_bm"), lit(0L)).as("n_candidates_bm"),
+        Portable.round4(lit(1.0) - col("n_candidates").cast("double") /
+          col("n_matching").cast("double")).as("pruned_frac"),
+        Portable.round4(lit(1.0) -
+          coalesce(col("n_candidates_bm"), lit(0L)).cast("double") /
+          col("n_matching").cast("double")).as("pruned_frac_bm"),
+        col("n_exact"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   /** RM3 feedback set size: round-1 top-k docs feed the relevance
     * model. */
   val Rm3FbDocs = 10

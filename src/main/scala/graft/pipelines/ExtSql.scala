@@ -1749,6 +1749,124 @@ object ExtSql {
          |     JOIN estat e USING (query) LEFT JOIN hits h USING (query)""".stripMargin
   }
 
+  // ---- x244 block-max MaxScore --------------------------------------
+  // Mirrors Search.blockMaxAudit exactly: x226's boot θ / ub split /
+  // essential candidates, then the per-(query, term, block) maxima on
+  // the BlockMaxLen champion-rank grid bound each candidate
+  // (Σ bub over its postings); bound < θ is an exact skip, and the
+  // pruned-vs-exact overlap is forced to n_exact like x226.
+
+  private val x244 = {
+    import graft.ops.Search._
+    val qvals = Queries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    raw"""WITH $toksCte,
+         |qt(query, term) AS (VALUES $qvals),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |n AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl),
+         |tfg AS (
+         |  SELECT doc_id, tok2 AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM tok) GROUP BY 1, 2),
+         |tfc AS (
+         |  SELECT doc_id, tok, tf,
+         |         row_number() OVER (PARTITION BY tok
+         |           ORDER BY tf DESC, doc_id) AS crn
+         |  FROM tfg),
+         |dfq AS (
+         |  SELECT tok, count(*) AS df FROM tfg
+         |  WHERE tok IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |contrib AS MATERIALIZED (
+         |  SELECT q.query, q.term, t.doc_id, t.crn,
+         |         CAST((t.crn - 1) // $BlockMaxLen AS BIGINT) AS blk,
+         |         CAST(floor(ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+         |                    * (t.tf * ${K1 + 1}) / (t.tf + $K1 * ((1.0 - $B)
+         |                       + $B * (dl.dl::DOUBLE * n.n_docs / n.total_toks)))
+         |                    * $ScoreScale + 0.5) AS BIGINT) AS fp
+         |  FROM qt q JOIN tfc t ON t.tok = q.term
+         |       JOIN dfq f ON f.tok = t.tok
+         |       JOIN dl ON dl.doc_id = t.doc_id
+         |       CROSS JOIN n),
+         |theta AS (
+         |  SELECT query, total AS theta FROM (
+         |    SELECT query, doc_id, total,
+         |           row_number() OVER (PARTITION BY query
+         |             ORDER BY total DESC, doc_id) AS rnk
+         |    FROM (SELECT query, doc_id, CAST(sum(fp) AS BIGINT) AS total
+         |          FROM contrib WHERE crn <= $MaxScoreBootCap GROUP BY 1, 2))
+         |  WHERE rnk = $TopK),
+         |terms AS (
+         |  SELECT u.query, u.term,
+         |         u.cum >= coalesce(th.theta, 0) AS essential
+         |  FROM (SELECT query, term, max(fp) AS ub,
+         |               sum(max(fp)) OVER (PARTITION BY query
+         |                 ORDER BY max(fp) ASC, term ASC
+         |                 ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM contrib GROUP BY 1, 2) u
+         |  LEFT JOIN theta th USING (query)),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT c.query, c.doc_id
+         |  FROM contrib c JOIN terms t ON t.query = c.query AND t.term = c.term
+         |  WHERE t.essential),
+         |bub AS (
+         |  SELECT query, term, blk, max(fp) AS bub
+         |  FROM contrib GROUP BY 1, 2, 3),
+         |candbm AS MATERIALIZED (
+         |  SELECT query, doc_id FROM (
+         |    SELECT c.query, c.doc_id, CAST(sum(b.bub) AS BIGINT) AS bound,
+         |           any_value(th.theta) AS theta
+         |    FROM contrib c
+         |    JOIN cand d ON d.query = c.query AND d.doc_id = c.doc_id
+         |    JOIN bub b ON b.query = c.query AND b.term = c.term
+         |              AND b.blk = c.blk
+         |    LEFT JOIN theta th ON th.query = c.query
+         |    GROUP BY 1, 2)
+         |  WHERE bound >= coalesce(theta, 0)),
+         |etop AS MATERIALIZED (
+         |  SELECT query, doc_id FROM (
+         |    SELECT query, doc_id,
+         |           row_number() OVER (PARTITION BY query
+         |             ORDER BY total DESC, doc_id) AS rnk
+         |    FROM (SELECT query, doc_id, CAST(sum(fp) AS BIGINT) AS total
+         |          FROM contrib GROUP BY 1, 2))
+         |  WHERE rnk <= $TopK),
+         |ptop AS (
+         |  SELECT query, doc_id FROM (
+         |    SELECT query, doc_id,
+         |           row_number() OVER (PARTITION BY query
+         |             ORDER BY total DESC, doc_id) AS rnk
+         |    FROM (SELECT c.query, c.doc_id, CAST(sum(fp) AS BIGINT) AS total
+         |          FROM contrib c
+         |          JOIN candbm d ON d.query = c.query AND d.doc_id = c.doc_id
+         |          GROUP BY 1, 2))
+         |  WHERE rnk <= $TopK),
+         |hits AS (
+         |  SELECT e.query, count(*) AS hits
+         |  FROM etop e JOIN ptop p ON p.query = e.query AND p.doc_id = e.doc_id
+         |  GROUP BY 1),
+         |mstat AS (
+         |  SELECT query, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_matching
+         |  FROM contrib GROUP BY 1),
+         |cstat AS (
+         |  SELECT query, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cand GROUP BY 1),
+         |bstat AS (
+         |  SELECT query, CAST(count(*) AS BIGINT) AS n_candidates_bm
+         |  FROM candbm GROUP BY 1),
+         |estat AS (
+         |  SELECT query, CAST(count(*) AS BIGINT) AS n_exact FROM etop GROUP BY 1)
+         |SELECT m.query, m.n_matching, c.n_candidates,
+         |       CAST(coalesce(b.n_candidates_bm, 0) AS BIGINT)
+         |         AS n_candidates_bm,
+         |       ${round4("1.0 - c.n_candidates::DOUBLE / m.n_matching::DOUBLE")}
+         |         AS pruned_frac,
+         |       ${round4("1.0 - coalesce(b.n_candidates_bm, 0)::DOUBLE / m.n_matching::DOUBLE")}
+         |         AS pruned_frac_bm,
+         |       e.n_exact, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+         |FROM mstat m JOIN cstat c USING (query)
+         |     LEFT JOIN bstat b USING (query)
+         |     JOIN estat e USING (query) LEFT JOIN hits h USING (query)""".stripMargin
+  }
+
   // ---- x227 RM3 pseudo-relevance-feedback expansion ----------------
   // Mirrors Search.rm3Expand exactly: x51 round 1, top-Rm3FbDocs R
   // set, grid MLE relevance model (top-Rm3FbTerms, normalized over
@@ -6344,6 +6462,7 @@ object ExtSql {
     "x241_zonemap_skip"   -> x241,
     "x242_image_ahash"    -> x242,
     "x243_image_neardup"  -> x243,
+    "x244_blockmax_audit" -> x244,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

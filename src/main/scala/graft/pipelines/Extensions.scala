@@ -771,7 +771,9 @@ object Extensions {
     "x242_image_ahash"   -> ((s, d) =>
       Multimodal.ahashSignatures(Multimodal.mediaTable(docs(s, d)))),
     "x243_image_neardup" -> ((s, d) => finalShared("x243", s, d)(
-      Multimodal.ahashNearDupPairs(Multimodal.mediaTable(docs(s, d))))))
+      Multimodal.ahashNearDupPairs(Multimodal.mediaTable(docs(s, d))))),
+    "x244_blockmax_audit" -> ((s, d) => finalShared("x244", s, d)(
+      graft.ops.Search.blockMaxAudit(docs(s, d)))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

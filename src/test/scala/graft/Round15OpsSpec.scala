@@ -49,6 +49,26 @@ class Round15OpsSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0L)))
   }
 
+  test("x244 block-max: lossless and at least as tight as the global split") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.ops.Search.blockMaxAudit(docs)
+      .select("query", "n_candidates", "n_candidates_bm",
+        "pruned_frac", "pruned_frac_bm", "n_exact", "hits")
+      .as[(String, Long, Long, Double, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((q, nc, ncbm, pf, pfbm, ne, h) <- rows) {
+      // the block pass only removes candidates — never adds
+      assert(ncbm <= nc, s"$q: block-max grew the candidate set")
+      assert(pfbm >= pf, s"$q: block-max loosened the cut")
+      // and the cut is EXACT: the pruned top-k is the unpruned top-k
+      assert(h === ne, s"$q: block-max lost a top-k doc ($h of $ne)")
+    }
+    // the per-block ceilings genuinely tighten somewhere on this
+    // fixture (the point of storing them)
+    assert(rows.exists { case (_, nc, ncbm, _, _, _, _) => ncbm < nc },
+      "block-max never improved on the global ub — blocks too coarse?")
+  }
+
   test("x243 pigeonhole: a one-band corruption still pairs, all-band corruption doesn't") {
     val base = "z" * 32 + "a" * 32 // bits 0..31 set
     // flip bits only in word 0's cells: vary the first 8 bytes so some
