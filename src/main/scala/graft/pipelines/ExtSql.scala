@@ -6463,6 +6463,9 @@ object ExtSql {
     "x242_image_ahash"    -> x242,
     "x243_image_neardup"  -> x243,
     "x244_blockmax_audit" -> x244,
+    // the streamed view must equal the SAME from-scratch v3 aggregate
+    // the batch IVM (x237) is audited against — identical oracle
+    "x245_stream_mv"      -> x237,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -773,7 +773,11 @@ object Extensions {
     "x243_image_neardup" -> ((s, d) => finalShared("x243", s, d)(
       Multimodal.ahashNearDupPairs(Multimodal.mediaTable(docs(s, d))))),
     "x244_blockmax_audit" -> ((s, d) => finalShared("x244", s, d)(
-      graft.ops.Search.blockMaxAudit(docs(s, d)))))
+      graft.ops.Search.blockMaxAudit(docs(s, d)))),
+    // three real AvailableNow maintainer runs tailing the txn log —
+    // protocol-bearing like x219, so deliberately unmemoized
+    "x245_stream_mv"     -> ((s, d) =>
+      graft.streaming.EventStream.streamIncrementalMv(s, d)))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

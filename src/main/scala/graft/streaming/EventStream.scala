@@ -532,6 +532,126 @@ object EventStream {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("ingest_slice"))
   }
 
+  /** x245: STREAMING INCREMENTAL VIEW MAINTENANCE — the x237
+    * signed-delta algebra driven by a stream TAILING THE TRANSACTION
+    * LOG (the Delta streaming-CDF source shape, unifying x219's
+    * exactly-once foreachBatch commits with x228's change feed):
+    *
+    *  - the fixture replays the x228 protocol on its own table — v1
+    *    full load, v2 bucket-1 update + offset-key inserts, v3 mod-7
+    *    tombstone deletes;
+    *  - AFTER EACH COMMIT EPOCH a maintainer stream runs AvailableNow
+    *    over the table's `_log` directory (a file source on the
+    *    manifests, one shared checkpoint — each run sees exactly the
+    *    manifests that appeared since the last, the way a real CDF
+    *    tail resumes from its offset);
+    *  - each micro-batch extracts the version range it carries, reads
+    *    the x228 change feed for THAT range only, and advances the
+    *    materialized per-lang aggregate by signed deltas (insert /
+    *    update_postimage → +, delete / update_preimage → −) — O(feed)
+    *    rows, never a base rescan; batch 0 (no prior view) is the
+    *    one-time materialization from snapshot(v1);
+    *  - view generations are BATCH-ID-ADDRESSED with a _SUCCESS
+    *    re-delivery guard (the x219/latestPerUser exactly-once
+    *    contract): a replayed batch after a crash skips, so the view
+    *    never double-applies a delta.
+    *
+    * The oracle computes the v3 aggregate FROM SCRATCH on the original
+    * table — three maintenance epochs of drops, double-applies,
+    * missed manifests or wrong signs all break the hash.
+    *
+    * Scale: at 100 TB the maintainer reads O(changed buckets) per
+    * epoch (the x228 guarantee) and holds O(groups) view rows; the
+    * log tail is a metadata-plane file stream. */
+  def streamIncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/sivm_${Integer.toHexString(dir.hashCode)}")
+    TxnLog.reset(table)
+    val base = sinkDir("sivm")
+    val viewRoot = new java.io.File(base, "views")
+    viewRoot.mkdirs()
+    def latestView(below: Long): Option[(Long, String)] =
+      Option(viewRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("view_") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(f => f.getName.stripPrefix("view_").toLong -> f.getPath)
+        .filter(_._1 < below)
+        .sortBy(-_._1).headOption
+    def maintain(): Unit = {
+      val q = s.readStream.format("text")
+        .option("pathGlobFilter", "v*.txt")
+        .load(s"$table/_log")
+        .writeStream
+        .option("checkpointLocation", s"$base/ck") // ONE shared tail offset
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          import ss.implicits._
+          val vs = batch.as[String].collect()
+            .filter(_.startsWith("version="))
+            .map(_.stripPrefix("version=").toLong)
+          if (vs.nonEmpty) {
+            val out = new java.io.File(viewRoot, s"view_$batchId")
+            // exactly-once: a re-delivered batch finds its committed
+            // generation and skips (the x219 idempotence contract)
+            if (!new java.io.File(out, "_SUCCESS").exists()) {
+              val (fromV, toV) = (vs.min - 1, vs.max)
+              def agg(rows: DataFrame): DataFrame = rows
+                .groupBy(col("lang"))
+                .agg(count(lit(1)).as("n_docs"),
+                  sum(col("n_chars")).as("sum_chars"))
+              val view =
+                if (fromV == 0) agg(TxnLog.snapshot(ss, table, toV))
+                else {
+                  val prev = ss.read.parquet(latestView(batchId)
+                    .getOrElse(throw new IllegalStateException(
+                      s"maintainer batch $batchId has no prior view"))._2)
+                  val feed = TxnLog.changeFeed(ss, table, fromV, toV, "doc_id")
+                  val sign = when(col("change_type") === "insert" ||
+                    col("change_type") === "update_postimage", 1L)
+                    .otherwise(-1L)
+                  val delta = feed.groupBy(col("lang"))
+                    .agg(sum(sign).as("d_docs"),
+                      sum(sign * col("n_chars")).as("d_chars"))
+                  prev.join(delta, Seq("lang"), "full_outer")
+                    .select(col("lang"),
+                      (coalesce(col("n_docs"), lit(0L)) +
+                        coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+                      (coalesce(col("sum_chars"), lit(0L)) +
+                        coalesce(col("d_chars"), lit(0L))).as("sum_chars"))
+                    .filter(col("n_docs") > 0)
+                }
+              view.coalesce(1).write.mode("overwrite").parquet(out.getPath)
+            }
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val insertOffset = 10000000L // far above any fixture doc_id, ≡ 0 (mod buckets)
+    // the COMMIT epochs are batch-side fixture construction (the x228
+    // convention); only the maintainer is the stream under test
+    val d0 = graft.sources.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+    maintain() // epoch 1: materialize the view at v1
+    val b1 = slice(1).withColumn("n_chars", col("n_chars") + 1000)
+    TxnLog.commit(table, v1, Map(1 ->
+      b1.unionByName(b1.select((col("doc_id") + insertOffset).as("doc_id"),
+        col("lang"), col("n_chars")))))
+    maintain() // epoch 2: update + insert deltas
+    TxnLog.commitDeletes(table,
+      d0.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id",
+      TxnLog.latestVersion(table))
+    maintain() // epoch 3: delete deltas
+    val fin = latestView(Long.MaxValue).getOrElse(
+      throw new IllegalStateException("no maintained view")) ._2
+    s.read.parquet(fin).select(col("lang"), col("n_docs"), col("sum_chars"))
+  }
+
   /** x56: [[enrichedPurchases]] run to completion with AvailableNow —
     * a stream-static inner join emits exactly the batch join (the
     * static side is fully visible to every micro-batch). */

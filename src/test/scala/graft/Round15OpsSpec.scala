@@ -69,6 +69,26 @@ class Round15OpsSpec extends SparkSpec {
       "block-max never improved on the global ub — blocks too coarse?")
   }
 
+  test("x245 streamed view == from-scratch v3 aggregate (three epochs of deltas)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStream.streamIncrementalMv(spark, dir)
+      .as[(String, Long, Long)].collect().map { case (l, n, c) => l -> ((n, c)) }.toMap
+    // from-scratch v3 state: bucket-1 update (+1000), offset inserts
+    // of bucket-1 seeds, mod-7 deletes of ORIGINAL keys only
+    val d0 = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val nb = graft.sources.TxnLog.NumBuckets
+    val expect = d0.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("n_chars", col("n_chars") +
+        when(col("doc_id") % nb === 1, 1000L).otherwise(0L))
+      .unionByName(d0.filter(col("doc_id") % nb === 1)
+        .withColumn("n_chars", col("n_chars") + 1000L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"))
+      .as[(String, Long, Long)].collect().map { case (l, n, c) => l -> ((n, c)) }.toMap
+    assert(streamed === expect)
+  }
+
   test("x243 pigeonhole: a one-band corruption still pairs, all-band corruption doesn't") {
     val base = "z" * 32 + "a" * 32 // bits 0..31 set
     // flip bits only in word 0's cells: vary the first 8 bytes so some
