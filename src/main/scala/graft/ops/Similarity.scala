@@ -813,6 +813,57 @@ object Similarity {
           lit(k).cast("double")).as("recall"))
   }
 
+  /** x246: the beam widths priced by [[graphAnnBeamFrontier]] —
+    * around [[GraphAnnBeam]] on both sides, the way x190 prices
+    * nprobe and x218 prices the re-rank factor. */
+  val GraphAnnBeamSweep = Seq(5, 10, 20, 40)
+
+  /** x246: GRAPH-ANN BEAM-WIDTH / RECALL PRICING SWEEP — the x215
+    * recall audit run at each [[GraphAnnBeamSweep]] width, emitting
+    * the recall-vs-beam frontier as one row per width (the knob
+    * pricing x190 gives nprobe and x218 gives the re-rank factor,
+    * closing the set: every accuracy/cost dial in the ANN stack now
+    * carries a measured price tag). Beam width is THE graph-search
+    * dial: wider beams keep more frontier per round (cost ∝ beam·deg
+    * joins) and buy recall; the frontier row shows where it
+    * saturates.
+    *
+    * Determinism: per-probe overlaps are integers; mean_recall is ONE
+    * fixed division of exact integer sums (Σ n_common / (probes·k)),
+    * min_recall a min over the 4dp grid — no float summation.
+    *
+    * Scale: the exact leg is the audited x10 frame (memo-shared —
+    * the sweep adds NO new corpus scans); each width's search is
+    * beam-bounded like x214, and all four share the probe broadcast,
+    * adjacency and IVF-seed frames through the session memos/plan
+    * cache. */
+  def graphAnnBeamFrontier(vs: DataFrame, cents: DataFrame, knn: DataFrame,
+                           k: Int = TopK): DataFrame = {
+    val brute = Caching.temp(annBruteFrom(vs, k)
+      .select(col("q_id"), col("vec_id")))
+    val nb = brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+    val legs = GraphAnnBeamSweep.map { b =>
+      val g = graphAnnFrom(vs, cents, knn, k, beam = b)
+        .select(col("q_id"), col("vec_id"))
+      val common = brute.join(g, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+      nb.join(common, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("n_common")).as("sum_common"),
+          min(Portable.round4(col("n_common").cast("double") /
+            lit(k.toDouble))).as("min_recall"))
+        .select(lit(b.toLong).as("beam"), col("n_probes"),
+          col("sum_common"),
+          Portable.round4(col("sum_common").cast("double") /
+            (col("n_probes") * lit(k.toLong)).cast("double"))
+            .as("mean_recall"),
+          col("min_recall"))
+    }
+    legs.reduce(_.unionByName(_))
+  }
+
   /** x211: z-score cut for [[embeddingOutliers]] — flag members more
     * than this many label-σ BELOW their label's mean centroid cosine. */
   val OutlierZ = 2.0

@@ -4329,6 +4329,80 @@ object ExtSql {
          |GROUP BY b.q_id""".stripMargin
   }
 
+  // ---- x246 graph-ANN beam-width / recall frontier -------------------
+  // Mirrors Similarity.graphAnnBeamFrontier: the x214 unrolled beam
+  // search re-run per GraphAnnBeamSweep width (suffixed CTE chains off
+  // ONE shared quantizer/graph/seed set), each audited against the
+  // x10 exact leg and collapsed to a per-width frontier row of exact
+  // integer sums + one fixed division.
+
+  private lazy val x246 = {
+    val k = Similarity.TopK; val qs = Similarity.QueryStride
+    val rounds = Similarity.GraphAnnRounds
+    def scoreCte(src: String, out: String): String =
+      raw"""$out AS (
+           |  SELECT pl.q_id, v2.vec_id,
+           |         ${cosExpr("p.qv", "p.qn", "v2.v", "v2.nrm")} AS cos_sim
+           |  FROM $src pl JOIN vn v2 ON v2.vec_id = pl.vec_id
+           |       JOIN probes p ON p.q_id = pl.q_id)""".stripMargin
+    def roundCtes(r: Int, beam: Int): String = {
+      val prev = if (r == 1) "cand0" else s"cand${r - 1}_$beam"
+      raw"""pool${r}_$beam AS (
+           |  SELECT DISTINCT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id FROM $prev
+           |    UNION ALL
+           |    SELECT c.q_id, a.dst AS vec_id
+           |    FROM $prev c JOIN adj a ON c.vec_id = a.src)
+           |  WHERE q_id <> vec_id),
+           |${scoreCte(s"pool${r}_$beam", s"sc${r}_$beam")},
+           |cand${r}_$beam AS MATERIALIZED (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |           row_number() OVER (PARTITION BY q_id
+           |             ORDER BY cos_sim DESC, vec_id) AS brnk
+           |    FROM sc${r}_$beam)
+           |  WHERE brnk <= $beam)""".stripMargin
+    }
+    def beamChain(beam: Int): String =
+      raw"""${(1 to rounds).map(r => roundCtes(r, beam)).mkString(",\n")},
+           |${scoreCte(s"cand${rounds}_$beam", s"scf_$beam")},
+           |top_$beam AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |           row_number() OVER (PARTITION BY q_id
+           |             ORDER BY cos_sim DESC, vec_id) AS rnk
+           |    FROM scf_$beam)
+           |  WHERE rnk <= $k),
+           |rec_$beam AS (
+           |  SELECT CAST($beam AS BIGINT) AS beam,
+           |         CAST(count(*) AS BIGINT) AS n_probes,
+           |         CAST(sum(n_common) AS BIGINT) AS sum_common,
+           |         min(${round4(s"n_common::DOUBLE / $k")}) AS min_recall
+           |  FROM (
+           |    SELECT b.q_id, coalesce(c.n_common, 0) AS n_common
+           |    FROM (SELECT DISTINCT q_id FROM brute) b
+           |    LEFT JOIN (
+           |      SELECT br.q_id, CAST(count(*) AS BIGINT) AS n_common
+           |      FROM brute br JOIN top_$beam t
+           |        ON t.q_id = br.q_id AND t.vec_id = br.vec_id
+           |      GROUP BY 1) c ON c.q_id = b.q_id))""".stripMargin
+    val sweep = Similarity.GraphAnnBeamSweep
+    raw"""WITH $vecCte,
+         |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vn
+         |           WHERE vec_id % $qs = 0),
+         |knng AS MATERIALIZED ($x114),
+         |adj AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM knng
+         |        UNION ALL SELECT vec_b AS src, vec_a AS dst FROM knng),
+         |cand0 AS MATERIALIZED (SELECT q_id, vec_id FROM ($x11)),
+         |brute AS MATERIALIZED ($x10),
+         |${sweep.map(beamChain).mkString(",\n")}
+         |SELECT beam, n_probes, sum_common,
+         |       ${round4("sum_common::DOUBLE / (n_probes * " + k + ")::DOUBLE")}
+         |         AS mean_recall,
+         |       min_recall
+         |FROM (${sweep.map(b => s"SELECT * FROM rec_$b").mkString(" UNION ALL ")})""".stripMargin
+  }
+
   // ---- x216 lakehouse snapshot read --------------------------------
   // The engine REALLY runs the three-commit protocol (base load,
   // bucket-1 upsert, a v1-based writer rebasing onto v2) and reads
@@ -6466,6 +6540,7 @@ object ExtSql {
     // the streamed view must equal the SAME from-scratch v3 aggregate
     // the batch IVM (x237) is audited against — identical oracle
     "x245_stream_mv"      -> x237,
+    "x246_beam_frontier"  -> x246,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -777,7 +777,14 @@ object Extensions {
     // three real AvailableNow maintainer runs tailing the txn log —
     // protocol-bearing like x219, so deliberately unmemoized
     "x245_stream_mv"     -> ((s, d) =>
-      graft.streaming.EventStream.streamIncrementalMv(s, d)))
+      graft.streaming.EventStream.streamIncrementalMv(s, d)),
+    // rides the brute/ivf/knn memos: the sweep's four beam searches
+    // add only beam-bounded joins over already-materialized frames
+    "x246_beam_frontier" -> ((s, d) => finalShared("x246", s, d)({
+      bruteShared(s, d)
+      Similarity.graphAnnBeamFrontier(
+        vecsShared(s, d), centsShared(s, d), knnShared(s, d))
+    })))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

@@ -89,6 +89,24 @@ class Round15OpsSpec extends SparkSpec {
     assert(streamed === expect)
   }
 
+  test("x246 beam frontier: recall is non-decreasing in beam width") {
+    val dir = "/root/testdata/sf0.001"
+    val vs = graft.ops.Similarity.vectors(
+      graft.sources.Tables.embeddings(spark, dir))
+    val cents = graft.ops.Similarity.kmeansCentroids(vs)
+    val knn = graft.ops.Similarity.knnGraphFrom(vs, cents)
+    val rows = graft.ops.Similarity.graphAnnBeamFrontier(vs, cents, knn)
+      .select("beam", "mean_recall").as[(Long, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      graft.ops.Similarity.GraphAnnBeamSweep.map(_.toLong))
+    // a wider beam keeps a superset of frontier candidates per round —
+    // recall can only improve or saturate
+    rows.sliding(2).foreach { case Array((b1, r1), (b2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (beam $b1) to $r2 (beam $b2)")
+    }
+  }
+
   test("x243 pigeonhole: a one-band corruption still pairs, all-band corruption doesn't") {
     val base = "z" * 32 + "a" * 32 // bits 0..31 set
     // flip bits only in word 0's cells: vary the first 8 bytes so some
