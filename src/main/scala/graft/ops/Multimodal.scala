@@ -482,21 +482,30 @@ object Multimodal {
            |         0L,
            |         (acc, j) -> acc + CAST(conv(substring(hexs,
            |           CAST(2*hdr + 2*j + 1 AS INT), 2), 16, 10) AS BIGINT))))""".stripMargin))
-      .withColumn("total", expr("aggregate(cells, 0L, (a, c) -> a + c.s)"))
-      .withColumn("words", expr(
-        s"""transform(sequence(0, ${AHashBands - 1}), k ->
-           |  aggregate(sequence(0, 15), 0L, (acc, r) ->
-           |    acc + IF(element_at(cells, k*16 + r + 1).s * n
-           |               > total * element_at(cells, k*16 + r + 1).cnt,
-           |             shiftleft(1L, r), 0L)))""".stripMargin))
-      .withColumn("ahash", expr(
-        """concat(lpad(lower(hex(element_at(words, 4))), 4, '0'),
-          |       lpad(lower(hex(element_at(words, 3))), 4, '0'),
-          |       lpad(lower(hex(element_at(words, 2))), 4, '0'),
-          |       lpad(lower(hex(element_at(words, 1))), 4, '0'))""".stripMargin))
+      .transform(gridSignature)
       .select(col("doc_id"), col("fmt"), col("n").as("n_bytes"),
         col("words"), col("ahash"))
   }
+
+  /** Shared mean-threshold signature tail: from (cells: array of
+    * (cnt, s), n) derive the 64 bits by exact integer
+    * cross-multiplication (`s·n > total·cnt`), pack them into four
+    * 16-bit band words, and render the hex signature — the common
+    * half of the image aHash (x242) and the audio fingerprint
+    * (x247). */
+  private def gridSignature(df: DataFrame): DataFrame = df
+    .withColumn("total", expr("aggregate(cells, 0L, (a, c) -> a + c.s)"))
+    .withColumn("words", expr(
+      s"""transform(sequence(0, ${AHashBands - 1}), k ->
+         |  aggregate(sequence(0, 15), 0L, (acc, r) ->
+         |    acc + IF(element_at(cells, k*16 + r + 1).s * n
+         |               > total * element_at(cells, k*16 + r + 1).cnt,
+         |             shiftleft(1L, r), 0L)))""".stripMargin))
+    .withColumn("ahash", expr(
+      """concat(lpad(lower(hex(element_at(words, 4))), 4, '0'),
+        |       lpad(lower(hex(element_at(words, 3))), 4, '0'),
+        |       lpad(lower(hex(element_at(words, 2))), 4, '0'),
+        |       lpad(lower(hex(element_at(words, 1))), 4, '0'))""".stripMargin))
 
   /** The x242 result view: doc_id, detected format, payload size, hex
     * signature. */
@@ -519,8 +528,16 @@ object Multimodal {
     * The oracle recomputes signatures, banding, XOR popcounts and the
     * threshold from the raw table in SQL — two independent
     * formulations meeting on exact integers. */
-  def ahashNearDupPairs(media: DataFrame): DataFrame = {
-    val sigs = Caching.temp(ahashFrames(media).select(col("doc_id"), col("words")))
+  def ahashNearDupPairs(media: DataFrame): DataFrame =
+    bandedHammingPairs(ahashFrames(media))
+
+  /** Shared pigeonhole candidate join over (doc_id, words) signature
+    * frames: one row per 16-bit band, (band, word)-keyed shuffle,
+    * exact XOR popcount filter at [[AHashHammingMax]] — the x7
+    * machinery serving both the image (x243) and audio (x248)
+    * near-dup tracks. */
+  private def bandedHammingPairs(sigFrame: DataFrame): DataFrame = {
+    val sigs = Caching.temp(sigFrame.select(col("doc_id"), col("words")))
     val bands = sigs.select(col("doc_id"), col("words"),
       posexplode(col("words")).as(Seq("band_idx", "band_val")))
     bands.alias("l").join(bands.alias("r"),
@@ -534,4 +551,58 @@ object Multimodal {
       .filter(col("hamming") <= AHashHammingMax)
       .distinct()
   }
+
+  // ---- audio energy fingerprint + near-dup pairs (x247/x248) ---------
+
+  /** x247: AUDIO ENERGY FINGERPRINT — the aHash idea on the PCM
+    * stream (the Shazam-family constellation reduced to its mean-
+    * threshold core): parse the WAV container (RIFF header = 44
+    * bytes, the same fields [[parseWavHeader]] validates), decode the
+    * signed 16-bit little-endian samples from the binary column, cut
+    * the sample sequence into [[AHashBits]] equal ranges and set bit
+    * i when cell i's ENERGY (Σ v², exact BIGINT) exceeds the global
+    * mean by integer cross-multiplication — a time-localized loudness
+    * profile robust to global gain. Clips shorter than the grid
+    * (< [[AHashBits]] samples) carry no meaningful fingerprint and
+    * are dropped in BOTH engines.
+    *
+    * Scale: map-only — the sample array is one HOF projection per
+    * clip, no UDF, no shuffle; the signature is four 16-bit words
+    * ready for the x243 banded join. */
+  def audioFingerprints(audio: DataFrame): DataFrame = audio
+    .withColumn("n",
+      expr("CAST((octet_length(content) - 44) DIV 2 AS BIGINT)"))
+    .filter(col("n") >= AHashBits)
+    .withColumn("hexs", lower(hex(col("content"))))
+    // sample j: LE16 at byte 44+2j, high byte carries the sign
+    .withColumn("samples", expr(
+      """transform(sequence(0, CAST(n - 1 AS INT)), j -> (
+        |  CAST(conv(substring(hexs, 2*(44 + 2*j) + 1, 2), 16, 10) AS BIGINT)
+        |  + 256 * CAST(conv(substring(hexs, 2*(45 + 2*j) + 1, 2), 16, 10) AS BIGINT)))"""
+        .stripMargin))
+    .withColumn("samples", expr(
+      "transform(samples, v -> IF(v >= 32768, v - 65536, v))"))
+    .withColumn("cells", expr(
+      s"""transform(sequence(0, ${AHashBits - 1}), i -> named_struct(
+         |  'cnt', (CAST(i AS BIGINT)+1)*n DIV $AHashBits - CAST(i AS BIGINT)*n DIV $AHashBits,
+         |  's', aggregate(
+         |         sequence(CAST(i AS BIGINT)*n DIV $AHashBits,
+         |                  (CAST(i AS BIGINT)+1)*n DIV $AHashBits - 1),
+         |         0L,
+         |         (acc, j) -> acc + element_at(samples, CAST(j + 1 AS INT))
+         |                           * element_at(samples, CAST(j + 1 AS INT)))))"""
+        .stripMargin))
+    .transform(gridSignature)
+    .select(col("doc_id"), col("n").as("n_samples"),
+      col("words"), col("ahash").as("fp"))
+
+  /** The x247 result view. */
+  def audioFingerprintSignatures(audio: DataFrame): DataFrame =
+    audioFingerprints(audio)
+      .select(col("doc_id"), col("n_samples"), col("fp"))
+
+  /** x248: AUDIO NEAR-DUP PAIRS — the banded Hamming join over the
+    * x247 fingerprints (identical machinery and caveats to x243). */
+  def audioNearDupPairs(audio: DataFrame): DataFrame =
+    bandedHammingPairs(audioFingerprints(audio))
 }

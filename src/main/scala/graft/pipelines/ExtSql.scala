@@ -674,6 +674,64 @@ object ExtSql {
          |                   AND l.doc_id < r.doc_id)
          |WHERE hamming <= ${Multimodal.AHashHammingMax}""".stripMargin
 
+  // ---- x247/x248 audio energy fingerprint + near-dup pairs ----------
+  // Mirrors Multimodal.audioFingerprints/audioNearDupPairs: the engine
+  // parses the WAV container off the binary column and decodes signed
+  // LE16 PCM; the oracle exploits payload = utf8(text) and re-derives
+  // the same signed samples (the x77 byte convention), 64-cell energy
+  // grid, banding, popcounts and threshold.
+
+  private val audioFpCte = {
+    val bits = Multimodal.AHashBits
+    val v = "CASE WHEN ord(substr(text, 2*j + 2, 1)) >= 128 " +
+      "THEN ord(substr(text, 2*j + 1, 1)) + 256*ord(substr(text, 2*j + 2, 1)) - 65536 " +
+      "ELSE ord(substr(text, 2*j + 1, 1)) + 256*ord(substr(text, 2*j + 2, 1)) END"
+    raw"""sig AS (
+         |  SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+         |         [CAST(list_sum([CASE WHEN cells[k*16 + r + 1].s * n
+         |                                   > total * cells[k*16 + r + 1].cnt
+         |                              THEN (1::BIGINT << r) ELSE 0::BIGINT END
+         |                         for r in range(0, 16)]) AS BIGINT)
+         |          for k in range(0, ${Multimodal.AHashBands})] AS words
+         |  FROM (
+         |    SELECT doc_id, n, cells,
+         |           list_sum([x.s for x in cells]) AS total
+         |    FROM (
+         |      SELECT doc_id, n,
+         |             [{'cnt': ((i+1)*n)//$bits - (i*n)//$bits,
+         |               's': coalesce(list_sum([samples[j+1]*samples[j+1]
+         |                     for j in range((i*n)//$bits, ((i+1)*n)//$bits)]), 0)}
+         |              for i in range(0, $bits)] AS cells
+         |      FROM (
+         |        SELECT doc_id, n,
+         |               [$v for j in range(0, CAST(n AS INT))] AS samples
+         |        FROM (SELECT doc_id, text,
+         |                     octet_length(encode(text)) // 2 AS n
+         |              FROM documents)
+         |        WHERE n >= $bits))))""".stripMargin
+  }
+
+  private val x247 =
+    raw"""WITH $audioFpCte
+         |SELECT doc_id, n_samples,
+         |       printf('%04x%04x%04x%04x',
+         |              words[4], words[3], words[2], words[1]) AS fp
+         |FROM sig""".stripMargin
+
+  private val x248 =
+    raw"""WITH $audioFpCte,
+         |b AS (SELECT doc_id, words, k AS band_idx, words[k+1] AS band_val
+         |      FROM sig, range(0, ${Multimodal.AHashBands}) t(k))
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |         CAST(list_sum([bit_count(xor(l.words[k+1], r.words[k+1]))
+         |                        for k in range(0, ${Multimodal.AHashBands})])
+         |              AS BIGINT) AS hamming
+         |  FROM b l JOIN b r ON l.band_idx = r.band_idx
+         |                   AND l.band_val = r.band_val
+         |                   AND l.doc_id < r.doc_id)
+         |WHERE hamming <= ${Multimodal.AHashHammingMax}""".stripMargin
+
   // ---- x14-x16 events ----------------------------------------------
 
   private val centsExpr = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
@@ -6541,6 +6599,8 @@ object ExtSql {
     // the batch IVM (x237) is audited against — identical oracle
     "x245_stream_mv"      -> x237,
     "x246_beam_frontier"  -> x246,
+    "x247_audio_fp"       -> x247,
+    "x248_audio_neardup"  -> x248,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

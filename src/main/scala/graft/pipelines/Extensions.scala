@@ -784,7 +784,11 @@ object Extensions {
       bruteShared(s, d)
       Similarity.graphAnnBeamFrontier(
         vecsShared(s, d), centsShared(s, d), knnShared(s, d))
-    })))
+    })),
+    "x247_audio_fp"      -> ((s, d) =>
+      Multimodal.audioFingerprintSignatures(Multimodal.audioTable(docs(s, d)))),
+    "x248_audio_neardup" -> ((s, d) => finalShared("x248", s, d)(
+      Multimodal.audioNearDupPairs(Multimodal.audioTable(docs(s, d))))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

@@ -107,6 +107,33 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("x247 audio fingerprint: silence hashes to zero, a loud half sets low bits") {
+    // "silence": constant samples → every cell's energy equals the
+    // mean → no bit (the x242 constant-payload property on PCM)
+    def audio(texts: (Long, String)*) =
+      Multimodal.audioTable(texts.toDF("doc_id", "text"))
+    val quiet = "aa" * 64 // 64 identical samples
+    val half = ("za" * 32) + ("aa" * 32) // loud first half, 64 samples
+    val got = Multimodal.audioFingerprintSignatures(
+      audio(1L -> quiet, 2L -> half, 3L -> "aa")) // doc 3: sub-grid, dropped
+      .select("doc_id", "n_samples", "fp")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(3L))
+    assert(got(1L) === ((1L, 64L, "0000000000000000")))
+    assert(got(2L)._2 === 64L)
+    assert(got(2L)._3 === "00000000ffffffff")
+  }
+
+  test("x248 audio near-dups: identical clips pair at Hamming 0") {
+    def audio(texts: (Long, String)*) =
+      Multimodal.audioTable(texts.toDF("doc_id", "text"))
+    val clip = "The quick brown fox jumps over the lazy dog and keeps running." * 3
+    val pairs = Multimodal.audioNearDupPairs(
+      audio(1L -> clip, 2L -> clip, 3L -> ("za" * 120)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0L)))
+  }
+
   test("x243 pigeonhole: a one-band corruption still pairs, all-band corruption doesn't") {
     val base = "z" * 32 + "a" * 32 // bits 0..31 set
     // flip bits only in word 0's cells: vary the first 8 bytes so some
