@@ -535,8 +535,9 @@ object Multimodal {
     * frames: one row per 16-bit band, (band, word)-keyed shuffle,
     * exact XOR popcount filter at [[AHashHammingMax]] — the x7
     * machinery serving both the image (x243) and audio (x248)
-    * near-dup tracks. */
-  private def bandedHammingPairs(sigFrame: DataFrame): DataFrame = {
+    * near-dup tracks. Public so callers can pass an already-shared
+    * signature frame (the bench memo layer). */
+  def bandedHammingPairs(sigFrame: DataFrame): DataFrame = {
     val sigs = Caching.temp(sigFrame.select(col("doc_id"), col("words")))
     val bands = sigs.select(col("doc_id"), col("words"),
       posexplode(col("words")).as(Seq("band_idx", "band_val")))

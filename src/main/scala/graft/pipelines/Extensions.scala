@@ -379,11 +379,28 @@ object Extensions {
     * and "JVM exit" coincide. An embedder driving many sessions
     * through this object in one long-lived JVM must call this when a
     * session ends, or the cached corpus-sized shingle frames leak. */
+  /** ONE image-signature pass per (session, dir) — the x242 result and
+    * the x243 banded pair join read the IDENTICAL (doc_id, words,
+    * ahash) frame, and its byte-grid HOFs are the heaviest map work in
+    * the media track; same doctrine for the audio fingerprints below
+    * (x247/x248). */
+  private val ahashMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def ahashShared(s: SparkSession, d: String): DataFrame =
+    ahashMemo.getOrElseUpdate((s, d),
+      Multimodal.ahashFrames(Multimodal.mediaTable(docs(s, d))).persist())
+
+  private val audioFpMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def audioFpShared(s: SparkSession, d: String): DataFrame =
+    audioFpMemo.getOrElseUpdate((s, d),
+      Multimodal.audioFingerprints(Multimodal.audioTable(docs(s, d))).persist())
+
   def clearMemos(session: SparkSession): Unit = {
     Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo,
         ivfMemo, bruteMemo, lexMemo, gannMemo, slicesMemo, tfMemo, kcoreMemo, prMemo,
         champMemo, chunkMemo, rfmMemo, mmrMemo, span8Memo, substrMemo,
-        basketsMemo,
+        basketsMemo, ahashMemo, audioFpMemo,
         lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
                  // session ref AND a memoized frame whose checkpoint
                  // blocks the loop below frees — an unrecoverable read
@@ -768,10 +785,10 @@ object Extensions {
     "x241_zonemap_skip"  -> zonemapSkip _,
     // the multimodal near-dup track: signatures are map-only over the
     // binary media column; pairs ride the x7 pigeonhole band join
-    "x242_image_ahash"   -> ((s, d) =>
-      Multimodal.ahashSignatures(Multimodal.mediaTable(docs(s, d)))),
+    "x242_image_ahash"   -> ((s, d) => ahashShared(s, d)
+      .select(col("doc_id"), col("fmt"), col("n_bytes"), col("ahash"))),
     "x243_image_neardup" -> ((s, d) => finalShared("x243", s, d)(
-      Multimodal.ahashNearDupPairs(Multimodal.mediaTable(docs(s, d))))),
+      Multimodal.bandedHammingPairs(ahashShared(s, d)))),
     "x244_blockmax_audit" -> ((s, d) => finalShared("x244", s, d)(
       graft.ops.Search.blockMaxAudit(docs(s, d)))),
     // three real AvailableNow maintainer runs tailing the txn log —
@@ -785,10 +802,10 @@ object Extensions {
       Similarity.graphAnnBeamFrontier(
         vecsShared(s, d), centsShared(s, d), knnShared(s, d))
     })),
-    "x247_audio_fp"      -> ((s, d) =>
-      Multimodal.audioFingerprintSignatures(Multimodal.audioTable(docs(s, d)))),
+    "x247_audio_fp"      -> ((s, d) => audioFpShared(s, d)
+      .select(col("doc_id"), col("n_samples"), col("fp"))),
     "x248_audio_neardup" -> ((s, d) => finalShared("x248", s, d)(
-      Multimodal.audioNearDupPairs(Multimodal.audioTable(docs(s, d))))))
+      Multimodal.bandedHammingPairs(audioFpShared(s, d)))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
