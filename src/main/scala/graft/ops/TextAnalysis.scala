@@ -1878,4 +1878,37 @@ object TextAnalysis {
         Portable.round4(sum(col("bucket_mass")).over(wRun).cast("double") /
           col("t").cast("double")).as("share"))
   }
+
+  /** x254: MISRA–GRIES HEAVY-HITTERS AUDIT — run the mergeable
+    * [[graft.functions.MisraGries]] summary over the corpus token
+    * stream and FORCE its recall guarantee against the exact answer:
+    * the output is every TRUE heavy hitter (freq·Capacity > N, an
+    * ordinary exact groupBy) flagged with sketch membership, and the
+    * oracle emits literal TRUE for that flag — the sketch never runs
+    * in DuckDB, its guarantee is what's on trial (the x226 MaxScore
+    * audit convention applied to a sketch). The surviving counter set
+    * itself is partition-order-dependent and deliberately NOT output;
+    * membership of true heavy hitters is order-independent by the MG
+    * bound under any merge tree.
+    *
+    * Scale: the summary shuffles ≤ Capacity counters per partition and
+    * collects one model-sized map (the BPE-merge-list collect class);
+    * the exact leg is the same token aggregate every lexical query
+    * shares. At 100 TB the sketch pass is the cheap screen; the exact
+    * leg here is the audit ground truth, bounded to the heavy-hitter
+    * set after its one aggregate. */
+  def heavyHittersAudit(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = withTokens(documents).select(explode(col("toks")).as("tok"))
+    val summary: Map[String, Long] = toks.as[String]
+      .select(graft.functions.MisraGries.toColumn).head()
+    val candidates = summary.keySet.toSeq.sorted
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * graft.functions.MisraGries.Capacity > col("n_total"))
+      .select(col("tok"), col("cnt"),
+        col("tok").isInCollection(candidates).as("in_sketch"))
+  }
 }

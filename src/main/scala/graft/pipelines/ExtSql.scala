@@ -4503,6 +4503,66 @@ object ExtSql {
          |WHERE doc_id <= ispan // 2 - 1""".stripMargin
   }
 
+  // ---- x249 metadata-only aggregates ---------------------------------
+  // The engine answers count(*)/min/max per column FROM THE MANIFEST
+  // (row counts + zone maps observed in the commits' write jobs — no
+  // scan task launched; PlanSpec pins the LocalRelation); the oracle
+  // recomputes the same aggregates from the original table with the
+  // bucket-1 rewrite CASE. Min/max travel in the manifest's string
+  // rendering, hence the VARCHAR casts.
+
+  private val x249 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""WITH mx AS (
+         |  SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS span FROM documents),
+         |t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(CASE WHEN floor(doc_id * $nb / span) = 1
+         |                   THEN n_chars + 1000 ELSE n_chars
+         |              END AS BIGINT) AS n_chars
+         |  FROM documents CROSS JOIN mx)
+         |SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(min(doc_id) AS VARCHAR) AS min_v,
+         |       CAST(max(doc_id) AS VARCHAR) AS max_v
+         |FROM t
+         |UNION ALL
+         |SELECT 'lang', CAST(count(*) AS BIGINT), min(lang), max(lang) FROM t
+         |UNION ALL
+         |SELECT 'n_chars', CAST(count(*) AS BIGINT),
+         |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+         |FROM t""".stripMargin
+  }
+
+  // ---- x250 Bloom point-lookup data skipping --------------------------
+  // The engine hash-clusters the table (zone maps useless), builds
+  // per-bucket Bloom sidecars at commit, and serves the point lookup
+  // through bloom-pruned buckets (the require pins that some bucket
+  // was skipped); the oracle is the plain IN filter — skipping must
+  // lose no row, and a false positive costs a scan, never a wrong row.
+
+  private val x250 = {
+    val in = graft.pipelines.Extensions.BloomProbes.mkString(", ")
+    raw"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id IN ($in)""".stripMargin
+  }
+
+  // ---- x254 Misra–Gries heavy-hitters audit ---------------------------
+  // The sketch never runs in SQL — its GUARANTEE is on trial: the
+  // engine flags every exact heavy hitter (freq·Capacity > N) with
+  // sketch membership, and the oracle emits literal TRUE for the flag;
+  // any summary bug that evicts a true heavy hitter breaks the hash.
+
+  private val x254 = {
+    val m = graft.functions.MisraGries.Capacity
+    raw"""WITH $toksCte,
+         |t AS (SELECT unnest(toks) AS tok FROM tok),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+         |SELECT tok, cnt, TRUE AS in_sketch
+         |FROM c CROSS JOIN n
+         |WHERE cnt * $m > n_total""".stripMargin
+  }
+
   // ---- x219 streaming commits into the transaction log -------------
   // The engine REALLY runs three AvailableNow micro-batch ingests whose
   // foreachBatch sink merge-commits into the TxnLog table with
@@ -6601,6 +6661,9 @@ object ExtSql {
     "x246_beam_frontier"  -> x246,
     "x247_audio_fp"       -> x247,
     "x248_audio_neardup"  -> x248,
+    "x249_meta_agg"       -> x249,
+    "x250_bloom_skip"     -> x250,
+    "x254_heavy_hitters"  -> x254,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

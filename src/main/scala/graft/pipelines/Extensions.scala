@@ -805,7 +805,11 @@ object Extensions {
     "x247_audio_fp"      -> ((s, d) => audioFpShared(s, d)
       .select(col("doc_id"), col("n_samples"), col("fp"))),
     "x248_audio_neardup" -> ((s, d) => finalShared("x248", s, d)(
-      Multimodal.bandedHammingPairs(audioFpShared(s, d)))))
+      Multimodal.bandedHammingPairs(audioFpShared(s, d)))),
+    "x249_meta_agg"      -> metaAgg _,
+    "x250_bloom_skip"    -> bloomSkip _,
+    "x254_heavy_hitters" -> ((s, d) => finalShared("x254", s, d)(
+      TextAnalysis.heavyHittersAudit(docs(s, d)))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -968,6 +972,67 @@ object Extensions {
     TxnLog.snapshotRange(s, table, "doc_id", None, Some(hi.toString))
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
+
+  /** x249: METADATA-ONLY AGGREGATES end to end (see
+    * [[graft.sources.TxnLog.metaAggregate]]): the x241 range-clustered
+    * fixture — v1 loads the quartile buckets, v2 rewrites bucket 1
+    * (+1000 chars), so both fresh-write and carried stats paths feed
+    * the answer — then count(*)/min/max per column are answered FROM
+    * THE MANIFEST ALONE (row counts and zone maps observed in the
+    * write jobs; the result frame is a LocalRelation, PlanSpec pins
+    * that no file is scanned). The oracle computes the same aggregates
+    * from the original table with the rewrite CASE: a drifted count, a
+    * stale zone map, or a wrong min/max fold breaks the hash. */
+  private def metaAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/meta_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    val span = d0.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val nb = TxnLog.NumBuckets
+    def slice(b: Int) = d0.filter(
+      floor(col("doc_id") * nb / lit(span.toDouble)) === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until nb).map(b => b -> slice(b)).toMap)
+    TxnLog.commit(table, v1, Map(1 ->
+      slice(1).withColumn("n_chars", col("n_chars") + 1000)))
+    TxnLog.metaAggregate(s, table)
+  }
+
+  /** x250: BLOOM POINT-LOOKUP DATA SKIPPING end to end (see
+    * [[graft.sources.TxnLog.snapshotPoints]]): the table is
+    * HASH-CLUSTERED (bucket = xxhash64(doc_id) mod 4 — the layout
+    * where x241's zone maps are useless, every bucket spans the whole
+    * key range), committed WITH per-bucket Bloom sidecars on doc_id;
+    * bucket 0 is then compaction-rewritten (same rows) so the read
+    * exercises both a rebuilt and three carried sidecars. The probe
+    * set mixes present and absent keys; the require pins that the
+    * sidecars prune at least one bucket (no zone map could), and the
+    * oracle — the plain IN filter on the original table — proves
+    * skipping lost no row and false positives cost nothing. */
+  private def bloomSkip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/bloom_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    val nb = TxnLog.NumBuckets
+    def slice(b: Int) = d0.filter(pmod(xxhash64(col("doc_id")), lit(nb)) === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until nb).map(b => b -> slice(b)).toMap, bloomCol = Some("doc_id"))
+    TxnLog.commit(table, v1, Map(0 -> slice(0)), bloomCol = Some("doc_id"))
+    val probes = BloomProbes.map(_.toString)
+    val (kept, pruned) = TxnLog.bloomCandidates(s, table, "doc_id", probes)
+    require(pruned.nonEmpty,
+      s"bloom sidecars must prune some bucket for the point probes, " +
+        s"got kept=$kept pruned=$pruned")
+    TxnLog.snapshotPoints(s, table, "doc_id", probes)
+  }
+
+  /** The x250 probe keys: three present at every SF (doc_ids are
+    * dense from 0) and one absent. */
+  val BloomProbes: Seq[Long] = Seq(1L, 2L, 3L, 987654321L)
 
   /** x221: MERGE-ON-READ DELETION VECTORS end to end (see
     * [[graft.sources.TxnLog.commitDeletes]]): v1 loads the full table,

@@ -96,12 +96,23 @@ object TxnLog {
   final case class ZoneStat(col: String, dtype: String,
                             min: Option[String], max: Option[String])
 
+  /** One per-bucket Bloom SIDECAR reference (the Iceberg-puffin /
+    * Delta-bloom-index shape): the filter itself lives in a small
+    * parquet of (word_idx, word) 64-bit words next to the data
+    * generation — the manifest carries only its path and geometry, so
+    * manifests stay O(buckets) text no matter how large the filters
+    * grow with bucket row counts. */
+  final case class BloomRef(col: String, dtype: String,
+                            rel: String, bits: Long)
+
   private final case class Manifest(version: Long, touched: Set[Int],
                                     buckets: Map[Int, String],
                                     txn: Option[(String, Long)],
                                     tombs: Map[Int, Seq[String]],
                                     keyCol: Option[String],
-                                    zmaps: Map[Int, Seq[ZoneStat]])
+                                    zmaps: Map[Int, Seq[ZoneStat]],
+                                    rows: Map[Int, Long],
+                                    blooms: Map[Int, BloomRef])
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -119,6 +130,21 @@ object TxnLog {
       zs.sortBy(_.col).map(z =>
         s"zmap $b ${enc(z.col)} ${z.dtype} ${encV(z.min)} ${encV(z.max)}")
     }
+
+  private def rowLines(rows: Map[Int, Long]): Seq[String] =
+    rows.toSeq.sortBy(_._1).map { case (b, n) => s"rows $b $n" }
+
+  private def bloomLines(blooms: Map[Int, BloomRef]): Seq[String] =
+    blooms.toSeq.sortBy(_._1).map { case (b, r) =>
+      s"bloom $b ${enc(r.col)} ${r.dtype} ${r.rel} ${r.bits}"
+    }
+
+  /** The stats/index lines every full-state manifest carries beside
+    * its bucket list. */
+  private def statLines(zmaps: Map[Int, Seq[ZoneStat]],
+                        rows: Map[Int, Long],
+                        blooms: Map[Int, BloomRef]): Seq[String] =
+    zmapLines(zmaps) ++ rowLines(rows) ++ bloomLines(blooms)
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v)).asScala
@@ -144,7 +170,15 @@ object TxnLog {
       val Array(_, b, c, dt, mn, mx) = s.split(" ", 6)
       b.toInt -> ZoneStat(dec(c), dt, decV(mn), decV(mx))
     }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2).toSeq }
-    Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps)
+    val rows = lines.collect { case s if s.startsWith("rows ") =>
+      val Array(_, b, n) = s.split(" ", 3)
+      b.toInt -> n.toLong
+    }.toMap
+    val blooms = lines.collect { case s if s.startsWith("bloom ") =>
+      val Array(_, b, c, dt, rel, bits) = s.split(" ", 6)
+      b.toInt -> BloomRef(dec(c), dt, rel, bits.toLong)
+    }.toMap
+    Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps, rows, blooms)
   }
 
   /** The version that committed idempotence marker (app, txnV), if
@@ -237,7 +271,7 @@ object TxnLog {
       m.buckets.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
       m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
         ds.map(d => s"tomb $b $d") } ++
-      zmapLines(m.zmaps)))
+      statLines(m.zmaps, m.rows, m.blooms)))
       .mkString("", "\n", "\n")
     // CREATE_NEW like a commit: at most one checkpoint per version;
     // losing the race to an identical checkpoint is success
@@ -274,7 +308,8 @@ object TxnLog {
     val latest = checkpoint(table) // markers + state survive expiration
     val windowStart = math.max(1L, latest - retainLast + 1)
     def refs(m: Manifest): Set[String] =
-      m.buckets.values.toSet ++ m.tombs.values.flatten
+      m.buckets.values.toSet ++ m.tombs.values.flatten ++
+        m.blooms.values.map(_.rel)
     val retained = (windowStart to latest)
       .map(v => refs(readManifest(table, v))).fold(Set.empty)(_ ++ _)
     val expiredVs = (1L until windowStart)
@@ -324,26 +359,75 @@ object TxnLog {
     * stats-at-write contract with zero extra passes over the data —
     * at 100 TB a read-back aggregate per committed bucket would be a
     * second full scan of every write). */
-  private def writeWithStats(df: DataFrame, path: String): Seq[ZoneStat] = {
-    import org.apache.spark.sql.functions.{col, max, min}
+  private def writeWithStats(df: DataFrame,
+                             path: String): (Seq[ZoneStat], Long) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val statFields = df.schema.fields.filter(f => zEligible(f.dataType)).toSeq
-    if (statFields.isEmpty) {
-      df.write.mode("overwrite").parquet(path)
-      Seq.empty
-    } else {
-      val obs = org.apache.spark.sql.Observation()
-      val aggs = statFields.zipWithIndex.flatMap { case (f, i) =>
+    val obs = org.apache.spark.sql.Observation()
+    // the row count rides the same Observation as the zone maps — the
+    // x249 metadata-only aggregates cost the write job nothing extra
+    val aggs = count(lit(1)).as("cnt") +:
+      statFields.zipWithIndex.flatMap { case (f, i) =>
         Seq(min(col(f.name)).as(s"mn_$i"), max(col(f.name)).as(s"mx_$i"))
       }
-      df.observe(obs, aggs.head, aggs.tail: _*)
-        .write.mode("overwrite").parquet(path)
-      val m = obs.get
-      statFields.zipWithIndex.map { case (f, i) =>
-        ZoneStat(f.name, f.dataType.catalogString,
-          Option(m(s"mn_$i")).map(_.toString),
-          Option(m(s"mx_$i")).map(_.toString))
-      }
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(path)
+    val m = obs.get
+    val stats = statFields.zipWithIndex.map { case (f, i) =>
+      ZoneStat(f.name, f.dataType.catalogString,
+        Option(m(s"mn_$i")).map(_.toString),
+        Option(m(s"mx_$i")).map(_.toString))
     }
+    (stats, m("cnt").asInstanceOf[Long])
+  }
+
+  // ---- per-bucket Bloom sidecars (point-lookup data skipping) --------
+
+  /** Bloom hash count (two independent xxhash64 probes per key). */
+  val BloomHashK = 2
+  /** Second-hash seed salt (the first probe hashes the bare key). */
+  private val BloomSalt = 0x9e3779b9L
+  /** Size the filter to its bucket: ≥ 16 bits per key rounded to a
+    * power of two (k=2 → false-positive ≈ 1.5% at that load), floored
+    * at 1024 bits and capped at 2^24 — the cap bounds the sidecar at
+    * 2 MiB of words while the fpp degrades gracefully past ~1M keys
+    * per bucket (skipping is an optimization, never a filter). */
+  def bloomBits(rows: Long): Long = {
+    var b = 1024L
+    while (b < rows * 16 && b < (1L << 24)) b <<= 1
+    b
+  }
+
+  /** The two filter-bit positions of each value in `expr`, as columns
+    * — ONE definition serves the build side and the probe side, so
+    * membership can never drift between them. */
+  private def bloomBitCols(e: org.apache.spark.sql.Column,
+                           bits: Long): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    Seq(pmod(xxhash64(e), lit(bits)),
+      pmod(xxhash64(e, lit(BloomSalt)), lit(bits)))
+  }
+
+  /** Build one bucket's Bloom sidecar from its freshly written
+    * generation: a column-pruned scan of the key column → two bit
+    * positions per key → (word_idx, bit_or of masks) parquet. The
+    * per-word OR aggregation is map-side combined and the result is
+    * bits/64 rows — index-build cost proportional to the bucket, paid
+    * once per rewrite (the Delta bloom-index contract). */
+  private def buildBloom(spark: SparkSession, table: String, dataRel: String,
+                         bloomRel: String, colName: String,
+                         rows: Long): BloomRef = {
+    import org.apache.spark.sql.functions.{array, col, expr, explode}
+    val bits = bloomBits(rows)
+    val dtype = spark.read.parquet(s"$table/$dataRel")
+      .schema(colName).dataType.catalogString
+    spark.read.parquet(s"$table/$dataRel")
+      .select(explode(array(bloomBitCols(col(colName), bits): _*)).as("bit"))
+      .select((col("bit") / 64).cast("long").as("word_idx"),
+        expr("shiftleft(1L, CAST(bit % 64 AS INT))").as("mask"))
+      .groupBy(col("word_idx")).agg(expr("bit_or(mask)").as("word"))
+      .write.mode("overwrite").parquet(s"$table/$bloomRel")
+    BloomRef(colName, dtype, bloomRel, bits)
   }
 
   /** Optimistically commit `writes` (bucket → rows for that bucket)
@@ -353,7 +437,8 @@ object TxnLog {
     * after `baseVersion` touched one of these buckets. */
   def commit(table: String, baseVersion: Long,
              writes: Map[Int, DataFrame],
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             bloomCol: Option[String] = None): Long = {
     require(writes.nonEmpty, "empty commit")
     // idempotent replay (cheap pre-check; re-checked inside the claim
     // loop for the crash-between-write-and-claim race): a marker
@@ -364,9 +449,17 @@ object TxnLog {
     }
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val newStats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
+    val newRows = scala.collection.mutable.Map.empty[Int, Long]
+    val newBlooms = scala.collection.mutable.Map.empty[Int, BloomRef]
     val written: Map[Int, String] = writes.map { case (b, df) =>
       val rel = s"data/g${baseVersion + 1}-b$b-$nonce"
-      newStats(b) = writeWithStats(df, s"$table/$rel")
+      val (stats, cnt) = writeWithStats(df, s"$table/$rel")
+      newStats(b) = stats
+      newRows(b) = cnt
+      bloomCol.filter(df.columns.contains).foreach { c =>
+        newBlooms(b) = buildBloom(df.sparkSession, table, rel,
+          s"$rel-bloom", c, cnt)
+      }
       b -> rel
     }
     Files.createDirectories(logDir(table))
@@ -399,9 +492,14 @@ object TxnLog {
       val tombs = baseM.map(_.tombs).getOrElse(Map.empty) -- writes.keySet
       // zone maps follow the same full-state rule: rewritten buckets
       // take the stats observed in THEIR write job, untouched buckets
-      // carry their lines forward verbatim
+      // carry their lines forward verbatim — row counts and Bloom
+      // sidecar refs identically
       val zmaps = (baseM.map(_.zmaps).getOrElse(Map.empty) -- writes.keySet) ++
         newStats.toMap.filter(_._2.nonEmpty)
+      val rows = (baseM.map(_.rows).getOrElse(Map.empty) -- writes.keySet) ++
+        newRows.toMap
+      val blooms = (baseM.map(_.blooms).getOrElse(Map.empty) -- writes.keySet) ++
+        newBlooms.toMap
       val keyLine = baseM.flatMap(_.keyCol)
         .filter(_ => tombs.nonEmpty).map(k => s"keycol=$k").toSeq
       val body = (s"version=${latest + 1}" +:
@@ -410,7 +508,7 @@ object TxnLog {
           merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
-          zmapLines(zmaps)))
+          statLines(zmaps, rows, blooms)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -510,8 +608,11 @@ object TxnLog {
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
           // tombstones only REMOVE rows from unchanged generations, so
-          // the carried min/max stay valid (possibly loose) bounds
-          zmapLines(baseM.zmaps)))
+          // the carried min/max stay valid (possibly loose) bounds —
+          // same for the Bloom sidecars (still membership supersets);
+          // row counts become upper bounds, which is why the x249
+          // metadata-only aggregate REFUSES tombstoned snapshots
+          statLines(baseM.zmaps, baseM.rows, baseM.blooms)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -772,5 +873,142 @@ object TxnLog {
       hi.map(h => c <= lit(h).cast(dt)))
       .reduceOption(_ && _).getOrElse(lit(true))
     base.filter(residual)
+  }
+
+  // ---- metadata-only aggregates (x249) -------------------------------
+
+  /** METADATA-ONLY AGGREGATE (the Delta `SELECT count(*)`
+    * metadata-query path, x249): answer `count(*)` plus per-column
+    * min/max for `version`'s snapshot ENTIRELY from the manifest — the
+    * row counts and zone maps observed in each commit's write job —
+    * without launching a single scan task (the result is a driver-side
+    * LocalRelation; PlanSpec pins that no file is read). One row per
+    * stats column: (col_name, n_rows, min_v, max_v), min/max in the
+    * manifest's string rendering, null when every bucket is all-null.
+    *
+    * Soundness guards: REFUSES a snapshot with live deletion vectors
+    * (tombstones make counts upper bounds and min/max loose — readers
+    * must fall back to the scan path) and a snapshot with any
+    * pre-stats bucket (no recorded row count). At 100 TB this is the
+    * difference between a dashboard count being free and being a full
+    * table scan. */
+  def metaAggregate(spark: SparkSession, table: String,
+                    version: Long = -1L): DataFrame = {
+    val v = if (version > 0) version else latestVersion(table)
+    require(v > 0, s"no committed version in $table")
+    val m = readManifest(table, v)
+    require(m.tombs.values.forall(_.isEmpty),
+      s"metaAggregate: $table v$v has live deletion vectors — counts " +
+        "from metadata would overcount; compact first or scan")
+    val bs = m.buckets.keySet.toSeq.sorted
+    require(bs.forall(m.rows.contains),
+      s"metaAggregate: $table v$v has buckets without recorded row counts")
+    val nRows = bs.map(m.rows).sum
+    val cols = bs.headOption
+      .map(b => m.zmaps.getOrElse(b, Seq.empty).map(_.col).toSet)
+      .getOrElse(Set.empty)
+      .filter(c => bs.forall(b =>
+        m.zmaps.getOrElse(b, Seq.empty).exists(_.col == c)))
+    val out = cols.toSeq.sorted.map { c =>
+      val zs = bs.map(b => m.zmaps(b).find(_.col == c).get)
+      val dt = zs.head.dtype
+      val mins = zs.flatMap(_.min)
+      val maxs = zs.flatMap(_.max)
+      val mn = if (mins.isEmpty) None
+        else Some(mins.reduce((a, b) => if (zCompare(dt, a, b) <= 0) a else b))
+      val mx = if (maxs.isEmpty) None
+        else Some(maxs.reduce((a, b) => if (zCompare(dt, a, b) >= 0) a else b))
+      (c, nRows, mn.orNull, mx.orNull)
+    }
+    import spark.implicits._
+    out.toDF("col_name", "n_rows", "min_v", "max_v")
+  }
+
+  // ---- Bloom point-lookup skipping (x250) -----------------------------
+
+  /** Split `version`'s buckets into (kept, pruned) for the point
+    * predicate `colName IN values` by consulting each bucket's Bloom
+    * sidecar: a bucket is pruned only when the filter PROVES every
+    * probe value absent (both bit positions clear for each value — no
+    * false negatives by construction). Buckets without a sidecar for
+    * `colName` are always kept. Probe bit positions are computed by
+    * the same Spark expressions that built the filters
+    * ([[bloomBitCols]] on a values-literal frame), so build and probe
+    * can never disagree on the hash; each sidecar read collects only
+    * the probed word indices (a pushed-down point filter on a
+    * bits/64-row parquet). */
+  def bloomCandidates(spark: SparkSession, table: String, colName: String,
+                      values: Seq[String],
+                      version: Long = -1L): (Seq[Int], Seq[Int]) = {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val v = if (version > 0) version else latestVersion(table)
+    val m = readManifest(table, v)
+    // one probe-position job per distinct filter geometry (buckets can
+    // carry different bit widths as their row counts grow)
+    val geoms = m.blooms.values.filter(_.col == colName).map(_.bits).toSet
+    val posByBits: Map[Long, Seq[Seq[Long]]] = geoms.map { bits =>
+      val dtype = m.blooms.values.find(r => r.col == colName && r.bits == bits)
+        .get.dtype
+      import spark.implicits._
+      val probe = values.toDF("v")
+        .select(array(bloomBitCols(col("v").cast(dtype), bits): _*).as("ps"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      bits -> probe
+    }.toMap
+    val (kept, pruned) = m.buckets.keySet.toSeq.sorted.partition { b =>
+      m.blooms.get(b).filter(_.col == colName) match {
+        case None => true // no index — must read
+        case Some(ref) =>
+          val probes = posByBits(ref.bits)
+          val needed = probes.flatten.map(_ / 64).distinct
+          val words = spark.read.parquet(s"$table/${ref.rel}")
+            .filter(col("word_idx").isin(needed: _*))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          def bitSet(p: Long): Boolean =
+            (words.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0
+          probes.exists(_.forall(bitSet)) // any value possibly present
+      }
+    }
+    (kept, pruned)
+  }
+
+  /** POINT-LOOKUP SNAPSHOT READ WITH BLOOM DATA SKIPPING (x250 — the
+    * Delta bloom-filter-index / Iceberg-puffin read path): on a
+    * hash-clustered layout the zone maps of [[snapshotRange]] are
+    * useless (every bucket spans the key range), but the per-bucket
+    * Bloom sidecars prove most buckets cannot contain the probed
+    * values — the lookup reads O(matching buckets) data plus a few KB
+    * of sidecar words instead of the table. The residual `IN` filter
+    * is always applied (and pushes into the kept parquet scans), so a
+    * false positive costs a scan, never a wrong row. */
+  def snapshotPoints(spark: SparkSession, table: String, colName: String,
+                     values: Seq[String],
+                     version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version > 0) version else latestVersion(table)
+    require(v > 0, s"no committed version in $table")
+    val m = readManifest(table, v)
+    val (kept, _) = bloomCandidates(spark, table, colName, values, v)
+    val base =
+      if (kept.isEmpty) snapshot(spark, table, v).limit(0)
+      else {
+        val tombed = kept.filter(b => m.tombs.get(b).exists(_.nonEmpty))
+        val clearRels = kept.filterNot(tombed.contains)
+          .map(b => s"$table/${m.buckets(b)}")
+        val clear =
+          if (clearRels.isEmpty) None
+          else Some(spark.read.parquet(clearRels: _*))
+        val subtracted = tombed.map { b =>
+          val key = m.keyCol.getOrElse(throw new IllegalStateException(
+            s"$table v$v has tombstones but no keycol"))
+          spark.read.parquet(s"$table/${m.buckets(b)}")
+            .join(spark.read.parquet(
+              m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
+              Seq(key), "left_anti")
+        }
+        (clear.toSeq ++ subtracted).reduce(_.unionByName(_))
+      }
+    val dt = base.schema(colName).dataType
+    base.filter(col(colName).isin(values.map(lit(_).cast(dt)): _*))
   }
 }

@@ -529,6 +529,36 @@ class PlanSpec extends SparkSpec {
       s"the residual range must push to the parquet reader:\n$p")
   }
 
+  test("x249 metadata-only aggregate: no scan task, no input file") {
+    val df = SparkEntry.queries("x249_meta_agg")(spark, dir)
+    // the FIXTURE build scans (commits write parquet); the ANSWER must
+    // not — a LocalRelation of manifest-derived rows, zero files
+    assert(df.inputFiles.isEmpty,
+      s"metadata-only answer must read no file:\n${df.inputFiles.mkString("\n")}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"),
+      s"metadata-only answer must plan no scan:\n$p")
+  }
+
+  test("x250 bloom skip: pruned buckets never reach the scan") {
+    val df = SparkEntry.queries("x250_bloom_skip")(spark, dir)
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/bloom_${Integer.toHexString(dir.hashCode)}")
+    val (kept, pruned) = graft.sources.TxnLog.bloomCandidates(
+      spark, table, "doc_id",
+      graft.pipelines.Extensions.BloomProbes.map(_.toString))
+    assert(pruned.nonEmpty, "fixture must actually skip a bucket")
+    val files = df.inputFiles
+    pruned.foreach(b => assert(!files.exists(_.contains(s"-b$b-")),
+      s"pruned bucket $b must never reach the scan:\n${files.mkString("\n")}"))
+    kept.foreach(b => assert(files.exists(_.contains(s"-b$b-")),
+      s"kept bucket $b must be scanned:\n${files.mkString("\n")}"))
+    // the residual IN still pushes into the kept parquet scans
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("In(doc_id"),
+      s"the residual IN must push to the parquet reader:\n$p")
+  }
+
   test("x159 variant shredding is map-only: one parse, no shuffle, no UDF") {
     val p = plan("x159_variant_shred")
     assert(!p.contains("Exchange"), s"shredding must not shuffle:\n$p")

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+import graft.sources.TxnLog
+
+/** Pins the round-10 second-wave additions that aren't
+  * oracle-expressible: the Misra–Gries guarantee under adversarial
+  * splits/merges (x254), the metadata-only aggregate's refusal paths
+  * (x249), and the Bloom sidecar's pruning algebra (x250). */
+class Round16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- x254 Misra–Gries ------------------------------------------------
+
+  test("x254 MG: small vocabularies are counted exactly") {
+    val stream = Seq.fill(40)("a") ++ Seq.fill(7)("b") ++ Seq("c")
+    val got = stream.foldLeft(MisraGries.zero)(MisraGries.reduce)
+    assert(got === Map("a" -> 40L, "b" -> 7L, "c" -> 1L))
+  }
+
+  test("x254 MG: every true heavy hitter survives any split and merge order") {
+    // 4 heavy tokens + a noise tail far wider than Capacity, split into
+    // chunks in three different ways and merged in different trees —
+    // the N/m guarantee must hold for each
+    val heavy = (0 until 4).flatMap(i => Seq.fill(4000)(s"H$i"))
+    val noise = (0 until 3000).flatMap(i => Seq.fill(3)(s"n$i"))
+    val n = heavy.size + noise.size
+    val hhBar = n.toLong / MisraGries.Capacity
+    assert(4000L > hhBar, "fixture: H* must be true heavy hitters")
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val stream = rnd.shuffle(heavy ++ noise)
+      val chunks = stream.grouped(997).toSeq
+      val partials = chunks.map(_.foldLeft(MisraGries.zero)(MisraGries.reduce))
+      val leftFold = partials.reduceLeft(MisraGries.merge)
+      val rightFold = partials.reduceRight(MisraGries.merge)
+      for (m <- Seq(leftFold, rightFold)) {
+        assert(m.size <= MisraGries.Capacity)
+        (0 until 4).foreach(i => assert(m.contains(s"H$i"),
+          s"seed $seed: true heavy hitter H$i evicted — guarantee broken"))
+        // MG residuals never overcount
+        (0 until 4).foreach(i => assert(m(s"H$i") <= 4000L))
+      }
+    }
+  }
+
+  test("x254 audit: every flagged row is in_sketch=true on the fixture") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.ops.TextAnalysis.heavyHittersAudit(docs)
+      .select("tok", "cnt", "in_sketch").as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty, "the fixture corpus must have heavy hitters")
+    assert(rows.forall(_._3), s"evicted heavy hitters: ${rows.filterNot(_._3).mkString(",")}")
+  }
+
+  // ---- x249 metadata-only aggregates ------------------------------------
+
+  private def freshTable(name: String): String = {
+    val t = graft.sources.Bucketing.buildPath(s"graft-txn-spec/$name")
+    TxnLog.reset(t)
+    t
+  }
+
+  private def tinyDocs = Seq(
+    (0L, "en", 10L), (1L, "de", 20L), (2L, "en", 30L), (3L, "fr", 40L),
+    (4L, "en", 50L), (5L, "de", 60L), (6L, "en", 70L), (7L, "fr", 80L))
+    .toDF("doc_id", "lang", "n_chars")
+
+  test("x249 metaAggregate matches the scan and launches no scan") {
+    val t = freshTable("meta")
+    val d0 = tinyDocs
+    TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap)
+    val got = TxnLog.metaAggregate(spark, t)
+    assert(got.inputFiles.isEmpty, "metadata-only: no file may back the result")
+    val rows = got.as[(String, Long, String, String)].collect().sortBy(_._1)
+    assert(rows === Array(
+      ("doc_id", 8L, "0", "7"),
+      ("lang", 8L, "de", "fr"),
+      ("n_chars", 8L, "10", "80")))
+  }
+
+  test("x249 metaAggregate refuses a snapshot with live deletion vectors") {
+    val t = freshTable("meta_dv")
+    val d0 = tinyDocs
+    val v1 = TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap)
+    TxnLog.commitDeletes(t, d0.filter(col("doc_id") === 2).select("doc_id"),
+      "doc_id", v1)
+    val e = intercept[IllegalArgumentException](TxnLog.metaAggregate(spark, t))
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  // ---- x250 Bloom point-lookup skipping ----------------------------------
+
+  test("x250 bloom sidecars prove absent keys absent; lookups match the scan") {
+    val t = freshTable("bloom")
+    val d0 = tinyDocs
+    TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap,
+      bloomCol = Some("doc_id"))
+    // key 5 lives in bucket 1 only; the other three buckets' filters
+    // must prove it absent (fpp is deterministic on this fixture)
+    val (kept, pruned) = TxnLog.bloomCandidates(spark, t, "doc_id", Seq("5"))
+    assert(kept.contains(1), s"home bucket must be kept: $kept")
+    assert(pruned.nonEmpty, "some foreign bucket must be pruned")
+    val got = TxnLog.snapshotPoints(spark, t, "doc_id", Seq("5", "999"))
+      .select("doc_id", "lang", "n_chars").as[(Long, String, Long)].collect()
+    assert(got.toSet === Set((5L, "de", 60L)))
+    // an entirely absent probe set may prune everything — and still
+    // answers (an empty frame), never errors
+    val none = TxnLog.snapshotPoints(spark, t, "doc_id", Seq("998", "999"))
+    assert(none.count() === 0L)
+  }
+
+  test("x250 a rewrite rebuilds its bucket's sidecar (no stale carry)") {
+    val t = freshTable("bloom_rw")
+    val d0 = tinyDocs
+    val v1 = TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap,
+      bloomCol = Some("doc_id"))
+    // rewrite bucket 0 REPLACING doc 0/4 with 100/104 — the stale v1
+    // sidecar would claim 4 present and 104 absent
+    TxnLog.commit(t, v1, Map(0 ->
+      Seq((100L, "en", 11L), (104L, "en", 51L)).toDF("doc_id", "lang", "n_chars")),
+      bloomCol = Some("doc_id"))
+    val got = TxnLog.snapshotPoints(spark, t, "doc_id", Seq("4", "104"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(104L))
+    // vacuum reclaims the dead v1 bucket-0 generation AND its sidecar
+    val reclaimed = TxnLog.vacuum(t, retainLast = 1)
+    assert(reclaimed.exists(r => r.contains("-b0-") && !r.endsWith("-bloom")),
+      s"dead data generation must be reclaimed: $reclaimed")
+    assert(reclaimed.exists(_.endsWith("-bloom")),
+      s"dead bloom sidecar must be reclaimed with it: $reclaimed")
+  }
+}
