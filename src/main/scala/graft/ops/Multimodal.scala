@@ -21,6 +21,15 @@ case class VideoMeta(doc_id: Long, n_bytes: Long, width: Long,
 case class FrameEnergy(doc_id: Long, frame_idx: Long, n_words: Long,
                        energy: Long)
 
+/** One mean-threshold grid cell (count + byte sum) — the decode-side
+  * half of the shared signature tail. */
+case class VideoCell(cnt: Long, s: Long)
+
+/** Per-frame decoded cell sums (the x251 video fingerprint's decode
+  * output schema: frame buffer length + its 64-cell grid). */
+case class VideoFrameCells(doc_id: Long, frame_idx: Long, n: Long,
+                           cells: Seq[VideoCell])
+
 /** Multimodal-column plumbing — beyond-reference track (builder brief).
   *
   * Media (image/audio/video) is carried as an opaque `binary` column
@@ -606,4 +615,107 @@ object Multimodal {
     * x247 fingerprints (identical machinery and caveats to x243). */
   def audioNearDupPairs(audio: DataFrame): DataFrame =
     bandedHammingPairs(audioFingerprints(audio))
+
+  // ---- video frame fingerprints + cross-video near-dup (x251/x252) ---
+
+  /** Walk a GIF89a block stream like [[parseGifMeta]], returning the
+    * frame count AND the offset just past the 0x3B trailer — where the
+    * fixture parks the frame-buffer payload. None for non-GIF bytes. */
+  def parseGifFrames(content: Array[Byte]): Option[(Long, Int)] = {
+    def u8(o: Int): Int = content(o) & 0xff
+    if (content.length < 14 ||
+        !"GIF89a".indices.forall(i => content(i) == "GIF89a".charAt(i).toByte))
+      return None
+    var o = 13
+    var frames = 0L
+    def skipSubBlocks(): Unit = {
+      while (o < content.length && u8(o) != 0) o += 1 + u8(o)
+      o += 1
+    }
+    while (o < content.length) {
+      u8(o) match {
+        case 0x2c => frames += 1; o += 11; skipSubBlocks()
+        case 0x21 => o += 2; skipSubBlocks()
+        case 0x3b => return Some((frames, o + 1))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** x251: PER-FRAME VIDEO PERCEPTUAL HASH — the frame-level unit a
+    * real video dedup pipeline fingerprints (dedup at shot/frame
+    * granularity, then aggregate): the REAL GIF block-stream walk
+    * ([[parseGifFrames]] — variable-length prefix, so the honest path
+    * is the mapPartitions decoder like x64/x77, not a fixed header
+    * strip) finds the frame count and the frame-buffer payload; the
+    * payload splits into one equal byte range per frame, and each
+    * frame buffer ≥ [[AHashBits]] bytes gets the x242 64-cell
+    * mean-threshold signature (exact integer cross-multiplication,
+    * shared [[gridSignature]] tail — sub-grid frames are dropped in
+    * BOTH engines).
+    *
+    * Scale: decode + cell sums are map-only where the binary lives
+    * (one decoder per partition, no shuffle, media bytes never move);
+    * output is ≤ frames-per-video rows of doc_id + 4 ints. */
+  def videoFrameHashes(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    videoTable(documents)
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (nf, start) = parseGifFrames(bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: not a GIF89a stream"))
+        val payloadLen = (bytes.length - start).toLong
+        (0L until nf).flatMap { f =>
+          val flo = (f * payloadLen / nf).toInt
+          val fl = ((f + 1) * payloadLen / nf).toInt - flo
+          if (fl < AHashBits) None
+          else {
+            val cells = (0 until AHashBits).map { i =>
+              val clo = (i.toLong * fl / AHashBits).toInt
+              val chi = ((i + 1).toLong * fl / AHashBits).toInt
+              var sum = 0L
+              var j = clo
+              while (j < chi) { sum += bytes(start + flo + j) & 0xff; j += 1 }
+              VideoCell((chi - clo).toLong, sum)
+            }
+            Some(VideoFrameCells(id, f, fl.toLong, cells))
+          }
+        }
+      }).toDF()
+      .transform(gridSignature)
+      .select(col("doc_id"), col("frame_idx"), col("n").as("n_bytes"),
+        col("words"), col("ahash").as("vhash"))
+  }
+
+  /** The x251 result view. */
+  def videoFrameSignatures(spark: SparkSession, documents: DataFrame): DataFrame =
+    videoFrameHashes(spark, documents)
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"), col("vhash"))
+
+  /** x252: CROSS-VIDEO FRAME NEAR-DUP PAIRS — the [[bandedHammingPairs]]
+    * pigeonhole machinery at frame granularity (shared-scene detection:
+    * two videos pair wherever ANY of their frames land within Hamming
+    * [[AHashHammingMax]]); `doc_a < doc_b` keeps the join cross-video,
+    * frames within one video never pair. Candidate volume is
+    * Σ band-buckets² over frame signatures — the x243 caveat one
+    * granularity down. */
+  def videoFrameNearDupPairs(sigFrame: DataFrame): DataFrame = {
+    val sigs = Caching.temp(
+      sigFrame.select(col("doc_id"), col("frame_idx"), col("words")))
+    val bands = sigs.select(col("doc_id"), col("frame_idx"), col("words"),
+      posexplode(col("words")).as(Seq("band_idx", "band_val")))
+    bands.alias("l").join(bands.alias("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_val") === col("r.band_val") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("l.frame_idx").as("frame_a"),
+        col("r.doc_id").as("doc_b"), col("r.frame_idx").as("frame_b"),
+        expr("""CAST(aggregate(zip_with(l.words, r.words,
+               |  (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b) AS BIGINT)"""
+          .stripMargin).as("hamming"))
+      .filter(col("hamming") <= AHashHammingMax)
+      .distinct()
+  }
 }

@@ -4503,6 +4503,69 @@ object ExtSql {
          |WHERE doc_id <= ispan // 2 - 1""".stripMargin
   }
 
+  // ---- x251/x252 video frame fingerprints + cross-video near-dup -----
+  // The engine walks the REAL GIF block stream (variable-length prefix
+  // of 1 + tlen%7 image descriptors) to find the frame-buffer payload,
+  // splits it into one equal byte range per frame, and hashes each
+  // frame with the x242 64-cell mean-threshold grid; the oracle
+  // exploits payload = utf8(text) and frame count = 1 + tlen%7 from
+  // the videoTable construction and re-derives every bit. Sub-grid
+  // frames (< 64 B) are dropped in both engines.
+
+  private val vsigCte = {
+    val bits = Multimodal.AHashBits
+    raw"""vsig AS (
+         |  SELECT doc_id, frame_idx, CAST(fl AS BIGINT) AS n_bytes,
+         |         [CAST(list_sum([CASE WHEN cells[k*16 + r + 1].s * fl
+         |                                   > total * cells[k*16 + r + 1].cnt
+         |                              THEN (1::BIGINT << r) ELSE 0::BIGINT END
+         |                         for r in range(0, 16)]) AS BIGINT)
+         |          for k in range(0, ${Multimodal.AHashBands})] AS words
+         |  FROM (
+         |    SELECT doc_id, frame_idx, fl, cells,
+         |           list_sum([x.s for x in cells]) AS total
+         |    FROM (
+         |      SELECT doc_id, frame_idx, fl,
+         |             [{'cnt': ((i+1)*fl)//$bits - (i*fl)//$bits,
+         |               's': coalesce(list_sum([ord(substr(text, flo + j + 1, 1))
+         |                     for j in range((i*fl)//$bits, ((i+1)*fl)//$bits)]), 0)}
+         |              for i in range(0, $bits)] AS cells
+         |      FROM (
+         |        SELECT doc_id, text, f AS frame_idx,
+         |               (f*tlen)//nf AS flo,
+         |               ((f+1)*tlen)//nf - (f*tlen)//nf AS fl
+         |        FROM (SELECT doc_id, text,
+         |                     octet_length(encode(text)) AS tlen,
+         |                     1 + octet_length(encode(text)) % 7 AS nf
+         |              FROM documents),
+         |             range(0, 7) t(f)
+         |        WHERE f < nf
+         |          AND ((f+1)*tlen)//nf - (f*tlen)//nf >= $bits))))""".stripMargin
+  }
+
+  private val x251 =
+    raw"""WITH $vsigCte
+         |SELECT doc_id, frame_idx, n_bytes,
+         |       printf('%04x%04x%04x%04x',
+         |              words[4], words[3], words[2], words[1]) AS vhash
+         |FROM vsig""".stripMargin
+
+  private val x252 =
+    raw"""WITH $vsigCte,
+         |b AS (SELECT doc_id, frame_idx, words, k AS band_idx,
+         |             words[k+1] AS band_val
+         |      FROM vsig, range(0, ${Multimodal.AHashBands}) t(k))
+         |SELECT doc_a, frame_a, doc_b, frame_b, hamming FROM (
+         |  SELECT DISTINCT l.doc_id AS doc_a, l.frame_idx AS frame_a,
+         |         r.doc_id AS doc_b, r.frame_idx AS frame_b,
+         |         CAST(list_sum([bit_count(xor(l.words[k+1], r.words[k+1]))
+         |                        for k in range(0, ${Multimodal.AHashBands})])
+         |              AS BIGINT) AS hamming
+         |  FROM b l JOIN b r ON l.band_idx = r.band_idx
+         |                   AND l.band_val = r.band_val
+         |                   AND l.doc_id < r.doc_id)
+         |WHERE hamming <= ${Multimodal.AHashHammingMax}""".stripMargin
+
   // ---- x249 metadata-only aggregates ---------------------------------
   // The engine answers count(*)/min/max per column FROM THE MANIFEST
   // (row counts + zone maps observed in the commits' write jobs — no
@@ -6663,6 +6726,8 @@ object ExtSql {
     "x248_audio_neardup"  -> x248,
     "x249_meta_agg"       -> x249,
     "x250_bloom_skip"     -> x250,
+    "x251_video_phash"    -> x251,
+    "x252_video_neardup"  -> x252,
     "x254_heavy_hitters"  -> x254,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,

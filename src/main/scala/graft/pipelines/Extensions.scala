@@ -396,11 +396,17 @@ object Extensions {
     audioFpMemo.getOrElseUpdate((s, d),
       Multimodal.audioFingerprints(Multimodal.audioTable(docs(s, d))).persist())
 
+  private val vhashMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def vhashShared(s: SparkSession, d: String): DataFrame =
+    vhashMemo.getOrElseUpdate((s, d),
+      Multimodal.videoFrameHashes(s, docs(s, d)).persist())
+
   def clearMemos(session: SparkSession): Unit = {
     Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo,
         ivfMemo, bruteMemo, lexMemo, gannMemo, slicesMemo, tfMemo, kcoreMemo, prMemo,
         champMemo, chunkMemo, rfmMemo, mmrMemo, span8Memo, substrMemo,
-        basketsMemo, ahashMemo, audioFpMemo,
+        basketsMemo, ahashMemo, audioFpMemo, vhashMemo,
         lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
                  // session ref AND a memoized frame whose checkpoint
                  // blocks the loop below frees — an unrecoverable read
@@ -808,6 +814,12 @@ object Extensions {
       Multimodal.bandedHammingPairs(audioFpShared(s, d)))),
     "x249_meta_agg"      -> metaAgg _,
     "x250_bloom_skip"    -> bloomSkip _,
+    // the fourth modality's near-dup track: frame-level signatures off
+    // the real GIF walk, pairs via the shared pigeonhole band join
+    "x251_video_phash"   -> ((s, d) => vhashShared(s, d)
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"), col("vhash"))),
+    "x252_video_neardup" -> ((s, d) => finalShared("x252", s, d)(
+      Multimodal.videoFrameNearDupPairs(vhashShared(s, d)))),
     "x254_heavy_hitters" -> ((s, d) => finalShared("x254", s, d)(
       TextAnalysis.heavyHittersAudit(docs(s, d)))))
 

@@ -54,6 +54,35 @@ class Round16OpsSpec extends SparkSpec {
     assert(rows.forall(_._3), s"evicted heavy hitters: ${rows.filterNot(_._3).mkString(",")}")
   }
 
+  // ---- x251/x252 video frame fingerprints --------------------------------
+
+  test("x251 frame grid: count, ranges and sub-grid drops follow the walk") {
+    // 130 chars → tlen=130, nf = 1 + 130%7 = 5, frame len = 26 < 64:
+    // every frame sub-grid → dropped; 640 chars → nf = 1 + 640%7 = 4,
+    // frames of 160 B → 4 rows
+    val docs = Seq(1L -> ("a" * 130), 2L -> ("ab" * 320)).toDF("doc_id", "text")
+    val rows = graft.ops.Multimodal.videoFrameSignatures(spark, docs)
+      .select("doc_id", "frame_idx", "n_bytes")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(rows.toSeq === Seq((2L, 0L, 160L), (2L, 1L, 160L),
+      (2L, 2L, 160L), (2L, 3L, 160L)))
+  }
+
+  test("x252 identical videos pair frame-by-frame at Hamming 0") {
+    val payload = "The quick brown fox jumps over the lazy dog. " * 8 // 360 B
+    val docs = Seq(1L -> payload, 2L -> payload,
+      3L -> ("zzzzzzzzaaaaaaaa" * 40)).toDF("doc_id", "text")
+    val sigs = graft.ops.Multimodal.videoFrameHashes(spark, docs)
+    val pairs = graft.ops.Multimodal.videoFrameNearDupPairs(sigs)
+      .select("doc_a", "frame_a", "doc_b", "frame_b", "hamming")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // 360 % 7 = 3 → 4 frames of 90 B each; doc 1/2 aligned frames at 0
+    val aligned = pairs.filter(p => p._1 == 1L && p._3 == 2L && p._2 == p._4)
+    assert(aligned.size === 4 && aligned.forall(_._5 == 0L))
+    // within-video frames never pair
+    assert(pairs.forall(p => p._1 < p._3))
+  }
+
   // ---- x249 metadata-only aggregates ------------------------------------
 
   private def freshTable(name: String): String = {
