@@ -1879,6 +1879,49 @@ object TextAnalysis {
           col("t").cast("double")).as("share"))
   }
 
+  /** Keyphrases kept by [[textRank]]. */
+  val TextRankK = 25
+
+  /** x253: TEXTRANK KEYWORDS (Mihalcea & Tarau '04) — PageRank over
+    * the word CO-OCCURRENCE graph: nodes are corpus tokens, an edge
+    * joins each adjacent token pair within a document (window 2,
+    * self-pairs dropped), weight = co-occurrence count in either
+    * order. The rank iteration is the x59 integer grid verbatim
+    * (rank₀ = [[Graph.RankScale]], step = Teleport + 0.85·Σ — BIGINT
+    * `div` end to end) with the WEIGHTED contribution
+    * `(rank div wdeg) · w`; output is the top-[[TextRankK]] tokens by
+    * (rank desc, token) — the corpus keyword list.
+    *
+    * Scale: adjacency extraction is one map-only HOF pass (no
+    * posexplode self-join); the edge list aggregates to distinct
+    * vocabulary pairs (bounded by corpus tokens, far below vocab²);
+    * each of the fixed [[Graph.PrIters]] steps is one keyed join +
+    * one aggregate on the vocab-pair frame; the final top-k is the
+    * heap operator, never a vocabulary-wide sort. */
+  def textRank(documents: DataFrame): DataFrame = {
+    import graft.ops.Graph.{PrIters, RankScale, Teleport}
+    val adj = withTokens(documents)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """filter(transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS u, toks[i + 1] AS v)),
+          |  p -> p.u <> p.v)""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val edges = Caching.temp(adj.union(adj.select(col("v"), col("u")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w")))
+    val wdeg = edges.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+    val withDeg = Caching.temp(edges.join(wdeg, Seq("u")))
+    val r0 = wdeg.select(col("u").as("tok"), lit(RankScale).as("rank"))
+    val rN = (1 to PrIters).foldLeft(r0) { (r, _) =>
+      withDeg.join(r, withDeg("u") === r("tok"))
+        .select(col("v"), (expr("rank div wdeg") * col("w")).as("contrib"))
+        .groupBy(col("v")).agg(sum(col("contrib")).as("s"))
+        .select(col("v").as("tok"),
+          (lit(Teleport) + expr("(s * 17) div 20")).as("rank"))
+    }
+    rN.orderBy(col("rank").desc, col("tok")).limit(TextRankK)
+  }
+
   /** x254: MISRA–GRIES HEAVY-HITTERS AUDIT — run the mergeable
     * [[graft.functions.MisraGries]] summary over the corpus token
     * stream and FORCE its recall guarantee against the exact answer:

@@ -4609,6 +4609,43 @@ object ExtSql {
          |WHERE doc_id IN ($in)""".stripMargin
   }
 
+  // ---- x253 TextRank keywords -----------------------------------------
+  // The x59 unrolled integer power iteration on the word CO-OCCURRENCE
+  // graph (adjacent-token pairs, symmetrized, weighted), weighted
+  // contribution (rank // wdeg) * w, top-K by (rank desc, token).
+
+  private val x253 = {
+    import graft.ops.Graph.{PrIters, RankScale, Teleport}
+    def step(i: Int): String =
+      raw"""r$i AS (
+           |  SELECT we.v AS tok,
+           |         CAST($Teleport +
+           |              ((sum((r${i - 1}.rank // we.wdeg) * we.w) * 17) // 20)
+           |              AS BIGINT) AS rank
+           |  FROM we JOIN r${i - 1} ON we.u = r${i - 1}.tok
+           |  GROUP BY we.v)""".stripMargin
+    raw"""WITH $toksCte,
+         |adj AS (
+         |  SELECT unnest([{'u': toks[i+1], 'v': toks[i+2]}
+         |                 for i in range(0, len(toks) - 1)
+         |                 if toks[i+1] <> toks[i+2]],
+         |                recursive := true)
+         |  FROM tok WHERE len(toks) >= 2),
+         |edges AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS w
+         |  FROM (SELECT u, v FROM adj UNION ALL SELECT v, u FROM adj)
+         |  GROUP BY u, v),
+         |wd AS (SELECT u, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY u),
+         |we AS (SELECT e.u, e.v, e.w, d.wdeg FROM edges e JOIN wd d USING (u)),
+         |r0 AS (SELECT u AS tok, CAST($RankScale AS BIGINT) AS rank FROM wd),
+         |${(1 to PrIters).map(step).mkString(",\n")}
+         |SELECT tok, rank FROM (
+         |  SELECT tok, rank,
+         |         row_number() OVER (ORDER BY rank DESC, tok) AS rn
+         |  FROM r$PrIters)
+         |WHERE rn <= ${graft.ops.TextAnalysis.TextRankK}""".stripMargin
+  }
+
   // ---- x254 Misra–Gries heavy-hitters audit ---------------------------
   // The sketch never runs in SQL — its GUARANTEE is on trial: the
   // engine flags every exact heavy hitter (freq·Capacity > N) with
@@ -6728,6 +6765,7 @@ object ExtSql {
     "x250_bloom_skip"     -> x250,
     "x251_video_phash"    -> x251,
     "x252_video_neardup"  -> x252,
+    "x253_textrank"       -> x253,
     "x254_heavy_hitters"  -> x254,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,

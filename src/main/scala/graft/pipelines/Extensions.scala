@@ -820,6 +820,8 @@ object Extensions {
       .select(col("doc_id"), col("frame_idx"), col("n_bytes"), col("vhash"))),
     "x252_video_neardup" -> ((s, d) => finalShared("x252", s, d)(
       Multimodal.videoFrameNearDupPairs(vhashShared(s, d)))),
+    "x253_textrank"      -> ((s, d) => finalShared("x253", s, d)(
+      TextAnalysis.textRank(docs(s, d)))),
     "x254_heavy_hitters" -> ((s, d) => finalShared("x254", s, d)(
       TextAnalysis.heavyHittersAudit(docs(s, d)))))
 

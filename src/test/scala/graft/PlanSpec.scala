@@ -559,6 +559,15 @@ class PlanSpec extends SparkSpec {
       s"the residual IN must push to the parquet reader:\n$p")
   }
 
+  test("x253 TextRank: heap top-k over keyed iteration joins, no cartesian") {
+    val p = plan("x253_textrank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the keyword cut must be the heap operator, never a vocab sort:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"every rank step is a keyed join:\n$p")
+  }
+
   test("x159 variant shredding is map-only: one parse, no shuffle, no UDF") {
     val p = plan("x159_variant_shred")
     assert(!p.contains("Exchange"), s"shredding must not shuffle:\n$p")

@@ -83,6 +83,21 @@ class Round16OpsSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._3))
   }
 
+  // ---- x253 TextRank ------------------------------------------------------
+
+  test("x253 TextRank ranks the co-occurrence hub above the tail") {
+    // "hub" co-occurs with every spoke; spokes only see the hub — the
+    // hub must take rank 1 ahead of any spoke
+    val docs = (0 until 6).map(i => (i.toLong, s"hub s$i hub s$i hub"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.textRank(docs)
+      .select("tok", "rank").as[(String, Long)].collect()
+    assert(got.head._1 === "hub")
+    assert(got.head._2 > got.tail.head._2)
+    // ranks are descending with the token tiebreak
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+  }
+
   // ---- x249 metadata-only aggregates ------------------------------------
 
   private def freshTable(name: String): String = {
