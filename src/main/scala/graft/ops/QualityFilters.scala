@@ -636,4 +636,54 @@ object QualityFilters {
       .select(col("doc_id"), col("source"), col("clf_score"),
         col("gs").as("norm_score"))
   }
+
+  // ---- x255 split-conformal prediction sets --------------------------
+
+  /** x255: SPLIT-CONFORMAL PREDICTION SETS over the x107 classifier
+    * (Vovk's inductive conformal / Angelopoulos & Bates '21 tutorial
+    * recipe, at α = 0.1): the calibration split (doc_id ≡ 1 mod 3)
+    * supplies nonconformity scores 1 − p(true class); the threshold
+    * q̂ is the ⌈0.9(n+1)⌉-th smallest of them; each test doc
+    * (doc_id ≡ 2 mod 3) gets the prediction SET {c : 1 − p(c) ≤ q̂} —
+    * the finite-sample ≥ 90% marginal coverage guarantee, turned into
+    * per-doc rows (set size + whether the true class is covered) that
+    * both engines derive from exact 1e-4-unit integers (the x163
+    * fixed-point convention; the quantile is an order statistic on
+    * integers, so no percentile-interpolation drift).
+    *
+    * Scale: scores are the map-only classifier battery; the order
+    * statistic uses the two-phase global row number (never a
+    * single-partition sort); q̂ is a 1-row broadcast onto the test
+    * split. The conformal guarantee itself is distribution-free —
+    * exactly why it survives any corpus. */
+  def conformalSets(documents: DataFrame): DataFrame = {
+    val s = classifierScore(documents).select(col("doc_id"),
+      floor(col("clf_score") * 10000 + 0.5).cast("long").as("s4"))
+    val q = withTokens(documents).select(col("doc_id"),
+      (qualityScore(col("text"), col("toks")) >= TextAnalysis.QualityPassBar)
+        .cast("long").as("pass"))
+    val j = Caching.temp(s.join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("s4"), col("pass"),
+        when(col("pass") === 1, lit(10000L) - col("s4"))
+          .otherwise(col("s4")).as("n4")))
+    val cal = j.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val ranked = Ranking.globalRowNumber(
+      cal.select(col("n4"), col("doc_id")),
+      Seq(col("n4"), col("doc_id")), "rn")
+    // k = ⌈0.9·(n+1)⌉ in exact integers; the fixture splits keep
+    // k ≤ n (tiny calibration sets would need the q̂ = ∞ convention)
+    val kF = cal.agg(
+      expr("((count(1) + 1) * 9 + 9) div 10").cast("long").as("k"),
+      count(lit(1)).as("n_cal"))
+    val qhat = ranked.crossJoin(broadcast(kF))
+      .filter(col("rn") === col("k"))
+      .select(col("n4").as("qhat"))
+    j.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .crossJoin(broadcast(qhat))
+      .select(col("doc_id"), col("s4"), col("qhat"),
+        ((lit(10000L) - col("s4") <= col("qhat")).cast("long") +
+          (col("s4") <= col("qhat")).cast("long")).as("set_size"),
+        when(col("pass") === 1, lit(10000L) - col("s4") <= col("qhat"))
+          .otherwise(col("s4") <= col("qhat")).as("covered"))
+  }
 }

@@ -5933,6 +5933,54 @@ object ExtSql {
          |FROM a""".stripMargin
   }
 
+  // ---- x255 split-conformal prediction sets --------------------------
+  // The x163 score/pass frames feed a calibration-split order
+  // statistic (exact 1e-4 integers — k-th smallest nonconformity, no
+  // percentile interpolation) and the per-test-doc prediction sets.
+
+  private val x255 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    raw"""WITH g AS (
+         |$x101
+         |),
+         |f AS (SELECT doc_id, $clfZE5 / 100000.0 AS logit FROM g),
+         |s AS (SELECT doc_id, ${round4("1.0 / (1.0 + exp(-logit))")} AS cs FROM f),
+         |q AS (
+         |  WITH $toksCte
+         |  SELECT doc_id,
+         |         CASE WHEN quality_score >= ${TextAnalysis.QualityPassBar}
+         |              THEN 1 ELSE 0 END AS pass
+         |  FROM (
+         |    SELECT doc_id, $qualityScoreSql
+         |    FROM (
+         |      SELECT doc_id, text,
+         |             len(toks) AS n_tokens,
+         |             len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |             len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |      FROM tok))),
+         |j AS (
+         |  SELECT doc_id, CAST(floor(cs * 10000 + 0.5) AS BIGINT) AS s4, pass,
+         |         CAST(CASE WHEN pass = 1
+         |                   THEN 10000 - floor(cs * 10000 + 0.5)
+         |                   ELSE floor(cs * 10000 + 0.5) END AS BIGINT) AS n4
+         |  FROM s JOIN q USING (doc_id)),
+         |cal AS (SELECT n4, doc_id FROM j WHERE doc_id % 3 = 1),
+         |kq AS (SELECT ((count(*) + 1) * 9 + 9) // 10 AS k FROM cal),
+         |qh AS (
+         |  SELECT n4 AS qhat FROM (
+         |    SELECT n4, row_number() OVER (ORDER BY n4, doc_id) AS rn
+         |    FROM cal) r, kq
+         |  WHERE r.rn = kq.k)
+         |SELECT doc_id, s4, qhat,
+         |       CAST((CASE WHEN 10000 - s4 <= qhat THEN 1 ELSE 0 END)
+         |          + (CASE WHEN s4 <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS set_size,
+         |       CASE WHEN pass = 1 THEN 10000 - s4 <= qhat
+         |            ELSE s4 <= qhat END AS covered
+         |FROM j CROSS JOIN qh
+         |WHERE doc_id % 3 = 2""".stripMargin
+  }
+
   // ---- x164 effective sample size per source -----------------------
 
   private val x164 = {
@@ -6767,6 +6815,7 @@ object ExtSql {
     "x252_video_neardup"  -> x252,
     "x253_textrank"       -> x253,
     "x254_heavy_hitters"  -> x254,
+    "x255_conformal"      -> x255,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -823,7 +823,9 @@ object Extensions {
     "x253_textrank"      -> ((s, d) => finalShared("x253", s, d)(
       TextAnalysis.textRank(docs(s, d)))),
     "x254_heavy_hitters" -> ((s, d) => finalShared("x254", s, d)(
-      TextAnalysis.heavyHittersAudit(docs(s, d)))))
+      TextAnalysis.heavyHittersAudit(docs(s, d)))),
+    "x255_conformal"     -> ((s, d) => finalShared("x255", s, d)(
+      graft.ops.QualityFilters.conformalSets(docs(s, d)))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

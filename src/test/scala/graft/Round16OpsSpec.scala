@@ -98,6 +98,24 @@ class Round16OpsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
   }
 
+  // ---- x255 split-conformal prediction sets --------------------------------
+
+  test("x255 conformal: set algebra is sound and coverage is near the target") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.ops.QualityFilters.conformalSets(docs)
+      .select("doc_id", "set_size", "covered")
+      .as[(Long, Long, Boolean)].collect()
+    val testSplit = docs.filter(col("doc_id") % 3 === 2).count()
+    assert(rows.length.toLong === testSplit, "one row per test doc")
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 2), "sets are over {0,1}")
+    // covered ⇒ the true class is in the set ⇒ set_size ≥ 1
+    assert(rows.filter(_._3).forall(_._2 >= 1))
+    // the 90% marginal guarantee holds in expectation over calibration
+    // draws; on this fixed fixture the measured rate must sit near it
+    val cov = rows.count(_._3).toDouble / rows.length
+    assert(cov >= 0.85, s"measured coverage $cov collapsed below the target band")
+  }
+
   // ---- x249 metadata-only aggregates ------------------------------------
 
   private def freshTable(name: String): String = {
