@@ -4566,6 +4566,36 @@ object ExtSql {
          |                   AND l.doc_id < r.doc_id)
          |WHERE hamming <= ${Multimodal.AHashHammingMax}""".stripMargin
 
+  // ---- x256 incremental inverted-index maintenance --------------------
+  // The engine advances the v1 per-token index stats to v3 by
+  // tokenizing ONLY the change feed's rows (signed postings deltas);
+  // the oracle re-derives the v3 corpus from the fixture rules —
+  // bucket-1 texts get ' reindexed' appended, offset-key copies are
+  // inserted, mod-7 originals are deleted — and rebuilds the index
+  // from scratch.
+
+  private val x256 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    val off = graft.pipelines.Extensions.CdcInsertOffset
+    raw"""WITH v3 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % $nb = 1 THEN text || ' reindexed'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $off, text || ' reindexed'
+         |  FROM documents WHERE doc_id % $nb = 1),
+         |tf AS (
+         |  SELECT doc_id, unnest(
+         |           list_filter(regexp_split_to_array(text, '\s+'),
+         |                       t -> t <> '')) AS tok
+         |  FROM v3),
+         |p AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY 1, 2)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(tf) AS BIGINT) AS sum_tf
+         |FROM p GROUP BY tok""".stripMargin
+  }
+
   // ---- x249 metadata-only aggregates ---------------------------------
   // The engine answers count(*)/min/max per column FROM THE MANIFEST
   // (row counts + zone maps observed in the commits' write jobs — no
@@ -6816,6 +6846,7 @@ object ExtSql {
     "x253_textrank"       -> x253,
     "x254_heavy_hitters"  -> x254,
     "x255_conformal"      -> x255,
+    "x256_incr_index"     -> x256,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -432,6 +432,7 @@ object Extensions {
     bpeMemo.keys.filter(_._1 eq session).foreach(bpeMemo.remove)
     uniMemo.keys.filter(_._1 eq session).foreach(uniMemo.remove)
     cdcMemo.keys.filter(_._1 eq session).foreach(cdcMemo.remove)
+    idxMemo.keys.filter(_._1 eq session).foreach(idxMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
     // the parity pipeline's construction memos (r7): entries must go
     // so the post-eviction rebuild re-registers its persists
@@ -825,12 +826,15 @@ object Extensions {
     "x254_heavy_hitters" -> ((s, d) => finalShared("x254", s, d)(
       TextAnalysis.heavyHittersAudit(docs(s, d)))),
     "x255_conformal"     -> ((s, d) => finalShared("x255", s, d)(
-      graft.ops.QualityFilters.conformalSets(docs(s, d)))))
+      graft.ops.QualityFilters.conformalSets(docs(s, d)))),
+    "x256_incr_index"    -> ((s, d) => finalShared("x256", s, d)(
+      incrementalIndex(s, d))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
-    * same bucket as their seed row. */
-  private val CdcInsertOffset = 10000000L
+    * same bucket as their seed row. (Public: the x256 oracle mirrors
+    * the inserted-key arithmetic.) */
+  val CdcInsertOffset = 10000000L
 
   /** The x228/x237 CDC fixture table, built ONCE per (session, dir):
     * v1 loads the full table, v2 rewrites bucket 1 with +1000 chars
@@ -873,6 +877,75 @@ object Extensions {
   private def changeFeedQ(s: SparkSession, d: String): DataFrame = {
     val (table, v1, v3) = cdcFixture(s, d)
     graft.sources.TxnLog.changeFeed(s, table, v1, v3, "doc_id")
+  }
+
+  /** The x256 TEXT-BEARING CDC fixture (the [[cdcFixture]] protocol on
+    * (doc_id, text) rows): v2's bucket-1 rewrite APPENDS a token to
+    * each text and inserts offset-key copies; v3 tombstone-deletes the
+    * mod-7 originals. Memoized like [[cdcMemo]]. */
+  private val idxMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Long, Long)]
+  private def idxFixture(s: SparkSession, d: String): (String, Long, Long) =
+    idxMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val table = graft.sources.Bucketing.buildPath(
+        s"graft-txn/idx_${Integer.toHexString(d.hashCode)}")
+      TxnLog.reset(table)
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(table, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+      val b1 = slice(1).withColumn("text",
+        concat(col("text"), lit(" reindexed")))
+      val v2 = TxnLog.commit(table, v1, Map(1 ->
+        b1.unionByName(b1.select(
+          (col("doc_id") + CdcInsertOffset).as("doc_id"), col("text")))))
+      val v3 = TxnLog.commitDeletes(table,
+        d0.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id", v2)
+      (table, v1, v3)
+    })
+
+  /** x256: INCREMENTAL INVERTED-INDEX MAINTENANCE FROM THE CHANGE FEED
+    * — the x237 signed-delta algebra applied to a SEARCH INDEX (the
+    * Lucene-segment / Elasticsearch-reindex problem done the lakehouse
+    * way): the per-token index stats (df, Σtf) materialized at v1 are
+    * advanced to v3 by tokenizing ONLY the feed's changed rows —
+    * inserts add a doc's postings, deletes subtract the PRE-image's,
+    * updates subtract pre and add post (a token whose count is
+    * untouched by the edit nets to zero automatically). Tokens whose
+    * document frequency reaches zero leave the index. The oracle
+    * re-derives the v3 corpus from the fixture rules and rebuilds the
+    * index FROM SCRATCH: one dropped, double-applied or mis-signed
+    * posting delta breaks the hash.
+    *
+    * Scale: the refresh tokenizes O(changed docs), never the corpus —
+    * at 100 TB a trickle of edits maintains BM25-grade index stats for
+    * the cost of the trickle; both legs are token-keyed hash
+    * aggregates. */
+  private def incrementalIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (table, v1, v3) = idxFixture(s, d)
+    val feed = finalShared("x256feed", s, d)(
+      TxnLog.changeFeed(s, table, v1, v3, "doc_id"))
+    val base = TextAnalysis.docTermFreq(TxnLog.snapshot(s, table, v1))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_tf"))
+    val sign = when(col("change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val delta = feed.select(col("doc_id"), sign.as("sgn"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("sgn"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"))
+      .agg(sum(col("sgn")).as("d_docs"),
+        sum(col("sgn") * col("tf")).as("d_tf"))
+    base.join(delta, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_tf"), lit(0L)) +
+          coalesce(col("d_tf"), lit(0L))).as("sum_tf"))
+      .filter(col("n_docs") > 0)
   }
 
   /** x237: INCREMENTAL VIEW MAINTENANCE FROM THE CHANGE FEED — the
