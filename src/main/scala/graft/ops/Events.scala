@@ -522,6 +522,71 @@ object Events {
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n")))
 
+  /** x257 two-sided normal critical value at α = 0.05. */
+  val MkZCrit = 1.96
+
+  /** x257: MANN–KENDALL TREND TEST + SEN'S SLOPE per event type over
+    * the daily-volume series — the standard NONPARAMETRIC trend pair
+    * (Mann '45 / Kendall '75; Sen '68): S = Σ_{i<j} sign(n_j − n_i)
+    * on day-ordered pairs (exact BIGINT), the ties-corrected variance
+    * kept as its exact integer numerator var18 = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5) (the /18 folds into the z denominator), the
+    * continuity-corrected z = (S ∓ 1)/√(var18/18), and Sen's slope =
+    * the MEDIAN of the pairwise slopes (n_j − n_i)/(day_j − day_i) —
+    * robust where x139's EWMA and x156's OLS seasonality are
+    * outlier-sensitive. A constant series (var18 = 0) reports z = 0,
+    * not NaN (the x238 degenerate-input lesson).
+    *
+    * Scale: the corpus-sized work is the ONE hash aggregate to the
+    * (type × day) grid (shared [[dailyCounts]]); the pair join is
+    * day-grid² WITHIN each type — series-length-bounded, independent
+    * of event count (a year is ~66k pairs per type); the median is a
+    * per-type window over those bounded pairs. */
+  def mannKendallDaily(events: DataFrame): DataFrame = {
+    val daily = dailyCounts(events)
+    val l = daily.select(col("event_type"), col("day").as("di"), col("n").as("ni"))
+    val r = daily.select(col("event_type"), col("day").as("dj"), col("n").as("nj"))
+    val pairs = Caching.temp(
+      l.join(r, Seq("event_type")).filter(col("di") < col("dj")))
+    val sAgg = pairs.groupBy(col("event_type"))
+      .agg(sum(signum(col("nj") - col("ni")).cast("long")).as("s_stat"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("di"), col("dj"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val med = pairs
+      .select(col("event_type"), col("di"), col("dj"),
+        ((col("nj") - col("ni")).cast("double") /
+          (col("dj") - col("di")).cast("double")).as("slope"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(col("rn") === (col("m") + 1) / 2 ||
+        col("rn") === col("m") / 2 + 1)
+      .groupBy(col("event_type"))
+      .agg(avg(col("slope")).as("sen_raw"))
+    val ties = daily.groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val var18 = expr("n_days * (n_days - 1) * (2 * n_days + 5)") - col("tie18")
+    val z = when(var18 === 0, lit(0.0))
+      .when(col("s_stat") > 0,
+        (col("s_stat") - 1).cast("double") / sqrt(var18.cast("double") / 18.0))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1).cast("double") / sqrt(var18.cast("double") / 18.0))
+      .otherwise(lit(0.0))
+    nDays.join(sAgg, Seq("event_type")).join(ties, Seq("event_type"))
+      .join(med, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        var18.as("var18"),
+        Portable.round4(z).as("z"),
+        Portable.round4(col("sen_raw")).as("sen_slope"),
+        when(Portable.round4(z) > MkZCrit, "increasing")
+          .when(Portable.round4(z) < -MkZCrit, "decreasing")
+          .otherwise("none").as("trend"))
+  }
+
   /** x139 decay per elapsed DAY (missing days decay too — the index is
     * the real day offset, not the observed-row ordinal). */
   val EwmaDecay = 0.9

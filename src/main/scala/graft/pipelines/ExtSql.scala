@@ -5427,6 +5427,50 @@ object ExtSql {
          |FROM c""".stripMargin
   }
 
+  // ---- x257 Mann–Kendall trend + Sen's slope ------------------------
+  // Exact-integer S and ties-corrected variance numerator (the /18
+  // folds into the z denominator); Sen's slope is the interpolated
+  // median of the day-pair slopes. Constant series report z = 0.
+
+  private val x257 =
+    raw"""WITH $dailyCte,
+         |p AS (
+         |  SELECT l.event_type, l.day AS di, r.day AS dj, l.n AS ni, r.n AS nj
+         |  FROM daily l JOIN daily r
+         |    ON l.event_type = r.event_type AND l.day < r.day),
+         |s AS (SELECT event_type, CAST(sum(sign(nj - ni)) AS BIGINT) AS s_stat
+         |      FROM p GROUP BY 1),
+         |med AS (SELECT event_type,
+         |               median((nj - ni) / CAST(dj - di AS DOUBLE)) AS sen_raw
+         |        FROM p GROUP BY 1),
+         |tie AS (SELECT event_type,
+         |               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+         |        FROM (SELECT event_type, n, count(*) AS t
+         |              FROM daily GROUP BY 1, 2)
+         |        GROUP BY 1),
+         |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+         |       FROM daily GROUP BY 1),
+         |zc AS (
+         |  SELECT nd.event_type, n_days, s_stat,
+         |         n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18,
+         |         sen_raw
+         |  FROM nd JOIN s USING (event_type) JOIN tie USING (event_type)
+         |       JOIN med USING (event_type)),
+         |z AS (
+         |  SELECT event_type, n_days, s_stat, var18, sen_raw,
+         |         CASE WHEN var18 = 0 THEN 0.0
+         |              WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+         |              WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+         |              ELSE 0.0 END AS zraw
+         |  FROM zc)
+         |SELECT event_type, n_days, s_stat, var18,
+         |       ${round4("zraw")} AS z,
+         |       ${round4("sen_raw")} AS sen_slope,
+         |       CASE WHEN ${round4("zraw")} > ${Events.MkZCrit} THEN 'increasing'
+         |            WHEN ${round4("zraw")} < -${Events.MkZCrit} THEN 'decreasing'
+         |            ELSE 'none' END AS trend
+         |FROM z""".stripMargin
+
   // ---- x140 Zipf slope per language --------------------------------
 
   private val x140 = {
@@ -6847,6 +6891,7 @@ object ExtSql {
     "x254_heavy_hitters"  -> x254,
     "x255_conformal"      -> x255,
     "x256_incr_index"     -> x256,
+    "x257_mann_kendall"   -> x257,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

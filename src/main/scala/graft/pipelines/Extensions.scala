@@ -828,7 +828,8 @@ object Extensions {
     "x255_conformal"     -> ((s, d) => finalShared("x255", s, d)(
       graft.ops.QualityFilters.conformalSets(docs(s, d)))),
     "x256_incr_index"    -> ((s, d) => finalShared("x256", s, d)(
-      incrementalIndex(s, d))))
+      incrementalIndex(s, d))),
+    "x257_mann_kendall"  -> ((s, d) => Events.mannKendallDaily(evs(s, d))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

@@ -116,6 +116,28 @@ class Round16OpsSpec extends SparkSpec {
     assert(cov >= 0.85, s"measured coverage $cov collapsed below the target band")
   }
 
+  // ---- x257 Mann–Kendall -----------------------------------------------
+
+  test("x257 MK: monotone series trends, constant series reports z = 0") {
+    def ev(tp: String, day: Long, k: Int) = (0 until k).map(i =>
+      (tp + day + "_" + i, 1L, tp,
+        new java.sql.Timestamp(day * 86400000L + i), 1.0, "{}"))
+    // "up": 1,2,…,12 events/day over 12 days; "flat": 5/day over 12
+    val rows = (1L to 12L).flatMap(d => ev("up", d, d.toInt)) ++
+      (1L to 12L).flatMap(d => ev("flat", d, 5))
+    val events = rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val got = graft.ops.Events.mannKendallDaily(events)
+      .select("event_type", "s_stat", "var18", "z", "sen_slope", "trend")
+      .as[(String, Long, Long, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val up = got("up")
+    assert(up._2 === 66L, "all 66 pairs concordant") // C(12,2)
+    assert(up._6 === "increasing" && up._5 === 1.0)
+    val flat = got("flat")
+    assert(flat._2 === 0L && flat._3 === 0L, "ties kill S and the variance")
+    assert(flat._4 === 0.0 && flat._6 === "none")
+  }
+
   // ---- x249 metadata-only aggregates ------------------------------------
 
   private def freshTable(name: String): String = {
