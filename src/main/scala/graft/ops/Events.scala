@@ -508,7 +508,7 @@ object Events {
       .select(col("event_type"), col("hour"), col("gid"),
         col("n_events"), col("value_cents"))
 
-  private val DayMs  = 86400000L
+  private[graft] val DayMs = 86400000L
   private val WeekMs = 7 * DayMs
 
   /** The exact (event_type × day) daily-count grid — the shared input

@@ -5471,6 +5471,24 @@ object ExtSql {
          |            ELSE 'none' END AS trend
          |FROM z""".stripMargin
 
+  // ---- x258 streaming heavy hitters (top talkers) --------------------
+  // The MG sketch folds in the STREAM; the oracle emits the exact
+  // per-day heavy hitters with literal TRUE membership (x254's audit
+  // convention on the streaming face).
+
+  private val x258 = {
+    val m = graft.functions.MisraGries.Capacity
+    raw"""WITH $toksCte,
+         |t AS (SELECT lang, unnest(toks) AS tok FROM tok),
+         |e AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM t GROUP BY 1, 2),
+         |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+         |      FROM t GROUP BY 1)
+         |SELECT e.lang, e.tok, cnt, TRUE AS in_sketch
+         |FROM e JOIN n USING (lang)
+         |WHERE cnt * $m > n_lang""".stripMargin
+  }
+
   // ---- x140 Zipf slope per language --------------------------------
 
   private val x140 = {
@@ -6892,6 +6910,7 @@ object ExtSql {
     "x255_conformal"      -> x255,
     "x256_incr_index"     -> x256,
     "x257_mann_kendall"   -> x257,
+    "x258_stream_heavy"   -> x258,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -829,7 +829,10 @@ object Extensions {
       graft.ops.QualityFilters.conformalSets(docs(s, d)))),
     "x256_incr_index"    -> ((s, d) => finalShared("x256", s, d)(
       incrementalIndex(s, d))),
-    "x257_mann_kendall"  -> ((s, d) => Events.mannKendallDaily(evs(s, d))))
+    "x257_mann_kendall"  -> ((s, d) => Events.mannKendallDaily(evs(s, d))),
+    // protocol-bearing like x219/x245: a real AvailableNow stateful run
+    "x258_stream_heavy"  -> ((s, d) =>
+      graft.streaming.EventStream.streamHeavyTokensAvailableNow(s, d)))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

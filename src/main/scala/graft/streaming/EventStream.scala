@@ -780,6 +780,63 @@ object EventStream {
     * session so the HDFS-backed defaults of the other streaming
     * queries in this JVM stay untouched (same scoping discipline as
     * the x88 rewrite rule). */
+  /** x258: STREAMING HEAVY HITTERS — the x254 Misra–Gries summary as
+    * per-language stream state (the x231 pattern: every batch sketch
+    * gets a streaming face): the document stream's tokens group by
+    * lang, each micro-batch folds its rows into the lang's
+    * ≤ Capacity-entry MG state via `flatMapGroupsWithState` (the v1
+    * arbitrary-state API, beside x24's sessions and x95's v2
+    * processor) and emits the surviving candidate keys. The audit leg
+    * mirrors x254: the EXACT per-lang heavy tokens
+    * (cnt·Capacity > n_lang, an ordinary batch aggregate) flagged with
+    * stream-sketch membership — the MG recall guarantee holds for any
+    * arrival order, so the oracle emits literal TRUE; an eviction bug
+    * in the streaming fold breaks the hash. (Token frequencies are
+    * Zipfian, so the heavy set is non-empty at every SF — unlike
+    * uniform user traffic, where heavy hitters wash out as the
+    * corpus grows.)
+    *
+    * Scale: state is O(Capacity) entries per language across the
+    * [[StreamStatePartitions]] state stores — the exact streaming
+    * answer would keep the full vocabulary in state; the sketch
+    * keeps 128 counters. */
+  def streamHeavyTokensAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.MisraGries
+    val base = sinkDir("mglang")
+    val toksS = readDocuments(s, dir)
+      .select(col("lang"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      .as[(String, String)]
+    val cands = toksS.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, String)],
+         st: GroupState[Map[String, Long]]) =>
+          val merged = rows.foldLeft(st.getOption.getOrElse(MisraGries.zero))(
+            (m, r) => MisraGries.reduce(m, r._2))
+          st.update(merged)
+          merged.keysIterator.map(t => (lang, t))
+      }.toDF("lang", "tok")
+    runToParquet(cands, base)
+    val back = s.read.schema(StructType(Seq(
+        StructField("lang", StringType), StructField("tok", StringType))))
+      .parquet(s"$base/data")
+      .distinct() // multi-batch replays emit a lang's candidates again
+      .withColumn("in_stream_sketch", lit(true))
+    val dd = graft.ops.TextAnalysis.withTokens(
+        graft.sources.Tables.documents(s, dir))
+      .select(col("lang"), explode(col("toks")).as("tok"))
+    val exact = dd.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = dd.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    exact.join(tot, Seq("lang"))
+      .filter(col("cnt") * MisraGries.Capacity > col("n_lang"))
+      .join(back, Seq("lang", "tok"), "left")
+      .select(col("lang"), col("tok"), col("cnt"),
+        coalesce(col("in_stream_sketch"), lit(false)).as("in_sketch"))
+  }
+
   def runningTotalsAvailableNow(s: SparkSession, dir: String): DataFrame = {
     val sub = s.newSession()
     sub.conf.set("spark.sql.streaming.stateStore.providerClass",
