@@ -1143,6 +1143,70 @@ object Similarity {
           lit(k).cast("double")).as("recall"))
   }
 
+  /** x259: the 64-bit SIGN WORD of each embedding (1-bit-per-dimension
+    * binary quantization — [[Dim]] = 64 packs the whole vector into
+    * ONE BIGINT; bit d set iff v_d > 0, zeros quantize to 0 in both
+    * engines). Bit 63 lands on the sign bit by two's complement in
+    * both engines, so the packed word is hash-identical. */
+  def bqWords(vs: DataFrame): DataFrame =
+    vs.select(col("vec_id"), col("v"), col("nrm"), expr(
+      s"""aggregate(sequence(0, ${Dim - 1}), 0L, (acc, d) ->
+         |  acc + IF(element_at(v, CAST(d + 1 AS INT)) > 0.0D,
+         |           shiftleft(1L, CAST(d AS INT)), 0L))""".stripMargin)
+      .as("w64"))
+
+  /** x259: BINARY-QUANTIZATION RE-RANK RECALL — the 1-bit member of
+    * the quantization family (SQ8 x181, PQ x200, PQ+re-rank x218):
+    * stage 1 scans ONE 64-bit word per corpus vector and ranks by
+    * Hamming distance (a popcount per comparison — 64× smaller reads
+    * and integer ops instead of FMA, the reason BQ is the fashionable
+    * first cut in vector stores); the k·[[RerankFactor]] short-list is
+    * re-ranked by exact cosine and cut to k; recall is audited against
+    * the exact brute top-k (the x218 protocol, swapping ADC for
+    * Hamming).
+    *
+    * Scale: the stage-1 scan is |probes|·|corpus| WORD comparisons —
+    * the audit's exact leg (annBruteFrom) stays the ground-truth
+    * convention (x10); the production win measured here is the
+    * bytes-per-candidate ratio, priced by the recall column. */
+  def bqRerankRecall(vs: DataFrame, k: Int = TopK,
+                     factor: Int = RerankFactor): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Caching.temp(bqWords(vs).select(col("vec_id"), col("w64")))
+    val probes = broadcast(words.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("w64").as("qw")))
+    val wh = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val shortList = probes.crossJoin(words)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("CAST(bit_count(qw ^ w64) AS BIGINT)").as("ham"))
+      .withColumn("rnk", row_number().over(wh))
+      .filter(col("rnk") <= k * factor)
+      .select(col("q_id"), col("vec_id"))
+    val fullProbes = broadcast(vs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val rer = shortList
+      .join(vs.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(fullProbes, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val brute = annBruteFrom(vs, k).select(col("q_id"), col("vec_id"))
+    val common = brute.join(rer, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+      .join(common, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_brute"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        Portable.round4(coalesce(col("n_common"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("recall"))
+  }
+
   /** int8 levels for the x181 scalar quantizer. */
   val SqLevels = 255
 

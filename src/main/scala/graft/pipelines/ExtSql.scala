@@ -571,6 +571,49 @@ object ExtSql {
          |${bruteRecallTail("rer")}""".stripMargin
   }
 
+  // ---- x259 binary-quantization re-rank recall ------------------------
+  // Mirrors Similarity.bqRerankRecall: 64-bit sign words, Hamming
+  // stage 1 cut at k*RerankFactor, exact-cosine re-rank to k, the
+  // x218 recall tail.
+
+  private lazy val x259 = {
+    val k = Similarity.TopK
+    val f = Similarity.RerankFactor
+    val qs = Similarity.QueryStride
+    raw"""WITH $vecCte,
+         |bw AS (
+         |  -- DuckDB's << checks overflow, so bit 63 (the sign bit the
+         |  -- engine reaches by two's-complement shiftleft) is spelled
+         |  -- as the BIGINT minimum literal
+         |  SELECT vec_id,
+         |         CAST(list_sum([CASE WHEN v[d+1] <= 0.0 THEN 0::BIGINT
+         |                             WHEN d = 63
+         |                               THEN -9223372036854775807 - 1
+         |                             ELSE (1::BIGINT << d) END
+         |                        for d in range(0, $dim)]) AS BIGINT) AS w64
+         |  FROM vn),
+         |sl AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY bit_count(xor(q.w64, c.w64)) ASC,
+         |                      c.vec_id ASC) AS rnk
+         |    FROM (SELECT * FROM bw WHERE vec_id % $qs = 0) q
+         |    CROSS JOIN bw c
+         |    WHERE q.vec_id <> c.vec_id)
+         |  WHERE rnk <= ${k * f}),
+         |rer AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT t.q_id, t.vec_id,
+         |           row_number() OVER (PARTITION BY t.q_id
+         |             ORDER BY ${cosExpr("q.v", "q.nrm", "v2.v", "v2.nrm")} DESC,
+         |                      t.vec_id) AS rnk
+         |    FROM sl t JOIN vn v2 ON v2.vec_id = t.vec_id
+         |         JOIN vn q ON q.vec_id = t.q_id)
+         |  WHERE rnk <= $k),
+         |${bruteRecallTail("rer")}""".stripMargin
+  }
+
   // ---- x12/x13 multimodal ------------------------------------------
 
   /** png-class docs (md5 nibble % 3 = 1) are wrapped as real PNG files
@@ -6911,6 +6954,7 @@ object ExtSql {
     "x256_incr_index"     -> x256,
     "x257_mann_kendall"   -> x257,
     "x258_stream_heavy"   -> x258,
+    "x259_bq_rerank"      -> x259,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -832,7 +832,13 @@ object Extensions {
     "x257_mann_kendall"  -> ((s, d) => Events.mannKendallDaily(evs(s, d))),
     // protocol-bearing like x219/x245: a real AvailableNow stateful run
     "x258_stream_heavy"  -> ((s, d) =>
-      graft.streaming.EventStream.streamHeavyTokensAvailableNow(s, d)))
+      graft.streaming.EventStream.streamHeavyTokensAvailableNow(s, d)),
+    // rides the shared vectors; the exact leg substitutes from the
+    // brute memo (the x246 pre-registration trick)
+    "x259_bq_rerank"     -> ((s, d) => finalShared("x259", s, d)({
+      bruteShared(s, d)
+      Similarity.bqRerankRecall(vecsShared(s, d))
+    })))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
