@@ -221,6 +221,33 @@ object DataProfile {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("k_anonymous", col("n_rows") >= k)
 
+  /** x261 diversity bar: a quasi-identifier group needs ≥ this many
+    * distinct sensitive values. */
+  val LDiversityL = 3
+
+  /** x261: l-DIVERSITY AUDIT (Machanavajjhala et al. '07) — the check
+    * k-anonymity (x122) famously misses: a group can be k-anonymous
+    * yet expose its members because every row shares the SAME
+    * sensitive value (the homogeneity attack). Quasi-identifiers are
+    * x122's (nationkey, balance band) with mktsegment as the sensitive
+    * attribute; each group reports its size, its distinct-sensitive
+    * count and the ≥ [[LDiversityL]] verdict — release gating reads
+    * BOTH audits.
+    *
+    * Scale: one hash aggregate to the QI grid (count + count distinct
+    * — the distinct resolves map-side per group since mktsegment is
+    * low-cardinality); grid-sized output. */
+  def lDiversity(customer: DataFrame, l: Int = LDiversityL): DataFrame =
+    customer
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(floor(col("c_acctbal") * 100 + 0.5) / 100000.0)
+          .cast("long").as("bal_band"))
+      .groupBy(col("nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("mktsegment")).as("n_sensitive"))
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+
   /** x135 privacy budget. */
   val DpEpsilon = 1.0
 

@@ -656,16 +656,21 @@ object QualityFilters {
     * single-partition sort); q̂ is a 1-row broadcast onto the test
     * split. The conformal guarantee itself is distribution-free —
     * exactly why it survives any corpus. */
-  def conformalSets(documents: DataFrame): DataFrame = {
+  /** The shared conformal score frame: (doc_id, lang, s4, pass, n4). */
+  private def conformalBase(documents: DataFrame): DataFrame = {
     val s = classifierScore(documents).select(col("doc_id"),
       floor(col("clf_score") * 10000 + 0.5).cast("long").as("s4"))
-    val q = withTokens(documents).select(col("doc_id"),
+    val q = withTokens(documents).select(col("doc_id"), col("lang"),
       (qualityScore(col("text"), col("toks")) >= TextAnalysis.QualityPassBar)
         .cast("long").as("pass"))
-    val j = Caching.temp(s.join(q, Seq("doc_id"))
-      .select(col("doc_id"), col("s4"), col("pass"),
+    Caching.temp(s.join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("s4"), col("pass"),
         when(col("pass") === 1, lit(10000L) - col("s4"))
           .otherwise(col("s4")).as("n4")))
+  }
+
+  def conformalSets(documents: DataFrame): DataFrame = {
+    val j = conformalBase(documents)
     val cal = j.filter(pmod(col("doc_id"), lit(3)) === 1)
     val ranked = Ranking.globalRowNumber(
       cal.select(col("n4"), col("doc_id")),
@@ -681,6 +686,43 @@ object QualityFilters {
     j.filter(pmod(col("doc_id"), lit(3)) === 2)
       .crossJoin(broadcast(qhat))
       .select(col("doc_id"), col("s4"), col("qhat"),
+        ((lit(10000L) - col("s4") <= col("qhat")).cast("long") +
+          (col("s4") <= col("qhat")).cast("long")).as("set_size"),
+        when(col("pass") === 1, lit(10000L) - col("s4") <= col("qhat"))
+          .otherwise(col("s4") <= col("qhat")).as("covered"))
+  }
+
+  /** x260: MONDRIAN (GROUP-CONDITIONAL) CONFORMAL PREDICTION — the
+    * x255 recipe with one threshold PER LANGUAGE (Vovk's Mondrian
+    * taxonomy; Angelopoulos & Bates §4.6 "group-balanced conformal"):
+    * marginal coverage can hide a badly-covered minority group, so
+    * each lang's calibration split supplies its own
+    * ⌈0.9(n_g+1)⌉-th-smallest q̂_g and the guarantee holds PER GROUP.
+    * Output adds lang and the group threshold beside the x255 row
+    * shape — reading both keys side by side prices what
+    * group-conditioning costs in set size.
+    *
+    * Scale: the per-group order statistic is a lang-partitioned
+    * window (the x62/x106 per-group-rank precedent — a group's
+    * calibration SPLIT, a 1/3 sample, is the windowed unit, and the
+    * group count is the parallelism); thresholds are a groups-sized
+    * broadcast joined back by lang. */
+  def mondrianConformalSets(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = conformalBase(documents)
+    val cal = j.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val wOrd = Window.partitionBy(col("lang"))
+      .orderBy(col("n4"), col("doc_id"))
+    val wAll = Window.partitionBy(col("lang"))
+    val qhats = cal
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("k",
+        expr("(((count(1) OVER (PARTITION BY lang)) + 1) * 9 + 9) div 10"))
+      .filter(col("rn") === col("k"))
+      .select(col("lang"), col("n4").as("qhat"))
+    j.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .join(broadcast(qhats), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("s4"), col("qhat"),
         ((lit(10000L) - col("s4") <= col("qhat")).cast("long") +
           (col("s4") <= col("qhat")).cast("long")).as("set_size"),
         when(col("pass") === 1, lit(10000L) - col("s4") <= col("qhat"))

@@ -6116,6 +6116,65 @@ object ExtSql {
          |WHERE doc_id % 3 = 2""".stripMargin
   }
 
+  // ---- x260 Mondrian (per-language) conformal -------------------------
+  // The x255 chain with one per-lang order-statistic threshold.
+
+  private val x260 = {
+    val stop = strList(TextAnalysis.Stopwords)
+    raw"""WITH g AS (
+         |$x101
+         |),
+         |f AS (SELECT doc_id, $clfZE5 / 100000.0 AS logit FROM g),
+         |s AS (SELECT doc_id, ${round4("1.0 / (1.0 + exp(-logit))")} AS cs FROM f),
+         |q AS (
+         |  WITH $toksCte
+         |  SELECT doc_id, lang,
+         |         CASE WHEN quality_score >= ${TextAnalysis.QualityPassBar}
+         |              THEN 1 ELSE 0 END AS pass
+         |  FROM (
+         |    SELECT doc_id, lang, $qualityScoreSql
+         |    FROM (
+         |      SELECT doc_id, lang, text,
+         |             len(toks) AS n_tokens,
+         |             len(regexp_extract_all(text, '${TextAnalysis.PunctPattern}')) AS n_punct,
+         |             len(list_filter(toks, t -> list_contains($stop, t))) AS n_stopwords
+         |      FROM tok))),
+         |j AS (
+         |  SELECT doc_id, lang, CAST(floor(cs * 10000 + 0.5) AS BIGINT) AS s4, pass,
+         |         CAST(CASE WHEN pass = 1
+         |                   THEN 10000 - floor(cs * 10000 + 0.5)
+         |                   ELSE floor(cs * 10000 + 0.5) END AS BIGINT) AS n4
+         |  FROM s JOIN q USING (doc_id)),
+         |cal AS (
+         |  SELECT lang, n4,
+         |         row_number() OVER (PARTITION BY lang ORDER BY n4, doc_id) AS rn,
+         |         (((count(*) OVER (PARTITION BY lang)) + 1) * 9 + 9) // 10 AS k
+         |  FROM j WHERE doc_id % 3 = 1),
+         |qh AS (SELECT lang, n4 AS qhat FROM cal WHERE rn = k)
+         |SELECT doc_id, j.lang, s4, qhat,
+         |       CAST((CASE WHEN 10000 - s4 <= qhat THEN 1 ELSE 0 END)
+         |          + (CASE WHEN s4 <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS set_size,
+         |       CASE WHEN pass = 1 THEN 10000 - s4 <= qhat
+         |            ELSE s4 <= qhat END AS covered
+         |FROM j JOIN qh ON j.lang = qh.lang
+         |WHERE doc_id % 3 = 2""".stripMargin
+  }
+
+  // ---- x261 l-diversity audit -----------------------------------------
+
+  private val x261 = {
+    val l = graft.ops.DataProfile.LDiversityL
+    raw"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |       CAST(floor(floor(c_acctbal * 100 + 0.5) / 100000.0) AS BIGINT)
+         |         AS bal_band,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+         |       count(DISTINCT c_mktsegment) >= $l AS l_diverse
+         |FROM customer
+         |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- x164 effective sample size per source -----------------------
 
   private val x164 = {
@@ -6955,6 +7014,8 @@ object ExtSql {
     "x257_mann_kendall"   -> x257,
     "x258_stream_heavy"   -> x258,
     "x259_bq_rerank"      -> x259,
+    "x260_mondrian"       -> x260,
+    "x261_l_diversity"    -> x261,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -838,7 +838,11 @@ object Extensions {
     "x259_bq_rerank"     -> ((s, d) => finalShared("x259", s, d)({
       bruteShared(s, d)
       Similarity.bqRerankRecall(vecsShared(s, d))
-    })))
+    })),
+    "x260_mondrian"      -> ((s, d) => finalShared("x260", s, d)(
+      graft.ops.QualityFilters.mondrianConformalSets(docs(s, d)))),
+    "x261_l_diversity"   -> ((s, d) =>
+      graft.ops.DataProfile.lDiversity(Tables.customer(s, d))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the

@@ -138,6 +138,36 @@ class Round16OpsSpec extends SparkSpec {
     assert(flat._4 === 0.0 && flat._6 === "none")
   }
 
+  // ---- x260 Mondrian conformal / x261 l-diversity -------------------------
+
+  test("x260 Mondrian: per-group thresholds, sound sets, near-target coverage") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.ops.QualityFilters.mondrianConformalSets(docs)
+      .select("lang", "set_size", "covered", "qhat")
+      .as[(String, Long, Boolean, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._2 >= 0 && r._2 <= 2))
+    // group-conditional: every language must hold its own coverage band
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val cov = rs.count(_._3).toDouble / rs.length
+      assert(cov >= 0.8, s"$lang group coverage $cov collapsed")
+      assert(rs.map(_._4).distinct.length === 1,
+        s"$lang must carry ONE group threshold")
+    }
+  }
+
+  test("x261 l-diversity flags the homogeneous group k-anonymity passes") {
+    // group (1, 0): 5 rows (k-anonymous at k=5) but ONE segment —
+    // homogeneous; group (2, 0): 3 rows, 3 segments — diverse
+    val c = (Seq.fill(5)((1L, "BUILDING", 100.0)) ++
+      Seq((2L, "AUTOMOBILE", 100.0), (2L, "MACHINERY", 100.0),
+        (2L, "HOUSEHOLD", 100.0)))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.ops.DataProfile.lDiversity(c)
+      .select("nationkey", "n_rows", "n_sensitive", "l_diverse")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 5L, 1L, false), (2L, 3L, 3L, true)))
+  }
+
   // ---- x249 metadata-only aggregates ------------------------------------
 
   private def freshTable(name: String): String = {
