@@ -4639,6 +4639,34 @@ object ExtSql {
          |FROM p GROUP BY tok""".stripMargin
   }
 
+  // ---- x262 time travel -----------------------------------------------
+  // A `VERSION AS OF v1` read after the v2 rewrite/inserts and the v3
+  // tombstone delete: the original full load, untouched.
+
+  private val x262 =
+    raw"""SELECT doc_id, lang, n_chars FROM documents""".stripMargin
+
+  // ---- x263 OPTIMIZE (fold all deletion vectors) ----------------------
+  // The post-OPTIMIZE snapshot: the surviving set, now served without
+  // anti joins (the requires + PlanSpec pin the manifest receipt).
+
+  private val x263 =
+    raw"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id % 7 <> 0""".stripMargin
+
+  // ---- x264 metadata-only column rename --------------------------------
+  // Rename n_chars -> char_count without touching data, then a
+  // physical-schema rewrite of bucket 1 on top: the logical projection
+  // must carry every physical value through.
+
+  private val x264 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""SELECT doc_id, lang,
+         |       CAST(CASE WHEN doc_id % $nb = 1 THEN n_chars + 1000
+         |                 ELSE n_chars END AS BIGINT) AS char_count
+         |FROM documents""".stripMargin
+  }
+
   // ---- x249 metadata-only aggregates ---------------------------------
   // The engine answers count(*)/min/max per column FROM THE MANIFEST
   // (row counts + zone maps observed in the commits' write jobs — no
@@ -7016,6 +7044,9 @@ object ExtSql {
     "x259_bq_rerank"      -> x259,
     "x260_mondrian"       -> x260,
     "x261_l_diversity"    -> x261,
+    "x262_time_travel"    -> x262,
+    "x263_optimize"       -> x263,
+    "x264_col_rename"     -> x264,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

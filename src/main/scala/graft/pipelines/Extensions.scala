@@ -842,7 +842,10 @@ object Extensions {
     "x260_mondrian"      -> ((s, d) => finalShared("x260", s, d)(
       graft.ops.QualityFilters.mondrianConformalSets(docs(s, d)))),
     "x261_l_diversity"   -> ((s, d) =>
-      graft.ops.DataProfile.lDiversity(Tables.customer(s, d))))
+      graft.ops.DataProfile.lDiversity(Tables.customer(s, d))),
+    "x262_time_travel"   -> timeTravel _,
+    "x263_optimize"      -> optimizeQ _,
+    "x264_col_rename"    -> colRename _)
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -1136,6 +1139,77 @@ object Extensions {
   /** The x250 probe keys: three present at every SF (doc_ids are
     * dense from 0) and one absent. */
   val BloomProbes: Seq[Long] = Seq(1L, 2L, 3L, 987654321L)
+
+  /** x262: TIME TRAVEL — read `VERSION AS OF v1` AFTER the table has
+    * moved on (the x228 fixture: a v2 bucket rewrite + inserts and a
+    * v3 tombstone delete exist above it): the v1 snapshot must return
+    * the ORIGINAL full load untouched — no rewritten chars, no
+    * inserted keys, no subtracted tombstones. x216's spec pins
+    * isolation as an assertion; this makes the versioned read an
+    * oracle-hashed result row like any other query (the oracle is the
+    * plain original table). Rides the memoized CDC fixture — the
+    * protocol builds once per (session, dir). */
+  private def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val (table, v1, _) = cdcFixture(s, d)
+    graft.sources.TxnLog.snapshot(s, table, v1)
+  }
+
+  /** x263: OPTIMIZE end to end (see [[graft.sources.TxnLog.optimize]]):
+    * v1 loads the full table, v2 tombstone-deletes every doc_id ≡ 0
+    * (mod 7) — deletion vectors land in ALL four buckets — and
+    * OPTIMIZE folds every one of them in a single commit. The requires
+    * pin the receipt (v3 exists, its manifest carries zero tombstones,
+    * all four buckets rewritten); the query reads the post-OPTIMIZE
+    * snapshot, whose plan is a bare multi-path scan again (PlanSpec
+    * pins: no anti join survives), and the oracle — the surviving
+    * set — proves compaction dropped exactly the deleted rows. */
+  private def optimizeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/opt_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+    val v2 = TxnLog.commitDeletes(table,
+      d0.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id", v1)
+    val v3 = TxnLog.optimize(s, table, v2)
+    require(v3 == v2 + 1, s"optimize must commit one version, got $v3")
+    require(scala.util.Try(TxnLog.metaAggregate(s, table)).isSuccess,
+      "post-OPTIMIZE manifest must be tombstone-free (metaAggregate accepts it)")
+    TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** x264: METADATA-ONLY COLUMN RENAME end to end (see
+    * [[graft.sources.TxnLog.commitRename]] — the Delta column-mapping
+    * contract): v1 loads (doc_id, lang, n_chars), v2 renames n_chars →
+    * char_count WITHOUT touching a data file (the require pins that
+    * every bucket generation is carried verbatim), v3 — a writer of
+    * the PHYSICAL schema — rewrites bucket 1 (+1000 chars) on top of
+    * the rename. The snapshot read returns the LOGICAL schema; the
+    * oracle (the rewrite CASE aliased to char_count) proves the
+    * mapping projected every physical value through unchanged, across
+    * both carried and post-rename generations. */
+  private def colRename(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/ren_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+    val v1Files = TxnLog.snapshot(s, table, v1).inputFiles.toSet
+    val v2 = TxnLog.commitRename(table, v1, "n_chars", "char_count")
+    require(TxnLog.snapshot(s, table, v2).inputFiles.toSet == v1Files,
+      "a metadata-only rename must carry every data generation verbatim")
+    TxnLog.commit(table, v2, Map(1 ->
+      slice(1).withColumn("n_chars", col("n_chars") + 1000)))
+    TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("lang"), col("char_count"))
+  }
 
   /** x221: MERGE-ON-READ DELETION VECTORS end to end (see
     * [[graft.sources.TxnLog.commitDeletes]]): v1 loads the full table,

@@ -112,7 +112,8 @@ object TxnLog {
                                     keyCol: Option[String],
                                     zmaps: Map[Int, Seq[ZoneStat]],
                                     rows: Map[Int, Long],
-                                    blooms: Map[Int, BloomRef])
+                                    blooms: Map[Int, BloomRef],
+                                    colmap: Map[String, String])
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -139,12 +140,17 @@ object TxnLog {
       s"bloom $b ${enc(r.col)} ${r.dtype} ${r.rel} ${r.bits}"
     }
 
-  /** The stats/index lines every full-state manifest carries beside
-    * its bucket list. */
+  private def colmapLines(colmap: Map[String, String]): Seq[String] =
+    colmap.toSeq.sorted.map { case (p, l) => s"colmap ${enc(p)} ${enc(l)}" }
+
+  /** The stats/index/mapping lines every full-state manifest carries
+    * beside its bucket list. */
   private def statLines(zmaps: Map[Int, Seq[ZoneStat]],
                         rows: Map[Int, Long],
-                        blooms: Map[Int, BloomRef]): Seq[String] =
-    zmapLines(zmaps) ++ rowLines(rows) ++ bloomLines(blooms)
+                        blooms: Map[Int, BloomRef],
+                        colmap: Map[String, String] = Map.empty): Seq[String] =
+    zmapLines(zmaps) ++ rowLines(rows) ++ bloomLines(blooms) ++
+      colmapLines(colmap)
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v)).asScala
@@ -178,7 +184,12 @@ object TxnLog {
       val Array(_, b, c, dt, rel, bits) = s.split(" ", 6)
       b.toInt -> BloomRef(dec(c), dt, rel, bits.toLong)
     }.toMap
-    Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps, rows, blooms)
+    val colmap = lines.collect { case s if s.startsWith("colmap ") =>
+      val Array(_, p, l) = s.split(" ", 3)
+      dec(p) -> dec(l)
+    }.toMap
+    Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps, rows, blooms,
+      colmap)
   }
 
   /** The version that committed idempotence marker (app, txnV), if
@@ -271,7 +282,7 @@ object TxnLog {
       m.buckets.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
       m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
         ds.map(d => s"tomb $b $d") } ++
-      statLines(m.zmaps, m.rows, m.blooms)))
+      statLines(m.zmaps, m.rows, m.blooms, m.colmap)))
       .mkString("", "\n", "\n")
     // CREATE_NEW like a commit: at most one checkpoint per version;
     // losing the race to an identical checkpoint is success
@@ -508,7 +519,8 @@ object TxnLog {
           merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
-          statLines(zmaps, rows, blooms)))
+          statLines(zmaps, rows, blooms,
+            baseM.map(_.colmap).getOrElse(Map.empty))))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -612,7 +624,7 @@ object TxnLog {
           // same for the Bloom sidecars (still membership supersets);
           // row counts become upper bounds, which is why the x249
           // metadata-only aggregate REFUSES tombstoned snapshots
-          statLines(baseM.zmaps, baseM.rows, baseM.blooms)))
+          statLines(baseM.zmaps, baseM.rows, baseM.blooms, baseM.colmap)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -754,18 +766,99 @@ object TxnLog {
     val clear =
       if (clearRels.isEmpty) None
       else Some(spark.read.parquet(clearRels: _*))
-    if (tombed.isEmpty) clear.get
-    else {
-      val key = m.keyCol.getOrElse(throw new IllegalStateException(
-        s"$table v$v has tombstones but no keycol"))
-      val subtracted = tombed.toSeq.sorted.map { b =>
-        spark.read.parquet(s"$table/${m.buckets(b)}")
-          .join(spark.read.parquet(
-            m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
-            Seq(key), "left_anti")
+    val physical =
+      if (tombed.isEmpty) clear.get
+      else {
+        val key = m.keyCol.getOrElse(throw new IllegalStateException(
+          s"$table v$v has tombstones but no keycol"))
+        val subtracted = tombed.toSeq.sorted.map { b =>
+          spark.read.parquet(s"$table/${m.buckets(b)}")
+            .join(spark.read.parquet(
+              m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
+              Seq(key), "left_anti")
+        }
+        (clear.toSeq ++ subtracted).reduce(_.unionByName(_))
       }
-      (clear.toSeq ++ subtracted).reduce(_.unionByName(_))
+    // column mapping (x264) applies LAST: files, tombstone keys, zone
+    // maps and blooms all speak PHYSICAL names; only the reader-facing
+    // schema renames — a projection, never a rewrite
+    m.colmap.foldLeft(physical) { case (df, (p, l)) =>
+      df.withColumnRenamed(p, l)
     }
+  }
+
+  /** x263: OPTIMIZE — fold EVERY bucket's deletion vectors in one
+    * commit (the Delta `OPTIMIZE` / merge-on-read compaction pass,
+    * generalizing the per-bucket [[compactBucket]]): each tombstoned
+    * bucket is rewritten as its visible rows through the ordinary
+    * write path, which clears its tombstones and refreshes its
+    * stats/sidecars; untombstoned buckets are carried by reference and
+    * never rewritten. Readers of the post-OPTIMIZE snapshot pay zero
+    * anti joins again — the read-amplification debt the cheap deletes
+    * accrued is settled in one write-amplification installment, sized
+    * by the TOMBSTONED buckets only. */
+  def optimize(spark: SparkSession, table: String,
+               baseVersion: Long = -1L): Long = {
+    val base = if (baseVersion > 0) baseVersion else latestVersion(table)
+    val m = readManifest(table, base)
+    val tombed = m.buckets.keySet.toSeq.sorted
+      .filter(b => m.tombs.get(b).exists(_.nonEmpty))
+    require(tombed.nonEmpty, s"nothing to optimize in $table v$base")
+    commit(table, base, tombed.map(b =>
+      b -> visibleBucket(spark, table, b, base).get).toMap)
+  }
+
+  /** x264: METADATA-ONLY COLUMN RENAME (the Delta column-mapping
+    * contract): the rename commits as a `colmap physical→logical`
+    * manifest line — no data file is touched, rewritten or even read;
+    * [[snapshot]] applies the mapping as a final projection. Files,
+    * tombstone keys and stats keep speaking physical names, so later
+    * FULL-BUCKET writers keep writing the physical schema and every
+    * carried zone map / Bloom sidecar stays valid across the rename.
+    * Touches no bucket, so it never conflicts with data writers;
+    * `from` resolves against the CURRENT logical view (renaming a
+    * renamed column updates its physical entry; renaming back to the
+    * physical name drops the entry). [[snapshotRange]]/
+    * [[snapshotPoints]]/[[changeFeed]] keep addressing physical names
+    * (a renamed table fails LOUD there, never silently) —
+    * mapping-aware predicate translation is the documented next
+    * increment. */
+  def commitRename(table: String, baseVersion: Long,
+                   from: String, to: String): Long = {
+    Files.createDirectories(logDir(table))
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(table)
+      ((baseVersion + 1) to latest).foreach { v =>
+        if (!Files.exists(manifestPath(table, v)))
+          throw new ConflictException(
+            s"base $baseVersion predates the retention window (manifest " +
+              s"v$v expired by vacuum) — re-read the table and re-derive")
+      }
+      require(latest > 0, s"no committed version in $table")
+      val m = readManifest(table, latest)
+      val phys = m.colmap.find(_._2 == from).map(_._1).getOrElse(from)
+      val colmap =
+        if (phys == to) m.colmap - phys else m.colmap.updated(phys, to)
+      val keyLine = m.keyCol
+        .filter(_ => m.tombs.exists(_._2.nonEmpty)).map(k => s"keycol=$k").toSeq
+      val body = (s"version=${latest + 1}" +:
+        "touched=" +:
+        (keyLine ++
+          m.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"bucket $b $d" } ++
+          m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
+            ds.map(d => s"tomb $b $d") } ++
+          statLines(m.zmaps, m.rows, m.blooms, colmap)))
+        .mkString("", "\n", "\n")
+      try {
+        Files.write(manifestPath(table, latest + 1),
+          body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+        committed = latest + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    committed
   }
 
   // ---- zone-map data skipping (the file-skipping read path) ----------

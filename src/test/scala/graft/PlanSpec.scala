@@ -568,6 +568,13 @@ class PlanSpec extends SparkSpec {
       s"every rank step is a keyed join:\n$p")
   }
 
+  test("x263 post-OPTIMIZE snapshot plans a bare scan — no anti join survives") {
+    val df = SparkEntry.queries("x263_optimize")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("LeftAnti"),
+      s"OPTIMIZE must settle the deletion-vector read debt:\n$p")
+  }
+
   test("x159 variant shredding is map-only: one parse, no shuffle, no UDF") {
     val p = plan("x159_variant_shred")
     assert(!p.contains("Exchange"), s"shredding must not shuffle:\n$p")

@@ -138,6 +138,47 @@ class Round16OpsSpec extends SparkSpec {
     assert(flat._4 === 0.0 && flat._6 === "none")
   }
 
+  // ---- x263/x264 OPTIMIZE + column mapping ---------------------------------
+
+  test("x264 rename algebra: chained renames update one entry, rename-back drops it") {
+    val t = freshTable("ren_chain")
+    val d0 = tinyDocs
+    val v1 = TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap)
+    val v2 = TxnLog.commitRename(t, v1, "n_chars", "char_count")
+    assert(TxnLog.snapshot(spark, t, v2).columns.toSeq ===
+      Seq("doc_id", "lang", "char_count"))
+    // renaming the LOGICAL name again must update the same physical entry
+    val v3 = TxnLog.commitRename(t, v2, "char_count", "len_chars")
+    assert(TxnLog.snapshot(spark, t, v3).columns.toSeq ===
+      Seq("doc_id", "lang", "len_chars"))
+    // renaming back to the physical name drops the mapping entirely
+    val v4 = TxnLog.commitRename(t, v3, "len_chars", "n_chars")
+    assert(TxnLog.snapshot(spark, t, v4).columns.toSeq ===
+      Seq("doc_id", "lang", "n_chars"))
+    // earlier versions keep THEIR mapping (time travel sees old names)
+    assert(TxnLog.snapshot(spark, t, v2).columns.contains("char_count"))
+  }
+
+  test("x263 optimize folds every tombstoned bucket and refuses a clean table") {
+    val t = freshTable("opt_unit")
+    val d0 = tinyDocs
+    val v1 = TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap)
+    val v2 = TxnLog.commitDeletes(t,
+      d0.filter(col("doc_id") % 2 === 0).select("doc_id"), "doc_id", v1)
+    val v3 = TxnLog.optimize(spark, t, v2)
+    val got = TxnLog.snapshot(spark, t, v3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L, 5L, 7L))
+    // tombstone-free again: the metadata plane accepts it
+    assert(TxnLog.metaAggregate(spark, t, v3)
+      .filter(col("col_name") === "doc_id").head.getLong(1) === 4L)
+    // nothing left to optimize — fail loud, not a silent empty commit
+    assert(intercept[IllegalArgumentException](
+      TxnLog.optimize(spark, t, v3)).getMessage.contains("nothing to optimize"))
+  }
+
   // ---- x260 Mondrian conformal / x261 l-diversity -------------------------
 
   test("x260 Mondrian: per-group thresholds, sound sets, near-target coverage") {
