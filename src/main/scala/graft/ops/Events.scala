@@ -559,8 +559,12 @@ object Events {
           (col("dj") - col("di")).cast("double")).as("slope"))
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("m", count(lit(1)).over(wAll))
-      .filter(col("rn") === (col("m") + 1) / 2 ||
-        col("rn") === col("m") / 2 + 1)
+      // integral `div`, NOT `/` (always a DOUBLE divide): an even m
+      // must select BOTH middle ranks — (m+1)/2 as a double is x.5 and
+      // would silently match only the upper one, diverging from the
+      // oracle's interpolated median wherever the two middles differ
+      .filter(col("rn") === expr("(m + 1) div 2") ||
+        col("rn") === expr("m div 2 + 1"))
       .groupBy(col("event_type"))
       .agg(avg(col("slope")).as("sen_raw"))
     val ties = daily.groupBy(col("event_type"), col("n"))

@@ -209,6 +209,22 @@ class Round16OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 5L, 1L, false), (2L, 3L, 3L, true)))
   }
 
+  test("x257 Sen slope: an even pair count averages BOTH middle slopes") {
+    // 4 days, volumes 1/2/4/8 → 6 pairwise slopes sorted
+    // 1, 1.5, 2, 7/3, 3, 4 — median = (2 + 7/3)/2 = 2.1667; selecting
+    // only the upper middle (the double-division regression) would
+    // read 2.3333
+    def ev(day: Long, k: Int) = (0 until k).map(i =>
+      (s"e$day-$i", 1L, "t", new java.sql.Timestamp(day * 86400000L + i),
+        1.0, "{}"))
+    val events = (Seq(1L -> 1, 2L -> 2, 3L -> 4, 4L -> 8)
+      .flatMap { case (d, k) => ev(d, k) })
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val sen = graft.ops.Events.mannKendallDaily(events)
+      .select("sen_slope").as[Double].head()
+    assert(sen === 2.1667)
+  }
+
   // ---- x249 metadata-only aggregates ------------------------------------
 
   private def freshTable(name: String): String = {
