@@ -1202,7 +1202,7 @@ object Extensions {
     val v1 = TxnLog.commit(table, 0L,
       (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
     val v1Files = TxnLog.snapshot(s, table, v1).inputFiles.toSet
-    val v2 = TxnLog.commitRename(table, v1, "n_chars", "char_count")
+    val v2 = TxnLog.commitRename(s, table, v1, "n_chars", "char_count")
     require(TxnLog.snapshot(s, table, v2).inputFiles.toSet == v1Files,
       "a metadata-only rename must carry every data generation verbatim")
     TxnLog.commit(table, v2, Map(1 ->

@@ -113,7 +113,8 @@ object TxnLog {
                                     zmaps: Map[Int, Seq[ZoneStat]],
                                     rows: Map[Int, Long],
                                     blooms: Map[Int, BloomRef],
-                                    colmap: Map[String, String])
+                                    colmap: Map[String, String],
+                                    drops: Set[String])
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -143,14 +144,18 @@ object TxnLog {
   private def colmapLines(colmap: Map[String, String]): Seq[String] =
     colmap.toSeq.sorted.map { case (p, l) => s"colmap ${enc(p)} ${enc(l)}" }
 
+  private def dropLines(drops: Set[String]): Seq[String] =
+    drops.toSeq.sorted.map(p => s"coldrop ${enc(p)}")
+
   /** The stats/index/mapping lines every full-state manifest carries
     * beside its bucket list. */
   private def statLines(zmaps: Map[Int, Seq[ZoneStat]],
                         rows: Map[Int, Long],
                         blooms: Map[Int, BloomRef],
-                        colmap: Map[String, String] = Map.empty): Seq[String] =
+                        colmap: Map[String, String] = Map.empty,
+                        drops: Set[String] = Set.empty): Seq[String] =
     zmapLines(zmaps) ++ rowLines(rows) ++ bloomLines(blooms) ++
-      colmapLines(colmap)
+      colmapLines(colmap) ++ dropLines(drops)
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v)).asScala
@@ -188,8 +193,11 @@ object TxnLog {
       val Array(_, p, l) = s.split(" ", 3)
       dec(p) -> dec(l)
     }.toMap
+    val drops = lines.collect { case s if s.startsWith("coldrop ") =>
+      dec(s.stripPrefix("coldrop "))
+    }.toSet
     Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps, rows, blooms,
-      colmap)
+      colmap, drops)
   }
 
   /** The version that committed idempotence marker (app, txnV), if
@@ -282,7 +290,7 @@ object TxnLog {
       m.buckets.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
       m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
         ds.map(d => s"tomb $b $d") } ++
-      statLines(m.zmaps, m.rows, m.blooms, m.colmap)))
+      statLines(m.zmaps, m.rows, m.blooms, m.colmap, m.drops)))
       .mkString("", "\n", "\n")
     // CREATE_NEW like a commit: at most one checkpoint per version;
     // losing the race to an identical checkpoint is success
@@ -458,16 +466,46 @@ object TxnLog {
     txn.foreach { case (app, tv) =>
       txnCommitted(table, app, tv).foreach(v => return v)
     }
+    // RE-ADD AFTER DROP (the Delta column-mapping edge): a write whose
+    // schema carries a column name the base manifest has DROPPED gets a
+    // FRESH physical name — the dropped physical data lingering in
+    // untouched buckets must stay masked forever, so a re-added logical
+    // column may never reuse its physical name. If an earlier re-add
+    // already allocated a physical name for this logical column, reuse
+    // it (one physical name per live logical column, always).
+    val baseM0: Option[Manifest] =
+      if (baseVersion > 0 && Files.exists(manifestPath(table, baseVersion)))
+        Some(readManifest(table, baseVersion)) else None
+    val baseDrops = baseM0.map(_.drops).getOrElse(Set.empty[String])
+    val baseColmap = baseM0.map(_.colmap).getOrElse(Map.empty[String, String])
+    val readds: Map[String, String] = // logical -> physical to write
+      writes.valuesIterator.flatMap(_.columns).filter(baseDrops).toSeq.distinct
+        .map { c =>
+          c -> baseColmap.collectFirst { case (p, l) if l == c => p }
+            .getOrElse(s"${c}__v${baseVersion + 1}")
+        }.toMap
+    val pendingColmap: Map[String, String] = readds.collect {
+      case (lg, ph) if !baseColmap.get(ph).contains(lg) => ph -> lg
+    }
+    def toPhysical(df: DataFrame): DataFrame =
+      readds.foldLeft(df) { case (f, (lg, ph)) =>
+        if (f.columns.contains(lg)) f.withColumnRenamed(lg, ph) else f
+      }
+    val physCols: Set[String] =
+      writes.valuesIterator.flatMap(_.columns.map(c => readds.getOrElse(c, c)))
+        .toSet
+    val physBloomCol = bloomCol.map(c => readds.getOrElse(c, c))
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val newStats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
     val newRows = scala.collection.mutable.Map.empty[Int, Long]
     val newBlooms = scala.collection.mutable.Map.empty[Int, BloomRef]
-    val written: Map[Int, String] = writes.map { case (b, df) =>
+    val written: Map[Int, String] = writes.map { case (b, df0) =>
+      val df = toPhysical(df0)
       val rel = s"data/g${baseVersion + 1}-b$b-$nonce"
       val (stats, cnt) = writeWithStats(df, s"$table/$rel")
       newStats(b) = stats
       newRows(b) = cnt
-      bloomCol.filter(df.columns.contains).foreach { c =>
+      physBloomCol.filter(df.columns.contains).foreach { c =>
         newBlooms(b) = buildBloom(df.sparkSession, table, rel,
           s"$rel-bloom", c, cnt)
       }
@@ -495,6 +533,24 @@ object TxnLog {
               s"already written by this transaction (base $baseVersion)")
       }
       val baseM = if (latest == 0) None else Some(readManifest(table, latest))
+      // metadata conflicts: a column DROP that landed after our base on
+      // a column we wrote physically would silently mask our data; a
+      // racing RE-ADD that allocated a different physical name for the
+      // same logical column would make the mapping ambiguous. Both are
+      // stale-writer errors, same contract as bucket overlap.
+      baseM.foreach { lm =>
+        val dropHit = physCols.intersect(lm.drops)
+        if (dropHit.nonEmpty)
+          throw new ConflictException(
+            s"columns ${dropHit.toSeq.sorted.mkString(",")} were dropped " +
+              s"after base $baseVersion — re-read the table and re-derive")
+        pendingColmap.foreach { case (ph, lg) =>
+          if (lm.colmap.exists { case (p2, l2) => l2 == lg && p2 != ph })
+            throw new ConflictException(
+              s"logical column $lg was re-added concurrently under a " +
+                s"different physical name (base $baseVersion)")
+        }
+      }
       val merged = baseM.map(_.buckets).getOrElse(Map.empty) ++ written
       // a full-bucket rewrite REPLACES the bucket, so its carried
       // tombstones are cleared (they referred to the replaced data);
@@ -520,7 +576,8 @@ object TxnLog {
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
           statLines(zmaps, rows, blooms,
-            baseM.map(_.colmap).getOrElse(Map.empty))))
+            baseM.map(_.colmap).getOrElse(Map.empty) ++ pendingColmap,
+            baseM.map(_.drops).getOrElse(Set.empty))))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -624,7 +681,8 @@ object TxnLog {
           // same for the Bloom sidecars (still membership supersets);
           // row counts become upper bounds, which is why the x249
           // metadata-only aggregate REFUSES tombstoned snapshots
-          statLines(baseM.zmaps, baseM.rows, baseM.blooms, baseM.colmap)))
+          statLines(baseM.zmaps, baseM.rows, baseM.blooms, baseM.colmap,
+            baseM.drops)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -657,12 +715,20 @@ object TxnLog {
     m.buckets.get(bucket).map { rel =>
       val data = spark.read.parquet(s"$table/$rel")
       val ts = m.tombs.getOrElse(bucket, Seq.empty)
-      if (ts.isEmpty) data
+      val live = if (ts.isEmpty) data
       else {
         val key = m.keyCol.getOrElse(throw new IllegalStateException(
           s"$table v$version has tombstones but no keycol"))
         data.join(spark.read.parquet(ts.map(t => s"$table/$t"): _*)
           .select(col(key)), Seq(key), "left_anti")
+      }
+      // dropped columns are masked here too: rewrites built from
+      // visible rows (optimize/compact/merged appends) must never
+      // resurrect a dropped physical column — commit() would otherwise
+      // mistake it for a RE-ADD and alias it back into the logical
+      // schema with the lingering data attached
+      m.drops.foldLeft(live) { (df, p) =>
+        if (df.columns.contains(p)) df.drop(p) else df
       }
     }
   }
@@ -752,38 +818,66 @@ object TxnLog {
     * and silently delete same-keyed rows elsewhere (ADVICE r8). */
   def snapshot(spark: SparkSession, table: String,
                version: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val v = if (version > 0) version else latestVersion(table)
     require(v > 0, s"no committed version in $table")
     require(Files.exists(manifestPath(table, v)),
       s"version $v of $table is expired (removed by vacuum); oldest " +
         s"readable version is the retention window's start")
     val m = readManifest(table, v)
-    val tombed = m.buckets.keySet.filter(b =>
-      m.tombs.get(b).exists(_.nonEmpty))
-    val clearRels = m.buckets.toSeq.sortBy(_._1)
-      .collect { case (b, rel) if !tombed.contains(b) => s"$table/$rel" }
-    val clear =
-      if (clearRels.isEmpty) None
-      else Some(spark.read.parquet(clearRels: _*))
-    val physical =
-      if (tombed.isEmpty) clear.get
-      else {
-        val key = m.keyCol.getOrElse(throw new IllegalStateException(
-          s"$table v$v has tombstones but no keycol"))
-        val subtracted = tombed.toSeq.sorted.map { b =>
-          spark.read.parquet(s"$table/${m.buckets(b)}")
-            .join(spark.read.parquet(
-              m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
-              Seq(key), "left_anti")
-        }
-        (clear.toSeq ++ subtracted).reduce(_.unionByName(_))
-      }
-    // column mapping (x264) applies LAST: files, tombstone keys, zone
-    // maps and blooms all speak PHYSICAL names; only the reader-facing
-    // schema renames — a projection, never a rewrite
-    m.colmap.foldLeft(physical) { case (df, (p, l)) =>
+    val physical = keptRead(spark, table, m,
+      m.buckets.keySet.toSeq.sorted)
+    // dropped columns (x268) mask FIRST — the physical data lingers in
+    // every untouched generation but never reaches the logical schema —
+    // then the column mapping (x264) applies LAST: files, tombstone
+    // keys, zone maps and blooms all speak PHYSICAL names; only the
+    // reader-facing schema renames — projections, never rewrites
+    val undropped = m.drops.foldLeft(physical) { (df, p) =>
+      if (df.columns.contains(p)) df.drop(p) else df
+    }
+    m.colmap.foldLeft(undropped) { case (df, (p, l)) =>
       df.withColumnRenamed(p, l)
+    }
+  }
+
+  /** PHYSICAL-name read of `kept` buckets at manifest `m`: kept
+    * tombstone-free buckets stay ONE multi-path parquet scan; kept
+    * tombstoned buckets subtract their own deletion vectors per bucket
+    * ([[snapshot]]'s shape — one definition serves the full read and
+    * every pruned read). An empty `kept` yields the same PHYSICAL
+    * schema via limit(0) over all buckets (Catalyst folds a 0-limit to
+    * a LocalRelation — no scan task runs), so pruned and unpruned
+    * reads can never disagree on the schema (ADVICE r10: the old empty
+    * branches applied the colmap while the non-empty ones did not).
+    * A table with dropped/re-added columns has bucket generations of
+    * unequal width, so those reads merge footer schemas and null-fill
+    * (the add-nullable-column contract); tables that never dropped
+    * keep the cheap one-footer read. */
+  private def keptRead(spark: SparkSession, table: String, m: Manifest,
+                       kept: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val evolved = m.drops.nonEmpty
+    def scan(paths: Seq[String]): DataFrame = {
+      val r = if (evolved) spark.read.option("mergeSchema", "true")
+              else spark.read
+      r.parquet(paths: _*)
+    }
+    if (kept.isEmpty)
+      scan(m.buckets.toSeq.sortBy(_._1).map(e => s"$table/${e._2}")).limit(0)
+    else {
+      val tombed = kept.filter(b => m.tombs.get(b).exists(_.nonEmpty))
+      val clearRels = kept.filterNot(tombed.contains)
+        .map(b => s"$table/${m.buckets(b)}")
+      val clear = if (clearRels.isEmpty) None else Some(scan(clearRels))
+      val subtracted = tombed.map { b =>
+        val key = m.keyCol.getOrElse(throw new IllegalStateException(
+          s"$table v${m.version} has tombstones but no keycol"))
+        scan(Seq(s"$table/${m.buckets(b)}"))
+          .join(spark.read.parquet(
+            m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
+            Seq(key), "left_anti")
+      }
+      (clear.toSeq ++ subtracted)
+        .reduce(_.unionByName(_, allowMissingColumns = evolved))
     }
   }
 
@@ -804,8 +898,16 @@ object TxnLog {
     val tombed = m.buckets.keySet.toSeq.sorted
       .filter(b => m.tombs.get(b).exists(_.nonEmpty))
     require(tombed.nonEmpty, s"nothing to optimize in $table v$base")
+    // the rewrite refreshes, never silently sheds, existing Bloom
+    // sidecars (ADVICE r10): detect the indexed column on the buckets
+    // being rewritten and rebuild their sidecars in the same commit
+    val bloomCols = tombed.flatMap(m.blooms.get).map(_.col).distinct
+    require(bloomCols.size <= 1,
+      s"optimize: buckets carry Bloom sidecars on different columns " +
+        s"(${bloomCols.sorted.mkString(",")}) — rewrite them separately")
     commit(table, base, tombed.map(b =>
-      b -> visibleBucket(spark, table, b, base).get).toMap)
+      b -> visibleBucket(spark, table, b, base).get).toMap,
+      bloomCol = bloomCols.headOption)
   }
 
   /** x264: METADATA-ONLY COLUMN RENAME (the Delta column-mapping
@@ -823,8 +925,67 @@ object TxnLog {
     * (a renamed table fails LOUD there, never silently) —
     * mapping-aware predicate translation is the documented next
     * increment. */
-  def commitRename(table: String, baseVersion: Long,
-                   from: String, to: String): Long = {
+  def commitRename(spark: SparkSession, table: String, baseVersion: Long,
+                   from: String, to: String): Long =
+    commitMetaOnly(table, baseVersion) { m =>
+      // validate against the CURRENT logical view (ADVICE r10): a
+      // rename of a missing column must fail loud, not silently no-op,
+      // and a rename ONTO a live name would make the snapshot
+      // projection emit duplicate column names — Delta's
+      // column-mapping contract refuses both
+      val logical = logicalColumns(spark, table, m.version)
+      require(logical.contains(from),
+        s"rename: no column $from in $table " +
+          s"(logical schema: ${logical.mkString(", ")})")
+      require(from == to || !logical.contains(to),
+        s"rename: column $to already exists in $table")
+      val phys = m.colmap.find(_._2 == from).map(_._1).getOrElse(from)
+      val colmap =
+        if (phys == to) m.colmap - phys else m.colmap.updated(phys, to)
+      (colmap, m.drops)
+    }
+
+  /** x268: METADATA-ONLY COLUMN DROP (the other half of the Delta
+    * column-mapping contract): the drop commits as a `coldrop
+    * <physical>` manifest line — no data file is touched, rewritten or
+    * even read; [[snapshot]] masks the physical column from the
+    * logical schema as a projection. Time travel to a pre-drop version
+    * reads that version's manifest and therefore that version's
+    * schema, column intact. A later writer that RE-ADDS the logical
+    * name gets a FRESH physical name allocated by [[commit]] (and a
+    * colmap entry back to the logical name) — the lingering dropped
+    * data in untouched generations can never bleed into the re-added
+    * column, and rows written before the re-add read as null (the
+    * add-nullable-column contract). Rewrites built from visible rows
+    * (OPTIMIZE/compaction/merged appends) strip dropped physicals so
+    * they cannot be mistaken for re-adds. */
+  def commitDrop(spark: SparkSession, table: String, baseVersion: Long,
+                 name: String): Long =
+    commitMetaOnly(table, baseVersion) { m =>
+      val logical = logicalColumns(spark, table, m.version)
+      require(logical.contains(name),
+        s"drop: no column $name in $table " +
+          s"(logical schema: ${logical.mkString(", ")})")
+      val phys = m.colmap.find(_._2 == name).map(_._1).getOrElse(name)
+      require(!m.keyCol.contains(phys) || m.tombs.values.forall(_.isEmpty),
+        s"drop: $name keys $table's live deletion vectors — " +
+          "compact/OPTIMIZE first")
+      (m.colmap - phys, m.drops + phys)
+    }
+
+  /** The current LOGICAL column list of `table` at `version`: physical
+    * footer schema(s) minus dropped columns, through the column
+    * mapping — resolved driver-side (footer reads, no scan job). */
+  def logicalColumns(spark: SparkSession, table: String,
+                     version: Long = -1L): Seq[String] =
+    snapshot(spark, table, version).columns.toSeq
+
+  /** Shared claim loop for METADATA-ONLY commits ([[commitRename]] /
+    * [[commitDrop]]): touches no bucket, so it never conflicts with
+    * data writers; `mutate` maps the latest manifest to the next
+    * (colmap, drops) pair. */
+  private def commitMetaOnly(table: String, baseVersion: Long)
+      (mutate: Manifest => (Map[String, String], Set[String])): Long = {
     Files.createDirectories(logDir(table))
     var committed = -1L
     while (committed < 0) {
@@ -837,9 +998,7 @@ object TxnLog {
       }
       require(latest > 0, s"no committed version in $table")
       val m = readManifest(table, latest)
-      val phys = m.colmap.find(_._2 == from).map(_._1).getOrElse(from)
-      val colmap =
-        if (phys == to) m.colmap - phys else m.colmap.updated(phys, to)
+      val (colmap, drops) = mutate(m)
       val keyLine = m.keyCol
         .filter(_ => m.tombs.exists(_._2.nonEmpty)).map(k => s"keycol=$k").toSeq
       val body = (s"version=${latest + 1}" +:
@@ -848,7 +1007,7 @@ object TxnLog {
           m.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"bucket $b $d" } ++
           m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
-          statLines(m.zmaps, m.rows, m.blooms, colmap)))
+          statLines(m.zmaps, m.rows, m.blooms, colmap, drops)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -929,44 +1088,8 @@ object TxnLog {
     * row-group/page skipping WITHIN kept buckets. */
   def snapshotRange(spark: SparkSession, table: String, colName: String,
                     lo: Option[String], hi: Option[String],
-                    version: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val v = if (version > 0) version else latestVersion(table)
-    require(v > 0, s"no committed version in $table")
-    val m = readManifest(table, v)
-    val (kept, _) = prunedBuckets(table, colName, lo, hi, v)
-    val base =
-      if (kept.isEmpty)
-        // nothing can match: an empty frame with the snapshot schema
-        // (limit 0 never launches a scan task)
-        snapshot(spark, table, v).limit(0)
-      else {
-        // same read shape as snapshot(): kept tombstone-free buckets
-        // stay ONE multi-path scan; tombstoned survivors subtract
-        // their own deletion vectors per bucket
-        val tombed = kept.filter(b => m.tombs.get(b).exists(_.nonEmpty))
-        val clearRels = kept.filterNot(tombed.contains)
-          .map(b => s"$table/${m.buckets(b)}")
-        val clear =
-          if (clearRels.isEmpty) None
-          else Some(spark.read.parquet(clearRels: _*))
-        val subtracted = tombed.map { b =>
-          val key = m.keyCol.getOrElse(throw new IllegalStateException(
-            s"$table v$v has tombstones but no keycol"))
-          spark.read.parquet(s"$table/${m.buckets(b)}")
-            .join(spark.read.parquet(
-              m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
-              Seq(key), "left_anti")
-        }
-        (clear.toSeq ++ subtracted).reduce(_.unionByName(_))
-      }
-    val c = col(colName)
-    val dt = base.schema(colName).dataType
-    val residual = (lo.map(l => c >= lit(l).cast(dt)) ++
-      hi.map(h => c <= lit(h).cast(dt)))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    base.filter(residual)
-  }
+                    version: Long = -1L): DataFrame =
+    snapshotWhere(spark, table, Seq(RangePred(colName, lo, hi)), version)
 
   // ---- metadata-only aggregates (x249) -------------------------------
 
@@ -1033,36 +1156,78 @@ object TxnLog {
   def bloomCandidates(spark: SparkSession, table: String, colName: String,
                       values: Seq[String],
                       version: Long = -1L): (Seq[Int], Seq[Int]) = {
-    import org.apache.spark.sql.functions.{array, col, lit}
     val v = if (version > 0) version else latestVersion(table)
     val m = readManifest(table, v)
-    // one probe-position job per distinct filter geometry (buckets can
-    // carry different bit widths as their row counts grow)
-    val geoms = m.blooms.values.filter(_.col == colName).map(_.bits).toSet
-    val posByBits: Map[Long, Seq[Seq[Long]]] = geoms.map { bits =>
-      val dtype = m.blooms.values.find(r => r.col == colName && r.bits == bits)
-        .get.dtype
-      import spark.implicits._
-      val probe = values.toDF("v")
-        .select(array(bloomBitCols(col("v").cast(dtype), bits): _*).as("ps"))
-        .collect().map(_.getSeq[Long](0).toSeq).toSeq
-      bits -> probe
-    }.toMap
-    val (kept, pruned) = m.buckets.keySet.toSeq.sorted.partition { b =>
-      m.blooms.get(b).filter(_.col == colName) match {
-        case None => true // no index — must read
-        case Some(ref) =>
-          val probes = posByBits(ref.bits)
-          val needed = probes.flatten.map(_ / 64).distinct
-          val words = spark.read.parquet(s"$table/${ref.rel}")
-            .filter(col("word_idx").isin(needed: _*))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          def bitSet(p: Long): Boolean =
-            (words.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0
-          probes.exists(_.forall(bitSet)) // any value possibly present
-      }
+    val keep = bloomKeep(spark, table, m, Seq(colName -> values))
+    m.buckets.keySet.toSeq.sorted.partition(b => keep((b, colName)))
+  }
+
+  /** The Bloom verdicts behind [[bloomCandidates]]/[[snapshotWhere]]:
+    * for every (bucket, probed column), whether the sidecar allows the
+    * bucket to match ANY probed value (no-sidecar buckets are always
+    * true — skipping is an optimization, never a filter).
+    *
+    * ALL sidecars across ALL probed columns are read in ONE multi-path
+    * Spark job (VERDICT r10, finding 1): the old shape launched one
+    * serial job per candidate bucket inside a driver-side partition —
+    * at 10⁵ buckets that is hours of driver scheduling just to PLAN a
+    * point lookup. Here the bucket is recovered from each sidecar row's
+    * file path, the probed word indices push into the scan as one IN
+    * filter, and the single collect is O(buckets × probed words) — the
+    * metadata plane stays one job no matter the bucket count. Probe
+    * bit positions still come from the same Spark expressions that
+    * built the filters ([[bloomBitCols]]), one tiny job per distinct
+    * (dtype, bits) geometry, each geometry a power-of-two — O(log
+    * maxRows) geometries, not O(buckets). */
+  private def bloomKeep(spark: SparkSession, table: String, m: Manifest,
+                        probes: Seq[(String, Seq[String])])
+      : Map[(Int, String), Boolean] = {
+    import org.apache.spark.sql.functions.{array, col, input_file_name}
+    val cols = probes.toMap
+    // (bucket, ref) pairs that have a sidecar on a probed column
+    val indexed = m.blooms.toSeq.collect {
+      case (b, ref) if cols.contains(ref.col) => (b, ref)
     }
-    (kept, pruned)
+    val defaultKeep = (for {
+      b <- m.buckets.keySet.toSeq; c <- cols.keys
+    } yield (b, c) -> true).toMap
+    if (indexed.isEmpty) return defaultKeep
+    // probe bit positions per (col, geometry) — bloomBitCols on a
+    // values-literal frame, so build and probe can never disagree
+    val geoms = indexed.map { case (_, r) => (r.col, r.dtype, r.bits) }.distinct
+    val posFor: Map[(String, Long), Seq[Seq[Long]]] = geoms.map {
+      case (c, dtype, bits) =>
+        import spark.implicits._
+        val ps = cols(c).toDF("v")
+          .select(array(bloomBitCols(col("v").cast(dtype), bits): _*).as("ps"))
+          .collect().map(_.getSeq[Long](0).toSeq).toSeq
+        (c, bits) -> ps
+    }.toMap
+    val needed = posFor.valuesIterator.flatten.flatten
+      .map(_ / 64).toSeq.distinct
+    // ONE multi-path read of every relevant sidecar; each sidecar's
+    // LAST path segment (its nonce'd generation dir) keys the words
+    // back to their (bucket, column) in O(1) per row
+    val byDir: Map[String, (Int, String)] = indexed.map {
+      case (b, r) => r.rel.split('/').last -> (b, r.col)
+    }.toMap
+    val rows = spark.read
+      .parquet(indexed.map { case (_, r) => s"$table/${r.rel}" }.sorted: _*)
+      .filter(col("word_idx").isin(needed: _*))
+      .select(input_file_name().as("f"), col("word_idx"), col("word"))
+      .collect()
+    val words: Map[(Int, String), Map[Long, Long]] = rows.toSeq.flatMap { r =>
+      val segs = r.getString(0).split('/')
+      val dir = if (segs.length >= 2) segs(segs.length - 2) else ""
+      byDir.get(dir).map(_ -> (r.getLong(1) -> r.getLong(2)))
+    }.groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toMap }
+    val verdicts = indexed.map { case (b, ref) =>
+      val w = words.getOrElse((b, ref.col), Map.empty[Long, Long])
+      def bitSet(p: Long): Boolean =
+        (w.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0
+      (b, ref.col) -> posFor((ref.col, ref.bits)).exists(_.forall(bitSet))
+    }.toMap
+    defaultKeep ++ verdicts
   }
 
   /** POINT-LOOKUP SNAPSHOT READ WITH BLOOM DATA SKIPPING (x250 — the
@@ -1076,32 +1241,141 @@ object TxnLog {
     * false positive costs a scan, never a wrong row. */
   def snapshotPoints(spark: SparkSession, table: String, colName: String,
                      values: Seq[String],
-                     version: Long = -1L): DataFrame = {
+                     version: Long = -1L): DataFrame =
+    snapshotWhere(spark, table, Seq(PointsPred(colName, values)), version)
+
+  // ---- conjunctive multi-column pruning (x265) ------------------------
+
+  /** One conjunct of a pruned snapshot read. Columns are PHYSICAL
+    * names (the [[snapshotRange]]/[[snapshotPoints]] contract). */
+  sealed trait Pred { def col: String }
+  /** `col ∈ [lo, hi]` (either bound optional) — pruned by zone maps. */
+  final case class RangePred(col: String, lo: Option[String],
+                             hi: Option[String]) extends Pred
+  /** `col IN values` — pruned by Bloom sidecars AND zone maps (a point
+    * outside a bucket's [min, max] is as provably absent as a point
+    * its filter rejects). */
+  final case class PointsPred(col: String, values: Seq[String]) extends Pred
+
+  /** Split `version`'s buckets into (kept, pruned) for the CONJUNCTION
+    * of `preds` (VERDICT r10, task 2): a bucket survives only if EVERY
+    * conjunct possibly matches — each [[RangePred]] consults the
+    * bucket's zone map, each [[PointsPred]] consults BOTH its Bloom
+    * sidecar and its zone map — so one pass combines every stat kind
+    * the manifest carries. Real predicates are conjunctions (date
+    * range AND key range AND point set); pruning them one column at a
+    * time forfeits whichever column's stat is sharpest. Buckets with
+    * no stat for a column are kept by that conjunct (skipping is an
+    * optimization, never a filter); all Bloom sidecars are read in ONE
+    * multi-path job ([[bloomKeep]]). */
+  def prunedBucketsWhere(spark: SparkSession, table: String,
+                         preds: Seq[Pred],
+                         version: Long = -1L): (Seq[Int], Seq[Int]) = {
+    require(preds.nonEmpty, "prunedBucketsWhere: no predicates")
+    val v = if (version > 0) version else latestVersion(table)
+    val m = readManifest(table, v)
+    val bk = bloomKeep(spark, table, m,
+      preds.collect { case PointsPred(c, vs) => c -> vs })
+    def zoneKeepRange(b: Int, c: String, lo: Option[String],
+                      hi: Option[String]): Boolean =
+      m.zmaps.getOrElse(b, Seq.empty).find(_.col == c) match {
+        case None => true // no stats — must read
+        case Some(z) => (z.min, z.max) match {
+          case (Some(mn), Some(mx)) =>
+            lo.forall(l => zCompare(z.dtype, mx, l) >= 0) &&
+              hi.forall(h => zCompare(z.dtype, mn, h) <= 0)
+          case _ => false // all-null — a range/point can never match
+        }
+      }
+    m.buckets.keySet.toSeq.sorted.partition { b =>
+      preds.forall {
+        case RangePred(c, lo, hi) => zoneKeepRange(b, c, lo, hi)
+        case PointsPred(c, vs) =>
+          bk((b, c)) && vs.exists(x => zoneKeepRange(b, c, Some(x), Some(x)))
+      }
+    }
+  }
+
+  /** FILTERED SNAPSHOT READ UNDER A CONJUNCTION (x265): drop every
+    * bucket that any conjunct's committed stats prove empty
+    * ([[prunedBucketsWhere]] — zone maps and Bloom sidecars combined in
+    * one pass), scan only the survivors (tombstoned survivors still
+    * subtract their own deletion vectors), and apply the FULL residual
+    * predicate — pruning is an optimization over an always-applied
+    * filter, so a loose bound or a Bloom false positive costs a scan,
+    * never a wrong row. The residual pushes into the kept parquet scans
+    * for row-group/page skipping. */
+  def snapshotWhere(spark: SparkSession, table: String, preds: Seq[Pred],
+                    version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val v = if (version > 0) version else latestVersion(table)
     require(v > 0, s"no committed version in $table")
     val m = readManifest(table, v)
-    val (kept, _) = bloomCandidates(spark, table, colName, values, v)
-    val base =
-      if (kept.isEmpty) snapshot(spark, table, v).limit(0)
-      else {
-        val tombed = kept.filter(b => m.tombs.get(b).exists(_.nonEmpty))
-        val clearRels = kept.filterNot(tombed.contains)
-          .map(b => s"$table/${m.buckets(b)}")
-        val clear =
-          if (clearRels.isEmpty) None
-          else Some(spark.read.parquet(clearRels: _*))
-        val subtracted = tombed.map { b =>
-          val key = m.keyCol.getOrElse(throw new IllegalStateException(
-            s"$table v$v has tombstones but no keycol"))
-          spark.read.parquet(s"$table/${m.buckets(b)}")
-            .join(spark.read.parquet(
-              m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
-              Seq(key), "left_anti")
-        }
-        (clear.toSeq ++ subtracted).reduce(_.unionByName(_))
+    val (kept, _) = prunedBucketsWhere(spark, table, preds, v)
+    val base = keptRead(spark, table, m, kept)
+    val residual = preds.map {
+      case RangePred(c, lo, hi) =>
+        val dt = base.schema(c).dataType
+        (lo.map(l => col(c) >= lit(l).cast(dt)) ++
+          hi.map(h => col(c) <= lit(h).cast(dt)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case PointsPred(c, vs) =>
+        val dt = base.schema(c).dataType
+        col(c).isin(vs.map(lit(_).cast(dt)): _*)
+    }.reduce(_ && _)
+    base.filter(residual)
+  }
+
+  // ---- OPTIMIZE ZORDER (x266) -----------------------------------------
+
+  /** x266: OPTIMIZE ZORDER — re-cluster the whole table by the Morton
+    * interleave of two columns (the Delta `OPTIMIZE ZORDER BY`
+    * contract): visible rows are re-bucketed into [[NumBuckets]]
+    * z-value range slices and committed as one full rewrite, which
+    * refreshes every zone map in the write jobs themselves and folds
+    * any live deletion vectors. A hash-clustered table's zone maps
+    * prune NOTHING for a range probe (every bucket spans the key
+    * space); post-ZORDER the same manifest stats prune most buckets —
+    * layout, not new stats, is what x241-style skipping buys at 100 TB.
+    *
+    * The slice boundaries are the z-value quartiles, computed here with
+    * the exact `percentile` aggregate (deterministic for the fixture
+    * oracle); at petabyte scale the sampled `repartitionByRange`
+    * boundaries serve the same role — the commit protocol is
+    * indifferent to how rows were routed, it only records the stats it
+    * observes. Z-values use the same codegen'd
+    * [[graft.functions.ZOrder2]] expression x85 audits. */
+  def optimizeZorder(spark: SparkSession, table: String,
+                     colA: String, colB: String,
+                     baseVersion: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = if (baseVersion > 0) baseVersion else latestVersion(table)
+    val m = readManifest(table, base)
+    graft.functions.ZOrder2.register(spark)
+    // dropped physicals are stripped before the rewrite (same rule as
+    // visibleBucket: a rewrite must never be mistaken for a re-add)
+    val visible = m.drops.foldLeft(
+      keptRead(spark, table, m, m.buckets.keySet.toSeq.sorted)) { (df, p) =>
+      if (df.columns.contains(p)) df.drop(p) else df
+    }
+    val full = visible.withColumn("__z", graft.functions.ZOrder2.zorder(
+      col(colA).cast("long"), col(colB).cast("long")))
+    val qs = full.select(
+      expr("percentile(__z, array(0.25, 0.5, 0.75))").as("q"))
+      .head.getSeq[Double](0)
+    val bloomCols = m.blooms.values.map(_.col).toSeq.distinct
+    require(bloomCols.size <= 1,
+      "optimizeZorder: buckets carry Bloom sidecars on different columns")
+    val writes = (0 until NumBuckets).map { b =>
+      val zc = col("__z").cast("double")
+      val in = b match {
+        case 0 => zc <= qs(0)
+        case 1 => zc > qs(0) && zc <= qs(1)
+        case 2 => zc > qs(1) && zc <= qs(2)
+        case _ => zc > qs(2)
       }
-    val dt = base.schema(colName).dataType
-    base.filter(col(colName).isin(values.map(lit(_).cast(dt)): _*))
+      b -> full.filter(in).drop("__z")
+    }.toMap
+    commit(table, base, writes, bloomCol = bloomCols.headOption)
   }
 }

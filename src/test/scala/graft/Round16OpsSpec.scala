@@ -145,15 +145,15 @@ class Round16OpsSpec extends SparkSpec {
     val d0 = tinyDocs
     val v1 = TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
       b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap)
-    val v2 = TxnLog.commitRename(t, v1, "n_chars", "char_count")
+    val v2 = TxnLog.commitRename(spark, t, v1, "n_chars", "char_count")
     assert(TxnLog.snapshot(spark, t, v2).columns.toSeq ===
       Seq("doc_id", "lang", "char_count"))
     // renaming the LOGICAL name again must update the same physical entry
-    val v3 = TxnLog.commitRename(t, v2, "char_count", "len_chars")
+    val v3 = TxnLog.commitRename(spark, t, v2, "char_count", "len_chars")
     assert(TxnLog.snapshot(spark, t, v3).columns.toSeq ===
       Seq("doc_id", "lang", "len_chars"))
     // renaming back to the physical name drops the mapping entirely
-    val v4 = TxnLog.commitRename(t, v3, "len_chars", "n_chars")
+    val v4 = TxnLog.commitRename(spark, t, v3, "len_chars", "n_chars")
     assert(TxnLog.snapshot(spark, t, v4).columns.toSeq ===
       Seq("doc_id", "lang", "n_chars"))
     // earlier versions keep THEIR mapping (time travel sees old names)
