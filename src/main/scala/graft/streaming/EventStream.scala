@@ -813,8 +813,8 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (lang: String, rows: Iterator[(String, String)],
          st: GroupState[Map[String, Long]]) =>
-          val merged = rows.foldLeft(st.getOption.getOrElse(MisraGries.zero))(
-            (m, r) => MisraGries.reduce(m, r._2))
+          val merged = MisraGries.foldTokens(
+            st.getOption.getOrElse(Map.empty), rows.map(_._2))
           st.update(merged)
           merged.keysIterator.map(t => (lang, t))
       }.toDF("lang", "tok")

@@ -16,7 +16,7 @@ class Round16OpsSpec extends SparkSpec {
 
   test("x254 MG: small vocabularies are counted exactly") {
     val stream = Seq.fill(40)("a") ++ Seq.fill(7)("b") ++ Seq("c")
-    val got = stream.foldLeft(MisraGries.zero)(MisraGries.reduce)
+    val got = MisraGries.foldTokens(Map.empty, stream.iterator)
     assert(got === Map("a" -> 40L, "b" -> 7L, "c" -> 1L))
   }
 
@@ -33,9 +33,9 @@ class Round16OpsSpec extends SparkSpec {
       val rnd = new scala.util.Random(seed)
       val stream = rnd.shuffle(heavy ++ noise)
       val chunks = stream.grouped(997).toSeq
-      val partials = chunks.map(_.foldLeft(MisraGries.zero)(MisraGries.reduce))
-      val leftFold = partials.reduceLeft(MisraGries.merge)
-      val rightFold = partials.reduceRight(MisraGries.merge)
+      val partials = chunks.map(c => MisraGries.foldTokens(Map.empty, c.iterator))
+      val leftFold = partials.reduceLeft(MisraGries.mergeMaps)
+      val rightFold = partials.reduceRight(MisraGries.mergeMaps)
       for (m <- Seq(leftFold, rightFold)) {
         assert(m.size <= MisraGries.Capacity)
         (0 until 4).foreach(i => assert(m.contains(s"H$i"),
