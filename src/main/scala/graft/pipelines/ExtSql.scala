@@ -4710,6 +4710,95 @@ object ExtSql {
          |WHERE doc_id IN ($in)""".stripMargin
   }
 
+  // ---- x265 conjunctive multi-column data skipping ---------------------
+  // The engine's layout splits by doc_id half AND lang hash parity,
+  // commits lang Bloom sidecars, and serves the two-term conjunction
+  // through buckets pruned by EITHER stat kind (zone maps for the
+  // range, Bloom + zone for the point set) — the requires pin the
+  // pruning receipt; the oracle is the plain two-term WHERE.
+
+  private val x265 =
+    raw"""WITH mx AS (
+         |  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS ispan FROM documents)
+         |SELECT doc_id, lang, n_chars FROM documents CROSS JOIN mx
+         |WHERE doc_id <= ispan // 2 - 1 AND lang = 'en'""".stripMargin
+
+  // ---- x266 OPTIMIZE ZORDER ---------------------------------------------
+  // The engine hash-clusters v1 (zone maps prune nothing — pinned),
+  // rewrites once via optimizeZorder(n_chars, doc_id), and re-serves
+  // the range probe through strictly more pruned buckets; the oracle
+  // is the plain range predicate — the re-layout must move no row.
+
+  private val x266 =
+    raw"""WITH mx AS (
+         |  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS ispan FROM documents)
+         |SELECT doc_id, lang, n_chars FROM documents CROSS JOIN mx
+         |WHERE doc_id <= ispan // 4 - 1""".stripMargin
+
+  // ---- x267 incremental IVF maintenance from the change feed ------------
+  // The engine advances the v1 cell assignments to v3 by assigning
+  // ONLY the feed's changed vectors against the FIXED quantizer (and
+  // requires the result assignment-identical to a from-scratch
+  // rebuild); the oracle re-derives the v3 corpus from the fixture
+  // rules — bucket-1 vectors negated, offset-key copies inserted,
+  // mod-7 originals deleted — and assigns it against the same mirrored
+  // Lloyd chain trained on the ORIGINAL corpus.
+
+  private lazy val x267 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    val off = graft.pipelines.Extensions.CdcInsertOffset
+    val iters = Similarity.KmeansIters
+    raw"""WITH $kmeansCandCtes,
+         |vn3 AS (
+         |  SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM (
+         |    SELECT vec_id,
+         |           CASE WHEN vec_id % $nb = 1
+         |                THEN [-x for x in v] ELSE v END AS v
+         |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |    WHERE vec_id % 7 <> 0
+         |    UNION ALL
+         |    SELECT vec_id + $off, [-x for x in v]
+         |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |    WHERE vec_id % $nb = 1))
+         |SELECT vec_id, cell FROM (
+         |  SELECT vn3.vec_id, c.cid AS cell,
+         |         row_number() OVER (PARTITION BY vn3.vec_id
+         |           ORDER BY ${cosExpr("vn3.v", "vn3.nrm", "c.cv", "c.cn")}
+         |             DESC, c.cid) AS rn
+         |  FROM vn3 CROSS JOIN
+         |    (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn
+         |     FROM cent$iters) c)
+         |WHERE rn = 1""".stripMargin
+  }
+
+  // ---- x268 metadata-only column drop + re-add ---------------------------
+  // Drop n_chars without touching data, then re-add it via a bucket-1
+  // rewrite: the re-added column has a fresh physical name, so the
+  // dropped data in untouched buckets reads NULL while bucket 1 serves
+  // the new values — the oracle's CASE is exactly that mask.
+
+  private val x268 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""SELECT doc_id, lang,
+         |       CAST(CASE WHEN doc_id % $nb = 1 THEN n_chars + 1000
+         |                 ELSE NULL END AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin
+  }
+
+  // ---- x269 stats-driven snapshot join ------------------------------------
+  // The engine joins the v3 CDC snapshot to the v1 snapshot whose read
+  // carries the manifest-stats broadcast decision (plan shape pinned in
+  // PlanSpec); the oracle derives both versions from the fixture rules.
+
+  private val x269 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""SELECT doc_id, lang,
+         |       CAST(CASE WHEN doc_id % $nb = 1 THEN n_chars + 1000
+         |                 ELSE n_chars END AS BIGINT) AS chars_v3,
+         |       n_chars AS chars_v1
+         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin
+  }
+
   // ---- x253 TextRank keywords -----------------------------------------
   // The x59 unrolled integer power iteration on the word CO-OCCURRENCE
   // graph (adjacent-token pairs, symmetrized, weighted), weighted
@@ -7047,6 +7136,11 @@ object ExtSql {
     "x262_time_travel"    -> x262,
     "x263_optimize"       -> x263,
     "x264_col_rename"     -> x264,
+    "x265_conj_skip"      -> x265,
+    "x266_opt_zorder"     -> x266,
+    "x267_incr_ivf"       -> x267,
+    "x268_col_drop"       -> x268,
+    "x269_stats_join"     -> x269,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -433,6 +433,7 @@ object Extensions {
     uniMemo.keys.filter(_._1 eq session).foreach(uniMemo.remove)
     cdcMemo.keys.filter(_._1 eq session).foreach(cdcMemo.remove)
     idxMemo.keys.filter(_._1 eq session).foreach(idxMemo.remove)
+    vecCdcMemo.keys.filter(_._1 eq session).foreach(vecCdcMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
     // the parity pipeline's construction memos (r7): entries must go
     // so the post-eviction rebuild re-registers its persists
@@ -845,7 +846,13 @@ object Extensions {
       graft.ops.DataProfile.lDiversity(Tables.customer(s, d))),
     "x262_time_travel"   -> timeTravel _,
     "x263_optimize"      -> optimizeQ _,
-    "x264_col_rename"    -> colRename _)
+    "x264_col_rename"    -> colRename _,
+    "x265_conj_skip"     -> conjSkip _,
+    "x266_opt_zorder"    -> optZorder _,
+    "x267_incr_ivf"      -> ((s, d) => finalShared("x267", s, d)(
+      incrementalIvf(s, d))),
+    "x268_col_drop"      -> colDrop _,
+    "x269_stats_join"    -> statsJoin _)
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -1209,6 +1216,220 @@ object Extensions {
       slice(1).withColumn("n_chars", col("n_chars") + 1000)))
     TxnLog.snapshot(s, table)
       .select(col("doc_id"), col("lang"), col("char_count"))
+  }
+
+  /** x265: CONJUNCTIVE MULTI-COLUMN DATA SKIPPING (see
+    * [[graft.sources.TxnLog.snapshotWhere]] — VERDICT r10, task 2):
+    * real predicates are conjunctions, and pruning them one column at
+    * a time forfeits whichever stat is sharpest. The layout splits
+    * BOTH ways at once — bucket = 2·(doc_id half) + (lang hash
+    * parity) — and the table commits with Bloom sidecars on `lang`,
+    * so the probe `doc_id ≤ span/2−1 AND lang = 'en'` needs BOTH stat
+    * kinds: the doc_id zone maps prove the two high-half buckets
+    * empty, and the lang Bloom sidecar proves the wrong-parity
+    * low-half bucket cannot contain 'en' (its lexicographic lang
+    * [min, max] straddles 'en', so no zone map could). The requires
+    * pin the receipt — zone maps alone keep TWO buckets, the
+    * conjunction keeps ONE; the oracle (the plain two-term WHERE on
+    * the original table) proves combined pruning lost no row. All
+    * sidecar probes ride ONE multi-path job ([[graft.sources.TxnLog
+    * .bloomCandidates]]'s r11 shape). */
+  private def conjSkip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/conj_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    val span = d0.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    def slice(b: Int) = d0.filter(
+      (when(col("doc_id") * 2 >= span, 2).otherwise(0) +
+        pmod(xxhash64(col("lang")), lit(2))) === b)
+    TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap,
+      bloomCol = Some("lang"))
+    val hi = span / 2 - 1
+    val preds = Seq(
+      TxnLog.RangePred("doc_id", None, Some(hi.toString)),
+      TxnLog.PointsPred("lang", Seq("en")))
+    val (kept, pruned) = TxnLog.prunedBucketsWhere(s, table, preds)
+    val (zKept, _) =
+      TxnLog.prunedBuckets(table, "doc_id", None, Some(hi.toString))
+    require(zKept.size == 2,
+      s"doc_id zone maps alone must keep the two low-half buckets, got $zKept")
+    require(kept.size == 1 && pruned.size == 3,
+      s"the conjunction must keep exactly the low-half 'en'-parity " +
+        s"bucket, got kept=$kept pruned=$pruned")
+    TxnLog.snapshotWhere(s, table, preds)
+  }
+
+  /** x266: OPTIMIZE ZORDER end to end (see
+    * [[graft.sources.TxnLog.optimizeZorder]]): v1 commits the table
+    * HASH-clustered on doc_id — the layout where the committed zone
+    * maps prune NOTHING for a range probe (every bucket spans the key
+    * space; the requires pin prunedBefore = 0) — then one OPTIMIZE
+    * ZORDER (n_chars, doc_id) rewrite re-clusters the same rows into
+    * Morton-range buckets and refreshes every zone map in the write
+    * jobs. The same probe (`doc_id ≤ span/4−1`) now prunes strictly
+    * more buckets (the require), and the oracle — the plain range
+    * predicate on the original table — proves the re-layout moved no
+    * row. Layout, not new stats, is what x241-style skipping buys at
+    * 100 TB. */
+  private def optZorder(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/zord_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    val nb = TxnLog.NumBuckets
+    def slice(b: Int) = d0.filter(pmod(xxhash64(col("doc_id")), lit(nb)) === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until nb).map(b => b -> slice(b)).toMap)
+    val span = d0.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val hi = (span / 4 - 1).toString
+    val (_, prunedBefore) =
+      TxnLog.prunedBuckets(table, "doc_id", None, Some(hi), v1)
+    val v2 = TxnLog.optimizeZorder(s, table, "n_chars", "doc_id", v1)
+    val (_, prunedAfter) =
+      TxnLog.prunedBuckets(table, "doc_id", None, Some(hi), v2)
+    require(prunedBefore.isEmpty,
+      s"hash layout must prune nothing for a range probe, got $prunedBefore")
+    require(prunedAfter.size > prunedBefore.size,
+      s"ZORDER must strictly improve range pruning, got " +
+        s"before=$prunedBefore after=$prunedAfter")
+    TxnLog.snapshotRange(s, table, "doc_id", None, Some(hi), v2)
+  }
+
+  /** The x267 EMBEDDING CDC fixture (the [[cdcFixture]] protocol on
+    * (vec_id, embedding) rows): v2's bucket-1 rewrite NEGATES each
+    * vector (a deterministic re-assignment trigger — cosine flips
+    * sign, so the nearest centroid genuinely moves) and inserts
+    * offset-key copies; v3 tombstone-deletes the mod-7 originals.
+    * Memoized like [[cdcMemo]]. */
+  private val vecCdcMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Long, Long)]
+  private def vecCdcFixture(s: SparkSession, d: String): (String, Long, Long) =
+    vecCdcMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val table = graft.sources.Bucketing.buildPath(
+        s"graft-txn/vcdc_${Integer.toHexString(d.hashCode)}")
+      TxnLog.reset(table)
+      val e0 = embs(s, d).select(col("vec_id"), col("embedding"))
+      def slice(b: Int) = e0.filter(col("vec_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(table, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+      val neg = slice(1).withColumn("embedding",
+        transform(col("embedding"), x => -x))
+      val v2 = TxnLog.commit(table, v1, Map(1 ->
+        neg.unionByName(neg.select(
+          (col("vec_id") + CdcInsertOffset).as("vec_id"), col("embedding")))))
+      val v3 = TxnLog.commitDeletes(table,
+        e0.filter(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id", v2)
+      (table, v1, v3)
+    })
+
+  /** x267: INCREMENTAL ANN INDEX MAINTENANCE FROM THE CHANGE FEED —
+    * the x256 signed-delta pattern applied to the IVF cell-assignment
+    * table (VERDICT r10, task 4): the v1 assignments (each vector's
+    * nearest k-means centroid, quantizer FIXED from the original
+    * corpus) are advanced to v3 by touching ONLY the feed's rows —
+    * deletes and update pre-images leave the index, inserts and
+    * update post-images are assigned fresh — never re-scanning the
+    * corpus. The require pins that the maintained index is
+    * ASSIGNMENT-IDENTICAL to a from-scratch rebuild over the v3
+    * snapshot (zero mismatched cells under a null-safe full-outer
+    * compare), which makes every downstream IVF search over the
+    * maintained index equal the rebuilt one by construction; the
+    * oracle re-derives the v3 corpus from the fixture rules and
+    * assigns it against the same mirrored Lloyd chain from scratch —
+    * a dropped, double-applied or mis-signed assignment breaks the
+    * hash.
+    *
+    * Scale: the refresh assigns O(changed vectors) against K broadcast
+    * centroids; at 100 TB a trickle of vector upserts maintains the
+    * index for the cost of the trickle (re-clustering the quantizer
+    * itself stays a scheduled offline rebuild, as in every production
+    * IVF system). */
+  private def incrementalIvf(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (table, v1, v3) = vecCdcFixture(s, d)
+    val cents = centsShared(s, d)
+    val base = Similarity.assignCells(vecsShared(s, d), cents)
+    val feed = finalShared("x267feed", s, d)(
+      TxnLog.changeFeed(s, table, v1, v3, "vec_id"))
+    val gone = feed
+      .filter(col("change_type").isin("delete", "update_preimage"))
+      .select(col("vec_id"))
+    val fresh = Similarity.assignCells(
+      Similarity.vectors(feed
+        .filter(col("change_type").isin("insert", "update_postimage"))
+        .select(col("vec_id"), col("embedding"))), cents)
+    val maintained = base.join(gone, Seq("vec_id"), "left_anti")
+      .unionByName(fresh)
+    val rebuilt = Similarity.assignCells(
+      Similarity.vectors(TxnLog.snapshot(s, table, v3)), cents)
+    val mismatches = maintained
+      .join(rebuilt.withColumnRenamed("cell", "cell_r"),
+        Seq("vec_id"), "full_outer")
+      .filter(!(col("cell") <=> col("cell_r"))).count()
+    require(mismatches == 0,
+      s"incremental IVF maintenance diverged from the rebuild on " +
+        s"$mismatches vectors")
+    maintained
+  }
+
+  /** x268: METADATA-ONLY COLUMN DROP + RE-ADD (see
+    * [[graft.sources.TxnLog.commitDrop]] — the other half of the
+    * Delta column-mapping contract, VERDICT r10 task 5): v1 loads
+    * (doc_id, lang, n_chars), v2 DROPS n_chars without touching a
+    * data file (the requires pin that every generation is carried
+    * verbatim and the logical schema lost the column), v3 re-adds
+    * n_chars by rewriting bucket 1 (+1000) — the re-added column gets
+    * a FRESH physical name, so the dropped data lingering in buckets
+    * 0/2/3 stays masked and their rows read NULL (the
+    * add-nullable-column contract), while bucket 1 serves the new
+    * values. The oracle (NULL except the rewritten bucket) proves the
+    * mask never leaks the old data back. Time travel to v1 keeps the
+    * old schema (TxnLogSpec pins it). */
+  private def colDrop(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/drop_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+    val v1Files = TxnLog.snapshot(s, table, v1).inputFiles.toSet
+    val v2 = TxnLog.commitDrop(s, table, v1, "n_chars")
+    require(TxnLog.snapshot(s, table, v2).columns.toSeq ==
+      Seq("doc_id", "lang"),
+      "a dropped column must leave the logical schema")
+    require(TxnLog.snapshot(s, table, v2).inputFiles.toSet == v1Files,
+      "a metadata-only drop must carry every data generation verbatim")
+    TxnLog.commit(table, v2, Map(1 ->
+      slice(1).withColumn("n_chars", col("n_chars") + 1000)))
+    TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** x269: STATS-DRIVEN JOIN PLANNING ON SNAPSHOT READS (see
+    * [[graft.sources.TxnLog.snapshotWithStats]] — VERDICT r10, task
+    * 6): a snapshot⋈snapshot join across two versions of the CDC
+    * fixture — the v1 read carries the manifest-stats broadcast
+    * decision (its exact committed row counts bound it far under the
+    * ceiling), so the join picks its broadcast side AT PLAN TIME from
+    * stats, not from AQE's runtime sizes (PlanSpec pins the plan shape
+    * with Spark's own file-size broadcasting disabled). The rows are
+    * the version-over-version char comparison; the oracle derives both
+    * sides from the fixture rules — a hint can never change them. */
+  private def statsJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (table, v1, v3) = cdcFixture(s, d)
+    val old = TxnLog.snapshotWithStats(s, table, v1)
+      .select(col("doc_id"), col("n_chars").as("chars_v1"))
+    val cur = TxnLog.snapshot(s, table, v3)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("chars_v3"))
+    cur.join(old, Seq("doc_id"))
   }
 
   /** x221: MERGE-ON-READ DELETION VECTORS end to end (see

@@ -1326,6 +1326,51 @@ object TxnLog {
     base.filter(residual)
   }
 
+  // ---- stats-driven join planning (x269) --------------------------------
+
+  /** Manifest-stats broadcast ceiling: a snapshot whose manifest-bound
+    * size (Σ bucket row counts × the schema's Catalyst default row
+    * width) stays under this is safe to broadcast — the same order as
+    * Spark's own `autoBroadcastJoinThreshold` default. */
+  val StatsBroadcastBytes: Long = 8L << 20
+
+  /** Size upper bound for `version`'s snapshot FROM THE MANIFEST: row
+    * counts observed in the commits' write jobs × the schema's default
+    * per-row width (tombstones only shrink the snapshot, so the bound
+    * stays safe). None when any bucket predates row-count stats. */
+  def statsSizeBound(spark: SparkSession, table: String,
+                     version: Long = -1L): Option[Long] = {
+    val v = if (version > 0) version else latestVersion(table)
+    val m = readManifest(table, v)
+    val bs = m.buckets.keySet.toSeq
+    if (!bs.forall(m.rows.contains)) None
+    else Some(bs.map(m.rows).sum *
+      snapshot(spark, table, v).schema.defaultSize.toLong)
+  }
+
+  /** x269: SNAPSHOT READ WITH PLAN-TIME STATS (the CatalogStatistics
+    * role for a metastore-less path table): a txn-log snapshot is a
+    * multi-path scan, often behind deletion-vector anti joins and a
+    * union — shapes where Spark's plan-time size estimate degrades to
+    * file-byte heuristics and join-output guesses, so a provably tiny
+    * snapshot can miss plan-time broadcast and fall back to a sorted
+    * shuffle until AQE measures it at runtime. The manifest already
+    * holds EXACT per-bucket row counts observed at write time; when
+    * they bound the snapshot under [[StatsBroadcastBytes]], the read
+    * carries a broadcast hint — the join side is decided by STATS at
+    * plan time, no runtime re-plan needed. Row semantics are identical
+    * to [[snapshot]] (a hint never changes results); oversized or
+    * stat-less snapshots return the plain read. */
+  def snapshotWithStats(spark: SparkSession, table: String,
+                        version: Long = -1L): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    statsSizeBound(spark, table, version) match {
+      case Some(sz) if sz <= StatsBroadcastBytes =>
+        org.apache.spark.sql.functions.broadcast(snap)
+      case _ => snap
+    }
+  }
+
   // ---- OPTIMIZE ZORDER (x266) -----------------------------------------
 
   /** x266: OPTIMIZE ZORDER — re-cluster the whole table by the Morton

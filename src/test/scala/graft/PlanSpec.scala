@@ -568,6 +568,90 @@ class PlanSpec extends SparkSpec {
       s"every rank step is a keyed join:\n$p")
   }
 
+  test("x265 conjunctive skip: buckets pruned by EITHER stat never reach the scan") {
+    val df = SparkEntry.queries("x265_conj_skip")(spark, dir)
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/conj_${Integer.toHexString(dir.hashCode)}")
+    import graft.sources.TxnLog
+    val d0 = graft.sources.Tables.documents(spark, dir)
+    val span = d0.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("doc_id"))).head.getLong(0) + 1L
+    val hi = (span / 2 - 1).toString
+    val preds = Seq(TxnLog.RangePred("doc_id", None, Some(hi)),
+      TxnLog.PointsPred("lang", Seq("en")))
+    val (kept, pruned) = TxnLog.prunedBucketsWhere(spark, table, preds)
+    assert(kept.size == 1 && pruned.size == 3, s"kept=$kept pruned=$pruned")
+    // the zone maps prune the high half; the Bloom sidecar prunes the
+    // wrong-parity low bucket — BOTH stat kinds contribute
+    val (zKept, zPruned) = TxnLog.prunedBuckets(table, "doc_id", None, Some(hi))
+    assert(zPruned.size == 2 && zKept.size == 2,
+      s"zone maps alone prune only the high half: $zPruned")
+    val bloomPruned = pruned.diff(zPruned)
+    assert(bloomPruned.size == 1,
+      s"the Bloom sidecar must prune the remaining bucket: $bloomPruned")
+    val files = df.inputFiles
+    pruned.foreach(b => assert(!files.exists(_.contains(s"-b$b-")),
+      s"pruned bucket $b must never reach the scan:\n${files.mkString("\n")}"))
+    kept.foreach(b => assert(files.exists(_.contains(s"-b$b-")),
+      s"kept bucket $b must be scanned:\n${files.mkString("\n")}"))
+    // the FULL residual conjunction still pushes into the kept scans
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LessThanOrEqual(doc_id") && p.contains("EqualTo(lang"),
+      s"both conjuncts must reach the parquet reader:\n$p")
+  }
+
+  test("bloom probes plan ONE sidecar job regardless of bucket count") {
+    import graft.sources.TxnLog
+    val t = graft.sources.Bucketing.buildPath("graft-txn-spec/onejob")
+    TxnLog.reset(t)
+    import spark.implicits._
+    val d0 = (0L until 64L).map(i => (i, i * 3)).toDF("doc_id", "v")
+    TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(org.apache.spark.sql.functions.col("doc_id")
+        % TxnLog.NumBuckets === b)).toMap, bloomCol = Some("doc_id"))
+    val sc = spark.sparkContext
+    sc.setJobGroup("graft-bloom-probe", "x250 probe job count", false)
+    val (kept, _) = try TxnLog.bloomCandidates(spark, t, "doc_id",
+      Seq("1", "2", "987654321"))
+    finally sc.clearJobGroup()
+    assert(kept.nonEmpty)
+    // one probe-position job per distinct geometry (equal-sized
+    // fixture buckets share one) + ONE multi-path sidecar read; a
+    // small slack for parquet footer inference — but never one job
+    // per bucket (the r10 finding: O(buckets) serial job launches)
+    val jobs = sc.statusTracker.getJobIdsForGroup("graft-bloom-probe")
+    assert(jobs.length <= 3 && jobs.length < TxnLog.NumBuckets,
+      s"sidecar probing must not scale jobs with buckets: ${jobs.length}")
+  }
+
+  test("x269 manifest stats pick the broadcast side AT PLAN TIME") {
+    import graft.sources.TxnLog
+    import org.apache.spark.sql.functions.col
+    // a child session with Spark's own size-based broadcasting OFF:
+    // any plan-time broadcast can only come from the manifest stats
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val t = graft.sources.Bucketing.buildPath("graft-txn-spec/statsbhj")
+    TxnLog.reset(t)
+    import sub.implicits._
+    val d0 = (0L until 32L).map(i => (i, i * 7)).toDF("doc_id", "v")
+    TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap)
+    def right = TxnLog.snapshot(sub, t).select(col("doc_id"),
+      col("v").as("v2"))
+    val plain = TxnLog.snapshot(sub, t).join(right, Seq("doc_id"))
+    assert(!plain.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      "with size-based broadcasting off, the plain join must not broadcast")
+    val stats = TxnLog.snapshotWithStats(sub, t).join(right, Seq("doc_id"))
+    assert(stats.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      s"the manifest-stats read must broadcast at plan time:\n" +
+        s"${stats.queryExecution.sparkPlan}")
+    // a hint never changes rows
+    assert(stats.count() === plain.count())
+  }
+
   test("x263 post-OPTIMIZE snapshot plans a bare scan — no anti join survives") {
     val df = SparkEntry.queries("x263_optimize")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
