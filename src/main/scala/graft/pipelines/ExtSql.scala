@@ -4799,6 +4799,20 @@ object ExtSql {
          |FROM documents WHERE doc_id % 7 <> 0""".stripMargin
   }
 
+  // ---- x270 mapping-aware predicate skipping ------------------------------
+  // The engine renames n_chars -> char_count (metadata-only) and reads
+  // under a conjunction addressing the LOGICAL names: the resolver
+  // translates them to the physical zone maps, the quartile pruning
+  // receipt is pinned by a require, and the result carries the logical
+  // schema — the oracle expresses the rename as an alias.
+
+  private val x270 =
+    raw"""WITH mx AS (
+         |  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS ispan FROM documents)
+         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS char_count
+         |FROM documents CROSS JOIN mx
+         |WHERE doc_id <= ispan // 2 - 1 AND n_chars >= 200""".stripMargin
+
   // ---- x253 TextRank keywords -----------------------------------------
   // The x59 unrolled integer power iteration on the word CO-OCCURRENCE
   // graph (adjacent-token pairs, symmetrized, weighted), weighted
@@ -7141,6 +7155,7 @@ object ExtSql {
     "x267_incr_ivf"       -> x267,
     "x268_col_drop"       -> x268,
     "x269_stats_join"     -> x269,
+    "x270_mapped_skip"    -> x270,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -852,7 +852,8 @@ object Extensions {
     "x267_incr_ivf"      -> ((s, d) => finalShared("x267", s, d)(
       incrementalIvf(s, d))),
     "x268_col_drop"      -> colDrop _,
-    "x269_stats_join"    -> statsJoin _)
+    "x269_stats_join"    -> statsJoin _,
+    "x270_mapped_skip"   -> mappedSkip _)
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -1430,6 +1431,40 @@ object Extensions {
     val cur = TxnLog.snapshot(s, table, v3)
       .select(col("doc_id"), col("lang"), col("n_chars").as("chars_v3"))
     cur.join(old, Seq("doc_id"))
+  }
+
+  /** x270: MAPPING-AWARE PREDICATE SKIPPING (the x264 scaladoc's
+    * documented next increment): the x241 range-clustered fixture is
+    * RENAMED (n_chars → char_count, metadata-only) and then read under
+    * a 2-term conjunction that addresses the LOGICAL names — the
+    * resolver translates them to the physical columns the zone maps
+    * speak, pruning works across the rename (the require pins the
+    * same quartile receipt as x241), and the result carries the
+    * LOGICAL schema. The oracle is the plain conjunction with the
+    * rename expressed as an alias; Round17OpsSpec pins the loud
+    * failure on a renamed-away physical name. */
+  private def mappedSkip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/mskip_${Integer.toHexString(d.hashCode)}")
+    TxnLog.reset(table)
+    val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    val span = d0.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val nb = TxnLog.NumBuckets
+    def slice(b: Int) = d0.filter(
+      floor(col("doc_id") * nb / lit(span.toDouble)) === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until nb).map(b => b -> slice(b)).toMap)
+    TxnLog.commitRename(s, table, v1, "n_chars", "char_count")
+    val hi = (span / 2 - 1).toString
+    val preds = Seq(
+      TxnLog.RangePred("doc_id", None, Some(hi)),
+      TxnLog.RangePred("char_count", Some("200"), None))
+    val (kept, pruned) = TxnLog.prunedBucketsWhere(s, table, preds)
+    require(pruned == Seq(2, 3) && kept == Seq(0, 1),
+      s"zone maps must keep pruning across the rename, got " +
+        s"kept=$kept pruned=$pruned")
+    TxnLog.snapshotWhere(s, table, preds)
   }
 
   /** x221: MERGE-ON-READ DELETION VECTORS end to end (see

@@ -920,11 +920,12 @@ object TxnLog {
     * Touches no bucket, so it never conflicts with data writers;
     * `from` resolves against the CURRENT logical view (renaming a
     * renamed column updates its physical entry; renaming back to the
-    * physical name drops the entry). [[snapshotRange]]/
-    * [[snapshotPoints]]/[[changeFeed]] keep addressing physical names
-    * (a renamed table fails LOUD there, never silently) —
-    * mapping-aware predicate translation is the documented next
-    * increment. */
+    * physical name drops the entry). [[snapshotWhere]]/
+    * [[snapshotRange]]/[[snapshotPoints]] are MAPPING-AWARE (x270):
+    * predicates address the logical name, resolve to the physical
+    * stats, and return the logical schema; addressing a renamed-away
+    * physical name or a dropped column fails loud. [[changeFeed]]
+    * keeps physical names (its consumers are maintenance jobs). */
   def commitRename(spark: SparkSession, table: String, baseVersion: Long,
                    from: String, to: String): Long =
     commitMetaOnly(table, baseVersion) { m =>
@@ -1246,8 +1247,9 @@ object TxnLog {
 
   // ---- conjunctive multi-column pruning (x265) ------------------------
 
-  /** One conjunct of a pruned snapshot read. Columns are PHYSICAL
-    * names (the [[snapshotRange]]/[[snapshotPoints]] contract). */
+  /** One conjunct of a pruned snapshot read. Columns address the
+    * LOGICAL schema; [[snapshotWhere]] resolves them through the
+    * column mapping to the physical stats (x270). */
   sealed trait Pred { def col: String }
   /** `col ∈ [lo, hi]` (either bound optional) — pruned by zone maps. */
   final case class RangePred(col: String, lo: Option[String],
@@ -1268,12 +1270,37 @@ object TxnLog {
     * no stat for a column are kept by that conjunct (skipping is an
     * optimization, never a filter); all Bloom sidecars are read in ONE
     * multi-path job ([[bloomKeep]]). */
+  /** Resolve a predicate's column through the column mapping (x270 —
+    * the x264 scaladoc's documented next increment): predicates
+    * address the LOGICAL schema; files, zone maps and Bloom sidecars
+    * keep speaking physical names, so a renamed column's stats keep
+    * pruning. Addressing a renamed-away physical name or a dropped
+    * column fails loud — never a silent stale read. */
+  private def resolvePredCol(m: Manifest, c: String): String = {
+    val p = m.colmap.collectFirst { case (ph, l) if l == c => ph }
+      .getOrElse {
+        require(!m.colmap.contains(c),
+          s"column $c was renamed to ${m.colmap.getOrElse(c, "")} — " +
+            "address the logical name")
+        c
+      }
+    require(!m.drops.contains(p), s"column $c is dropped in this version")
+    p
+  }
+
+  private def resolvePreds(m: Manifest, preds: Seq[Pred]): Seq[Pred] =
+    preds.map {
+      case RangePred(c, lo, hi) => RangePred(resolvePredCol(m, c), lo, hi)
+      case PointsPred(c, vs)    => PointsPred(resolvePredCol(m, c), vs)
+    }
+
   def prunedBucketsWhere(spark: SparkSession, table: String,
-                         preds: Seq[Pred],
+                         preds0: Seq[Pred],
                          version: Long = -1L): (Seq[Int], Seq[Int]) = {
-    require(preds.nonEmpty, "prunedBucketsWhere: no predicates")
+    require(preds0.nonEmpty, "prunedBucketsWhere: no predicates")
     val v = if (version > 0) version else latestVersion(table)
     val m = readManifest(table, v)
+    val preds = resolvePreds(m, preds0)
     val bk = bloomKeep(spark, table, m,
       preds.collect { case PointsPred(c, vs) => c -> vs })
     def zoneKeepRange(b: Int, c: String, lo: Option[String],
@@ -1305,13 +1332,17 @@ object TxnLog {
     * filter, so a loose bound or a Bloom false positive costs a scan,
     * never a wrong row. The residual pushes into the kept parquet scans
     * for row-group/page skipping. */
-  def snapshotWhere(spark: SparkSession, table: String, preds: Seq[Pred],
+  def snapshotWhere(spark: SparkSession, table: String, preds0: Seq[Pred],
                     version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val v = if (version > 0) version else latestVersion(table)
     require(v > 0, s"no committed version in $table")
     val m = readManifest(table, v)
-    val (kept, _) = prunedBucketsWhere(spark, table, preds, v)
+    val preds = resolvePreds(m, preds0)
+    // prunedBucketsWhere resolves preds0 itself (resolution is not
+    // idempotent: a resolved physical name would trip the renamed-away
+    // guard on the second pass)
+    val (kept, _) = prunedBucketsWhere(spark, table, preds0, v)
     val base = keptRead(spark, table, m, kept)
     val residual = preds.map {
       case RangePred(c, lo, hi) =>
@@ -1323,7 +1354,16 @@ object TxnLog {
         val dt = base.schema(c).dataType
         col(c).isin(vs.map(lit(_).cast(dt)): _*)
     }.reduce(_ && _)
-    base.filter(residual)
+    // same reader-facing projection as [[snapshot]] (x270): the
+    // residual filtered the PHYSICAL frame; the result masks drops and
+    // renames to the logical schema, so a pruned read of a renamed
+    // table is indistinguishable from a filtered snapshot()
+    val masked = m.drops.foldLeft(base.filter(residual)) { (df, p) =>
+      if (df.columns.contains(p)) df.drop(p) else df
+    }
+    m.colmap.foldLeft(masked) { case (df, (p, l)) =>
+      df.withColumnRenamed(p, l)
+    }
   }
 
   // ---- stats-driven join planning (x269) --------------------------------

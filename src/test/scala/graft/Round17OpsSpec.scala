@@ -129,6 +129,34 @@ class Round17OpsSpec extends SparkSpec {
     assert(df.count() === 0L)
   }
 
+  // ---- x270 mapping-aware predicate resolution ----------------------------
+
+  test("x270 predicates resolve logical names; stale physical names fail loud") {
+    val t = freshTable("mapped_unit")
+    val v1 = loadAll(t)
+    TxnLog.commitRename(spark, t, v1, "n_chars", "char_count")
+    // the LOGICAL name prunes via the physical zone maps and returns
+    // the logical schema
+    val df = TxnLog.snapshotWhere(spark, t, Seq(
+      TxnLog.RangePred("char_count", Some("50"), None)))
+    assert(df.columns.toSeq === Seq("doc_id", "lang", "char_count"))
+    assert(df.select("doc_id").as[Long].collect().toSet ===
+      Set(4L, 5L, 6L, 7L))
+    // the renamed-away PHYSICAL name is not silently served
+    assert(intercept[IllegalArgumentException](
+      TxnLog.snapshotWhere(spark, t, Seq(
+        TxnLog.RangePred("n_chars", Some("50"), None))))
+      .getMessage.contains("renamed"))
+    // a dropped column's physical data is not silently served either:
+    // drop char_count (physical n_chars), then predicate the physical
+    // name — the lingering files must never answer
+    TxnLog.commitDrop(spark, t, TxnLog.latestVersion(t), "char_count")
+    assert(intercept[IllegalArgumentException](
+      TxnLog.snapshotWhere(spark, t, Seq(
+        TxnLog.RangePred("n_chars", Some("50"), None))))
+      .getMessage.contains("dropped"))
+  }
+
   // ---- x263 OPTIMIZE refreshes Bloom sidecars (ADVICE r10) ---------------
 
   test("optimize rebuilds the rewritten buckets' Bloom sidecars") {
