@@ -4744,12 +4744,13 @@ object ExtSql {
   // mod-7 originals deleted — and assigns it against the same mirrored
   // Lloyd chain trained on the ORIGINAL corpus.
 
-  private lazy val x267 = {
+  /** The x267/x271 v3 corpus CTE: the embedding CDC fixture's rules —
+    * bucket-1 vectors negated, offset-key copies inserted, mod-7
+    * originals deleted — re-normalized like `vn`. */
+  private lazy val vn3Cte = {
     val nb = graft.sources.TxnLog.NumBuckets
     val off = graft.pipelines.Extensions.CdcInsertOffset
-    val iters = Similarity.KmeansIters
-    raw"""WITH $kmeansCandCtes,
-         |vn3 AS (
+    raw"""vn3 AS (
          |  SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM (
          |    SELECT vec_id,
          |           CASE WHEN vec_id % $nb = 1
@@ -4759,7 +4760,13 @@ object ExtSql {
          |    UNION ALL
          |    SELECT vec_id + $off, [-x for x in v]
          |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |    WHERE vec_id % $nb = 1))
+         |    WHERE vec_id % $nb = 1))""".stripMargin
+  }
+
+  private lazy val x267 = {
+    val iters = Similarity.KmeansIters
+    raw"""WITH $kmeansCandCtes,
+         |$vn3Cte
          |SELECT vec_id, cell FROM (
          |  SELECT vn3.vec_id, c.cid AS cell,
          |         row_number() OVER (PARTITION BY vn3.vec_id
@@ -4769,6 +4776,73 @@ object ExtSql {
          |    (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn
          |     FROM cent$iters) c)
          |WHERE rn = 1""".stripMargin
+  }
+
+  // ---- x271 recall audit of the maintained index ---------------------------
+  // x267 pins the maintained index assignment-identical to the rebuild,
+  // so pricing the rebuilt index IS pricing the maintained one: IVF
+  // top-k over the v3 corpus (fixed quantizer) against the exact brute
+  // top-k over the same corpus — the x190 recall row, post-advance.
+
+  private lazy val x271 = {
+    val iters = Similarity.KmeansIters
+    val k = Similarity.TopK; val np = Similarity.NProbe
+    val stride = Similarity.QueryStride
+    raw"""WITH $kmeansCandCtes,
+         |$vn3Cte,
+         |cn3 AS (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn
+         |        FROM cent$iters),
+         |q3 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vn3
+         |       WHERE vec_id % $stride = 0),
+         |brute AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos_sim DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT q_id, vec_id,
+         |             ${cosExpr("qv", "qn", "v", "nrm")} AS cos_sim
+         |      FROM q3 CROSS JOIN vn3 WHERE q_id <> vec_id))
+         |  WHERE rnk <= $k),
+         |assign3 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vn3.vec_id, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY vn3.vec_id
+         |             ORDER BY ${cosExpr("vn3.v", "vn3.nrm", "c.cv", "c.cn")}
+         |               DESC, c.cid) AS rn
+         |    FROM vn3 CROSS JOIN cn3 c)
+         |  WHERE rn = 1),
+         |cand3 AS (
+         |  SELECT vn3.vec_id, vn3.v, vn3.nrm, a.cell
+         |  FROM vn3 JOIN assign3 a USING (vec_id)),
+         |probes AS (
+         |  SELECT q_id, qv, qn, cell FROM (
+         |    SELECT q3.q_id, q3.qv, q3.qn, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY q3.q_id
+         |             ORDER BY ${cosExpr("q3.qv", "q3.qn", "c.cv", "c.cn")}
+         |               DESC, c.cid) AS crnk
+         |    FROM q3 CROSS JOIN cn3 c)
+         |  WHERE crnk <= $np),
+         |ivf AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos_sim DESC, vec_id) AS rnk
+         |    FROM (
+         |      SELECT p.q_id, cand3.vec_id,
+         |             ${cosExpr("p.qv", "p.qn", "cand3.v", "cand3.nrm")} AS cos_sim
+         |      FROM probes p JOIN cand3 USING (cell)
+         |      WHERE p.q_id <> cand3.vec_id))
+         |  WHERE rnk <= $k),
+         |common AS (
+         |  SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM brute b JOIN ivf i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+         |  GROUP BY 1)
+         |SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_brute,
+         |       coalesce(any_value(common.n_common), 0) AS n_common,
+         |       ${round4(s"coalesce(any_value(common.n_common), 0)::DOUBLE / $k")} AS recall
+         |FROM brute b LEFT JOIN common ON b.q_id = common.q_id
+         |GROUP BY b.q_id""".stripMargin
   }
 
   // ---- x268 metadata-only column drop + re-add ---------------------------
@@ -7156,6 +7230,7 @@ object ExtSql {
     "x268_col_drop"       -> x268,
     "x269_stats_join"     -> x269,
     "x270_mapped_skip"    -> x270,
+    "x271_incr_ivf_recall" -> x271,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,
