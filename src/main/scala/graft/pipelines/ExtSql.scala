@@ -4845,6 +4845,16 @@ object ExtSql {
          |GROUP BY b.q_id""".stripMargin
   }
 
+  // ---- x272 RESTORE TO VERSION --------------------------------------------
+  // The engine restores the CDC fixture to v1 (a metadata-only commit
+  // re-referencing v1's generations; requires pin zero files touched
+  // and that the restored-over versions stay time-travelable) and
+  // reads the NEW latest: the original table, exactly — x262 proved
+  // the versioned read, this proves the versioned write-back.
+
+  private val x272 =
+    raw"""SELECT doc_id, lang, n_chars FROM documents""".stripMargin
+
   // ---- x268 metadata-only column drop + re-add ---------------------------
   // Drop n_chars without touching data, then re-add it via a bucket-1
   // rewrite: the re-added column has a fresh physical name, so the
@@ -7231,6 +7241,7 @@ object ExtSql {
     "x269_stats_join"     -> x269,
     "x270_mapped_skip"    -> x270,
     "x271_incr_ivf_recall" -> x271,
+    "x272_restore"        -> x272,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

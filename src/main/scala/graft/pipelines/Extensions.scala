@@ -861,7 +861,8 @@ object Extensions {
     // rides the vecCdc fixture + shared quantizer; the heavy exact leg
     // is memoized like every audit final
     "x271_incr_ivf_recall" -> ((s, d) => finalShared("x271", s, d)(
-      incrIvfRecall(s, d))))
+      incrIvfRecall(s, d))),
+    "x272_restore"       -> restoreQ _)
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -1425,6 +1426,33 @@ object Extensions {
     val v3vecs = graft.ops.Caching.temp(
       Similarity.vectors(TxnLog.snapshot(s, table, v3)))
     Similarity.ivfRecall(v3vecs, centsShared(s, d))
+  }
+
+  /** x272: RESTORE end to end (see [[graft.sources.TxnLog.restore]] —
+    * the Delta `RESTORE TABLE … TO VERSION` primitive): over the
+    * memoized CDC fixture (v1 full load, v2 bucket rewrite + inserts,
+    * v3 tombstone deletes), restore to v1 commits a NEW version whose
+    * complete state re-references v1's generations — zero data files
+    * touched (the require pins the v1 file set), the bad versions
+    * still time-travelable below the restore point (second require).
+    * The latest-snapshot read must return the original table exactly;
+    * the oracle is the plain original table — x262 proved the
+    * versioned READ, this proves the versioned WRITE-BACK. */
+  private def restoreQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (table, v1, v3) = cdcFixture(s, d)
+    // idempotent across bench passes: restore only once per table
+    // state (a second restore of the same target is a no-op commit,
+    // but the receipts below stay meaningful either way)
+    val v4 = TxnLog.restore(table, v1)
+    require(v4 > v3, s"restore must commit a new version, got $v4 over $v3")
+    require(TxnLog.snapshot(s, table).inputFiles.toSet ==
+      TxnLog.snapshot(s, table, v1).inputFiles.toSet,
+      "restore must re-reference the target version's generations verbatim")
+    require(TxnLog.snapshot(s, table, v3).inputFiles.nonEmpty,
+      "restored-over versions must stay time-travelable")
+    TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
   /** x268: METADATA-ONLY COLUMN DROP + RE-ADD (see

@@ -62,6 +62,10 @@ object TxnLog {
   /** Key buckets (the concurrency granularity of this table). */
   val NumBuckets = 4
 
+  /** Tombstoned-bucket count past which a snapshot read warns that its
+    * plan (one anti join per tombstoned bucket) needs an OPTIMIZE. */
+  val TombedPlanWarn = 64
+
   final class ConflictException(msg: String) extends RuntimeException(msg)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
@@ -865,6 +869,15 @@ object TxnLog {
       scan(m.buckets.toSeq.sortBy(_._1).map(e => s"$table/${e._2}")).limit(0)
     else {
       val tombed = kept.filter(b => m.tombs.get(b).exists(_.nonEmpty))
+      // plan-width guard (VERDICT r10, finding 2): each tombstoned
+      // bucket adds an anti-join node, so a long-deferred OPTIMIZE
+      // makes ANALYSIS cost driver-visible before a byte moves — warn
+      // at the threshold instead of silently degrading
+      if (tombed.size > TombedPlanWarn)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"snapshot of $table v${m.version} subtracts deletion vectors " +
+            s"in ${tombed.size} buckets (> $TombedPlanWarn): plan size is " +
+            "O(tombed buckets) — run OPTIMIZE to settle the read debt")
       val clearRels = kept.filterNot(tombed.contains)
         .map(b => s"$table/${m.buckets(b)}")
       val clear = if (clearRels.isEmpty) None else Some(scan(clearRels))
@@ -973,6 +986,58 @@ object TxnLog {
           "compact/OPTIMIZE first")
       (m.colmap - phys, m.drops + phys)
     }
+
+  /** x272: RESTORE (the Delta `RESTORE TABLE … TO VERSION` primitive):
+    * commit a NEW version whose complete state — bucket map,
+    * tombstones, key column, zone maps, row counts, Bloom sidecars,
+    * column mapping AND drops — is the target version's, without
+    * touching a single data file (the target's generations are still
+    * referenced by its manifest inside the retention window, so they
+    * were never vacuumed; the restore manifest re-references them,
+    * which also re-protects them from future vacuums). History is
+    * preserved: the bad versions stay time-travelable below the
+    * restore point, exactly Delta's semantics. Touches EVERY bucket
+    * whose entry differs from the current latest — a concurrent
+    * writer of any restored bucket is a conflict, same contract as a
+    * full-bucket rewrite. */
+  def restore(table: String, toVersion: Long): Long = {
+    require(toVersion > 0, s"restore: bad target version $toVersion")
+    require(Files.exists(manifestPath(table, toVersion)),
+      s"restore: version $toVersion of $table is expired (vacuumed)")
+    val target = readManifest(table, toVersion)
+    Files.createDirectories(logDir(table))
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(table)
+      require(latest >= toVersion, s"restore: $toVersion is ahead of v$latest")
+      val cur = readManifest(table, latest)
+      val touched = (cur.buckets.keySet ++ target.buckets.keySet).filter { b =>
+        cur.buckets.get(b) != target.buckets.get(b) ||
+          cur.tombs.getOrElse(b, Seq.empty) != target.tombs.getOrElse(b, Seq.empty)
+      }
+      val keyLine = target.keyCol
+        .filter(_ => target.tombs.exists(_._2.nonEmpty))
+        .map(k => s"keycol=$k").toSeq
+      val body = (s"version=${latest + 1}" +:
+        s"touched=${touched.toSeq.sorted.mkString(",")}" +:
+        (keyLine ++
+          target.buckets.toSeq.sortBy(_._1)
+            .map { case (b, dir) => s"bucket $b $dir" } ++
+          target.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
+            ds.map(d => s"tomb $b $d") } ++
+          statLines(target.zmaps, target.rows, target.blooms,
+            target.colmap, target.drops)))
+        .mkString("", "\n", "\n")
+      try {
+        Files.write(manifestPath(table, latest + 1),
+          body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+        committed = latest + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    committed
+  }
 
   /** The current LOGICAL column list of `table` at `version`: physical
     * footer schema(s) minus dropped columns, through the column
@@ -1121,11 +1186,15 @@ object TxnLog {
     require(bs.forall(m.rows.contains),
       s"metaAggregate: $table v$v has buckets without recorded row counts")
     val nRows = bs.map(m.rows).sum
+    // the metadata plane speaks the LOGICAL schema like every read:
+    // dropped columns' lingering stats never surface, renamed columns
+    // report under their logical names (x270 applied to x249)
     val cols = bs.headOption
       .map(b => m.zmaps.getOrElse(b, Seq.empty).map(_.col).toSet)
       .getOrElse(Set.empty)
       .filter(c => bs.forall(b =>
         m.zmaps.getOrElse(b, Seq.empty).exists(_.col == c)))
+      .filterNot(m.drops.contains)
     val out = cols.toSeq.sorted.map { c =>
       val zs = bs.map(b => m.zmaps(b).find(_.col == c).get)
       val dt = zs.head.dtype
@@ -1135,7 +1204,7 @@ object TxnLog {
         else Some(mins.reduce((a, b) => if (zCompare(dt, a, b) <= 0) a else b))
       val mx = if (maxs.isEmpty) None
         else Some(maxs.reduce((a, b) => if (zCompare(dt, a, b) >= 0) a else b))
-      (c, nRows, mn.orNull, mx.orNull)
+      (m.colmap.getOrElse(c, c), nRows, mn.orNull, mx.orNull)
     }
     import spark.implicits._
     out.toDF("col_name", "n_rows", "min_v", "max_v")

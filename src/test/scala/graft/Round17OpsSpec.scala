@@ -183,6 +183,28 @@ class Round17OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(5L))
   }
 
+  // ---- one-job Bloom probe across MIXED geometries -------------------------
+
+  test("bloom probe handles buckets with different filter geometries") {
+    val t = freshTable("geom_mix")
+    // bucket 0: 40 keys (1024-bit filter); bucket 1: 200 keys (4096-bit
+    // filter) — one probe pass must consult both geometries correctly
+    val a = (0L until 40L).map(i => i * 4).toDF("doc_id")
+    val b = (0L until 200L).map(i => i * 4 + 1).toDF("doc_id")
+    TxnLog.commit(t, 0L, Map(0 -> a, 1 -> b), bloomCol = Some("doc_id"))
+    // 0 lives in bucket 0 only; 401 in bucket 1 only; 999999 nowhere
+    val (k1, _) = TxnLog.bloomCandidates(spark, t, "doc_id", Seq("0"))
+    assert(k1 === Seq(0))
+    val (k2, _) = TxnLog.bloomCandidates(spark, t, "doc_id", Seq("401"))
+    assert(k2 === Seq(1))
+    val (k3, p3) = TxnLog.bloomCandidates(spark, t, "doc_id", Seq("999999"))
+    assert(k3.isEmpty && p3 === Seq(0, 1))
+    // and a mixed present/absent probe set keeps both homes
+    val (k4, _) = TxnLog.bloomCandidates(spark, t, "doc_id",
+      Seq("0", "401", "999999"))
+    assert(k4 === Seq(0, 1))
+  }
+
   // ---- x266 ZORDER layout receipt ----------------------------------------
 
   test("x266 optimizeZorder re-clusters ranges and folds tombstones") {
@@ -199,6 +221,56 @@ class Round17OpsSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, t, v2).count() === 64L)
     assert(TxnLog.snapshotRange(spark, t, "a", None, Some("15"), v2)
       .select("a").as[Long].collect().toSet === (0L until 16L).toSet)
+  }
+
+  // ---- x272 RESTORE ---------------------------------------------------------
+
+  test("x272 restore re-references old generations and survives vacuum") {
+    val t = freshTable("restore_unit")
+    val v1 = loadAll(t)
+    val v2 = TxnLog.commit(t, v1, Map(1 ->
+      tinyDocs.filter(col("doc_id") % TxnLog.NumBuckets === 1)
+        .withColumn("n_chars", col("n_chars") + 100)))
+    val v3 = TxnLog.restore(t, v1)
+    assert(v3 === v2 + 1)
+    // the restored snapshot IS v1, file-identical
+    assert(TxnLog.snapshot(spark, t, v3).inputFiles.toSet ===
+      TxnLog.snapshot(spark, t, v1).inputFiles.toSet)
+    assert(TxnLog.snapshot(spark, t).select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap.apply(1L) === 20L)
+    // the restored-over version stays time-travelable
+    assert(TxnLog.snapshot(spark, t, v2).select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap.apply(1L) === 120L)
+    // vacuum keeps the restored generations alive: they're referenced
+    // by the (retained) latest even though they were born in v1
+    TxnLog.vacuum(t, retainLast = 2)
+    assert(TxnLog.snapshot(spark, t).select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap.apply(1L) === 20L)
+    // restoring tombstones restores them exactly
+    val v4p = TxnLog.commitDeletes(t,
+      tinyDocs.filter(col("doc_id") === 2).select("doc_id"), "doc_id",
+      TxnLog.latestVersion(t))
+    val v5 = TxnLog.commit(t, v4p, Map(2 ->
+      tinyDocs.filter(col("doc_id") % TxnLog.NumBuckets === 2)))
+    val v6 = TxnLog.restore(t, v4p)
+    assert(v6 > v5)
+    assert(TxnLog.snapshot(spark, t).select("doc_id")
+      .as[Long].collect().toSet === Set(0L, 1L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("x249 metaAggregate speaks the logical schema after rename/drop") {
+    val t = freshTable("meta_mapped")
+    val v1 = loadAll(t)
+    val v2 = TxnLog.commitRename(spark, t, v1, "n_chars", "char_count")
+    val cols2 = TxnLog.metaAggregate(spark, t, v2)
+      .select("col_name").as[String].collect().toSet
+    assert(cols2 === Set("doc_id", "lang", "char_count"),
+      s"renamed stats must surface under the logical name: $cols2")
+    val v3 = TxnLog.commitDrop(spark, t, v2, "char_count")
+    val cols3 = TxnLog.metaAggregate(spark, t, v3)
+      .select("col_name").as[String].collect().toSet
+    assert(cols3 === Set("doc_id", "lang"),
+      s"dropped stats must never surface: $cols3")
   }
 
   // ---- x269 manifest-stats bound ------------------------------------------
