@@ -353,6 +353,43 @@ object Extensions {
     }
   }
 
+  /** CHECKPOINT-BACKED finals (r11): [[finalShared]] persists the
+    * frame, but a warm action on it still pays seconds of DRIVER time
+    * — the cache substitution walks the frame's original analyzed
+    * tree (beam sweeps unrolled over kmeans/knn plans) comparing
+    * canonicalized subtrees per action (measured: x246's 4-row cached
+    * frame cost ~5–6 s per warm noop write, all in `action_total`,
+    * optimizer ~0.1 s). localCheckpoint collapses the lineage to a
+    * LogicalRDD leaf, so warm actions analyze a tiny plan. Used ONLY
+    * for audit finals whose plans are huge and NOT plan-gated
+    * (PlanSpec reads other keys' operator trees — a checkpoint leaf
+    * would blind those gates). Blocks are freed by [[clearMemos]] via
+    * the tracked RDD ids (Dataset.unpersist is a no-op on checkpoint
+    * blocks — the r4 lesson). */
+  private val finalsCkMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, SparkSession, String), DataFrame]
+  private val finalsCkIds = scala.collection.concurrent.TrieMap
+    .empty[(String, SparkSession, String), Set[Int]]
+  private def finalSharedCk(name: String, s: SparkSession, d: String)
+                           (build: => DataFrame): DataFrame = {
+    val k = (name, s, d)
+    finalsCkMemo.get(k).getOrElse {
+      val ck = build.localCheckpoint() // eager — materializes here
+      finalsCkMemo.putIfAbsent(k, ck) match {
+        case Some(winner) =>
+          // the losing racer's blocks were materialized — free them now
+          org.apache.spark.sql.graftbench.CheckpointId.of(ck).foreach(id =>
+            s.sparkContext.getPersistentRDDs.get(id)
+              .foreach(_.unpersist(blocking = false)))
+          winner
+        case None =>
+          finalsCkIds(k) =
+            org.apache.spark.sql.graftbench.CheckpointId.of(ck).toSet
+          ck
+      }
+    }
+  }
+
   /** ONE x117 BPE training run per (session, dir) — the learned merge
     * table is a driver-side 8-row list (the loop's per-iteration
     * argmax collects run at query CONSTRUCTION, so plan-level cache
@@ -417,6 +454,12 @@ object Extensions {
     }
     finalsMemo.keys.filter(_._2 eq session).foreach { k =>
       finalsMemo.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    finalsCkMemo.keys.filter(_._2 eq session).foreach(finalsCkMemo.remove)
+    finalsCkIds.keys.filter(_._2 eq session).foreach { k =>
+      finalsCkIds.remove(k).foreach(_.foreach(id =>
+        session.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false))))
     }
     // the centroid checkpoint blocks need RDD-level unpersist (ADVICE
     // r4): Dataset.unpersist above is a no-op for them, and without
@@ -732,7 +775,7 @@ object Extensions {
     // the kNN adjacency rides knnShared — the beam search itself adds
     // only beam-bounded joins
     "x214_graph_ann"     -> ((s, d) => gannShared(s, d)),
-    "x215_graph_ann_recall" -> ((s, d) => finalShared("x215", s, d)(
+    "x215_graph_ann_recall" -> ((s, d) => finalSharedCk("x215", s, d)(
       Similarity.graphAnnRecall(vecsShared(s, d), centsShared(s, d), knnShared(s, d)))),
     "x216_txn_snapshot"  -> txnSnapshot _,
     "x217_chunk_retrieval" -> ((s, d) => { tfShared(s, d)
@@ -808,8 +851,10 @@ object Extensions {
     "x245_stream_mv"     -> ((s, d) =>
       graft.streaming.EventStream.streamIncrementalMv(s, d)),
     // rides the brute/ivf/knn memos: the sweep's four beam searches
-    // add only beam-bounded joins over already-materialized frames
-    "x246_beam_frontier" -> ((s, d) => finalShared("x246", s, d)({
+    // add only beam-bounded joins over already-materialized frames;
+    // checkpoint-backed — the 4-row audit's ORIGINAL tree is the
+    // suite's largest and cache-matching it cost ~6 s per warm action
+    "x246_beam_frontier" -> ((s, d) => finalSharedCk("x246", s, d)({
       bruteShared(s, d)
       Similarity.graphAnnBeamFrontier(
         vecsShared(s, d), centsShared(s, d), knnShared(s, d))
