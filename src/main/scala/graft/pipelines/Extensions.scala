@@ -1486,9 +1486,11 @@ object Extensions {
   private def restoreQ(s: SparkSession, d: String): DataFrame = {
     import graft.sources.TxnLog
     val (table, v1, v3) = cdcFixture(s, d)
-    // idempotent across bench passes: restore only once per table
-    // state (a second restore of the same target is a no-op commit,
-    // but the receipts below stay meaningful either way)
+    // idempotent across bench passes: the first call commits the
+    // restore; every later call finds the latest state already equal
+    // to the target and short-circuits to that version (ADVICE r11 —
+    // the log no longer grows per pass), so the receipts below stay
+    // meaningful either way
     val v4 = TxnLog.restore(table, v1)
     require(v4 > v3, s"restore must commit a new version, got $v4 over $v3")
     require(TxnLog.snapshot(s, table).inputFiles.toSet ==

@@ -1011,6 +1011,14 @@ object TxnLog {
       val latest = latestVersion(table)
       require(latest >= toVersion, s"restore: $toVersion is ahead of v$latest")
       val cur = readManifest(table, latest)
+      // no-op short-circuit (ADVICE r11): when the current state already
+      // EQUALS the target — same generations, live tombstones, stats,
+      // mapping and drops — a fresh manifest would record nothing (and a
+      // repeated RESTORE in a retry loop or bench pass would grow the log
+      // unboundedly); return the already-equal latest instead
+      def state(x: Manifest) = (x.buckets, x.tombs.filter(_._2.nonEmpty),
+        x.zmaps, x.rows, x.blooms, x.colmap, x.drops)
+      if (state(cur) == state(target)) return latest
       val touched = (cur.buckets.keySet ++ target.buckets.keySet).filter { b =>
         cur.buckets.get(b) != target.buckets.get(b) ||
           cur.tombs.getOrElse(b, Seq.empty) != target.tombs.getOrElse(b, Seq.empty)
@@ -1253,7 +1261,15 @@ object TxnLog {
                         probes: Seq[(String, Seq[String])])
       : Map[(Int, String), Boolean] = {
     import org.apache.spark.sql.functions.{array, col, input_file_name}
-    val cols = probes.toMap
+    // several conjuncts may probe the SAME column (ADVICE r11: toMap
+    // kept only the last one's values, silently ignoring the others'
+    // probes — conjunction-safe but forfeiting their pruning): under
+    // conjunction a row must satisfy EVERY `col IN values`, so the
+    // effective probe set per column is the INTERSECTION — an empty
+    // intersection proves every sidecar'd bucket empty for free
+    val cols: Map[String, Seq[String]] = probes.groupBy(_._1).map {
+      case (c, es) => c -> es.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+    }
     // (bucket, ref) pairs that have a sidecar on a probed column
     val indexed = m.blooms.toSeq.collect {
       case (b, ref) if cols.contains(ref.col) => (b, ref)
@@ -1412,7 +1428,24 @@ object TxnLog {
     // idempotent: a resolved physical name would trip the renamed-away
     // guard on the second pass)
     val (kept, _) = prunedBucketsWhere(spark, table, preds0, v)
-    val base = keptRead(spark, table, m, kept)
+    val base0 = keptRead(spark, table, m, kept)
+    // a resolved physical column can be absent from EVERY kept bucket's
+    // footer (ADVICE r11): a dropped-then-re-added column lives only in
+    // the rewritten generations, and pruning may eliminate all of them —
+    // the correct read is rows where the column IS null (excluded by the
+    // residual), not a resolution crash. Null-fill from the committed
+    // zone-map dtype (manifest metadata — no scan), falling back to the
+    // all-buckets limit(0) schema union only if no bucket recorded stats.
+    val base = preds.map(_.col).distinct.foldLeft(base0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else {
+        val dt = m.zmaps.valuesIterator.flatten.collectFirst {
+          case z if z.col == c => z.dtype
+        }.getOrElse(keptRead(spark, table, m, Seq.empty).schema(c)
+          .dataType.catalogString)
+        df.withColumn(c, org.apache.spark.sql.functions.lit(null).cast(dt))
+      }
+    }
     val residual = preds.map {
       case RangePred(c, lo, hi) =>
         val dt = base.schema(c).dataType
