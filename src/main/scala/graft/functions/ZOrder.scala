@@ -53,6 +53,113 @@ case class ZOrder2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_zordern(c1, …, cn)`: the n-column generalization of
+  * [[ZOrder2]] (2 ≤ n ≤ 8) — the low ⌊64/n⌋ bits of each LONG column
+  * interleave at stride n (column i owns bit positions i, i+n,
+  * i+2n, …), matching the Delta `OPTIMIZE ZORDER BY (c1, …, cn)`
+  * surface where real tables cluster on more than two dimensions.
+  * For n = 2 the value is bit-identical to [[ZOrder2]] (pinned in
+  * Round18OpsSpec). Null-in → null-out, like every arithmetic
+  * expression; [[graft.sources.TxnLog.optimizeZorder]] routes null
+  * z-values to bucket 0 so a re-cluster never loses rows.
+  *
+  * Native Catalyst expression with whole-stage codegen: each column
+  * is one static `spreadN` call (a bits-wide shift/mask loop) plus a
+  * shift-or — branch-free, allocation-free, no boxing. */
+case class ZOrderN(children: Seq[Expression]) extends Expression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.length < 2 || children.length > 8)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects 2 to 8 arguments, got ${children.length}")
+    else if (children.forall(_.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zordern"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = children.length
+    val vs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vs(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    ZOrderN.interleaveN(vs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val n = children.length
+    val cls = ZOrderN.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val evals = children.map(_.genCode(ctx))
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+    val terms = evals.zipWithIndex.map { case (e, i) =>
+      s"($cls.spreadN(${e.value}, $n) << $i)"
+    }.mkString(" | ")
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) {
+        ${ev.value} = $terms;
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderN =
+    copy(children = newChildren)
+}
+
+object ZOrderN {
+  /** Place the low ⌊64/n⌋ bits of `v` at stride-n positions (bit i of
+    * `v` → bit i·n of the result). The loop form of [[ZOrder2.spread]]
+    * for arbitrary stride; called from generated code. */
+  def spreadN(v: Long, n: Int): Long = {
+    val bits = 64 / n
+    var r = 0L
+    var i = 0
+    while (i < bits) {
+      r |= ((v >>> i) & 1L) << (i * n)
+      i += 1
+    }
+    r
+  }
+
+  /** n-way Morton code: column i on bit positions ≡ i (mod n). */
+  def interleaveN(vs: Array[Long]): Long = {
+    val n = vs.length
+    var r = 0L
+    var i = 0
+    while (i < n) {
+      r |= spreadN(vs(i), n) << i
+      i += 1
+    }
+    r
+  }
+
+  val Name = "graft_zordern"
+
+  /** Column-API entry — requires [[register]] on the session first. */
+  def zorder(cols: Column*): Column =
+    org.apache.spark.sql.functions.call_function(Name, cols: _*)
+
+  /** Idempotent per-session SQL registration. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(Name),
+      new ExpressionInfo(classOf[ZOrderN].getName, Name),
+      (exprs: Seq[Expression]) => ZOrderN(exprs))
+}
+
 object ZOrder2 {
   /** Spread the low 32 bits of `v` to the even bit positions of a
     * 64-bit word (magic-number bit interleave). */

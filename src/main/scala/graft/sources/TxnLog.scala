@@ -1525,44 +1525,94 @@ object TxnLog {
     * space); post-ZORDER the same manifest stats prune most buckets —
     * layout, not new stats, is what x241-style skipping buys at 100 TB.
     *
-    * The slice boundaries are the z-value quartiles, computed here with
-    * the exact `percentile` aggregate (deterministic for the fixture
-    * oracle); at petabyte scale the sampled `repartitionByRange`
-    * boundaries serve the same role — the commit protocol is
-    * indifferent to how rows were routed, it only records the stats it
-    * observes. Z-values use the same codegen'd
-    * [[graft.functions.ZOrder2]] expression x85 audits. */
+    * The slice boundaries are the z-value quartiles from the MERGEABLE
+    * `approx_percentile` sketch (VERDICT r11, finding 1: the exact
+    * `percentile` aggregate buffers every row's z-value in one
+    * in-memory aggregation buffer — an OOM, not a slowdown, at 100 TB;
+    * a quantile SKETCH is O(sketch) memory at any cardinality, and cut
+    * placement only shifts bucket boundaries — the rewrite is
+    * row-preserving under ANY cuts, so pruning receipts, not cut
+    * positions, are the contract). The whole rewrite reads the base
+    * data ONCE (same finding): the z-augmented visible rows are
+    * materialized to one checkpointed leaf, and the quantile job plus
+    * every bucket write read those blocks — never the base parquet
+    * again (receipt: the bucket frames have zero parquet inputFiles,
+    * pinned in Round18OpsSpec). NULL z-values — a nullable cluster
+    * column, or a cast that cannot parse — route to bucket 0 (ADVICE
+    * r11 high: the old four range filters all evaluated to null on a
+    * null z, writing the row to NO bucket — data loss on a
+    * row-preserving primitive). Z-values use the same codegen'd
+    * [[graft.functions.ZOrder2]] expression x85 audits; three or more
+    * cluster columns interleave via [[graft.functions.ZOrderN]]. */
   def optimizeZorder(spark: SparkSession, table: String,
                      colA: String, colB: String,
-                     baseVersion: Long = -1L): Long = {
-    import org.apache.spark.sql.functions.{col, expr}
+                     baseVersion: Long = -1L): Long =
+    optimizeZorder(spark, table, Seq(colA, colB), baseVersion)
+
+  /** n-column OPTIMIZE ZORDER (x277 — the full Delta `OPTIMIZE ZORDER
+    * BY (c1, …, cn)` surface; 2 ≤ n ≤ 8). See the 2-column overload
+    * for the one-pass / sketch-cut / null-routing contract. */
+  def optimizeZorder(spark: SparkSession, table: String,
+                     cols: Seq[String], baseVersion: Long): Long = {
     val base = if (baseVersion > 0) baseVersion else latestVersion(table)
     val m = readManifest(table, base)
-    graft.functions.ZOrder2.register(spark)
+    val bloomCols = m.blooms.values.map(_.col).toSeq.distinct
+    require(bloomCols.size <= 1,
+      "optimizeZorder: buckets carry Bloom sidecars on different columns")
+    val (writes, ck) = zorderWrites(spark, table, cols, base)
+    try commit(table, base, writes, bloomCol = bloomCols.headOption)
+    finally org.apache.spark.sql.graftbench.CheckpointId.of(ck).foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+  }
+
+  /** The rewrite frames of [[optimizeZorder]], factored so the
+    * one-pass receipt is spec-testable: returns (bucket → rows to
+    * write, the checkpointed z-augmented frame whose blocks back
+    * them). Every returned frame descends from the checkpoint leaf —
+    * `inputFiles` is empty on each, proving no bucket write re-scans
+    * the base parquet. The caller owns freeing the checkpoint blocks. */
+  private[graft] def zorderWrites(spark: SparkSession, table: String,
+                                  cols: Seq[String], version: Long)
+      : (Map[Int, DataFrame], DataFrame) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(cols.size >= 2,
+      "optimizeZorder: need at least 2 cluster columns")
+    val m = readManifest(table, version)
     // dropped physicals are stripped before the rewrite (same rule as
     // visibleBucket: a rewrite must never be mistaken for a re-add)
     val visible = m.drops.foldLeft(
       keptRead(spark, table, m, m.buckets.keySet.toSeq.sorted)) { (df, p) =>
       if (df.columns.contains(p)) df.drop(p) else df
     }
-    val full = visible.withColumn("__z", graft.functions.ZOrder2.zorder(
-      col(colA).cast("long"), col(colB).cast("long")))
-    val qs = full.select(
-      expr("percentile(__z, array(0.25, 0.5, 0.75))").as("q"))
-      .head.getSeq[Double](0)
-    val bloomCols = m.blooms.values.map(_.col).toSeq.distinct
-    require(bloomCols.size <= 1,
-      "optimizeZorder: buckets carry Bloom sidecars on different columns")
+    val zc =
+      if (cols.size == 2) {
+        graft.functions.ZOrder2.register(spark)
+        graft.functions.ZOrder2.zorder(
+          col(cols(0)).cast("long"), col(cols(1)).cast("long"))
+      } else {
+        graft.functions.ZOrderN.register(spark)
+        graft.functions.ZOrderN.zorder(cols.map(c => col(c).cast("long")): _*)
+      }
+    // ONE pass over the base data: everything below reads these blocks
+    val full = visible.withColumn("__z", zc).localCheckpoint()
+    val qRow = full.select(
+      expr("approx_percentile(__z, array(0.25, 0.5, 0.75), 10000)").as("q"))
+      .head
+    // null only when every z is null (or the table is empty): the
+    // null-routing arm below then sends everything to bucket 0
+    val qs: Seq[Long] =
+      if (qRow.isNullAt(0)) Seq(0L, 0L, 0L) else qRow.getSeq[Long](0)
     val writes = (0 until NumBuckets).map { b =>
-      val zc = col("__z").cast("double")
+      val zv = col("__z")
       val in = b match {
-        case 0 => zc <= qs(0)
-        case 1 => zc > qs(0) && zc <= qs(1)
-        case 2 => zc > qs(1) && zc <= qs(2)
-        case _ => zc > qs(2)
+        case 0 => zv.isNull || zv <= qs(0) // nulls route HERE, never lost
+        case 1 => zv > qs(0) && zv <= qs(1)
+        case 2 => zv > qs(1) && zv <= qs(2)
+        case _ => zv > qs(2)
       }
       b -> full.filter(in).drop("__z")
     }.toMap
-    commit(table, base, writes, bloomCol = bloomCols.headOption)
+    (writes, full)
   }
 }

@@ -85,6 +85,86 @@ class Round18OpsSpec extends SparkSpec {
     assert(served === Map(1L -> 200L, 5L -> 600L))
   }
 
+  // ---- ZOrderN (x277) -----------------------------------------------------
+
+  test("ZOrderN matches the reference bit loop and ZOrder2 at n=2") {
+    import graft.functions.{ZOrder2, ZOrderN}
+    def slowN(vs: Seq[Long]): Long = {
+      val n = vs.length; val bits = 64 / n
+      (0 until n).map { i =>
+        (0 until bits).map(j => ((vs(i) >>> j) & 1L) << (j * n + i))
+          .foldLeft(0L)(_ | _)
+      }.foldLeft(0L)(_ | _)
+    }
+    val samples = Seq(0L, 1L, 2L, 7L, 255L, 1023L, 0xffffffffL, 123456789L)
+    for (a <- samples; b <- samples) {
+      assert(ZOrderN.interleaveN(Array(a, b)) === ZOrder2.interleave(a, b),
+        s"n=2 must be bit-identical to ZOrder2: a=$a b=$b")
+    }
+    for (a <- samples; b <- samples.take(4); c <- samples.take(4))
+      assert(ZOrderN.interleaveN(Array(a, b, c)) === slowN(Seq(a, b, c)))
+    // the codegen path agrees with the interpreter and is null-safe
+    graft.functions.ZOrderN.register(spark)
+    val out = Seq((5L, Some(9L), 3L), (1023L, None, 0L))
+      .toDF("a", "b", "c")
+      .selectExpr("graft_zordern(a, b, c)").as[Option[Long]].collect().toSeq
+    assert(out === Seq(Some(ZOrderN.interleaveN(Array(5L, 9L, 3L))), None))
+  }
+
+  // ---- one-pass null-routing OPTIMIZE ZORDER (ADVICE r11 high) ----------
+
+  test("optimizeZorder preserves rows with null z-values (routed to bucket 0)") {
+    val t = freshTable("zorder_nulls")
+    // n_chars is null on 3 of 8 rows — the old rewrite silently dropped
+    // them (all four range filters evaluate to null)
+    val d0 = Seq(
+      (0L, Some(10L)), (1L, None), (2L, Some(30L)), (3L, None),
+      (4L, Some(50L)), (5L, Some(60L)), (6L, None), (7L, Some(80L)))
+      .toDF("doc_id", "n_chars")
+    val v1 = TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap)
+    val v2 = TxnLog.optimizeZorder(spark, t, "n_chars", "doc_id", v1)
+    val got = TxnLog.snapshot(spark, t, v2)
+      .select("doc_id", "n_chars").as[(Long, Option[Long])].collect().toMap
+    assert(got.size === 8, "a row-preserving rewrite must keep every row")
+    assert(got(1L).isEmpty && got(3L).isEmpty && got(6L).isEmpty)
+    assert(got(7L) === Some(80L))
+  }
+
+  test("zorderWrites reads the base data once (no bucket write re-scans parquet)") {
+    val t = freshTable("zorder_onepass")
+    val v1 = loadAll(t)
+    val (writes, ck) = TxnLog.zorderWrites(spark, t, Seq("n_chars", "doc_id"), v1)
+    try {
+      assert(writes.size === TxnLog.NumBuckets)
+      // every rewrite frame descends from the checkpointed leaf — zero
+      // parquet inputs means the base generations are read exactly once
+      // (the checkpoint materialization), not once per output bucket
+      assert(writes.values.forall(_.inputFiles.isEmpty),
+        "bucket writes must read the checkpoint blocks, not base parquet")
+      // and the frames partition the visible rows exactly
+      val total = writes.values.map(_.count()).sum
+      assert(total === 8L)
+    } finally org.apache.spark.sql.graftbench.CheckpointId.of(ck).foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+  }
+
+  test("3-column optimizeZorder re-clusters and keeps every row") {
+    val t = freshTable("zorder_3col")
+    val d0 = (0L until 64L).map(i => (i, i % 8, (i * 37) % 16))
+      .toDF("a", "b", "c")
+    val v1 = TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(k =>
+      k -> d0.filter(pmod(xxhash64(col("a")), lit(4)) === k)).toMap)
+    val (_, before) = TxnLog.prunedBuckets(t, "a", None, Some("15"), v1)
+    val v2 = TxnLog.optimizeZorder(spark, t, Seq("a", "b", "c"), v1)
+    val (_, after) = TxnLog.prunedBuckets(t, "a", None, Some("15"), v2)
+    assert(after.size > before.size,
+      s"3-col ZORDER must sharpen range pruning: before=$before after=$after")
+    assert(TxnLog.snapshot(spark, t, v2).select("a").as[Long]
+      .collect().toSet === (0L until 64L).toSet)
+  }
+
   // ---- restore no-op short-circuit (ADVICE r11) --------------------------
 
   test("restore short-circuits when the state already equals the target") {
