@@ -4855,6 +4855,24 @@ object ExtSql {
   private val x272 =
     raw"""SELECT doc_id, lang, n_chars FROM documents""".stripMargin
 
+  // ---- x276 multi-column Bloom sidecars -----------------------------------
+  // The engine commits one sidecar per indexed column (doc_id AND
+  // lang), tombstone-deletes mod-7, OPTIMIZEs (the rewrite
+  // auto-refreshes both sidecars — fixture receipt), and serves the
+  // two-term IN conjunction through buckets pruned by the doc_id
+  // sidecars (the query receipt also pins that the lang sidecars
+  // prove a garbage lang absent on their own); the oracle is the
+  // plain conjunction over the surviving rows.
+
+  private val x276 = {
+    val ids = graft.pipelines.Extensions.BloomProbes.mkString(", ")
+    val langs = graft.pipelines.Extensions.Bloom2Langs
+      .map(l => s"'$l'").mkString(", ")
+    raw"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id IN ($ids) AND lang IN ($langs)
+         |  AND doc_id % 7 <> 0""".stripMargin
+  }
+
   // ---- x268 metadata-only column drop + re-add ---------------------------
   // Drop n_chars without touching data, then re-add it via a bucket-1
   // rewrite: the re-added column has a fresh physical name, so the
@@ -7242,6 +7260,7 @@ object ExtSql {
     "x270_mapped_skip"    -> x270,
     "x271_incr_ivf_recall" -> x271,
     "x272_restore"        -> x272,
+    "x276_multi_bloom"    -> x276,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

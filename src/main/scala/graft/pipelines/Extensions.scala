@@ -481,6 +481,7 @@ object Extensions {
     zordMemo.keys.filter(_._1 eq session).foreach(zordMemo.remove)
     dropMemo.keys.filter(_._1 eq session).foreach(dropMemo.remove)
     mskipMemo.keys.filter(_._1 eq session).foreach(mskipMemo.remove)
+    bloom2Memo.keys.filter(_._1 eq session).foreach(bloom2Memo.remove)
     graft.sources.Bucketing.clearMemos(session)
     // the parity pipeline's construction memos (r7): entries must go
     // so the post-eviction rebuild re-registers its persists
@@ -907,7 +908,8 @@ object Extensions {
     // is memoized like every audit final
     "x271_incr_ivf_recall" -> ((s, d) => finalShared("x271", s, d)(
       incrIvfRecall(s, d))),
-    "x272_restore"       -> restoreQ _)
+    "x272_restore"       -> restoreQ _,
+    "x276_multi_bloom"   -> bloom2Skip _)
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -1610,6 +1612,72 @@ object Extensions {
     require(pruned == Seq(2, 3) && kept == Seq(0, 1),
       s"zone maps must keep pruning across the rename, got " +
         s"kept=$kept pruned=$pruned")
+    TxnLog.snapshotWhere(s, table, preds)
+  }
+
+  /** x276: MULTI-COLUMN BLOOM SIDECARS (see
+    * [[graft.sources.TxnLog.commit]] — VERDICT r11, task 6): real
+    * tables index SEVERAL point-lookup keys, so each bucket carries
+    * one sidecar PER indexed column — here doc_id and lang — and the
+    * probe reads ALL sidecars of ALL probed columns in the same ONE
+    * multi-path job as the single-column path. The fixture
+    * tombstone-deletes mod-7 and runs OPTIMIZE: the rewrite
+    * AUTO-REFRESHES both sidecars on every rewritten bucket (the
+    * ADVICE-r10 never-shed contract, generalized — the fixture
+    * receipt pins fresh refs for both columns, which the old
+    * single-column `require` in optimize() made impossible). The
+    * query receipts pin that the lang sidecar prunes on its own (a
+    * garbage lang keeps nothing) and that the doc_id sidecar prunes
+    * the conjunction down to the probes' home buckets; the oracle is
+    * the plain two-term IN conjunction over the surviving rows. */
+  private val bloom2Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def bloom2Fixture(s: SparkSession, d: String): String =
+    bloom2Memo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val table = graft.sources.Bucketing.buildPath(
+        s"graft-txn/bl2_${Integer.toHexString(d.hashCode)}")
+      TxnLog.reset(table)
+      val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(table, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap,
+        bloomCols = Seq("doc_id", "lang"))
+      val v1Blooms = TxnLog.bloomStats(table, v1)
+      val v2 = TxnLog.commitDeletes(table,
+        d0.filter(col("doc_id") % 7 === 0).select(col("doc_id")), "doc_id", v1)
+      val v3 = TxnLog.optimize(s, table, v2)
+      val v3Blooms = TxnLog.bloomStats(table, v3)
+      require((0 until TxnLog.NumBuckets).forall { b =>
+        v3Blooms.getOrElse(b, Nil).map(_.col).toSet == Set("doc_id", "lang") &&
+          v3Blooms(b).map(_.rel).toSet
+            .intersect(v1Blooms(b).map(_.rel).toSet).isEmpty
+      }, "OPTIMIZE must auto-refresh BOTH sidecars on every rewritten bucket")
+      table
+    })
+
+  /** The x276 probe langs (4 of the corpus's 5 — the result stays
+    * non-empty at every SF) and the x250-style doc_id probe keys. */
+  val Bloom2Langs: Seq[String] = Seq("de", "en", "es", "zh")
+
+  private def bloom2Skip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = bloom2Fixture(s, d)
+    // receipt: the SECOND column's sidecars prune on their own — a
+    // lang no bucket contains keeps nothing
+    val (kNone, _) = TxnLog.prunedBucketsWhere(s, table,
+      Seq(TxnLog.PointsPred("lang", Seq("zz"))))
+    require(kNone.isEmpty,
+      s"lang sidecars must prove a garbage lang absent, kept $kNone")
+    // the conjunction probes BOTH columns' sidecars in one read: the
+    // doc_id sidecars prune down to the probes' home buckets (zone
+    // maps cannot — every %-routed bucket spans the key range)
+    val preds = Seq(
+      TxnLog.PointsPred("doc_id", BloomProbes.map(_.toString)),
+      TxnLog.PointsPred("lang", Bloom2Langs))
+    val (kept, pruned) = TxnLog.prunedBucketsWhere(s, table, preds)
+    require(pruned.nonEmpty,
+      s"doc_id sidecars must prune some bucket, got kept=$kept")
     TxnLog.snapshotWhere(s, table, preds)
   }
 

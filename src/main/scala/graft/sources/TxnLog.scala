@@ -116,7 +116,7 @@ object TxnLog {
                                     keyCol: Option[String],
                                     zmaps: Map[Int, Seq[ZoneStat]],
                                     rows: Map[Int, Long],
-                                    blooms: Map[Int, BloomRef],
+                                    blooms: Map[Int, Seq[BloomRef]],
                                     colmap: Map[String, String],
                                     drops: Set[String])
 
@@ -140,9 +140,10 @@ object TxnLog {
   private def rowLines(rows: Map[Int, Long]): Seq[String] =
     rows.toSeq.sortBy(_._1).map { case (b, n) => s"rows $b $n" }
 
-  private def bloomLines(blooms: Map[Int, BloomRef]): Seq[String] =
-    blooms.toSeq.sortBy(_._1).map { case (b, r) =>
-      s"bloom $b ${enc(r.col)} ${r.dtype} ${r.rel} ${r.bits}"
+  private def bloomLines(blooms: Map[Int, Seq[BloomRef]]): Seq[String] =
+    blooms.toSeq.sortBy(_._1).flatMap { case (b, rs) =>
+      rs.sortBy(_.col).map(r =>
+        s"bloom $b ${enc(r.col)} ${r.dtype} ${r.rel} ${r.bits}")
     }
 
   private def colmapLines(colmap: Map[String, String]): Seq[String] =
@@ -155,7 +156,7 @@ object TxnLog {
     * beside its bucket list. */
   private def statLines(zmaps: Map[Int, Seq[ZoneStat]],
                         rows: Map[Int, Long],
-                        blooms: Map[Int, BloomRef],
+                        blooms: Map[Int, Seq[BloomRef]],
                         colmap: Map[String, String] = Map.empty,
                         drops: Set[String] = Set.empty): Seq[String] =
     zmapLines(zmaps) ++ rowLines(rows) ++ bloomLines(blooms) ++
@@ -192,7 +193,7 @@ object TxnLog {
     val blooms = lines.collect { case s if s.startsWith("bloom ") =>
       val Array(_, b, c, dt, rel, bits) = s.split(" ", 6)
       b.toInt -> BloomRef(dec(c), dt, rel, bits.toLong)
-    }.toMap
+    }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2).toSeq }
     val colmap = lines.collect { case s if s.startsWith("colmap ") =>
       val Array(_, p, l) = s.split(" ", 3)
       dec(p) -> dec(l)
@@ -332,7 +333,7 @@ object TxnLog {
     val windowStart = math.max(1L, latest - retainLast + 1)
     def refs(m: Manifest): Set[String] =
       m.buckets.values.toSet ++ m.tombs.values.flatten ++
-        m.blooms.values.map(_.rel)
+        m.blooms.values.flatten.map(_.rel)
     val retained = (windowStart to latest)
       .map(v => refs(readManifest(table, v))).fold(Set.empty)(_ ++ _)
     val expiredVs = (1L until windowStart)
@@ -457,11 +458,22 @@ object TxnLog {
     * against `baseVersion`: data is written FIRST (invisible until a
     * manifest lands), then the claim loop above runs. Returns the
     * committed version; throws [[ConflictException]] if a commit
-    * after `baseVersion` touched one of these buckets. */
+    * after `baseVersion` touched one of these buckets.
+    *
+    * Bloom sidecars (x276 — multi-column): each rewritten bucket gets
+    * one sidecar per indexed column — the columns in `bloomCols` PLUS
+    * whatever columns the bucket's sidecars covered at `baseVersion`
+    * (AUTO-REFRESH: a rewrite can never silently shed an index, the
+    * generalized ADVICE-r10 contract — so OPTIMIZE / compaction /
+    * merged appends inherit their buckets' sidecar columns with no
+    * plumbing, and buckets indexed on different columns rewrite
+    * together in one commit). `bloomCol` is the single-column
+    * convenience spelling of the same thing. */
   def commit(table: String, baseVersion: Long,
              writes: Map[Int, DataFrame],
              txn: Option[(String, Long)] = None,
-             bloomCol: Option[String] = None): Long = {
+             bloomCol: Option[String] = None,
+             bloomCols: Seq[String] = Nil): Long = {
     require(writes.nonEmpty, "empty commit")
     // idempotent replay (cheap pre-check; re-checked inside the claim
     // loop for the crash-between-write-and-claim race): a marker
@@ -498,21 +510,31 @@ object TxnLog {
     val physCols: Set[String] =
       writes.valuesIterator.flatMap(_.columns.map(c => readds.getOrElse(c, c)))
         .toSet
-    val physBloomCol = bloomCol.map(c => readds.getOrElse(c, c))
+    // requested sidecar columns resolve to physical names like the data;
+    // each bucket ADDS the columns its baseVersion sidecars covered
+    // (auto-refresh — see the scaladoc). Inherited names are already
+    // physical; a column dropped since base never survives the
+    // df-membership filter (visible-row rewrites strip dropped physicals).
+    val physBloomCols = (bloomCols ++ bloomCol).distinct
+      .map(c => readds.getOrElse(c, c))
+    val inherited: Map[Int, Seq[String]] =
+      baseM0.map(_.blooms.map { case (b, rs) => b -> rs.map(_.col) })
+        .getOrElse(Map.empty)
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val newStats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
     val newRows = scala.collection.mutable.Map.empty[Int, Long]
-    val newBlooms = scala.collection.mutable.Map.empty[Int, BloomRef]
+    val newBlooms = scala.collection.mutable.Map.empty[Int, Seq[BloomRef]]
     val written: Map[Int, String] = writes.map { case (b, df0) =>
       val df = toPhysical(df0)
       val rel = s"data/g${baseVersion + 1}-b$b-$nonce"
       val (stats, cnt) = writeWithStats(df, s"$table/$rel")
       newStats(b) = stats
       newRows(b) = cnt
-      physBloomCol.filter(df.columns.contains).foreach { c =>
-        newBlooms(b) = buildBloom(df.sparkSession, table, rel,
-          s"$rel-bloom", c, cnt)
-      }
+      val sidecarCols = (physBloomCols ++ inherited.getOrElse(b, Nil))
+        .distinct.filter(df.columns.contains)
+      if (sidecarCols.nonEmpty)
+        newBlooms(b) = sidecarCols.map(c =>
+          buildBloom(df.sparkSession, table, rel, s"$rel-bloom-$c", c, cnt))
       b -> rel
     }
     Files.createDirectories(logDir(table))
@@ -912,15 +934,12 @@ object TxnLog {
       .filter(b => m.tombs.get(b).exists(_.nonEmpty))
     require(tombed.nonEmpty, s"nothing to optimize in $table v$base")
     // the rewrite refreshes, never silently sheds, existing Bloom
-    // sidecars (ADVICE r10): detect the indexed column on the buckets
-    // being rewritten and rebuild their sidecars in the same commit
-    val bloomCols = tombed.flatMap(m.blooms.get).map(_.col).distinct
-    require(bloomCols.size <= 1,
-      s"optimize: buckets carry Bloom sidecars on different columns " +
-        s"(${bloomCols.sorted.mkString(",")}) — rewrite them separately")
+    // sidecars (ADVICE r10, generalized in x276): commit() auto-refreshes
+    // each rewritten bucket's inherited sidecar columns, so buckets
+    // indexed on DIFFERENT columns — or on several at once — fold their
+    // deletion vectors together in one commit
     commit(table, base, tombed.map(b =>
-      b -> visibleBucket(spark, table, b, base).get).toMap,
-      bloomCol = bloomCols.headOption)
+      b -> visibleBucket(spark, table, b, base).get).toMap)
   }
 
   /** x264: METADATA-ONLY COLUMN RENAME (the Delta column-mapping
@@ -1117,6 +1136,15 @@ object TxnLog {
     readManifest(table, v).zmaps
   }
 
+  /** The committed Bloom sidecar refs of `version` (bucket → one ref
+    * per indexed column) — exposed for the x276 multi-column receipts
+    * and specs. */
+  def bloomStats(table: String,
+                 version: Long = -1L): Map[Int, Seq[BloomRef]] = {
+    val v = if (version > 0) version else latestVersion(table)
+    readManifest(table, v).blooms
+  }
+
   /** Split `version`'s buckets into (kept, pruned) for the range
     * predicate `colName ∈ [lo, hi]` (either bound optional, bounds in
     * the stats' string rendering). A bucket is PRUNED only when its
@@ -1270,9 +1298,10 @@ object TxnLog {
     val cols: Map[String, Seq[String]] = probes.groupBy(_._1).map {
       case (c, es) => c -> es.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
     }
-    // (bucket, ref) pairs that have a sidecar on a probed column
-    val indexed = m.blooms.toSeq.collect {
-      case (b, ref) if cols.contains(ref.col) => (b, ref)
+    // (bucket, ref) pairs that have a sidecar on a probed column — a
+    // bucket contributes one pair PER probed indexed column (x276)
+    val indexed = m.blooms.toSeq.flatMap { case (b, refs) =>
+      refs.collect { case ref if cols.contains(ref.col) => (b, ref) }
     }
     val defaultKeep = (for {
       b <- m.buckets.keySet.toSeq; c <- cols.keys
@@ -1556,11 +1585,13 @@ object TxnLog {
                      cols: Seq[String], baseVersion: Long): Long = {
     val base = if (baseVersion > 0) baseVersion else latestVersion(table)
     val m = readManifest(table, base)
-    val bloomCols = m.blooms.values.map(_.col).toSeq.distinct
-    require(bloomCols.size <= 1,
-      "optimizeZorder: buckets carry Bloom sidecars on different columns")
+    // a re-cluster moves rows ACROSS buckets, so per-bucket sidecar
+    // inheritance is the wrong shape here: the table-level indexed
+    // column set (the union over all buckets) is rebuilt on every
+    // output bucket — no single-column restriction (x276)
+    val bloomUnion = m.blooms.values.flatten.map(_.col).toSeq.distinct
     val (writes, ck) = zorderWrites(spark, table, cols, base)
-    try commit(table, base, writes, bloomCol = bloomCols.headOption)
+    try commit(table, base, writes, bloomCols = bloomUnion)
     finally org.apache.spark.sql.graftbench.CheckpointId.of(ck).foreach(id =>
       spark.sparkContext.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))

@@ -85,6 +85,63 @@ class Round18OpsSpec extends SparkSpec {
     assert(served === Map(1L -> 200L, 5L -> 600L))
   }
 
+  // ---- multi-column Bloom sidecars (x276) ---------------------------------
+
+  test("x276 a commit builds one sidecar per indexed column; both probe") {
+    val t = freshTable("multibloom")
+    TxnLog.commit(t, 0L,
+      (0 until TxnLog.NumBuckets).map(b =>
+        b -> tinyDocs.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap,
+      bloomCols = Seq("doc_id", "lang"))
+    val refs = TxnLog.bloomStats(t)
+    assert((0 until TxnLog.NumBuckets).forall(b =>
+      refs(b).map(_.col).toSet === Set("doc_id", "lang")))
+    // each column's sidecars prune independently
+    val (kd, _) = TxnLog.bloomCandidates(spark, t, "doc_id", Seq("5"))
+    assert(kd === Seq(1))
+    val (kl, _) = TxnLog.bloomCandidates(spark, t, "lang", Seq("zz"))
+    assert(kl.isEmpty)
+    // and a cross-column conjunction probes both in one pass: doc_id 5
+    // lives in bucket 1 and is 'de' — probing lang 'fr' kills it
+    val (kc, _) = TxnLog.prunedBucketsWhere(spark, t, Seq(
+      TxnLog.PointsPred("doc_id", Seq("5")),
+      TxnLog.PointsPred("lang", Seq("fr"))))
+    assert(!kc.contains(1) || TxnLog.snapshotWhere(spark, t, Seq(
+      TxnLog.PointsPred("doc_id", Seq("5")),
+      TxnLog.PointsPred("lang", Seq("fr")))).count() === 0L)
+    val served = TxnLog.snapshotWhere(spark, t, Seq(
+      TxnLog.PointsPred("doc_id", Seq("5")),
+      TxnLog.PointsPred("lang", Seq("de"))))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(served === Seq(5L))
+  }
+
+  test("x276 optimize auto-refreshes buckets indexed on DIFFERENT columns") {
+    val t = freshTable("multibloom_opt")
+    // bucket 0 indexed on doc_id, bucket 1 on lang — the r11 requires
+    // refused to OPTIMIZE this shape in one commit
+    val v1 = TxnLog.commit(t, 0L, Map(
+      0 -> tinyDocs.filter(col("doc_id") % TxnLog.NumBuckets === 0),
+      2 -> tinyDocs.filter(col("doc_id") % TxnLog.NumBuckets === 2),
+      3 -> tinyDocs.filter(col("doc_id") % TxnLog.NumBuckets === 3)),
+      bloomCol = Some("doc_id"))
+    val v2 = TxnLog.commit(t, v1, Map(
+      1 -> tinyDocs.filter(col("doc_id") % TxnLog.NumBuckets === 1)),
+      bloomCol = Some("lang"))
+    val v3 = TxnLog.commitDeletes(t,
+      tinyDocs.filter(col("doc_id") <= 1).select("doc_id"), "doc_id", v2)
+    val v4 = TxnLog.optimize(spark, t, v3)
+    val refs = TxnLog.bloomStats(t, v4)
+    assert(refs(0).map(_.col) === Seq("doc_id") &&
+      refs(1).map(_.col) === Seq("lang"),
+      "each rewritten bucket refreshes ITS OWN sidecar columns")
+    val pre = TxnLog.bloomStats(t, v3)
+    assert(refs(0).head.rel != pre(0).head.rel &&
+      refs(1).head.rel != pre(1).head.rel,
+      "the rewrite must produce fresh sidecars, never carry stale ones")
+    assert(TxnLog.snapshot(spark, t, v4).count() === 6L)
+  }
+
   // ---- ZOrderN (x277) -----------------------------------------------------
 
   test("ZOrderN matches the reference bit loop and ZOrder2 at n=2") {
