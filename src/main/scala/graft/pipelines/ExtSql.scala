@@ -4855,6 +4855,44 @@ object ExtSql {
   private val x272 =
     raw"""SELECT doc_id, lang, n_chars FROM documents""".stripMargin
 
+  // ---- x273 keyed MERGE INTO ----------------------------------------------
+  // The engine upserts one atomic batch through the txn log: matched
+  // keys (1, 11) rewrite their buckets with updated chars, fresh keys
+  // (offset copies of 2, 12) append as O(batch) files to buckets the
+  // Bloom sidecars proved key-free (fixture receipts pin both write
+  // modes). The oracle is the UPDATE CASE over the original table plus
+  // the inserted copies.
+
+  private val x273 = {
+    val off = graft.pipelines.Extensions.UpsertInsertOffset
+    raw"""SELECT doc_id, lang,
+         |       CAST(CASE WHEN doc_id IN (1, 11) THEN n_chars + 5000
+         |                 ELSE n_chars END AS BIGINT) AS n_chars
+         |FROM documents
+         |UNION ALL
+         |SELECT doc_id + $off, lang, n_chars FROM documents
+         |WHERE doc_id IN (2, 12)""".stripMargin
+  }
+
+  // ---- x274 multi-file generations + compaction ---------------------------
+  // Two micro-batch appends land as one file per routed bucket with
+  // every primary generation untouched (fixture receipt), then
+  // compactFiles folds each bucket back to one generation with the
+  // row count unchanged; the oracle (original ∪ both batches) checks
+  // routing, multi-file snapshot resolution and compaction in one hash.
+
+  private val x274 = {
+    val offA = graft.pipelines.Extensions.AppendOffsetA
+    val offB = graft.pipelines.Extensions.AppendOffsetB
+    raw"""SELECT doc_id, lang, n_chars FROM documents
+         |UNION ALL
+         |SELECT doc_id + $offA, lang, CAST(n_chars + 7 AS BIGINT)
+         |FROM documents WHERE doc_id % 5 = 0
+         |UNION ALL
+         |SELECT doc_id + $offB, lang, CAST(n_chars + 9 AS BIGINT)
+         |FROM documents WHERE doc_id % 5 = 3""".stripMargin
+  }
+
   // ---- x276 multi-column Bloom sidecars -----------------------------------
   // The engine commits one sidecar per indexed column (doc_id AND
   // lang), tombstone-deletes mod-7, OPTIMIZEs (the rewrite
@@ -4872,6 +4910,19 @@ object ExtSql {
          |WHERE doc_id IN ($ids) AND lang IN ($langs)
          |  AND doc_id % 7 <> 0""".stripMargin
   }
+
+  // ---- x277 n-column ZORDER layout audit -----------------------------------
+  // The engine lays the corpus out twice (ZORDER over 2 and over 3
+  // comparable-width dimensions) and pins that the probe on the third
+  // dimension prunes nothing on the 2-col layout and strictly more on
+  // the 3-col one; the oracle is the plain derived-column predicate —
+  // neither re-layout may move a row.
+
+  private val x277 =
+    raw"""SELECT doc_id, lang, n_chars,
+         |       CAST((doc_id * 2654435761) % 256 AS BIGINT) AS zc
+         |FROM documents
+         |WHERE (doc_id * 2654435761) % 256 <= 63""".stripMargin
 
   // ---- x268 metadata-only column drop + re-add ---------------------------
   // Drop n_chars without touching data, then re-add it via a bucket-1
@@ -7260,7 +7311,13 @@ object ExtSql {
     "x270_mapped_skip"    -> x270,
     "x271_incr_ivf_recall" -> x271,
     "x272_restore"        -> x272,
+    "x273_merge_upsert"   -> x273,
+    // the stream-maintained index must equal the from-scratch
+    // assignment over the v3 corpus — exactly the x267 oracle
+    "x275_stream_ivf"     -> x267,
+    "x274_append_compact" -> x274,
     "x276_multi_bloom"    -> x276,
+    "x277_zorder_ncol"    -> x277,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

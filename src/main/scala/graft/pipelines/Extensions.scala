@@ -482,6 +482,9 @@ object Extensions {
     dropMemo.keys.filter(_._1 eq session).foreach(dropMemo.remove)
     mskipMemo.keys.filter(_._1 eq session).foreach(mskipMemo.remove)
     bloom2Memo.keys.filter(_._1 eq session).foreach(bloom2Memo.remove)
+    upsMemo.keys.filter(_._1 eq session).foreach(upsMemo.remove)
+    bfilMemo.keys.filter(_._1 eq session).foreach(bfilMemo.remove)
+    zordNMemo.keys.filter(_._1 eq session).foreach(zordNMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
     // the parity pipeline's construction memos (r7): entries must go
     // so the post-eviction rebuild re-registers its persists
@@ -909,7 +912,15 @@ object Extensions {
     "x271_incr_ivf_recall" -> ((s, d) => finalShared("x271", s, d)(
       incrIvfRecall(s, d))),
     "x272_restore"       -> restoreQ _,
-    "x276_multi_bloom"   -> bloom2Skip _)
+    "x273_merge_upsert"  -> mergeUpsert _,
+    // protocol-bearing like x219/x245: three real AvailableNow
+    // maintainer runs advancing the IVF assignments per commit epoch
+    "x275_stream_ivf"    -> ((s, d) =>
+      graft.streaming.EventStream.streamMaintainedIvf(s, d,
+        centsShared(s, d))),
+    "x274_append_compact" -> appendCompact _,
+    "x276_multi_bloom"   -> bloom2Skip _,
+    "x277_zorder_ncol"   -> zorderNAudit _)
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -1679,6 +1690,162 @@ object Extensions {
     require(pruned.nonEmpty,
       s"doc_id sidecars must prune some bucket, got kept=$kept")
     TxnLog.snapshotWhere(s, table, preds)
+  }
+
+  /** Key offsets for the x273 upsert-inserts and the two x274 append
+    * batches — far above any fixture doc_id and ≡ 0 (mod NumBuckets)
+    * so offset keys route to their seed row's bucket. (Public: the
+    * oracles mirror the arithmetic.) */
+  val UpsertInsertOffset = 30000000L
+  val AppendOffsetA = 40000000L
+  val AppendOffsetB = 50000000L
+
+  /** x273: KEYED MERGE INTO through the txn log (see
+    * [[graft.sources.TxnLog.commitUpsert]] — VERDICT r11, task 2): one
+    * atomic upsert batch carries WHEN MATCHED UPDATE rows (doc_ids 1
+    * and 11, +5000 chars — they route to buckets 1 and 3) and WHEN NOT
+    * MATCHED INSERT rows (offset copies of doc_ids 2 and 12 — buckets
+    * 2 and 0). The fixture receipts pin the two write modes: the
+    * matched buckets are REWRITTEN (fresh single generation — an
+    * update can never duplicate its key), while the no-match buckets,
+    * proven key-free by their doc_id Bloom sidecars, take an O(batch)
+    * APPEND file with their primary generation untouched. The oracle
+    * is the UPDATE CASE ∪ the inserted copies — a dropped update, a
+    * duplicated key, or a lost insert breaks the hash. */
+  private val upsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def upsertFixture(s: SparkSession, d: String): String =
+    upsMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val table = graft.sources.Bucketing.buildPath(
+        s"graft-txn/ups_${Integer.toHexString(d.hashCode)}")
+      TxnLog.reset(table)
+      val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(table, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap,
+        bloomCols = Seq("doc_id"))
+      val files1 = TxnLog.bucketFiles(table, v1)
+      val updates = d0.filter(col("doc_id").isin(1L, 11L))
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 5000).as("n_chars"))
+      val inserts = d0.filter(col("doc_id").isin(2L, 12L))
+        .select((col("doc_id") + UpsertInsertOffset).as("doc_id"),
+          col("lang"), col("n_chars"))
+      val v2 = TxnLog.commitUpsert(s, table,
+        updates.unionByName(inserts), "doc_id", "x273", 1L)
+      val files2 = TxnLog.bucketFiles(table, v2)
+      require(Seq(1, 3).forall(b =>
+        files2(b).size == 1 && files2(b).head != files1(b).head),
+        "matched buckets must take the merge REWRITE")
+      require(Seq(0, 2).forall(b =>
+        files2(b).head == files1(b).head && files2(b).size == 2),
+        "no-match buckets must take the O(batch) APPEND, primary untouched")
+      table
+    })
+
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame =
+    graft.sources.TxnLog.snapshot(s, upsertFixture(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** x274: MULTI-FILE BUCKET GENERATIONS + EXECUTED COMPACTION (see
+    * [[graft.sources.TxnLog.commitAppend]] / [[compactFiles]] — VERDICT
+    * r11, task 3): two micro-batch appends land as ONE FILE per routed
+    * bucket each — O(Σ batch) bytes, the fixture receipt pins every
+    * primary generation untouched through both — then `compactFiles`
+    * folds each bucket back to a single generation (second receipt:
+    * one file per bucket, snapshot row count unchanged). The oracle
+    * (original ∪ both batches) proves append routing, multi-file
+    * snapshot resolution AND compaction equivalence in one hash. */
+  private val bfilMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def appendFixture(s: SparkSession, d: String): String =
+    bfilMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val table = graft.sources.Bucketing.buildPath(
+        s"graft-txn/bfil_${Integer.toHexString(d.hashCode)}")
+      TxnLog.reset(table)
+      val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(table, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap,
+        bloomCols = Seq("doc_id"))
+      val files1 = TxnLog.bucketFiles(table, v1)
+      val batchA = d0.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + AppendOffsetA).as("doc_id"), col("lang"),
+          (col("n_chars") + 7).as("n_chars"))
+      val batchB = d0.filter(col("doc_id") % 5 === 3)
+        .select((col("doc_id") + AppendOffsetB).as("doc_id"), col("lang"),
+          (col("n_chars") + 9).as("n_chars"))
+      TxnLog.commitAppend(s, table, batchA, "doc_id", "x274", 1L)
+      val v3 = TxnLog.commitAppend(s, table, batchB, "doc_id", "x274", 2L)
+      val files3 = TxnLog.bucketFiles(table, v3)
+      require(files3.forall { case (b, fs) => fs.head == files1(b).head },
+        "appends must never rewrite a primary generation (O(batch) writes)")
+      require(files3.values.exists(_.size > 1),
+        "append batches must land as extra files")
+      val nBefore = TxnLog.snapshot(s, table, v3).count()
+      val v4 = TxnLog.compactFiles(s, table, v3)
+      require(TxnLog.bucketFiles(table, v4).values.forall(_.size == 1),
+        "compaction must fold every bucket to one generation")
+      require(TxnLog.snapshot(s, table, v4).count() == nBefore,
+        "compaction must not change the visible row count")
+      table
+    })
+
+  private def appendCompact(s: SparkSession, d: String): DataFrame =
+    graft.sources.TxnLog.snapshot(s, appendFixture(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** x277: N-COLUMN ZORDER LAYOUT AUDIT (see
+    * [[graft.sources.TxnLog.optimizeZorder]] /
+    * [[graft.functions.ZOrderN]] — VERDICT r11, task 7): three audit
+    * dimensions of COMPARABLE bit width — za = doc_id mod 256, zb =
+    * n_chars mod 256, zc = (doc_id · 2654435761) mod 256, the Knuth
+    * multiplicative-hash spread — over the same corpus, laid out
+    * twice: ZORDER(za, zb) and ZORDER(za, zb, zc). The probe zc ≤ 63
+    * prunes NOTHING on the 2-col layout (zc is not clustered, so every
+    * bucket's [min, max] spans its range — pinned) and strictly more
+    * buckets on the 3-col layout, where zc's top bits participate in
+    * the interleave the range cuts split on. Layout, not new stats, is
+    * what the third clustering dimension buys — the x266 receipt one
+    * dimension up. The oracle is the plain zc predicate on the
+    * original table: the re-layouts must move no row. */
+  private val zordNMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+  private def zordNFixture(s: SparkSession, d: String): (String, String) =
+    zordNMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val hex = Integer.toHexString(d.hashCode)
+      val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("za", pmod(col("doc_id"), lit(256L)))
+        .withColumn("zb", pmod(col("n_chars"), lit(256L)))
+        .withColumn("zc", pmod(col("doc_id") * lit(2654435761L), lit(256L)))
+      def build(name: String, zcols: Seq[String]): String = {
+        val t = graft.sources.Bucketing.buildPath(s"graft-txn/$name$hex")
+        TxnLog.reset(t)
+        val nb = TxnLog.NumBuckets
+        val v1 = TxnLog.commit(t, 0L, (0 until nb).map(b =>
+          b -> d0.filter(pmod(xxhash64(col("doc_id")), lit(nb)) === b)).toMap)
+        TxnLog.optimizeZorder(s, t, zcols, v1)
+        t
+      }
+      (build("z2_", Seq("za", "zb")), build("z3_", Seq("za", "zb", "zc")))
+    })
+
+  private def zorderNAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (t2, t3) = zordNFixture(s, d)
+    val (_, pruned2) = TxnLog.prunedBuckets(t2, "zc", None, Some("63"))
+    val (_, pruned3) = TxnLog.prunedBuckets(t3, "zc", None, Some("63"))
+    require(pruned2.isEmpty,
+      s"the 2-col layout cannot prune the un-clustered dimension, " +
+        s"got $pruned2")
+    require(pruned3.size > pruned2.size,
+      s"the third clustering column must strictly improve pruning, " +
+        s"got 2-col=$pruned2 3-col=$pruned3")
+    TxnLog.snapshotRange(s, t3, "zc", None, Some("63"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("zc"))
   }
 
   /** x221: MERGE-ON-READ DELETION VECTORS end to end (see

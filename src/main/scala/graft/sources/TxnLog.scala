@@ -109,6 +109,12 @@ object TxnLog {
   final case class BloomRef(col: String, dtype: String,
                             rel: String, bits: Long)
 
+  /** `extras` (x274): additional data FILES per bucket beyond the
+    * primary generation — the O(batch) append path writes one small
+    * file per micro-batch instead of rewriting the bucket (manifest
+    * line `bfile <bucket> <rel>`, ordered); a bucket's visible data is
+    * the multi-path scan of primary + extras, and [[compactFiles]]
+    * folds them back into one generation. */
   private final case class Manifest(version: Long, touched: Set[Int],
                                     buckets: Map[Int, String],
                                     txn: Option[(String, Long)],
@@ -118,7 +124,17 @@ object TxnLog {
                                     rows: Map[Int, Long],
                                     blooms: Map[Int, Seq[BloomRef]],
                                     colmap: Map[String, String],
-                                    drops: Set[String])
+                                    drops: Set[String],
+                                    extras: Map[Int, Seq[String]]) {
+    /** Every data file of `b`, primary first. */
+    def bucketRels(b: Int): Seq[String] =
+      buckets.get(b).toSeq ++ extras.getOrElse(b, Nil)
+  }
+
+  private def extraLines(extras: Map[Int, Seq[String]]): Seq[String] =
+    extras.toSeq.sortBy(_._1).flatMap { case (b, rels) =>
+      rels.map(r => s"bfile $b $r")
+    }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -201,8 +217,12 @@ object TxnLog {
     val drops = lines.collect { case s if s.startsWith("coldrop ") =>
       dec(s.stripPrefix("coldrop "))
     }.toSet
+    val extras = lines.collect { case s if s.startsWith("bfile ") =>
+      val Array(_, b, rel) = s.split(" ", 3)
+      b.toInt -> rel
+    }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2).toSeq }
     Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps, rows, blooms,
-      colmap, drops)
+      colmap, drops, extras)
   }
 
   /** The version that committed idempotence marker (app, txnV), if
@@ -293,6 +313,7 @@ object TxnLog {
       (carried ++ fresh).toSeq.sortBy { case ((a, t), _) => (a, t) }
         .map { case ((app, tv), ver) => s"ctxn $app $tv $ver" } ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
+      extraLines(m.extras) ++
       m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
         ds.map(d => s"tomb $b $d") } ++
       statLines(m.zmaps, m.rows, m.blooms, m.colmap, m.drops)))
@@ -332,8 +353,8 @@ object TxnLog {
     val latest = checkpoint(table) // markers + state survive expiration
     val windowStart = math.max(1L, latest - retainLast + 1)
     def refs(m: Manifest): Set[String] =
-      m.buckets.values.toSet ++ m.tombs.values.flatten ++
-        m.blooms.values.flatten.map(_.rel)
+      m.buckets.values.toSet ++ m.extras.values.flatten ++
+        m.tombs.values.flatten ++ m.blooms.values.flatten.map(_.rel)
     val retained = (windowStart to latest)
       .map(v => refs(readManifest(table, v))).fold(Set.empty)(_ ++ _)
     val expiredVs = (1L until windowStart)
@@ -468,13 +489,32 @@ object TxnLog {
     * merged appends inherit their buckets' sidecar columns with no
     * plumbing, and buckets indexed on different columns rewrite
     * together in one commit). `bloomCol` is the single-column
-    * convenience spelling of the same thing. */
+    * convenience spelling of the same thing.
+    *
+    * `appends` (x274 — multi-file generations): each entry writes its
+    * rows as ONE NEW FILE next to the bucket's existing files instead
+    * of replacing the bucket — the manifest gains a `bfile` line, the
+    * bucket's zone maps WIDEN by the file's observed stats (columns
+    * with stats on only one side are dropped — a bound that doesn't
+    * cover every file would over-prune), its row count adds, and the
+    * file gets its own Bloom sidecar per inherited indexed column
+    * (probe verdicts OR across a bucket's files — no false negative).
+    * Append cost is O(batch), not O(bucket): the write amplification
+    * fix for a steady trickle into a hot bucket (VERDICT r11, finding
+    * 2); [[compactFiles]] folds the accumulated files back into one
+    * generation. Appending to a bucket with live deletion vectors is
+    * refused (an appended row with a tombstoned key would be silently
+    * masked — route through [[commitMerged]]/a rewrite instead), as is
+    * appending to a bucket absent from the base version. */
   def commit(table: String, baseVersion: Long,
              writes: Map[Int, DataFrame],
              txn: Option[(String, Long)] = None,
              bloomCol: Option[String] = None,
-             bloomCols: Seq[String] = Nil): Long = {
-    require(writes.nonEmpty, "empty commit")
+             bloomCols: Seq[String] = Nil,
+             appends: Map[Int, DataFrame] = Map.empty): Long = {
+    require(writes.nonEmpty || appends.nonEmpty, "empty commit")
+    require(writes.keySet.intersect(appends.keySet).isEmpty,
+      "a bucket cannot be replaced and appended-to in one commit")
     // idempotent replay (cheap pre-check; re-checked inside the claim
     // loop for the crash-between-write-and-claim race): a marker
     // already in the log means THIS logical write committed — return
@@ -494,8 +534,18 @@ object TxnLog {
         Some(readManifest(table, baseVersion)) else None
     val baseDrops = baseM0.map(_.drops).getOrElse(Set.empty[String])
     val baseColmap = baseM0.map(_.colmap).getOrElse(Map.empty[String, String])
+    // append preconditions, validated against the writer's base state
+    appends.keySet.foreach { b =>
+      require(baseM0.exists(_.buckets.contains(b)),
+        s"append: bucket $b does not exist at base v$baseVersion — " +
+          "write it as a full bucket instead")
+      require(!baseM0.exists(_.tombs.getOrElse(b, Nil).nonEmpty),
+        s"append: bucket $b has live deletion vectors — an appended row " +
+          "with a tombstoned key would be masked; rewrite instead")
+    }
     val readds: Map[String, String] = // logical -> physical to write
-      writes.valuesIterator.flatMap(_.columns).filter(baseDrops).toSeq.distinct
+      (writes.valuesIterator ++ appends.valuesIterator)
+        .flatMap(_.columns).filter(baseDrops).toSeq.distinct
         .map { c =>
           c -> baseColmap.collectFirst { case (p, l) if l == c => p }
             .getOrElse(s"${c}__v${baseVersion + 1}")
@@ -508,8 +558,8 @@ object TxnLog {
         if (f.columns.contains(lg)) f.withColumnRenamed(lg, ph) else f
       }
     val physCols: Set[String] =
-      writes.valuesIterator.flatMap(_.columns.map(c => readds.getOrElse(c, c)))
-        .toSet
+      (writes.valuesIterator ++ appends.valuesIterator)
+        .flatMap(_.columns.map(c => readds.getOrElse(c, c))).toSet
     // requested sidecar columns resolve to physical names like the data;
     // each bucket ADDS the columns its baseVersion sidecars covered
     // (auto-refresh — see the scaladoc). Inherited names are already
@@ -537,6 +587,31 @@ object TxnLog {
           buildBloom(df.sparkSession, table, rel, s"$rel-bloom-$c", c, cnt))
       b -> rel
     }
+    // append files (x274): one new file per bucket — O(batch) write
+    // cost; the file carries its own stats and its own Bloom sidecars
+    // for the bucket's inherited indexed columns (an inherited column
+    // the batch cannot serve sheds that column's sidecars for the
+    // bucket instead of leaving a partial-coverage filter that would
+    // prune wrongly)
+    val appStats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
+    val appRows = scala.collection.mutable.Map.empty[Int, Long]
+    val appBlooms = scala.collection.mutable.Map.empty[Int, Seq[BloomRef]]
+    val appShed = scala.collection.mutable.Map.empty[Int, Set[String]]
+    val appended: Map[Int, String] = appends.map { case (b, df0) =>
+      val df = toPhysical(df0)
+      val rel = s"data/a${baseVersion + 1}-b$b-$nonce"
+      val (stats, cnt) = writeWithStats(df, s"$table/$rel")
+      appStats(b) = stats
+      appRows(b) = cnt
+      val (buildable, shed) = inherited.getOrElse(b, Nil)
+        .partition(df.columns.contains)
+      appShed(b) = shed.toSet
+      if (buildable.nonEmpty)
+        appBlooms(b) = buildable.map(c =>
+          buildBloom(df.sparkSession, table, rel, s"$rel-bloom-$c", c, cnt))
+      b -> rel
+    }
+    val touchedSet = writes.keySet ++ appends.keySet
     Files.createDirectories(logDir(table))
     var committed = -1L
     while (committed < 0) {
@@ -552,7 +627,7 @@ object TxnLog {
           throw new ConflictException(
             s"base $baseVersion predates the retention window (manifest " +
               s"v$v expired by vacuum) — re-read the table and re-derive")
-        val overlap = readManifest(table, v).touched.intersect(writes.keySet)
+        val overlap = readManifest(table, v).touched.intersect(touchedSet)
         if (overlap.nonEmpty)
           throw new ConflictException(
             s"version $v touched buckets ${overlap.toSeq.sorted.mkString(",")} " +
@@ -579,26 +654,48 @@ object TxnLog {
       }
       val merged = baseM.map(_.buckets).getOrElse(Map.empty) ++ written
       // a full-bucket rewrite REPLACES the bucket, so its carried
-      // tombstones are cleared (they referred to the replaced data);
-      // untouched buckets keep theirs — full-state manifests carry
-      // the complete live tombstone list forward
+      // tombstones are cleared (they referred to the replaced data) and
+      // its extra files go with them; untouched buckets keep theirs —
+      // full-state manifests carry the complete live state forward.
+      // Appended buckets gain one `bfile` entry each.
+      val extras = (baseM.map(_.extras).getOrElse(Map.empty) -- writes.keySet) ++
+        appended.map { case (b, rel) =>
+          b -> (baseM.map(_.extras.getOrElse(b, Nil)).getOrElse(Nil) :+ rel)
+        }
       val tombs = baseM.map(_.tombs).getOrElse(Map.empty) -- writes.keySet
       // zone maps follow the same full-state rule: rewritten buckets
       // take the stats observed in THEIR write job, untouched buckets
       // carry their lines forward verbatim — row counts and Bloom
-      // sidecar refs identically
-      val zmaps = (baseM.map(_.zmaps).getOrElse(Map.empty) -- writes.keySet) ++
+      // sidecar refs identically. Appended buckets WIDEN their zone
+      // maps, ADD their row counts and gain per-file sidecars.
+      val zmaps0 = (baseM.map(_.zmaps).getOrElse(Map.empty) -- writes.keySet) ++
         newStats.toMap.filter(_._2.nonEmpty)
-      val rows = (baseM.map(_.rows).getOrElse(Map.empty) -- writes.keySet) ++
+      val zmaps = appended.keys.foldLeft(zmaps0) { (m0, b) =>
+        val w = mergeZoneStats(m0.getOrElse(b, Nil), appStats(b))
+        if (w.isEmpty) m0 - b else m0.updated(b, w)
+      }
+      val rows0 = (baseM.map(_.rows).getOrElse(Map.empty) -- writes.keySet) ++
         newRows.toMap
-      val blooms = (baseM.map(_.blooms).getOrElse(Map.empty) -- writes.keySet) ++
+      val rows = appended.keys.foldLeft(rows0) { (m0, b) =>
+        m0.get(b) match {
+          case Some(n) => m0.updated(b, n + appRows(b))
+          case None    => m0 // a pre-stats bucket's count stays unknown
+        }
+      }
+      val blooms0 = (baseM.map(_.blooms).getOrElse(Map.empty) -- writes.keySet) ++
         newBlooms.toMap
+      val blooms = appended.keys.foldLeft(blooms0) { (m0, b) =>
+        val kept = m0.getOrElse(b, Nil).filterNot(r => appShed(b).contains(r.col))
+        val all = kept ++ appBlooms.getOrElse(b, Nil)
+        if (all.isEmpty) m0 - b else m0.updated(b, all)
+      }
       val keyLine = baseM.flatMap(_.keyCol)
         .filter(_ => tombs.nonEmpty).map(k => s"keycol=$k").toSeq
       val body = (s"version=${latest + 1}" +:
-        s"touched=${writes.keySet.toSeq.sorted.mkString(",")}" +:
+        s"touched=${touchedSet.toSeq.sorted.mkString(",")}" +:
         (txn.map { case (app, tv) => s"txn $app $tv" }.toSeq ++ keyLine ++
           merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
+          extraLines(extras) ++
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
           statLines(zmaps, rows, blooms,
@@ -629,10 +726,12 @@ object TxnLog {
     *
     * Scale: the rewrite cost is the touched buckets' data, not the
     * table — the bucket count is the append-amplification dial (more
-    * buckets → smaller rewrites, more manifest rows), and at real
-    * scale the same protocol appends FILES per bucket instead of
-    * rewriting (a manifest then lists many files per bucket);
-    * full-state manifests keep snapshot resolution O(1) either way. */
+    * buckets → smaller rewrites, more manifest rows). For a pure
+    * trickle of inserts the O(batch) path is [[commitAppend]] (one
+    * FILE per bucket per micro-batch, x274), and for keyed upserts
+    * [[commitUpsert]] takes the append path on every bucket whose
+    * sidecars prove no key matches; full-state manifests keep
+    * snapshot resolution O(1) either way. */
   def commitMerged(spark: SparkSession, table: String, batch: DataFrame,
                    keyCol: String, app: String, txnV: Long): Long = {
     txnCommitted(table, app, txnV).foreach(v => return v)
@@ -652,6 +751,138 @@ object TxnLog {
               .map(_.unionByName(fresh)).getOrElse(fresh))
     }.toMap
     commit(table, base, writes, Some((app, txnV)))
+  }
+
+  /** x274: APPEND a micro-batch as one FILE per routed bucket —
+    * O(batch) bytes written regardless of bucket sizes (the
+    * append-amplification fix the [[commitMerged]] scaladoc promised:
+    * k trickle batches into a hot bucket cost O(Σ batch), not
+    * k × bucket); same `keyCol % NumBuckets` routing and (app, txnV)
+    * idempotence as commitMerged, one atomic commit. Use for known
+    * -fresh inserts — appends never merge, so a duplicate key would
+    * coexist with its old row; keyed upserts go through
+    * [[commitUpsert]]. Read-side cost: each bucket's scan becomes a
+    * multi-path scan over its files until [[compactFiles]] folds them. */
+  def commitAppend(spark: SparkSession, table: String, batch: DataFrame,
+                   keyCol: String, app: String, txnV: Long): Long = {
+    txnCommitted(table, app, txnV).foreach(v => return v)
+    import org.apache.spark.sql.functions.col
+    val base = latestVersion(table)
+    require(base > 0, s"commitAppend: no committed version in $table")
+    val tagged = batch.withColumn("__b",
+      (col(keyCol) % NumBuckets).cast("int"))
+    val touched = tagged.select("__b").distinct()
+      .collect().map(_.getInt(0)).sorted // bucket-count-bounded
+    commit(table, base, Map.empty, Some((app, txnV)),
+      appends = touched.map(b =>
+        b -> tagged.filter(col("__b") === b).drop("__b")).toMap)
+  }
+
+  /** x273: KEYED MERGE INTO through the log (the Delta `MERGE WHEN
+    * MATCHED UPDATE / WHEN NOT MATCHED INSERT` primitive — VERDICT r11
+    * task 2): route `batch` rows to buckets on `keyCol % NumBuckets`,
+    * then decide EACH routed bucket's write mode from its keyCol Bloom
+    * sidecars ([[bloomMayContainAny]] — one O(batch-slice) probe job
+    * per sidecar file, no bucket data read): a bucket that PROVABLY
+    * holds none of the batch's keys takes an O(batch) APPEND file
+    * (x274); every other bucket rewrites as (visible rows minus batch
+    * keys) ∪ batch rows — a matched key updates in place and can never
+    * duplicate. Both modes land in ONE atomic commit carrying the
+    * (app, txnV) idempotence marker, so a replayed micro-batch is a
+    * no-op. Buckets with live deletion vectors or no keyCol sidecar
+    * conservatively take the merge path.
+    *
+    * Scale: a no-match trickle costs O(batch) writes + O(batch) Bloom
+    * probes — the upsert-amplification fix; a matched trickle pays
+    * exactly the matched buckets' rewrite, which is the merge-on-write
+    * floor (merge-on-read deletes + append would trade it for read
+    * debt; that path exists as [[commitDeletes]] + [[commitAppend]]). */
+  def commitUpsert(spark: SparkSession, table: String, batch: DataFrame,
+                   keyCol: String, app: String, txnV: Long): Long = {
+    txnCommitted(table, app, txnV).foreach(v => return v)
+    import org.apache.spark.sql.functions.col
+    val base = latestVersion(table)
+    require(base > 0, s"commitUpsert: no committed version in $table")
+    val m = readManifest(table, base)
+    val tagged = batch.withColumn("__b",
+      (col(keyCol) % NumBuckets).cast("int"))
+    val touched = tagged.select("__b").distinct()
+      .collect().map(_.getInt(0)).sorted // bucket-count-bounded
+    val writes = scala.collection.mutable.Map.empty[Int, DataFrame]
+    val appends = scala.collection.mutable.Map.empty[Int, DataFrame]
+    touched.foreach { b =>
+      val fresh = tagged.filter(col("__b") === b).drop("__b")
+      val tombed = m.tombs.getOrElse(b, Nil).nonEmpty
+      if (!m.buckets.contains(b)) writes(b) = fresh
+      else if (!tombed && !bloomMayContainAny(spark, table, m, b,
+        fresh.select(col(keyCol)), keyCol))
+        appends(b) = fresh
+      else writes(b) = visibleBucket(spark, table, b, base).get
+        .join(fresh.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(fresh)
+    }
+    commit(table, base, writes.toMap, Some((app, txnV)),
+      appends = appends.toMap)
+  }
+
+  /** Whether any of `keys`' values (a one-column frame of `keyCol`,
+    * already routed to `bucket`) MAY be present in the bucket, decided
+    * purely from its keyCol Bloom sidecars: one distributed job over
+    * the key slice per sidecar file — probe bit positions from the
+    * same [[bloomBitCols]] that built the filters, sidecar words
+    * (≤ 2 MiB) broadcast — and NO bucket data read. True (must assume
+    * a match) when the bucket's files aren't fully sidecar-covered on
+    * `keyCol`: skipping is an optimization, never a filter. */
+  private def bloomMayContainAny(spark: SparkSession, table: String,
+                                 m: Manifest, bucket: Int,
+                                 keys: DataFrame, keyCol: String): Boolean = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val refs = m.blooms.getOrElse(bucket, Nil).filter(_.col == keyCol)
+    if (refs.isEmpty || refs.size < m.bucketRels(bucket).size) return true
+    refs.exists { r =>
+      val pos = bloomBitCols(col(keyCol).cast(r.dtype), r.bits)
+      val words = spark.read.parquet(s"$table/${r.rel}")
+      keys.select(pos(0).as("p1"), pos(1).as("p2"))
+        .join(broadcast(words.select(col("word_idx").as("i1"),
+          col("word").as("w1"))),
+          expr("CAST(p1 / 64 AS BIGINT) = i1"), "left")
+        .join(broadcast(words.select(col("word_idx").as("i2"),
+          col("word").as("w2"))),
+          expr("CAST(p2 / 64 AS BIGINT) = i2"), "left")
+        .filter(expr(
+          "(coalesce(w1, 0L) & shiftleft(1L, CAST(p1 % 64 AS INT))) <> 0 " +
+          "AND (coalesce(w2, 0L) & shiftleft(1L, CAST(p2 % 64 AS INT))) <> 0"))
+        .limit(1).count() > 0
+    }
+  }
+
+  /** x274: FILE COMPACTION — fold every bucket that has accumulated
+    * append files back into ONE generation through the ordinary write
+    * path (clears its `bfile` list; stats and Bloom sidecars refresh
+    * via commit()'s auto-inherit); untouched buckets are carried by
+    * reference. The EXECUTED half of the x119 bin-packing plan: the
+    * read-side file-count debt the O(batch) appends accrue is settled
+    * in one write-amplification installment, sized by the multi-file
+    * buckets only. Snapshot content is unchanged by construction
+    * (x274 receipt + spec). */
+  def compactFiles(spark: SparkSession, table: String,
+                   baseVersion: Long = -1L): Long = {
+    val base = if (baseVersion > 0) baseVersion else latestVersion(table)
+    val m = readManifest(table, base)
+    val multi = m.buckets.keySet.toSeq.sorted
+      .filter(b => m.extras.getOrElse(b, Nil).nonEmpty)
+    require(multi.nonEmpty, s"nothing to compact in $table v$base")
+    commit(table, base, multi.map(b =>
+      b -> visibleBucket(spark, table, b, base).get).toMap)
+  }
+
+  /** The data files of `version` per bucket (primary first) — exposed
+    * for the x273/x274 append/compaction receipts and specs. */
+  def bucketFiles(table: String,
+                  version: Long = -1L): Map[Int, Seq[String]] = {
+    val v = if (version > 0) version else latestVersion(table)
+    val m = readManifest(table, v)
+    m.buckets.keySet.toSeq.sorted.map(b => b -> m.bucketRels(b)).toMap
   }
 
   /** MERGE-ON-READ DELETE (x221 — the deletion-vector path): route
@@ -700,6 +931,7 @@ object TxnLog {
         s"touched=${written.keySet.toSeq.sorted.mkString(",")}" +:
         s"keycol=$keyCol" +:
         (baseM.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"bucket $b $d" } ++
+          extraLines(baseM.extras) ++
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
           // tombstones only REMOVE rows from unchanged generations, so
@@ -738,8 +970,10 @@ object TxnLog {
                             version: Long): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val m = readManifest(table, version)
-    m.buckets.get(bucket).map { rel =>
-      val data = spark.read.parquet(s"$table/$rel")
+    m.buckets.get(bucket).map { _ =>
+      // primary + appended files (x274) — one multi-path scan
+      val data = spark.read.parquet(
+        m.bucketRels(bucket).map(r => s"$table/$r"): _*)
       val ts = m.tombs.getOrElse(bucket, Seq.empty)
       val live = if (ts.isEmpty) data
       else {
@@ -787,7 +1021,7 @@ object TxnLog {
     val mt = readManifest(table, toV)
     val changed = (mf.buckets.keySet ++ mt.buckets.keySet).toSeq.sorted
       .filter { b =>
-        mf.buckets.get(b) != mt.buckets.get(b) ||
+        mf.bucketRels(b) != mt.bucketRels(b) ||
           mf.tombs.getOrElse(b, Seq.empty) != mt.tombs.getOrElse(b, Seq.empty)
       }
     val sample = snapshot(spark, table, toV)
@@ -888,7 +1122,8 @@ object TxnLog {
       r.parquet(paths: _*)
     }
     if (kept.isEmpty)
-      scan(m.buckets.toSeq.sortBy(_._1).map(e => s"$table/${e._2}")).limit(0)
+      scan(m.buckets.keySet.toSeq.sorted.flatMap(b =>
+        m.bucketRels(b).map(r => s"$table/$r"))).limit(0)
     else {
       val tombed = kept.filter(b => m.tombs.get(b).exists(_.nonEmpty))
       // plan-width guard (VERDICT r10, finding 2): each tombstoned
@@ -901,12 +1136,12 @@ object TxnLog {
             s"in ${tombed.size} buckets (> $TombedPlanWarn): plan size is " +
             "O(tombed buckets) — run OPTIMIZE to settle the read debt")
       val clearRels = kept.filterNot(tombed.contains)
-        .map(b => s"$table/${m.buckets(b)}")
+        .flatMap(b => m.bucketRels(b).map(r => s"$table/$r"))
       val clear = if (clearRels.isEmpty) None else Some(scan(clearRels))
       val subtracted = tombed.map { b =>
         val key = m.keyCol.getOrElse(throw new IllegalStateException(
           s"$table v${m.version} has tombstones but no keycol"))
-        scan(Seq(s"$table/${m.buckets(b)}"))
+        scan(m.bucketRels(b).map(r => s"$table/$r"))
           .join(spark.read.parquet(
             m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
             Seq(key), "left_anti")
@@ -1035,11 +1270,12 @@ object TxnLog {
       // mapping and drops — a fresh manifest would record nothing (and a
       // repeated RESTORE in a retry loop or bench pass would grow the log
       // unboundedly); return the already-equal latest instead
-      def state(x: Manifest) = (x.buckets, x.tombs.filter(_._2.nonEmpty),
+      def state(x: Manifest) = (x.buckets, x.extras.filter(_._2.nonEmpty),
+        x.tombs.filter(_._2.nonEmpty),
         x.zmaps, x.rows, x.blooms, x.colmap, x.drops)
       if (state(cur) == state(target)) return latest
       val touched = (cur.buckets.keySet ++ target.buckets.keySet).filter { b =>
-        cur.buckets.get(b) != target.buckets.get(b) ||
+        cur.bucketRels(b) != target.bucketRels(b) ||
           cur.tombs.getOrElse(b, Seq.empty) != target.tombs.getOrElse(b, Seq.empty)
       }
       val keyLine = target.keyCol
@@ -1050,6 +1286,7 @@ object TxnLog {
         (keyLine ++
           target.buckets.toSeq.sortBy(_._1)
             .map { case (b, dir) => s"bucket $b $dir" } ++
+          extraLines(target.extras) ++
           target.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
           statLines(target.zmaps, target.rows, target.blooms,
@@ -1098,6 +1335,7 @@ object TxnLog {
         "touched=" +:
         (keyLine ++
           m.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"bucket $b $d" } ++
+          extraLines(m.extras) ++
           m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
           statLines(m.zmaps, m.rows, m.blooms, colmap, drops)))
@@ -1126,6 +1364,32 @@ object TxnLog {
     if (zNumeric(dtype)) new java.math.BigDecimal(a)
       .compareTo(new java.math.BigDecimal(b))
     else a.compareTo(b)
+
+  /** Widen a bucket's zone maps by an appended file's observed stats
+    * (x274): per column, min/max take the looser bound — a None side
+    * (no non-null value) cannot extend the range. Columns with stats
+    * on only one side, or whose dtypes disagree across files, are
+    * DROPPED: a bound that does not cover every file of the bucket
+    * would prune wrongly. */
+  private def mergeZoneStats(old: Seq[ZoneStat],
+                             add: Seq[ZoneStat]): Seq[ZoneStat] = {
+    val am = add.map(z => z.col -> z).toMap
+    old.flatMap { oz =>
+      am.get(oz.col).filter(_.dtype == oz.dtype).map { az =>
+        val mn = (oz.min, az.min) match {
+          case (Some(a), Some(b)) =>
+            Some(if (zCompare(oz.dtype, a, b) <= 0) a else b)
+          case (a, b) => a.orElse(b)
+        }
+        val mx = (oz.max, az.max) match {
+          case (Some(a), Some(b)) =>
+            Some(if (zCompare(oz.dtype, a, b) >= 0) a else b)
+          case (a, b) => a.orElse(b)
+        }
+        ZoneStat(oz.col, oz.dtype, mn, mx)
+      }
+    }
+  }
 
   /** The committed zone maps of `version` (bucket → per-column
     * min/max) — the manifest metadata [[snapshotRange]] prunes with,
@@ -1321,27 +1585,34 @@ object TxnLog {
     val needed = posFor.valuesIterator.flatten.flatten
       .map(_ / 64).toSeq.distinct
     // ONE multi-path read of every relevant sidecar; each sidecar's
-    // LAST path segment (its nonce'd generation dir) keys the words
-    // back to their (bucket, column) in O(1) per row
-    val byDir: Map[String, (Int, String)] = indexed.map {
-      case (b, r) => r.rel.split('/').last -> (b, r.col)
+    // LAST path segment (its nonce'd per-file, per-column dir) keys
+    // the words back to their (bucket, sidecar) in O(1) per row
+    val byDir: Map[String, Int] = indexed.map {
+      case (b, r) => r.rel.split('/').last -> b
     }.toMap
     val rows = spark.read
-      .parquet(indexed.map { case (_, r) => s"$table/${r.rel}" }.sorted: _*)
+      .parquet(indexed.map { case (_, r) => s"$table/${r.rel}" }
+        .distinct.sorted: _*)
       .filter(col("word_idx").isin(needed: _*))
       .select(input_file_name().as("f"), col("word_idx"), col("word"))
       .collect()
     val words: Map[(Int, String), Map[Long, Long]] = rows.toSeq.flatMap { r =>
       val segs = r.getString(0).split('/')
       val dir = if (segs.length >= 2) segs(segs.length - 2) else ""
-      byDir.get(dir).map(_ -> (r.getLong(1) -> r.getLong(2)))
+      byDir.get(dir).map(b => (b, dir) -> (r.getLong(1) -> r.getLong(2)))
     }.groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toMap }
+    // a bucket with several files has one sidecar PER FILE (x274):
+    // the bucket may match if ANY file's filter admits any probe
+    // value, so per-(bucket, column) verdicts OR across files — words
+    // are keyed by the sidecar's own dir, so same-geometry files
+    // never mix
     val verdicts = indexed.map { case (b, ref) =>
-      val w = words.getOrElse((b, ref.col), Map.empty[Long, Long])
+      val w = words.getOrElse((b, ref.rel.split('/').last),
+        Map.empty[Long, Long])
       def bitSet(p: Long): Boolean =
         (w.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0
-      (b, ref.col) -> posFor((ref.col, ref.bits)).exists(_.forall(bitSet))
-    }.toMap
+      ((b, ref.col), posFor((ref.col, ref.bits)).exists(_.forall(bitSet)))
+    }.groupBy(_._1).map { case (k, es) => k -> es.exists(_._2) }
     defaultKeep ++ verdicts
   }
 
@@ -1539,6 +1810,42 @@ object TxnLog {
       case Some(sz) if sz <= StatsBroadcastBytes =>
         org.apache.spark.sql.functions.broadcast(snap)
       case _ => snap
+    }
+  }
+
+  /** Size upper bound for a PRUNED read ([[snapshotWhere]] over
+    * `preds`) from the manifest alone: the KEPT buckets' committed row
+    * counts × the schema's default per-row width (tombstones only
+    * shrink the read, residual filters only shrink it further — the
+    * bound stays safe). None when any kept bucket predates row-count
+    * stats. VERDICT r11, task 5: the whole-snapshot [[statsSizeBound]]
+    * ignores pruning, so a sharply filtered read of a big table never
+    * qualified for the plan-time broadcast its true size deserved. */
+  def prunedSizeBound(spark: SparkSession, table: String, preds: Seq[Pred],
+                      version: Long = -1L): Option[Long] = {
+    val v = if (version > 0) version else latestVersion(table)
+    val m = readManifest(table, v)
+    val (kept, _) = prunedBucketsWhere(spark, table, preds, v)
+    if (!kept.forall(m.rows.contains)) None
+    else Some(kept.map(m.rows).sum *
+      snapshot(spark, table, v).schema.defaultSize.toLong)
+  }
+
+  /** x269 applied to PRUNED reads (VERDICT r11, task 5): a filtered
+    * snapshot read whose manifest-bound size — kept-bucket row counts
+    * only, zone-map/Bloom pruning already applied — fits under
+    * [[StatsBroadcastBytes]] carries the broadcast hint, so a
+    * filter-then-join picks its broadcast side AT PLAN TIME from
+    * stats instead of waiting for AQE's runtime sizes. Rows are
+    * identical to [[snapshotWhere]] (a hint never changes results). */
+  def snapshotWhereWithStats(spark: SparkSession, table: String,
+                             preds: Seq[Pred],
+                             version: Long = -1L): DataFrame = {
+    val read = snapshotWhere(spark, table, preds, version)
+    prunedSizeBound(spark, table, preds, version) match {
+      case Some(sz) if sz <= StatsBroadcastBytes =>
+        org.apache.spark.sql.functions.broadcast(read)
+      case _ => read
     }
   }
 

@@ -652,6 +652,130 @@ object EventStream {
     s.read.parquet(fin).select(col("lang"), col("n_docs"), col("sum_chars"))
   }
 
+  /** x275: STREAMING-MAINTAINED ANN INDEX — the x245 IVM pattern
+    * applied to the x267 IVF cell-assignment table (VERDICT r11, task
+    * 4): a maintainer stream tails the transaction log of a vector
+    * table through the embedding-CDC protocol (v1 full load, v2
+    * bucket-1 negation + offset-key inserts, v3 mod-7 tombstone
+    * deletes) and advances the assignment table per micro-batch —
+    * deletes and update pre-images leave the index, inserts and update
+    * post-images are assigned fresh against the FIXED quantizer
+    * (broadcast K-row centroids), never re-scanning the corpus. EVERY
+    * epoch requires the maintained index ASSIGNMENT-IDENTICAL to a
+    * from-scratch rebuild over that epoch's snapshot (null-safe
+    * full-outer compare — the x267 receipt, now per micro-batch), so
+    * the x271 recall audit over the rebuilt index prices the
+    * stream-maintained one by construction. View generations are
+    * batch-id-addressed with the _SUCCESS re-delivery guard (x219
+    * exactly-once); the oracle re-derives the v3 corpus from the
+    * fixture rules and assigns it from scratch — a dropped,
+    * double-applied or mis-signed advance breaks the hash.
+    *
+    * Scale: each epoch's data plane is O(changed vectors) × K
+    * broadcast centroids (the identity rebuild is the AUDIT leg — a
+    * production maintainer runs it on a schedule, not per batch); the
+    * log tail is a metadata-plane file stream. */
+  def streamMaintainedIvf(s: SparkSession, dir: String,
+                          cents: DataFrame): DataFrame = {
+    import graft.sources.TxnLog
+    import graft.ops.Similarity
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/sann_${Integer.toHexString(dir.hashCode)}")
+    TxnLog.reset(table)
+    val base = sinkDir("sann")
+    // the fixed quantizer crosses into foreachBatch's session via
+    // parquet, not a captured Dataset (plans are session-bound)
+    val centsDir = s"$base/cents"
+    cents.write.mode("overwrite").parquet(centsDir)
+    val viewRoot = new java.io.File(base, "views")
+    viewRoot.mkdirs()
+    def latestView(below: Long): Option[(Long, String)] =
+      Option(viewRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("view_") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(f => f.getName.stripPrefix("view_").toLong -> f.getPath)
+        .filter(_._1 < below)
+        .sortBy(-_._1).headOption
+    def maintain(): Unit = {
+      val q = s.readStream.format("text")
+        .option("pathGlobFilter", "v*.txt")
+        .load(s"$table/_log")
+        .writeStream
+        .option("checkpointLocation", s"$base/ck") // ONE shared tail offset
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          import ss.implicits._
+          val vs = batch.as[String].collect()
+            .filter(_.startsWith("version="))
+            .map(_.stripPrefix("version=").toLong)
+          if (vs.nonEmpty) {
+            val out = new java.io.File(viewRoot, s"view_$batchId")
+            if (!new java.io.File(out, "_SUCCESS").exists()) {
+              val (fromV, toV) = (vs.min - 1, vs.max)
+              val cs = ss.read.parquet(centsDir)
+              def assign(rows: DataFrame): DataFrame =
+                Similarity.assignCells(Similarity.vectors(rows), cs)
+              val view =
+                if (fromV == 0) assign(TxnLog.snapshot(ss, table, toV))
+                else {
+                  val prev = ss.read.parquet(latestView(batchId)
+                    .getOrElse(throw new IllegalStateException(
+                      s"maintainer batch $batchId has no prior view"))._2)
+                  val feed = TxnLog.changeFeed(ss, table, fromV, toV, "vec_id")
+                  val gone = feed
+                    .filter(col("change_type")
+                      .isin("delete", "update_preimage"))
+                    .select(col("vec_id"))
+                  val fresh = assign(feed
+                    .filter(col("change_type")
+                      .isin("insert", "update_postimage"))
+                    .select(col("vec_id"), col("embedding")))
+                  prev.join(gone, Seq("vec_id"), "left_anti")
+                    .unionByName(fresh)
+                }
+              // per-epoch identity with the from-scratch rebuild — the
+              // audit leg that makes every later IVF search over the
+              // maintained index equal the rebuilt one by construction
+              val rebuilt = assign(TxnLog.snapshot(ss, table, toV))
+              val mism = view
+                .join(rebuilt.withColumnRenamed("cell", "cell_r"),
+                  Seq("vec_id"), "full_outer")
+                .filter(!(col("cell") <=> col("cell_r"))).count()
+              if (mism != 0) throw new IllegalStateException(
+                s"stream-maintained IVF diverged from the rebuild on " +
+                  s"$mism vectors at v$toV")
+              view.coalesce(1).write.mode("overwrite").parquet(out.getPath)
+            }
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val insertOffset = graft.pipelines.Extensions.CdcInsertOffset
+    // commit epochs are batch-side fixture construction (the x245
+    // convention); only the maintainer is the stream under test
+    val e0 = graft.sources.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    def slice(b: Int) = e0.filter(col("vec_id") % TxnLog.NumBuckets === b)
+    val v1 = TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+    maintain() // epoch 1: materialize the assignments at v1
+    val neg = slice(1).withColumn("embedding",
+      transform(col("embedding"), x => -x))
+    TxnLog.commit(table, v1, Map(1 ->
+      neg.unionByName(neg.select(
+        (col("vec_id") + insertOffset).as("vec_id"), col("embedding")))))
+    maintain() // epoch 2: re-assign the negated updates + inserts
+    TxnLog.commitDeletes(table,
+      e0.filter(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id",
+      TxnLog.latestVersion(table))
+    maintain() // epoch 3: delete advances
+    val fin = latestView(Long.MaxValue).getOrElse(
+      throw new IllegalStateException("no maintained assignment view"))._2
+    s.read.parquet(fin).select(col("vec_id"), col("cell"))
+  }
+
   /** x56: [[enrichedPurchases]] run to completion with AvailableNow —
     * a stream-static inner join emits exactly the batch join (the
     * static side is fully visible to every micro-batch). */

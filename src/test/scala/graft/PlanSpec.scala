@@ -652,6 +652,45 @@ class PlanSpec extends SparkSpec {
     assert(stats.count() === plain.count())
   }
 
+  test("pruned-read manifest stats pick the broadcast side AT PLAN TIME") {
+    import graft.sources.TxnLog
+    import org.apache.spark.sql.functions.col
+    // Spark's own size-based broadcasting OFF: a plan-time broadcast
+    // can only come from the kept-bucket manifest stats (VERDICT r11,
+    // task 5 — the pruned-read analogue of the x269 gate)
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val t = graft.sources.Bucketing.buildPath("graft-txn-spec/prunedbhj")
+    TxnLog.reset(t)
+    import sub.implicits._
+    val d0 = (0L until 32L).map(i => (i, i * 7)).toDF("doc_id", "v")
+    // range-clustered so the zone maps actually prune
+    TxnLog.commit(t, 0L, (0 until TxnLog.NumBuckets).map(b =>
+      b -> d0.filter(col("doc_id") >= b * 8 && col("doc_id") < (b + 1) * 8))
+      .toMap)
+    val preds = Seq(TxnLog.RangePred("doc_id", None, Some("7")))
+    val (kept, pruned) = TxnLog.prunedBucketsWhere(sub, t, preds)
+    assert(kept === Seq(0) && pruned.size === 3)
+    def right = TxnLog.snapshot(sub, t).select(col("doc_id"),
+      col("v").as("v2"))
+    val plain = TxnLog.snapshotWhere(sub, t, preds).join(right, Seq("doc_id"))
+    assert(!plain.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      "with size-based broadcasting off, the plain pruned join must not broadcast")
+    val stats = TxnLog.snapshotWhereWithStats(sub, t, preds)
+      .join(right, Seq("doc_id"))
+    assert(stats.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      s"kept-bucket stats must broadcast at plan time:\n" +
+        s"${stats.queryExecution.sparkPlan}")
+    assert(stats.count() === plain.count())
+    // the bound is the KEPT buckets only — far under the whole table's
+    val whole = TxnLog.statsSizeBound(sub, t).get
+    val prunedB = TxnLog.prunedSizeBound(sub, t, preds).get
+    assert(prunedB * 3 <= whole,
+      s"pruned bound $prunedB must reflect kept buckets, whole $whole")
+  }
+
   test("x263 post-OPTIMIZE snapshot plans a bare scan — no anti join survives") {
     val df = SparkEntry.queries("x263_optimize")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

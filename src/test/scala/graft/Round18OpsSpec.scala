@@ -85,6 +85,115 @@ class Round18OpsSpec extends SparkSpec {
     assert(served === Map(1L -> 200L, 5L -> 600L))
   }
 
+  // ---- multi-file generations + compaction (x274) -------------------------
+
+  test("x274 commitAppend writes O(batch) files; compactFiles folds them") {
+    val t = freshTable("appendfiles")
+    val v1 = loadAll(t, bloomCol = Some("doc_id"))
+    val files1 = TxnLog.bucketFiles(t, v1)
+    // one append batch of 4 fresh keys, one per bucket
+    val batchA = Seq((8L, "en", 90L), (9L, "de", 100L),
+      (10L, "fr", 110L), (11L, "es", 120L)).toDF("doc_id", "lang", "n_chars")
+    val v2 = TxnLog.commitAppend(spark, t, batchA, "doc_id", "app", 1L)
+    val files2 = TxnLog.bucketFiles(t, v2)
+    (0 until TxnLog.NumBuckets).foreach { b =>
+      assert(files2(b).head === files1(b).head,
+        "an append must never rewrite the primary generation")
+      assert(files2(b).size === 2, "each bucket gains exactly one file")
+    }
+    assert(TxnLog.snapshot(spark, t, v2).count() === 12L)
+    // per-file sidecars: an APPENDED key keeps its bucket, garbage prunes all
+    val (kNew, _) = TxnLog.bloomCandidates(spark, t, "doc_id", Seq("9"), v2)
+    assert(kNew === Seq(1), s"the appended file's sidecar must answer, got $kNew")
+    val (kNone, _) =
+      TxnLog.bloomCandidates(spark, t, "doc_id", Seq("777777"), v2)
+    assert(kNone.isEmpty)
+    // zone maps widened: a range probe over appended keys keeps buckets
+    val (kRange, _) = TxnLog.prunedBuckets(t, "doc_id", Some("8"), None, v2)
+    assert(kRange.size === TxnLog.NumBuckets,
+      "widened zone maps must cover the appended keys")
+    // replayed micro-batch is a no-op
+    assert(TxnLog.commitAppend(spark, t, batchA, "doc_id", "app", 1L) === v2)
+    // second append, then compaction folds everything per bucket
+    val batchB = Seq((12L, "zh", 130L), (13L, "en", 140L))
+      .toDF("doc_id", "lang", "n_chars")
+    val v3 = TxnLog.commitAppend(spark, t, batchB, "doc_id", "app", 2L)
+    assert(TxnLog.bucketFiles(t, v3)(0).size === 3)
+    val before = TxnLog.snapshot(spark, t, v3)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val v4 = TxnLog.compactFiles(spark, t, v3)
+    val files4 = TxnLog.bucketFiles(t, v4)
+    assert(files4.values.forall(_.size === 1),
+      "compaction folds every bucket back to one generation")
+    val after = TxnLog.snapshot(spark, t, v4)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(after === before, "compaction must not change snapshot content")
+    // sidecars refreshed to one per bucket and still answering
+    assert(TxnLog.bloomStats(t, v4).values.forall(_.size === 1))
+    assert(TxnLog.bloomCandidates(spark, t, "doc_id", Seq("13"), v4)
+      ._1 === Seq(1))
+    // the change feed sees the appended rows as inserts
+    val feed = TxnLog.changeFeed(spark, t, v1, v2, "doc_id")
+    assert(feed.filter(col("change_type") === "insert").count() === 4L)
+    assert(feed.filter(col("change_type") =!= "insert").count() === 0L)
+  }
+
+  test("x274 appends to tombstoned or absent buckets are refused") {
+    val t = freshTable("append_refuse")
+    val v1 = loadAll(t)
+    val v2 = TxnLog.commitDeletes(t,
+      tinyDocs.filter(col("doc_id") === 0L).select("doc_id"), "doc_id", v1)
+    val fresh = Seq((8L, "en", 90L)).toDF("doc_id", "lang", "n_chars")
+    assert(intercept[IllegalArgumentException](
+      TxnLog.commitAppend(spark, t, fresh, "doc_id", "a", 1L))
+      .getMessage.contains("live deletion vectors"))
+    assert(TxnLog.latestVersion(t) === v2)
+  }
+
+  // ---- keyed MERGE INTO (x273) --------------------------------------------
+
+  test("x273 commitUpsert: matched buckets rewrite, no-match buckets append") {
+    val t = freshTable("upsert")
+    val v1 = loadAll(t, bloomCol = Some("doc_id"))
+    val files1 = TxnLog.bucketFiles(t, v1)
+    // key 5 exists (bucket 1) → update; key 8 is fresh (bucket 0) → insert
+    val batch = Seq((5L, "de", 999L), (8L, "en", 90L))
+      .toDF("doc_id", "lang", "n_chars")
+    val v2 = TxnLog.commitUpsert(spark, t, batch, "doc_id", "ups", 1L)
+    val files2 = TxnLog.bucketFiles(t, v2)
+    assert(files2(1).size === 1 && files2(1).head != files1(1).head,
+      "the matched bucket must be rewritten (merge path)")
+    assert(files2(0).head === files1(0).head && files2(0).size === 2,
+      "the no-match bucket must take an O(batch) append, not a rewrite")
+    assert(files2(2) === files1(2) && files2(3) === files1(3),
+      "unrouted buckets are untouched")
+    val got = TxnLog.snapshot(spark, t, v2)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    assert(got.count(_._1 == 5L) === 1, "an upsert never duplicates a key")
+    assert(got.toMap.apply(5L) === 999L && got.toMap.apply(8L) === 90L)
+    assert(got.length === 9)
+    // replay is a no-op
+    assert(TxnLog.commitUpsert(spark, t, batch, "doc_id", "ups", 1L) === v2)
+  }
+
+  test("x273 upsert into a tombstoned bucket merges and keeps deletes deleted") {
+    val t = freshTable("upsert_tombed")
+    val v1 = loadAll(t, bloomCol = Some("doc_id"))
+    val v2 = TxnLog.commitDeletes(t,
+      tinyDocs.filter(col("doc_id") === 0L).select("doc_id"), "doc_id", v1)
+    // key 8 routes to bucket 0 (tombstoned) and matches nothing — the
+    // Bloom shortcut must NOT apply; the merge path folds the tombstone
+    val v3 = TxnLog.commitUpsert(spark, t,
+      Seq((8L, "en", 90L)).toDF("doc_id", "lang", "n_chars"),
+      "doc_id", "ups", 2L)
+    val ids = TxnLog.snapshot(spark, t, v3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(0L), "the tombstoned key stays deleted")
+    assert(ids.contains(8L))
+    assert(TxnLog.bucketFiles(t, v3)(0).size === 1,
+      "a tombstoned bucket takes the rewrite path")
+  }
+
   // ---- multi-column Bloom sidecars (x276) ---------------------------------
 
   test("x276 a commit builds one sidecar per indexed column; both probe") {
