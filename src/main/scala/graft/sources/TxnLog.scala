@@ -444,14 +444,19 @@ object TxnLog {
   }
 
   /** The two filter-bit positions of each value in `expr`, as columns
-    * — ONE definition serves the build side and the probe side, so
-    * membership can never drift between them. */
+    * — ONE definition serves the build side and the probe side (and,
+    * via the Column-typed `bits` overload, the one-job upsert probe
+    * where the geometry varies per joined sidecar row), so membership
+    * can never drift between them. */
   private def bloomBitCols(e: org.apache.spark.sql.Column,
-                           bits: Long): Seq[org.apache.spark.sql.Column] = {
+                           bits: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
-    Seq(pmod(xxhash64(e), lit(bits)),
-      pmod(xxhash64(e, lit(BloomSalt)), lit(bits)))
+    Seq(pmod(xxhash64(e), bits), pmod(xxhash64(e, lit(BloomSalt)), bits))
   }
+  private def bloomBitCols(e: org.apache.spark.sql.Column,
+                           bits: Long): Seq[org.apache.spark.sql.Column] =
+    bloomBitCols(e, org.apache.spark.sql.functions.lit(bits))
 
   /** Build one bucket's Bloom sidecar from its freshly written
     * generation: a column-pruned scan of the key column → two bit
@@ -808,14 +813,21 @@ object TxnLog {
       (col(keyCol) % NumBuckets).cast("int"))
     val touched = tagged.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted // bucket-count-bounded
+    // append-ELIGIBLE buckets: exist at base, tombstone-free, fully
+    // sidecar-covered on keyCol — everything else merges conservatively
+    val candidates = touched.filter { b =>
+      val refs = m.blooms.getOrElse(b, Nil).filter(_.col == keyCol)
+      m.buckets.contains(b) && m.tombs.getOrElse(b, Nil).isEmpty &&
+        refs.nonEmpty && refs.size >= m.bucketRels(b).size
+    }
+    val matched = bloomMatchedBuckets(spark, table, m, tagged, keyCol,
+      candidates)
     val writes = scala.collection.mutable.Map.empty[Int, DataFrame]
     val appends = scala.collection.mutable.Map.empty[Int, DataFrame]
     touched.foreach { b =>
       val fresh = tagged.filter(col("__b") === b).drop("__b")
-      val tombed = m.tombs.getOrElse(b, Nil).nonEmpty
       if (!m.buckets.contains(b)) writes(b) = fresh
-      else if (!tombed && !bloomMayContainAny(spark, table, m, b,
-        fresh.select(col(keyCol)), keyCol))
+      else if (candidates.contains(b) && !matched.contains(b))
         appends(b) = fresh
       else writes(b) = visibleBucket(spark, table, b, base).get
         .join(fresh.select(col(keyCol)), Seq(keyCol), "left_anti")
@@ -825,35 +837,63 @@ object TxnLog {
       appends = appends.toMap)
   }
 
-  /** Whether any of `keys`' values (a one-column frame of `keyCol`,
-    * already routed to `bucket`) MAY be present in the bucket, decided
-    * purely from its keyCol Bloom sidecars: one distributed job over
-    * the key slice per sidecar file — probe bit positions from the
-    * same [[bloomBitCols]] that built the filters, sidecar words
-    * (≤ 2 MiB) broadcast — and NO bucket data read. True (must assume
-    * a match) when the bucket's files aren't fully sidecar-covered on
-    * `keyCol`: skipping is an optimization, never a filter. */
-  private def bloomMayContainAny(spark: SparkSession, table: String,
-                                 m: Manifest, bucket: Int,
-                                 keys: DataFrame, keyCol: String): Boolean = {
-    import org.apache.spark.sql.functions.{broadcast, col, expr}
-    val refs = m.blooms.getOrElse(bucket, Nil).filter(_.col == keyCol)
-    if (refs.isEmpty || refs.size < m.bucketRels(bucket).size) return true
-    refs.exists { r =>
-      val pos = bloomBitCols(col(keyCol).cast(r.dtype), r.bits)
-      val words = spark.read.parquet(s"$table/${r.rel}")
-      keys.select(pos(0).as("p1"), pos(1).as("p2"))
-        .join(broadcast(words.select(col("word_idx").as("i1"),
-          col("word").as("w1"))),
-          expr("CAST(p1 / 64 AS BIGINT) = i1"), "left")
-        .join(broadcast(words.select(col("word_idx").as("i2"),
-          col("word").as("w2"))),
-          expr("CAST(p2 / 64 AS BIGINT) = i2"), "left")
-        .filter(expr(
-          "(coalesce(w1, 0L) & shiftleft(1L, CAST(p1 % 64 AS INT))) <> 0 " +
-          "AND (coalesce(w2, 0L) & shiftleft(1L, CAST(p2 % 64 AS INT))) <> 0"))
-        .limit(1).count() > 0
-    }
+  /** The subset of `buckets` whose keyCol Bloom sidecars ADMIT at
+    * least one of the batch's keys — decided in ONE distributed job
+    * over the batch plus ONE multi-path sidecar read, regardless of
+    * bucket or file count (the r10 one-job probe discipline applied to
+    * the WRITE path: a per-sidecar job loop would put O(files) serial
+    * job launches on the driver just to plan an upsert). Probe bit
+    * positions come from the same [[bloomBitCols]] that built the
+    * filters, with each sidecar's geometry joined in as a column; a
+    * key matches a FILE when both its bits are set in that file's
+    * words, and a bucket matches when any key matches any of its
+    * files. Callers pass only fully-covered buckets (every file
+    * sidecar'd on `keyCol`, one dtype) — anything else must
+    * conservatively merge. NO bucket data is read. */
+  private def bloomMatchedBuckets(spark: SparkSession, table: String,
+                                  m: Manifest, tagged: DataFrame,
+                                  keyCol: String,
+                                  buckets: Seq[Int]): Set[Int] = {
+    import org.apache.spark.sql.functions.{col, element_at, expr,
+      input_file_name, split}
+    if (buckets.isEmpty) return Set.empty
+    val refs: Seq[(Int, BloomRef)] = buckets.flatMap(b =>
+      m.blooms(b).filter(_.col == keyCol).map(b -> _))
+    val dtypes = refs.map(_._2.dtype).distinct
+    // mixed dtypes across files would need one probe pass per dtype;
+    // a key column has one dtype in practice — be conservative instead
+    if (dtypes.size != 1) return buckets.toSet
+    import spark.implicits._
+    val refDf = refs.map { case (b, r) =>
+      (b, r.rel.split('/').last, r.bits)
+    }.toDF("__b", "dir", "bits")
+    val pos = bloomBitCols(col(keyCol).cast(dtypes.head), col("bits"))
+    val probes = tagged.filter(col("__b").isin(buckets: _*))
+      .select(col("__b"), col(keyCol))
+      .join(org.apache.spark.sql.functions.broadcast(refDf), Seq("__b"))
+      .select(col("__b"), col("dir"), pos(0).as("p1"), pos(1).as("p2"))
+      .withColumn("i1", (col("p1") / 64).cast("long"))
+      .withColumn("i2", (col("p2") / 64).cast("long"))
+    val words = spark.read
+      .parquet(refs.map { case (_, r) => s"$table/${r.rel}" }
+        .distinct.sorted: _*)
+      .select(element_at(split(input_file_name(), "/"), -2).as("wdir"),
+        col("word_idx"), col("word"))
+    // unhinted joins: sidecar words are tiny per file but O(buckets)
+    // in total — AQE broadcasts them when small, shuffles when not
+    val w1 = words.select(col("wdir").as("d1"), col("word_idx").as("wi1"),
+      col("word").as("w1"))
+    val w2 = words.select(col("wdir").as("d2"), col("word_idx").as("wi2"),
+      col("word").as("w2"))
+    val flags = probes
+      .join(w1, col("dir") === col("d1") && col("i1") === col("wi1"), "left")
+      .join(w2, col("dir") === col("d2") && col("i2") === col("wi2"), "left")
+      .filter(expr(
+        "(coalesce(w1, 0L) & shiftleft(1L, CAST(p1 % 64 AS INT))) <> 0 " +
+        "AND (coalesce(w2, 0L) & shiftleft(1L, CAST(p2 % 64 AS INT))) <> 0"))
+      .select(col("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet // bucket-count-bounded
+    flags
   }
 
   /** x274: FILE COMPACTION — fold every bucket that has accumulated
@@ -1029,6 +1069,23 @@ object TxnLog {
     require(cs.contains(keyCol), s"changeFeed: no column $keyCol in $table")
     def emptySide = sample.limit(0)
     val frames = changed.map { b =>
+      val preRels = mf.bucketRels(b)
+      val postRels = mt.bucketRels(b)
+      // APPEND-ONLY fast path (x274): when the bucket's change is
+      // exactly new files appended behind an unchanged primary + prefix
+      // (and tombstones are untouched), the delta IS those files — read
+      // ONLY them, emit inserts, and skip the full-bucket outer join
+      // entirely. Sound under the append contract ([[commitAppend]] /
+      // the upsert's Bloom-proven no-match path: appended keys are
+      // fresh); a trickle append's feed costs O(new files), not
+      // O(bucket) — the same O(changed data) promise one level finer.
+      if (preRels.nonEmpty && postRels.startsWith(preRels) &&
+        postRels.size > preRels.size &&
+        mf.tombs.getOrElse(b, Seq.empty) == mt.tombs.getOrElse(b, Seq.empty)) {
+        spark.read.parquet(
+          postRels.drop(preRels.size).map(r => s"$table/$r"): _*)
+          .select(cs.map(col) :+ lit("insert").as("change_type"): _*)
+      } else {
       val pre = visibleBucket(spark, table, b, fromV).getOrElse(emptySide)
       val post = visibleBucket(spark, table, b, toV).getOrElse(emptySide)
       val p = pre.select(cs.map(c => col(c).as(s"pre_$c")): _*)
@@ -1047,6 +1104,7 @@ object TxnLog {
         .unionByName(side("pre", "delete")(j.filter(col(s"post_$keyCol").isNull)))
         .unionByName(side("pre", "update_preimage")(upd))
         .unionByName(side("post", "update_postimage")(upd))
+      }
     }
     frames.reduceOption(_.unionByName(_))
       .getOrElse(emptySide.withColumn("change_type", lit("")))

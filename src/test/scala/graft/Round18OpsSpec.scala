@@ -132,10 +132,18 @@ class Round18OpsSpec extends SparkSpec {
     assert(TxnLog.bloomStats(t, v4).values.forall(_.size === 1))
     assert(TxnLog.bloomCandidates(spark, t, "doc_id", Seq("13"), v4)
       ._1 === Seq(1))
-    // the change feed sees the appended rows as inserts
+    // the change feed sees the appended rows as inserts, and its plan
+    // reads ONLY the appended files — never the unchanged primaries
+    // (the append-only fast path: O(new files), not O(bucket))
     val feed = TxnLog.changeFeed(spark, t, v1, v2, "doc_id")
     assert(feed.filter(col("change_type") === "insert").count() === 4L)
     assert(feed.filter(col("change_type") =!= "insert").count() === 0L)
+    val appendRels = (0 until TxnLog.NumBuckets)
+      .flatMap(b => TxnLog.bucketFiles(t, v2)(b).drop(1)).toSet
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(f => appendRels.exists(r => f.contains(r))),
+      s"append-only feed must read only the new files: " +
+        s"${feed.inputFiles.mkString(",")}")
   }
 
   test("x274 appends to tombstoned or absent buckets are refused") {
