@@ -4911,6 +4911,23 @@ object ExtSql {
          |  AND doc_id % 7 <> 0""".stripMargin
   }
 
+  // ---- x278 streaming upsert sink -------------------------------------------
+  // Three AvailableNow runs MERGE-UPSERT micro-batches through the
+  // txn log: run 0 updates existing keys (+111), run 1 inserts offset
+  // copies (append path), run 2 updates those inserted keys (+333,
+  // merge over multi-file buckets); the oracle is the final state.
+
+  private val x278 = {
+    val off = graft.pipelines.Extensions.UpsertStreamOffset
+    raw"""SELECT doc_id, lang,
+         |       CAST(CASE WHEN doc_id % 9 = 4 THEN n_chars + 111
+         |                 ELSE n_chars END AS BIGINT) AS n_chars
+         |FROM documents
+         |UNION ALL
+         |SELECT doc_id + $off, lang, CAST(n_chars + 333 AS BIGINT)
+         |FROM documents WHERE doc_id % 9 = 5""".stripMargin
+  }
+
   // ---- x277 n-column ZORDER layout audit -----------------------------------
   // The engine lays the corpus out twice (ZORDER over 2 and over 3
   // comparable-width dimensions) and pins that the probe on the third
@@ -7318,6 +7335,7 @@ object ExtSql {
     "x274_append_compact" -> x274,
     "x276_multi_bloom"    -> x276,
     "x277_zorder_ncol"    -> x277,
+    "x278_stream_upsert"  -> x278,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

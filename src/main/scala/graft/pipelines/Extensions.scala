@@ -920,7 +920,11 @@ object Extensions {
         centsShared(s, d))),
     "x274_append_compact" -> appendCompact _,
     "x276_multi_bloom"   -> bloom2Skip _,
-    "x277_zorder_ncol"   -> zorderNAudit _)
+    "x277_zorder_ncol"   -> zorderNAudit _,
+    // protocol-bearing like x219: three real AvailableNow runs whose
+    // sink MERGE-UPSERTs each micro-batch through the txn log
+    "x278_stream_upsert" -> ((s, d) =>
+      graft.streaming.EventStream.txnStreamUpsert(s, d)))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -1699,6 +1703,7 @@ object Extensions {
   val UpsertInsertOffset = 30000000L
   val AppendOffsetA = 40000000L
   val AppendOffsetB = 50000000L
+  val UpsertStreamOffset = 60000000L
 
   /** x273: KEYED MERGE INTO through the txn log (see
     * [[graft.sources.TxnLog.commitUpsert]] — VERDICT r11, task 2): one

@@ -604,6 +604,18 @@ object TxnLog {
     val appShed = scala.collection.mutable.Map.empty[Int, Set[String]]
     val appended: Map[Int, String] = appends.map { case (b, df0) =>
       val df = toPhysical(df0)
+      // appends must speak the bucket's physical schema EXACTLY: a
+      // divergent appended file would silently null-split the bucket
+      // under a later mergeSchema union instead of failing here (full
+      // rewrites are exempt — they REPLACE the schema; re-adds and
+      // renames route through them)
+      val want = df.sparkSession.read
+        .parquet(s"$table/${baseM0.get.buckets(b)}").columns.toSet
+      require(df.columns.toSet == want,
+        s"append: bucket $b schema mismatch — appended columns " +
+          s"${df.columns.sorted.mkString(",")} vs the bucket's " +
+          s"${want.toSeq.sorted.mkString(",")}; appends must speak the " +
+          "physical schema (use a full-bucket write to evolve it)")
       val rel = s"data/a${baseVersion + 1}-b$b-$nonce"
       val (stats, cnt) = writeWithStats(df, s"$table/$rel")
       appStats(b) = stats

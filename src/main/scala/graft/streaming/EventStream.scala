@@ -532,6 +532,71 @@ object EventStream {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("ingest_slice"))
   }
 
+  /** x278: STREAMING UPSERT SINK — [[txnStreamCommit]]'s merge-append
+    * upgraded to KEYED MERGE INTO (the Delta streaming `MERGE` /
+    * upsert-foreachBatch pattern): over a committed base table, three
+    * AvailableNow runs whose foreachBatch sink
+    * [[graft.sources.TxnLog.commitUpsert]]s each micro-batch with the
+    * (app, txnV) idempotence marker —
+    *
+    *  - run 0 UPDATES existing keys (doc_id ≡ 4 mod 9, +111 chars):
+    *    matched buckets take the merge rewrite;
+    *  - run 1 INSERTS fresh offset keys (copies of doc_id ≡ 5 mod 9):
+    *    their buckets are Bloom-proven key-free and take O(batch)
+    *    append FILES, primaries untouched;
+    *  - run 2 UPDATES those freshly appended keys (+333): the merge
+    *    now runs over MULTI-FILE buckets — the rewrite reads primary +
+    *    extras and folds them back to one generation.
+    *
+    * A re-delivered micro-batch replays as a no-op via the marker (the
+    * exactly-once contract). The query returns the final snapshot, so
+    * the oracle checks update algebra, insert routing, the
+    * multi-file merge AND snapshot resolution in one hash — an upsert
+    * that duplicated a key, dropped an update, or double-applied a
+    * replay breaks it.
+    *
+    * Scale: each epoch costs O(batch) probe + O(matched buckets'
+    * data) rewrite or O(batch) append — the commitUpsert contract,
+    * exercised from the streaming seat. */
+  def txnStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val table = graft.sources.Bucketing.buildPath(
+      s"graft-txn/sups_${Integer.toHexString(dir.hashCode)}")
+    TxnLog.reset(table)
+    val base = sinkDir("txnupsert")
+    val off = graft.pipelines.Extensions.UpsertStreamOffset
+    val d0 = graft.sources.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    TxnLog.commit(table, 0L,
+      (0 until TxnLog.NumBuckets).map(b =>
+        b -> d0.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap,
+      bloomCols = Seq("doc_id"))
+    val runs: Seq[DataFrame] = Seq(
+      readDocuments(s, dir).filter(col("doc_id") % 9 === 4)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 111).as("n_chars")),
+      readDocuments(s, dir).filter(col("doc_id") % 9 === 5)
+        .select((col("doc_id") + off).as("doc_id"), col("lang"),
+          col("n_chars")),
+      readDocuments(s, dir).filter(col("doc_id") % 9 === 5)
+        .select((col("doc_id") + off).as("doc_id"), col("lang"),
+          (col("n_chars") + 333).as("n_chars")))
+    runs.zipWithIndex.foreach { case (src, slice) =>
+      val q = src.writeStream
+        .option("checkpointLocation", s"$base/ck$slice")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          TxnLog.commitUpsert(batch.sparkSession, table, batch,
+            keyCol = "doc_id", app = "x278_upsert",
+            txnV = slice.toLong * 1000000 + batchId): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** x245: STREAMING INCREMENTAL VIEW MAINTENANCE — the x237
     * signed-delta algebra driven by a stream TAILING THE TRANSACTION
     * LOG (the Delta streaming-CDF source shape, unifying x219's

@@ -146,6 +146,37 @@ class Round18OpsSpec extends SparkSpec {
         s"${feed.inputFiles.mkString(",")}")
   }
 
+  test("x274 restore re-references multi-file states; vacuum reclaims compacted files") {
+    val t = freshTable("append_retention")
+    val v1 = loadAll(t, bloomCol = Some("doc_id"))
+    val batch = Seq((8L, "en", 90L), (9L, "de", 100L))
+      .toDF("doc_id", "lang", "n_chars")
+    val v2 = TxnLog.commitAppend(spark, t, batch, "doc_id", "ar", 1L)
+    val v3 = TxnLog.compactFiles(spark, t, v2)
+    // restore to the multi-file version carries its bfile list verbatim
+    val v4 = TxnLog.restore(t, v2)
+    assert(TxnLog.bucketFiles(t, v4) === TxnLog.bucketFiles(t, v2))
+    assert(TxnLog.snapshot(spark, t, v4).count() === 10L)
+    // back to the compacted state, then retention: the append files
+    // (referenced only by expired manifests now) are reclaimed with
+    // their sidecars; the live snapshot is untouched
+    val v5 = TxnLog.restore(t, v3)
+    assert(TxnLog.bucketFiles(t, v5).values.forall(_.size === 1))
+    val reclaimed = TxnLog.vacuum(t, retainLast = 1)
+    assert(reclaimed.exists(_.contains("data/a")),
+      s"dead append files must be reclaimed: $reclaimed")
+    assert(TxnLog.snapshot(spark, t).count() === 10L)
+  }
+
+  test("x274 an append with a divergent schema fails loud") {
+    val t = freshTable("append_schema")
+    loadAll(t)
+    val bad = Seq((8L, "en")).toDF("doc_id", "lang") // n_chars missing
+    assert(intercept[IllegalArgumentException](
+      TxnLog.commitAppend(spark, t, bad, "doc_id", "as", 1L))
+      .getMessage.contains("schema mismatch"))
+  }
+
   test("x274 appends to tombstoned or absent buckets are refused") {
     val t = freshTable("append_refuse")
     val v1 = loadAll(t)
