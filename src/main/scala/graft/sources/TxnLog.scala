@@ -125,7 +125,8 @@ object TxnLog {
                                     blooms: Map[Int, Seq[BloomRef]],
                                     colmap: Map[String, String],
                                     drops: Set[String],
-                                    extras: Map[Int, Seq[String]]) {
+                                    extras: Map[Int, Seq[String]],
+                                    atouched: Set[Int] = Set.empty) {
     /** Every data file of `b`, primary first. */
     def bucketRels(b: Int): Seq[String] =
       buckets.get(b).toSeq ++ extras.getOrElse(b, Nil)
@@ -183,6 +184,9 @@ object TxnLog {
     val touched = lines.collectFirst { case s if s.startsWith("touched=") =>
       s.stripPrefix("touched=").split(",").filter(_.nonEmpty).map(_.toInt).toSet
     }.getOrElse(Set.empty)
+    val atouched = lines.collectFirst { case s if s.startsWith("atouched=") =>
+      s.stripPrefix("atouched=").split(",").filter(_.nonEmpty).map(_.toInt).toSet
+    }.getOrElse(Set.empty)
     val buckets = lines.collect { case s if s.startsWith("bucket ") =>
       val Array(_, b, dir) = s.split(" ", 3)
       b.toInt -> dir
@@ -222,7 +226,7 @@ object TxnLog {
       b.toInt -> rel
     }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2).toSeq }
     Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps, rows, blooms,
-      colmap, drops, extras)
+      colmap, drops, extras, atouched)
   }
 
   /** The version that committed idempotence marker (app, txnV), if
@@ -644,7 +648,17 @@ object TxnLog {
           throw new ConflictException(
             s"base $baseVersion predates the retention window (manifest " +
               s"v$v expired by vacuum) — re-read the table and re-derive")
-        val overlap = readManifest(table, v).touched.intersect(touchedSet)
+        val mv = readManifest(table, v)
+        // their REWRITES (and deletes/restores — every full-touch path
+        // writes `touched=`) conflict with ANY of our buckets; their
+        // blind APPENDS conflict only with our REWRITES — two appends
+        // to the same bucket COEXIST (the Delta blind-append contract:
+        // an append has no read dependency on the bucket, and the
+        // rebase merges both `bfile` entries; stats/rows/sidecars merge
+        // against the latest manifest, so neither writer's stats are
+        // lost)
+        val overlap = mv.touched.intersect(touchedSet) ++
+          mv.atouched.intersect(writes.keySet)
         if (overlap.nonEmpty)
           throw new ConflictException(
             s"version $v touched buckets ${overlap.toSeq.sorted.mkString(",")} " +
@@ -708,9 +722,14 @@ object TxnLog {
       }
       val keyLine = baseM.flatMap(_.keyCol)
         .filter(_ => tombs.nonEmpty).map(k => s"keycol=$k").toSeq
+      val aLine = appends.keySet.toSeq.sorted match {
+        case Nil => Seq.empty[String]
+        case as  => Seq(s"atouched=${as.mkString(",")}")
+      }
       val body = (s"version=${latest + 1}" +:
-        s"touched=${touchedSet.toSeq.sorted.mkString(",")}" +:
-        (txn.map { case (app, tv) => s"txn $app $tv" }.toSeq ++ keyLine ++
+        s"touched=${writes.keySet.toSeq.sorted.mkString(",")}" +:
+        (aLine ++
+          txn.map { case (app, tv) => s"txn $app $tv" }.toSeq ++ keyLine ++
           merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
           extraLines(extras) ++
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
@@ -969,7 +988,11 @@ object TxnLog {
           throw new ConflictException(
             s"base $baseVersion predates the retention window (manifest " +
               s"v$v expired by vacuum) — re-read the table and re-derive")
-        val overlap = readManifest(table, v).touched.intersect(written.keySet)
+        val mv = readManifest(table, v)
+        // deletes conflict with intervening appends too: a tombstone
+        // masks by key across ALL of a bucket's files, including one
+        // appended after our base that we never saw
+        val overlap = (mv.touched ++ mv.atouched).intersect(written.keySet)
         if (overlap.nonEmpty)
           throw new ConflictException(
             s"version $v touched buckets ${overlap.toSeq.sorted.mkString(",")} " +

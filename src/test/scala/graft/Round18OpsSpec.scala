@@ -177,6 +177,42 @@ class Round18OpsSpec extends SparkSpec {
       .getMessage.contains("schema mismatch"))
   }
 
+  test("x274 blind appends to the same bucket coexist; rewrites still conflict") {
+    val t = freshTable("append_race")
+    val v1 = loadAll(t, bloomCol = Some("doc_id"))
+    val bA = Seq((8L, "en", 90L)).toDF("doc_id", "lang", "n_chars")
+    val bB = Seq((12L, "de", 91L)).toDF("doc_id", "lang", "n_chars")
+    // writer A appends to bucket 0 and commits v2; writer B — STILL
+    // BASED AT v1 — appends to the same bucket: a blind append has no
+    // read dependency on the bucket, so B REBASES and commits v3 with
+    // BOTH files (the Delta blind-append contract)
+    val v2 = TxnLog.commit(t, v1, Map.empty, appends = Map(0 -> bA))
+    val v3 = TxnLog.commit(t, v1, Map.empty, appends = Map(0 -> bB))
+    assert(v3 === v2 + 1)
+    assert(TxnLog.bucketFiles(t, v3)(0).size === 3)
+    val ids = TxnLog.snapshot(spark, t, v3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(8L) && ids.contains(12L) && ids.size === 10)
+    // and the merged stats answer for BOTH writers' keys
+    assert(TxnLog.bloomCandidates(spark, t, "doc_id", Seq("8"), v3)._1
+      === Seq(0))
+    assert(TxnLog.bloomCandidates(spark, t, "doc_id", Seq("12"), v3)._1
+      === Seq(0))
+    // a REWRITE still based at v1 races BOTH appends — hard conflict
+    assert(intercept[TxnLog.ConflictException](
+      TxnLog.commit(t, v1, Map(0 ->
+        tinyDocs.filter(col("doc_id") % TxnLog.NumBuckets === 0))))
+      .getMessage.contains("touched buckets 0"))
+    // and an append racing a REWRITE conflicts the other way round
+    val v4 = TxnLog.commit(t, v3, Map(0 ->
+      TxnLog.snapshot(spark, t, v3)
+        .filter(col("doc_id") % TxnLog.NumBuckets === 0)))
+    assert(intercept[TxnLog.ConflictException](
+      TxnLog.commit(t, v3, Map.empty, appends = Map(0 -> bA)))
+      .getMessage.contains("touched buckets 0"))
+    assert(TxnLog.latestVersion(t) === v4)
+  }
+
   test("x274 appends to tombstoned or absent buckets are refused") {
     val t = freshTable("append_refuse")
     val v1 = loadAll(t)
