@@ -59,8 +59,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plane (parquet write/read) is distributed Spark throughout. */
 object TxnLog {
 
-  /** Key buckets (the concurrency granularity of this table). */
-  val NumBuckets = 4
+  /** Key buckets (the concurrency granularity of this table). The
+    * default suits the small-SF fixtures; production tables dial this
+    * up (it is the append-amplification knob), so the O(buckets)
+    * behaviors — manifest size, plan width, conflict algebra, the
+    * one-job write path's job counts — are additionally pinned at 64
+    * buckets by Round19OpsSpec via [[numBucketsOverride]] (VERDICT
+    * r12, task 4: every fixture ran at 4, where O(B) costs hide). */
+  def NumBuckets: Int = numBucketsOverride.getOrElse(4)
+  @volatile private[graft] var numBucketsOverride: Option[Int] = None
 
   /** Tombstoned-bucket count past which a snapshot read warns that its
     * plan (one anti join per tombstoned bucket) needs an OPTIMIZE. */
@@ -71,6 +78,14 @@ object TxnLog {
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def manifestPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%06d.txt")
+
+  /** Resolve a manifest rel to a readable path. Rels are normally
+    * table-relative; a SHALLOW CLONE ([[clone]]) commits manifests
+    * whose rels are the SOURCE table's files spelled absolute, so an
+    * absolute rel resolves to itself — every read path (data,
+    * tombstones, sidecars) resolves through this one helper. */
+  private def dataPath(table: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$table/$rel"
 
   private val ManifestName = "v(\\d{6,})\\.txt".r
 
@@ -366,7 +381,11 @@ object TxnLog {
     val dead = expiredVs
       .map(v => refs(readManifest(table, v))).fold(Set.empty)(_ ++ _)
       .diff(retained)
-    dead.toSeq.sorted.foreach { rel =>
+    // absolute rels are a SHALLOW CLONE's references into its source
+    // table — never this table's to reclaim (the Delta shallow-clone
+    // contract: vacuum on the clone must not touch source files)
+    val reclaim = dead.toSeq.sorted.filterNot(_.startsWith("/"))
+    reclaim.foreach { rel =>
       val root = Paths.get(table).resolve(rel)
       if (Files.exists(root))
         Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
@@ -385,7 +404,7 @@ object TxnLog {
       finally stream.close()
       old.foreach(v => Files.deleteIfExists(checkpointPath(table, v)))
     }
-    dead.toSeq.sorted
+    reclaim
   }
 
   /** Zone-map-eligible dtypes: totally ordered with a stable string
@@ -428,6 +447,193 @@ object TxnLog {
         Option(m(s"mx_$i")).map(_.toString))
     }
     (stats, m("cnt").asInstanceOf[Long])
+  }
+
+  // ---- ONE-JOB routed writes (VERDICT r12, task 2) --------------------
+
+  /** Partition-tag column for routed one-job writes. Data columns may
+    * not use this name (checked at write). NOT underscore-prefixed:
+    * Spark's file listing hides `_`-prefixed paths, and the tag names
+    * the partition directories (`bkt=<b>`). */
+  val BucketTag = "bkt"
+
+  /** Ceiling on the per-bucket conditional aggregates ridden on the
+    * write job's Observation (2×statCols+1 per bucket). Under it,
+    * zone-map stats cost the write ZERO extra passes; over it (very
+    * large bucket counts — a 10k-agg observe would bloat codegen), the
+    * stats come from ONE grouped column-pruned read-back job instead.
+    * Either way the commit's job count stays O(1) in the bucket count.
+    * `private[graft] var` so the spec can force the read-back path. */
+  private[graft] var ObserveAggCap = 512
+
+  /** Whether every frame shares one (name, type) column set — the
+    * precondition for the one-job union write. Heterogeneous commits
+    * (single-bucket schema evolution married to other buckets in one
+    * commit — rare) fall back to the per-bucket loop. */
+  private def sameSchema(dfs: Iterable[DataFrame]): Boolean =
+    dfs.map(_.schema.fields.map(f => (f.name, f.dataType))
+      .sortBy(_._1).toSeq).toSet.size <= 1
+
+  /** ONE-JOB ROUTED WRITE (VERDICT r12, task 2 — the write-path
+    * sibling of the r10 one-job Bloom probe): every bucket frame is
+    * tagged with [[BucketTag]] and the union written in a SINGLE
+    * dynamic-partitioned job (`data/<gen>/bkt=<b>` becomes the
+    * bucket's rel), with per-bucket zone-map stats and row counts
+    * riding the same job as conditional Observation aggregates (or one
+    * grouped read-back job past [[ObserveAggCap]]); all Bloom sidecars
+    * across all (bucket × indexed column) pairs build in ONE further
+    * grouped job ([[buildBloomsRouted]]). The legacy path launched one
+    * write job per bucket plus one sidecar job per (bucket × column) —
+    * O(B×(1+C)) serial driver-side launches; at a production bucket
+    * count (thousands — the append-amplification dial) an OPTIMIZE or
+    * wide upsert commit spent its wall-clock scheduling, not writing.
+    * Returns (bucket → rel, stats, row counts, sidecar refs).
+    *
+    * Buckets whose slice observes ZERO rows get their (empty,
+    * schema-bearing) frame written individually afterwards — a dynamic
+    * partition write emits no directory for a value with no rows, and
+    * the manifest's rel must resolve. */
+  private def writeRouted(spark: SparkSession, table: String,
+                          frames: Map[Int, DataFrame], genRel: String,
+                          wantedBloom: Map[Int, Seq[String]])
+      : (Map[Int, String], Map[Int, Seq[ZoneStat]], Map[Int, Long],
+         Map[Int, Seq[BloomRef]]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+    val schema = frames.values.head.schema
+    require(!schema.fieldNames.contains(BucketTag),
+      s"data column $BucketTag collides with the bucket-routing tag")
+    val statFields = schema.fields.filter(f => zEligible(f.dataType)).toSeq
+    val bs = frames.keySet.toSeq.sorted
+    val union = bs.map(b => frames(b).withColumn(BucketTag, lit(b)))
+      .reduce(_.unionByName(_))
+    val genPath = dataPath(table, genRel)
+    val stats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
+    val rows = scala.collection.mutable.Map.empty[Int, Long]
+    def zstat(f: org.apache.spark.sql.types.StructField,
+              mn: Any, mx: Any): ZoneStat =
+      ZoneStat(f.name, f.dataType.catalogString,
+        Option(mn).map(_.toString), Option(mx).map(_.toString))
+    if (bs.size * (statFields.size * 2 + 1) <= ObserveAggCap) {
+      // stats ride the write job itself — zero extra passes
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = bs.flatMap { b =>
+        count(when(col(BucketTag) === b, lit(1))).as(s"cnt_$b") +:
+          statFields.zipWithIndex.flatMap { case (f, i) =>
+            Seq(min(when(col(BucketTag) === b, col(f.name))).as(s"mn_${b}_$i"),
+              max(when(col(BucketTag) === b, col(f.name))).as(s"mx_${b}_$i"))
+          }
+      }
+      union.observe(obs, aggs.head, aggs.tail: _*)
+        .write.partitionBy(BucketTag).mode("overwrite").parquet(genPath)
+      val m = obs.get
+      bs.foreach { b =>
+        rows(b) = m(s"cnt_$b").asInstanceOf[Long]
+        stats(b) = statFields.zipWithIndex.map { case (f, i) =>
+          zstat(f, m(s"mn_${b}_$i"), m(s"mx_${b}_$i"))
+        }
+      }
+    } else {
+      union.write.partitionBy(BucketTag).mode("overwrite").parquet(genPath)
+      // ONE grouped read-back job, column-pruned to the stat columns
+      // (the union's schema is what was written — passing it skips the
+      // footer-inference job)
+      val aggs = count(lit(1)).as("cnt") +:
+        statFields.zipWithIndex.flatMap { case (f, i) =>
+          Seq(min(col(f.name)).as(s"mn_$i"), max(col(f.name)).as(s"mx_$i"))
+        }
+      val got = spark.read.schema(union.schema).parquet(genPath)
+        .groupBy(col(BucketTag)).agg(aggs.head, aggs.tail: _*)
+        .collect() // bucket-count-bounded
+      got.foreach { r =>
+        val b = r.getInt(0)
+        rows(b) = r.getLong(1)
+        stats(b) = statFields.zipWithIndex.map { case (f, i) =>
+          zstat(f, r.get(2 + 2 * i), r.get(3 + 2 * i))
+        }
+      }
+      bs.filterNot(rows.contains).foreach { b => // no partition dir written
+        rows(b) = 0L
+        stats(b) = statFields.map(f => zstat(f, null, null))
+      }
+    }
+    val empty = bs.filter(b => rows(b) == 0L)
+    empty.foreach { b =>
+      frames(b).write.mode("overwrite").parquet(s"$genPath/$BucketTag=$b")
+    }
+    val rels = bs.map(b => b -> s"$genRel/$BucketTag=$b").toMap
+    val blooms = buildBloomsRouted(spark, table, genRel, union.schema,
+      wantedBloom.filter(_._2.nonEmpty), rows.toMap)
+    (rels, stats.toMap, rows.toMap, blooms)
+  }
+
+  /** ALL Bloom sidecars of one routed write in ONE grouped job: the
+    * freshly written generation is read back once (column-pruned to
+    * the indexed columns), each row joins its bucket's filter geometry
+    * from a broadcast bucket-count-bounded ref table, per-column bit
+    * positions come from the same [[bloomBitCols]] the probes use, and
+    * a (leaf, word_idx) bit_or aggregation writes every sidecar as one
+    * partition of a single dynamic-partitioned write. Leaf values
+    * embed (bucket, column index, generation) so [[bloomKeep]]'s
+    * last-path-segment keying stays collision-free across a bucket's
+    * multiple files. Empty buckets get schema-bearing empty sidecars
+    * (their filters prove every probe absent, like the legacy build). */
+  private def buildBloomsRouted(spark: SparkSession, table: String,
+                                genRel: String,
+                                schema: org.apache.spark.sql.types.StructType,
+                                wanted: Map[Int, Seq[String]],
+                                rows: Map[Int, Long])
+      : Map[Int, Seq[BloomRef]] = {
+    import org.apache.spark.sql.functions.{array, broadcast, col, explode,
+      expr, lit, when}
+    import spark.implicits._
+    if (wanted.isEmpty) return Map.empty
+    val genPath = dataPath(table, genRel)
+    val bloomRel = s"$genRel-blm"
+    val bloomPath = dataPath(table, bloomRel)
+    val gen = genRel.split('/').last
+    val colsAll = wanted.values.flatten.toSeq.distinct.sorted
+    def leaf(b: Int, c: String) = s"b$b-c${colsAll.indexOf(c)}-$gen"
+    // the union's schema IS the written footer schema — resolving the
+    // dtypes (and the build scan below) from it skips footer inference
+    val dtypes: Map[String, String] =
+      colsAll.map(c => c -> schema(c).dataType.catalogString).toMap
+    val bits: Map[Int, Long] =
+      wanted.keys.map(b => b -> bloomBits(rows(b))).toMap
+    val nonEmpty = wanted.filter { case (b, _) => rows(b) > 0L }
+    if (nonEmpty.nonEmpty) {
+      val refDf = nonEmpty.toSeq.flatMap { case (b, cs) =>
+        cs.map(c => (b, c, bits(b), leaf(b, c)))
+      }.toDF(BucketTag, "__c", "__bits", "__leaf")
+      val joined = spark.read.schema(schema).parquet(genPath)
+        .select(col(BucketTag) +: colsAll.map(col): _*)
+        .join(broadcast(refDf), Seq(BucketTag))
+      // the probed column varies per joined ref row; a when-chain picks
+      // ITS bit positions, each computed on the column's own type (the
+      // hashes are type-sensitive — never unify through a cast)
+      def posAt(i: Int) = colsAll.tail.foldLeft(
+        when(col("__c") === colsAll.head,
+          bloomBitCols(col(colsAll.head), col("__bits"))(i))) { (acc, c) =>
+        acc.when(col("__c") === c, bloomBitCols(col(c), col("__bits"))(i))
+      }
+      joined
+        .select(col("__leaf").as("bc"),
+          explode(array(posAt(0), posAt(1))).as("bit"))
+        .select(col("bc"), (col("bit") / 64).cast("long").as("word_idx"),
+          expr("shiftleft(1L, CAST(bit % 64 AS INT))").as("mask"))
+        .groupBy(col("bc"), col("word_idx"))
+        .agg(expr("bit_or(mask)").as("word"))
+        .write.partitionBy("bc").mode("overwrite").parquet(bloomPath)
+    }
+    wanted.toSeq.flatMap { case (b, cs) if rows(b) == 0L => cs.map(b -> _)
+                           case _ => Nil }
+      .foreach { case (b, c) =>
+        Seq.empty[(Long, Long)].toDF("word_idx", "word")
+          .write.mode("overwrite").parquet(s"$bloomPath/bc=${leaf(b, c)}")
+      }
+    wanted.map { case (b, cs) =>
+      b -> cs.map(c =>
+        BloomRef(c, dtypes(c), s"$bloomRel/bc=${leaf(b, c)}", bits(b)))
+    }
   }
 
   // ---- per-bucket Bloom sidecars (point-lookup data skipping) --------
@@ -473,9 +679,9 @@ object TxnLog {
                          rows: Long): BloomRef = {
     import org.apache.spark.sql.functions.{array, col, expr, explode}
     val bits = bloomBits(rows)
-    val dtype = spark.read.parquet(s"$table/$dataRel")
+    val dtype = spark.read.parquet(dataPath(table, dataRel))
       .schema(colName).dataType.catalogString
-    spark.read.parquet(s"$table/$dataRel")
+    spark.read.parquet(dataPath(table, dataRel))
       .select(explode(array(bloomBitCols(col(colName), bits): _*)).as("bit"))
       .select((col("bit") / 64).cast("long").as("word_idx"),
         expr("shiftleft(1L, CAST(bit % 64 AS INT))").as("mask"))
@@ -520,7 +726,8 @@ object TxnLog {
              txn: Option[(String, Long)] = None,
              bloomCol: Option[String] = None,
              bloomCols: Seq[String] = Nil,
-             appends: Map[Int, DataFrame] = Map.empty): Long = {
+             appends: Map[Int, DataFrame] = Map.empty,
+             readDependentAppends: Boolean = false): Long = {
     require(writes.nonEmpty || appends.nonEmpty, "empty commit")
     require(writes.keySet.intersect(appends.keySet).isEmpty,
       "a bucket cannot be replaced and appended-to in one commit")
@@ -583,55 +790,88 @@ object TxnLog {
     val newStats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
     val newRows = scala.collection.mutable.Map.empty[Int, Long]
     val newBlooms = scala.collection.mutable.Map.empty[Int, Seq[BloomRef]]
-    val written: Map[Int, String] = writes.map { case (b, df0) =>
-      val df = toPhysical(df0)
-      val rel = s"data/g${baseVersion + 1}-b$b-$nonce"
-      val (stats, cnt) = writeWithStats(df, s"$table/$rel")
-      newStats(b) = stats
-      newRows(b) = cnt
-      val sidecarCols = (physBloomCols ++ inherited.getOrElse(b, Nil))
+    val physWrites: Map[Int, DataFrame] =
+      writes.map { case (b, df0) => b -> toPhysical(df0) }
+    val writeWanted: Map[Int, Seq[String]] = physWrites.map { case (b, df) =>
+      b -> (physBloomCols ++ inherited.getOrElse(b, Nil))
         .distinct.filter(df.columns.contains)
-      if (sidecarCols.nonEmpty)
-        newBlooms(b) = sidecarCols.map(c =>
-          buildBloom(df.sparkSession, table, rel, s"$rel-bloom-$c", c, cnt))
-      b -> rel
     }
+    val written: Map[Int, String] =
+      if (physWrites.isEmpty) Map.empty
+      else if (sameSchema(physWrites.values)) {
+        // the ONE-JOB path (VERDICT r12, task 2): one partitioned write
+        // + one grouped sidecar job, whatever the bucket count
+        val (rels, st, rw, bl) = writeRouted(
+          physWrites.values.head.sparkSession, table, physWrites,
+          s"data/g${baseVersion + 1}-$nonce", writeWanted)
+        newStats ++= st; newRows ++= rw; newBlooms ++= bl
+        rels
+      } else physWrites.map { case (b, df) =>
+        // heterogeneous-schema fallback (single-bucket schema evolution
+        // married to other buckets in one commit): per-bucket writes
+        val rel = s"data/g${baseVersion + 1}-b$b-$nonce"
+        val (stats, cnt) = writeWithStats(df, s"$table/$rel")
+        newStats(b) = stats
+        newRows(b) = cnt
+        if (writeWanted(b).nonEmpty)
+          newBlooms(b) = writeWanted(b).map(c =>
+            buildBloom(df.sparkSession, table, rel, s"$rel-bloom-$c", c, cnt))
+        b -> rel
+      }
     // append files (x274): one new file per bucket — O(batch) write
     // cost; the file carries its own stats and its own Bloom sidecars
     // for the bucket's inherited indexed columns (an inherited column
     // the batch cannot serve sheds that column's sidecars for the
     // bucket instead of leaving a partial-coverage filter that would
-    // prune wrongly)
+    // prune wrongly). Routed appends share the one-job write path: the
+    // batch is by construction one schema, so a multi-bucket append
+    // costs one partitioned write + one grouped sidecar job too.
     val appStats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
     val appRows = scala.collection.mutable.Map.empty[Int, Long]
     val appBlooms = scala.collection.mutable.Map.empty[Int, Seq[BloomRef]]
     val appShed = scala.collection.mutable.Map.empty[Int, Set[String]]
-    val appended: Map[Int, String] = appends.map { case (b, df0) =>
-      val df = toPhysical(df0)
+    val physAppends: Map[Int, DataFrame] =
+      appends.map { case (b, df0) => b -> toPhysical(df0) }
+    physAppends.foreach { case (b, df) =>
       // appends must speak the bucket's physical schema EXACTLY: a
       // divergent appended file would silently null-split the bucket
       // under a later mergeSchema union instead of failing here (full
       // rewrites are exempt — they REPLACE the schema; re-adds and
       // renames route through them)
       val want = df.sparkSession.read
-        .parquet(s"$table/${baseM0.get.buckets(b)}").columns.toSet
+        .parquet(dataPath(table, baseM0.get.buckets(b))).columns.toSet
       require(df.columns.toSet == want,
         s"append: bucket $b schema mismatch — appended columns " +
           s"${df.columns.sorted.mkString(",")} vs the bucket's " +
           s"${want.toSeq.sorted.mkString(",")}; appends must speak the " +
           "physical schema (use a full-bucket write to evolve it)")
-      val rel = s"data/a${baseVersion + 1}-b$b-$nonce"
-      val (stats, cnt) = writeWithStats(df, s"$table/$rel")
-      appStats(b) = stats
-      appRows(b) = cnt
       val (buildable, shed) = inherited.getOrElse(b, Nil)
         .partition(df.columns.contains)
       appShed(b) = shed.toSet
-      if (buildable.nonEmpty)
-        appBlooms(b) = buildable.map(c =>
-          buildBloom(df.sparkSession, table, rel, s"$rel-bloom-$c", c, cnt))
-      b -> rel
+      appBlooms(b) = Nil // filled below; Nil keeps shed-only buckets keyed
     }
+    val appWanted: Map[Int, Seq[String]] = physAppends.map { case (b, df) =>
+      b -> inherited.getOrElse(b, Nil).filter(df.columns.contains)
+    }
+    val appended: Map[Int, String] =
+      if (physAppends.isEmpty) Map.empty
+      else if (sameSchema(physAppends.values)) {
+        val (rels, st, rw, bl) = writeRouted(
+          physAppends.values.head.sparkSession, table, physAppends,
+          s"data/a${baseVersion + 1}-$nonce", appWanted)
+        appStats ++= st; appRows ++= rw
+        bl.foreach { case (b, refs) => appBlooms(b) = refs }
+        rels
+      } else physAppends.map { case (b, df) =>
+        val rel = s"data/a${baseVersion + 1}-b$b-$nonce"
+        val (stats, cnt) = writeWithStats(df, s"$table/$rel")
+        appStats(b) = stats
+        appRows(b) = cnt
+        if (appWanted(b).nonEmpty)
+          appBlooms(b) = appWanted(b).map(c =>
+            buildBloom(df.sparkSession, table, rel, s"$rel-bloom-$c", c, cnt))
+        b -> rel
+      }
     val touchedSet = writes.keySet ++ appends.keySet
     Files.createDirectories(logDir(table))
     var committed = -1L
@@ -656,9 +896,15 @@ object TxnLog {
         // an append has no read dependency on the bucket, and the
         // rebase merges both `bfile` entries; stats/rows/sidecars merge
         // against the latest manifest, so neither writer's stats are
-        // lost)
+        // lost). READ-DEPENDENT appends (ADVICE r12: commitUpsert's
+        // Bloom-proven no-match path — the proof held at OUR base, so
+        // any intervening append to the bucket may have inserted the
+        // very key we claimed absent) conflict with intervening appends
+        // too, the Delta MERGE-derived-AddFile contract.
         val overlap = mv.touched.intersect(touchedSet) ++
-          mv.atouched.intersect(writes.keySet)
+          mv.atouched.intersect(writes.keySet) ++
+          (if (readDependentAppends) mv.atouched.intersect(appends.keySet)
+           else Set.empty)
         if (overlap.nonEmpty)
           throw new ConflictException(
             s"version $v touched buckets ${overlap.toSeq.sorted.mkString(",")} " +
@@ -832,18 +1078,39 @@ object TxnLog {
     * probes — the upsert-amplification fix; a matched trickle pays
     * exactly the matched buckets' rewrite, which is the merge-on-write
     * floor (merge-on-read deletes + append would trade it for read
-    * debt; that path exists as [[commitDeletes]] + [[commitAppend]]). */
+    * debt; that path exists as [[commitDeletes]] + [[commitAppend]]).
+    *
+    * Contracts (ADVICE r12): the batch must be KEY-UNIQUE — two source
+    * rows sharing a key fail loud (the reference MERGE's "multiple
+    * source rows matched" error) instead of silently duplicating; and
+    * the no-match append buckets are READ-DEPENDENT (the Bloom proof
+    * held at this writer's base), so they conflict with intervening
+    * appends to the same bucket — a racing insert of the same fresh
+    * key can never double-land. Only [[commitAppend]] is truly blind. */
   def commitUpsert(spark: SparkSession, table: String, batch: DataFrame,
                    keyCol: String, app: String, txnV: Long): Long = {
     txnCommitted(table, app, txnV).foreach(v => return v)
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
     val base = latestVersion(table)
     require(base > 0, s"commitUpsert: no committed version in $table")
     val m = readManifest(table, base)
     val tagged = batch.withColumn("__b",
       (col(keyCol) % NumBuckets).cast("int"))
-    val touched = tagged.select("__b").distinct()
-      .collect().map(_.getInt(0)).sorted // bucket-count-bounded
+    // ONE routing job finds the touched buckets AND proves the batch
+    // key-unique (ADVICE r12: a batch carrying two rows with one key
+    // would both-append or merge-then-union them — a silently
+    // duplicated key on the primitive whose contract is "an upsert
+    // never duplicates a key"; the reference MERGE fails loud instead)
+    val routed = tagged.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("nd"))
+      .collect() // bucket-count-bounded
+    routed.foreach { r =>
+      require(r.getLong(1) == r.getLong(2),
+        s"commitUpsert: multiple source rows share a $keyCol value in " +
+          s"bucket ${r.getInt(0)} (${r.getLong(1)} rows over " +
+          s"${r.getLong(2)} keys) — MERGE requires key-unique batches")
+    }
+    val touched = routed.map(_.getInt(0)).sorted
     // append-ELIGIBLE buckets: exist at base, tombstone-free, fully
     // sidecar-covered on keyCol — everything else merges conservatively
     val candidates = touched.filter { b =>
@@ -864,8 +1131,11 @@ object TxnLog {
         .join(fresh.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(fresh)
     }
+    // the append buckets carry a READ dependency (the Bloom no-match
+    // proof at `base`), so they must conflict with intervening appends
+    // — see the commit() conflict rule (ADVICE r12)
     commit(table, base, writes.toMap, Some((app, txnV)),
-      appends = appends.toMap)
+      appends = appends.toMap, readDependentAppends = true)
   }
 
   /** The subset of `buckets` whose keyCol Bloom sidecars ADMIT at
@@ -906,7 +1176,7 @@ object TxnLog {
       .withColumn("i1", (col("p1") / 64).cast("long"))
       .withColumn("i2", (col("p2") / 64).cast("long"))
     val words = spark.read
-      .parquet(refs.map { case (_, r) => s"$table/${r.rel}" }
+      .parquet(refs.map { case (_, r) => dataPath(table, r.rel) }
         .distinct.sorted: _*)
       .select(element_at(split(input_file_name(), "/"), -2).as("wdir"),
         col("word_idx"), col("word"))
@@ -970,15 +1240,26 @@ object TxnLog {
     import org.apache.spark.sql.functions.col
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val tagged = keys.select(col(keyCol),
-      (col(keyCol) % NumBuckets).cast("int").as("__b"))
-    val touched = tagged.select("__b").distinct()
-      .collect().map(_.getInt(0)).sorted // bucket-count-bounded
-    val written: Map[Int, String] = touched.map { b =>
-      val rel = s"data/t${baseVersion + 1}-b$b-$nonce"
-      tagged.filter(col("__b") === b).select(col(keyCol))
-        .write.mode("overwrite").parquet(s"$table/$rel")
-      b -> rel
-    }.toMap
+      (col(keyCol) % NumBuckets).cast("int").as(BucketTag))
+    // ONE partitioned write lands every touched bucket's tombstone
+    // file (the task-2 one-job discipline — the old loop launched one
+    // job per touched bucket); the touched set falls out of the
+    // written partition directories, no separate routing job
+    val genRel = s"data/t${baseVersion + 1}-$nonce"
+    tagged.write.partitionBy(BucketTag).mode("overwrite")
+      .parquet(dataPath(table, genRel))
+    val touched = {
+      val dir = Paths.get(dataPath(table, genRel))
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith(s"$BucketTag=") =>
+          s.stripPrefix(s"$BucketTag=").toInt }
+        .toSeq.sorted
+      finally stream.close()
+    }
+    val written: Map[Int, String] =
+      touched.map(b => b -> s"$genRel/$BucketTag=$b").toMap
     Files.createDirectories(logDir(table))
     var committed = -1L
     while (committed < 0) {
@@ -1048,13 +1329,13 @@ object TxnLog {
     m.buckets.get(bucket).map { _ =>
       // primary + appended files (x274) — one multi-path scan
       val data = spark.read.parquet(
-        m.bucketRels(bucket).map(r => s"$table/$r"): _*)
+        m.bucketRels(bucket).map(r => dataPath(table, r)): _*)
       val ts = m.tombs.getOrElse(bucket, Seq.empty)
       val live = if (ts.isEmpty) data
       else {
         val key = m.keyCol.getOrElse(throw new IllegalStateException(
           s"$table v$version has tombstones but no keycol"))
-        data.join(spark.read.parquet(ts.map(t => s"$table/$t"): _*)
+        data.join(spark.read.parquet(ts.map(t => dataPath(table, t)): _*)
           .select(col(key)), Seq(key), "left_anti")
       }
       // dropped columns are masked here too: rewrites built from
@@ -1081,7 +1362,18 @@ object TxnLog {
     * full-outer join on `keyCol`: post-only → `insert`, pre-only →
     * `delete`, both-with-any-value-diff → an `update_preimage` /
     * `update_postimage` row pair (the Delta CDF row shape; null-safe
-    * comparison so null↔value transitions count as changes).
+    * comparison so null↔value transitions count as changes). The four
+    * change kinds are emitted in ONE pass over the join — each join
+    * row explodes to its 0/1/2 change rows — so the diff join executes
+    * once per changed bucket, not once per union branch (VERDICT r12,
+    * finding 3: the old four-filter union re-executed the full-outer
+    * probe up to 4× for every CDC consumer).
+    *
+    * The feed speaks `toV`'s LOGICAL schema: both paths apply the same
+    * drops-mask + column-mapping projection [[snapshot]] applies
+    * (ADVICE r12: the append fast path used to select logical names
+    * off raw physical files — a rename broke it), so feed consumers
+    * and snapshot readers can never disagree on a column's name.
     *
     * Bucket-level pruning is exact under the commit convention that a
     * key stays in its bucket (`key % NumBuckets` routing — the same
@@ -1090,7 +1382,7 @@ object TxnLog {
     * the ADVICE-r8 mis-routing guard applied here too. */
   def changeFeed(spark: SparkSession, table: String, fromV: Long, toV: Long,
                  keyCol: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
     require(fromV > 0 && toV >= fromV, s"changeFeed: bad range $fromV..$toV")
     val mf = readManifest(table, fromV)
     val mt = readManifest(table, toV)
@@ -1102,6 +1394,18 @@ object TxnLog {
     val sample = snapshot(spark, table, toV)
     val cs = sample.columns.toSeq
     require(cs.contains(keyCol), s"changeFeed: no column $keyCol in $table")
+    // ONE physical→logical mapping for every feed frame — the same
+    // projection snapshot() applies (drops masked first, then the
+    // column mapping), factored so the fast path and the diff path can
+    // never drift from the snapshot schema (ADVICE r12)
+    def logicalize(df: DataFrame): DataFrame = {
+      val undropped = mt.drops.foldLeft(df) { (f, p) =>
+        if (f.columns.contains(p)) f.drop(p) else f
+      }
+      mt.colmap.foldLeft(undropped) { case (f, (p, l)) =>
+        if (f.columns.contains(p)) f.withColumnRenamed(p, l) else f
+      }
+    }
     def emptySide = sample.limit(0)
     val frames = changed.map { b =>
       val preRels = mf.bucketRels(b)
@@ -1117,12 +1421,14 @@ object TxnLog {
       if (preRels.nonEmpty && postRels.startsWith(preRels) &&
         postRels.size > preRels.size &&
         mf.tombs.getOrElse(b, Seq.empty) == mt.tombs.getOrElse(b, Seq.empty)) {
-        spark.read.parquet(
-          postRels.drop(preRels.size).map(r => s"$table/$r"): _*)
+        logicalize(spark.read.parquet(
+          postRels.drop(preRels.size).map(r => dataPath(table, r)): _*))
           .select(cs.map(col) :+ lit("insert").as("change_type"): _*)
       } else {
-      val pre = visibleBucket(spark, table, b, fromV).getOrElse(emptySide)
-      val post = visibleBucket(spark, table, b, toV).getOrElse(emptySide)
+      val pre = visibleBucket(spark, table, b, fromV).map(logicalize)
+        .getOrElse(emptySide)
+      val post = visibleBucket(spark, table, b, toV).map(logicalize)
+        .getOrElse(emptySide)
       val p = pre.select(cs.map(c => col(c).as(s"pre_$c")): _*)
       val q = post.select(cs.map(c => col(c).as(s"post_$c")): _*)
       val j = p.join(q, col(s"pre_$keyCol") === col(s"post_$keyCol"),
@@ -1130,15 +1436,18 @@ object TxnLog {
       val diff = cs.filterNot(_ == keyCol)
         .map(c => !(col(s"pre_$c") <=> col(s"post_$c")))
         .reduceOption(_ || _).getOrElse(lit(false))
-      def side(prefix: String, tag: String)(rows: DataFrame): DataFrame =
-        rows.select(cs.map(c => col(s"${prefix}_$c").as(c)) :+
+      // single-pass emission: each join row becomes an ARRAY of its
+      // change rows (insert / delete / pre+post pair / none) and one
+      // explode expands them — the when-chain's missing otherwise
+      // yields a null array for unchanged keys, which explode drops
+      def ev(prefix: String, tag: String) =
+        struct(cs.map(c => col(s"${prefix}_$c").as(c)) :+
           lit(tag).as("change_type"): _*)
-      val upd = j.filter(col(s"pre_$keyCol").isNotNull &&
-        col(s"post_$keyCol").isNotNull && diff)
-      side("post", "insert")(j.filter(col(s"pre_$keyCol").isNull))
-        .unionByName(side("pre", "delete")(j.filter(col(s"post_$keyCol").isNull)))
-        .unionByName(side("pre", "update_preimage")(upd))
-        .unionByName(side("post", "update_postimage")(upd))
+      val events = when(col(s"pre_$keyCol").isNull, array(ev("post", "insert")))
+        .when(col(s"post_$keyCol").isNull, array(ev("pre", "delete")))
+        .when(diff, array(ev("pre", "update_preimage"),
+          ev("post", "update_postimage")))
+      j.select(explode(events).as("__e")).select(col("__e.*"))
       }
     }
     frames.reduceOption(_.unionByName(_))
@@ -1216,7 +1525,7 @@ object TxnLog {
     }
     if (kept.isEmpty)
       scan(m.buckets.keySet.toSeq.sorted.flatMap(b =>
-        m.bucketRels(b).map(r => s"$table/$r"))).limit(0)
+        m.bucketRels(b).map(r => dataPath(table, r)))).limit(0)
     else {
       val tombed = kept.filter(b => m.tombs.get(b).exists(_.nonEmpty))
       // plan-width guard (VERDICT r10, finding 2): each tombstoned
@@ -1229,14 +1538,14 @@ object TxnLog {
             s"in ${tombed.size} buckets (> $TombedPlanWarn): plan size is " +
             "O(tombed buckets) — run OPTIMIZE to settle the read debt")
       val clearRels = kept.filterNot(tombed.contains)
-        .flatMap(b => m.bucketRels(b).map(r => s"$table/$r"))
+        .flatMap(b => m.bucketRels(b).map(r => dataPath(table, r)))
       val clear = if (clearRels.isEmpty) None else Some(scan(clearRels))
       val subtracted = tombed.map { b =>
         val key = m.keyCol.getOrElse(throw new IllegalStateException(
           s"$table v${m.version} has tombstones but no keycol"))
-        scan(m.bucketRels(b).map(r => s"$table/$r"))
+        scan(m.bucketRels(b).map(r => dataPath(table, r)))
           .join(spark.read.parquet(
-            m.tombs(b).map(t => s"$table/$t"): _*).select(col(key)),
+            m.tombs(b).map(t => dataPath(table, t)): _*).select(col(key)),
             Seq(key), "left_anti")
       }
       (clear.toSeq ++ subtracted)
@@ -1285,7 +1594,8 @@ object TxnLog {
     * predicates address the logical name, resolve to the physical
     * stats, and return the logical schema; addressing a renamed-away
     * physical name or a dropped column fails loud. [[changeFeed]]
-    * keeps physical names (its consumers are maintenance jobs). */
+    * speaks the logical schema too (ADVICE r12 — one physical→logical
+    * projection shared with snapshot()). */
   def commitRename(spark: SparkSession, table: String, baseVersion: Long,
                    from: String, to: String): Long =
     commitMetaOnly(table, baseVersion) { m =>
@@ -1684,7 +1994,7 @@ object TxnLog {
       case (b, r) => r.rel.split('/').last -> b
     }.toMap
     val rows = spark.read
-      .parquet(indexed.map { case (_, r) => s"$table/${r.rel}" }
+      .parquet(indexed.map { case (_, r) => dataPath(table, r.rel) }
         .distinct.sorted: _*)
       .filter(col("word_idx").isin(needed: _*))
       .select(input_file_name().as("f"), col("word_idx"), col("word"))

@@ -514,13 +514,13 @@ class PlanSpec extends SparkSpec {
     // from the pruned quartiles (b2, b3) — metadata pruning, not a
     // row filter
     val files = df.inputFiles
-    assert(files.exists(_.contains("-b0-")) && files.exists(_.contains("-b1-")),
+    assert(files.exists(_.contains("bkt=0")) && files.exists(_.contains("bkt=1")),
       s"kept buckets 0/1 must be scanned:\n${files.mkString("\n")}")
-    assert(!files.exists(f => f.contains("-b2-") || f.contains("-b3-")),
+    assert(!files.exists(f => f.contains("bkt=2") || f.contains("bkt=3")),
       s"pruned buckets 2/3 must never reach the scan:\n${files.mkString("\n")}")
     // and bucket 1's zone map came from the REWRITE's own write job
     // (g2 generation), not a stale carry of v1's
-    assert(files.filter(_.contains("-b1-")).forall(_.contains("/g2-")),
+    assert(files.filter(_.contains("bkt=1")).forall(_.contains("/g2-")),
       s"bucket 1 must be served by its v2 generation:\n${files.mkString("\n")}")
     // the residual predicate still reaches parquet for row-group
     // skipping WITHIN kept buckets
@@ -549,9 +549,9 @@ class PlanSpec extends SparkSpec {
       graft.pipelines.Extensions.BloomProbes.map(_.toString))
     assert(pruned.nonEmpty, "fixture must actually skip a bucket")
     val files = df.inputFiles
-    pruned.foreach(b => assert(!files.exists(_.contains(s"-b$b-")),
+    pruned.foreach(b => assert(!files.exists(_.contains(s"bkt=$b")),
       s"pruned bucket $b must never reach the scan:\n${files.mkString("\n")}"))
-    kept.foreach(b => assert(files.exists(_.contains(s"-b$b-")),
+    kept.foreach(b => assert(files.exists(_.contains(s"bkt=$b")),
       s"kept bucket $b must be scanned:\n${files.mkString("\n")}"))
     // the residual IN still pushes into the kept parquet scans
     val p = df.queryExecution.executedPlan.toString
@@ -590,9 +590,9 @@ class PlanSpec extends SparkSpec {
     assert(bloomPruned.size == 1,
       s"the Bloom sidecar must prune the remaining bucket: $bloomPruned")
     val files = df.inputFiles
-    pruned.foreach(b => assert(!files.exists(_.contains(s"-b$b-")),
+    pruned.foreach(b => assert(!files.exists(_.contains(s"bkt=$b")),
       s"pruned bucket $b must never reach the scan:\n${files.mkString("\n")}"))
-    kept.foreach(b => assert(files.exists(_.contains(s"-b$b-")),
+    kept.foreach(b => assert(files.exists(_.contains(s"bkt=$b")),
       s"kept bucket $b must be scanned:\n${files.mkString("\n")}"))
     // the FULL residual conjunction still pushes into the kept scans
     val p = df.queryExecution.executedPlan.toString

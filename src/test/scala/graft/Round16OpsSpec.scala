@@ -301,9 +301,9 @@ class Round16OpsSpec extends SparkSpec {
     assert(got === Set(104L))
     // vacuum reclaims the dead v1 bucket-0 generation AND its sidecar
     val reclaimed = TxnLog.vacuum(t, retainLast = 1)
-    assert(reclaimed.exists(r => r.contains("-b0-") && !r.contains("-bloom")),
+    assert(reclaimed.exists(r => r.contains("bkt=0") && !r.contains("-blm")),
       s"dead data generation must be reclaimed: $reclaimed")
-    assert(reclaimed.exists(_.contains("-bloom")),
+    assert(reclaimed.exists(_.contains("-blm")),
       s"dead bloom sidecar must be reclaimed with it: $reclaimed")
   }
 }

@@ -158,7 +158,8 @@ class TxnLogSpec extends SparkSpec {
     // v1's bucket-1 generation was replaced in v2 and is dead; v1's
     // bucket-0 generation is still referenced by v2 (carried) — only
     // the dead dir may go
-    assert(reclaimed.size === 1 && reclaimed.head.contains("-b1-"),
+    assert(reclaimed.size === 1 && reclaimed.head.contains("bkt=1") &&
+      reclaimed.head.contains("/g1-"),
       s"expected exactly v1's replaced bucket-1 generation, got $reclaimed")
     // the retained reader still collects the right rows AFTER vacuum
     assert(racer.as[(Long, String)].collect().toSet ===
@@ -267,7 +268,7 @@ class TxnLogSpec extends SparkSpec {
       TxnLog.prunedBuckets(t, "doc_id", Some("12"), Some("15"))
     assert(kept === Seq(1) && pruned === Seq(0, 2))
     val df = TxnLog.snapshotRange(spark, t, "doc_id", Some("12"), Some("15"))
-    assert(df.inputFiles.forall(_.contains("-b1-")),
+    assert(df.inputFiles.forall(_.contains("bkt=1")),
       s"only bucket 1 may reach the scan: ${df.inputFiles.mkString(",")}")
     assert(df.count() === 0L) // 12..15 matches no committed row — but
     // only bucket 1 was read to prove it
