@@ -4928,6 +4928,99 @@ object ExtSql {
          |FROM documents WHERE doc_id % 9 = 5""".stripMargin
   }
 
+  // ---- x279 shallow clone + divergence --------------------------------------
+  // The engine clones the v1 source table zero-copy, then the SOURCE
+  // rewrites bucket 1 (+7777, which the clone must NOT see) and the
+  // CLONE rewrites bucket 2 (+5, which the source must not see). The
+  // oracle is the original table with only the clone's own edit.
+
+  private val x279 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""SELECT doc_id, lang,
+         |       CAST(n_chars + CASE WHEN doc_id % $nb = 2 THEN 5
+         |                           ELSE 0 END AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin
+  }
+
+  // ---- x280 metadata-only type widening --------------------------------------
+  // n_chars loads as INT, widens to BIGINT without touching a file,
+  // then bucket 1 rewrites with values past Int.MaxValue — the
+  // snapshot upcasts the narrow generations in one scan. The oracle
+  // casts from the original table.
+
+  private val x280 = {
+    val nb = graft.sources.TxnLog.NumBuckets
+    raw"""SELECT doc_id, lang,
+         |       CAST(n_chars + CASE WHEN doc_id % $nb = 1 THEN 3000000000
+         |                           ELSE 0 END AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin
+  }
+
+  // ---- x281 quantizer-drift audit -------------------------------------------
+  // Per CDC epoch of the embedding fixture: cell-occupancy skew, the
+  // fraction of surviving vectors whose nearest centroid changed vs
+  // the training snapshot (assignf — the mirrored Lloyd chain's
+  // original-corpus assignment), the mean member→assigned-centroid
+  // cosine, and the drift flag. Epoch 1 is the training corpus itself
+  // (moved_frac 0, no flag); epochs 2/3 negate bucket-1 vectors — the
+  // deliberate drift the audit must flag.
+
+  private lazy val x281 = {
+    val iters = Similarity.KmeansIters
+    val k = Similarity.KmeansK
+    val nb = graft.sources.TxnLog.NumBuckets
+    val off = graft.pipelines.Extensions.CdcInsertOffset
+    val thr = graft.pipelines.Extensions.DriftMovedFrac
+    def r4(e: String) = s"floor(($e) * 10000 + 0.5) / 10000"
+    val vn2Cte =
+      raw"""vn2 AS (
+           |  SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM (
+           |    SELECT vec_id,
+           |           CASE WHEN vec_id % $nb = 1
+           |                THEN [-x for x in v] ELSE v END AS v
+           |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           |    UNION ALL
+           |    SELECT vec_id + $off, [-x for x in v]
+           |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           |    WHERE vec_id % $nb = 1))""".stripMargin
+    def asgCte(corpus: String, out: String) =
+      raw"""$out AS (
+           |  SELECT vec_id, cell, cs FROM (
+           |    SELECT $corpus.vec_id, c.cid AS cell,
+           |           ${cosExpr(s"$corpus.v", s"$corpus.nrm", "c.cv", "c.cn")} AS cs,
+           |           row_number() OVER (PARTITION BY $corpus.vec_id
+           |             ORDER BY ${cosExpr(s"$corpus.v", s"$corpus.nrm", "c.cv", "c.cn")}
+           |               DESC, c.cid) AS rn
+           |    FROM $corpus CROSS JOIN cn281 c)
+           |  WHERE rn = 1)""".stripMargin
+    def epochRow(epoch: Int, asg: String) =
+      raw"""SELECT CAST($epoch AS BIGINT) AS epoch,
+           |       (SELECT count(*) FROM $asg) AS n_vecs,
+           |       ${r4(s"(SELECT max(cnt) FROM (SELECT cell, count(*) AS cnt " +
+                s"FROM $asg GROUP BY 1)) * $k::DOUBLE / " +
+                s"(SELECT count(*) FROM $asg)")} AS occ_skew,
+           |       ${r4(s"(SELECT sum(CASE WHEN a.cell <> b.cell THEN 1 ELSE 0 " +
+                s"END)::DOUBLE / count(*) FROM $asg a JOIN assignf b " +
+                s"USING (vec_id))")} AS moved_frac,
+           |       ${r4(s"(SELECT avg(cs) FROM $asg)")} AS mean_cos""".stripMargin
+    raw"""WITH $kmeansCandCtes,
+         |cn281 AS (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn
+         |          FROM cent$iters),
+         |$vn2Cte,
+         |$vn3Cte,
+         |${asgCte("vn", "asg1")},
+         |${asgCte("vn2", "asg2")},
+         |${asgCte("vn3", "asg3")}
+         |SELECT epoch, n_vecs, occ_skew, moved_frac, mean_cos,
+         |       CASE WHEN moved_frac > $thr THEN 1 ELSE 0 END AS drift_flag
+         |FROM (
+         |  ${epochRow(1, "asg1")}
+         |  UNION ALL
+         |  ${epochRow(2, "asg2")}
+         |  UNION ALL
+         |  ${epochRow(3, "asg3")})""".stripMargin
+  }
+
   // ---- x277 n-column ZORDER layout audit -----------------------------------
   // The engine lays the corpus out twice (ZORDER over 2 and over 3
   // comparable-width dimensions) and pins that the probe on the third
@@ -7336,6 +7429,9 @@ object ExtSql {
     "x276_multi_bloom"    -> x276,
     "x277_zorder_ncol"    -> x277,
     "x278_stream_upsert"  -> x278,
+    "x279_shallow_clone"  -> x279,
+    "x280_type_widen"     -> x280,
+    "x281_ivf_drift"      -> x281,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -484,6 +484,8 @@ object Extensions {
     bloom2Memo.keys.filter(_._1 eq session).foreach(bloom2Memo.remove)
     upsMemo.keys.filter(_._1 eq session).foreach(upsMemo.remove)
     bfilMemo.keys.filter(_._1 eq session).foreach(bfilMemo.remove)
+    cloneMemo.keys.filter(_._1 eq session).foreach(cloneMemo.remove)
+    widenMemo.keys.filter(_._1 eq session).foreach(widenMemo.remove)
     zordNMemo.keys.filter(_._1 eq session).foreach(zordNMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
     // the txn-log stream-query fixture memos (r13)
@@ -927,7 +929,12 @@ object Extensions {
     // protocol-bearing like x219: three real AvailableNow runs whose
     // sink MERGE-UPSERTs each micro-batch through the txn log
     "x278_stream_upsert" -> ((s, d) =>
-      graft.streaming.EventStream.txnStreamUpsert(s, d)))
+      graft.streaming.EventStream.txnStreamUpsert(s, d)),
+    "x279_shallow_clone" -> cloneDiverge _,
+    "x280_type_widen"    -> typeWiden _,
+    // the three-epoch assign sweep is an audit final (x10 convention)
+    "x281_ivf_drift"     -> ((s, d) => finalShared("x281", s, d)(
+      ivfDriftAudit(s, d))))
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -1818,6 +1825,153 @@ object Extensions {
   private def appendCompact(s: SparkSession, d: String): DataFrame =
     graft.sources.TxnLog.snapshot(s, appendFixture(s, d))
       .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** x279: SHALLOW CLONE + divergence (see
+    * [[graft.sources.TxnLog.clone]] — VERDICT r12, task 6): the clone
+    * re-references the source's v1 generations with ZERO data copied
+    * (first receipt: its snapshot reads exactly the source's v1
+    * files). The tables then diverge both ways — the source rewrites
+    * bucket 1 (+7777), which the clone must NOT see (snapshot
+    * isolation via immutable generations), and the clone rewrites
+    * bucket 2 (+5) under ITS OWN root while buckets 0/1/3 keep
+    * serving from source files (second receipt). The oracle is the
+    * original table with only the clone's own edit applied — a clone
+    * that leaked the source's write, copied data, or failed to
+    * isolate its own write breaks the hash. */
+  private val cloneMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def cloneFixture(s: SparkSession, d: String): String =
+    cloneMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val hex = Integer.toHexString(d.hashCode)
+      val src = graft.sources.Bucketing.buildPath(s"graft-txn/clsrc_$hex")
+      val tgt = graft.sources.Bucketing.buildPath(s"graft-txn/cltgt_$hex")
+      TxnLog.reset(src); TxnLog.reset(tgt)
+      val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(src, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+      val srcV1Files = TxnLog.snapshot(s, src, v1).inputFiles.toSet
+      TxnLog.clone(src, tgt)
+      require(TxnLog.snapshot(s, tgt).inputFiles.toSet == srcV1Files,
+        "a shallow clone must re-reference the source's generations " +
+          "verbatim — zero data copied")
+      // source diverges AFTER the clone point...
+      TxnLog.commit(src, v1, Map(1 ->
+        slice(1).withColumn("n_chars", col("n_chars") + 7777)))
+      // ...and the clone diverges independently with its own write
+      TxnLog.commit(tgt, 1L, Map(2 ->
+        slice(2).withColumn("n_chars", col("n_chars") + 5)))
+      val files = TxnLog.bucketFiles(tgt)
+      require(files(1).forall(_.startsWith("/")),
+        "untouched clone buckets must keep serving the source's files")
+      require(files(2).forall(r => !r.startsWith("/")),
+        "the clone's own write must land under the clone's root")
+      tgt
+    })
+
+  private def cloneDiverge(s: SparkSession, d: String): DataFrame =
+    graft.sources.TxnLog.snapshot(s, cloneFixture(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** x280: METADATA-ONLY TYPE WIDENING end to end (see
+    * [[graft.sources.TxnLog.commitWiden]] — VERDICT r12, task 6): v1
+    * loads `n_chars` as INT; v2 widens it to BIGINT touching no file
+    * (receipt: same inputFiles, wide logical schema); v3 rewrites
+    * bucket 1 with values beyond Int.MaxValue, so the snapshot scan
+    * serves narrow and wide parquet encodings in ONE read (the
+    * SPARK-40876 upcast, pinned by WidenProbeSpec). The oracle casts
+    * from the original table — a dropped upcast, a truncated value or
+    * a stale narrow schema breaks the hash. */
+  private val widenMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def widenFixture(s: SparkSession, d: String): String =
+    widenMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val table = graft.sources.Bucketing.buildPath(
+        s"graft-txn/widen_${Integer.toHexString(d.hashCode)}")
+      TxnLog.reset(table)
+      val d0 = docs(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars").cast("int").as("n_chars"))
+      def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(table, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap)
+      require(TxnLog.snapshot(s, table).schema("n_chars")
+        .dataType.catalogString == "int", "fixture loads narrow")
+      val v1Files = TxnLog.snapshot(s, table, v1).inputFiles.toSet
+      val v2 = TxnLog.commitWiden(s, table, v1, "n_chars", "bigint")
+      require(TxnLog.snapshot(s, table).schema("n_chars")
+        .dataType.catalogString == "bigint",
+        "the widen must change the logical type")
+      require(TxnLog.snapshot(s, table, v2).inputFiles.toSet == v1Files,
+        "a widen is metadata-only — no data file may be touched")
+      TxnLog.commit(table, v2, Map(1 ->
+        slice(1).select(col("doc_id"), col("lang"),
+          (col("n_chars").cast("long") + 3000000000L).as("n_chars"))))
+      table
+    })
+
+  private def typeWiden(s: SparkSession, d: String): DataFrame =
+    graft.sources.TxnLog.snapshot(s, widenFixture(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** Drift threshold for the x281 audit: an epoch where more than this
+    * fraction of surviving vectors changed cells against the FIXED
+    * quantizer is flagged for re-clustering. (Public: the oracle
+    * mirrors the constant.) */
+  val DriftMovedFrac = 0.02
+
+  /** x281: QUANTIZER-DRIFT AUDIT for the maintained IVF (VERDICT r12,
+    * task 7): x267/x275 fix the quantizer forever — the production
+    * posture is "scheduled rebuild", but nothing MEASURED when. This
+    * emits, per CDC epoch of the embedding fixture, the re-clustering
+    * signals: cell-occupancy skew (max cell count ÷ the uniform
+    * share), the fraction of surviving vectors whose nearest centroid
+    * CHANGED vs the training snapshot, the mean member→assigned-
+    * centroid cosine, and a drift flag on [[DriftMovedFrac]]. The
+    * deliberately-drifted epochs (v2/v3 negate bucket-1 vectors) must
+    * flag while the training epoch must not (spec-pinned); the oracle
+    * re-derives every epoch's corpus and the mirrored Lloyd chain from
+    * scratch. Scale: each epoch costs O(corpus × K broadcast
+    * centroids) + O(K) aggregates — the audit is a map-side pass, run
+    * on the maintainer's schedule, never a re-clustering. */
+  private def ivfDriftAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (table, v1, v3) = vecCdcFixture(s, d)
+    val cents = centsShared(s, d)
+    val centsN = broadcast(cents.withColumn("cn", Similarity.norm(col("cv"))))
+    val baseline = Similarity.assignCells(vecsShared(s, d), cents)
+      .withColumnRenamed("cell", "cell_b")
+    val k = Similarity.KmeansK
+    def metrics(epoch: Long): DataFrame = {
+      val corpus = Similarity.vectors(TxnLog.snapshot(s, table, epoch))
+      val asg = Similarity.assignCells(corpus, cents)
+      val withCos = corpus.join(asg, Seq("vec_id"))
+        .join(centsN, col("cell") === col("cid"))
+        .select(col("vec_id"), col("cell"),
+          Similarity.cosine(Similarity.dot(col("v"), col("cv")),
+            col("nrm"), col("cn")).as("cs"))
+      val base = withCos.agg(count(lit(1)).as("n_vecs"),
+        graft.ops.Portable.round4(avg(col("cs"))).as("mean_cos"))
+      val occ = withCos.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .agg(max(col("cnt")).as("max_cnt"))
+      val mv = withCos.join(baseline, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(when(col("cell") =!= col("cell_b"), 1L).otherwise(0L))
+            .as("n_moved"))
+      base.crossJoin(occ).crossJoin(mv).select(
+        lit(epoch).as("epoch"),
+        col("n_vecs"),
+        graft.ops.Portable.round4(
+          col("max_cnt") * lit(k) / col("n_vecs")).as("occ_skew"),
+        graft.ops.Portable.round4(
+          col("n_moved").cast("double") / col("n_common")).as("moved_frac"),
+        col("mean_cos"))
+    }
+    metrics(v1).unionByName(metrics(v1 + 1)).unionByName(metrics(v3))
+      .withColumn("drift_flag",
+        when(col("moved_frac") > DriftMovedFrac, 1).otherwise(0))
+  }
 
   /** x277: N-COLUMN ZORDER LAYOUT AUDIT (see
     * [[graft.sources.TxnLog.optimizeZorder]] /

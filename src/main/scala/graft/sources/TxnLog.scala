@@ -141,7 +141,8 @@ object TxnLog {
                                     colmap: Map[String, String],
                                     drops: Set[String],
                                     extras: Map[Int, Seq[String]],
-                                    atouched: Set[Int] = Set.empty) {
+                                    atouched: Set[Int] = Set.empty,
+                                    widens: Map[String, String] = Map.empty) {
     /** Every data file of `b`, primary first. */
     def bucketRels(b: Int): Seq[String] =
       buckets.get(b).toSeq ++ extras.getOrElse(b, Nil)
@@ -181,6 +182,9 @@ object TxnLog {
   private def colmapLines(colmap: Map[String, String]): Seq[String] =
     colmap.toSeq.sorted.map { case (p, l) => s"colmap ${enc(p)} ${enc(l)}" }
 
+  private def widenLines(widens: Map[String, String]): Seq[String] =
+    widens.toSeq.sorted.map { case (p, t) => s"colwiden ${enc(p)} $t" }
+
   private def dropLines(drops: Set[String]): Seq[String] =
     drops.toSeq.sorted.map(p => s"coldrop ${enc(p)}")
 
@@ -190,9 +194,10 @@ object TxnLog {
                         rows: Map[Int, Long],
                         blooms: Map[Int, Seq[BloomRef]],
                         colmap: Map[String, String] = Map.empty,
-                        drops: Set[String] = Set.empty): Seq[String] =
+                        drops: Set[String] = Set.empty,
+                        widens: Map[String, String] = Map.empty): Seq[String] =
     zmapLines(zmaps) ++ rowLines(rows) ++ bloomLines(blooms) ++
-      colmapLines(colmap) ++ dropLines(drops)
+      colmapLines(colmap) ++ dropLines(drops) ++ widenLines(widens)
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v)).asScala
@@ -236,12 +241,16 @@ object TxnLog {
     val drops = lines.collect { case s if s.startsWith("coldrop ") =>
       dec(s.stripPrefix("coldrop "))
     }.toSet
+    val widens = lines.collect { case s if s.startsWith("colwiden ") =>
+      val Array(_, pc, t) = s.split(" ", 3)
+      dec(pc) -> t
+    }.toMap
     val extras = lines.collect { case s if s.startsWith("bfile ") =>
       val Array(_, b, rel) = s.split(" ", 3)
       b.toInt -> rel
     }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2).toSeq }
     Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps, rows, blooms,
-      colmap, drops, extras, atouched)
+      colmap, drops, extras, atouched, widens)
   }
 
   /** The version that committed idempotence marker (app, txnV), if
@@ -335,7 +344,7 @@ object TxnLog {
       extraLines(m.extras) ++
       m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
         ds.map(d => s"tomb $b $d") } ++
-      statLines(m.zmaps, m.rows, m.blooms, m.colmap, m.drops)))
+      statLines(m.zmaps, m.rows, m.blooms, m.colmap, m.drops, m.widens)))
       .mkString("", "\n", "\n")
     // CREATE_NEW like a commit: at most one checkpoint per version;
     // losing the race to an identical checkpoint is success
@@ -727,7 +736,8 @@ object TxnLog {
              bloomCol: Option[String] = None,
              bloomCols: Seq[String] = Nil,
              appends: Map[Int, DataFrame] = Map.empty,
-             readDependentAppends: Boolean = false): Long = {
+             readDependentAppends: Boolean = false,
+             rebaseAppends: Boolean = false): Long = {
     require(writes.nonEmpty || appends.nonEmpty, "empty commit")
     require(writes.keySet.intersect(appends.keySet).isEmpty,
       "a bucket cannot be replaced and appended-to in one commit")
@@ -882,13 +892,25 @@ object TxnLog {
       txn.foreach { case (app, tv) =>
         txnCommitted(table, app, tv).foreach(v => return v)
       }
-      // conflict validation against everything that landed since base
+      // conflict validation against everything that landed since base.
+      // REBASE-ON-REWRITE (VERDICT r12, task 5): a row-preserving
+      // maintenance rewrite (OPTIMIZE / compactFiles — it re-emits
+      // exactly the rows it read at base) opts into rebasing over
+      // intervening BLIND APPENDS to its buckets instead of
+      // conflicting: the appended files' rows were never read by the
+      // rewrite, so carrying those files forward as the new
+      // generation's extras reproduces the serial order (the Delta
+      // contract: OPTIMIZE reorganizes, never changes visible rows, so
+      // it rebases file-level against appends). Semantic rewrites and
+      // deletes keep the strict algebra in both directions.
+      val rebased = scala.collection.mutable.Set.empty[Int]
       ((baseVersion + 1) to latest).foreach { v =>
         if (!Files.exists(manifestPath(table, v)))
           throw new ConflictException(
             s"base $baseVersion predates the retention window (manifest " +
               s"v$v expired by vacuum) — re-read the table and re-derive")
         val mv = readManifest(table, v)
+        if (rebaseAppends) rebased ++= mv.atouched.intersect(writes.keySet)
         // their REWRITES (and deletes/restores — every full-touch path
         // writes `touched=`) conflict with ANY of our buckets; their
         // blind APPENDS conflict only with our REWRITES — two appends
@@ -902,7 +924,8 @@ object TxnLog {
         // very key we claimed absent) conflict with intervening appends
         // too, the Delta MERGE-derived-AddFile contract.
         val overlap = mv.touched.intersect(touchedSet) ++
-          mv.atouched.intersect(writes.keySet) ++
+          (if (rebaseAppends) Set.empty
+           else mv.atouched.intersect(writes.keySet)) ++
           (if (readDependentAppends) mv.atouched.intersect(appends.keySet)
            else Set.empty)
         if (overlap.nonEmpty)
@@ -961,11 +984,54 @@ object TxnLog {
       }
       val blooms0 = (baseM.map(_.blooms).getOrElse(Map.empty) -- writes.keySet) ++
         newBlooms.toMap
-      val blooms = appended.keys.foldLeft(blooms0) { (m0, b) =>
+      val blooms1 = appended.keys.foldLeft(blooms0) { (m0, b) =>
         val kept = m0.getOrElse(b, Nil).filterNot(r => appShed(b).contains(r.col))
         val all = kept ++ appBlooms.getOrElse(b, Nil)
         if (all.isEmpty) m0 - b else m0.updated(b, all)
       }
+      // REBASE-ON-REWRITE state merge: each rebased bucket carries the
+      // files appended since our base as extras of the new generation
+      // (their rows were not in our fold — dropping them would lose
+      // data; folding them without reading them is impossible), keeps
+      // their per-file sidecars, adds their row counts, and widens the
+      // fresh zone maps by the latest bucket bounds (loose — the stale
+      // bound covers the replaced data too — but sound; the next
+      // compaction tightens them).
+      val (extras2, zmaps2, rows2, blooms2) =
+        if (rebased.isEmpty) (extras, zmaps, rows, blooms1)
+        else {
+          val bm = baseM.get // rebased nonempty ⇒ latest > base ≥ 1
+          val survivors: Map[Int, Seq[String]] = rebased.toSeq.map { b =>
+            val consumed = baseM0.map(_.bucketRels(b).toSet)
+              .getOrElse(Set.empty[String])
+            b -> bm.bucketRels(b).filterNot(consumed)
+          }.toMap
+          val e2 = survivors.foldLeft(extras) { case (m0, (b, fs)) =>
+            if (fs.isEmpty) m0 else m0.updated(b, fs)
+          }
+          val z2 = rebased.foldLeft(zmaps) { (m0, b) =>
+            val w = mergeZoneStats(newStats.getOrElse(b, Nil),
+              bm.zmaps.getOrElse(b, Nil))
+            if (w.isEmpty) m0 - b else m0.updated(b, w)
+          }
+          val r2 = rebased.foldLeft(rows) { (m0, b) =>
+            (m0.get(b), bm.rows.get(b),
+              baseM0.flatMap(_.rows.get(b))) match {
+              case (Some(mine), Some(latestN), Some(baseN)) =>
+                m0.updated(b, mine + (latestN - baseN))
+              case _ => m0 - b // unknowable without per-file counts
+            }
+          }
+          val b2 = rebased.foldLeft(blooms1) { (m0, b) =>
+            val baseRefs = baseM0.map(_.blooms.getOrElse(b, Nil).toSet)
+              .getOrElse(Set.empty[BloomRef])
+            val appendedRefs = bm.blooms.getOrElse(b, Nil)
+              .filterNot(baseRefs)
+            val all = m0.getOrElse(b, Nil) ++ appendedRefs
+            if (all.isEmpty) m0 - b else m0.updated(b, all)
+          }
+          (e2, z2, r2, b2)
+        }
       val keyLine = baseM.flatMap(_.keyCol)
         .filter(_ => tombs.nonEmpty).map(k => s"keycol=$k").toSeq
       val aLine = appends.keySet.toSeq.sorted match {
@@ -977,12 +1043,13 @@ object TxnLog {
         (aLine ++
           txn.map { case (app, tv) => s"txn $app $tv" }.toSeq ++ keyLine ++
           merged.toSeq.sortBy(_._1).map { case (b, dir) => s"bucket $b $dir" } ++
-          extraLines(extras) ++
+          extraLines(extras2) ++
           tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
-          statLines(zmaps, rows, blooms,
+          statLines(zmaps2, rows2, blooms2,
             baseM.map(_.colmap).getOrElse(Map.empty) ++ pendingColmap,
-            baseM.map(_.drops).getOrElse(Set.empty))))
+            baseM.map(_.drops).getOrElse(Set.empty),
+            baseM.map(_.widens).getOrElse(Map.empty))))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -1213,8 +1280,11 @@ object TxnLog {
     val multi = m.buckets.keySet.toSeq.sorted
       .filter(b => m.extras.getOrElse(b, Nil).nonEmpty)
     require(multi.nonEmpty, s"nothing to compact in $table v$base")
+    // row-preserving maintenance: rebases over intervening blind
+    // appends instead of conflicting (VERDICT r12, task 5)
     commit(table, base, multi.map(b =>
-      b -> visibleBucket(spark, table, b, base).get).toMap)
+      b -> visibleBucket(spark, table, b, base).get).toMap,
+      rebaseAppends = true)
   }
 
   /** The data files of `version` per bucket (primary first) — exposed
@@ -1296,7 +1366,7 @@ object TxnLog {
           // row counts become upper bounds, which is why the x249
           // metadata-only aggregate REFUSES tombstoned snapshots
           statLines(baseM.zmaps, baseM.rows, baseM.blooms, baseM.colmap,
-            baseM.drops)))
+            baseM.drops, baseM.widens)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -1518,11 +1588,27 @@ object TxnLog {
                        kept: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val evolved = m.drops.nonEmpty
-    def scan(paths: Seq[String]): DataFrame = {
-      val r = if (evolved) spark.read.option("mergeSchema", "true")
-              else spark.read
-      r.parquet(paths: _*)
-    }
+    def scan(paths: Seq[String]): DataFrame =
+      if (m.widens.nonEmpty) {
+        // WIDEN-AWARE read (x280): request the wide schema explicitly —
+        // the parquet reader upcasts narrow generations in place
+        // (SPARK-40876), so files written before and after the widen
+        // serve one scan. The footer schema of any one file seeds the
+        // column list (widen forbids drops, so every file agrees on
+        // it); widened fields override to their committed wide type.
+        val st0 = spark.read.parquet(paths: _*).schema
+        val st = org.apache.spark.sql.types.StructType(st0.map { f =>
+          m.widens.get(f.name).map(w =>
+            f.copy(dataType =
+              org.apache.spark.sql.types.DataType.fromDDL(w)))
+            .getOrElse(f)
+        })
+        spark.read.schema(st).parquet(paths: _*)
+      } else {
+        val r = if (evolved) spark.read.option("mergeSchema", "true")
+                else spark.read
+        r.parquet(paths: _*)
+      }
     if (kept.isEmpty)
       scan(m.buckets.keySet.toSeq.sorted.flatMap(b =>
         m.bucketRels(b).map(r => dataPath(table, r)))).limit(0)
@@ -1575,8 +1661,12 @@ object TxnLog {
     // each rewritten bucket's inherited sidecar columns, so buckets
     // indexed on DIFFERENT columns — or on several at once — fold their
     // deletion vectors together in one commit
+    // row-preserving maintenance: rebases over intervening blind
+    // appends (moot today — appends refuse tombstoned buckets — but
+    // the contract matches compactFiles)
     commit(table, base, tombed.map(b =>
-      b -> visibleBucket(spark, table, b, base).get).toMap)
+      b -> visibleBucket(spark, table, b, base).get).toMap,
+      rebaseAppends = true)
   }
 
   /** x264: METADATA-ONLY COLUMN RENAME (the Delta column-mapping
@@ -1613,7 +1703,7 @@ object TxnLog {
       val phys = m.colmap.find(_._2 == from).map(_._1).getOrElse(from)
       val colmap =
         if (phys == to) m.colmap - phys else m.colmap.updated(phys, to)
-      (colmap, m.drops)
+      (colmap, m.drops, m.widens)
     }
 
   /** x268: METADATA-ONLY COLUMN DROP (the other half of the Delta
@@ -1641,8 +1731,97 @@ object TxnLog {
       require(!m.keyCol.contains(phys) || m.tombs.values.forall(_.isEmpty),
         s"drop: $name keys $table's live deletion vectors — " +
           "compact/OPTIMIZE first")
-      (m.colmap - phys, m.drops + phys)
+      require(!m.widens.contains(phys),
+        s"drop: $name is type-widened — the drop/widen interplay is " +
+          "unsupported (OPTIMIZE first to materialize the wide type)")
+      (m.colmap - phys, m.drops + phys, m.widens)
     }
+
+  /** Widenings this engine's read path supports: the parquet reader
+    * upcasts the narrow physical encoding under the wide requested
+    * schema (SPARK-40876 — pinned by WidenProbeSpec), so a widen is
+    * METADATA-ONLY: no file is touched, old generations stay narrow
+    * and new writers may write wide. */
+  private val WidenAllowed: Set[(String, String)] = Set(
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"), ("float", "double"))
+
+  /** x280: METADATA-ONLY TYPE WIDENING (the Delta type-widening table
+    * feature): `colName`'s logical type widens to `toType` as a
+    * `colwiden` manifest line — no data file is read or rewritten.
+    * Every later snapshot (full or pruned) requests the WIDE schema,
+    * and the parquet reader upcasts the narrow generations in place;
+    * writers may then commit wide generations next to narrow ones
+    * (the one read path serves both). Committed zone maps stay valid —
+    * they compare numerically, not by rendering — and a widened
+    * column's OLD Bloom sidecars keep their recorded narrow dtype, so
+    * probes hash each file with the hash its build used ([[bloomKeep]]
+    * keys geometries by dtype too). The widen/drop interplay is
+    * unsupported in either order (fail-loud requires): drops force the
+    * mergeSchema read, which cannot reconcile mixed widths. */
+  def commitWiden(spark: SparkSession, table: String, baseVersion: Long,
+                  colName: String, toType: String): Long =
+    commitMetaOnly(table, baseVersion) { m =>
+      require(m.drops.isEmpty,
+        s"widen: $table has dropped columns — the widen/drop interplay " +
+          "is unsupported")
+      val logical = logicalColumns(spark, table, m.version)
+      require(logical.contains(colName),
+        s"widen: no column $colName in $table " +
+          s"(logical schema: ${logical.mkString(", ")})")
+      val phys = m.colmap.find(_._2 == colName).map(_._1).getOrElse(colName)
+      val from = m.widens.getOrElse(phys,
+        snapshot(spark, table, m.version).schema(colName)
+          .dataType.catalogString)
+      require(from == toType || WidenAllowed.contains((from, toType)),
+        s"widen: $from -> $toType is not a supported widening " +
+          s"(supported: ${WidenAllowed.toSeq.sorted.mkString(", ")})")
+      (m.colmap, m.drops,
+        if (from == toType) m.widens else m.widens.updated(phys, toType))
+    }
+
+  /** x279: SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE`
+    * primitive): `target` becomes a NEW table whose v1 manifest
+    * re-references the SOURCE's current data files — spelled absolute,
+    * so every read path resolves them in place — with zero data
+    * copied. From that point the tables diverge: source writes never
+    * touch the clone's pinned file list (immutable generations), the
+    * clone's own writes land under ITS root as ordinary relative
+    * generations, and [[vacuum]] on the clone never reclaims absolute
+    * (source-owned) rels. The Delta caveat carries over: vacuum on the
+    * SOURCE can reclaim files the clone still references once the
+    * source's retention window drops them — pin source retention
+    * accordingly. Returns the clone's version (always 1). */
+  def clone(source: String, target: String): Long = {
+    val sv = latestVersion(source)
+    require(sv > 0, s"clone: no committed version in $source")
+    require(latestVersion(target) == 0,
+      s"clone: $target already has a log")
+    val m = readManifest(source, sv)
+    val root = Paths.get(source).toAbsolutePath.normalize
+    def abs(rel: String): String =
+      if (rel.startsWith("/")) rel else root.resolve(rel).toString
+    val keyLine = m.keyCol
+      .filter(_ => m.tombs.exists(_._2.nonEmpty)).map(k => s"keycol=$k").toSeq
+    val body = ("version=1" +:
+      s"touched=${m.buckets.keySet.toSeq.sorted.mkString(",")}" +:
+      (keyLine ++
+        m.buckets.toSeq.sortBy(_._1)
+          .map { case (b, d) => s"bucket $b ${abs(d)}" } ++
+        extraLines(m.extras.map { case (b, rs) => b -> rs.map(abs) }) ++
+        m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
+          ds.map(d => s"tomb $b ${abs(d)}") } ++
+        statLines(m.zmaps, m.rows,
+          m.blooms.map { case (b, rs) =>
+            b -> rs.map(r => r.copy(rel = abs(r.rel))) },
+          m.colmap, m.drops, m.widens)))
+      .mkString("", "\n", "\n")
+    Files.createDirectories(logDir(target))
+    Files.write(manifestPath(target, 1L),
+      body.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+    1L
+  }
 
   /** x272: RESTORE (the Delta `RESTORE TABLE … TO VERSION` primitive):
     * commit a NEW version whose complete state — bucket map,
@@ -1675,7 +1854,7 @@ object TxnLog {
       // unboundedly); return the already-equal latest instead
       def state(x: Manifest) = (x.buckets, x.extras.filter(_._2.nonEmpty),
         x.tombs.filter(_._2.nonEmpty),
-        x.zmaps, x.rows, x.blooms, x.colmap, x.drops)
+        x.zmaps, x.rows, x.blooms, x.colmap, x.drops, x.widens)
       if (state(cur) == state(target)) return latest
       val touched = (cur.buckets.keySet ++ target.buckets.keySet).filter { b =>
         cur.bucketRels(b) != target.bucketRels(b) ||
@@ -1693,7 +1872,7 @@ object TxnLog {
           target.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
           statLines(target.zmaps, target.rows, target.blooms,
-            target.colmap, target.drops)))
+            target.colmap, target.drops, target.widens)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -1718,7 +1897,8 @@ object TxnLog {
     * data writers; `mutate` maps the latest manifest to the next
     * (colmap, drops) pair. */
   private def commitMetaOnly(table: String, baseVersion: Long)
-      (mutate: Manifest => (Map[String, String], Set[String])): Long = {
+      (mutate: Manifest =>
+        (Map[String, String], Set[String], Map[String, String])): Long = {
     Files.createDirectories(logDir(table))
     var committed = -1L
     while (committed < 0) {
@@ -1731,7 +1911,7 @@ object TxnLog {
       }
       require(latest > 0, s"no committed version in $table")
       val m = readManifest(table, latest)
-      val (colmap, drops) = mutate(m)
+      val (colmap, drops, widens) = mutate(m)
       val keyLine = m.keyCol
         .filter(_ => m.tombs.exists(_._2.nonEmpty)).map(k => s"keycol=$k").toSeq
       val body = (s"version=${latest + 1}" +:
@@ -1741,7 +1921,7 @@ object TxnLog {
           extraLines(m.extras) ++
           m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
-          statLines(m.zmaps, m.rows, m.blooms, colmap, drops)))
+          statLines(m.zmaps, m.rows, m.blooms, colmap, drops, widens)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -1976,14 +2156,19 @@ object TxnLog {
     if (indexed.isEmpty) return defaultKeep
     // probe bit positions per (col, geometry) — bloomBitCols on a
     // values-literal frame, so build and probe can never disagree
+    // geometries key on (col, DTYPE, bits): a type-widened column's
+    // old sidecars hashed the narrow type while new ones hash the wide
+    // type — same bits with different dtypes are DIFFERENT hash spaces
+    // (keying by (col, bits) alone would probe one file with the other
+    // file's hashes and could prune a bucket that holds the value)
     val geoms = indexed.map { case (_, r) => (r.col, r.dtype, r.bits) }.distinct
-    val posFor: Map[(String, Long), Seq[Seq[Long]]] = geoms.map {
+    val posFor: Map[(String, String, Long), Seq[Seq[Long]]] = geoms.map {
       case (c, dtype, bits) =>
         import spark.implicits._
         val ps = cols(c).toDF("v")
           .select(array(bloomBitCols(col("v").cast(dtype), bits): _*).as("ps"))
           .collect().map(_.getSeq[Long](0).toSeq).toSeq
-        (c, bits) -> ps
+        (c, dtype, bits) -> ps
     }.toMap
     val needed = posFor.valuesIterator.flatten.flatten
       .map(_ / 64).toSeq.distinct
@@ -2014,7 +2199,8 @@ object TxnLog {
         Map.empty[Long, Long])
       def bitSet(p: Long): Boolean =
         (w.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0
-      ((b, ref.col), posFor((ref.col, ref.bits)).exists(_.forall(bitSet)))
+      ((b, ref.col),
+        posFor((ref.col, ref.dtype, ref.bits)).exists(_.forall(bitSet)))
     }.groupBy(_._1).map { case (k, es) => k -> es.exists(_._2) }
     defaultKeep ++ verdicts
   }

@@ -141,6 +141,139 @@ class Round19OpsSpec extends SparkSpec {
     } finally TxnLog.numBucketsOverride = None
   }
 
+  // ---- OPTIMIZE/compaction rebases over blind appends (task 5) -----------
+
+  test("an append lands during compaction; both commit; snapshot == serial order") {
+    val t = freshTable("rebase_appends")
+    val v1 = loadAll(t, bloomCol = Some("doc_id"))
+    // bucket 0 accumulates an append file, so compaction has work
+    TxnLog.commitAppend(spark, t,
+      Seq((8L, "en", 90L)).toDF("doc_id", "lang", "n_chars"),
+      "doc_id", "app", 1L)
+    val v2 = TxnLog.latestVersion(t)
+    // the compaction writer derives its fold AT v2...
+    val fold = (0 until TxnLog.NumBuckets)
+      .filter(b => TxnLog.bucketFiles(t, v2)(b).size > 1)
+    assert(fold === Seq(0))
+    // ...and while it runs, a BLIND append to bucket 0 lands first
+    val v3 = TxnLog.commitAppend(spark, t,
+      Seq((12L, "fr", 130L)).toDF("doc_id", "lang", "n_chars"),
+      "doc_id", "app", 2L)
+    assert(v3 === 3L)
+    // the compaction commit (base v2) REBASES instead of conflicting:
+    // its new generation replaces the files it read; the racing
+    // append's file survives as the bucket's extra
+    val v4 = TxnLog.compactFiles(spark, t, v2)
+    assert(v4 === 4L)
+    val files4 = TxnLog.bucketFiles(t, v4)
+    assert(files4(0).size === 2,
+      s"the racing append's file must survive the rebase, got ${files4(0)}")
+    assert(files4(0).exists(_.contains("/a3-")),
+      s"the survivor must be v3's appended file, got ${files4(0)}")
+    // snapshot ≡ serial order: all original rows + both appended rows
+    val got = TxnLog.snapshot(spark, t, v4)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(got.keySet === (0L to 8L).toSet + 12L)
+    assert(got(8L) === 90L && got(12L) === 130L)
+    // stats stayed sound: row counts add up, zone maps cover the range,
+    // and the survivor's sidecar still answers point probes
+    assert(TxnLog.snapshot(spark, t, v4).count() === 10L)
+    val (k12, _) = TxnLog.bloomCandidates(spark, t, "doc_id", Seq("12"), v4)
+    assert(k12 === Seq(0), s"the carried append's sidecar must probe, got $k12")
+    val (kRange, _) = TxnLog.prunedBuckets(t, "doc_id", Some("12"), None, v4)
+    assert(kRange.contains(0), "widened zone maps must cover the carried file")
+    // a SEMANTIC rewrite in the same race still conflicts (strict path)
+    TxnLog.commitAppend(spark, t,
+      Seq((16L, "de", 160L)).toDF("doc_id", "lang", "n_chars"),
+      "doc_id", "app", 3L)
+    intercept[TxnLog.ConflictException](
+      TxnLog.commit(t, v4, Map(0 ->
+        Seq((0L, "en", 10L)).toDF("doc_id", "lang", "n_chars"))))
+  }
+
+  // ---- shallow clone (x279) ----------------------------------------------
+
+  test("shallow clone: zero-copy, divergent both ways, vacuum-safe") {
+    val src = freshTable("clone_src")
+    val tgt = freshTable("clone_tgt")
+    val v1 = loadAll(src, bloomCol = Some("doc_id"))
+    TxnLog.clone(src, tgt)
+    // zero copy: the clone reads EXACTLY the source's files
+    assert(TxnLog.snapshot(spark, tgt).inputFiles.toSet ===
+      TxnLog.snapshot(spark, src, v1).inputFiles.toSet)
+    // cloned stats/sidecars answer without any local data
+    assert(TxnLog.bloomCandidates(spark, tgt, "doc_id", Seq("5"))._1 === Seq(1))
+    // divergence: source writes after the clone point are invisible...
+    TxnLog.commit(src, v1, Map(1 ->
+      Seq((5L, "de", 999L)).toDF("doc_id", "lang", "n_chars")))
+    assert(TxnLog.snapshot(spark, tgt)
+      .filter(col("doc_id") === 5L).select("n_chars").as[Long].head() === 60L)
+    // ...and the clone's own writes land locally, invisible to source
+    TxnLog.commit(tgt, 1L, Map(2 ->
+      Seq((6L, "en", 777L)).toDF("doc_id", "lang", "n_chars")))
+    assert(TxnLog.snapshot(spark, src)
+      .filter(col("doc_id") === 6L).select("n_chars").as[Long].head() === 70L)
+    assert(TxnLog.bucketFiles(tgt)(2).forall(r => !r.startsWith("/")))
+    // vacuum on the clone reclaims only CLONE-owned dirs — the
+    // replaced bucket-2 ref was a source-owned absolute rel
+    val reclaimed = TxnLog.vacuum(tgt, retainLast = 1)
+    assert(reclaimed.forall(r => !r.startsWith("/")),
+      s"vacuum on a clone must never touch source files, got $reclaimed")
+    assert(TxnLog.snapshot(spark, src, v1).count() === 8L,
+      "the source (incl. its v1 snapshot) survives the clone's vacuum")
+    // a clone onto an existing log refuses
+    intercept[IllegalArgumentException](TxnLog.clone(src, tgt))
+  }
+
+  // ---- metadata-only type widening (x280) ---------------------------------
+
+  test("type widening: metadata-only, mixed-width scan, guarded edges") {
+    val t = freshTable("widen")
+    val narrow = tinyDocs.select(col("doc_id"), col("lang"),
+      col("n_chars").cast("int").as("n_chars"))
+    val v1 = TxnLog.commit(t, 0L,
+      (0 until TxnLog.NumBuckets).map(b =>
+        b -> narrow.filter(col("doc_id") % TxnLog.NumBuckets === b)).toMap)
+    val v2 = TxnLog.commitWiden(spark, t, v1, "n_chars", "bigint")
+    assert(TxnLog.snapshot(spark, t).schema("n_chars")
+      .dataType.catalogString === "bigint")
+    // wide write next to narrow generations; one scan serves both
+    TxnLog.commit(t, v2, Map(1 ->
+      Seq((1L, "de", 5000000020L), (5L, "de", 5000000060L))
+        .toDF("doc_id", "lang", "n_chars")))
+    val got = TxnLog.snapshot(spark, t)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 5000000020L && got(0L) === 10L && got.size === 8)
+    // pruned reads speak the wide type too and stay sound across the
+    // mixed dtypes (zone maps compare numerically)
+    val wide = TxnLog.snapshotRange(spark, t, "n_chars",
+      Some("5000000000"), None).select("doc_id").as[Long].collect().toSet
+    assert(wide === Set(1L, 5L))
+    // unsupported widenings and the widen/drop interplay fail loud
+    intercept[IllegalArgumentException](
+      TxnLog.commitWiden(spark, t, TxnLog.latestVersion(t), "lang", "bigint"))
+    intercept[IllegalArgumentException](
+      TxnLog.commitDrop(spark, t, TxnLog.latestVersion(t), "n_chars"))
+  }
+
+  // ---- quantizer-drift audit (x281) ----------------------------------------
+
+  test("x281 drift audit flags the deliberately-drifted epochs only") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.pipelines.Extensions
+      .queries("x281_ivf_drift")(spark, dir)
+      .select("epoch", "moved_frac", "mean_cos", "drift_flag")
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val (e1, e2, e3) = (rows(0), rows(1), rows(2))
+    assert(e1._2 === 0.0 && e1._4 === 0,
+      "the training epoch must not flag (nothing moved)")
+    assert(e2._4 === 1 && e3._4 === 1,
+      s"the negated epochs must flag, got $e2 / $e3")
+    assert(e2._3 <= e1._3,
+      "mean member-to-centroid cosine must not improve under drift")
+  }
+
   // ---- commitUpsert contracts (ADVICE r12) -------------------------------
 
   test("commitUpsert refuses a batch whose rows share a key") {

@@ -66,8 +66,23 @@ def main(sfdir: str, outdir: str, record_path: str | None = None) -> None:
             duck_df = con.execute(sql).df()
         except Exception as e:
             interrupted = timer is not None and not timer.is_alive()
-            msg = f"oracle timeout after {timeout_s:.0f}s (DuckDB interrupted)" \
-                if interrupted and "INTERRUPT" in str(e).upper() else f"duckdb error: {e}"
+            if interrupted and "INTERRUPT" in str(e).upper():
+                # N/A BY DESIGN, not a failure (VERDICT r12, finding 4):
+                # the engine side finished (spark_rows recorded); it is
+                # the mirrored ORACLE that cannot run at this SF — e.g.
+                # x25's all-pairs SQL is quadratic for DuckDB while the
+                # engine's prefix-filtered join scales. The row is
+                # recorded distinctly so a ledger reads green-or-N/A,
+                # never ambiguous.
+                msg = (f"N/A by design: oracle exceeded {timeout_s:.0f}s at this "
+                       f"SF (engine side finished; scale-asymmetric oracle)")
+                print(f"n/a  {name}: {msg}")
+                record[name] = dict(rows_match=None, schema_match=None,
+                                    hash_match=None, spark_rows=len(spark_df),
+                                    oracle_rows=None, err=None,
+                                    na_by_design=msg)
+                continue
+            msg = f"duckdb error: {e}"
             print(f"FAIL {name}: {msg}")
             record[name] = dict(rows_match=None, schema_match=None, hash_match=None,
                                 spark_rows=len(spark_df), oracle_rows=None, err=msg)
