@@ -4928,6 +4928,28 @@ object ExtSql {
          |FROM documents WHERE doc_id % 9 = 5""".stripMargin
   }
 
+  // ---- x282 CHECK constraints -----------------------------------------------
+  // The engine adds a CHECK constraint, refuses a violating upsert
+  // with nothing committed, then commits a clean upsert under
+  // enforcement. The oracle is the table with only the clean upsert.
+
+  private val x282 =
+    raw"""SELECT doc_id, lang,
+         |       CAST(CASE WHEN doc_id IN (1, 2) THEN n_chars + 4242
+         |                 ELSE n_chars END AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin
+
+  // ---- x283 REPLACE WHERE ---------------------------------------------------
+  // One atomic commit swaps every doc_id IN (3, 6) row for the
+  // replacement batch; Bloom-pruned buckets are untouched (receipt).
+
+  private val x283 =
+    raw"""SELECT doc_id, lang,
+         |       CAST(CASE WHEN doc_id = 3 THEN 111
+         |                 WHEN doc_id = 6 THEN 222
+         |                 ELSE n_chars END AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin
+
   // ---- x279 shallow clone + divergence --------------------------------------
   // The engine clones the v1 source table zero-copy, then the SOURCE
   // rewrites bucket 1 (+7777, which the clone must NOT see) and the
@@ -7432,6 +7454,8 @@ object ExtSql {
     "x279_shallow_clone"  -> x279,
     "x280_type_widen"     -> x280,
     "x281_ivf_drift"      -> x281,
+    "x282_check_constraint" -> x282,
+    "x283_replace_where"  -> x283,
     "x201_lpa_communities" -> x201,
     "x202_modularity"     -> x202,
     "x203_bpe_compression" -> x203,

@@ -486,6 +486,8 @@ object Extensions {
     bfilMemo.keys.filter(_._1 eq session).foreach(bfilMemo.remove)
     cloneMemo.keys.filter(_._1 eq session).foreach(cloneMemo.remove)
     widenMemo.keys.filter(_._1 eq session).foreach(widenMemo.remove)
+    consMemo.keys.filter(_._1 eq session).foreach(consMemo.remove)
+    rwhereMemo.keys.filter(_._1 eq session).foreach(rwhereMemo.remove)
     zordNMemo.keys.filter(_._1 eq session).foreach(zordNMemo.remove)
     graft.sources.Bucketing.clearMemos(session)
     // the txn-log stream-query fixture memos (r13)
@@ -934,7 +936,9 @@ object Extensions {
     "x280_type_widen"    -> typeWiden _,
     // the three-epoch assign sweep is an audit final (x10 convention)
     "x281_ivf_drift"     -> ((s, d) => finalShared("x281", s, d)(
-      ivfDriftAudit(s, d))))
+      ivfDriftAudit(s, d))),
+    "x282_check_constraint" -> checkConstraints _,
+    "x283_replace_where"    -> replaceWhereQ _)
 
   /** Key offset for x228's inserted rows — far above any fixture
     * doc_id and ≡ 0 (mod NumBuckets) so inserted keys route to the
@@ -1913,6 +1917,107 @@ object Extensions {
 
   private def typeWiden(s: SparkSession, d: String): DataFrame =
     graft.sources.TxnLog.snapshot(s, widenFixture(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** x282: CHECK CONSTRAINTS end to end (see
+    * [[graft.sources.TxnLog.commitConstraint]] — the Delta `ALTER
+    * TABLE … ADD CONSTRAINT` surface): v1 loads the table; v2 adds
+    * `n_chars >= 0 AND lang IS NOT NULL` (the add-time scan proves the
+    * existing snapshot clean); a VIOLATING upsert batch is REFUSED
+    * with nothing committed (receipt pins the version and that the
+    * violation was caught by the write job's own Observation — zero
+    * extra passes); a CLEAN upsert then commits under enforcement.
+    * The oracle is the table with only the clean upsert applied — a
+    * leaked violating row, a dropped clean row, or enforcement
+    * mutating data breaks the hash. */
+  private val consMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def constraintFixture(s: SparkSession, d: String): String =
+    consMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val table = graft.sources.Bucketing.buildPath(
+        s"graft-txn/cons_${Integer.toHexString(d.hashCode)}")
+      TxnLog.reset(table)
+      val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(table, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap,
+        bloomCols = Seq("doc_id"))
+      val v2 = TxnLog.commitConstraint(s, table, v1, "chars_valid",
+        "n_chars >= 0 AND lang IS NOT NULL")
+      // a violating batch must abort with NOTHING committed
+      val bad = d0.filter(col("doc_id").isin(1L, 2L))
+        .select(col("doc_id"), col("lang"), lit(-5L).as("n_chars"))
+      val caught = scala.util.Try(
+        TxnLog.commitUpsert(s, table, bad, "doc_id", "x282", 1L))
+      require(caught.isFailure &&
+        caught.failed.get.getMessage.contains("chars_valid"),
+        "a violating batch must fail the CHECK constraint loudly")
+      require(TxnLog.latestVersion(table) == v2,
+        "a refused batch must leave no commit behind")
+      // a clean batch commits under enforcement
+      val good = d0.filter(col("doc_id").isin(1L, 2L))
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 4242).as("n_chars"))
+      TxnLog.commitUpsert(s, table, good, "doc_id", "x282", 2L)
+      table
+    })
+
+  private def checkConstraints(s: SparkSession, d: String): DataFrame =
+    graft.sources.TxnLog.snapshot(s, constraintFixture(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** x283: REPLACE WHERE end to end (see
+    * [[graft.sources.TxnLog.commitReplaceWhere]] — the Delta `INSERT
+    * OVERWRITE … replaceWhere` partition-swap): one atomic commit
+    * deletes every row with doc_id ∈ {3, 6} and inserts replacement
+    * rows for the same keys (n_chars 111 / 222). The write plans
+    * itself from the committed stats: the doc_id Bloom sidecars prove
+    * buckets 0 and 1 predicate-free, so they are UNTOUCHED (receipt
+    * pins their generations byte-identical), and only buckets 2 and 3
+    * rewrite. The oracle is the swap applied to the original table —
+    * an over-deleted row, an unswapped survivor, or a leaked
+    * out-of-predicate insert breaks the hash. */
+  private val rwhereMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def replaceWhereFixture(s: SparkSession, d: String): String =
+    rwhereMemo.getOrElseUpdate((s, d), {
+      import graft.sources.TxnLog
+      val table = graft.sources.Bucketing.buildPath(
+        s"graft-txn/rwhere_${Integer.toHexString(d.hashCode)}")
+      TxnLog.reset(table)
+      val d0 = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      def slice(b: Int) = d0.filter(col("doc_id") % TxnLog.NumBuckets === b)
+      val v1 = TxnLog.commit(table, 0L,
+        (0 until TxnLog.NumBuckets).map(b => b -> slice(b)).toMap,
+        bloomCols = Seq("doc_id"))
+      val files1 = TxnLog.bucketFiles(table, v1)
+      val repl = d0.filter(col("doc_id").isin(3L, 6L))
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") === 3L, 111L).otherwise(222L).as("n_chars"))
+      val preds = Seq(TxnLog.PointsPred("doc_id", Seq("3", "6")))
+      // the receipt asserts the CONTRACT, not exact bucket sets (the
+      // x273 lesson, ADVICE r12): a Bloom false positive at some SF may
+      // KEEP an extra bucket — its rewrite is then correct-but-wasteful
+      // — but a bucket the stats PROVED predicate-free must never be
+      // touched, and the keys' own buckets (2, 3) always rewrite. The
+      // exact two-bucket pin lives in Round19OpsSpec on an FP-verified
+      // table.
+      val (_, pruned) = TxnLog.prunedBucketsWhere(s, table, preds, v1)
+      val v2 = TxnLog.commitReplaceWhere(s, table, preds, repl,
+        "doc_id", "x283", 1L)
+      val files2 = TxnLog.bucketFiles(table, v2)
+      require(pruned.nonEmpty,
+        s"the doc_id sidecars must prune some bucket, got kept=all")
+      require(pruned.forall(b => files2(b) == files1(b)),
+        "buckets the stats prove predicate-free must be untouched")
+      require(files2(2) != files1(2) && files2(3) != files1(3),
+        "the predicate's buckets must rewrite")
+      table
+    })
+
+  private def replaceWhereQ(s: SparkSession, d: String): DataFrame =
+    graft.sources.TxnLog.snapshot(s, replaceWhereFixture(s, d))
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
   /** Drift threshold for the x281 audit: an epoch where more than this

@@ -142,7 +142,9 @@ object TxnLog {
                                     drops: Set[String],
                                     extras: Map[Int, Seq[String]],
                                     atouched: Set[Int] = Set.empty,
-                                    widens: Map[String, String] = Map.empty) {
+                                    widens: Map[String, String] = Map.empty,
+                                    constraints: Map[String, String] =
+                                      Map.empty) {
     /** Every data file of `b`, primary first. */
     def bucketRels(b: Int): Seq[String] =
       buckets.get(b).toSeq ++ extras.getOrElse(b, Nil)
@@ -185,6 +187,9 @@ object TxnLog {
   private def widenLines(widens: Map[String, String]): Seq[String] =
     widens.toSeq.sorted.map { case (p, t) => s"colwiden ${enc(p)} $t" }
 
+  private def constraintLines(cs: Map[String, String]): Seq[String] =
+    cs.toSeq.sorted.map { case (n, e) => s"constraint ${enc(n)} ${enc(e)}" }
+
   private def dropLines(drops: Set[String]): Seq[String] =
     drops.toSeq.sorted.map(p => s"coldrop ${enc(p)}")
 
@@ -195,9 +200,12 @@ object TxnLog {
                         blooms: Map[Int, Seq[BloomRef]],
                         colmap: Map[String, String] = Map.empty,
                         drops: Set[String] = Set.empty,
-                        widens: Map[String, String] = Map.empty): Seq[String] =
+                        widens: Map[String, String] = Map.empty,
+                        constraints: Map[String, String] = Map.empty)
+      : Seq[String] =
     zmapLines(zmaps) ++ rowLines(rows) ++ bloomLines(blooms) ++
-      colmapLines(colmap) ++ dropLines(drops) ++ widenLines(widens)
+      colmapLines(colmap) ++ dropLines(drops) ++ widenLines(widens) ++
+      constraintLines(constraints)
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v)).asScala
@@ -245,12 +253,16 @@ object TxnLog {
       val Array(_, pc, t) = s.split(" ", 3)
       dec(pc) -> t
     }.toMap
+    val constraints = lines.collect { case s if s.startsWith("constraint ") =>
+      val Array(_, n, e) = s.split(" ", 3)
+      dec(n) -> dec(e)
+    }.toMap
     val extras = lines.collect { case s if s.startsWith("bfile ") =>
       val Array(_, b, rel) = s.split(" ", 3)
       b.toInt -> rel
     }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2).toSeq }
     Manifest(v, touched, buckets, txn, tombs, keyCol, zmaps, rows, blooms,
-      colmap, drops, extras, atouched, widens)
+      colmap, drops, extras, atouched, widens, constraints)
   }
 
   /** The version that committed idempotence marker (app, txnV), if
@@ -344,7 +356,8 @@ object TxnLog {
       extraLines(m.extras) ++
       m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
         ds.map(d => s"tomb $b $d") } ++
-      statLines(m.zmaps, m.rows, m.blooms, m.colmap, m.drops, m.widens)))
+      statLines(m.zmaps, m.rows, m.blooms, m.colmap, m.drops, m.widens,
+        m.constraints)))
       .mkString("", "\n", "\n")
     // CREATE_NEW like a commit: at most one checkpoint per version;
     // losing the race to an identical checkpoint is success
@@ -504,10 +517,11 @@ object TxnLog {
     * the manifest's rel must resolve. */
   private def writeRouted(spark: SparkSession, table: String,
                           frames: Map[Int, DataFrame], genRel: String,
-                          wantedBloom: Map[Int, Seq[String]])
+                          wantedBloom: Map[Int, Seq[String]],
+                          checks: Map[String, String] = Map.empty)
       : (Map[Int, String], Map[Int, Seq[ZoneStat]], Map[Int, Long],
          Map[Int, Seq[BloomRef]]) = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
     val schema = frames.values.head.schema
     require(!schema.fieldNames.contains(BucketTag),
       s"data column $BucketTag collides with the bucket-routing tag")
@@ -518,12 +532,27 @@ object TxnLog {
     val genPath = dataPath(table, genRel)
     val stats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
     val rows = scala.collection.mutable.Map.empty[Int, Long]
+    // CHECK constraints whose referenced columns this write carries
+    // (x282): violation counts ride the SAME job as the stats — a
+    // frame lacking a referenced column reads back null, which
+    // satisfies the constraint by SQL semantics, so it is skipped
+    val applicable = checks.toSeq.sortBy(_._1).filter { case (_, e) =>
+      exprColumns(e).forall(c =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    }
+    def enforce(viols: Seq[Long]): Unit =
+      applicable.zip(viols).find(_._2 > 0).foreach { case ((n, e), k) =>
+        reset(genPath) // data never became visible; reclaim it
+        throw new IllegalArgumentException(
+          s"CHECK constraint $n ($e) violated by $k rows — commit aborted")
+      }
     def zstat(f: org.apache.spark.sql.types.StructField,
               mn: Any, mx: Any): ZoneStat =
       ZoneStat(f.name, f.dataType.catalogString,
         Option(mn).map(_.toString), Option(mx).map(_.toString))
     if (bs.size * (statFields.size * 2 + 1) <= ObserveAggCap) {
-      // stats ride the write job itself — zero extra passes
+      // stats (and constraint checks) ride the write job itself — zero
+      // extra passes
       val obs = org.apache.spark.sql.Observation()
       val aggs = bs.flatMap { b =>
         count(when(col(BucketTag) === b, lit(1))).as(s"cnt_$b") +:
@@ -531,10 +560,14 @@ object TxnLog {
             Seq(min(when(col(BucketTag) === b, col(f.name))).as(s"mn_${b}_$i"),
               max(when(col(BucketTag) === b, col(f.name))).as(s"mx_${b}_$i"))
           }
+      } ++ applicable.zipWithIndex.map { case ((_, e), i) =>
+        sum(when(violationCol(e), 1L).otherwise(0L)).as(s"viol_$i")
       }
       union.observe(obs, aggs.head, aggs.tail: _*)
         .write.partitionBy(BucketTag).mode("overwrite").parquet(genPath)
       val m = obs.get
+      enforce(applicable.indices
+        .map(i => Option(m(s"viol_$i")).fold(0L)(_.asInstanceOf[Long])))
       bs.foreach { b =>
         rows(b) = m(s"cnt_$b").asInstanceOf[Long]
         stats(b) = statFields.zipWithIndex.map { case (f, i) =>
@@ -545,14 +578,20 @@ object TxnLog {
       union.write.partitionBy(BucketTag).mode("overwrite").parquet(genPath)
       // ONE grouped read-back job, column-pruned to the stat columns
       // (the union's schema is what was written — passing it skips the
-      // footer-inference job)
+      // footer-inference job); constraint checks ride the same job
       val aggs = count(lit(1)).as("cnt") +:
-        statFields.zipWithIndex.flatMap { case (f, i) =>
+        (statFields.zipWithIndex.flatMap { case (f, i) =>
           Seq(min(col(f.name)).as(s"mn_$i"), max(col(f.name)).as(s"mx_$i"))
-        }
+        } ++ applicable.zipWithIndex.map { case ((_, e), i) =>
+          sum(when(violationCol(e), 1L).otherwise(0L)).as(s"viol_$i")
+        })
       val got = spark.read.schema(union.schema).parquet(genPath)
         .groupBy(col(BucketTag)).agg(aggs.head, aggs.tail: _*)
         .collect() // bucket-count-bounded
+      val vbase = 2 + 2 * statFields.size
+      enforce(applicable.indices.map(i =>
+        got.map(r => if (r.isNullAt(vbase + i)) 0L
+                     else r.getLong(vbase + i)).sum))
       got.foreach { r =>
         val b = r.getInt(0)
         rows(b) = r.getLong(1)
@@ -797,6 +836,29 @@ object TxnLog {
       baseM0.map(_.blooms.map { case (b, rs) => b -> rs.map(_.col) })
         .getOrElse(Map.empty)
     val nonce = java.util.UUID.randomUUID.toString.take(8)
+    // CHECK constraints known at the writer's base (x282) — enforced on
+    // every write below; a constraint change landing after base is a
+    // metadata conflict (claim loop), so validation can never be stale
+    val baseChecks: Map[String, String] =
+      baseM0.map(_.constraints).getOrElse(Map.empty)
+    def enforceOnFrame(df: DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{lit, sum, when}
+      val applicable = baseChecks.toSeq.sortBy(_._1).filter { case (_, e) =>
+        exprColumns(e).forall(c =>
+          df.columns.exists(_.equalsIgnoreCase(c)))
+      }
+      if (applicable.nonEmpty) {
+        val aggs = applicable.zipWithIndex.map { case ((_, e), i) =>
+          sum(when(violationCol(e), 1L).otherwise(0L)).as(s"viol_$i")
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).head
+        applicable.zipWithIndex.foreach { case ((n, e), i) =>
+          val k = if (r.isNullAt(i)) 0L else r.getLong(i)
+          require(k == 0,
+            s"CHECK constraint $n ($e) violated by $k rows — commit aborted")
+        }
+      }
+    }
     val newStats = scala.collection.mutable.Map.empty[Int, Seq[ZoneStat]]
     val newRows = scala.collection.mutable.Map.empty[Int, Long]
     val newBlooms = scala.collection.mutable.Map.empty[Int, Seq[BloomRef]]
@@ -813,12 +875,13 @@ object TxnLog {
         // + one grouped sidecar job, whatever the bucket count
         val (rels, st, rw, bl) = writeRouted(
           physWrites.values.head.sparkSession, table, physWrites,
-          s"data/g${baseVersion + 1}-$nonce", writeWanted)
+          s"data/g${baseVersion + 1}-$nonce", writeWanted, baseChecks)
         newStats ++= st; newRows ++= rw; newBlooms ++= bl
         rels
       } else physWrites.map { case (b, df) =>
         // heterogeneous-schema fallback (single-bucket schema evolution
         // married to other buckets in one commit): per-bucket writes
+        enforceOnFrame(df)
         val rel = s"data/g${baseVersion + 1}-b$b-$nonce"
         val (stats, cnt) = writeWithStats(df, s"$table/$rel")
         newStats(b) = stats
@@ -868,11 +931,12 @@ object TxnLog {
       else if (sameSchema(physAppends.values)) {
         val (rels, st, rw, bl) = writeRouted(
           physAppends.values.head.sparkSession, table, physAppends,
-          s"data/a${baseVersion + 1}-$nonce", appWanted)
+          s"data/a${baseVersion + 1}-$nonce", appWanted, baseChecks)
         appStats ++= st; appRows ++= rw
         bl.foreach { case (b, refs) => appBlooms(b) = refs }
         rels
       } else physAppends.map { case (b, df) =>
+        enforceOnFrame(df)
         val rel = s"data/a${baseVersion + 1}-b$b-$nonce"
         val (stats, cnt) = writeWithStats(df, s"$table/$rel")
         appStats(b) = stats
@@ -951,6 +1015,14 @@ object TxnLog {
               s"logical column $lg was re-added concurrently under a " +
                 s"different physical name (base $baseVersion)")
         }
+        // a CHECK-constraint change after our base invalidates the
+        // validation this write ran — stale-writer error, the Delta
+        // metadata-changed contract (x282)
+        if (lm.constraints != baseChecks)
+          throw new ConflictException(
+            s"table constraints changed after base $baseVersion — " +
+              "re-read the table and re-derive (writes validate against " +
+              "their base's constraints)")
       }
       val merged = baseM.map(_.buckets).getOrElse(Map.empty) ++ written
       // a full-bucket rewrite REPLACES the bucket, so its carried
@@ -1049,7 +1121,8 @@ object TxnLog {
           statLines(zmaps2, rows2, blooms2,
             baseM.map(_.colmap).getOrElse(Map.empty) ++ pendingColmap,
             baseM.map(_.drops).getOrElse(Set.empty),
-            baseM.map(_.widens).getOrElse(Map.empty))))
+            baseM.map(_.widens).getOrElse(Map.empty),
+            baseM.map(_.constraints).getOrElse(Map.empty))))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -1366,7 +1439,7 @@ object TxnLog {
           // row counts become upper bounds, which is why the x249
           // metadata-only aggregate REFUSES tombstoned snapshots
           statLines(baseM.zmaps, baseM.rows, baseM.blooms, baseM.colmap,
-            baseM.drops, baseM.widens)))
+            baseM.drops, baseM.widens, baseM.constraints)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -1701,9 +1774,12 @@ object TxnLog {
       require(from == to || !logical.contains(to),
         s"rename: column $to already exists in $table")
       val phys = m.colmap.find(_._2 == from).map(_._1).getOrElse(from)
+      require(!m.constraints.values.exists(referencesColumn(_, from)),
+        s"rename: column $from is referenced by a CHECK constraint — " +
+          "drop the constraint first")
       val colmap =
         if (phys == to) m.colmap - phys else m.colmap.updated(phys, to)
-      (colmap, m.drops, m.widens)
+      (colmap, m.drops, m.widens, m.constraints)
     }
 
   /** x268: METADATA-ONLY COLUMN DROP (the other half of the Delta
@@ -1734,7 +1810,10 @@ object TxnLog {
       require(!m.widens.contains(phys),
         s"drop: $name is type-widened — the drop/widen interplay is " +
           "unsupported (OPTIMIZE first to materialize the wide type)")
-      (m.colmap - phys, m.drops + phys, m.widens)
+      require(!m.constraints.values.exists(referencesColumn(_, name)),
+        s"drop: $name is referenced by a CHECK constraint — " +
+          "drop the constraint first")
+      (m.colmap - phys, m.drops + phys, m.widens, m.constraints)
     }
 
   /** Widenings this engine's read path supports: the parquet reader
@@ -1778,8 +1857,79 @@ object TxnLog {
         s"widen: $from -> $toType is not a supported widening " +
           s"(supported: ${WidenAllowed.toSeq.sorted.mkString(", ")})")
       (m.colmap, m.drops,
-        if (from == toType) m.widens else m.widens.updated(phys, toType))
+        if (from == toType) m.widens else m.widens.updated(phys, toType),
+        m.constraints)
     }
+
+  /** The column names an expression string references (unresolved
+    * attribute heads — driver-side parse, no session state needed
+    * beyond the parser). Used to guard constraint/column interplay. */
+  private def exprColumns(e: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.toSet
+  private def referencesColumn(e: String, c: String): Boolean =
+    exprColumns(e).exists(_.equalsIgnoreCase(c))
+
+  /** A CHECK constraint's VIOLATION predicate: SQL semantics — a row
+    * satisfies the constraint when the expression is TRUE or NULL, so
+    * a violation is `NOT coalesce(expr, true)`. One definition serves
+    * the add-time table scan and the commit-time write-job check. */
+  private def violationCol(e: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    not(coalesce(expr(e), lit(true)))
+  }
+
+  /** x282: ADD CHECK CONSTRAINT (the Delta `ALTER TABLE … ADD
+    * CONSTRAINT` primitive): validates the EXISTING snapshot in one
+    * scan (a violating table refuses the constraint, fail-loud), then
+    * commits the (name, expression) pair as a metadata-only manifest
+    * line. From that version on, EVERY write path — full rewrites,
+    * appends, merges, upserts, streaming sinks — enforces the
+    * constraint with violation counts riding the one-job routed
+    * write's Observation (zero extra passes over the data); a
+    * violating batch aborts before any manifest lands, so committed
+    * data can never violate. Renaming or dropping a referenced column
+    * is refused while the constraint stands; a writer whose base
+    * predates a constraint change conflicts (the Delta
+    * metadata-changed contract) instead of writing unvalidated data. */
+  def commitConstraint(spark: SparkSession, table: String,
+                       baseVersion: Long, name: String,
+                       constraintExpr: String): Long =
+    commitMetaOnly(table, baseVersion) { m =>
+      require(!m.constraints.contains(name),
+        s"constraint $name already exists on $table")
+      val snap = snapshot(spark, table, m.version)
+      val missing = exprColumns(constraintExpr)
+        .filterNot(c => snap.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"constraint $name references unknown columns " +
+          s"${missing.toSeq.sorted.mkString(", ")}")
+      val bad = snap.filter(violationCol(constraintExpr)).limit(1).count()
+      require(bad == 0,
+        s"cannot add constraint $name: existing rows violate " +
+          s"($constraintExpr)")
+      (m.colmap, m.drops, m.widens,
+        m.constraints.updated(name, constraintExpr))
+    }
+
+  /** Drop a CHECK constraint (metadata-only). */
+  def commitDropConstraint(table: String, baseVersion: Long,
+                           name: String): Long =
+    commitMetaOnly(table, baseVersion) { m =>
+      require(m.constraints.contains(name),
+        s"no constraint $name on $table")
+      (m.colmap, m.drops, m.widens, m.constraints - name)
+    }
+
+  /** The committed CHECK constraints of `version` (name → expr). */
+  def constraints(table: String,
+                  version: Long = -1L): Map[String, String] = {
+    val v = if (version > 0) version else latestVersion(table)
+    if (v == 0) Map.empty else readManifest(table, v).constraints
+  }
 
   /** x279: SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE`
     * primitive): `target` becomes a NEW table whose v1 manifest
@@ -1815,7 +1965,7 @@ object TxnLog {
         statLines(m.zmaps, m.rows,
           m.blooms.map { case (b, rs) =>
             b -> rs.map(r => r.copy(rel = abs(r.rel))) },
-          m.colmap, m.drops, m.widens)))
+          m.colmap, m.drops, m.widens, m.constraints)))
       .mkString("", "\n", "\n")
     Files.createDirectories(logDir(target))
     Files.write(manifestPath(target, 1L),
@@ -1854,7 +2004,8 @@ object TxnLog {
       // unboundedly); return the already-equal latest instead
       def state(x: Manifest) = (x.buckets, x.extras.filter(_._2.nonEmpty),
         x.tombs.filter(_._2.nonEmpty),
-        x.zmaps, x.rows, x.blooms, x.colmap, x.drops, x.widens)
+        x.zmaps, x.rows, x.blooms, x.colmap, x.drops, x.widens,
+        x.constraints)
       if (state(cur) == state(target)) return latest
       val touched = (cur.buckets.keySet ++ target.buckets.keySet).filter { b =>
         cur.bucketRels(b) != target.bucketRels(b) ||
@@ -1872,7 +2023,8 @@ object TxnLog {
           target.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
           statLines(target.zmaps, target.rows, target.blooms,
-            target.colmap, target.drops, target.widens)))
+            target.colmap, target.drops, target.widens,
+            target.constraints)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -1897,8 +2049,8 @@ object TxnLog {
     * data writers; `mutate` maps the latest manifest to the next
     * (colmap, drops) pair. */
   private def commitMetaOnly(table: String, baseVersion: Long)
-      (mutate: Manifest =>
-        (Map[String, String], Set[String], Map[String, String])): Long = {
+      (mutate: Manifest => (Map[String, String], Set[String],
+        Map[String, String], Map[String, String])): Long = {
     Files.createDirectories(logDir(table))
     var committed = -1L
     while (committed < 0) {
@@ -1911,7 +2063,7 @@ object TxnLog {
       }
       require(latest > 0, s"no committed version in $table")
       val m = readManifest(table, latest)
-      val (colmap, drops, widens) = mutate(m)
+      val (colmap, drops, widens, constraints) = mutate(m)
       val keyLine = m.keyCol
         .filter(_ => m.tombs.exists(_._2.nonEmpty)).map(k => s"keycol=$k").toSeq
       val body = (s"version=${latest + 1}" +:
@@ -1921,7 +2073,8 @@ object TxnLog {
           extraLines(m.extras) ++
           m.tombs.toSeq.sortBy(_._1).flatMap { case (b, ds) =>
             ds.map(d => s"tomb $b $d") } ++
-          statLines(m.zmaps, m.rows, m.blooms, colmap, drops, widens)))
+          statLines(m.zmaps, m.rows, m.blooms, colmap, drops, widens,
+            constraints)))
         .mkString("", "\n", "\n")
       try {
         Files.write(manifestPath(table, latest + 1),
@@ -2335,16 +2488,7 @@ object TxnLog {
         df.withColumn(c, org.apache.spark.sql.functions.lit(null).cast(dt))
       }
     }
-    val residual = preds.map {
-      case RangePred(c, lo, hi) =>
-        val dt = base.schema(c).dataType
-        (lo.map(l => col(c) >= lit(l).cast(dt)) ++
-          hi.map(h => col(c) <= lit(h).cast(dt)))
-          .reduceOption(_ && _).getOrElse(lit(true))
-      case PointsPred(c, vs) =>
-        val dt = base.schema(c).dataType
-        col(c).isin(vs.map(lit(_).cast(dt)): _*)
-    }.reduce(_ && _)
+    val residual = residualColumn(base, preds)
     // same reader-facing projection as [[snapshot]] (x270): the
     // residual filtered the PHYSICAL frame; the result masks drops and
     // renames to the logical schema, so a pruned read of a renamed
@@ -2355,6 +2499,91 @@ object TxnLog {
     m.colmap.foldLeft(masked) { case (df, (p, l)) =>
       df.withColumnRenamed(p, l)
     }
+  }
+
+  /** The always-applied residual predicate of a pruned read: the
+    * conjunction of `preds` (already RESOLVED to physical names) as a
+    * Column over `df`'s schema. One definition serves [[snapshotWhere]]
+    * and the [[commitReplaceWhere]] delete side. */
+  private def residualColumn(df: DataFrame,
+                             preds: Seq[Pred]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    preds.map {
+      case RangePred(c, lo, hi) =>
+        val dt = df.schema(c).dataType
+        (lo.map(l => col(c) >= lit(l).cast(dt)) ++
+          hi.map(h => col(c) <= lit(h).cast(dt)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case PointsPred(c, vs) =>
+        val dt = df.schema(c).dataType
+        col(c).isin(vs.map(lit(_).cast(dt)): _*)
+    }.reduce(_ && _)
+  }
+
+  /** x283: REPLACE WHERE (the Delta `INSERT OVERWRITE … replaceWhere`
+    * primitive): atomically delete every visible row MATCHING the
+    * predicate conjunction and insert `batch`, as one commit. The
+    * write plans itself from the committed stats: buckets the zone
+    * maps / Bloom sidecars PROVE predicate-free ([[prunedBucketsWhere]])
+    * hold no deletable row and are untouched unless the batch routes
+    * fresh rows to them — those take O(batch) append FILES; only the
+    * kept buckets rewrite, as (visible rows NOT matching) ∪ (batch
+    * slice). Rows where the predicate is NULL do not match and stay
+    * (SQL semantics). The batch must itself satisfy the predicate —
+    * the Delta replaceWhere contract, fail-loud — so the operation is
+    * a true partition/range swap, and the (app, txnV) marker makes
+    * replays no-ops.
+    *
+    * Scale: this is the partition-overwrite backbone of a 100 TB
+    * backfill — the delete side reads O(kept buckets) decided from
+    * manifest stats on the driver, never a table scan; the insert
+    * side costs O(batch). Predicates address the LOGICAL schema
+    * (resolved like every pruned read); the batch speaks the physical
+    * write schema like every write. */
+  def commitReplaceWhere(spark: SparkSession, table: String,
+                         preds0: Seq[Pred], batch: DataFrame,
+                         keyCol: String, app: String, txnV: Long): Long = {
+    txnCommitted(table, app, txnV).foreach(v => return v)
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(preds0.nonEmpty, "replaceWhere: no predicates")
+    val base = latestVersion(table)
+    require(base > 0, s"replaceWhere: no committed version in $table")
+    val m = readManifest(table, base)
+    val preds = resolvePreds(m, preds0)
+    // the batch must satisfy the predicate it replaces under —
+    // otherwise rows would land outside the swapped region (the Delta
+    // replaceWhere error, checked in one O(batch) job)
+    val outside = batch
+      .filter(not(coalesce(residualColumn(batch, preds), lit(false))))
+      .limit(1).count()
+    require(outside == 0,
+      s"replaceWhere: batch rows fall outside the predicate " +
+        s"${preds0.mkString(" AND ")}")
+    val (kept, _) = prunedBucketsWhere(spark, table, preds0, base)
+    val tagged = batch.withColumn("__b",
+      (col(keyCol) % NumBuckets).cast("int"))
+    val routed = tagged.select("__b").distinct()
+      .collect().map(_.getInt(0)).sorted // bucket-count-bounded
+    val writes = scala.collection.mutable.Map.empty[Int, DataFrame]
+    val appends = scala.collection.mutable.Map.empty[Int, DataFrame]
+    kept.foreach { b =>
+      val vis = visibleBucket(spark, table, b, base).get
+      val keep =
+        vis.filter(not(coalesce(residualColumn(vis, preds), lit(false))))
+      val slice = tagged.filter(col("__b") === b).drop("__b")
+      writes(b) = if (routed.contains(b)) keep.unionByName(slice) else keep
+    }
+    routed.filterNot(kept.contains).foreach { b =>
+      val slice = tagged.filter(col("__b") === b).drop("__b")
+      if (!m.buckets.contains(b)) writes(b) = slice
+      else if (m.tombs.getOrElse(b, Nil).isEmpty) appends(b) = slice
+      else writes(b) = visibleBucket(spark, table, b, base).get
+        .unionByName(slice)
+    }
+    // like the upsert, the pruning proof held at OUR base: the appends
+    // are read-dependent on the stats that proved their buckets free
+    commit(table, base, writes.toMap, Some((app, txnV)),
+      appends = appends.toMap, readDependentAppends = true)
   }
 
   // ---- stats-driven join planning (x269) --------------------------------

@@ -274,6 +274,85 @@ class Round19OpsSpec extends SparkSpec {
       "mean member-to-centroid cosine must not improve under drift")
   }
 
+  // ---- CHECK constraints (x282) -------------------------------------------
+
+  test("CHECK constraints: add-time scan, write enforcement, metadata conflict") {
+    val t = freshTable("constraints")
+    val v1 = loadAll(t, bloomCol = Some("doc_id"))
+    // adding a constraint the existing data violates refuses
+    intercept[IllegalArgumentException](
+      TxnLog.commitConstraint(spark, t, v1, "too_strict", "n_chars > 50"))
+    val v2 = TxnLog.commitConstraint(spark, t, v1, "chars_pos", "n_chars > 0")
+    assert(TxnLog.constraints(t) === Map("chars_pos" -> "n_chars > 0"))
+    // a violating routed write aborts with nothing committed
+    val bad = Seq((8L, "en", 0L)).toDF("doc_id", "lang", "n_chars")
+    val e = intercept[IllegalArgumentException](
+      TxnLog.commitMerged(spark, t, bad, "doc_id", "w", 1L))
+    assert(e.getMessage.contains("chars_pos"))
+    assert(TxnLog.latestVersion(t) === v2)
+    // a violating APPEND aborts too (both write paths enforce)
+    intercept[IllegalArgumentException](
+      TxnLog.commitAppend(spark, t, bad, "doc_id", "w", 2L))
+    // NULL satisfies (SQL semantics); a clean write commits
+    val ok = Seq((8L, "en", Some(90L)), (12L, "de", None))
+      .toDF("doc_id", "lang", "n_chars")
+    val v3 = TxnLog.commitMerged(spark, t, ok, "doc_id", "w", 3L)
+    assert(TxnLog.snapshot(spark, t, v3).count() === 10L)
+    // a writer whose base predates a constraint change conflicts
+    val v4 = TxnLog.commitDropConstraint(t, v3, "chars_pos")
+    intercept[TxnLog.ConflictException](
+      TxnLog.commit(t, v3, Map(0 ->
+        Seq((0L, "en", 10L)).toDF("doc_id", "lang", "n_chars"))))
+    // rename/drop of a referenced column refuse while it stands
+    val v5 = TxnLog.commitConstraint(spark, t, v4, "lang_set", "lang IS NOT NULL")
+    intercept[IllegalArgumentException](
+      TxnLog.commitRename(spark, t, v5, "lang", "language"))
+    intercept[IllegalArgumentException](
+      TxnLog.commitDrop(spark, t, v5, "lang"))
+  }
+
+  // ---- REPLACE WHERE (x283) ------------------------------------------------
+
+  test("replaceWhere: stat-planned swap, untouched pruned buckets, guards") {
+    val t = freshTable("replacewhere")
+    val v1 = loadAll(t, bloomCol = Some("doc_id"))
+    val files1 = TxnLog.bucketFiles(t, v1)
+    // FP-verified on this table: doc_id 5 keeps ONLY bucket 1
+    assert(TxnLog.bloomCandidates(spark, t, "doc_id", Seq("5"))._1 === Seq(1))
+    val preds = Seq(TxnLog.PointsPred("doc_id", Seq("5")))
+    // a batch outside the predicate refuses (the Delta contract)
+    intercept[IllegalArgumentException](
+      TxnLog.commitReplaceWhere(spark, t, preds,
+        Seq((6L, "en", 1L)).toDF("doc_id", "lang", "n_chars"),
+        "doc_id", "rw", 1L))
+    val v2 = TxnLog.commitReplaceWhere(spark, t, preds,
+      Seq((5L, "de", 999L)).toDF("doc_id", "lang", "n_chars"),
+      "doc_id", "rw", 2L)
+    val files2 = TxnLog.bucketFiles(t, v2)
+    Seq(0, 2, 3).foreach(b => assert(files2(b) === files1(b),
+      s"pruned bucket $b must be untouched"))
+    assert(files2(1) !== files1(1))
+    val got = TxnLog.snapshot(spark, t, v2)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(got(5L) === 999L && got.size === 8)
+    // replay is a no-op
+    assert(TxnLog.commitReplaceWhere(spark, t, preds,
+      Seq((5L, "de", 999L)).toDF("doc_id", "lang", "n_chars"),
+      "doc_id", "rw", 2L) === v2)
+    // a range swap that deletes without replacing in some kept bucket:
+    // n_chars in [60, 80] hits buckets 1 (5->999 gone? no - 999 out of
+    // range), 2 (6: 70), 3 (7: 80) — replacement only re-adds key 6
+    val rpreds = Seq(TxnLog.RangePred("n_chars", Some("60"), Some("80")))
+    val v3 = TxnLog.commitReplaceWhere(spark, t, rpreds,
+      Seq((6L, "en", 75L)).toDF("doc_id", "lang", "n_chars"),
+      "doc_id", "rw", 3L)
+    val after = TxnLog.snapshot(spark, t, v3)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(!after.contains(7L), "an in-range row with no replacement dies")
+    assert(after(6L) === 75L)
+    assert(after(5L) === 999L, "out-of-range rows survive")
+  }
+
   // ---- commitUpsert contracts (ADVICE r12) -------------------------------
 
   test("commitUpsert refuses a batch whose rows share a key") {
