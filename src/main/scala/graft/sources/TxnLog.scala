@@ -1561,12 +1561,35 @@ object TxnLog {
       // the upsert's Bloom-proven no-match path: appended keys are
       // fresh); a trickle append's feed costs O(new files), not
       // O(bucket) — the same O(changed data) promise one level finer.
+      val preTombs = mf.tombs.getOrElse(b, Seq.empty)
+      val postTombs = mt.tombs.getOrElse(b, Seq.empty)
       if (preRels.nonEmpty && postRels.startsWith(preRels) &&
-        postRels.size > preRels.size &&
-        mf.tombs.getOrElse(b, Seq.empty) == mt.tombs.getOrElse(b, Seq.empty)) {
+        postRels.size > preRels.size && preTombs == postTombs) {
         logicalize(spark.read.parquet(
           postRels.drop(preRels.size).map(r => dataPath(table, r)): _*))
           .select(cs.map(col) :+ lit("insert").as("change_type"): _*)
+      } else if (preRels == postRels && postTombs.startsWith(preTombs) &&
+        postTombs.size > preTombs.size) {
+        // DELETE-ONLY fast path (round 13, the append fast path's
+        // mirror): the bucket's change is exactly new tombstone files
+        // behind an unchanged file set, so post-visible ≡ pre-visible
+        // minus the NEW tombstone keys and the diff is those rows as
+        // `delete` events — ONE semi join against the new tombstone
+        // keys instead of a full pre/post outer diff (a key already
+        // tombstoned at fromV is not in pre-visible and correctly
+        // emits nothing). A trickle DELETE's feed costs O(deleted
+        // keys), and every CDC consumer's delete epoch drops the
+        // bucket-count×full-outer plan this path replaces.
+        val keyPhys = mt.keyCol.getOrElse(throw new IllegalStateException(
+          s"$table has tombstones but no keycol"))
+        val keyLogical = mt.colmap.getOrElse(keyPhys, keyPhys)
+        val newKeys = logicalize(spark.read.parquet(
+          postTombs.drop(preTombs.size).map(t => dataPath(table, t)): _*)
+          .select(col(keyPhys)))
+        val pre = visibleBucket(spark, table, b, fromV).map(logicalize)
+          .getOrElse(emptySide)
+        pre.join(newKeys, Seq(keyLogical), "left_semi")
+          .select(cs.map(col) :+ lit("delete").as("change_type"): _*)
       } else {
       val pre = visibleBucket(spark, table, b, fromV).map(logicalize)
         .getOrElse(emptySide)
