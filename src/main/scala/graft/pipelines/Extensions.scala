@@ -439,6 +439,19 @@ object Extensions {
     vhashMemo.getOrElseUpdate((s, d),
       Multimodal.videoFrameHashes(s, docs(s, d)).persist())
 
+  /** ONE sessionization pass per (session, dir) — eight event
+    * operators (x16/x54/x79/x161/x171/x176/x182/x189) each open their
+    * plan with the identical [[Events.sessionized]] stack (events scan
+    * → per-user shuffle → sort → lag + two running windows); persisting
+    * it once lets CacheManager plan-matching substitute the
+    * materialized rows into every consumer — the vecsShared doctrine
+    * applied to the event-session family (round 13). Registration is a
+    * call in each consumer's lambda; no op-level plumbing. */
+  private val sessMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sessShared(s: SparkSession, d: String): DataFrame =
+    sessMemo.getOrElseUpdate((s, d), Events.sessionized(evs(s, d)).persist())
+
   /** ONE historical (band_idx, band_hash) store per (session, dir) —
     * x199's static probe side (round 13): the store is FIXTURE (the
     * pre-existing corpus the stream probes against), but it was
@@ -457,7 +470,7 @@ object Extensions {
     Seq(shMemo, pairsMemo, ccMemo, vecsMemo, centsMemo, knnMemo, pqMemo,
         ivfMemo, bruteMemo, lexMemo, gannMemo, slicesMemo, tfMemo, kcoreMemo, prMemo,
         champMemo, chunkMemo, rfmMemo, mmrMemo, span8Memo, substrMemo,
-        basketsMemo, ahashMemo, audioFpMemo, vhashMemo, bandStoreMemo,
+        basketsMemo, ahashMemo, audioFpMemo, vhashMemo, bandStoreMemo, sessMemo,
         lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
                  // session ref AND a memoized frame whose checkpoint
                  // blocks the loop below frees — an unrecoverable read
@@ -531,7 +544,8 @@ object Extensions {
     "x13_frame_sample"   -> ((s, d) => Multimodal.frameSample(s, docs(s, d))),
     "x14_events_parsed"  -> ((s, d) => Events.parsedEvents(evs(s, d))),
     "x15_events_hourly"  -> ((s, d) => Events.hourlyAgg(evs(s, d))),
-    "x16_sessions"       -> ((s, d) => Events.sessions(evs(s, d))),
+    "x16_sessions"       -> ((s, d) => { sessShared(s, d)
+      Events.sessions(evs(s, d)) }),
     "x17_topk_docs"      -> ((s, d) => TextAnalysis.topQualityDocs(docs(s, d))),
     "x18_events_rollup"  -> ((s, d) => Events.rollupAgg(evs(s, d))),
     "x19_asof_carry"     -> ((s, d) => Events.asofCarry(evs(s, d))),
@@ -576,7 +590,8 @@ object Extensions {
     "x52_semantic_dup"   -> ((s, d) =>
       Similarity.semanticDupPairsFrom(vecsShared(s, d), centsShared(s, d))),
     "x53_hourly_pivot"   -> ((s, d) => Events.hourlyPivot(evs(s, d))),
-    "x54_session_funnel" -> ((s, d) => Events.sessionFunnel(evs(s, d))),
+    "x54_session_funnel" -> ((s, d) => { sessShared(s, d)
+      Events.sessionFunnel(evs(s, d)) }),
     "x55_cohort_retention" -> ((s, d) => Events.cohortRetention(evs(s, d))),
     "x56_stream_enrich"  -> ((s, d) => graft.streaming.EventStream.enrichedPurchasesAvailableNow(s, d)),
     "x57_window_suite"   -> ((s, d) => Events.windowSuite(evs(s, d))),
@@ -607,7 +622,8 @@ object Extensions {
         docs(s, d).select(count(lit(1)).as("n_docs"))))),
     "x77_frame_energy"   -> ((s, d) => Multimodal.frameEnergy(s, docs(s, d)).toDF()),
     "x78_split_jsd"      -> ((s, d) => TextAnalysis.splitDivergence(docs(s, d))),
-    "x79_transitions"    -> ((s, d) => Events.sessionTransitions(evs(s, d))),
+    "x79_transitions"    -> ((s, d) => { sessShared(s, d)
+      Events.sessionTransitions(evs(s, d)) }),
     "x80_equidepth_hist" -> ((s, d) => Events.equiDepthHist(evs(s, d))),
     "x81_star_revenue"   -> ((s, d) => graft.ops.Olap.starRevenue(Tables.lineitem(s, d),
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
@@ -703,7 +719,8 @@ object Extensions {
     "x158_partition_prune" -> partitionedPruned _,
     "x159_variant_shred" -> ((s, d) => Events.variantShred(evs(s, d))),
     "x160_range_join"    -> ((s, d) => graft.ops.Olap.bandedRangeJoin(evs(s, d))),
-    "x161_session_paths" -> ((s, d) => Events.topSessionPaths(evs(s, d))),
+    "x161_session_paths" -> ((s, d) => { sessShared(s, d)
+      Events.topSessionPaths(evs(s, d)) }),
     "x162_pmi_colloc"    -> ((s, d) => TextAnalysis.pmiCollocations(docs(s, d))),
     "x163_calibration"   -> ((s, d) => graft.ops.QualityFilters.calibrationCurve(docs(s, d))),
     "x164_ess"           -> ((s, d) => graft.ops.QualityFilters.essPerSource(docs(s, d))),
@@ -714,14 +731,16 @@ object Extensions {
       graft.ops.Olap.basketLiftFrom(basketsShared(s, d))),
     "x169_pareto_front"  -> ((s, d) => graft.ops.Olap.paretoFront(Tables.part(s, d))),
     "x170_acf"           -> ((s, d) => Events.acfDailyVolume(evs(s, d))),
-    "x171_transitions"   -> ((s, d) => Events.typeTransitions(evs(s, d))),
+    "x171_transitions"   -> ((s, d) => { sessShared(s, d)
+      Events.typeTransitions(evs(s, d)) }),
     "x172_kcore"         -> ((s, d) => kcoreShared(s, d)),
     "x173_neyman"        -> ((s, d) => graft.ops.QualityFilters.neymanSample(docs(s, d))),
     "x174_label_confusion" -> ((s, d) =>
       graft.ops.Similarity.labelConfusion(Tables.embeddings(s, d))),
     "x175_item_neighbors" -> ((s, d) =>
       graft.ops.Olap.itemNeighborsFrom(basketsShared(s, d))),
-    "x176_attribution"   -> ((s, d) => Events.linearAttribution(evs(s, d))),
+    "x176_attribution"   -> ((s, d) => { sessShared(s, d)
+      Events.linearAttribution(evs(s, d)) }),
     "x177_quantile_norm" -> ((s, d) => graft.ops.QualityFilters.quantileNormalize(docs(s, d))),
     "x178_link_pred"     -> ((s, d) => finalShared("x178", s, d)(
       graft.ops.Graph.adamicAdarFrom(knnShared(s, d)))),
@@ -729,7 +748,8 @@ object Extensions {
       Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "x180_km_survival"   -> ((s, d) => Events.kmSurvival(evs(s, d))),
     "x181_sq_audit"      -> ((s, d) => Similarity.sqErrorAudit(embs(s, d))),
-    "x182_ev_follows"    -> ((s, d) => Events.eventuallyFollows(evs(s, d))),
+    "x182_ev_follows"    -> ((s, d) => { sessShared(s, d)
+      Events.eventuallyFollows(evs(s, d)) }),
     "x183_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(docs(s, d))),
     "x184_dedup_report"  -> ((s, d) => Dedup.dedupReport(clustersShared(s, d))),
     "x185_dq_checks"     -> ((s, d) => graft.ops.DataProfile.dqChecks(
@@ -739,7 +759,8 @@ object Extensions {
       graft.ops.DataProfile.measureCorrelation(Tables.lineitem(s, d))),
     "x187_did"           -> ((s, d) => Events.diffInDiff(evs(s, d))),
     "x188_bootstrap_ci"  -> ((s, d) => graft.ops.DataProfile.bootstrapCi(docs(s, d))),
-    "x189_bot_sessions"  -> ((s, d) => Events.sessionRegularity(evs(s, d))),
+    "x189_bot_sessions"  -> ((s, d) => { sessShared(s, d)
+      Events.sessionRegularity(evs(s, d)) }),
     "x190_ivf_recall"    -> ((s, d) =>
       Similarity.ivfRecall(vecsShared(s, d), centsShared(s, d))),
     "x191_top_triples"   -> ((s, d) =>
