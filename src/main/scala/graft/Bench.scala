@@ -144,6 +144,17 @@ object Bench {
       // sizing shuffle.partitions to the data, not the core count.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // cached-plan AQE (r13): with the default `false`, a persisted
+      // frame materializes at the FULL initialPartitionNum (the AQE
+      // wide-start, 8x cores) because adaptive coalescing is disabled
+      // inside cached plans — every warm read of a kB-scale memo then
+      // schedules 256 tasks (measured: x194's warm pass ran 2088 tasks
+      // / 39 s of task time for 13 MB of shuffle; with the flag, 46
+      // tasks / 5.5 s). `true` is the knob Spark ships for this: the
+      // cached plan keeps AQE, so cached partitioning follows data
+      // size at ANY scale — sf1's corpus-sized caches still fan out,
+      // the suite's result-sized ones stop paying 8x-cores scheduling.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // residency bound (r7): ContextCleaner can only reap dead
       // broadcast/shuffle state after a GC notices the references died;
       // the 30min default means that never happens inside one suite run

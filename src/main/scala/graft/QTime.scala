@@ -42,6 +42,8 @@ object QTime {
       // same AQE wide-start posture as Bench — measurements must match
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true") // same as Bench (r13): cached plans keep AQE coalescing
       .config("spark.cleaner.periodicGC.interval", "1min") // same as Bench
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

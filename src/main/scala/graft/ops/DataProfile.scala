@@ -352,10 +352,14 @@ object DataProfile {
     // the SOURCE spine broadcasts (an enum); the counts frame does NOT
     // — it scales with the length domain, so it joins the grid as a
     // plain keyed join on (source, x)
-    val grid = xs.crossJoin(broadcast(srcs))
+    // the cumulative grid feeds BOTH pairwise sides (a and b below) —
+    // temp-cache it so the crossJoin+window subtree executes once per
+    // query, not once per side (round 13; the window itself is the
+    // expensive leg)
+    val grid = Caching.temp(xs.crossJoin(broadcast(srcs))
       .join(c, Seq("source", "x"), "left")
       .select(col("source"), col("x"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("cum", sum(col("cnt")).over(wCum)))
     val tots = c.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
     val a = grid.join(broadcast(tots), Seq("source"))
       .select(col("source").as("source_a"), col("x"),

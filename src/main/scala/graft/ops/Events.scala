@@ -1121,8 +1121,12 @@ object Events {
       .groupBy(col("week"), col("bin")).agg(count(lit(1)).as("c")))
     val grid = cells.select(col("week")).distinct()
       .crossJoin(events.sparkSession.range(nBins).toDF("bin"))
-    val full = grid.join(cells, Seq("week", "bin"), "left")
-      .select(col("week"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    // `full` feeds three legs (tots, the reference week, the PSI
+    // terms) — temp-cache the (weeks × bins)-bounded frame so the
+    // grid join executes once per query, not once per leg (round 13)
+    val full = graft.ops.Caching.temp(
+      grid.join(cells, Seq("week", "bin"), "left")
+        .select(col("week"), col("bin"), coalesce(col("c"), lit(0L)).as("c")))
     val tots = full.groupBy(col("week")).agg(sum(col("c")).as("tot"))
     val refWeek = full.agg(min(col("week")).as("rw"))
     val ref = full.crossJoin(broadcast(refWeek)).filter(col("week") === col("rw"))

@@ -55,6 +55,31 @@ object Extensions {
     knnMemo.getOrElseUpdate((s, d),
       graft.ops.Similarity.knnGraphFrom(vecsShared(s, d), centsShared(s, d)).persist())
 
+  /** CHECKPOINTED TWIN of [[knnShared]] for the DERIVED consumers
+    * (x178 link prediction, x202 modularity, the x214/x215/x246 beam
+    * family): the persisted edge frame's ORIGINAL analyzed tree embeds
+    * the whole kmeans+kNN mining plan, and every warm action on a
+    * consumer re-canonicalizes that tree during cache substitution
+    * (~1.3–1.8 s of pure driver time per action, round-13 JobProf:
+    * x178 warm = 1 job / 1 task / 7 ms of task time under 1.8 s of
+    * wall). The twin collapses the lineage to a LogicalRDD leaf —
+    * materialized FROM the already-persisted edges, so the mining
+    * never re-runs — while x114 itself keeps the full-plan memo (its
+    * PlanSpec gate reads the mining tree). Block ids tracked for
+    * [[clearMemos]] (Dataset.unpersist is a no-op on checkpoint
+    * blocks). */
+  private val knnCkMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val knnCkIds =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
+  private def knnCkShared(s: SparkSession, d: String): DataFrame =
+    knnCkMemo.getOrElseUpdate((s, d), {
+      val ck = knnShared(s, d).localCheckpoint()
+      knnCkIds((s, d)) =
+        org.apache.spark.sql.graftbench.CheckpointId.of(ck).toSet
+      ck
+    })
+
   /** The per-vector projection (widen + norm) shared by every
     * embedding consumer (x8/x9/x10/x11/x52) — one repartition + one
     * norm pass per (session, dir), not five. */
@@ -189,7 +214,7 @@ object Extensions {
   private def gannShared(s: SparkSession, d: String): DataFrame =
     gannMemo.getOrElseUpdate((s, d),
       Similarity.graphAnnFrom(vecsShared(s, d), centsShared(s, d),
-        knnShared(s, d)).persist())
+        knnCkShared(s, d)).persist())
 
   /** ONE PQ codebook training per (session, dir) — the x200 index's
     * per-subspace Lloyd loop runs eagerly at query construction, so
@@ -452,6 +477,22 @@ object Extensions {
   private def sessShared(s: SparkSession, d: String): DataFrame =
     sessMemo.getOrElseUpdate((s, d), Events.sessionized(evs(s, d)).persist())
 
+  /** ONE Gopher-battery pass per (session, dir) — the x101 metrics
+    * frame is the base of the whole classifier stack (x107 score,
+    * x163 calibration, x177 quantile norm, x212 manifest, x255/x260
+    * conformal, x261), and each consumer re-ran its ~2.5 s of
+    * interpreted HOF work over the single-split fixture scan per call
+    * (round 13; the tfShared doctrine for the quality stack). The
+    * frame is doc-count rows of scalar metrics; CacheManager
+    * plan-matching substitutes it into every consumer's identical
+    * gopherRules subtree — the map-only PLAN of x101/x107 itself is
+    * unchanged (a cached read plans no exchange either). */
+  private val gopherMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def gopherShared(s: SparkSession, d: String): DataFrame =
+    gopherMemo.getOrElseUpdate((s, d),
+      graft.ops.QualityFilters.gopherRules(docs(s, d)).persist())
+
   /** ONE historical (band_idx, band_hash) store per (session, dir) —
     * x199's static probe side (round 13): the store is FIXTURE (the
     * pre-existing corpus the stream probes against), but it was
@@ -471,6 +512,7 @@ object Extensions {
         ivfMemo, bruteMemo, lexMemo, gannMemo, slicesMemo, tfMemo, kcoreMemo, prMemo,
         champMemo, chunkMemo, rfmMemo, mmrMemo, span8Memo, substrMemo,
         basketsMemo, ahashMemo, audioFpMemo, vhashMemo, bandStoreMemo, sessMemo,
+        gopherMemo,
         lpaMemo) // lpaMemo removal (ADVICE r6): without it the map kept a
                  // session ref AND a memoized frame whose checkpoint
                  // blocks the loop below frees — an unrecoverable read
@@ -491,7 +533,8 @@ object Extensions {
     // the centroid checkpoint blocks need RDD-level unpersist (ADVICE
     // r4): Dataset.unpersist above is a no-op for them, and without
     // this the release would wait on ContextCleaner GC
-    Seq(centsRddIds, pqRddIds, lpaRddIds, mmrRddIds).foreach(reg =>
+    knnCkMemo.keys.filter(_._1 eq session).foreach(knnCkMemo.remove)
+    Seq(centsRddIds, pqRddIds, lpaRddIds, mmrRddIds, knnCkIds).foreach(reg =>
       reg.keys.filter(_._1 eq session).foreach { k =>
         reg.remove(k).foreach(_.foreach(id =>
           session.sparkContext.getPersistentRDDs.get(id)
@@ -652,13 +695,15 @@ object Extensions {
     "x99_pii_scrub"      -> ((s, d) => graft.ops.Pii.piiScrub(docs(s, d))),
     "x100_span_clean"    -> ((s, d) =>
       Dedup.spanCleanTextFrom(span8Shared(s, d), docs(s, d))),
-    "x101_gopher_rules"  -> ((s, d) => graft.ops.QualityFilters.gopherRules(docs(s, d))),
+    "x101_gopher_rules"  -> ((s, d) => { gopherShared(s, d)
+      graft.ops.QualityFilters.gopherRules(docs(s, d)) }),
     "x102_c4_lines"      -> ((s, d) => graft.ops.QualityFilters.c4LineFilters(docs(s, d))),
     "x103_mix_weights"   -> ((s, d) => graft.ops.QualityFilters.mixtureWeights(docs(s, d))),
     "x104_stream_ingest" -> ((s, d) => graft.streaming.EventStream.ingestFilterAvailableNow(s, d)),
     "x105_unicode_nfc"   -> ((s, d) => TextAnalysis.unicodeNfc(docs(s, d))),
     "x106_mix_sample"    -> ((s, d) => graft.ops.QualityFilters.mixtureSample(docs(s, d))),
-    "x107_clf_score"     -> ((s, d) => graft.ops.QualityFilters.classifierScore(docs(s, d))),
+    "x107_clf_score"     -> ((s, d) => { gopherShared(s, d)
+      graft.ops.QualityFilters.classifierScore(docs(s, d)) }),
     "x108_html_extract"  -> ((s, d) => graft.ops.Web.htmlExtract(docs(s, d))),
     "x109_url_stats"     -> ((s, d) => graft.ops.Web.urlStats(docs(s, d))),
     "x110_script_profile" -> ((s, d) => TextAnalysis.scriptProfile(docs(s, d))),
@@ -722,7 +767,8 @@ object Extensions {
     "x161_session_paths" -> ((s, d) => { sessShared(s, d)
       Events.topSessionPaths(evs(s, d)) }),
     "x162_pmi_colloc"    -> ((s, d) => TextAnalysis.pmiCollocations(docs(s, d))),
-    "x163_calibration"   -> ((s, d) => graft.ops.QualityFilters.calibrationCurve(docs(s, d))),
+    "x163_calibration"   -> ((s, d) => { gopherShared(s, d)
+      graft.ops.QualityFilters.calibrationCurve(docs(s, d)) }),
     "x164_ess"           -> ((s, d) => graft.ops.QualityFilters.essPerSource(docs(s, d))),
     "x165_sorted_neighbor" -> ((s, d) => graft.ops.Fuzzy.sortedNeighborPairs(Tables.part(s, d))),
     "x166_jw_match"      -> ((s, d) => graft.ops.Fuzzy.jwNameMatch(Tables.part(s, d))),
@@ -741,9 +787,10 @@ object Extensions {
       graft.ops.Olap.itemNeighborsFrom(basketsShared(s, d))),
     "x176_attribution"   -> ((s, d) => { sessShared(s, d)
       Events.linearAttribution(evs(s, d)) }),
-    "x177_quantile_norm" -> ((s, d) => graft.ops.QualityFilters.quantileNormalize(docs(s, d))),
+    "x177_quantile_norm" -> ((s, d) => { gopherShared(s, d)
+      graft.ops.QualityFilters.quantileNormalize(docs(s, d)) }),
     "x178_link_pred"     -> ((s, d) => finalShared("x178", s, d)(
-      graft.ops.Graph.adamicAdarFrom(knnShared(s, d)))),
+      graft.ops.Graph.adamicAdarFrom(knnCkShared(s, d)))),
     "x179_supplier_hhi"  -> ((s, d) => graft.ops.Olap.supplierHhi(
       Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "x180_km_survival"   -> ((s, d) => Events.kmSurvival(evs(s, d))),
@@ -794,7 +841,7 @@ object Extensions {
     "x201_lpa_communities" -> ((s, d) =>
       graft.ops.Graph.lpaCommunitiesFromLabels(lpaShared(s, d))),
     "x202_modularity"    -> ((s, d) =>
-      graft.ops.Graph.modularityFrom(knnShared(s, d), lpaShared(s, d))),
+      graft.ops.Graph.modularityFrom(knnCkShared(s, d), lpaShared(s, d))),
     "x203_bpe_compression" -> ((s, d) => TextAnalysis.bpeCompressionStats(
       docs(s, d), bpeShared(s, d).map(m => (m._2, m._3)))),
     "x204_fusion_eval"   -> ((s, d) => graft.ops.Search.fusionEval(
@@ -812,9 +859,9 @@ object Extensions {
     "x211_embed_outliers" -> ((s, d) => Similarity.embeddingOutliers(embs(s, d))),
     // the cluster frame and the contamination pairs ride the shared
     // LSH/shingle memos — the manifest adds joins, not mining passes
-    "x212_corpus_manifest" -> ((s, d) =>
+    "x212_corpus_manifest" -> ((s, d) => { gopherShared(s, d)
       graft.ops.QualityFilters.corpusManifest(docs(s, d), clustersShared(s, d),
-        Dedup.contaminationFrom(shinglesShared(s, d), docs(s, d)))),
+        Dedup.contaminationFrom(shinglesShared(s, d), docs(s, d))) }),
     "x213_champion_recall" -> ((s, d) => { tfShared(s, d)
       graft.ops.Search.championRecallFrom(champContribShared(s, d)) }),
     // the IVF seed frame and the exact leg ride the ivf/brute memos;
@@ -822,7 +869,7 @@ object Extensions {
     // only beam-bounded joins
     "x214_graph_ann"     -> ((s, d) => gannShared(s, d)),
     "x215_graph_ann_recall" -> ((s, d) => finalSharedCk("x215", s, d)(
-      Similarity.graphAnnRecall(vecsShared(s, d), centsShared(s, d), knnShared(s, d)))),
+      Similarity.graphAnnRecall(vecsShared(s, d), centsShared(s, d), knnCkShared(s, d)))),
     "x216_txn_snapshot"  -> txnSnapshot _,
     "x217_chunk_retrieval" -> ((s, d) => { tfShared(s, d)
       graft.ops.Search.chunkRetrievalEvalFromContrib(
@@ -903,7 +950,7 @@ object Extensions {
     "x246_beam_frontier" -> ((s, d) => finalSharedCk("x246", s, d)({
       bruteShared(s, d)
       Similarity.graphAnnBeamFrontier(
-        vecsShared(s, d), centsShared(s, d), knnShared(s, d))
+        vecsShared(s, d), centsShared(s, d), knnCkShared(s, d))
     })),
     "x247_audio_fp"      -> ((s, d) => audioFpShared(s, d)
       .select(col("doc_id"), col("n_samples"), col("fp"))),
@@ -921,8 +968,9 @@ object Extensions {
       TextAnalysis.textRank(docs(s, d)))),
     "x254_heavy_hitters" -> ((s, d) => finalShared("x254", s, d)(
       TextAnalysis.heavyHittersAudit(docs(s, d)))),
-    "x255_conformal"     -> ((s, d) => finalShared("x255", s, d)(
-      graft.ops.QualityFilters.conformalSets(docs(s, d)))),
+    "x255_conformal"     -> ((s, d) => finalShared("x255", s, d)({
+      gopherShared(s, d)
+      graft.ops.QualityFilters.conformalSets(docs(s, d)) })),
     "x256_incr_index"    -> ((s, d) => finalShared("x256", s, d)(
       incrementalIndex(s, d))),
     "x257_mann_kendall"  -> ((s, d) => Events.mannKendallDaily(evs(s, d))),
@@ -935,8 +983,9 @@ object Extensions {
       bruteShared(s, d)
       Similarity.bqRerankRecall(vecsShared(s, d))
     })),
-    "x260_mondrian"      -> ((s, d) => finalShared("x260", s, d)(
-      graft.ops.QualityFilters.mondrianConformalSets(docs(s, d)))),
+    "x260_mondrian"      -> ((s, d) => finalShared("x260", s, d)({
+      gopherShared(s, d)
+      graft.ops.QualityFilters.mondrianConformalSets(docs(s, d)) })),
     "x261_l_diversity"   -> ((s, d) =>
       graft.ops.DataProfile.lDiversity(Tables.customer(s, d))),
     "x262_time_travel"   -> timeTravel _,

@@ -1550,47 +1550,72 @@ object TxnLog {
       }
     }
     def emptySide = sample.limit(0)
-    val frames = changed.map { b =>
+    // classify each changed bucket once; same per-bucket conditions as
+    // before, but same-kind fast-path buckets are then GROUPED into one
+    // scan / one join instead of one frame each (round 13: a delete
+    // touching all buckets planned O(buckets) semi joins; every CDC
+    // consumer's epoch pays the plan)
+    sealed trait Kind
+    case object AppendOnly extends Kind
+    case object DeleteOnly extends Kind
+    case object Diff extends Kind
+    val kinds: Seq[(Int, Kind)] = changed.map { b =>
       val preRels = mf.bucketRels(b)
       val postRels = mt.bucketRels(b)
-      // APPEND-ONLY fast path (x274): when the bucket's change is
-      // exactly new files appended behind an unchanged primary + prefix
-      // (and tombstones are untouched), the delta IS those files — read
-      // ONLY them, emit inserts, and skip the full-bucket outer join
-      // entirely. Sound under the append contract ([[commitAppend]] /
-      // the upsert's Bloom-proven no-match path: appended keys are
-      // fresh); a trickle append's feed costs O(new files), not
-      // O(bucket) — the same O(changed data) promise one level finer.
       val preTombs = mf.tombs.getOrElse(b, Seq.empty)
       val postTombs = mt.tombs.getOrElse(b, Seq.empty)
       if (preRels.nonEmpty && postRels.startsWith(preRels) &&
-        postRels.size > preRels.size && preTombs == postTombs) {
+        postRels.size > preRels.size && preTombs == postTombs) b -> AppendOnly
+      else if (preRels == postRels && postTombs.startsWith(preTombs) &&
+        postTombs.size > preTombs.size) b -> DeleteOnly
+      else b -> Diff
+    }
+    // APPEND-ONLY fast path (x274): when a bucket's change is exactly
+    // new files appended behind an unchanged primary + prefix (and
+    // tombstones are untouched), the delta IS those files — read ONLY
+    // them, emit inserts, and skip the full-bucket outer join entirely.
+    // Sound under the append contract ([[commitAppend]] / the upsert's
+    // Bloom-proven no-match path: appended keys are fresh); a trickle
+    // append's feed costs O(new files), not O(bucket). All append-only
+    // buckets share ONE multi-path scan — the emitted rows carry no
+    // bucket identity, so grouping them loses nothing.
+    val appendPaths = kinds.collect { case (b, AppendOnly) => b }.flatMap { b =>
+      mt.bucketRels(b).drop(mf.bucketRels(b).size).map(r => dataPath(table, r))
+    }
+    val appendFrame = if (appendPaths.isEmpty) None else Some(
+      logicalize(spark.read.parquet(appendPaths: _*))
+        .select(cs.map(col) :+ lit("insert").as("change_type"): _*))
+    // DELETE-ONLY fast path (round 13, the append fast path's mirror):
+    // a bucket whose change is exactly new tombstone files behind an
+    // unchanged file set diffs to pre-visible ⋉ NEW tombstone keys as
+    // `delete` events (a key already tombstoned at fromV is not in
+    // pre-visible and correctly emits nothing). ALL delete-only buckets
+    // share ONE semi join: each side is tagged with its bucket id and
+    // the join keys on (__b, key), so a tombstone key still reaches
+    // only its own bucket's rows (the ADVICE-r8 mis-routing guard,
+    // kept without relying on key%NumBuckets routing) while the plan
+    // carries one join instead of O(buckets).
+    val delBuckets = kinds.collect { case (b, DeleteOnly) => b }
+    val deleteFrame = if (delBuckets.isEmpty) None else {
+      val keyPhys = mt.keyCol.getOrElse(throw new IllegalStateException(
+        s"$table has tombstones but no keycol"))
+      val keyLogical = mt.colmap.getOrElse(keyPhys, keyPhys)
+      val pre = delBuckets.flatMap(b =>
+        visibleBucket(spark, table, b, fromV).map(logicalize)
+          .map(_.withColumn("__b", lit(b))))
+      val newKeys = delBuckets.map { b =>
+        val postTombs = mt.tombs.getOrElse(b, Seq.empty)
+        val preTombs = mf.tombs.getOrElse(b, Seq.empty)
         logicalize(spark.read.parquet(
-          postRels.drop(preRels.size).map(r => dataPath(table, r)): _*))
-          .select(cs.map(col) :+ lit("insert").as("change_type"): _*)
-      } else if (preRels == postRels && postTombs.startsWith(preTombs) &&
-        postTombs.size > preTombs.size) {
-        // DELETE-ONLY fast path (round 13, the append fast path's
-        // mirror): the bucket's change is exactly new tombstone files
-        // behind an unchanged file set, so post-visible ≡ pre-visible
-        // minus the NEW tombstone keys and the diff is those rows as
-        // `delete` events — ONE semi join against the new tombstone
-        // keys instead of a full pre/post outer diff (a key already
-        // tombstoned at fromV is not in pre-visible and correctly
-        // emits nothing). A trickle DELETE's feed costs O(deleted
-        // keys), and every CDC consumer's delete epoch drops the
-        // bucket-count×full-outer plan this path replaces.
-        val keyPhys = mt.keyCol.getOrElse(throw new IllegalStateException(
-          s"$table has tombstones but no keycol"))
-        val keyLogical = mt.colmap.getOrElse(keyPhys, keyPhys)
-        val newKeys = logicalize(spark.read.parquet(
           postTombs.drop(preTombs.size).map(t => dataPath(table, t)): _*)
-          .select(col(keyPhys)))
-        val pre = visibleBucket(spark, table, b, fromV).map(logicalize)
-          .getOrElse(emptySide)
-        pre.join(newKeys, Seq(keyLogical), "left_semi")
-          .select(cs.map(col) :+ lit("delete").as("change_type"): _*)
-      } else {
+          .select(col(keyPhys))).withColumn("__b", lit(b))
+      }.reduce(_.unionByName(_))
+      pre.reduceOption(_.unionByName(_)).map(
+        _.join(newKeys, Seq("__b", keyLogical), "left_semi")
+          .select(cs.map(col) :+ lit("delete").as("change_type"): _*))
+    }
+    // full per-bucket diff for everything else (the general path)
+    val diffFrames = kinds.collect { case (b, Diff) => b }.map { b =>
       val pre = visibleBucket(spark, table, b, fromV).map(logicalize)
         .getOrElse(emptySide)
       val post = visibleBucket(spark, table, b, toV).map(logicalize)
@@ -1614,9 +1639,9 @@ object TxnLog {
         .when(diff, array(ev("pre", "update_preimage"),
           ev("post", "update_postimage")))
       j.select(explode(events).as("__e")).select(col("__e.*"))
-      }
     }
-    frames.reduceOption(_.unionByName(_))
+    (appendFrame.toSeq ++ deleteFrame.toSeq ++ diffFrames)
+      .reduceOption(_.unionByName(_))
       .getOrElse(emptySide.withColumn("change_type", lit("")))
   }
 
@@ -1722,15 +1747,30 @@ object TxnLog {
       val clearRels = kept.filterNot(tombed.contains)
         .flatMap(b => m.bucketRels(b).map(r => dataPath(table, r)))
       val clear = if (clearRels.isEmpty) None else Some(scan(clearRels))
-      val subtracted = tombed.map { b =>
+      // ONE anti join for ALL tombstoned buckets (round 13): each side
+      // is tagged with its bucket id and the join keys on (__b, key),
+      // so a tombstone key still reaches ONLY its own bucket's rows
+      // (the ADVICE-r8 mis-routing guard, preserved without relying on
+      // key%NumBuckets routing) while the plan carries ONE join node
+      // instead of O(tombed buckets) joins+broadcasts — the read-side
+      // sibling of the one-job commit write (VERDICT r12 task 2); a
+      // long-deferred OPTIMIZE no longer degrades every snapshot plan
+      // join-by-join.
+      val subtracted = if (tombed.isEmpty) None else {
         val key = m.keyCol.getOrElse(throw new IllegalStateException(
           s"$table v${m.version} has tombstones but no keycol"))
-        scan(m.bucketRels(b).map(r => dataPath(table, r)))
-          .join(spark.read.parquet(
-            m.tombs(b).map(t => dataPath(table, t)): _*).select(col(key)),
-            Seq(key), "left_anti")
+        import org.apache.spark.sql.functions.lit
+        val data = tombed.map { b =>
+          scan(m.bucketRels(b).map(r => dataPath(table, r)))
+            .withColumn("__b", lit(b))
+        }.reduce(_.unionByName(_, allowMissingColumns = evolved))
+        val tombKeys = tombed.map { b =>
+          spark.read.parquet(m.tombs(b).map(t => dataPath(table, t)): _*)
+            .select(col(key)).withColumn("__b", lit(b))
+        }.reduce(_.unionByName(_))
+        Some(data.join(tombKeys, Seq("__b", key), "left_anti").drop("__b"))
       }
-      (clear.toSeq ++ subtracted)
+      (clear.toSeq ++ subtracted.toSeq)
         .reduce(_.unionByName(_, allowMissingColumns = evolved))
     }
   }

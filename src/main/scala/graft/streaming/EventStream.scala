@@ -475,6 +475,15 @@ object EventStream {
   def nearDupIngest(docStream: DataFrame, historicalBands: DataFrame): DataFrame = {
     import graft.ops.Dedup
     docStream.filter(col("doc_id") % 3 === 0)
+      // spread the md5-heavy banding before computing it (the
+      // [[graft.ops.Dedup.docShingles]] rationale, round 13): the
+      // fixture micro-batch is one file → one input split, which
+      // serialized ~2.5 s of signature compute onto a single core per
+      // batch (measured via the batch's addBatch duration); at real
+      // scale the arriving batch spans many splits and the repartition
+      // spreads a skewed trickle instead
+      .repartition(docStream.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), graft.ops.TextAnalysis.shingles(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
