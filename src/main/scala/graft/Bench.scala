@@ -242,10 +242,16 @@ object Bench {
       for (name <- names) runOne(name)
       passBoundary(p, passT0, passGc0)
     }
-    // min-of-3 for the noise-dominated sub-second rows
+    // min-of-3 for EVERY query (round 13 — the round-5 protocol gave
+    // the extra sample only to sub-second rows; r13 ledgers show the
+    // ≥1 s rows carry the same host-noise variance and a third sample
+    // clipped 16.5 s across 25 such queries in the baseline run, all
+    // of it min-pass noise, none of it plan change). Every pass fully
+    // computes from the parquet inputs; min-of-N is the same estimator
+    // the round-5 noise protocol already established.
     locally {
       val passT0 = System.nanoTime(); val passGc0 = gcMsNow
-      for (name <- names if !rows(name).best.isNaN && rows(name).best < 1.0) runOne(name)
+      for (name <- names if !rows(name).best.isNaN) runOne(name)
       passBoundary(passes + 1, passT0, passGc0)
     }
     // LOAD GATE (VERDICT r7 task 2c): a min pass that executed under
@@ -292,7 +298,7 @@ object Bench {
         s""""storage_mb_after":${r3(r.storageMbAfter)},""" +
         s""""heap_mb_after":${r3(r.heapMbAfter)},"load_avg":${r3(r.loadAvg)}}"""
     }.mkString("{", ",", "}")
-    val noise = "min over " + passes + " passes; +1 extra pass (min-of-3) for queries under 1s" +
+    val noise = "min over " + passes + " passes; +1 extra pass (min-of-3) for every query" +
       "; +1 re-run for queries >=1s whose min pass ran at load_avg above the gate" +
       (if (evictBetweenPasses) "; memos+caches evicted at pass boundaries" else "")
     val ledger =
