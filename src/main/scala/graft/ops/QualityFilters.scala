@@ -443,7 +443,7 @@ object QualityFilters {
     * shuffles once, on (doc_id, f) — no windows, no collect. */
   def dsirWeights(documents: DataFrame, buckets: Int = DsirBuckets): DataFrame = {
     val scale = lit(Similarity.CentroidScale)
-    val tf = Caching.temp(withTokens(documents)
+    val tf = Caching.temp(withTokens(TextAnalysis.spread(documents))
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), col("lang"),
         pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"),

@@ -144,6 +144,20 @@ object TextAnalysis {
   def withTokens(documents: DataFrame): DataFrame =
     documents.withColumn("toks", tokens(col("text")))
 
+  /** Spread an under-split documents scan across the cluster before
+    * heavy per-row token work (the [[graft.ops.Dedup.docShingles]]
+    * rationale, round 13): the fixture corpus is one small parquet
+    * file with one row group → one input split, which serializes the
+    * tokenize/explode map stage onto a single core. At real scale the
+    * scan arrives pre-split and the keyed repartition instead spreads
+    * a skewed trickle. Used by the explode-based term pipelines whose
+    * follow-up is shuffle-bound anyway (docTermFreq, docBigrams, the
+    * DSIR feature pass) — NOT by the map-only quality filters, whose
+    * zero-shuffle plan is their 100 TB posture (PlanSpec-gated). */
+  def spread(documents: DataFrame): DataFrame =
+    documents.repartition(
+      documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   /** x1: one row per document with all scalar text stats.
     *
     * Two stacked projections, NOT one: the count columns feed both the
@@ -219,7 +233,7 @@ object TextAnalysis {
   /** (doc_id, tok, tf): per-document term frequencies — one explode +
     * hash aggregate; the base frame for vocabulary and TF-IDF. */
   def docTermFreq(documents: DataFrame): DataFrame =
-    withTokens(documents)
+    withTokens(spread(documents))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
@@ -536,7 +550,7 @@ object TextAnalysis {
 
   /** (doc_id, w1, w2): consecutive token pairs of each document. */
   def docBigrams(documents: DataFrame): DataFrame =
-    withTokens(documents)
+    withTokens(spread(documents))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(expr(
